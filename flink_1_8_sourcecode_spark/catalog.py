@@ -1,0 +1,45 @@
+"""Table catalog over the driver's parquet testdata.
+
+Reference parity: Flink's ``TableEnvironment.registerTable`` /
+``registerTableSource`` (flink-table/.../table/api/TableEnvironment.scala)
+binds named tables to sources; scans are projectable/filterable
+(flink-table/.../table/sources/CsvTableSource.scala:50).  In Spark the
+parquet reader gives predicate pushdown + column pruning + partition
+pruning for free, so this module is a thin registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL entry point)."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,62 @@
+"""Declared query inventory — the engine's correctness surface.
+
+Every operator claimed in SURVEY.md §2 appears here as a named query:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB runs
+on the same parquet tables.  The driver hash-compares both sides.
+
+Naming contract: every computed column is aliased identically in the
+Spark code and the oracle SQL (driver sorts columns by name).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # DuckDB SQL; None => rows-only check
+    doc: str = ""
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, bench=bench)
+        return fn
+
+    return deco
+
+
+_MODULES = (
+    "tpch",
+    "joins",
+    "aggregates",
+    "setops",
+    "sorts",
+    "scalar_functions",
+    "over_windows",
+    "group_windows",
+    "dedup",
+    "similarity",
+    "text_analysis",
+)
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    for m in _MODULES:
+        importlib.import_module(f"flink_1_8_sourcecode_spark.queries.{m}")
+    return REGISTRY

@@ -1,0 +1,203 @@
+"""TPC-H-style benchmark queries (adapted to the testdata star schema).
+
+Reference parity: the reference ships TPC-H Q3 and Q10 as its own example
+queries (flink-examples/flink-examples-batch/src/main/java/org/apache/flink/
+examples/java/relational/TPCHQuery3.java:103, TPCHQuery10.java;
+flink-examples/flink-examples-table/.../TPCHQuery3Table.scala).  We add
+Q1/Q5/Q6-style queries to exercise scan+filter+agg, the 6-table join chain,
+and a pure filter-agg.
+
+Scale notes: every dim-side join uses an explicit broadcast() hint (the
+dims stay < 64 MB even at sf 1000 for region/nation; customer/supplier/part
+are broadcastable to ~sf100 and AQE demotes gracefully beyond).  Fact-fact
+joins (orders x lineitem) shuffle on the join key — that is the correct
+plan at 100 TB; AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.queries import register
+
+_TS = lambda s: F.to_timestamp(F.lit(s))  # noqa: E731
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)  AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing summary report: scan -> filter -> hash agg (map-side partials).",
+    bench=True,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _TS("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="Shipping-priority: broadcast dim join -> fact join -> agg -> top-k.",
+    bench=True,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _TS("1998-03-15"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _TS("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="Local-supplier volume: 6-table join chain, dims broadcast.",
+    bench=True,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Forecast-revenue change: pure pushed-down filter + global agg.",
+    bench=True,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="Returned-item reporting (reference's TPCHQuery10.java): join + agg + top-k.",
+    bench=True,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1997-01-01")) & (F.col("o_orderdate") < _TS("1997-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )

@@ -1,0 +1,105 @@
+"""Shared fixtures: one SparkSession per test session + a DuckDB oracle.
+
+Mirrors the driver's t2 check: run a query in Spark and its oracle SQL
+in DuckDB over the same parquet files, canonicalize (columns sorted by
+name, rows sorted, floats compared with tolerance), and compare.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_1_8_sourcecode_spark.catalog import TABLES  # noqa: E402
+from flink_1_8_sourcecode_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="flink18-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb_conn(sf_dir)
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    sort_cols = [
+        c for c in df.columns if not pd.api.types.is_float_dtype(df[c])
+    ] + [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    return df.sort_values(by=sort_cols, kind="mergesort", na_position="last").reset_index(
+        drop=True
+    )
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            av = a[c].astype(float).to_numpy()
+            bv = b[c].astype(float).to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=1e-7, atol=1e-9) | both_nan
+            assert close.all(), (
+                f"{name}: float col {c} mismatch; first diffs "
+                f"{[(x, y) for x, y, ok in zip(av, bv, close) if not ok][:5]}"
+            )
+        else:
+            same = (a[c].fillna("<NULL>") == b[c].fillna("<NULL>"))
+            assert same.all(), (
+                f"{name}: col {c} mismatch; first diffs "
+                f"{list(zip(a[c][~same][:5], b[c][~same][:5]))}"
+            )
+
+
+def check_query(q, spark, sf_dir: str) -> None:
+    """Run one registry Query against its DuckDB oracle."""
+    sdf = q.spark(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only smoke
+        return
+    oracle_pdf = run_oracle(q.oracle, sf_dir)
+    assert_frames_match(spark_pdf, oracle_pdf, name=q.name)
