@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop-format write (full computation, zero
+driver-side materialization — the 100 TB-honest way to benchmark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_1_8_sourcecode_spark.queries import load_all
+from flink_1_8_sourcecode_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    registry = load_all()
+    bench_queries = {n: q for n, q in registry.items() if q.bench}
+    spark = get_spark(app_name="flink18-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches once (not timed).
+    next(iter(bench_queries.values())).spark(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
