@@ -32,6 +32,16 @@ BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+        # read natively: take it as epoch-nanos long and truncate to
+        # microseconds exactly (integer div — double math would lose
+        # precision above 2^53).  Matches DuckDB's ns->us cast semantics.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,101 @@
+"""Scalar-function shims: Flink 1.8 spellings Spark lacks.
+
+Reference parity (all JVM-side Column expressions — no Python UDFs):
+
+- ``at``          : Flink ITEM/AT ``a[i]`` is 1-based
+                    (flink-table/.../expressions/collection.scala); Spark's
+                    ``element_at`` is also 1-based, so this is a direct alias.
+- ``element``     : Flink ELEMENT(a) — sole element of a 1-element array
+                    (FunctionCatalog.scala:283).
+- ``cot``         : cotangent (FunctionCatalog.scala:236).
+- ``truncate``    : TRUNCATE(x, d) — truncate toward zero
+                    (flink-table/.../expressions/mathExpressions.scala).
+- ``rand_integer``: RAND_INTEGER(n) (FunctionCatalog.scala).
+- ``similar_to``  : SQL ``SIMILAR TO`` — SQL-regex full match
+                    (FunctionCatalog.scala comparison ops).
+- ``overlaps``    : SQL ``(s1, e1) OVERLAPS (s2, e2)``
+                    (flink-table/.../expressions/time.scala).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def at(arr: Column, index) -> Column:
+    """Flink ``a[i]`` / AT — 1-based array access (NULL when out of range)."""
+    return F.element_at(arr, index)
+
+
+def element(arr: Column) -> Column:
+    """Flink ELEMENT(a): the single element of a one-item array, else NULL."""
+    return F.when(F.size(arr) == 1, F.element_at(arr, 1))
+
+
+def cot(col: Column) -> Column:
+    return F.cos(col) / F.sin(col)
+
+
+def truncate(col: Column, scale: int = 0) -> Column:
+    """TRUNCATE(x, d): drop digits past d decimal places, toward zero."""
+    factor = 10**scale
+    scaled = col * F.lit(factor)
+    truncated = F.when(scaled >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
+    return truncated / F.lit(factor)
+
+
+def rand_integer(n, seed: int | None = None) -> Column:
+    """RAND_INTEGER(n): uniform int in [0, n). Nondeterministic — excluded
+    from hash-checked queries (tested by property)."""
+    r = F.rand(seed) if seed is not None else F.rand()
+    return F.floor(r * F.lit(n)).cast("int")
+
+
+def _sql_regex_to_re(pattern: str) -> str:
+    """Translate a SQL SIMILAR TO pattern into a Java regex.
+
+    ``%`` -> ``.*``, ``_`` -> ``.``; character classes ``[...]`` and
+    grouping/alternation pass through (SIMILAR TO already uses them).
+    """
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            out.append(c)
+            in_class = True
+        elif c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c == "\\" and i + 1 < n:
+            out.append(c + pattern[i + 1])
+            i += 1
+        elif c in ".^$":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def similar_to(col: Column, pattern: str) -> Column:
+    """SQL ``col SIMILAR TO pattern`` — full-string SQL-regex match."""
+    return col.rlike("^" + _sql_regex_to_re(pattern) + "$")
+
+
+def overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
+    """SQL (s1, e1) OVERLAPS (s2, e2): do the two periods share any instant?
+
+    Normalizes each period so start <= end, then tests strict interval
+    intersection with boundary contact counting as overlap (SQL semantics).
+    """
+    lo1, hi1 = F.least(s1, e1), F.greatest(s1, e1)
+    lo2, hi2 = F.least(s2, e2), F.greatest(s2, e2)
+    return (lo1 <= hi2) & (lo2 <= hi1)

@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (SURVEY.md §2.16 north-star set).
+
+Scale design:
+- exact_dedup: one hash shuffle on the dedup key; the keeper is chosen
+  deterministically (min of a tie-break column) so results are stable —
+  ``dropDuplicates`` keeps an arbitrary row and is only used where the
+  caller doesn't care.
+- MinHash: signatures are pure Column expressions (md5-based hash family
+  — lexicographic min over hex digests), so signature computation is a
+  map-only stage.  LSH banding turns the O(n^2) pair space into a
+  self-join on (band_id, band_hash) — the standard shuffle-friendly
+  reduction; candidate verification happens only inside buckets.
+- SimHash: 32-bit fingerprint from per-token md5 bits, map-only.
+- n-gram Jaccard / embedding cosine: blocked self-joins (caller supplies
+  the blocking key) — never an unconstrained cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, keys: list[str], keep_by: str) -> DataFrame:
+    """Keep exactly one row per ``keys`` group: the one with the smallest
+    ``keep_by`` value (deterministic)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(keep_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature as an array of hex-digest minima.
+
+    Hash family i = md5(i || '|' || shingle); min is lexicographic over
+    the hex strings — engine-portable (md5 is identical everywhere) and
+    a valid min-wise family.
+    """
+    sh = shingles(text, shingle_k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    rows_per_band = num_hashes // bands; a pair collides on band j when
+    the concatenation of its band signature rows matches.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("__sig"),
+    )
+    band_rows = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.concat_ws(
+                            "#", *[F.element_at("__sig", j * r + i + 1) for i in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band_id", "b.band_hash")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash: per-token md5 -> first 8 hex chars -> 32 bits;
+    bit j of the fingerprint is 1 iff more tokens set bit j than clear it.
+
+    Pure Column expressions: conv(hex,16,10) is JVM-side; the bit loop
+    unrolls to 32 expressions inside one codegen stage.
+    """
+    t = F.array_distinct(tokens(text))
+    h = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+    bit_sums = [
+        F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, v, j=j: acc + F.shiftright(v, j).bitwiseAND(F.lit(1)),
+        )
+        for j in range(32)
+    ]
+    n = F.size(t)
+    out = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        out = out + F.when(s * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs inside a blocking key."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Cosine near-duplicate pairs inside a blocking key (double math)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.__v")) * norm(F.col("b.__v")))
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Join operators beyond Spark's built-in flavors.
+
+Reference parity:
+- as-of (temporal-table) join — Flink's ``TemporalRowtimeJoin``
+  (flink-table/.../runtime/join/TemporalRowtimeJoin.scala:63) buffers the
+  build side per key and emits, for each probe row, the latest build row
+  with time <= probe time.
+- interval join — ``KeyedStream.intervalJoin(...).between(lower, upper)``
+  (flink-streaming-java/.../datastream/KeyedStream.java:414,448; runtime
+  flink-table/.../runtime/join/TimeBoundedStreamJoin.scala).
+
+Scale design:
+- ``asof_join`` uses the union + sort-within-key + last-value-carry-forward
+  strategy: ONE shuffle on the key, no row explosion, no per-probe
+  backtracking — the plan that survives 100 TB.  (A key-equi join with a
+  ``right.ts <= left.ts`` predicate would multiply rows before aggregating;
+  merge_asof-in-pandas would force a Python boundary.)
+- ``interval_join`` is a plain equi-join on the key with the time-range
+  predicate evaluated inside the hash join — Spark shuffles both sides on
+  the key once; AQE picks broadcast when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` (or ``<`` when not allow_exact_match),
+    matching on the key column(s) ``on``. Left rows without a prior right
+    row keep NULLs (left-outer as-of semantics, like pandas merge_asof
+    and the reference's temporal join).
+
+    Ties on right_time are broken by preferring the greatest right_cols
+    tuple order of arrival — callers wanting a deterministic tie-break
+    should include a unique column in the right frame's sort by passing
+    it first in ``right_cols``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [c for c in right.columns if c not in keys + [right_time]]
+
+    # Tag and align schemas: left rows carry NULL right-payload, right rows
+    # carry their payload; a single sort per key then carries the latest
+    # right payload forward onto each left row.
+    lpay = [F.col(c) for c in left.columns]
+    l_tagged = left.select(
+        *lpay,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    ).select(*[c for c in l_tagged.columns])
+
+    # Exact-time ties: right row must sort BEFORE the left row to be
+    # visible (<=); after it for strict (<).
+    order_left_flag = F.col("__is_left").asc() if not allow_exact_match else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), order_left_flag)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    carried = unioned.select(
+        *[c for c in l_tagged.columns if not c.startswith("__r_")],
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+    )
+    out = carried.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    lower,
+    upper,
+    how: str = "inner",
+) -> DataFrame:
+    """Flink interval join: match left/right rows on key where
+    ``left_time + lower <= right_time <= left_time + upper``.
+
+    ``lower``/``upper`` are SQL interval strings (e.g. ``'10 minutes'``)
+    or Column expressions; negative bounds via ``'-10 minutes'``.
+    """
+
+    def _bound(b):
+        if isinstance(b, str):
+            s = b.strip()
+            neg = s.startswith("-")
+            iv = F.expr(f"INTERVAL {s.lstrip('+-')}")
+            return (-1) * iv if neg else iv
+        return b
+
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else (cond & c)
+    lt, rt = left[left_time], right[right_time]
+    cond = cond & (rt >= lt + _bound(lower)) & (rt <= lt + _bound(upper))
+    out = left.join(right, cond, how)
+    if how in ("inner", "left", "left_outer", "leftouter"):
+        # Keep a single unambiguous key column (the left side's).
+        for k in keys:
+            out = out.drop(right[k])
+    return out

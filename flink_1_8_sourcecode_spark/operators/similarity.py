@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (SURVEY.md §2.16).
+
+- ``cosine_topk``     : brute-force exact top-k — the correctness baseline.
+                        Query side is broadcast (queries are few), corpus is
+                        scanned once map-side, per-query top-k via window.
+- ``ivf_topk``        : IVF-style ANN — corpus pre-clustered (here: an
+                        existing coarse label / any assignment column);
+                        queries probe only the nprobe nearest centroids.
+                        At 100 TB this is the scale path: centroids are a
+                        tiny broadcast table and the corpus join prunes to
+                        nprobe/num_clusters of the data.
+
+All vector math is JVM-side (zip_with + aggregate over array<double>).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, ordered by
+    cosine desc with neighbor_id as deterministic tie-break.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: centroids = per-cluster mean vector; each
+    query searches only its ``nprobe`` closest clusters.
+
+    Returns (query_id, neighbor_id, cosine, rank) like cosine_topk; the
+    approximation may differ from the exact result by design.
+    """
+    centroids = (
+        corpus.select(
+            F.col(cluster_col).alias("cluster"), F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("__centroid"))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cluster"))
+    probes = (
+        q.join(F.broadcast(centroids), F.lit(True))
+        .select("query_id", "__qv", "cluster", cosine(F.col("__qv"), F.col("__centroid")).alias("__csim"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "cluster")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    joined = c.join(F.broadcast(probes), "cluster")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

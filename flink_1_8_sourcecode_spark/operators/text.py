@@ -1,0 +1,78 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+North-star extensions (SURVEY.md §2.16): tokenization, shingling,
+quality scoring, language-ID heuristic, fingerprinting.  All pure
+Column expressions (JVM-side, whole-stage-codegen) — no Python in the
+hot path, so these scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny deterministic English stopword set for quality/lang heuristics.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lower-cased text (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_length(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(t) > 0, stop / F.size(t)).otherwise(F.lit(0.0))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams, joined with single spaces."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(grams)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality score: length band + lexical diversity
+    + stopword presence (the classic cheap pre-filter for LLM corpora)."""
+    n = token_count(text)
+    div = F.when(n > 0, distinct_token_count(text) / n).otherwise(F.lit(0.0))
+    len_band = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    stop = stopword_ratio(text)
+    stop_band = F.when((stop >= 0.05) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_band + div + stop_band) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword language heuristic: predict 'en' when English
+    stopword ratio clears a threshold, else 'other'. (Deterministic;
+    a real model would be a broadcast n-gram table lookup.)"""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lower-cased
+    text — identical content (modulo spacing/case) collides by design."""
+    return F.md5(F.concat_ws(" ", tokens(text)))

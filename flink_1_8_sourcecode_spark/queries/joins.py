@@ -1,1 +1,282 @@
-"""(filled in incrementally)"""
+"""Join operator inventory (SURVEY.md §2.4).
+
+Covers: inner/left/right/full equi-joins (DataSet.java:751-948), cross
+(DataSet.java:1056), theta/non-equi (DataSetJoin.scala:51), single-row
+broadcast join (DataSetSingleRowJoin.scala), semi/anti (SubQueryRemoveRule,
+FlinkRuleSets.scala:37-39), coGroup (DataSet.java:1009), interval join
+(KeyedStream.java:414), temporal as-of join (TemporalRowtimeJoin.scala:63).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.operators.joins import asof_join, interval_join
+from flink_1_8_sourcecode_spark.queries import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+    doc="Batch equi inner join (DataSet.join, broadcast dim).",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderstatus = 'P'
+    GROUP BY c_custkey, c_name
+    """,
+    doc="Left outer join with join-side predicate; NULL padding counted as 0.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM customer RIGHT JOIN orders ON c_custkey = o_custkey AND c_acctbal > 9000
+    WHERE o_totalprice > 450000
+    """,
+    doc="Right outer join: every qualifying order kept, customer NULL-padded.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, (c.c_custkey == o.o_custkey) & (c.c_acctbal > 9000), "right").select(
+        "o_orderkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                FROM customer WHERE c_acctbal > 8000 GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey, n_cust, n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    doc="Full outer join of two aggregates (FullOuterJoinDriver.java parity).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left-semi join (Flink: IN/EXISTS rewritten by SubQueryRemoveRule).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    doc="Cartesian product (DataSet.cross / CrossDriver.java) — dims only.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT a.s_nationkey AS nationkey, count(*) AS n_pairs
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal
+    GROUP BY a.s_nationkey
+    """,
+    doc="Theta join: equi-prefix + inequality (Flink needs equi prefix; Spark same plan).",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "supplier").alias("a")
+    b = table(spark, sf_dir, "supplier").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_acctbal") > F.col("b.s_acctbal")),
+        )
+        .groupBy(F.col("a.s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_single_row",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_above_avg
+    FROM lineitem, (SELECT avg(l_quantity) AS avg_qty FROM lineitem)
+    WHERE l_quantity > avg_qty
+    GROUP BY l_returnflag
+    """,
+    doc="Single-row broadcast nested-loop join (DataSetSingleRowJoin.scala).",
+)
+def join_single_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    avg_row = li.agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_row))
+        .filter(F.col("l_quantity") > F.col("avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+@register(
+    "join_cogroup",
+    oracle="""
+    WITH oc AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+         ec AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1)
+    SELECT coalesce(oc.k, ec.k) AS custkey,
+           coalesce(oc.cnt, 0) AS n_orders,
+           coalesce(ec.cnt, 0) AS n_events
+    FROM oc FULL OUTER JOIN ec ON oc.k = ec.k
+    WHERE coalesce(oc.k, ec.k) < 200
+    """,
+    doc="coGroup (DataSet.coGroup/CoGroupDriver.java): both groups to one "
+    "UDF via DataFrame cogroup + applyInPandas.",
+)
+def join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+
+    def combine(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"custkey": [key[0]], "n_orders": [len(left)], "n_events": [len(right)]}
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(combine, "custkey long, n_orders long, n_events long")
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Interval join (KeyedStream.intervalJoin between [0, 30min]).",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id"), F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join(
+        s.withColumnRenamed("user_id", "u"),
+        p.withColumnRenamed("p_user", "u"),
+        on="u",
+        left_time="s_ts",
+        right_time="p_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return joined.select("signup_id", "purchase_id", F.col("u").alias("user_id"))
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="Temporal as-of join (TemporalRowtimeJoin.scala:63): latest prior "
+    "click per purchase; union + key-sorted last-value carry, one shuffle.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("last_click_id")
+    )
+    out = asof_join(
+        p,
+        c,
+        on="user_id",
+        left_time="p_ts",
+        right_time="c_ts",
+        right_cols=["last_click_id"],
+    )
+    return out.select("purchase_id", "user_id", "last_click_id")
