@@ -1,1 +1,307 @@
-"""(filled in incrementally)"""
+"""Aggregation operator inventory (SURVEY.md §2.5).
+
+Covers: grouped reduce/field aggs (DataSet.java:339-443), minBy/maxBy
+(DataSet.java:523,559), distinct (DataSet.java:596), first(n) per group
+(UnsortedGrouping.java:202), built-in agg functions incl. STDDEV/VAR and
+COLLECT multiset (FunctionCatalog.scala:371-381), DISTINCT aggs
+(FlinkRuleSets.scala:165), rollup/cube/grouping sets + GROUPING_ID
+(FunctionCatalog.scala:367-369), UDAF (AggregateFunction.java:103 ->
+pandas_udf GROUPED_AGG), reduceGroup (full-group UDF -> applyInPandas).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.queries import register
+
+
+@register(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty, avg(l_quantity) AS avg_qty,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Field aggregations sum/min/max/avg/count (Aggregations.java:27).",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_modifier",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           sum(DISTINCT l_quantity) AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="DISTINCT-modified aggregates (AggregateExpandDistinctAggregatesRule).",
+)
+def agg_distinct_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           stddev_samp(value) AS sd_samp, stddev_pop(value) AS sd_pop,
+           var_samp(value) AS v_samp, var_pop(value) AS v_pop
+    FROM events GROUP BY event_type
+    """,
+    doc="STDDEV_POP/SAMP, VAR_POP/SAMP (aggfunctions/*.scala).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("sd_samp"),
+            F.stddev_pop("value").alias("sd_pop"),
+            F.var_samp("value").alias("v_samp"),
+            F.var_pop("value").alias("v_pop"),
+        )
+    )
+
+
+@register(
+    "agg_minby_maxby",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal) AS richest,
+           min_by(c_name, c_acctbal) AS poorest
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="minBy/maxBy whole-row arg-min/max (DataSet.java:523,559).",
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest"),
+            F.min_by("c_name", "c_acctbal").alias("poorest"),
+        )
+    )
+
+
+@register(
+    "agg_first_n_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3 AND o_custkey < 100
+    """,
+    doc="first(n) per group (UnsortedGrouping.java:202) via ranked window.",
+)
+def agg_first_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") < 100))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="distinct on projected fields (DataSet.distinct / DataSetDistinct.scala).",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           sum(l_quantity) AS sum_qty, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP + GROUPING_ID (DecomposeGroupingSetRule; FunctionCatalog.scala:367).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           avg(l_extendedprice) AS avg_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.avg("l_extendedprice").alias("avg_price"))
+        .select("l_returnflag", "l_linestatus", "gid", "avg_price")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS via the SQL entry point (spark.sql over registered views).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_collect_multiset",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="COLLECT multiset agg (CollectAggFunction.scala) — emitted as a "
+    "sorted joined string for engine-portable comparison.",
+)
+def agg_collect_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "agg_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="UDAF (AggregateFunction.java:103) as Arrow-batched pandas GROUPED_AGG.",
+)
+def agg_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price"))
+    )
+
+
+@register(
+    "agg_reduce_group",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n, max(c_acctbal) - min(c_acctbal) AS bal_range
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="reduceGroup full-group UDF (DataSet.java:464 / GroupReduceDriver.java) "
+    "via applyInPandas.",
+)
+def agg_reduce_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [pdf["c_nationkey"].iloc[0]],
+                "n": [len(pdf)],
+                "bal_range": [float(pdf["c_acctbal"].max() - pdf["c_acctbal"].min())],
+            }
+        )
+
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .applyInPandas(summarize, "c_nationkey int, n long, bal_range double")
+    )
+
+
+@register(
+    "agg_sort_group",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list(c_name ORDER BY c_acctbal DESC, c_name)[:3], '|') AS top3
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="sortGroup + reduceGroup (UnsortedGrouping.java:271): within-group "
+    "ordering via sorted struct collect.",
+)
+def agg_sort_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort_array over struct(-acctbal, name) gives desc-by-balance order.
+    sorted_names = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("c_acctbal")).alias("nb"), F.col("c_name").alias("nm")))
+            ),
+            1,
+            3,
+        ),
+        lambda s: s["nm"],
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.concat_ws("|", sorted_names).alias("top3"))
+    )
