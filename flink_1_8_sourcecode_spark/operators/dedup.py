@@ -43,11 +43,15 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
     a valid min-wise family.
     """
     sh = shingles(text, shingle_k)
+
+    # NB: capture the seed via a closure factory — a `lambda s, i=i:` default
+    # arg would make PySpark treat the HOF lambda as two-parameter and bind
+    # the second parameter to the array index Column.
+    def seeded(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)]
     )
 
 
@@ -108,14 +112,11 @@ def simhash32(text: Column) -> Column:
     """
     t = F.array_distinct(tokens(text))
     h = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
-    bit_sums = [
-        F.aggregate(
-            h,
-            F.lit(0).cast("long"),
-            lambda acc, v, j=j: acc + F.shiftright(v, j).bitwiseAND(F.lit(1)),
-        )
-        for j in range(32)
-    ]
+
+    def bit_counter(j: int):
+        return lambda acc, v: acc + F.shiftright(v, j).bitwiseAND(F.lit(1))
+
+    bit_sums = [F.aggregate(h, F.lit(0).cast("long"), bit_counter(j)) for j in range(32)]
     n = F.size(t)
     out = F.lit(0).cast("long")
     for j, s in enumerate(bit_sums):

@@ -1,1 +1,184 @@
-"""(filled in incrementally)"""
+"""Deduplication inventory — SURVEY.md §2.16 north-star + §2.13 dedup-by-key.
+
+Exact dedup parities Flink's first-row-per-key pattern
+(GroupAggProcessFunction min/max-row; Spark dropDuplicates analogue) —
+implemented deterministically (min tie-break) so oracles hash-match.
+MinHash/SimHash/n-gram-Jaccard/embedding-cosine are the LLM-pipeline
+operators over the documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from flink_1_8_sourcecode_spark.queries import register
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup on content hash: keep min doc_id per identical text.",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_first_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Keep-first-row-per-key (streaming dedup analogue: "
+    "dropDuplicates(['user_id','event_type']) with deterministic order).",
+)
+def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    kept = exact_dedup(e.withColumn("__ord", F.struct("ts", "event_id")),
+                       keys=["user_id", "event_type"], keep_by="__ord")
+    return kept.select("user_id", "event_type", "event_id", "value")
+
+
+_SHINGLE_DUCK = """
+      list_distinct(list_transform(
+        range(1, greatest(len(toks) - 2, 0) + 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || '|' || s)))) AS sig
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b AS band_id,
+             sig[b*2 + 1] || '#' || sig[b*2 + 2] AS band_hash
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash+LSH near-dup candidates: word-3-shingles -> 16 md5-family "
+    "min-hashes -> 8 bands of 2 rows -> bucket self-join (map-only "
+    "signatures, shuffle only on band hash).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')) AS toks
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, t ->
+               -- first 8 hex chars of md5 -> 32-bit int via digit arithmetic
+               (strpos('0123456789abcdef', md5(t)[1]) - 1) * 268435456
+             + (strpos('0123456789abcdef', md5(t)[2]) - 1) * 16777216
+             + (strpos('0123456789abcdef', md5(t)[3]) - 1) * 1048576
+             + (strpos('0123456789abcdef', md5(t)[4]) - 1) * 65536
+             + (strpos('0123456789abcdef', md5(t)[5]) - 1) * 4096
+             + (strpos('0123456789abcdef', md5(t)[6]) - 1) * 256
+             + (strpos('0123456789abcdef', md5(t)[7]) - 1) * 16
+             + (strpos('0123456789abcdef', md5(t)[8]) - 1)) AS hs
+      FROM tok
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN 2 * list_sum(list_transform(hs,
+                         h -> (h // (2**j)::BIGINT) % 2)) > n
+                  THEN (2**j)::BIGINT ELSE 0 END))::BIGINT AS simhash
+    FROM hashes
+    """,
+    doc="SimHash 32-bit document fingerprint (per-token md5 bit votes).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, {_SHINGLE_DUCK} AS sh FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)) >= 0.12
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs, blocked by lang (threshold 0.12).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", block_col="lang", threshold=0.12)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.8
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by label (threshold 0.8).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", block_col="label", threshold=0.8)

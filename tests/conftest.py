@@ -52,17 +52,22 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
+def _canon(df: pd.DataFrame, float_cols: set[str]) -> pd.DataFrame:
+    """Canonicalize with a SHARED float-column set so both frames sort
+    identically even when one engine returns int where the other returns
+    float (e.g. DuckDB sign() -> int)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
+        elif c in float_cols:
+            df[c] = s.astype(float)
         elif s.dtype == object:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
-    sort_cols = [
-        c for c in df.columns if not pd.api.types.is_float_dtype(df[c])
-    ] + [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    sort_cols = [c for c in df.columns if c not in float_cols] + [
+        c for c in df.columns if c in float_cols
+    ]
     return df.sort_values(by=sort_cols, kind="mergesort", na_position="last").reset_index(
         drop=True
     )
@@ -75,9 +80,14 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
     )
-    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    float_cols = {
+        c
+        for c in spark_pdf.columns
+        if pd.api.types.is_float_dtype(spark_pdf[c]) or pd.api.types.is_float_dtype(oracle_pdf[c])
+    }
+    a, b = _canon(spark_pdf, float_cols), _canon(oracle_pdf, float_cols)
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+        if c in float_cols:
             av = a[c].astype(float).to_numpy()
             bv = b[c].astype(float).to_numpy()
             both_nan = np.isnan(av) & np.isnan(bv)
