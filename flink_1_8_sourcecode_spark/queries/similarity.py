@@ -1,1 +1,93 @@
-"""(filled in incrementally)"""
+"""Similarity-search inventory — SURVEY.md §2.16 north-star.
+
+Brute-force exact cosine top-k (baseline) and IVF-style ANN (scale path)
+over the embeddings table.  See operators/similarity.py for the 100 TB
+design notes (broadcast query side, cluster-pruned corpus join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.operators.similarity import cosine_topk, ivf_topk
+from flink_1_8_sourcecode_spark.queries import register
+
+_COS = """list_dot_product(q.e, c.e)
+        / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_COS} AS cosine
+           FROM q JOIN v c ON c.vec_id != q.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Exact brute-force cosine top-10 for query vectors 0-4.",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)
+
+
+@register(
+    "sim_topk_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         cent AS (
+           SELECT label AS cluster,
+                  list_transform(range(1, 65),
+                    i -> list_sum(list_transform(list(e), x -> x[i]))
+                         / count(*)) AS ce
+           FROM v GROUP BY label
+         ),
+         probes AS (
+           SELECT query_id, cluster FROM (
+             SELECT q.vec_id AS query_id, cent.cluster,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.e, cent.ce)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                        cent.cluster) AS pr
+             FROM q CROSS JOIN cent
+           ) WHERE pr <= 3
+         ),
+         scored AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(q.e, c.e)
+                    / (sqrt(list_dot_product(q.e, q.e))
+                       * sqrt(list_dot_product(c.e, c.e))) AS cosine
+           FROM probes p
+           JOIN v c ON c.label = p.cluster
+           JOIN q ON q.vec_id = p.query_id
+           WHERE c.vec_id != p.query_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="IVF ANN top-10: label-cluster centroids, nprobe=3 — the corpus "
+    "join prunes to 3/10 of the data (the 100 TB scale path).",
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", cluster_col="label", k=10, nprobe=3
+    )

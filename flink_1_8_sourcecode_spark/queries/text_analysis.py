@@ -1,1 +1,149 @@
-"""(filled in incrementally)"""
+"""Text-analysis inventory — SURVEY.md §2.16 north-star.
+
+Also carries the reference's flagship WordCount example
+(flink-examples/flink-examples-batch/src/main/java/org/apache/flink/
+examples/java/wordcount/WordCount.java) re-expressed as explode+groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.operators import text as tx
+from flink_1_8_sourcecode_spark.queries import register
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+
+
+@register(
+    "text_wordcount",
+    oracle=f"""
+    SELECT tok, count(*) AS cnt FROM (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+    """,
+    doc="WordCount (the reference's flagship batch example): "
+    "tokenize -> explode -> groupBy -> top-20.",
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CASE WHEN len(toks) > 0
+                THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> t IN
+                     ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+                ELSE 0.0 END AS stopword_ratio
+    FROM tok
+    """,
+    doc="Per-document token statistics (token count, lexical diversity, "
+    "avg token length, stopword ratio).",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.distinct_token_count(t).alias("n_distinct"),
+        tx.avg_token_length(t).alias("avg_token_len"),
+        tx.stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+         scored AS (
+           SELECT doc_id, source,
+                  ((CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0
+                         WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END)
+                 + (CASE WHEN len(toks) > 0
+                         THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                         ELSE 0.0 END)
+                 + (CASE WHEN len(toks) > 0
+                          AND len(list_filter(toks, t -> t IN
+                              ('the','a','of','and','to','in','is','it')))::DOUBLE
+                              / len(toks) BETWEEN 0.05 AND 0.6
+                         THEN 1.0 ELSE 0.5 END)) / 3.0 AS quality
+           FROM tok
+         )
+    SELECT source, count(*) AS n_docs, avg(quality) AS avg_quality,
+           sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_kept
+    FROM scored GROUP BY source
+    """,
+    doc="Quality scoring + keep/drop filter, reported per source.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("source", tx.quality_score(F.col("text")).alias("quality"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("quality").alias("avg_quality"),
+        F.sum(F.when(F.col("quality") >= 0.6, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT lang, {_TOKS} AS toks FROM documents),
+         pred AS (
+           SELECT lang,
+                  CASE WHEN len(toks) > 0 AND
+                       len(list_filter(toks, t -> t IN
+                           ('the','a','of','and','to','in','is','it')))::DOUBLE
+                           / len(toks) >= 0.08
+                       THEN 'en' ELSE 'other' END AS predicted
+           FROM tok
+         )
+    SELECT lang, predicted, count(*) AS cnt
+    FROM pred GROUP BY lang, predicted
+    """,
+    doc="Language-ID heuristic (stopword-ratio n-gram proxy) vs labeled lang.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS fp,
+           min(doc_id) AS first_doc, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="Document fingerprinting (md5 over normalized token stream) + "
+    "collision grouping.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(tx.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
+    )
