@@ -111,6 +111,59 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_tumble_flink_sql",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS w_end,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="Flink-1.8 SQL spelling through the pre-rewrite layer: "
+    "TUMBLE/TUMBLE_START/TUMBLE_END -> window() (FunctionCatalog.scala:495).",
+)
+def window_tumble_flink_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS w_end,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        """
+    )
+
+
+@register(
+    "window_hop_flink_sql",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP)
+             - (o * INTERVAL '30 minutes') AS w_start,
+           count(*) AS cnt
+    FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+    GROUP BY 1
+    """,
+    doc="Flink SQL HOP (time, slide, size) -> window(time, size, slide) "
+    "argument-order swap through the rewrite layer.",
+)
+def window_hop_flink_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS w_start,
+               count(*) AS cnt
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)
+        """
+    )
+
+
+@register(
     "window_tumble_daily_join",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS day_start,

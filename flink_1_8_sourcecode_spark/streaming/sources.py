@@ -1,0 +1,83 @@
+"""Streaming sources.
+
+Reference parity: StreamExecutionEnvironment sources —
+readFile(PROCESS_CONTINUOUSLY) (flink-streaming-java/.../StreamExecutionEnvironment.java:996),
+socketTextStream (:1190), addSource/Kafka (FlinkKafkaConsumerBase.java:86),
+fromElements/fromCollection (:702,:770).
+
+Spark: the file source monitors a directory natively (the analogue of
+PROCESS_CONTINUOUSLY); kafka/socket/rate are built-in formats.  For
+deterministic tests we *replay* the events table as N chunk files read
+one-per-micro-batch (maxFilesPerTrigger=1) — the standard Structured
+Streaming test idiom replacing Flink's OneInputStreamOperatorTestHarness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def write_event_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 8
+) -> str:
+    """Materialize the events table as n time-ordered parquet chunk files
+    so a file-source stream replays them as micro-batches in event-time
+    order (bounded out-of-orderness ~= one chunk)."""
+    ev = table(spark, sf_dir, "events").orderBy("ts")
+    n = ev.count()
+    per = (n + n_chunks - 1) // n_chunks
+    chunk = F.floor((F.row_number().over(_ts_window()) - 1) / per)
+    ev.withColumn("__chunk", chunk).write.mode("overwrite").partitionBy("__chunk").parquet(
+        out_dir
+    )
+    return out_dir
+
+
+def _ts_window():
+    from pyspark.sql import Window
+
+    return Window.orderBy("ts", "event_id")
+
+
+def read_event_stream(
+    spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Monitored-directory file source over the replay chunks."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """generateSequence analogue (StreamExecutionEnvironment.java:677)."""
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+
+def socket_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """socketTextStream analogue (StreamExecutionEnvironment.java:1190)."""
+    return spark.readStream.format("socket").option("host", host).option("port", port).load()
+
+
+def kafka_stream(spark: SparkSession, bootstrap: str, topic: str, **options) -> DataFrame:
+    """FlinkKafkaConsumer analogue — offsets/exactly-once come from Spark's
+    checkpointed kafka source (FlinkKafkaConsumerBase.java:86 parity)."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+    )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()

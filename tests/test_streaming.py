@@ -1,0 +1,155 @@
+"""Streaming harness tests (analogue of the reference's
+OneInputStreamOperatorTestHarness suites, SURVEY.md §5.4).
+
+Strategy: replay the events table as time-ordered chunk files through the
+file source (one chunk per micro-batch), run the streaming operator, and
+assert the final materialized state equals the batch equivalent — the
+equivalence contract defined in SURVEY §7 (retract traces differ, final
+state must match).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.streaming import sources, stateful, windows
+from tests.conftest import SF_SMALL, assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("event_chunks"))
+    sources.write_event_chunks(spark, SF_SMALL, d, n_chunks=6)
+    return d
+
+
+def _run(q_builder, name: str, spark, mode: str = "update") -> pd.DataFrame:
+    query = q_builder.queryName(name).outputMode(mode).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name).toPandas()
+
+
+def test_stream_tumble_equals_batch(spark, chunk_dir):
+    stream = sources.read_event_stream(spark, chunk_dir)
+    aggs = {"cnt": F.count(F.lit(1)), "total": F.sum("value")}
+    out = windows.tumble(stream, "ts", "1 hour", ["event_type"], aggs, watermark="30 minutes")
+    got = _run(out.writeStream.format("memory"), "t_tumble", spark, mode="update")
+
+    batch = windows.tumble(table(spark, SF_SMALL, "events"), "ts", "1 hour", ["event_type"], aggs)
+    expected = batch.toPandas()
+    # update-mode memory sink may hold multiple versions of a window row —
+    # keep the last emitted version per (window, key).
+    got = got.drop_duplicates(subset=["w_start", "w_end", "event_type"], keep="last")
+    assert_frames_match(got, expected, name="stream_tumble")
+
+
+def test_stream_session_equals_batch(spark, chunk_dir):
+    stream = sources.read_event_stream(spark, chunk_dir)
+    aggs = {"cnt": F.count(F.lit(1))}
+    out = windows.session(stream, "ts", "10 minutes", ["user_id"], aggs, watermark="30 minutes")
+    # session windows require append or update w/ watermark; use complete-safe append
+    got = _run(out.writeStream.format("memory"), "t_session", spark, mode="append")
+
+    batch = windows.session(
+        table(spark, SF_SMALL, "events"), "ts", "10 minutes", ["user_id"], aggs
+    )
+    expected = batch.toPandas()
+    # append mode only emits windows closed by the final watermark; every
+    # emitted window must match its batch twin, and coverage must be high.
+    merged = got.merge(expected, on=["w_start", "w_end", "user_id"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got)
+    assert (merged["cnt_s"] == merged["cnt_b"]).all()
+    assert len(got) >= 0.8 * len(expected)
+
+
+def test_stream_dedup_keys(spark, chunk_dir):
+    # Exact dedup (unbounded state): exactly one row per observed key.
+    stream = sources.read_event_stream(spark, chunk_dir)
+    out = windows.streaming_dedup(stream, ["user_id", "event_type"], "ts")
+    got = _run(out.writeStream.format("memory"), "t_dedup", spark, mode="append")
+    assert got.groupby(["user_id", "event_type"]).size().max() == 1
+    expected_keys = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(got) == expected_keys
+
+
+def test_stream_dedup_ttl_bounded(spark, chunk_dir):
+    # TTL-bounded dedup: a key may re-emit only after its state expired,
+    # i.e. consecutive emissions of the same key are > delay apart.
+    stream = sources.read_event_stream(spark, chunk_dir)
+    out = windows.streaming_dedup(stream, ["user_id", "event_type"], "ts", "30 minutes")
+    got = _run(out.writeStream.format("memory"), "t_dedup_ttl", spark, mode="append")
+    gaps_ok = (
+        got.sort_values("ts")
+        .groupby(["user_id", "event_type"])["ts"]
+        .apply(lambda s: s.diff().dropna().min())
+        .dropna()
+    )
+    assert (gaps_ok > pd.Timedelta(minutes=30)).all()
+
+
+def test_stream_count_window(spark, chunk_dir):
+    stream = sources.read_event_stream(spark, chunk_dir)
+    out = stateful.count_window_agg(stream, "user_id", "value", window_size=5)
+    got = _run(out.writeStream.format("memory"), "t_cw", spark, mode="append")
+
+    ev = table(spark, SF_SMALL, "events").toPandas().sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        n_expected = len(grp) // 5
+        mine = got[got["key"] == uid]
+        assert len(mine) == n_expected, f"user {uid}: {len(mine)} != {n_expected}"
+        assert (mine["cnt"] == 5).all()
+    # totals: every emitted window sums 5 consecutive (by replay order) values
+    total_emitted = got["total"].sum()
+    expected_total = sum(
+        grp.sort_values(["ts", "event_id"])["value"].iloc[: (len(grp) // 5) * 5].sum()
+        for _, grp in ev.groupby("user_id")
+    )
+    assert abs(total_emitted - expected_total) < 1e-6
+
+
+def test_stream_interval_join(spark, chunk_dir):
+    """Stream-stream interval join (purchases within 30min after signup)."""
+    from flink_1_8_sourcecode_spark.operators.joins import interval_join
+
+    ev = sources.read_event_stream(spark, chunk_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), F.col("user_id").alias("u"),
+                F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("u"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = interval_join(s, p, "u", "s_ts", "p_ts", "0 seconds", "30 minutes").select(
+        "signup_id", "purchase_id"
+    )
+    got = _run(joined.writeStream.format("memory"), "t_ijoin", spark, mode="append")
+
+    bev = table(spark, SF_SMALL, "events")
+    bs = bev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("u"), F.col("ts").alias("s_ts")
+    )
+    bp = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    expected = (
+        interval_join(bs, bp, "u", "s_ts", "p_ts", "0 seconds", "30 minutes")
+        .select("signup_id", "purchase_id")
+        .toPandas()
+    )
+    assert_frames_match(got, expected, name="stream_interval_join")
