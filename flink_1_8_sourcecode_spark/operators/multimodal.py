@@ -1,0 +1,119 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+North-star extension (SURVEY.md §2.16).  Design for 100 TB:
+- media travels as a ``binary`` column with a sibling metadata struct
+  (format, width/height or sample_rate/duration, codec) — never decoded
+  during relational ops, so pruning/filtering stays columnar.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages (one Python worker per input split; batch shape
+  = spark.sql.execution.arrow.maxRecordsPerBatch).
+
+The actual codec work is STUBBED (image/audio libraries are not in this
+container): ``decode_image`` computes a deterministic fake decode from
+the bytes so the plumbing — schema, partitioning, UDF signature, batch
+flow — is real and tested; swap ``_fake_decode`` for PIL/ffmpeg in a
+real deployment (raising ``NotImplementedError`` when strict=True).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, content binary, "
+    "meta struct<format: string, width: int, height: int, n_frames: int>"
+)
+
+
+def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Build a media-typed frame from any byte-bearing column (test path:
+    documents.text encoded as bytes stands in for image payloads)."""
+    content = F.encode(F.col(payload_col), "UTF-8")
+    h = F.crc32(content)
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            (h % 640 + 16).cast("int").alias("width"),
+            (F.shiftright(h, 8) % 480 + 16).cast("int").alias("height"),
+            (h % 8 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> dict:
+    """Deterministic stand-in for a real image decode: derives 'pixel'
+    statistics from a digest of the bytes.  REPLACE with a real codec."""
+    d = hashlib.sha256(content).digest()
+    return {
+        "mean_r": d[0] / 255.0,
+        "mean_g": d[1] / 255.0,
+        "mean_b": d[2] / 255.0,
+        "entropy": sum(d[:16]) / (16 * 255.0),
+    }
+
+
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract over mapInPandas (Arrow batches).
+
+    strict=True raises NotImplementedError — the marker that a real codec
+    must be plugged in; strict=False uses the deterministic fake.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real media decode requires an image/audio library not in "
+                "this environment; see operators/multimodal.py"
+            )
+        for pdf in batches:
+            feats = pdf["content"].map(lambda b: _fake_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "mean_r": [f["mean_r"] for f in feats],
+                    "mean_g": [f["mean_g"] for f in feats],
+                    "mean_b": [f["mean_b"] for f in feats],
+                    "entropy": [f["entropy"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, entropy double",
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int) -> DataFrame:
+    """Resize planning is pure metadata arithmetic — stays JVM-side; only
+    the (stubbed) pixel resample would touch Python."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side, F.greatest(w, h).cast("double") / F.lit(max_side)
+    ).otherwise(F.lit(1.0))
+    return media.select(
+        "media_id",
+        "content",
+        "meta",
+        F.round(w / scale).cast("int").alias("target_width"),
+        F.round(h / scale).cast("int").alias("target_height"),
+    )
+
+
+def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Video frame sampling: explode frame indices 0..n_frames-1, keep
+    every nth — the shuffle-free explode pattern a real sampler uses."""
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1)
+    return (
+        media.select("media_id", "meta", F.explode(idx).alias("frame_idx"))
+        .filter(F.col("frame_idx") % every_nth == 0)
+    )

@@ -1,0 +1,111 @@
+"""Operator-level unit tests: multimodal plumbing, partitioning, shims —
+things with no SQL oracle (physical ops) or stubbed kernels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.functions import scalar as fx
+from flink_1_8_sourcecode_spark.operators import multimodal, partitioning
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    return multimodal.attach_fake_media(docs, "doc_id", "text")
+
+
+def test_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,content:binary,"
+        "meta:struct<format:string,width:int,height:int,n_frames:int>>"
+    )
+
+
+def test_decode_features_deterministic(media):
+    a = multimodal.decode_features(media).orderBy("media_id").limit(5).collect()
+    b = multimodal.decode_features(media).orderBy("media_id").limit(5).collect()
+    assert a == b
+    assert all(0.0 <= r.mean_r <= 1.0 for r in a)
+
+
+def test_decode_strict_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_features(media, strict=True).limit(1).collect()
+
+
+def test_resize_plan_bounds(media):
+    out = multimodal.resize_plan(media, max_side=64)
+    bad = out.filter((F.col("target_width") > 64) & (F.col("target_height") > 64)).count()
+    assert bad == 0
+    # aspect ratio preserved within rounding
+    row = out.filter(F.col("meta.width") > 64).first()
+    if row:
+        orig = row.meta.width / row.meta.height
+        new = row.target_width / row.target_height
+        assert abs(orig - new) / orig < 0.1
+
+
+def test_frame_sample(media):
+    out = multimodal.frame_sample(media, every_nth=2)
+    pdf = out.toPandas()
+    assert (pdf.frame_idx % 2 == 0).all()
+    # every media with n_frames>=1 contributes frame 0
+    assert set(pdf.media_id) == set(media.select("media_id").toPandas().media_id)
+
+
+def test_partition_by_hash_count(spark):
+    li = table(spark, SF_SMALL, "lineitem")
+    out = partitioning.partition_by_hash(li, ["l_orderkey"], 8)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == li.count()
+
+
+def test_partition_by_range_is_sorted_across(spark):
+    o = table(spark, SF_SMALL, "orders")
+    out = partitioning.partition_by_range(o.select("o_orderkey"), ["o_orderkey"], 4)
+    parts = out.rdd.glom().collect()
+    non_empty = [p for p in parts if p]
+    maxes = [max(r.o_orderkey for r in p) for p in non_empty]
+    mins = [min(r.o_orderkey for r in p) for p in non_empty]
+    order = sorted(range(len(non_empty)), key=lambda i: mins[i])
+    for a, b in zip(order, order[1:]):
+        assert maxes[a] <= mins[b]
+
+
+def test_sort_partition_local_order(spark):
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    out = partitioning.sort_partition(partitioning.rebalance(li, 4), ["l_orderkey"])
+    for part in out.rdd.glom().collect():
+        keys = [r.l_orderkey for r in part]
+        assert keys == sorted(keys)
+
+
+def test_rescale_down(spark):
+    li = table(spark, SF_SMALL, "lineitem")
+    assert partitioning.rescale_down(li.repartition(8), 2).rdd.getNumPartitions() == 2
+
+
+def test_similar_to_shim(spark):
+    df = spark.createDataFrame([("abc",), ("axc",), ("abbbc",), ("zzz",)], ["s"])
+    got = df.filter(fx.similar_to(F.col("s"), "a%c")).toPandas().s.tolist()
+    assert got == ["abc", "axc", "abbbc"]
+    got2 = df.filter(fx.similar_to(F.col("s"), "a_c")).toPandas().s.tolist()
+    assert got2 == ["abc", "axc"]
+
+
+def test_truncate_shim(spark):
+    df = spark.createDataFrame([(3.749,), (-3.749,)], ["x"])
+    got = df.select(fx.truncate(F.col("x"), 1).alias("t")).toPandas().t.tolist()
+    assert got == [3.7, -3.7]
+
+
+def test_element_shim(spark):
+    df = spark.createDataFrame([([1],), ([1, 2],)], ["a"])
+    import pandas as pd
+
+    got = df.select(fx.element(F.col("a")).alias("e")).toPandas().e.tolist()
+    assert got[0] == 1 and pd.isna(got[1])
