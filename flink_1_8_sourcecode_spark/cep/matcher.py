@@ -1,0 +1,206 @@
+"""NFA-style pattern matcher over keyed, time-ordered event groups.
+
+Reference parity: flink-cep's NFA (flink-libraries/flink-cep/.../nfa/
+NFA.java:85 — shared buffer + versioned runs) and the per-key execution
+model of CepOperator.  Our engine runs a backtracking interpreter over
+each key's time-sorted pandas group inside ``applyInPandas``:
+
+- the pattern spec is pickled with the UDF closure (pattern-as-data);
+- per key, rows sort by (time, tiebreak) and the matcher scans starts;
+- backtracking explores quantifier counts (greedy prefers longest,
+  non-greedy shortest) and followed_by_any branches; followed_by /
+  next commit to the first (shortest) viable branch like Flink;
+- ``within`` prunes every branch whose span exceeds the bound;
+- after-match skip 'skip_past_last' advances the scan past the last
+  matched event; 'no_skip' tries every start.
+
+Scale: state is one key-group in memory at a time — the same bound as
+Flink's keyed NFA state; keys shard across executors via the groupBy
+shuffle.  (Streaming form: same matcher inside applyInPandasWithState,
+buffering rows until the watermark passes — planned, SURVEY §7 phase 6.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from flink_1_8_sourcecode_spark.cep.pattern import Pattern, Stage
+
+MATCH_SCHEMA_SUFFIX = "match_id long, stage string, seq int"
+
+
+def _find_matches(rows: list[dict[str, Any]], times: list[float], pattern: Pattern):
+    """Yield matches as lists of (stage_name, row_index)."""
+    stages = pattern.stages
+    n = len(rows)
+
+    def stage_occurrences(si: int, start_i: int, first_time: float | None):
+        """Yield (bindings, next_index) for stage si beginning search at
+        start_i. bindings = list of (stage_name, row_index)."""
+        st: Stage = stages[si]
+
+        def within_ok(i: int, acc: list[int]) -> bool:
+            if pattern.within_seconds is None:
+                return True
+            # The clock starts at the match's first bound event — which may
+            # be inside THIS stage's own run (e.g. times(n) on begin).
+            ft = first_time if first_time is not None else (times[acc[0]] if acc else None)
+            return ft is None or times[i] - ft <= pattern.within_seconds
+
+        if st.negative:
+            # Negative stage: guard the gap between previous match end and
+            # the next positive stage's match; handled by caller via
+            # _negative_ok — never yields bindings of its own.
+            raise AssertionError("negative stages are inlined, not matched")
+
+        # Enumerate candidate runs of occurrences (times_min..times_max).
+        # Contiguity rules (Flink defaults): 'begin'/'next' constrain only
+        # the FIRST occurrence's position; iterations of a quantifier are
+        # relaxed (non-matching events may sit between occurrences).
+        # 'followed_by_any' additionally branches on alternative positions
+        # for each occurrence; the others commit to the first qualifying.
+        def runs(i: int, count: int, acc: list[int]):
+            if count >= st.times_min:
+                yield list(acc)
+            if st.times_max is not None and count >= st.times_max:
+                return
+            j = i
+            while j < n:
+                if not within_ok(j, acc):
+                    return
+                if st.accepts(rows[j]):
+                    acc.append(j)
+                    yield from runs(j + 1, count + 1, acc)
+                    acc.pop()
+                    if st.contiguity == "followed_by_any":
+                        j += 1  # branch: also try a later occurrence
+                        continue
+                    return  # commit to the first qualifying occurrence
+                if count == 0 and st.contiguity in ("begin", "next"):
+                    return  # first occurrence must sit exactly at start
+                j += 1  # relaxed: scan past non-matching events
+
+        order = []
+        for occ in runs(start_i, 0, []):
+            order.append(occ)
+        # greedy prefers longest run first; default shortest-first (Flink
+        # non-greedy quantifier behavior).
+        order.sort(key=len, reverse=st.greedy)
+        for occ in order:
+            nxt = (occ[-1] + 1) if occ else start_i
+            yield [(st.name, i) for i in occ], nxt
+
+    def negative_ok(st: Stage, lo: int, hi: int) -> bool:
+        """No row in [lo, hi) satisfies the negative predicate."""
+        if st.contiguity == "next":
+            rng = range(lo, min(lo + 1, hi))
+        else:
+            rng = range(lo, hi)
+        return not any(st.accepts(rows[i]) for i in rng)
+
+    def backtrack(si: int, start_i: int, first_time: float | None, acc):
+        if si == len(stages):
+            yield list(acc)
+            return
+        st = stages[si]
+        if st.negative:
+            # pair the negative stage with the following positive stage:
+            # find the next stage's match, then check the gap.
+            nxt_stage = si + 1
+            for bindings, nxt_i in stage_occurrences(
+                nxt_stage, start_i, first_time
+            ):
+                if not bindings and not stages[nxt_stage].optional:
+                    continue
+                gap_hi = bindings[0][1] if bindings else n
+                if not negative_ok(st, start_i, gap_hi):
+                    continue
+                ft = first_time if first_time is not None else (
+                    times[bindings[0][1]] if bindings else None
+                )
+                acc.extend(bindings)
+                yield from backtrack(nxt_stage + 1, nxt_i, ft, acc)
+                for _ in bindings:
+                    acc.pop()
+                if st.contiguity == "followed_by" or bindings:
+                    if not stages[nxt_stage].contiguity == "followed_by_any":
+                        return
+            return
+        committed = st.contiguity in ("begin", "next", "followed_by")
+        for bindings, nxt_i in stage_occurrences(si, start_i, first_time):
+            if not bindings and not st.optional and st.times_min > 0:
+                continue
+            ft = first_time
+            if ft is None and bindings:
+                ft = times[bindings[0][1]]
+            acc.extend(bindings)
+            matched_any = False
+            for m in backtrack(si + 1, nxt_i, ft, acc):
+                matched_any = True
+                yield m
+            for _ in bindings:
+                acc.pop()
+            if committed and matched_any:
+                return  # first-match semantics for non-any contiguity
+
+    i = 0
+    while i < n:
+        produced_end = None
+        if stages[0].accepts(rows[i]):
+            for m in backtrack(0, i, None, []):
+                yield m
+                if m:
+                    produced_end = max(idx for _, idx in m)
+                if pattern.skip_strategy == "skip_past_last":
+                    break
+        if pattern.skip_strategy == "skip_past_last" and produced_end is not None:
+            i = produced_end + 1
+        else:
+            i += 1
+
+
+def match_pattern(
+    df: DataFrame,
+    pattern: Pattern,
+    key: str,
+    time_col: str,
+    select_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """PatternStream.select analogue: returns one row per matched event,
+    (key, match_id, stage, seq, <select_cols>), match_id numbered per key
+    in scan order."""
+    pattern = pattern.validate()
+    select_cols = select_cols or [time_col]
+    key_field = df.schema[key]
+    sel_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in select_cols
+    )
+    out_schema = (
+        f"{key} {key_field.dataType.simpleString()}, {MATCH_SCHEMA_SUFFIX}, {sel_schema}"
+    )
+    sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        rows = pdf.to_dict("records")
+        times = (pdf[time_col].astype("datetime64[us]").astype("int64") / 1e6).tolist()
+        out = []
+        for match_id, m in enumerate(_find_matches(rows, times, pattern)):
+            for seq, (stage_name, ridx) in enumerate(m):
+                rec = {
+                    key: pdf[key].iloc[0],
+                    "match_id": match_id,
+                    "stage": stage_name,
+                    "seq": seq,
+                }
+                for c in select_cols:
+                    rec[c] = rows[ridx][c]
+                out.append(rec)
+        cols = [key, "match_id", "stage", "seq", *select_cols]
+        return pd.DataFrame(out, columns=cols)
+
+    return df.groupBy(key).applyInPandas(run, out_schema)

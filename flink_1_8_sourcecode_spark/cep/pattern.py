@@ -1,0 +1,132 @@
+"""Pattern DSL — surface parity with flink-cep's Pattern builder
+(flink-libraries/flink-cep/.../pattern/Pattern.java: begin:128, where:155,
+next/followedBy/followedByAny:321, notNext:272, notFollowedBy:303,
+optional:332, oneOrMore:351, times:381, greedy:366, within:244,
+AfterMatchSkipStrategy).
+
+Semantics subset (documented, SURVEY.md §7 'what's hard' #2):
+- ``followed_by`` takes the FIRST qualifying occurrence (Flink followedBy);
+  ``followed_by_any`` enumerates every combination (followedByAny).
+- quantifiers ``times(n)``, ``times(n, m)``, ``one_or_more`` with optional
+  ``greedy`` (prefer longest) — backtracking keeps correctness either way.
+- negatives ``not_next`` / ``not_followed_by`` guard the gap to the next
+  stage; ``not_followed_by`` cannot end a pattern (same rule as Flink).
+- ``within`` bounds first-to-last event time.
+- after-match skip: ``no_skip`` (default) or ``skip_past_last``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+Predicate = Callable[[dict[str, Any]], bool]
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    contiguity: str  # 'begin' | 'next' | 'followed_by' | 'followed_by_any'
+    predicates: tuple[Predicate, ...] = ()
+    or_predicates: tuple[Predicate, ...] = ()
+    times_min: int = 1
+    times_max: int | None = 1  # None = unbounded (one_or_more)
+    optional: bool = False
+    greedy: bool = False
+    negative: bool = False  # not_next / not_followed_by
+
+    def accepts(self, row: dict[str, Any]) -> bool:
+        base = all(p(row) for p in self.predicates) if self.predicates else True
+        if self.or_predicates:
+            return base or any(p(row) for p in self.or_predicates)
+        return base
+
+
+@dataclass(frozen=True)
+class Pattern:
+    stages: tuple[Stage, ...] = ()
+    within_seconds: float | None = None
+    skip_strategy: str = "no_skip"  # | 'skip_past_last'
+
+    # -- construction --------------------------------------------------
+    @staticmethod
+    def begin(name: str) -> "Pattern":
+        return Pattern(stages=(Stage(name=name, contiguity="begin"),))
+
+    def _append(self, stage: Stage) -> "Pattern":
+        if self.stages and self.stages[-1].negative and stage.negative:
+            raise ValueError("consecutive negative stages are not supported")
+        return replace(self, stages=self.stages + (stage,))
+
+    def next(self, name: str) -> "Pattern":
+        return self._append(Stage(name=name, contiguity="next"))
+
+    def followed_by(self, name: str) -> "Pattern":
+        return self._append(Stage(name=name, contiguity="followed_by"))
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        return self._append(Stage(name=name, contiguity="followed_by_any"))
+
+    def not_next(self, name: str) -> "Pattern":
+        return self._append(Stage(name=name, contiguity="next", negative=True))
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        return self._append(Stage(name=name, contiguity="followed_by", negative=True))
+
+    # -- stage modifiers (apply to the last stage) ---------------------
+    def _mod(self, **kw) -> "Pattern":
+        if not self.stages:
+            raise ValueError("no stage to modify; call begin() first")
+        last = replace(self.stages[-1], **kw)
+        return replace(self, stages=self.stages[:-1] + (last,))
+
+    def where(self, pred: Predicate) -> "Pattern":
+        return self._mod(predicates=self.stages[-1].predicates + (pred,))
+
+    def or_where(self, pred: Predicate) -> "Pattern":
+        return self._mod(or_predicates=self.stages[-1].or_predicates + (pred,))
+
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        return self._mod(times_min=n, times_max=m if m is not None else n)
+
+    def times_or_more(self, n: int) -> "Pattern":
+        return self._mod(times_min=n, times_max=None)
+
+    def one_or_more(self) -> "Pattern":
+        return self._mod(times_min=1, times_max=None)
+
+    def optional(self) -> "Pattern":
+        return self._mod(optional=True)
+
+    def greedy(self) -> "Pattern":
+        return self._mod(greedy=True)
+
+    # -- pattern modifiers --------------------------------------------
+    def within(self, duration: str) -> "Pattern":
+        return replace(self, within_seconds=_parse_duration(duration))
+
+    def with_skip(self, strategy: str) -> "Pattern":
+        if strategy not in ("no_skip", "skip_past_last"):
+            raise ValueError(f"unknown skip strategy {strategy!r}")
+        return replace(self, skip_strategy=strategy)
+
+    def validate(self) -> "Pattern":
+        if not self.stages:
+            raise ValueError("empty pattern")
+        if self.stages[-1].negative:
+            raise ValueError("notFollowedBy/notNext cannot end a pattern (Flink rule)")
+        return self
+
+
+_DUR_UNITS = {
+    "second": 1.0, "seconds": 1.0, "sec": 1.0, "s": 1.0,
+    "minute": 60.0, "minutes": 60.0, "min": 60.0, "m": 60.0,
+    "hour": 3600.0, "hours": 3600.0, "h": 3600.0,
+    "day": 86400.0, "days": 86400.0, "d": 86400.0,
+}
+
+
+def _parse_duration(s: str) -> float:
+    n, unit = s.strip().split()
+    return float(n) * _DUR_UNITS[unit.lower()]

@@ -52,6 +52,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "text_analysis",
+    "cep_queries",
 )
 
 

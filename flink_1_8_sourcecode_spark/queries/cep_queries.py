@@ -1,0 +1,97 @@
+"""CEP query inventory (SURVEY.md §2.14) — the pattern-DSL surface run
+end-to-end on the events table, with SQL oracles where the pattern is
+relationally expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+from flink_1_8_sourcecode_spark.queries import register
+
+
+@register(
+    "cep_funnel_signup_purchase",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+                  row_number() OVER (PARTITION BY s.event_id
+                                     ORDER BY p.ts, p.event_id) AS rn
+           FROM s JOIN p
+             ON s.user_id = p.user_id
+            AND (p.ts, p.event_id) > (s.ts, s.event_id)
+            AND p.ts <= s.ts + INTERVAL 30 MINUTE
+         )
+    SELECT user_id, signup_id, purchase_id FROM ranked WHERE rn = 1
+    """,
+    doc="CEP funnel: signup followedBy purchase within 30min "
+    "(Pattern.begin/followedBy/within, Pattern.java:128,321,244; "
+    "followedBy = first qualifying occurrence, NFA.java semantics).",
+)
+def cep_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = match_pattern(
+        ev, pat, key="user_id", time_col="ts", select_cols=["event_id"], tiebreak="event_id"
+    )
+    wide = (
+        m.groupBy("user_id", "match_id")
+        .pivot("stage", ["signup", "purchase"])
+        .agg(F.first("event_id"))
+    )
+    return wide.select(
+        "user_id",
+        F.col("signup").alias("signup_id"),
+        F.col("purchase").alias("purchase_id"),
+    )
+
+
+@register(
+    "cep_error_burst",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         trip AS (
+           SELECT a.user_id, a.event_id AS e1, b.event_id AS e2, c.event_id AS e3,
+                  row_number() OVER (PARTITION BY a.event_id
+                                     ORDER BY b.ts, b.event_id, c.ts, c.event_id) AS rn
+           FROM e a
+           JOIN e b ON a.user_id = b.user_id AND (b.ts, b.event_id) > (a.ts, a.event_id)
+           JOIN e c ON a.user_id = c.user_id AND (c.ts, c.event_id) > (b.ts, b.event_id)
+          WHERE c.ts <= a.ts + INTERVAL 2 HOUR
+         )
+    SELECT user_id, e1, e2, e3 FROM trip WHERE rn = 1
+    """,
+    doc="CEP times(3): three errors within 2h per user "
+    "(quantifier iterations relaxed — Flink times() default).",
+)
+def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    pat = (
+        Pattern.begin("err")
+        .where(lambda e: e["event_type"] == "error")
+        .times(3)
+        .within("2 hours")
+    )
+    m = match_pattern(
+        ev, pat, key="user_id", time_col="ts", select_cols=["event_id"], tiebreak="event_id"
+    )
+    wide = (
+        m.withColumn("slot", F.concat(F.lit("e"), F.col("seq") + 1))
+        .groupBy("user_id", "match_id")
+        .pivot("slot", ["e1", "e2", "e3"])
+        .agg(F.first("event_id"))
+    )
+    return wide.select("user_id", "e1", "e2", "e3")

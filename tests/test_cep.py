@@ -1,0 +1,157 @@
+"""CEP matcher tests — hand-computed expectations on a tiny sequence
+(the analogue of the reference's MatchHarnessTest / CEP pattern ITCases).
+
+Fixture sequence for key=1, one event per second:
+    t: 0  1  2  3  4  5  6  7
+type: a  b  c  b  a  b  b  c
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+
+TYPES = ["a", "b", "c", "b", "a", "b", "b", "c"]
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(seconds=i), t) for i, t in enumerate(TYPES)
+    ]
+    return spark.createDataFrame(rows, "k int, event_id int, ts timestamp, etype string")
+
+
+def _matches(df, pattern, **kw):
+    out = match_pattern(
+        df, pattern, key="k", time_col="ts", select_cols=["event_id", "etype"],
+        tiebreak="event_id", **kw
+    ).toPandas()
+    return {
+        mid: [(r.stage, r.event_id) for r in grp.sort_values("seq").itertuples()]
+        for mid, grp in out.groupby("match_id")
+    }
+
+
+def _is(t):  # noqa: E743
+    return lambda e: e["etype"] == t
+
+
+def test_strict_next(spark, seq_df):
+    p = Pattern.begin("s").where(_is("a")).next("n").where(_is("b"))
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [[("s", 0), ("n", 1)], [("s", 4), ("n", 5)]]
+
+
+def test_followed_by_first_match(spark, seq_df):
+    p = Pattern.begin("s").where(_is("a")).followed_by("c").where(_is("c"))
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [[("s", 0), ("c", 2)], [("s", 4), ("c", 7)]]
+
+
+def test_followed_by_any_enumerates(spark, seq_df):
+    p = Pattern.begin("s").where(_is("a")).followed_by_any("b").where(_is("b"))
+    m = _matches(seq_df, p)
+    got = sorted(m.values())
+    assert got == [
+        [("s", 0), ("b", 1)],
+        [("s", 0), ("b", 3)],
+        [("s", 0), ("b", 5)],
+        [("s", 0), ("b", 6)],
+        [("s", 4), ("b", 5)],
+        [("s", 4), ("b", 6)],
+    ]
+
+
+def test_one_or_more_nongreedy_vs_greedy(spark, seq_df):
+    p = Pattern.begin("b").where(_is("b")).one_or_more()
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [[("b", 1)], [("b", 3)], [("b", 5)], [("b", 6)]]
+
+    # Greedy with relaxed iteration contiguity consumes every later b.
+    pg = Pattern.begin("b").where(_is("b")).one_or_more().greedy()
+    mg = _matches(seq_df, pg)
+    assert sorted(mg.values()) == [
+        [("b", 1), ("b", 3), ("b", 5), ("b", 6)],
+        [("b", 3), ("b", 5), ("b", 6)],
+        [("b", 5), ("b", 6)],
+        [("b", 6)],
+    ]
+
+
+def test_within_prunes(spark, seq_df):
+    p = (
+        Pattern.begin("s").where(_is("a"))
+        .followed_by("c").where(_is("c"))
+        .within("2 seconds")
+    )
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [[("s", 0), ("c", 2)]]
+
+
+def test_skip_past_last(spark, seq_df):
+    p = Pattern.begin("x").where(_is("b")).followed_by("y").where(_is("b"))
+    m_all = _matches(seq_df, p)
+    assert sorted(m_all.values()) == [
+        [("x", 1), ("y", 3)],
+        [("x", 3), ("y", 5)],
+        [("x", 5), ("y", 6)],
+    ]
+    m_skip = _matches(seq_df, p.with_skip("skip_past_last"))
+    assert sorted(m_skip.values()) == [
+        [("x", 1), ("y", 3)],
+        [("x", 5), ("y", 6)],
+    ]
+
+
+def test_not_followed_by(spark, seq_df):
+    # a with no b before the next c:  a@0 -> c@2 has b@1 (reject);
+    # a@4 -> c@7 has b@5,6 (reject) => no matches
+    p = (
+        Pattern.begin("s").where(_is("a"))
+        .not_followed_by("nb").where(_is("b"))
+        .followed_by("c").where(_is("c"))
+    )
+    assert _matches(seq_df, p) == {}
+    # c with no b before the next a: c@2 -> a@4 has b@3 (reject);
+    # but c@7 has no following a => no match either.
+    p2 = (
+        Pattern.begin("s").where(_is("c"))
+        .not_followed_by("nb").where(_is("b"))
+        .followed_by("a").where(_is("a"))
+    )
+    assert _matches(seq_df, p2) == {}
+    # b with no OTHER b before its first following c:
+    #   b@1 -> c@2 (gap empty: match); b@3 -> c@7 gap has b@5 (reject);
+    #   b@5 -> c@7 gap has b@6 (reject); b@6 -> c@7 (gap empty: match)
+    p3 = (
+        Pattern.begin("s").where(_is("b"))
+        .not_followed_by("nb").where(_is("b"))
+        .followed_by("c").where(_is("c"))
+    )
+    m3 = _matches(seq_df, p3)
+    assert sorted(m3.values()) == [[("s", 1), ("c", 2)], [("s", 6), ("c", 7)]]
+
+
+def test_times_range(spark, seq_df):
+    # exactly two b's (relaxed between occurrences) then a c
+    p = (
+        Pattern.begin("b").where(_is("b")).times(2)
+        .followed_by("c").where(_is("c"))
+    )
+    m = _matches(seq_df, p)
+    # starts: b@1 -> [1,3] -> c@7 ; b@3 -> [3,5] -> c@7 ; b@5 -> [5,6] -> c@7
+    assert sorted(m.values()) == [
+        [("b", 1), ("b", 3), ("c", 7)],
+        [("b", 3), ("b", 5), ("c", 7)],
+        [("b", 5), ("b", 6), ("c", 7)],
+    ]
+
+
+def test_validate_rejects_trailing_negative(spark):
+    with pytest.raises(ValueError):
+        Pattern.begin("a").not_followed_by("x").validate()
