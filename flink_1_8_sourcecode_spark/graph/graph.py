@@ -1,0 +1,141 @@
+"""Graph = (vertices, edges) DataFrames + iterative-join algorithms.
+
+Reference parity (file:line in /root/reference):
+- Graph.java:87 (structure), degrees/inDegrees/outDegrees,
+  subgraph:867, filterOnVertices:888, getUndirected:985
+- ConnectedComponents (flink-gelly/.../library/ConnectedComponents.java)
+  — min-id label propagation, here as iterative join + groupBy-min
+- PageRank (flink-gelly/.../library/linkanalysis/PageRank.java) —
+  fixed-iteration power method with damping
+
+Scale notes: each iteration is one shuffle (join on src + groupBy dst);
+edges are re-used across iterations, so persisting the (repartitioned)
+edge frame amortizes the scan; lineage is truncated by the iterate()
+helper's localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators.iterations import iterate
+
+
+class Graph:
+    """vertices: (id, ...attrs); edges: (src, dst, ...attrs)."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        self.vertices = vertices
+        self.edges = edges
+
+    # -- structure ----------------------------------------------------
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree")
+        )
+
+    def degrees(self) -> DataFrame:
+        both = self.edges.select(F.col("src").alias("id")).unionAll(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    def get_undirected(self) -> "Graph":
+        """Graph.getUndirected:985 — add reversed edges (keeps duplicates,
+        matching Gelly)."""
+        rev = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *[c for c in self.edges.columns if c not in ("src", "dst")],
+        )
+        return Graph(self.vertices, self.edges.unionByName(rev))
+
+    def subgraph(self, vertex_pred: Column, edge_pred: Column) -> "Graph":
+        """Graph.subgraph:867 — keep vertices passing vertex_pred and
+        edges passing edge_pred whose endpoints both survive."""
+        v = self.vertices.filter(vertex_pred)
+        ids = v.select(F.col("id").alias("__vid"))
+        e = (
+            self.edges.filter(edge_pred)
+            .join(F.broadcast(ids), F.col("src") == F.col("__vid"))
+            .drop("__vid")
+            .join(F.broadcast(ids), F.col("dst") == F.col("__vid"))
+            .drop("__vid")
+        )
+        return Graph(v, e)
+
+    # -- algorithms ---------------------------------------------------
+    def connected_components(self, max_iterations: int = 20) -> DataFrame:
+        """Min-id label propagation on the undirected graph.
+        Returns (id, component)."""
+        und = self.get_undirected()
+        edges = und.edges.select("src", "dst").distinct()
+        labels = self.vertices.select("id", F.col("id").alias("component"))
+
+        def step(cur: DataFrame, _i: int) -> DataFrame:
+            # candidate labels arriving over edges, merged with own label
+            incoming = (
+                edges.join(cur, edges.src == cur.id)
+                .select(F.col("dst").alias("id"), "component")
+            )
+            return (
+                cur.select("id", "component")
+                .unionByName(incoming)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+
+        def converged(prev: DataFrame, nxt: DataFrame) -> bool:
+            changed = (
+                prev.alias("p")
+                .join(nxt.alias("n"), F.col("p.id") == F.col("n.id"))
+                .filter(F.col("p.component") != F.col("n.component"))
+                .limit(1)
+                .count()
+            )
+            return changed == 0
+
+        return iterate(labels, step, max_iterations, has_converged=converged)
+
+    def page_rank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+        """Fixed-iteration PageRank (no dangling-mass redistribution —
+        callers should ensure out_degree >= 1, as Gelly's simple PageRank
+        assumes).  Returns (id, rank)."""
+        n = self.vertices.count()
+        out_deg = self.out_degrees()
+        # contribution-ready edges: (src, dst, inv_out_degree)
+        e = (
+            self.edges.select("src", "dst")
+            .join(out_deg, F.col("src") == F.col("id"))
+            .select("src", "dst", (1.0 / F.col("out_degree")).alias("w"))
+        )
+        e = e.persist()
+        ranks = self.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+
+        def step(cur: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                e.join(cur, e.src == cur.id)
+                .select(F.col("dst").alias("id"), (F.col("rank") * F.col("w")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            return (
+                self.vertices.select("id")
+                .join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+
+        out = iterate(ranks, step, iterations)
+        e.unpersist()
+        return out

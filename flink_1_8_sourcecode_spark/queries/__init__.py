@@ -53,6 +53,7 @@ _MODULES = (
     "similarity",
     "text_analysis",
     "cep_queries",
+    "graph_queries",
 )
 
 
