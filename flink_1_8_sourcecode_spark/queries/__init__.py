@@ -54,6 +54,7 @@ _MODULES = (
     "text_analysis",
     "cep_queries",
     "graph_queries",
+    "udf_queries",
 )
 
 

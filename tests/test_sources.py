@@ -1,0 +1,60 @@
+"""Batch source/sink round-trip tests (SURVEY.md §2.1/§2.2 parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.sources import io
+from tests.conftest import SF_SMALL
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_csv")
+    io.write_csv(li, path, sep="|")
+    back = io.read_csv(
+        spark, path,
+        "l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string",
+        sep="|",
+    )
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+    a = li.agg(F.sum("l_quantity")).first()[0]
+    b = back.agg(F.sum("l_quantity")).first()[0]
+    assert abs(a - b) < 1e-6
+
+
+def test_text_roundtrip(spark, tmp_path):
+    d = table(spark, SF_SMALL, "documents").select(F.col("text").alias("value"))
+    path = str(tmp_path / "docs_txt")
+    io.write_text(d, path)
+    back = io.read_text(spark, path)
+    assert back.count() == d.count()
+
+
+def test_json_lines_with_schema(spark, tmp_path):
+    ev = table(spark, SF_SMALL, "events").select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "ev_json")
+    ev.write.mode("overwrite").json(path)
+    back = io.read_json_lines(
+        spark, path, "event_id long, user_id long, event_type string, value double"
+    )
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
+
+
+def test_json_column_extraction(spark):
+    ev = table(spark, SF_SMALL, "events")
+    parsed = ev.select(io.json_column(F.col("props"), "k int").alias("p")).select("p.k")
+    assert parsed.filter(F.col("k").isNotNull()).count() == ev.count()
+
+
+def test_from_elements_and_sequence(spark):
+    df = io.from_elements(spark, [(1, "a"), (2, "b")], "x int, s string")
+    assert df.count() == 2
+    seq = io.generate_sequence(spark, 1, 10)
+    assert seq.count() == 10  # inclusive bounds, Flink semantics
+    assert seq.agg(F.sum("id")).first()[0] == 55
