@@ -95,6 +95,7 @@ _SHINGLE_DUCK = """
     doc="MinHash+LSH near-dup candidates: word-3-shingles -> 16 md5-family "
     "min-hashes -> 8 bands of 2 rows -> bucket self-join (map-only "
     "signatures, shuffle only on band hash).",
+    bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")

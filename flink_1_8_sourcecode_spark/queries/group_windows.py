@@ -33,6 +33,7 @@ from flink_1_8_sourcecode_spark.queries import register
     """,
     doc="Tumbling event-time window (TumblingEventTimeWindows; SQL TUMBLE + "
     "TUMBLE_START/TUMBLE_END via window.start/end).",
+    bench=True,
 )
 def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

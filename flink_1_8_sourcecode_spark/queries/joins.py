@@ -262,6 +262,7 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Temporal as-of join (TemporalRowtimeJoin.scala:63): latest prior "
     "click per purchase; union + key-sorted last-value carry, one shuffle.",
+    bench=True,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

@@ -34,6 +34,7 @@ from flink_1_8_sourcecode_spark.queries import register
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     doc="Unbounded-preceding OVER (ProcTimeUnboundedOver/RowTimeUnboundedOver).",
+    bench=True,
 )
 def over_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (

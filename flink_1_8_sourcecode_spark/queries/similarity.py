@@ -35,6 +35,7 @@ _COS = """list_dot_product(q.e, c.e)
     ) WHERE rank <= 10
     """,
     doc="Exact brute-force cosine top-10 for query vectors 0-4.",
+    bench=True,
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

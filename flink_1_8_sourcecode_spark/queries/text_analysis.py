@@ -26,6 +26,7 @@ _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != ''
     """,
     doc="WordCount (the reference's flagship batch example): "
     "tokenize -> explode -> groupBy -> top-20.",
+    bench=True,
 )
 def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
