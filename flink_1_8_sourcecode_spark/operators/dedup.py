@@ -67,11 +67,29 @@ def minhash_lsh_pairs(
 
     rows_per_band = num_hashes // bands; a pair collides on band j when
     the concatenation of its band signature rows matches.
+
+    Plan shape (the 100 TB path): explode shingles to rows, hash each
+    shingle once per seed, then groupBy(doc).min per seed — map-side
+    partial mins make the shuffle tiny, and no expression is evaluated
+    more than once.  (The naive nested-array form looks the same
+    logically but Catalyst's projection collapse would inline the whole
+    signature expression into every downstream reference — a measured
+    ~100x blowup.)
     """
     r = num_hashes // bands
-    sig = df.select(
+    exploded = df.select(
         F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("__sig"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    )
+    hashed = exploded.select(
+        "__id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy("__id").agg(
+        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
     )
     band_rows = sig.select(
         "__id",
@@ -81,7 +99,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(j).alias("band_id"),
                         F.concat_ws(
-                            "#", *[F.element_at("__sig", j * r + i + 1) for i in range(r)]
+                            "#", *[F.col(f"__h{j * r + i}") for i in range(r)]
                         ).alias("band_hash"),
                     )
                     for j in range(bands)
