@@ -55,6 +55,7 @@ _MODULES = (
     "cep_queries",
     "graph_queries",
     "udf_queries",
+    "rowops",
 )
 
 

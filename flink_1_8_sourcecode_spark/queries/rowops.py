@@ -1,0 +1,99 @@
+"""Row-level transform inventory — SURVEY.md §2.3.
+
+map (DataSet.java:210 / MapDriver.java) -> select expressions;
+flatMap (DataSet.java:260) -> explode;
+mapPartition (DataSet.java:237 / MapPartitionDriver.java) -> mapInPandas;
+project (DataSet.java:314) -> positional select.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.queries import register
+
+
+@register(
+    "rowop_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           upper(l_returnflag || l_linestatus) AS flags
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    doc="map(MapFunction) as JVM-side select expressions (the fast path).",
+)
+def rowop_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+        F.upper(F.concat("l_returnflag", "l_linestatus")).alias("flags"),
+    )
+
+
+@register(
+    "rowop_flatmap",
+    oracle="""
+    SELECT event_id, unnest([event_type, 'all']) AS tag, value
+    FROM events WHERE event_id < 500
+    """,
+    doc="flatMap 1->N via explode (FlatMapDriver.java parity).",
+)
+def rowop_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.explode(F.array(F.col("event_type"), F.lit("all"))).alias("tag"),
+        "value",
+    )
+
+
+@register(
+    "rowop_map_partition",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - avg(o_totalprice) OVER () AS delta_from_mean
+    FROM orders WHERE o_orderkey < 400
+    """,
+    doc="mapPartition via mapInPandas (per-partition iterator, Arrow "
+    "batches) — here a two-pass mean-delta to exercise real per-partition "
+    "logic; the global mean is broadcast.",
+)
+def rowop_map_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    mean = o.agg(F.avg("o_totalprice")).first()[0]
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "o_totalprice": pdf["o_totalprice"],
+                    "delta_from_mean": pdf["o_totalprice"] - mean,
+                }
+            )
+
+    return o.mapInPandas(
+        per_partition, "o_orderkey long, o_totalprice double, delta_from_mean double"
+    )
+
+
+@register(
+    "rowop_project",
+    oracle="""
+    SELECT n_name, n_regionkey FROM nation
+    """,
+    doc="project(2, 0): positional tuple projection.",
+)
+def rowop_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.select(n.columns[1], n.columns[2])

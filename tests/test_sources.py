@@ -52,6 +52,16 @@ def test_json_column_extraction(spark):
     assert parsed.filter(F.col("k").isNotNull()).count() == ev.count()
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    # OrcTableSource parity (flink-connectors/flink-orc) — native in Spark.
+    o = table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == o.count()
+    assert set(back.columns) == set(o.columns)
+
+
 def test_from_elements_and_sequence(spark):
     df = io.from_elements(spark, [(1, "a"), (2, "b")], "x int, s string")
     assert df.count() == 2
