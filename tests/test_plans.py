@@ -1,0 +1,56 @@
+"""Golden-plan tests (analogue of the reference's ExplainTest /
+plan-regression suites, SURVEY.md §5.3): assert the physical plan shape
+we designed for — broadcasts where intended, pushdown reaching the scan,
+no Python in JVM-only pipelines.
+"""
+
+from __future__ import annotations
+
+from flink_1_8_sourcecode_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_pushes_filters_to_scan(spark):
+    plan = _plan(spark, "tpch_q6")
+    assert "PushedFilters" in plan
+    # the shipdate range must reach the parquet reader, not a post-filter only
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q1_prunes_columns(spark):
+    plan = _plan(spark, "tpch_q1")
+    read = plan.split("ReadSchema")[1][:500]
+    assert "l_comment" not in read  # never read what the query doesn't touch
+    assert "l_partkey" not in read  # q1 doesn't use partkey
+
+
+def test_dedup_minhash_has_partial_aggregation(spark):
+    # the groupBy-min signature agg must have a map-side partial step
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_jvm_only_queries_have_no_python_stage(spark):
+    for name in ("tpch_q1", "tpch_q5", "dedup_minhash_lsh", "text_wordcount", "sim_topk_bruteforce"):
+        plan = _plan(spark, name)
+        assert "Python" not in plan, f"{name} unexpectedly leaves the JVM"
+
+
+def test_whole_stage_codegen_active(spark):
+    df = REGISTRY["tpch_q1"].spark(spark, SF_DIR)
+    df.collect()  # AQE only finalizes (and shows codegen spans) after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan
