@@ -1,0 +1,131 @@
+"""Side outputs, two-input operators, broadcast state, async I/O —
+the §2.13 control-flow operators Spark doesn't name directly.
+
+Reference parity:
+- OutputTag side outputs (flink-core/.../util/OutputTag.java;
+  ProcessFunction.java:70) -> tagged filter fan-out (``split``) or a
+  single-pass multi-write per micro-batch (``foreach_batch_fanout``).
+- connect + CoProcessFunction (DataStream.java:254; CoProcessFunction.java)
+  -> union of tagged, schema-aligned streams into one keyed stateful op
+  (``connect_tagged``).
+- Broadcast state pattern (DataStream.java:427,
+  KeyedBroadcastProcessFunction) -> per-micro-batch broadcast join
+  against a re-evaluated snapshot (``broadcast_state_join``).
+- Async I/O (AsyncDataStream.java:102,147) -> concurrent requests inside
+  an Arrow batch (``async_map`` — unordered-wait semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split(df: DataFrame, outputs: dict[str, Column]) -> dict[str, DataFrame]:
+    """OutputTag fan-out as filtered views. Tags need not be disjoint
+    (Flink allows multi-tag emission). Works on batch and streaming
+    frames; each sink re-reads the source unless fanned out via
+    ``foreach_batch_fanout``."""
+    return {tag: df.filter(cond) for tag, cond in outputs.items()}
+
+
+def foreach_batch_fanout(
+    df: DataFrame,
+    routes: dict[str, tuple[Column, str]],
+    fmt: str = "parquet",
+    checkpoint: str | None = None,
+):
+    """Single-pass multi-sink: per micro-batch, persist once and write
+    every tagged subset — the scalable form of side outputs (one source
+    scan per batch, N writes)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            for _tag, (cond, path) in routes.items():
+                batch.filter(cond).write.format(fmt).mode("append").save(path)
+        finally:
+            batch.unpersist()
+
+    w = df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def connect_tagged(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    payload_cols: dict[str, tuple[str | None, str | None]],
+) -> DataFrame:
+    """connect(): merge two inputs into one keyed stream with an
+    ``__input`` tag (1/2) and a unified schema; feed the result to
+    stateful.keyed_process for CoProcessFunction semantics.
+
+    payload_cols maps output column -> (left source col | None,
+    right source col | None); missing sides are NULL-padded.
+    """
+
+    def side(df: DataFrame, tag: int, idx: int) -> DataFrame:
+        cols = [F.col(key), F.lit(tag).alias("__input")]
+        for out, pair in payload_cols.items():
+            lc, rc = pair
+            ttype = (
+                left.schema[lc] if lc is not None else right.schema[rc]
+            ).dataType.simpleString()
+            src = pair[idx]
+            expr = df[src] if src is not None else F.lit(None)
+            cols.append(expr.cast(ttype).alias(out))
+        return df.select(*cols)
+
+    return side(left, 1, 0).unionByName(side(right, 2, 1))
+
+
+def broadcast_state_join(
+    stream: DataFrame,
+    snapshot_fn: Callable[[], DataFrame],
+    on: str | list[str],
+    how: str = "left",
+    checkpoint: str | None = None,
+    sink_fn: Callable[[DataFrame, int], None] | None = None,
+):
+    """Broadcast state pattern: each micro-batch joins against a FRESH
+    snapshot of a slowly-changing side (re-evaluated and re-broadcast per
+    batch — the Spark idiom for Flink's broadcast state)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        joined = batch.join(F.broadcast(snapshot_fn()), on, how)
+        if sink_fn is not None:
+            sink_fn(joined, batch_id)
+
+    w = stream.writeStream.foreachBatch(process)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def async_map(
+    df: DataFrame,
+    fn: Callable[[dict], dict],
+    output_schema: str,
+    concurrency: int = 16,
+) -> DataFrame:
+    """AsyncDataStream.unorderedWait analogue: apply a (blocking) per-row
+    callable with ``concurrency`` in-flight requests per Arrow batch.
+    Row order within a batch is preserved in the output (results are
+    gathered positionally), matching orderedWait; throughput matches
+    unorderedWait because requests overlap."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                results = list(pool.map(fn, rows))
+                yield pd.DataFrame(results)
+
+    return df.mapInPandas(run, output_schema)
