@@ -165,6 +165,99 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="Order-priority checking (Q4 shape): EXISTS -> left-semi join + agg.",
+    bench=True,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1997-01-01")) & (F.col("o_orderdate") < _TS("1997-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    sem = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="Promotion effect (Q14 shape): broadcast part join + conditional agg.",
+    bench=True,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-03-01")) & (F.col("l_shipdate") < _TS("1997-04-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, qty_sum
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS qty_sum
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150) big
+        ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    doc="Large-volume customer (Q18 shape): agg-subquery (HAVING) -> join -> top-k.",
+    bench=True,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 150)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "qty_sum")
+    )
+
+
+@register(
     "tpch_q10",
     oracle="""
     SELECT c_custkey, c_name,
