@@ -3,30 +3,75 @@
 entry(spark)  -> flagship TPC-H Q3 on sf0.001.
 queries()     -> every declared query from SURVEY.md §2 (name -> callable).
 oracle_sql()  -> matching DuckDB SQL per query (omitted => rows-only check).
+
+Every callable ships the engine package to Spark's Python workers via
+addPyFile on first use: the driver process may import this module from an
+arbitrary cwd, and workers do not inherit the driver's sys.path, so
+pickled-by-reference functions (applyInPandas/pandas_udf bodies) need the
+package on the worker side too.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from flink_1_8_sourcecode_spark.queries import load_all  # noqa: E402
 
 _REGISTRY = load_all()
+_PKG = "flink_1_8_sourcecode_spark"
+_SHIPPED: set[int] = set()
+
+
+def _package_zip() -> str:
+    path = os.path.join("/tmp", f"{_PKG}.zip")
+    src_root = os.path.join(_REPO, _PKG)
+    newest_src = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(src_root)
+        for f in fns
+        if f.endswith(".py")
+    )
+    if not os.path.exists(path) or os.path.getmtime(path) < newest_src:
+        with zipfile.ZipFile(path, "w") as zf:
+            for dp, _dn, fns in os.walk(src_root):
+                for f in fns:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    return path
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key not in _SHIPPED:
+        spark.sparkContext.addPyFile(_package_zip())
+        _SHIPPED.add(key)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q3, the reference's own example query) on sf0.001."""
+    _ensure_shipped(spark)
     return _REGISTRY["tpch_q3"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark for name, q in _REGISTRY.items()}
+    return {name: _wrap(q.spark) for name, q in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

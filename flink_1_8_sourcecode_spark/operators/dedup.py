@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.operators.text import shingles, tokens
 
+# Affine min-hash family over a single md5-derived base value (28-bit):
+# h_i(x) = (A[i] * base(x) + B[i]) mod P.  Deterministic, engine-portable.
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = [
+    1000003, 999983, 824633, 715827, 611953, 524287, 402653, 337821,
+    268435, 198491, 160481, 131071, 104729, 86243, 65537, 49157,
+]
+MINHASH_B = [
+    12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869,
+    3145739, 6291469, 12582917, 25165843, 50331653, 100663319, 201326611, 402653189,
+]
+
 
 def exact_dedup(df: DataFrame, keys: list[str], keep_by: str) -> DataFrame:
     """Keep exactly one row per ``keys`` group: the one with the smallest
@@ -81,15 +93,19 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
     )
-    hashed = exploded.select(
-        "__id",
-        *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    # ONE md5 per shingle; the k-hash family is affine over the 28-bit
+    # base value: h_i = (a_i * h + b_i) mod p.  (Products stay < 2^59 —
+    # exact in int64 on both engines, so the DuckDB oracle replicates
+    # bit-for-bit.)  16x fewer hash evaluations than per-seed md5.
+    base = F.conv(F.substring(F.md5(F.col("__s")), 1, 7), 16, 10).cast("long")
+    hashed = exploded.select("__id", base.alias("__b"))
     sig = hashed.groupBy("__id").agg(
-        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("__b") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+                f"__h{i}"
+            )
+            for i in range(num_hashes)
+        ]
     )
     band_rows = sig.select(
         "__id",

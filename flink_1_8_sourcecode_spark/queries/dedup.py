@@ -67,9 +67,23 @@ _SHINGLE_DUCK = """
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def _minhash_oracle() -> str:
+    from flink_1_8_sourcecode_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = " + ".join(
+        f"(strpos('0123456789abcdef', md5(s)[{i + 1}]) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+    sig_cols = ", ".join(
+        f"min(({MINHASH_A[i]} * b + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(16)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, "
+        f"h{2 * j}::VARCHAR || '#' || h{2 * j + 1}::VARCHAR AS band_hash FROM sig"
+        for j in range(8)
+    )
+    return f"""
     WITH tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -77,21 +91,25 @@ _SHINGLE_DUCK = """
       FROM documents
     ), sh AS (
       SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM tok
+    ), srow AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), basev AS (
+      SELECT doc_id, {base} AS b FROM srow
     ), sig AS (
-      SELECT doc_id,
-             list_transform(range(0, 16),
-               k -> list_min(list_transform(sh, s -> md5(k::VARCHAR || '|' || s)))) AS sig
-      FROM sh
+      SELECT doc_id, {sig_cols} FROM basev GROUP BY doc_id
     ), bands AS (
-      SELECT doc_id, b AS band_id,
-             sig[b*2 + 1] || '#' || sig[b*2 + 2] AS band_hash
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS b)
+      {band_rows}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
     doc="MinHash+LSH near-dup candidates: word-3-shingles -> 16 md5-family "
     "min-hashes -> 8 bands of 2 rows -> bucket self-join (map-only "
     "signatures, shuffle only on band hash).",

@@ -79,7 +79,8 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM customer WHERE c_acctbal > 8000 GROUP BY 1),
          sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp
                 FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
-    SELECT coalesce(cn.nk, sn.nk) AS nationkey, n_cust, n_supp
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
     FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
     """,
     doc="Full outer join of two aggregates (FullOuterJoinDriver.java parity).",
@@ -98,7 +99,11 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
     return cn.join(sn, cn.nk == sn.nk, "full").select(
-        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        # NULL-padding coalesced to 0: hash-stable output (NaN in a leading
+        # sort column breaks row-order canonicalization on both engines).
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
     )
 
 
@@ -255,7 +260,8 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     oracle="""
-    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id
+    SELECT p.event_id AS purchase_id, p.user_id,
+           coalesce(c.event_id, -1) AS last_click_id
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND c.ts <= p.ts
@@ -280,4 +286,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="c_ts",
         right_cols=["last_click_id"],
     )
-    return out.select("purchase_id", "user_id", "last_click_id")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("last_click_id"), F.lit(-1)).alias("last_click_id"),
+    )

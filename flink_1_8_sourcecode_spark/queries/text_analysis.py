@@ -89,7 +89,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tok
          )
     SELECT source, count(*) AS n_docs, avg(quality) AS avg_quality,
-           sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_kept
+           sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END)::BIGINT AS n_kept
     FROM scored GROUP BY source
     """,
     doc="Quality scoring + keep/drop filter, reported per source.",
