@@ -56,6 +56,7 @@ _MODULES = (
     "graph_queries",
     "udf_queries",
     "rowops",
+    "sql_suite",
 )
 
 
