@@ -1,0 +1,107 @@
+"""Continuous (non-windowed) streaming aggregation — the retraction-mode
+group agg of the reference (DataStreamGroupAggregate.scala /
+GroupAggProcessFunction.scala:39): final update-mode state must equal the
+batch aggregate.  Also covers keyed rolling min/max (KeyedStream.java:730-986)
+and a ProcessFunction-style running sum via the keyed_process wrapper.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.streaming import sources, stateful
+from tests.conftest import SF_SMALL, assert_frames_match
+
+
+def _final_state(spark, q_builder, name: str, keys: list[str]) -> pd.DataFrame:
+    query = q_builder.queryName(name).outputMode("update").start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = spark.table(name).toPandas()
+    return got.drop_duplicates(subset=keys, keep="last")
+
+
+def test_continuous_group_agg_equals_batch(spark, tmp_path):
+    chunks = str(tmp_path / "chunks")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=5)
+    stream = sources.read_event_stream(spark, chunks)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    got = _final_state(spark, agg.writeStream.format("memory"), "t_cont_agg", ["event_type"])
+    expected = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(got, expected, name="continuous_group_agg")
+
+
+def test_keyed_rolling_max_by(spark, tmp_path):
+    chunks = str(tmp_path / "chunks2")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=4)
+    stream = sources.read_event_stream(spark, chunks)
+    agg = stream.groupBy("user_id").agg(
+        F.max_by("event_id", "value").alias("biggest_event"),
+        F.max("value").alias("vmax"),
+    )
+    got = _final_state(spark, agg.writeStream.format("memory"), "t_maxby", ["user_id"])
+    expected = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", "value").alias("biggest_event"),
+            F.max("value").alias("vmax"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(got, expected, name="keyed_rolling_max_by")
+
+
+def test_keyed_process_running_sum(spark, tmp_path):
+    """ProcessFunction-grade API: per-key running sum emitted per batch."""
+    from pyspark.sql.streaming.state import GroupState
+
+    chunks = str(tmp_path / "chunks3")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=4)
+    stream = sources.read_event_stream(spark, chunks).select("user_id", "value")
+
+    def running_sum(key, batches, state: GroupState):
+        total = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in batches:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_total": [total], "batch_rows": [n]})
+
+    out = stateful.keyed_process(
+        stream,
+        ["user_id"],
+        running_sum,
+        output_schema="user_id long, running_total double, batch_rows int",
+        state_schema="total double",
+    )
+    got = _final_state(spark, out.writeStream.format("memory"), "t_proc", ["user_id"])
+    expected = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("running_total"))
+        .toPandas()
+    )
+    merged = got.merge(expected, on="user_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(expected)
+    assert (abs(merged.running_total_got - merged.running_total_exp) < 1e-6).all()
