@@ -67,9 +67,12 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
     ).select(*[c for c in l_tagged.columns])
 
-    # Exact-time ties: right row must sort BEFORE the left row to be
-    # visible (<=); after it for strict (<).
-    order_left_flag = F.col("__is_left").asc() if not allow_exact_match else F.col("__is_left").desc()
+    # Exact-time ties: a right row (tag 0) must sort BEFORE the left row
+    # (tag 1) to be visible at equal timestamps (<= semantics) — ascending
+    # tag order; strict (<) puts left first — descending.
+    order_left_flag = (
+        F.col("__is_left").asc() if allow_exact_match else F.col("__is_left").desc()
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc(), order_left_flag)
@@ -84,6 +87,42 @@ def asof_join(
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out
+
+
+class TemporalTableFunction:
+    """Surface parity with ``Table.createTemporalTableFunction(timeAttr,
+    key)`` (flink-table/.../api/table.scala:188): a versioned-table handle
+    whose as-of semantics are applied by ``temporal_join``."""
+
+    def __init__(self, history: DataFrame, time_attr: str, key: str):
+        self.history = history
+        self.time_attr = time_attr
+        self.key = key
+
+
+def create_temporal_table_function(
+    history: DataFrame, time_attr: str, key: str
+) -> TemporalTableFunction:
+    return TemporalTableFunction(history, time_attr, key)
+
+
+def temporal_join(
+    probe: DataFrame,
+    versioned: TemporalTableFunction,
+    probe_time: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """LATERAL TABLE (versioned(probe_time)) join: each probe row gets the
+    version of the build side valid at its timestamp — implemented by the
+    as-of join (TemporalRowtimeJoin.scala:63 semantics)."""
+    return asof_join(
+        probe,
+        versioned.history,
+        on=versioned.key,
+        left_time=probe_time,
+        right_time=versioned.time_attr,
+        right_cols=right_cols,
+    )
 
 
 def interval_join(

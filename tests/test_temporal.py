@@ -1,0 +1,68 @@
+"""Temporal table function + as-of join semantics tests
+(TemporalRowtimeJoin.scala:63; table.scala:188)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators.joins import (
+    asof_join,
+    create_temporal_table_function,
+    temporal_join,
+)
+
+
+@pytest.fixture(scope="module")
+def rates(spark):
+    # currency rate history: the canonical temporal-join example
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("EUR", base + dt.timedelta(hours=0), 1.10),
+        ("EUR", base + dt.timedelta(hours=2), 1.20),
+        ("EUR", base + dt.timedelta(hours=4), 1.30),
+        ("GBP", base + dt.timedelta(hours=1), 1.50),
+    ]
+    return spark.createDataFrame(rows, "ccy string, rate_ts timestamp, rate double")
+
+
+@pytest.fixture(scope="module")
+def payments(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "EUR", base + dt.timedelta(hours=1), 100.0),   # sees 1.10
+        (2, "EUR", base + dt.timedelta(hours=2), 100.0),   # exact match -> 1.20
+        (3, "EUR", base + dt.timedelta(hours=5), 100.0),   # sees 1.30
+        (4, "GBP", base + dt.timedelta(hours=0, minutes=30), 100.0),  # before any rate
+        (5, "GBP", base + dt.timedelta(hours=3), 100.0),   # sees 1.50
+    ]
+    return spark.createDataFrame(rows, "pid int, ccy string, pay_ts timestamp, amount double")
+
+
+def test_temporal_join_versions(spark, rates, payments):
+    ttf = create_temporal_table_function(rates, "rate_ts", "ccy")
+    out = temporal_join(payments, ttf, "pay_ts", right_cols=["rate"]).toPandas()
+    got = dict(zip(out.pid, out.rate))
+    assert got[1] == 1.10
+    assert got[2] == 1.20  # exact-timestamp version visible (<= semantics)
+    assert got[3] == 1.30
+    assert got[5] == 1.50
+    import math
+
+    assert math.isnan(got[4]) or got[4] is None  # no version valid yet
+
+
+def test_asof_strict_inequality(spark, rates, payments):
+    out = asof_join(
+        payments,
+        rates,
+        on="ccy",
+        left_time="pay_ts",
+        right_time="rate_ts",
+        right_cols=["rate"],
+        allow_exact_match=False,
+    ).toPandas()
+    got = dict(zip(out.pid, out.rate))
+    assert got[2] == 1.10  # strict < excludes the 2h version
