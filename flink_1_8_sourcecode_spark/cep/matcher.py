@@ -81,6 +81,8 @@ def _find_matches(rows: list[dict[str, Any]], times: list[float], pattern: Patte
                     return  # commit to the first qualifying occurrence
                 if count == 0 and st.contiguity in ("begin", "next"):
                     return  # first occurrence must sit exactly at start
+                if count > 0 and st.strict_iter:
+                    return  # consecutive() / MATCH_RECOGNIZE: run broken
                 j += 1  # relaxed: scan past non-matching events
 
         order = []

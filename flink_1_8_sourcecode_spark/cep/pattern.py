@@ -35,6 +35,8 @@ class Stage:
     optional: bool = False
     greedy: bool = False
     negative: bool = False  # not_next / not_followed_by
+    strict_iter: bool = False  # quantifier occurrences must be consecutive
+    # (Flink Pattern.consecutive(); also MATCH_RECOGNIZE's row contiguity)
 
     def accepts(self, row: dict[str, Any]) -> bool:
         base = all(p(row) for p in self.predicates) if self.predicates else True
@@ -101,6 +103,11 @@ class Pattern:
 
     def greedy(self) -> "Pattern":
         return self._mod(greedy=True)
+
+    def consecutive(self) -> "Pattern":
+        """Pattern.consecutive(): quantifier occurrences must be adjacent
+        rows (no gaps) — also the MATCH_RECOGNIZE contiguity."""
+        return self._mod(strict_iter=True)
 
     # -- pattern modifiers --------------------------------------------
     def within(self, duration: str) -> "Pattern":

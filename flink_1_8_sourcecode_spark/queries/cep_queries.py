@@ -60,6 +60,42 @@ def cep_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_match_recognize_sql",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, next_id AS purchase_id
+    FROM seq WHERE event_type = 'signup' AND next_type = 'purchase'
+    """,
+    doc="SQL MATCH_RECOGNIZE (DataStreamMatch.scala:65): signup "
+    "immediately followed by purchase (strict row contiguity), via the "
+    "cep.match_recognize subset.",
+)
+def cep_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+
+    ev = table(spark, sf_dir, "events")
+    return match_recognize(
+        ev,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S P)
+        DEFINE S AS S.event_type = 'signup',
+               P AS P.event_type = 'purchase'
+        """,
+    )
+
+
+@register(
     "cep_error_burst",
     oracle="""
     WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),

@@ -1,0 +1,106 @@
+"""MATCH_RECOGNIZE subset tests (DataStreamMatch.scala:65 parity).
+
+Sequence per user (one event per second):
+  u=1: login fail fail fail logout  -> FAIL{3} matches once
+  u=2: login fail ok fail fail      -> FAIL{3} no match (gap breaks strict
+                                        contiguity); FAIL{2} matches at 3,4
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+
+ROWS = [
+    # (user, seq, type)
+    (1, 0, "login"), (1, 1, "fail"), (1, 2, "fail"), (1, 3, "fail"), (1, 4, "logout"),
+    (2, 0, "login"), (2, 1, "fail"), (2, 2, "ok"), (2, 3, "fail"), (2, 4, "fail"),
+]
+
+
+@pytest.fixture(scope="module")
+def auth_df(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + dt.timedelta(seconds=i), t) for (u, i, t) in ROWS
+    ]
+    return spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp, etype string")
+
+
+def test_three_consecutive_fails(spark, auth_df):
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS first_fail,
+                 LAST(A.event_id) AS last_fail,
+                 COUNT(A.*) AS n_fails
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{3})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.user_id, r.first_fail, r.last_fail, r.n_fails) == (1, 1, 3, 3)
+
+
+def test_login_then_fails_then_logout(spark, auth_df):
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES L.event_id AS login_id,
+                 COUNT(FA.*) AS n_fails,
+                 LAST(O.event_id) AS logout_id
+        ONE ROW PER MATCH
+        PATTERN (L FA+ O)
+        DEFINE L AS L.etype = 'login',
+               FA AS FA.etype = 'fail',
+               O AS O.etype = 'logout'
+        """,
+    ).toPandas()
+    # only user 1 has login -> fails -> logout with strict contiguity
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.user_id, r.login_id, r.n_fails, r.logout_id) == (1, 0, 3, 4)
+
+
+def test_skip_to_next_row_overlaps(spark, auth_df):
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS start_id, COUNT(A.*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A{2})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas()
+    got = sorted(zip(out.user_id, out.start_id))
+    # u1: fails at 1,2,3 -> starts 1 and 2 overlap; u2: fails 3,4 -> start 3
+    assert got == [(1, 1), (1, 2), (2, 3)]
+
+
+def test_undefined_symbol_matches_any(spark, auth_df):
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(L.event_id) AS lid, FIRST(X.event_id) AS xid
+        ONE ROW PER MATCH
+        PATTERN (L X)
+        DEFINE L AS L.etype = 'login'
+        """,
+    ).toPandas()
+    got = sorted(zip(out.user_id, out.lid, out.xid))
+    assert got == [(1, 0, 1), (2, 0, 1)]
