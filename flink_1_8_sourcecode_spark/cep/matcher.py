@@ -32,8 +32,18 @@ from flink_1_8_sourcecode_spark.cep.pattern import Pattern, Stage
 MATCH_SCHEMA_SUFFIX = "match_id long, stage string, seq int"
 
 
-def _find_matches(rows: list[dict[str, Any]], times: list[float], pattern: Pattern):
-    """Yield matches as lists of (stage_name, row_index)."""
+def _find_matches(
+    rows: list[dict[str, Any]],
+    times: list[float],
+    pattern: Pattern,
+    max_start_time: float | None = None,
+):
+    """Yield matches as lists of (stage_name, row_index).
+
+    ``max_start_time`` bounds which rows may START a match — the
+    streaming path only tries starts whose full window has passed the
+    watermark (stable starts), leaving later ones for the next batch.
+    """
     stages = pattern.stages
     n = len(rows)
 
@@ -150,6 +160,8 @@ def _find_matches(rows: list[dict[str, Any]], times: list[float], pattern: Patte
 
     i = 0
     while i < n:
+        if max_start_time is not None and times[i] > max_start_time:
+            return
         produced_end = None
         if stages[0].accepts(rows[i]):
             for m in backtrack(0, i, None, []):

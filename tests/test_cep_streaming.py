@@ -1,0 +1,96 @@
+"""Streaming CEP vs batch CEP equivalence (CepOperator parity).
+
+Replays the events table as micro-batches; a far-future sentinel row (in
+its own key group) pushes the final watermark past every real event, so
+every match stabilizes and the streamed result must equal the batch
+matcher's output exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+from flink_1_8_sourcecode_spark.cep.streaming import match_pattern_stream
+from flink_1_8_sourcecode_spark.streaming import sources
+from tests.conftest import SF_SMALL
+
+PATTERN = (
+    Pattern.begin("signup")
+    .where(lambda e: e["event_type"] == "signup")
+    .followed_by("purchase")
+    .where(lambda e: e["event_type"] == "purchase")
+    .within("30 minutes")
+)
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cep_chunks"))
+    sources.write_event_chunks(spark, SF_SMALL, d, n_chunks=6)
+    # sentinel: advances the global watermark past all real events
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.mode("append").parquet(d + "/__chunk=zzz_sentinel")
+    return d
+
+
+def _norm(pdf: pd.DataFrame) -> set:
+    """Matches as a set of (user, ((stage, event_id), ...)) ignoring ids."""
+    out = set()
+    for (_u, _m), grp in pdf.groupby(["user_id", "match_id"]):
+        g = grp.sort_values("seq")
+        out.add((_u, tuple(zip(g.stage, g.event_id))))
+    return out
+
+
+def test_stream_cep_equals_batch(spark, chunk_dir):
+    stream = sources.read_event_stream(spark, chunk_dir).filter(
+        F.col("event_type").isin("signup", "purchase", "noop")
+    )
+    out = match_pattern_stream(
+        stream,
+        PATTERN,
+        key="user_id",
+        time_col="ts",
+        select_cols=["event_id"],
+        watermark_delay="10 minutes",
+        tiebreak="event_id",
+    )
+    q = out.writeStream.format("memory").queryName("t_cep_stream").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_cep_stream").toPandas()
+    got = got[got.user_id >= 0]  # drop sentinel group
+
+    batch = match_pattern(
+        table(spark, SF_SMALL, "events").filter(
+            F.col("event_type").isin("signup", "purchase")
+        ),
+        PATTERN,
+        key="user_id",
+        time_col="ts",
+        select_cols=["event_id"],
+        tiebreak="event_id",
+    ).toPandas()
+
+    assert len(got) > 0
+    assert _norm(got) == _norm(batch)
+
+
+def test_stream_cep_requires_within(spark, chunk_dir):
+    stream = sources.read_event_stream(spark, chunk_dir)
+    p = Pattern.begin("a").where(lambda e: True)
+    with pytest.raises(ValueError, match="within"):
+        match_pattern_stream(stream, p, "user_id", "ts", ["event_id"], "10 minutes")
