@@ -102,6 +102,46 @@ class Graph:
 
         return iterate(labels, step, max_iterations, has_converged=converged)
 
+    def single_source_shortest_paths(
+        self, source, weight_col: str = "weight", max_iterations: int = 20
+    ) -> DataFrame:
+        """SSSP (flink-gelly/.../library/SingleSourceShortestPaths.java):
+        Bellman-Ford-style relaxation by iterative join.  Returns
+        (id, dist); unreachable vertices keep dist = +inf (emitted NULL)."""
+        inf = float("inf")
+        e = self.edges.select("src", "dst", F.col(weight_col).alias("__w"))
+        dist = self.vertices.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(inf)).alias("dist"),
+        )
+
+        def step(cur: DataFrame, _i: int) -> DataFrame:
+            relaxed = (
+                e.join(cur, e.src == cur.id)
+                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("__w")).alias("cand"))
+                .groupBy("id")
+                .agg(F.min("cand").alias("cand"))
+            )
+            return (
+                cur.join(relaxed, "id", "left")
+                .select("id", F.least(F.col("dist"), F.coalesce(F.col("cand"), F.lit(inf))).alias("dist"))
+            )
+
+        def converged(prev: DataFrame, nxt: DataFrame) -> bool:
+            return (
+                prev.alias("p")
+                .join(nxt.alias("n"), F.col("p.id") == F.col("n.id"))
+                .filter(F.col("p.dist") != F.col("n.dist"))
+                .limit(1)
+                .count()
+                == 0
+            )
+
+        out = iterate(dist, step, max_iterations, has_converged=converged)
+        return out.select(
+            "id", F.when(F.col("dist") != inf, F.col("dist")).alias("dist")
+        )
+
     def page_rank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         """Fixed-iteration PageRank (no dangling-mass redistribution —
         callers should ensure out_degree >= 1, as Gelly's simple PageRank

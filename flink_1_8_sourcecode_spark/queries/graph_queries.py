@@ -39,6 +39,27 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Graph(v, e).connected_components(max_iterations=15)
 
 
+@register(
+    "graph_sssp",
+    oracle="""
+    SELECT id::BIGINT AS id, floor(log2(id + 1))::DOUBLE AS dist
+    FROM range(127) t(id)
+    """,
+    doc="Single-source shortest paths (flink-gelly/.../library/"
+    "SingleSourceShortestPaths.java): Bellman-Ford relaxation by "
+    "iterative join on a 127-vertex binary tree (dist = depth = "
+    "floor(log2(id+1)); converges in ~7 rounds).",
+)
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 127
+    v = spark.range(n).select("id")
+    parents = spark.range((n - 1) // 2).select(F.col("id").alias("src"))
+    e = parents.select("src", (F.col("src") * 2 + 1).alias("dst")).unionByName(
+        parents.select("src", (F.col("src") * 2 + 2).alias("dst"))
+    ).withColumn("weight", F.lit(1.0))
+    return Graph(v, e).single_source_shortest_paths(source=0, max_iterations=10)
+
+
 _PR_EDGES_DUCK = """
       -- ring within each region (cyclic successor) + spokes to the hub
       SELECT n_nationkey AS src,
