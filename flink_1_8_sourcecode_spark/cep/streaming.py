@@ -117,6 +117,17 @@ def match_pattern_stream(
             buf = [r for r, t in zip(rows, times) if t >= resume]
 
         state.update((pickle.dumps(buf), next_id, resume))
+        if buf:
+            # Event-time timer at the earliest buffered row + within: the
+            # group re-fires when its oldest pending start stabilizes even
+            # if no further events arrive for the key (Flink's CEP cleanup
+            # timer parity).
+            earliest = min(
+                pd.Timestamp(r[time_col]).value / 1e9 for r in buf
+            )
+            state.setTimeoutTimestamp(
+                max(int((earliest + within) * 1000) + 1, wm_ms + 1)
+            )
         if out_rows:
             yield pd.DataFrame(
                 out_rows, columns=[key, "match_id", "stage", "seq", *select_cols]
@@ -127,5 +138,5 @@ def match_pattern_stream(
         out_schema,
         "buf binary, next_id long, resume double",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

@@ -47,6 +47,83 @@ def keyed_process(
     )
 
 
+def event_time_running_agg(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    watermark_delay: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming unbounded-preceding OVER on event time — Flink's
+    RowTimeUnboundedOver (flink-table/.../runtime/aggregate/
+    RowTimeUnboundedOver.scala): one output row per input row carrying
+    the running sum/count over all earlier events of the key.
+
+    Out-of-order arrivals are buffered in state; rows are emitted in
+    event-time order once the watermark passes them (same firing rule as
+    the reference's over-window state cleanup).  Emits append-mode rows
+    (key, time, tiebreak?, value, running_sum, running_cnt).
+    """
+    import pickle
+
+    src = df.withWatermark(time_col, watermark_delay)
+    key_t = src.schema[key].dataType.simpleString()
+    tb = [tiebreak] if tiebreak else []
+    tb_schema = f", {tiebreak} {src.schema[tiebreak].dataType.simpleString()}" if tiebreak else ""
+    out_schema = (
+        f"{key} {key_t}, {time_col} timestamp{tb_schema}, "
+        f"{value_col} double, running_sum double, running_cnt long"
+    )
+
+    def fn(key_tuple, batches, state: GroupState):
+        if state.exists:
+            blob, total, cnt = state.get
+            pending: list[dict] = pickle.loads(bytes(blob))
+        else:
+            pending, total, cnt = [], 0.0, 0
+        for pdf in batches:
+            pending.extend(pdf.to_dict("records"))
+        wm = state.getCurrentWatermarkMs() / 1000.0
+
+        def ts_sec(r) -> float:
+            return pd.Timestamp(r[time_col]).value / 1e9
+
+        pending.sort(key=lambda r: (ts_sec(r), r.get(tiebreak) if tiebreak else 0))
+        out, keep = [], []
+        for r in pending:
+            if ts_sec(r) <= wm:
+                total += float(r[value_col])
+                cnt += 1
+                rec = {
+                    key: key_tuple[0],
+                    time_col: r[time_col],
+                    value_col: float(r[value_col]),
+                    "running_sum": total,
+                    "running_cnt": cnt,
+                }
+                if tiebreak:
+                    rec[tiebreak] = r[tiebreak]
+                out.append(rec)
+            else:
+                keep.append(r)
+        state.update((pickle.dumps(keep), total, cnt))
+        if keep:
+            # Re-arm an event-time timer at the earliest pending row so the
+            # group is re-invoked when the watermark passes it — without
+            # this, a group that stops receiving data never flushes
+            # (Flink's over-window registers the same cleanup timer).
+            state.setTimeoutTimestamp(int(ts_sec(keep[0]) * 1000) + 1)
+        if out:
+            cols = [key, time_col, *tb, value_col, "running_sum", "running_cnt"]
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn, out_schema, "buf binary, total double, cnt long", "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def count_window_agg(
     df: DataFrame,
     key: str,

@@ -71,6 +71,52 @@ def test_keyed_rolling_max_by(spark, tmp_path):
     assert_frames_match(got, expected, name="keyed_rolling_max_by")
 
 
+def test_event_time_running_agg_equals_batch_over(spark, tmp_path):
+    """Streaming unbounded OVER == batch Window: per-event running sums
+    must agree for every event that stabilized behind the watermark
+    (a far-future sentinel flushes everything)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    chunks = str(tmp_path / "chunks_over")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=5)
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+
+    stream = sources.read_event_stream(spark, chunks)
+    out = stateful.event_time_running_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        watermark_delay="30 minutes", tiebreak="event_id",
+    )
+    q = out.writeStream.format("memory").queryName("t_run_over").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_run_over").toPandas()
+    got = got[got.user_id >= 0][["user_id", "event_id", "running_sum", "running_cnt"]]
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = ev.select(
+        "user_id",
+        "event_id",
+        F.sum("value").over(w).alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    ).toPandas()
+    assert len(got) == len(expected)
+    assert_frames_match(got, expected, name="event_time_running_agg")
+
+
 def test_keyed_process_running_sum(spark, tmp_path):
     """ProcessFunction-grade API: per-key running sum emitted per batch."""
     from pyspark.sql.streaming.state import GroupState
