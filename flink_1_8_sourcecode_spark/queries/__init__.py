@@ -57,6 +57,7 @@ _MODULES = (
     "udf_queries",
     "rowops",
     "sql_suite",
+    "multimodal_queries",
 )
 
 
