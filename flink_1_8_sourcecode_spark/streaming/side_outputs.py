@@ -109,6 +109,62 @@ def broadcast_state_join(
     return w
 
 
+def late_data_side_channel(
+    df: DataFrame,
+    time_col: str,
+    delay,
+    main_fn: Callable[[DataFrame, int], None],
+    late_fn: Callable[[DataFrame, int], None],
+    checkpoint: str | None = None,
+):
+    """allowedLateness + sideOutputLateData emulation
+    (WindowedStream.allowedLateness:158 / sideOutputLateData:177).
+
+    Structured Streaming silently drops rows behind the watermark inside
+    stateful ops; this collector tracks the watermark equivalent
+    (max event time seen - delay) across micro-batches in the foreachBatch
+    closure and routes would-be-late rows to ``late_fn`` while on-time
+    rows go to ``main_fn``.  The caller applies its windowed aggregation
+    inside ``main_fn`` (per-batch) or downstream of the main sink.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import functions as _F
+
+    if isinstance(delay, str):
+        n, unit = delay.split()
+        seconds = float(n) * {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                              "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    else:
+        seconds = float(delay)
+    hwm: dict[str, _dt.datetime] = {}
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            cutoff = hwm.get("wm")
+            if cutoff is not None:
+                late = batch.filter(_F.col(time_col) < _F.lit(cutoff))
+                on_time = batch.filter(_F.col(time_col) >= _F.lit(cutoff))
+            else:
+                late = batch.limit(0)
+                on_time = batch
+            late_fn(late, batch_id)
+            main_fn(on_time, batch_id)
+            mx = batch.agg(_F.max(time_col)).first()[0]
+            if mx is not None:
+                new_wm = mx - _dt.timedelta(seconds=seconds)
+                if cutoff is None or new_wm > cutoff:
+                    hwm["wm"] = new_wm
+        finally:
+            batch.unpersist()
+
+    w = df.writeStream.foreachBatch(route)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
 def async_map(
     df: DataFrame,
     fn: Callable[[dict], dict],
