@@ -313,6 +313,34 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_misc",
+    oracle="""
+    SELECT p_partkey,
+           hex(p_size) AS v_hex,
+           bin(p_size) AS v_bin,
+           chr(65 + (p_size % 26)) AS v_chr,
+           ascii(substring(p_name, 1, 1)) AS v_ascii,
+           greatest(p_size, 25) AS v_greatest,
+           least(p_size, 25) AS v_least
+    FROM part WHERE p_partkey < 200
+    """,
+    doc="BIN/HEX/CHR/ASCII/GREATEST/LEAST (mathExpressions.scala, "
+    "stringExpressions.scala; FunctionCatalog.scala:416-483).",
+)
+def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.hex(F.col("p_size")).alias("v_hex"),
+        F.bin(F.col("p_size")).alias("v_bin"),
+        F.chr(F.lit(65) + (F.col("p_size") % 26)).alias("v_chr"),
+        F.ascii(F.substring("p_name", 1, 1)).alias("v_ascii"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("v_greatest"),
+        F.least(F.col("p_size"), F.lit(25)).alias("v_least"),
+    )
+
+
+@register(
     "fn_cast",
     oracle="""
     SELECT l_orderkey,
