@@ -118,6 +118,40 @@ def test_stream_count_window(spark, chunk_dir):
     assert abs(total_emitted - expected_total) < 1e-6
 
 
+def test_stream_windowed_join(spark, chunk_dir):
+    """Windowed stream-stream join (JoinedStreams.java:128: same key,
+    same tumbling window): equality on (key, window bucket)."""
+    ev = sources.read_event_stream(spark, chunk_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), F.col("user_id").alias("u"),
+                F.window("ts", "1 hour").alias("w"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id").alias("u2"),
+                F.window("ts", "1 hour").alias("w2"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = s.join(p, (s.u == p.u2) & (s.w == p.w2)).select("signup_id", "view_id")
+    got = _run(joined.writeStream.format("memory"), "t_wjoin", spark, mode="append")
+
+    bev = table(spark, SF_SMALL, "events")
+    bs = bev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("u"),
+        F.window("ts", "1 hour").alias("w"),
+    )
+    bp = bev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u2"),
+        F.window("ts", "1 hour").alias("w2"),
+    )
+    expected = bs.join(bp, (bs.u == bp.u2) & (bs.w == bp.w2)).select(
+        "signup_id", "view_id"
+    ).toPandas()
+    assert_frames_match(got, expected, name="stream_windowed_join")
+
+
 def test_stream_interval_join(spark, chunk_dir):
     """Stream-stream interval join (purchases within 30min after signup)."""
     from flink_1_8_sourcecode_spark.operators.joins import interval_join
