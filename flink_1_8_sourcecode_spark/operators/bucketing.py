@@ -1,0 +1,35 @@
+"""Bucketed tables — exchange-free co-located joins.
+
+Reference parity: Flink's batch optimizer reuses "interesting
+properties" (existing partitionings) to avoid re-shuffles
+(flink-optimizer/.../dataproperties/); Spark's equivalent persistent
+mechanism is bucketed tables: both join sides pre-hash-partitioned and
+sorted on the join key at write time, so repeated joins/aggregations on
+that key skip the Exchange entirely.
+
+At 100 TB this converts every fact-fact join on the bucket key from a
+full two-sided shuffle into a zipped per-bucket merge — the single
+biggest recurring-cost lever for a star schema that is joined daily.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed (and bucket-sorted) table."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.format("parquet").saveAsTable(table_name)
+
+
+def bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
