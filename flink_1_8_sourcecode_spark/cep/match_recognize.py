@@ -83,6 +83,22 @@ def _split_top_level(s: str) -> list[str]:
     return out
 
 
+def _strip_symbol_prefixes(cond: str, symbols: set[str]) -> str:
+    """Rewrite ``S.col`` -> ``col`` for pattern symbols S only.
+
+    A blanket ``\\w+\\.(\\w+)`` rewrite corrupts decimal literals
+    (``price > 1.5`` -> ``price > 5``) and dotted text inside string
+    literals, so the prefix must be a known symbol and quoted strings
+    are left untouched.
+    """
+    if not symbols:
+        return cond
+    sym_re = re.compile(rf"\b({'|'.join(map(re.escape, sorted(symbols)))})\.(\w+)")
+    # split keeps single-quoted literals (with '' escapes) at odd indices
+    parts = re.split(r"('(?:[^']|'')*')", cond)
+    return "".join(p if i % 2 else sym_re.sub(r"\2", p) for i, p in enumerate(parts))
+
+
 def _parse_pattern(pat: str) -> list[tuple[str, int, int | None, bool]]:
     """-> [(symbol, times_min, times_max, greedy)]"""
     out = []
@@ -120,14 +136,20 @@ def match_recognize(df: DataFrame, clause: str) -> DataFrame:
     define_txt = _parse_clause(clause, "DEFINE")
     skip_txt = _parse_clause(clause, r"AFTER\s+MATCH", required=False) or "SKIP PAST LAST ROW"
 
+    # -- PATTERN first: its symbols scope the DEFINE prefix rewrite ---
+    parsed = _parse_pattern(pattern_txt)
+
     # -- DEFINE -> boolean columns (JVM-side) -------------------------
-    defines: dict[str, str] = {}
+    raw_defines: dict[str, str] = {}
     for item in _split_top_level(define_txt):
         m = re.match(r"(\w+)\s+AS\s+(.*)", item, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"bad DEFINE item: {item!r}")
-        sym, cond = m.group(1), m.group(2).strip()
-        defines[sym] = re.sub(r"\b\w+\.(\w+)", r"\1", cond)  # S.col -> col
+        raw_defines[m.group(1)] = m.group(2).strip()
+    symbols = set(raw_defines) | {sym for sym, *_ in parsed}
+    defines = {
+        sym: _strip_symbol_prefixes(cond, symbols) for sym, cond in raw_defines.items()
+    }
 
     # -- MEASURES -----------------------------------------------------
     measures: list[_Measure] = []
@@ -146,7 +168,6 @@ def match_recognize(df: DataFrame, clause: str) -> DataFrame:
         measures.append(_Measure(kind, sym, col, m.group("alias")))
 
     # -- PATTERN -> Pattern (strict contiguity, per SQL standard) -----
-    parsed = _parse_pattern(pattern_txt)
     stages = []
     for idx, (sym, lo, hi, greedy) in enumerate(parsed):
         if sym not in defines:

@@ -104,3 +104,23 @@ def test_undefined_symbol_matches_any(spark, auth_df):
     ).toPandas()
     got = sorted(zip(out.user_id, out.lid, out.xid))
     assert got == [(1, 0, 1), (2, 0, 1)]
+
+
+def test_decimal_literal_and_quoted_dot_survive_define_rewrite(spark):
+    """Regression: the old blanket prefix rewrite mangled '1.5' -> '5'
+    and dotted string literals ('a.fail' -> 'fail')."""
+    rows = [(1, 0, 1.0, "x"), (1, 1, 2.0, "a.fail"), (1, 2, 0.5, "y")]
+    df = spark.createDataFrame(rows, "k int, eid int, price double, tag string")
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY k
+        ORDER BY eid
+        MEASURES FIRST(A.eid) AS hit_eid, FIRST(A.price) AS hit_price
+        ONE ROW PER MATCH
+        PATTERN (A)
+        DEFINE A AS A.price > 1.5 AND A.tag = 'a.fail'
+        """,
+    ).toPandas()
+    assert len(out) == 1
+    assert (out.iloc[0].hit_eid, out.iloc[0].hit_price) == (1, 2.0)
