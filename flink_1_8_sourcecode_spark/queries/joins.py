@@ -25,12 +25,12 @@ from flink_1_8_sourcecode_spark.queries import register
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_totalprice > 400000
     """,
-    doc="Batch equi inner join (DataSet.join, broadcast dim).",
+    doc="Batch equi inner join (DataSet.join; size-based join strategy).",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     c = table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 

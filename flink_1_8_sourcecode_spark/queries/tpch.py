@@ -7,11 +7,14 @@ flink-examples/flink-examples-table/.../TPCHQuery3Table.scala).  We add
 Q1/Q5/Q6-style queries to exercise scan+filter+agg, the 6-table join chain,
 and a pure filter-agg.
 
-Scale notes: every dim-side join uses an explicit broadcast() hint (the
-dims stay < 64 MB even at sf 1000 for region/nation; customer/supplier/part
-are broadcastable to ~sf100 and AQE demotes gracefully beyond).  Fact-fact
-joins (orders x lineitem) shuffle on the join key — that is the correct
-plan at 100 TB; AQE handles skew.
+Scale notes: explicit broadcast() hints are used ONLY for the genuinely
+bounded dims (region: 5 rows, nation: 25 rows, and single-row aggregates) —
+a forced hint is honored regardless of size and *fails* past the 8 GB
+broadcast limit rather than demoting, so tables that grow with sf
+(customer/supplier/part) carry no hint: the static autoBroadcastJoinThreshold
+plus AQE pick broadcast at small sf and shuffle-hash/sort-merge at scale.
+Fact-fact joins (orders x lineitem) shuffle on the join key — that is the
+correct plan at 100 TB; AQE handles skew.
 """
 
 from __future__ import annotations
@@ -78,7 +81,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
-    doc="Shipping-priority: broadcast dim join -> fact join -> agg -> top-k.",
+    doc="Shipping-priority: dim join -> fact join -> agg -> top-k.",
     bench=True,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +90,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _TS("1998-03-15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -111,7 +114,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1998-01-01'
     GROUP BY n_name
     """,
-    doc="Local-supplier volume: 6-table join chain, dims broadcast.",
+    doc="Local-supplier volume: 6-table join chain, bounded dims broadcast.",
     bench=True,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,9 +128,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -202,7 +205,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
     """,
-    doc="Promotion effect (Q14 shape): broadcast part join + conditional agg.",
+    doc="Promotion effect (Q14 shape): part join + conditional agg.",
     bench=True,
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +215,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 100.0
@@ -250,7 +253,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(50)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "qty_sum")
@@ -286,7 +289,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))

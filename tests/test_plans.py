@@ -18,8 +18,33 @@ def _plan(spark, name: str) -> str:
 
 
 def test_q3_broadcasts_dimensions(spark):
+    # no forced hint on customer — the size-based threshold must still
+    # pick a broadcast join at this sf, proving auto-selection works
     plan = _plan(spark, "tpch_q3")
     assert "BroadcastHashJoin" in plan
+
+
+def _hint_count(spark, name: str) -> int:
+    df = REGISTRY[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    """customer/supplier/part grow with sf; a forced broadcast hint is
+    honored regardless of size and fails past the 8 GB limit instead of
+    demoting.  Only bounded dims (nation 25 rows, region 5 rows) and
+    single-row aggregates may carry explicit hints."""
+    expected_bounded_hints = {
+        "tpch_q3": 0,   # customer join: size-based only
+        "tpch_q14": 0,  # part join: size-based only
+        "tpch_q18": 0,  # customer join: size-based only
+        "join_inner": 0,
+        "tpch_q5": 2,   # nation + region
+        "tpch_q10": 1,  # nation
+        "join_single_row": 1,  # single-row aggregate broadcast NL join
+    }
+    for name, n in expected_bounded_hints.items():
+        assert _hint_count(spark, name) == n, f"{name}: unexpected broadcast hints"
 
 
 def test_q6_pushes_filters_to_scan(spark):
