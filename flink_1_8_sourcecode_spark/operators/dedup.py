@@ -74,6 +74,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
 
@@ -87,6 +88,14 @@ def minhash_lsh_pairs(
     logically but Catalyst's projection collapse would inline the whole
     signature expression into every downstream reference — a measured
     ~100x blowup.)
+
+    Hot-bucket guard: a boilerplate bucket of n docs would make an
+    n^2/2 pair blow-up inside ONE join task (10^5 docs -> 5*10^9 pairs).
+    Buckets larger than ``max_bucket_size`` are star-linked instead:
+    every member pairs with the bucket's min id only (n-1 pairs).  The
+    transitive closure — what downstream connected-components dedup
+    consumes — is identical, and per-bucket output drops from O(n^2)
+    to O(n).  ``max_bucket_size=None`` disables the guard (all-pairs).
     """
     r = num_hashes // bands
     exploded = df.select(
@@ -123,18 +132,38 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("__id", "b.band_id", "b.band_hash")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    if max_bucket_size is None:
+        a = band_rows.alias("a")
+        b = band_rows.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+    # bucket stats shuffle on the same key the pair join needs anyway
+    stats = band_rows.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__id").alias("__anchor")
     )
+    rows = band_rows.join(stats, ["band_id", "band_hash"])
+    small = rows.filter(F.col("__n") <= max_bucket_size).select(
+        "__id", "band_id", "band_hash"
+    )
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    hot_pairs = rows.filter(
+        (F.col("__n") > max_bucket_size) & (F.col("__id") != F.col("__anchor"))
+    ).select(F.col("__anchor").alias("id_a"), F.col("__id").alias("id_b"))
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def simhash32(text: Column) -> Column:

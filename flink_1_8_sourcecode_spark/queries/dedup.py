@@ -99,11 +99,25 @@ def _minhash_oracle() -> str:
       SELECT doc_id, {sig_cols} FROM basev GROUP BY doc_id
     ), bands AS (
       {band_rows}
+    ), stats AS (
+      SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS anchor
+      FROM bands GROUP BY band_id, band_hash
+    ), br AS (
+      SELECT bands.*, n, anchor FROM bands
+      JOIN stats USING (band_id, band_hash)
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-     AND a.doc_id < b.doc_id
+    -- hot-bucket guard mirrors minhash_lsh_pairs: buckets > 64 docs are
+    -- star-linked to the min-id anchor instead of expanded all-pairs
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM br a JOIN br b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE a.n <= 64
+      UNION ALL
+      SELECT anchor AS id_a, doc_id AS id_b FROM br
+      WHERE n > 64 AND doc_id != anchor
+    )
     """
 
 

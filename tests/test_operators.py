@@ -109,3 +109,41 @@ def test_element_shim(spark):
 
     got = df.select(fx.element(F.col("a")).alias("e")).toPandas().e.tolist()
     assert got[0] == 1 and pd.isna(got[1])
+
+
+class TestLshHotBucketCap:
+    """Hot LSH buckets are star-linked (O(n) pairs) instead of expanded
+    all-pairs (O(n^2)) — the 100 TB boilerplate-cluster guard."""
+
+    def _docs(self, spark):
+        hot = [(i, "common boilerplate header repeated verbatim in every page") for i in range(200)]
+        normal = [
+            (1000, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1001, "alpha beta gamma delta epsilon zeta eta iota"),
+            (1002, "completely different text about something else entirely"),
+        ]
+        return spark.createDataFrame(hot + normal, "doc_id long, text string")
+
+    def test_hot_bucket_bounded_and_connected(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import minhash_lsh_pairs
+
+        df = self._docs(spark)
+        pairs = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=64).toPandas()
+        hot = pairs[(pairs.id_a < 1000) & (pairs.id_b < 1000)]
+        # star pattern: every hot doc links to the anchor (min id), n-1 pairs
+        assert len(hot) == 199
+        assert set(hot.id_a) == {0}
+        assert set(hot.id_b) == set(range(1, 200))
+
+    def test_normal_buckets_unchanged_by_cap(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import minhash_lsh_pairs
+
+        df = self._docs(spark)
+        capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=64).toPandas()
+        uncapped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=None).toPandas()
+        norm_c = {tuple(r) for r in capped[capped.id_a >= 1000].itertuples(index=False)}
+        norm_u = {tuple(r) for r in uncapped[uncapped.id_a >= 1000].itertuples(index=False)}
+        assert norm_c == norm_u
+        # uncapped hot bucket explodes quadratically; capped stays linear
+        assert len(uncapped[uncapped.id_b < 1000]) == 199 * 200 // 2
+        assert len(capped[capped.id_b < 1000]) == 199
