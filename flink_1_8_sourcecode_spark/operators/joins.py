@@ -41,52 +41,63 @@ def asof_join(
     row keep NULLs (left-outer as-of semantics, like pandas merge_asof
     and the reference's temporal join).
 
-    Ties on right_time are broken by preferring the greatest right_cols
-    tuple order of arrival — callers wanting a deterministic tie-break
-    should include a unique column in the right frame's sort by passing
-    it first in ``right_cols``.
+    The whole right payload is carried as ONE struct with a single
+    ``last(ignorenulls=True)``, exactly as the reference's
+    TemporalRowtimeJoin emits the latest build row atomically: a
+    legitimately-NULL field of the latest right version stays NULL
+    (never backfilled from an older version), and all output columns
+    come from the same right row — no version tearing.
+
+    Ties on right_time are broken deterministically by the greatest
+    right_cols struct (field-by-field comparison).
     """
+    from pyspark.sql import types as T
+
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns if c not in keys + [right_time]]
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
 
-    # Tag and align schemas: left rows carry NULL right-payload, right rows
-    # carry their payload; a single sort per key then carries the latest
-    # right payload forward onto each left row.
+    # Tag and align schemas: left rows carry a NULL right-payload struct,
+    # right rows carry their payload; a single sort per key then carries
+    # the latest right struct forward onto each left row.
     lpay = [F.col(c) for c in left.columns]
     l_tagged = left.select(
         *lpay,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     ).select(*[c for c in l_tagged.columns])
 
     # Exact-time ties: a right row (tag 0) must sort BEFORE the left row
     # (tag 1) to be visible at equal timestamps (<= semantics) — ascending
-    # tag order; strict (<) puts left first — descending.
+    # tag order; strict (<) puts left first — descending.  Equal-time right
+    # rows order by the payload struct so "last" is deterministic.
     order_left_flag = (
         F.col("__is_left").asc() if allow_exact_match else F.col("__is_left").desc()
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), order_left_flag)
+        .orderBy(F.col("__t").asc(), order_left_flag, F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     unioned = l_tagged.unionByName(r_tagged)
     carried = unioned.select(
-        *[c for c in l_tagged.columns if not c.startswith("__r_")],
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+        *[c for c in l_tagged.columns if c != "__r"],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out = carried.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
     for c in right_cols:
-        out = out.withColumnRenamed(f"__r_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("__r")[c])
+    return out.drop("__r")
 
 
 class TemporalTableFunction:

@@ -66,3 +66,20 @@ def test_asof_strict_inequality(spark, rates, payments):
     ).toPandas()
     got = dict(zip(out.pid, out.rate))
     assert got[2] == 1.10  # strict < excludes the 2h version
+
+
+def test_asof_no_version_tearing_and_null_survives(spark):
+    """The latest right version is emitted atomically: a NULL field in it
+    must NOT be backfilled from an older version, and all payload columns
+    must come from the same right row."""
+    from flink_1_8_sourcecode_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "old_a", "old_b"), (1, 50, None, "new_b")],
+        "k int, rt int, a string, b string",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt").collect()[0]
+    # v@50 is the match: a is legitimately NULL there, b is 'new_b'
+    assert out.a is None
+    assert out.b == "new_b"
