@@ -126,8 +126,17 @@ def late_data_side_channel(
     closure and routes would-be-late rows to ``late_fn`` while on-time
     rows go to ``main_fn``.  The caller applies its windowed aggregation
     inside ``main_fn`` (per-batch) or downstream of the main sink.
+
+    The high-watermark is persisted beside the checkpoint location
+    (``<checkpoint>/_late_wm.json``) so a query restarted from its
+    checkpoint resumes with the prior watermark instead of silently
+    routing genuinely-late rows to ``main_fn``.  Without a checkpoint
+    the watermark is in-memory only (documented restart limitation;
+    requires a driver-visible filesystem path).
     """
     import datetime as _dt
+    import json as _json
+    import os as _os
 
     from pyspark.sql import functions as _F
 
@@ -137,7 +146,23 @@ def late_data_side_channel(
                               "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
     else:
         seconds = float(delay)
+    wm_path = _os.path.join(checkpoint, "_late_wm.json") if checkpoint else None
     hwm: dict[str, _dt.datetime] = {}
+    if wm_path and _os.path.exists(wm_path):
+        try:
+            with open(wm_path) as f:
+                hwm["wm"] = _dt.datetime.fromisoformat(_json.load(f)["wm"])
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _persist_wm(wm: _dt.datetime) -> None:
+        if wm_path is None:
+            return
+        _os.makedirs(_os.path.dirname(wm_path), exist_ok=True)
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"wm": wm.isoformat()}, f)
+        _os.replace(tmp, wm_path)
 
     def route(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
@@ -156,6 +181,7 @@ def late_data_side_channel(
                 new_wm = mx - _dt.timedelta(seconds=seconds)
                 if cutoff is None or new_wm > cutoff:
                     hwm["wm"] = new_wm
+                    _persist_wm(new_wm)
         finally:
             batch.unpersist()
 

@@ -138,6 +138,11 @@ def count_window_agg(
     Flink's count-trigger semantics (CountTrigger.java).
     """
 
+    # derive the key column's name/type from the input so string or
+    # otherwise-typed keys keep their schema (not a hardcoded 'key long')
+    key_field = df.schema[key]
+    key_name, key_ddl = key_field.name, key_field.dataType.simpleString()
+
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             cnt, total, emitted = state.get
@@ -151,7 +156,7 @@ def count_window_agg(
                 if cnt == window_size:
                     out_rows.append(
                         {
-                            "key": key_tuple[0],
+                            key_name: key_tuple[0],
                             "window_seq": emitted,
                             "cnt": cnt,
                             "total": total,
@@ -165,7 +170,7 @@ def count_window_agg(
 
     return df.groupBy(key).applyInPandasWithState(
         fn,
-        "key long, window_seq int, cnt int, total double",
+        f"{key_name} {key_ddl}, window_seq int, cnt int, total double",
         "cnt int, total double, emitted int",
         "append",
         GroupStateTimeout.NoTimeout,

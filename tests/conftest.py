@@ -65,11 +65,20 @@ def _canon(df: pd.DataFrame, float_cols: set[str]) -> pd.DataFrame:
             df[c] = s.astype(float)
         elif s.dtype == object:
             df[c] = s.map(lambda v: str(v) if v is not None else None)
-    sort_cols = [c for c in df.columns if c not in float_cols] + [
-        c for c in df.columns if c in float_cols
-    ]
-    return df.sort_values(by=sort_cols, kind="mergesort", na_position="last").reset_index(
-        drop=True
+    # Sort float columns on a quantized copy: rows that tie on all
+    # non-float columns must not flip order from sub-tolerance
+    # cross-engine float noise (the raw values still get the isclose
+    # comparison afterwards).
+    sort_cols = [c for c in df.columns if c not in float_cols]
+    work = df
+    for c in df.columns:
+        if c in float_cols:
+            qc = f"__q_{c}"
+            work = work.assign(**{qc: work[c].astype(float).round(6)})
+            sort_cols.append(qc)
+    return (
+        work.sort_values(by=sort_cols, kind="mergesort", na_position="last")
+        .reset_index(drop=True)[list(df.columns)]
     )
 
 
@@ -109,7 +118,17 @@ def check_query(q, spark, sf_dir: str) -> None:
     sdf = q.spark(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     if q.oracle is None:
-        assert len(spark_pdf) >= 0  # rows-only smoke
+        # rows-only check must not be vacuous: require output and a
+        # deterministic result (same digest on an independent re-run)
+        assert len(spark_pdf) >= 1, f"{q.name}: rows-only query returned no rows"
+        digest = pd.util.hash_pandas_object(
+            _canon(spark_pdf, set()).astype(str), index=False
+        ).sum()
+        rerun_pdf = q.spark(spark, sf_dir).toPandas()
+        rerun_digest = pd.util.hash_pandas_object(
+            _canon(rerun_pdf, set()).astype(str), index=False
+        ).sum()
+        assert digest == rerun_digest, f"{q.name}: nondeterministic rows-only output"
         return
     oracle_pdf = run_oracle(q.oracle, sf_dir)
     assert_frames_match(spark_pdf, oracle_pdf, name=q.name)
