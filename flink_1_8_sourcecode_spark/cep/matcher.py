@@ -37,12 +37,26 @@ def _find_matches(
     times: list[float],
     pattern: Pattern,
     max_start_time: float | None = None,
+    anchor: int | None = None,
+    emit_timeouts: bool = False,
 ):
-    """Yield matches as lists of (stage_name, row_index).
+    """Yield matches as lists of (stage_name, row_index); with
+    ``emit_timeouts`` yield ``(bindings, is_timeout)`` tuples instead.
 
     ``max_start_time`` bounds which rows may START a match — the
     streaming path only tries starts whose full window has passed the
     watermark (stable starts), leaving later ones for the next batch.
+
+    ``anchor`` restricts the scan to a single start row (used
+    internally for partial-prefix discovery).
+
+    Timeout side channel (PatternStream.select(timeoutTag, ...) parity,
+    flink-libraries/flink-cep/.../PatternStream.java): when the pattern
+    has ``within`` and a start row opens a partial match that never
+    completes, the longest bound stage-prefix is emitted with
+    ``is_timeout=True``.  On bounded input the end-of-data watermark is
+    +inf, so every incomplete partial has, by then, timed out — same as
+    Flink's behavior when a bounded stream closes.
     """
     stages = pattern.stages
     n = len(rows)
@@ -158,18 +172,39 @@ def _find_matches(
             if committed and matched_any:
                 return  # first-match semantics for non-any contiguity
 
-    i = 0
+    def prefix_partial(start_i: int):
+        """Longest proper stage-prefix bound at start_i (timed-out run)."""
+        from dataclasses import replace
+
+        for k in range(len(stages) - 1, 0, -1):
+            if stages[k - 1].negative:
+                continue
+            sub = replace(pattern, stages=pattern.stages[:k])
+            for m in _find_matches(rows, times, sub, anchor=start_i):
+                if m:
+                    return m
+        return None
+
+    i = 0 if anchor is None else anchor
     while i < n:
         if max_start_time is not None and times[i] > max_start_time:
             return
         produced_end = None
+        matched_here = False
         if stages[0].accepts(rows[i]):
             for m in backtrack(0, i, None, []):
-                yield m
+                matched_here = True
+                yield (m, False) if emit_timeouts else m
                 if m:
                     produced_end = max(idx for _, idx in m)
                 if pattern.skip_strategy == "skip_past_last":
                     break
+            if emit_timeouts and not matched_here and pattern.within_seconds is not None:
+                partial = prefix_partial(i)
+                if partial:
+                    yield partial, True
+        if anchor is not None:
+            return
         if pattern.skip_strategy == "skip_past_last" and produced_end is not None:
             i = produced_end + 1
         else:
@@ -183,18 +218,27 @@ def match_pattern(
     time_col: str,
     select_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    emit_timeouts: bool = False,
 ) -> DataFrame:
     """PatternStream.select analogue: returns one row per matched event,
     (key, match_id, stage, seq, <select_cols>), match_id numbered per key
-    in scan order."""
+    in scan order.
+
+    With ``emit_timeouts=True`` (PatternStream.select(timeoutTag,
+    timeoutFn, selectFn) parity) the output gains a ``timed_out``
+    boolean column, and partial matches that exceeded ``within`` are
+    emitted with their longest bound stage-prefix and
+    ``timed_out=true`` — filter on the flag for the two channels."""
     pattern = pattern.validate()
     select_cols = select_cols or [time_col]
     key_field = df.schema[key]
     sel_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in select_cols
     )
+    timeout_schema = ", timed_out boolean" if emit_timeouts else ""
     out_schema = (
-        f"{key} {key_field.dataType.simpleString()}, {MATCH_SCHEMA_SUFFIX}, {sel_schema}"
+        f"{key} {key_field.dataType.simpleString()}, {MATCH_SCHEMA_SUFFIX}"
+        f"{timeout_schema}, {sel_schema}"
     )
     sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
 
@@ -203,7 +247,9 @@ def match_pattern(
         rows = pdf.to_dict("records")
         times = (pdf[time_col].astype("datetime64[us]").astype("int64") / 1e6).tolist()
         out = []
-        for match_id, m in enumerate(_find_matches(rows, times, pattern)):
+        found = _find_matches(rows, times, pattern, emit_timeouts=emit_timeouts)
+        for match_id, item in enumerate(found):
+            m, is_timeout = item if emit_timeouts else (item, False)
             for seq, (stage_name, ridx) in enumerate(m):
                 rec = {
                     key: pdf[key].iloc[0],
@@ -211,10 +257,14 @@ def match_pattern(
                     "stage": stage_name,
                     "seq": seq,
                 }
+                if emit_timeouts:
+                    rec["timed_out"] = is_timeout
                 for c in select_cols:
                     rec[c] = rows[ridx][c]
                 out.append(rec)
-        cols = [key, "match_id", "stage", "seq", *select_cols]
-        return pd.DataFrame(out, columns=cols)
+        cols = [key, "match_id", "stage", "seq"]
+        if emit_timeouts:
+            cols.append("timed_out")
+        return pd.DataFrame(out, columns=cols + select_cols)
 
     return df.groupBy(key).applyInPandas(run, out_schema)

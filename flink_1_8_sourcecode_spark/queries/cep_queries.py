@@ -60,6 +60,42 @@ def cep_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_funnel_timeout",
+    oracle="""
+    SELECT user_id, event_id AS signup_id FROM events s
+    WHERE event_type = 'signup' AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        AND (p.ts, p.event_id) > (s.ts, s.event_id)
+        AND p.ts <= s.ts + INTERVAL 30 MINUTE)
+    """,
+    doc="CEP timeout side channel (PatternStream.select(timeoutTag, ...), "
+    "flink-libraries/flink-cep/.../PatternStream.java): signups whose "
+    "funnel never completed within 30min, emitted as timed-out partial "
+    "matches — the other half of every funnel analysis.",
+)
+def cep_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    m = match_pattern(
+        ev, pat, key="user_id", time_col="ts", select_cols=["event_id"],
+        tiebreak="event_id", emit_timeouts=True,
+    )
+    return (
+        m.filter(F.col("timed_out") & (F.col("stage") == "signup"))
+        .select("user_id", F.col("event_id").alias("signup_id"))
+    )
+
+
+@register(
     "cep_match_recognize_sql",
     oracle="""
     WITH seq AS (

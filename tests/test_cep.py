@@ -155,3 +155,41 @@ def test_times_range(spark, seq_df):
 def test_validate_rejects_trailing_negative(spark):
     with pytest.raises(ValueError):
         Pattern.begin("a").not_followed_by("x").validate()
+
+
+def test_timeout_side_channel(spark):
+    """PatternStream.select(timeoutTag, ...) parity: partial matches that
+    exceed within() surface with timed_out=true; completed matches with
+    timed_out=false."""
+    import datetime as dt
+
+    from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: signup then purchase 10 min later -> complete
+        (1, 0, base, "signup"),
+        (1, 1, base + dt.timedelta(minutes=10), "purchase"),
+        # u2: signup, purchase arrives 2h later -> timed out
+        (2, 2, base, "signup"),
+        (2, 3, base + dt.timedelta(hours=2), "purchase"),
+        # u3: signup, nothing after -> timed out
+        (3, 4, base, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp, etype string")
+    pat = (
+        Pattern.begin("s").where(lambda e: e["etype"] == "signup")
+        .followed_by("p").where(lambda e: e["etype"] == "purchase")
+        .within("30 minutes")
+    )
+    out = match_pattern(
+        df, pat, key="user_id", time_col="ts", select_cols=["event_id"],
+        tiebreak="event_id", emit_timeouts=True,
+    ).toPandas()
+    complete = out[~out.timed_out]
+    timed_out = out[out.timed_out]
+    assert sorted(complete.user_id.unique()) == [1]
+    assert len(complete) == 2  # both stages of u1's match
+    # timed-out partials carry only the bound prefix (the signup row)
+    assert sorted(zip(timed_out.user_id, timed_out.event_id)) == [(2, 2), (3, 4)]
+    assert set(timed_out.stage) == {"s"}
