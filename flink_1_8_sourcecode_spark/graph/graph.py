@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_1_8_sourcecode_spark.operators.iterations import iterate
+from flink_1_8_sourcecode_spark.operators.iterations import iterate, iterate_delta
 
 
 class Graph:
@@ -70,37 +70,41 @@ class Graph:
         return Graph(v, e)
 
     # -- algorithms ---------------------------------------------------
-    def connected_components(self, max_iterations: int = 20) -> DataFrame:
-        """Min-id label propagation on the undirected graph.
+    def connected_components(
+        self,
+        max_iterations: int = 20,
+        on_progress=None,
+    ) -> DataFrame:
+        """Min-id label propagation on the undirected graph as a DELTA
+        iteration (flink-gelly/.../library/ConnectedComponents.java runs
+        on iterateDelta): the workset holds only vertices whose label
+        changed last superstep, so each iteration joins edges against
+        the shrinking changed set instead of all vertices.
         Returns (id, component)."""
         und = self.get_undirected()
-        edges = und.edges.select("src", "dst").distinct()
+        edges = und.edges.select("src", "dst").distinct().persist()
         labels = self.vertices.select("id", F.col("id").alias("component"))
 
-        def step(cur: DataFrame, _i: int) -> DataFrame:
-            # candidate labels arriving over edges, merged with own label
-            incoming = (
-                edges.join(cur, edges.src == cur.id)
-                .select(F.col("dst").alias("id"), "component")
-            )
-            return (
-                cur.select("id", "component")
-                .unionByName(incoming)
+        def step(solution: DataFrame, workset: DataFrame, _i: int):
+            # candidate labels flow only from CHANGED vertices over edges
+            cand = (
+                edges.join(workset, edges.src == workset.id)
+                .select(F.col("dst").alias("id"), F.col("component").alias("cand"))
                 .groupBy("id")
-                .agg(F.min("component").alias("component"))
+                .agg(F.min("cand").alias("cand"))
             )
-
-        def converged(prev: DataFrame, nxt: DataFrame) -> bool:
-            changed = (
-                prev.alias("p")
-                .join(nxt.alias("n"), F.col("p.id") == F.col("n.id"))
-                .filter(F.col("p.component") != F.col("n.component"))
-                .limit(1)
-                .count()
+            delta = (
+                cand.join(solution, "id")
+                .filter(F.col("cand") < F.col("component"))
+                .select("id", F.col("cand").alias("component"))
             )
-            return changed == 0
+            return delta, delta
 
-        return iterate(labels, step, max_iterations, has_converged=converged)
+        out = iterate_delta(
+            labels, labels, step, max_iterations, key="id", on_progress=on_progress
+        )
+        edges.unpersist()
+        return out
 
     def single_source_shortest_paths(
         self, source, weight_col: str = "weight", max_iterations: int = 20

@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def iterate(
@@ -37,3 +38,48 @@ def iterate(
             return nxt
         cur = nxt
     return cur
+
+
+def iterate_delta(
+    initial_solution: DataFrame,
+    initial_workset: DataFrame,
+    step: Callable[[DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
+    max_iterations: int,
+    key: str | list[str] = "id",
+    checkpoint_every: int = 3,
+    on_progress: Callable[[int, int], None] | None = None,
+) -> DataFrame:
+    """Delta/workset iteration — DataSet.iterateDelta parity
+    (flink-java/.../DataSet.java:1206).
+
+    ``step(solution, workset, i)`` returns ``(delta, next_workset)``:
+    ``delta`` is upserted into the solution set on ``key``; the
+    iteration ends when the workset is empty or max_iterations hit.
+
+    Why this beats bulk iteration at scale: only CHANGED elements flow
+    through the per-iteration shuffle.  On a converging computation the
+    workset shrinks every superstep, so late iterations touch a tiny
+    fraction of the solution set instead of re-shuffling all of it —
+    the same asymptotic win Flink's workset optimization delivers.
+
+    ``on_progress(iteration, workset_count)`` observes the (already
+    computed) per-iteration workset size — counts come from the
+    empty-workset termination check, so observing them is free.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    solution, workset = initial_solution, initial_workset
+    for i in range(max_iterations):
+        # localCheckpoint both frames BEFORE counting so the count action
+        # materializes the truncated lineage (iterative-join blowup guard)
+        if i % checkpoint_every == checkpoint_every - 1:
+            solution = solution.localCheckpoint(eager=False)
+            workset = workset.localCheckpoint(eager=False)
+        n = workset.count()
+        if on_progress is not None:
+            on_progress(i, n)
+        if n == 0:
+            break
+        delta, workset = step(solution, workset, i)
+        # upsert: keep solution rows not superseded, add the delta rows
+        solution = solution.join(delta, keys, "left_anti").unionByName(delta)
+    return solution

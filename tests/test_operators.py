@@ -147,3 +147,45 @@ class TestLshHotBucketCap:
         # uncapped hot bucket explodes quadratically; capped stays linear
         assert len(uncapped[uncapped.id_b < 1000]) == 199 * 200 // 2
         assert len(capped[capped.id_b < 1000]) == 199
+
+
+class TestDeltaIteration:
+    """iterateDelta parity (DataSet.java:1206): only changed elements
+    flow through the per-iteration shuffle."""
+
+    def test_workset_shrinks_on_chain_graph(self, spark):
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        n = 10
+        v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e = spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(n - 1)], "src long, dst long, weight double"
+        )
+        sizes = []
+        out = Graph(v, e).connected_components(
+            max_iterations=20, on_progress=lambda i, c: sizes.append(c)
+        ).toPandas()
+        assert sorted(out.component.unique()) == [0]
+        assert len(out) == n
+        # the changed-vertex workset must shrink monotonically to empty —
+        # the whole point of the workset optimization vs bulk iteration
+        assert sizes[0] == n
+        assert sizes[-1] == 0
+        assert all(a > b for a, b in zip(sizes[1:], sizes[2:]))
+
+    def test_delta_upsert_semantics(self, spark):
+        from flink_1_8_sourcecode_spark.operators.iterations import iterate_delta
+
+        sol = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, val string")
+        ws = spark.createDataFrame([(1,), (3,)], "id int")
+
+        def step(solution, workset, i):
+            delta = (
+                solution.join(workset, "id")
+                .selectExpr("id", "concat(val, 'x') AS val")
+            )
+            return delta, workset.limit(0)
+
+        out = iterate_delta(sol, ws, step, max_iterations=5, key="id").toPandas()
+        got = dict(zip(out.id, out.val))
+        assert got == {1: "ax", 2: "b", 3: "cx"}
