@@ -106,6 +106,91 @@ class Graph:
         edges.unpersist()
         return out
 
+    def label_propagation(
+        self, iterations: int, label_col: str | None = None
+    ) -> DataFrame:
+        """Community detection by label propagation
+        (flink-gelly/.../library/LabelPropagation.java): each superstep a
+        vertex adopts the label maximizing (frequency, label) among its
+        in-neighbors' messages, seeded with its own label at frequency 1
+        — ties pick the GREATER label, exactly the reference's
+        UpdateVertexLabel loop.  Synchronous variant: every vertex
+        scatters each superstep.  Returns (id, label)."""
+        init = self.vertices.select(
+            "id", (F.col(label_col) if label_col else F.col("id")).alias("label")
+        )
+        edges = self.edges.select("src", "dst").persist()
+
+        def step(cur: DataFrame, _i: int) -> DataFrame:
+            msgs = edges.join(cur, edges.src == cur.id).select(
+                F.col("dst").alias("id"), "label"
+            )
+            freq = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
+            seed = cur.select("id", "label", F.lit(1).cast("long").alias("cnt"))
+            return (
+                freq.unionByName(seed)
+                .groupBy("id")
+                .agg(F.max(F.struct("cnt", "label")).alias("m"))
+                .select("id", F.col("m.label").alias("label"))
+            )
+
+        out = iterate(init, step, iterations)
+        edges.unpersist()
+        return out
+
+    def triangle_enumeration(self) -> DataFrame:
+        """Enumerate distinct triangles (flink-gelly/.../library/
+        TriangleEnumerator.java).  Returns (v1, v2, v3) with
+        v1 < v2 < v3, one row per triangle.
+
+        Scale shape mirrors the reference's degree-based optimization:
+        edges are oriented from the lower-(degree, id) endpoint, so
+        wedges are built at each triangle's LOWEST-degree vertex — a
+        hub of degree d contributes 0 wedges instead of d^2/2, which is
+        the difference between feasible and not on power-law graphs."""
+        ce = (
+            self.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()
+        )
+        deg = (
+            ce.select(F.col("a").alias("id"))
+            .unionAll(ce.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        da, db = deg.alias("da"), deg.alias("db")
+        keyed = (
+            ce.join(da, ce.a == F.col("da.id"))
+            .join(db, ce.b == F.col("db.id"))
+            .select(
+                "a", "b",
+                F.struct(F.col("da.d"), F.col("a")).alias("ka"),
+                F.struct(F.col("db.d"), F.col("b")).alias("kb"),
+            )
+        )
+        oriented = keyed.select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+        wedges = o1.join(
+            o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v"))
+        ).select(
+            F.col("o1.u").alias("w0"), F.col("o1.v").alias("w1"), F.col("o2.v").alias("w2")
+        )
+        closed = wedges.join(
+            ce,
+            (F.least("w1", "w2") == ce.a) & (F.greatest("w1", "w2") == ce.b),
+        )
+        tri = closed.select(F.array_sort(F.array("w0", "w1", "w2")).alias("t")).select(
+            F.col("t")[0].alias("v1"), F.col("t")[1].alias("v2"), F.col("t")[2].alias("v3")
+        )
+        return tri
+
     def single_source_shortest_paths(
         self, source, weight_col: str = "weight", max_iterations: int = 20
     ) -> DataFrame:

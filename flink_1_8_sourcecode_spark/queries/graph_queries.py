@@ -60,6 +60,25 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Graph(v, e).single_source_shortest_paths(source=0, max_iterations=10)
 
 
+def _ring_hub_graph(spark: SparkSession, sf_dir: str):
+    """Deterministic ring+hub graph over nation (shared by PageRank /
+    LabelPropagation / TriangleEnumerator queries)."""
+    from pyspark.sql import Window
+
+    nation = table(spark, sf_dir, "nation")
+    v = nation.select(F.col("n_nationkey").alias("id"))
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    wr = Window.partitionBy("n_regionkey")
+    ring = nation.select(
+        F.col("n_nationkey").alias("src"),
+        F.coalesce(F.lead("n_nationkey").over(w), F.min("n_nationkey").over(wr)).alias("dst"),
+    )
+    spokes = nation.select(
+        F.col("n_nationkey").alias("src"), F.min("n_nationkey").over(wr).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return v, ring.unionByName(spokes)
+
+
 _PR_EDGES_DUCK = """
       -- ring within each region (cyclic successor) + spokes to the hub
       SELECT n_nationkey AS src,
@@ -100,19 +119,61 @@ _PR_EDGES_DUCK = """
     "replicates the identical update via recursive CTE.",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).page_rank(iterations=_PR_ITER, damping=_PR_DAMP)
 
-    nation = table(spark, sf_dir, "nation")
-    v = nation.select(F.col("n_nationkey").alias("id"))
-    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
-    wr = Window.partitionBy("n_regionkey")
-    ring = nation.select(
-        F.col("n_nationkey").alias("src"),
-        F.coalesce(F.lead("n_nationkey").over(w), F.min("n_nationkey").over(wr)).alias("dst"),
+
+_LPA_ITER = 3
+
+
+def _lpa_oracle(iters: int = _LPA_ITER) -> str:
+    """Unrolled fixed-iteration replica of the reference's
+    UpdateVertexLabel argmax-(frequency, label) update."""
+    sql = (
+        f"WITH edges AS ({_PR_EDGES_DUCK}), "
+        "lp0 AS (SELECT n_nationkey AS id, n_nationkey AS label FROM nation)"
     )
-    spokes = nation.select(
-        F.col("n_nationkey").alias("src"), F.min("n_nationkey").over(wr).alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
-    return Graph(v, ring.unionByName(spokes)).page_rank(
-        iterations=_PR_ITER, damping=_PR_DAMP
-    )
+    for i in range(1, iters + 1):
+        sql += f""",
+    m{i} AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+             FROM edges e JOIN lp{i - 1} l ON e.src = l.id GROUP BY e.dst, l.label),
+    u{i} AS (SELECT * FROM m{i} UNION ALL SELECT id, label, 1 AS cnt FROM lp{i - 1}),
+    lp{i} AS (SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label DESC) AS rn
+        FROM u{i}) WHERE rn = 1)"""
+    sql += f"\n    SELECT id::INT AS id, label::INT AS label FROM lp{iters}"
+    return sql
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="LabelPropagation (flink-gelly/.../library/LabelPropagation.java): "
+    f"{_LPA_ITER} supersteps of adopt-most-frequent-neighbor-label with "
+    "greater-label tie-break, on the ring+hub nation graph; oracle "
+    "unrolls the identical update.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).label_propagation(iterations=_LPA_ITER)
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE src != dst)
+    SELECT e1.a::INT AS v1, e1.b::INT AS v2, e2.b::INT AS v3
+    FROM ce e1
+    JOIN ce e2 ON e2.a = e1.b
+    JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="TriangleEnumerator (flink-gelly/.../library/TriangleEnumerator.java): "
+    "distinct triangles (v1<v2<v3) with the reference's degree-ordered "
+    "wedge construction; oracle is the canonical 3-way self-join.",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).triangle_enumeration()

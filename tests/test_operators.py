@@ -189,3 +189,15 @@ class TestDeltaIteration:
         out = iterate_delta(sol, ws, step, max_iterations=5, key="id").toPandas()
         got = dict(zip(out.id, out.val))
         assert got == {1: "ax", 2: "b", 3: "cx"}
+
+
+def test_triangle_enumeration_known_graph(spark):
+    """K4 has exactly 4 triangles; the pendant vertex adds none."""
+    from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = spark.createDataFrame(k4 + [(3, 4)], "src long, dst long")
+    tri = Graph(v, e).triangle_enumeration().toPandas()
+    got = sorted(map(tuple, tri.values))
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
