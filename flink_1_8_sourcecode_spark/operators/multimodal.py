@@ -59,21 +59,57 @@ def _fake_decode(content: bytes) -> dict:
     }
 
 
+def _pil_decode(content: bytes) -> dict:
+    """Real image decode via Pillow: per-channel means + a byte-histogram
+    entropy over the decoded RGB pixels."""
+    import io
+    import math
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+    px = list(img.getdata())
+    n = max(len(px), 1)
+    sums = [0, 0, 0]
+    hist = [0] * 256
+    for r, g, b in px:
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        hist[r] += 1
+    # entropy over the red-channel byte histogram, normalized to [0, 1]
+    ent = -sum((c / n) * math.log2(c / n) for c in hist if c) / 8.0
+    return {
+        "mean_r": sums[0] / (255.0 * n),
+        "mean_g": sums[1] / (255.0 * n),
+        "mean_b": sums[2] / (255.0 * n),
+        "entropy": ent,
+    }
+
+
 def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
 
-    strict=True raises NotImplementedError — the marker that a real codec
-    must be plugged in; strict=False uses the deterministic fake.
+    strict=True uses a REAL codec (Pillow) when importable and raises
+    NotImplementedError otherwise — the marker that a codec library
+    must be present; strict=False uses the deterministic fake so the
+    Spark-side plumbing is testable without image libraries.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if strict:
-            raise NotImplementedError(
-                "real media decode requires an image/audio library not in "
-                "this environment; see operators/multimodal.py"
-            )
+            try:
+                import PIL  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "strict media decode requires Pillow, which is not in "
+                    "this environment; see operators/multimodal.py"
+                ) from exc
+            decode = _pil_decode
+        else:
+            decode = _fake_decode
         for pdf in batches:
-            feats = pdf["content"].map(lambda b: _fake_decode(bytes(b)))
+            feats = pdf["content"].map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

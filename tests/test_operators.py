@@ -201,3 +201,26 @@ def test_triangle_enumeration_known_graph(spark):
     tri = Graph(v, e).triangle_enumeration().toPandas()
     got = sorted(map(tuple, tri.values))
     assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_decode_strict_uses_pil_when_available(spark):
+    """strict=True runs a real Pillow decode when the library exists;
+    the fallback NotImplementedError path is covered by
+    test_decode_strict_raises."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import decode_features
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), color=(255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), ("image/png", 4, 4, 1))],
+        "media_id long, content binary, meta struct<format: string, width: int, height: int, n_frames: int>",
+    )
+    out = decode_features(media, strict=True).toPandas()
+    assert abs(out.iloc[0].mean_r - 1.0) < 1e-6
+    assert out.iloc[0].mean_g == 0.0
+    assert out.iloc[0].entropy == 0.0  # uniform image
