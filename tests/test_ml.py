@@ -65,3 +65,39 @@ def test_als_fits(spark):
     model = ml.als_recommender(ratings, "user", "item", "rating", rank=4, maxIter=3)
     recs = model.recommendForAllUsers(3)
     assert recs.count() > 0
+
+
+def test_sos_outlier_recovers_planted_outlier(spark):
+    """The reference's own doc example (StochasticOutlierSelection.scala:35):
+    (5,8) among four clustered points gets outlierness ~0.9923."""
+    from flink_1_8_sourcecode_spark.ml.wrappers import sos_outlier
+
+    rows = [(0, 1.0, 1.0), (1, 2.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 2.0), (4, 5.0, 8.0)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    out = sos_outlier(df, "id", ["x", "y"], perplexity=3.0).toPandas()
+    scores = dict(zip(out.id, out.outlier_probability))
+    assert max(scores, key=scores.get) == 4
+    assert scores[4] > 0.98
+    assert all(v < 0.35 for k, v in scores.items() if k != 4)
+
+
+def test_fit_pipeline_chained_scaler_regression(spark):
+    """ChainedTransformer + Predictor parity: scaler -> linreg pipeline
+    fits and predicts a deterministic linear target."""
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from flink_1_8_sourcecode_spark.ml.wrappers import fit_pipeline
+
+    rows = [(float(i), float(2 * i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, label double")
+    model = fit_pipeline(
+        df,
+        [
+            VectorAssembler(inputCols=["x"], outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LinearRegression(featuresCol="features", labelCol="label"),
+        ],
+    )
+    pred = model.transform(df).toPandas()
+    assert (abs(pred.prediction - pred.label) < 1e-6).all()
