@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.catalog import table
@@ -68,3 +69,49 @@ def test_from_elements_and_sequence(spark):
     seq = io.generate_sequence(spark, 1, 10)
     assert seq.count() == 10  # inclusive bounds, Flink semantics
     assert seq.agg(F.sum("id")).first()[0] == 55
+
+
+class TestJdbc:
+    """flink-jdbc parity smoke tests against the Derby driver bundled
+    with Spark (in-memory database, no external service)."""
+
+    URL = "jdbc:derby:memory:flink18test;create=true"
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    @pytest.fixture(autouse=True)
+    def _needs_derby(self, spark):
+        import glob
+        import os
+
+        spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+        if not glob.glob(os.path.join(spark_home, "jars", "derby-*.jar")):
+            pytest.skip("no Derby JDBC driver on the Spark classpath")
+
+    def test_jdbc_roundtrip_and_partitioned_read(self, spark):
+        from flink_1_8_sourcecode_spark.sources.jdbc import jdbc_input, jdbc_output
+
+        df = spark.range(100).selectExpr("id", "id * 2 AS doubled")
+        jdbc_output(df, self.URL, "t_roundtrip", mode="overwrite", driver=self.DRIVER)
+
+        plain = jdbc_input(spark, self.URL, "t_roundtrip", driver=self.DRIVER)
+        assert plain.count() == 100
+        assert plain.agg({"doubled": "sum"}).first()[0] == sum(2 * i for i in range(100))
+
+        split = jdbc_input(
+            spark, self.URL, "t_roundtrip", driver=self.DRIVER,
+            partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+        )
+        assert split.rdd.getNumPartitions() == 4
+        assert split.count() == 100
+
+    def test_jdbc_predicate_splits(self, spark):
+        from flink_1_8_sourcecode_spark.sources.jdbc import jdbc_input, jdbc_output
+
+        df = spark.range(50).selectExpr("id", "id % 2 AS parity")
+        jdbc_output(df, self.URL, "t_pred", mode="overwrite", driver=self.DRIVER)
+        out = jdbc_input(
+            spark, self.URL, "t_pred", driver=self.DRIVER,
+            predicates=['"parity" = 0', '"parity" = 1'],  # Derby folds unquoted idents to upper-case
+        )
+        assert out.rdd.getNumPartitions() == 2
+        assert out.count() == 50
