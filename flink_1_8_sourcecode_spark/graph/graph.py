@@ -191,6 +191,142 @@ class Graph:
         )
         return tri
 
+    def community_detection(
+        self, max_iterations: int = 10, delta: float = 0.5
+    ) -> DataFrame:
+        """Community detection with hop attenuation
+        (flink-gelly/.../library/CommunityDetection.java, Leung et al.):
+        vertices carry (label, score), initial score 1.0; each superstep
+        a vertex receives (label, score * edge_weight) from in-edges,
+        adopts the label with the highest SUMMED score (ties -> smallest
+        label, the reference's ascending-TreeMap scan with strict >),
+        and re-scores it to that label's highest single message minus
+        delta/superstep when the label changed.  Edges need a ``weight``
+        column (default 1.0 when absent).  Returns (id, label).
+
+        Each superstep is one join + a two-level aggregation (per-label
+        partial sums/maxes, then an argmax per vertex) — two shuffles on
+        the same key, both with map-side partial aggregation."""
+        e = self.edges
+        if "weight" not in e.columns:
+            e = e.withColumn("weight", F.lit(1.0))
+        e_p = e.select("src", "dst", "weight").persist()
+        init = self.vertices.select(
+            "id", F.col("id").cast("long").alias("label"), F.lit(1.0).alias("score")
+        )
+
+        def step(state: DataFrame, i: int) -> DataFrame:
+            superstep = i + 1
+            src_state = state.select(
+                F.col("id").alias("__sid"),
+                F.col("label").alias("src_label"),
+                F.col("score").alias("src_score"),
+            )
+            msgs = e_p.join(src_state, e_p.src == F.col("__sid")).select(
+                F.col("dst").alias("id"),
+                F.col("src_label").alias("msg_label"),
+                (F.col("src_score") * F.col("weight")).alias("msg_score"),
+            )
+            per_label = msgs.groupBy("id", "msg_label").agg(
+                F.sum("msg_score").alias("__sum"), F.max("msg_score").alias("__hi")
+            )
+            # argmax over summed score, tie -> smallest label; carry that
+            # label's highest single message for the re-score
+            winners = per_label.groupBy("id").agg(
+                F.max_by(
+                    F.struct(
+                        F.col("msg_label").alias("label"), F.col("__hi").alias("hi")
+                    ),
+                    F.struct(F.col("__sum"), (-F.col("msg_label")).alias("nl")),
+                ).alias("__winner")
+            )
+            joined = state.join(winners, "id", "left")
+            got = F.col("__winner").isNotNull()
+            changed = got & (F.col("__winner.label") != F.col("label"))
+            new_label = F.when(got, F.col("__winner.label")).otherwise(F.col("label"))
+            new_score = (
+                F.when(~got, F.col("score"))
+                .when(changed, F.col("__winner.hi") - F.lit(delta) / F.lit(float(superstep)))
+                .otherwise(F.col("__winner.hi"))
+            )
+            return joined.select(
+                "id", new_label.alias("label"), new_score.alias("score")
+            )
+
+        out = iterate(init, step, max_iterations)
+        e_p.unpersist()
+        return out.select("id", "label")
+
+    def hits(self, iterations: int = 10) -> DataFrame:
+        """HITS hubs-and-authorities
+        (flink-gelly/.../library/linkanalysis/HITS.java): per iteration
+        authority(v) = sum of in-neighbor hub scores, then hub(v) = sum
+        of out-neighbor authority scores, each L2-normalized.  Returns
+        (id, hub, authority)."""
+        e = self.edges.select("src", "dst").persist()
+        init = self.vertices.select(
+            "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        )
+
+        def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
+            norm = F.sqrt(F.sum(F.col(col) * F.col(col)).over(_all_rows()))
+            return df.withColumn(col, F.col(col) / norm)
+
+        def _all_rows():
+            from pyspark.sql import Window
+
+            return Window.partitionBy()
+
+        def step(cur: DataFrame, _i: int) -> DataFrame:
+            auth_in = (
+                e.join(cur.select(F.col("id").alias("__s"), "hub"), e.src == F.col("__s"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("__a"))
+            )
+            with_auth = (
+                cur.join(auth_in, "id", "left")
+                .select("id", "hub", F.coalesce("__a", F.lit(0.0)).alias("authority"))
+            )
+            with_auth = _l2_normalized(with_auth, "authority")
+            hub_out = (
+                e.join(
+                    with_auth.select(F.col("id").alias("__d"), "authority"),
+                    e.dst == F.col("__d"),
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("authority").alias("__h"))
+            )
+            out = (
+                with_auth.join(hub_out, "id", "left")
+                .select("id", F.coalesce("__h", F.lit(0.0)).alias("hub"), "authority")
+            )
+            return _l2_normalized(out, "hub")
+
+        out = iterate(init, step, iterations)
+        e.unpersist()
+        return out
+
+    def summarize(self, vertex_group_col: str, edge_group_col: str | None = None):
+        """Graph summarization (flink-gelly/.../library/Summarization.java):
+        vertices sharing a value collapse into one super-vertex; edges
+        group by (source group value, target group value, edge value).
+        Returns (summary_vertices, summary_edges) DataFrames with counts."""
+        v = self.vertices.select("id", F.col(vertex_group_col).alias("__g"))
+        sv = v.groupBy(F.col("__g").alias("group_value")).agg(
+            F.count(F.lit(1)).alias("vertex_count")
+        )
+        e = self.edges
+        eg = F.col(edge_group_col) if edge_group_col else F.lit(None)
+        src_g = v.select(F.col("id").alias("__sid"), F.col("__g").alias("src_group"))
+        dst_g = v.select(F.col("id").alias("__did"), F.col("__g").alias("dst_group"))
+        se = (
+            e.join(src_g, e.src == F.col("__sid"))
+            .join(dst_g, e.dst == F.col("__did"))
+            .groupBy("src_group", "dst_group", eg.alias("edge_value"))
+            .agg(F.count(F.lit(1)).alias("edge_count"))
+        )
+        return sv, se
+
     def single_source_shortest_paths(
         self, source, weight_col: str = "weight", max_iterations: int = 20
     ) -> DataFrame:

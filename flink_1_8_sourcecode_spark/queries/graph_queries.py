@@ -177,3 +177,120 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, e = _ring_hub_graph(spark, sf_dir)
     return Graph(v, e).triangle_enumeration()
+
+
+_HITS_ITER = 4
+
+
+def _hits_oracle(iters: int = _HITS_ITER) -> str:
+    """Unrolled replica of HITS.java's authority->normalize->hub->
+    normalize round."""
+    sql = (
+        f"WITH edges AS ({_PR_EDGES_DUCK}), "
+        "v AS (SELECT n_nationkey AS id FROM nation), "
+        "h0 AS (SELECT id, 1.0 AS hub FROM v)"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+    ar{i} AS (SELECT e.dst AS id, sum(h.hub) AS a
+              FROM edges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst),
+    af{i} AS (SELECT v.id, coalesce(ar{i}.a, 0) AS authority
+              FROM v LEFT JOIN ar{i} ON v.id = ar{i}.id),
+    an{i} AS (SELECT id, authority / sqrt(sum(authority * authority) OVER ()) AS authority
+              FROM af{i}),
+    hr{i} AS (SELECT e.src AS id, sum(a.authority) AS hsum
+              FROM edges e JOIN an{i} a ON e.dst = a.id GROUP BY e.src),
+    hf{i} AS (SELECT v.id, coalesce(hr{i}.hsum, 0) AS hub
+              FROM v LEFT JOIN hr{i} ON v.id = hr{i}.id),
+    h{i} AS (SELECT id, hub / sqrt(sum(hub * hub) OVER ()) AS hub FROM hf{i})"""
+    sql += (
+        f"\n    SELECT h.id::INT AS id, h.hub::DOUBLE AS hub, "
+        f"a.authority::DOUBLE AS authority FROM h{iters} h JOIN an{iters} a USING (id)"
+    )
+    return sql
+
+
+@register(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    doc="HITS (flink-gelly/.../library/linkanalysis/HITS.java): "
+    f"{_HITS_ITER} rounds of authority = sum(in-neighbor hubs), hub = "
+    "sum(out-neighbor authorities), each L2-normalized; oracle unrolls "
+    "the identical rounds.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).hits(iterations=_HITS_ITER)
+
+
+# 2 supersteps keep every score a dyadic rational (0.5/1, 0.5/2), so the
+# float arithmetic is EXACT in both engines and argmax ties cannot flip
+_CD_ITER = 2
+_CD_DELTA = 0.5
+
+
+def _community_oracle(iters: int = _CD_ITER) -> str:
+    sql = (
+        f"WITH edges AS ({_PR_EDGES_DUCK}), "
+        "c0 AS (SELECT n_nationkey::BIGINT AS id, n_nationkey::BIGINT AS label, "
+        "1.0 AS score FROM nation)"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+    p{i} AS (SELECT e.dst AS id, c.label AS lbl,
+                    sum(c.score) AS s, max(c.score) AS hi
+             FROM edges e JOIN c{i - 1} c ON e.src = c.id
+             GROUP BY e.dst, c.label),
+    w{i} AS (SELECT id, lbl, hi FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                         ORDER BY s DESC, lbl ASC) AS rn FROM p{i}) WHERE rn = 1),
+    c{i} AS (SELECT c.id,
+                    coalesce(w.lbl, c.label) AS label,
+                    CASE WHEN w.id IS NULL THEN c.score
+                         WHEN w.lbl != c.label THEN w.hi - {_CD_DELTA} / {i}
+                         ELSE w.hi END AS score
+             FROM c{i - 1} c LEFT JOIN w{i} w ON c.id = w.id)"""
+    sql += f"\n    SELECT id::BIGINT AS id, label::BIGINT AS label FROM c{iters}"
+    return sql
+
+
+@register(
+    "graph_community_detection",
+    oracle=_community_oracle(),
+    doc="CommunityDetection (flink-gelly/.../library/CommunityDetection.java, "
+    "Leung et al.): adopt the label with the highest summed (label, score) "
+    "message, re-scored by hop attenuation delta/superstep; oracle unrolls "
+    f"{_CD_ITER} supersteps of the identical update.",
+)
+def graph_community_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).community_detection(max_iterations=_CD_ITER, delta=_CD_DELTA)
+
+
+@register(
+    "graph_summarize",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    grp AS (SELECT n_nationkey AS id, n_regionkey AS g FROM nation)
+    SELECT s.g::INT AS src_group, d.g::INT AS dst_group,
+           (e.src % 2)::INT AS edge_value, count(*) AS edge_count
+    FROM edges e JOIN grp s ON e.src = s.id JOIN grp d ON e.dst = d.id
+    GROUP BY s.g, d.g, e.src % 2
+    """,
+    doc="Summarization (flink-gelly/.../library/Summarization.java): "
+    "vertices collapse by group value (region), edges group by "
+    "(src group, dst group, edge value) with counts.",
+)
+def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    v, e = _ring_hub_graph(spark, sf_dir)
+    v = v.join(
+        nation.select(F.col("n_nationkey").alias("id"), F.col("n_regionkey").alias("region")),
+        "id",
+    )
+    e = e.withColumn("edge_value", (F.col("src") % 2).cast("int"))
+    _sv, se = Graph(v, e).summarize("region", "edge_value")
+    return se.select(
+        F.col("src_group").cast("int"), F.col("dst_group").cast("int"),
+        "edge_value", "edge_count",
+    )

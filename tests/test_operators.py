@@ -224,3 +224,23 @@ def test_decode_strict_uses_pil_when_available(spark):
     assert abs(out.iloc[0].mean_r - 1.0) < 1e-6
     assert out.iloc[0].mean_g == 0.0
     assert out.iloc[0].entropy == 0.0  # uniform image
+
+
+def test_scatter_gather_iteration_max_propagation(spark):
+    """User-programmable vertex-centric model (spargel/pregel parity):
+    the classic propagate-the-max example written as three callbacks."""
+    from flink_1_8_sourcecode_spark.graph.pregel import scatter_gather_iteration
+
+    v = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, val double")
+    chain = [(i, i + 1) for i in range(5)] + [(i + 1, i) for i in range(5)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    out = scatter_gather_iteration(
+        v, e,
+        scatter=lambda joined, s: {"msg_val": F.col("src_val")},
+        gather=lambda s: {"best": F.max("msg_val")},
+        apply_fn=lambda joined, s: [
+            "id", F.greatest(F.col("val"), F.coalesce(F.col("best"), F.col("val"))).alias("val")
+        ],
+        max_iterations=6,
+    ).toPandas()
+    assert (out.val == 5.0).all()
