@@ -1,0 +1,101 @@
+"""Window evictors — CountEvictor / TimeEvictor parity
+(flink-streaming-java/.../windowing/evictors/CountEvictor.java,
+TimeEvictor.java): remove elements from a window's buffer before the
+window function applies.
+
+Spark's windowed aggregation never exposes the element buffer, so
+evicted windows run in the stateful layer: per (key, open window) the
+state holds the SURVIVING element buffer only — eviction is applied
+eagerly on every arrival, so state stays bounded at ``n`` elements
+(count evictor) or one time-span (time evictor), never the full window.
+The window function (sum/count here) applies to the survivors when the
+global watermark closes the window — evict-before-apply, the reference
+default (``doEvictAfter=false``).
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def evicted_tumble_agg(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    window_seconds: float,
+    evictor: tuple[str, float],
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Tumbling event-time windows whose buffer passes through an
+    evictor before aggregating:
+
+    - ``("count", n)`` — CountEvictor.java: keep only the LAST n
+      elements (in event-time order) of each window;
+    - ``("time", span)`` — TimeEvictor.java: keep elements with
+      ``ts > max_ts_in_window - span``.
+
+    Output: ``(key, w_start, cnt, total)`` over the surviving elements,
+    one row per window at watermark passage.
+    """
+    kind, param = evictor
+    if kind not in ("count", "time"):
+        raise ValueError(f"unknown evictor {kind!r}")
+    key_field = df.schema[key]
+    key_name, key_ddl = key_field.name, key_field.dataType.simpleString()
+    out_schema = f"{key_name} {key_ddl}, w_start timestamp, cnt long, total double"
+
+    def evict(buf: list[tuple[float, float]]) -> list[tuple[float, float]]:
+        buf.sort()
+        if kind == "count":
+            return buf[-int(param):]
+        cutoff = buf[-1][0] - param
+        return [r for r in buf if r[0] > cutoff]
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        wins: dict[float, list] = pickle.loads(state.get[0]) if state.exists else {}
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        out = []
+
+        for pdf in batches:
+            ts = pdf[time_col].astype("datetime64[us]").astype("int64") / 1e6
+            vals = pdf[value_col].astype(float)
+            for t, v in zip(ts, vals):
+                ws = t - (t % window_seconds)
+                if ws + window_seconds <= wm:
+                    continue  # behind the watermark: window already fired
+                buf = wins.setdefault(ws, [])
+                buf.append((float(t), float(v)))
+                wins[ws] = evict(buf)  # eager eviction keeps state bounded
+
+        for ws in sorted(wins):
+            if ws + window_seconds <= wm:
+                survivors = wins.pop(ws)
+                out.append(
+                    {
+                        key_name: key_tuple[0],
+                        "w_start": pd.Timestamp(ws, unit="s"),
+                        "cnt": len(survivors),
+                        "total": sum(v for _, v in survivors),
+                    }
+                )
+
+        state.update((pickle.dumps(wins),))
+        if wins:
+            target_ms = int(min(ws + window_seconds for ws in wins) * 1000)
+            state.setTimeoutTimestamp(max(target_ms, int(wm * 1000) + 1))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        df.withWatermark(time_col, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

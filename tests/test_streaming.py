@@ -106,7 +106,7 @@ def test_stream_count_window(spark, chunk_dir):
     ev = table(spark, SF_SMALL, "events").toPandas().sort_values(["ts", "event_id"])
     for uid, grp in ev.groupby("user_id"):
         n_expected = len(grp) // 5
-        mine = got[got["key"] == uid]
+        mine = got[got["user_id"] == uid]  # key column keeps its input name
         assert len(mine) == n_expected, f"user {uid}: {len(mine)} != {n_expected}"
         assert (mine["cnt"] == 5).all()
     # totals: every emitted window sums 5 consecutive (by replay order) values

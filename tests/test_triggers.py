@@ -76,3 +76,47 @@ def test_continuous_event_time_trigger(spark, tmp_path):
         _batch_expected(spark),
         name="continuous_trigger_final",
     )
+
+
+def test_count_evictor_keeps_last_n(spark, tmp_path):
+    """CountEvictor.java parity: the window aggregate sees only the last
+    n elements in event-time order; finals checked against a batch
+    row_number-from-end computation."""
+    from pyspark.sql import Window
+
+    from flink_1_8_sourcecode_spark.streaming.evictors import evicted_tumble_agg
+
+    chunks = str(tmp_path / "evict_chunks")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=4)
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+    stream = sources.read_event_stream(spark, chunks)
+    out = evicted_tumble_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        window_seconds=WINDOW_S, evictor=("count", 3),
+    )
+    q = out.writeStream.format("memory").queryName("t_evict").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_evict").toPandas()
+    got = got[got.user_id >= 0].reset_index(drop=True)
+    assert (got.cnt <= 3).all()
+
+    w = Window.partitionBy("user_id", F.window("ts", "7 days")).orderBy(F.col("ts").desc())
+    expected = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id", F.window("ts", "7 days").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .select("user_id", F.col("w.start").alias("w_start"), "cnt", "total")
+        .toPandas()
+    )
+    assert_frames_match(got[["user_id", "w_start", "cnt", "total"]], expected,
+                        name="count_evictor")
