@@ -44,6 +44,14 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k, ordered by
     cosine desc with neighbor_id as deterministic tie-break.
+
+    Two-phase exact top-k: phase 1 ranks within (query, input-partition)
+    — |Q| x P small sorted groups in parallel — and keeps k rows per
+    group; phase 2 ranks the surviving |Q| x P x k rows per query.  The
+    single-phase form funnels every query's FULL |C| scored rows through
+    one reducer (a per-query sort bottleneck at corpus scale); here the
+    big shuffle spreads over P x |Q| keys and the final per-query sort
+    touches P x k rows, not |C|.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__cv")
@@ -55,11 +63,22 @@ def cosine_topk(
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    w1 = Window.partitionBy("query_id", "__pid").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    partial = (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__pid")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
