@@ -297,3 +297,207 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_9')
+        OR (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+    doc="Volume shipping (Q7 shape): two-role nation join (supplier vs "
+    "customer nation), symmetric pair filter, per-year revenue.",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01")) & (F.col("l_shipdate") < _TS("1998-01-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_9")
+    ) | ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) nations
+    GROUP BY o_year
+    """,
+    doc="National market share (Q8 shape): 7-table join, conditional "
+    "share aggregate per year.",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1998-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_num = F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((share_num / F.sum(vol)).alias("mkt_share"))
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="Shipping-mode priority (Q12 shape, adapted: linestatus stands in "
+    "for the absent shipmode column): fact-fact join + bucketed "
+    "conditional counts.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1997-01-01")) & (F.col("l_shipdate") < _TS("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    doc="Discounted revenue (Q19 shape): disjunction of conjunctive "
+    "range predicates across BOTH join sides — the classic "
+    "join-predicate-pushdown stress.",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+
+    cond = arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT'
+                        AND o_orderdate >= TIMESTAMP '1997-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="Global sales opportunity (Q22 shape, adapted: mktsegment stands "
+    "in for the absent phone prefix; anti-join restricted to recent "
+    "urgent orders since every synthetic customer has orders): "
+    "scalar-avg subquery + anti-join.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderdate") >= _TS("1997-01-01"))
+    )
+    no_orders = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal")
+    )
