@@ -61,3 +61,52 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",", **options) -> None:
     """writeAsCsv (DataSet.java:1564) / CsvTableSink."""
     df.write.mode(mode).option("sep", sep).csv(path, **options)
+
+
+def read_input_format(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    schema: str | StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Custom InputFormat surface (ExecutionEnvironment.createInput /
+    readFile with a user InputFormat): Spark's pluggable DataSource V2
+    registry plays the InputFormat role — ``fmt`` is any registered
+    short name or provider class (parquet/orc/avro/csv/json/jdbc/...).
+    A declared schema is applied when given (Flink never infers)."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path) if path is not None else r.load()
+
+
+def add_source(
+    spark: SparkSession,
+    generate: "callable",
+    schema: str | StructType,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Custom batch source (StreamExecutionEnvironment.addSource /
+    SourceFunction run-loop, bounded case): ``generate(partition_index,
+    n_partitions)`` yields row tuples for one split — the same
+    split-parallel contract as InputFormat.createInputSplits + open.
+    Runs distributed via a range seed + mapInPandas (Arrow batches);
+    for unbounded custom sources use the documented foreachBatch
+    loopback (streaming/sources.py)."""
+    import pandas as pd
+
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    seeds = spark.range(n).repartition(n, "id")
+    target = spark.createDataFrame([], schema).schema
+
+    def run(batches):
+        for pdf in batches:
+            for pid in pdf["id"]:
+                rows = list(generate(int(pid), n))
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in target.fields])
+
+    return seeds.mapInPandas(run, target)

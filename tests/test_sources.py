@@ -115,3 +115,31 @@ class TestJdbc:
         )
         assert out.rdd.getNumPartitions() == 2
         assert out.count() == 50
+
+
+def test_read_input_format_generic(spark, tmp_path):
+    """createInput(InputFormat) parity: the format registry stands in
+    for user InputFormats; declared schema is applied, not inferred."""
+    from flink_1_8_sourcecode_spark.sources import io
+
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "fmt_parquet")
+    li.write.parquet(path)
+    back = io.read_input_format(spark, "parquet", path, schema="l_orderkey long, l_quantity double")
+    assert back.count() == li.count()
+    assert [f.name for f in back.schema.fields] == ["l_orderkey", "l_quantity"]
+
+
+def test_add_source_split_parallel(spark):
+    """addSource (bounded SourceFunction): generate() runs once per
+    split, distributed."""
+    from flink_1_8_sourcecode_spark.sources import io
+
+    def gen(pid, n):
+        # 10 rows per split, values encode the split id
+        return [(pid * 10 + i, f"s{pid}") for i in range(10)]
+
+    out = io.add_source(spark, gen, "v long, tag string", num_partitions=4).toPandas()
+    assert len(out) == 40
+    assert sorted(out.tag.unique()) == ["s0", "s1", "s2", "s3"]
+    assert sorted(out.v) == list(range(40))
