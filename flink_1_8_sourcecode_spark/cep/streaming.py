@@ -19,11 +19,16 @@ to rows at or after the resume point:
 
 State per key = (pickled row buffer, next match id, resume timestamp) —
 O(rows within the watermark+within horizon), the same bound as Flink's
-NFA state.
+NFA state.  The buffer is kept SORTED in state: each micro-batch sorts
+only its new rows and merges them in (O(B + n log n) instead of
+re-sorting the whole buffer), and the resume trim is a bisect on the
+sorted times.
 """
 
 from __future__ import annotations
 
+import bisect
+import heapq
 import pickle
 from collections.abc import Iterator
 
@@ -62,37 +67,43 @@ def match_pattern_stream(
         f"{c} {src.schema[c].dataType.simpleString()}" for c in select_cols
     )
     out_schema = f"{key} {key_t}, match_id long, stage string, seq int, {sel_schema}"
-    sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        # buf = [(t_seconds, row_dict)] kept sorted by (t, tiebreak)
         if state.exists:
             buf_blob, next_id, resume = state.get
-            buf: list[dict] = pickle.loads(bytes(buf_blob))
+            buf: list[tuple[float, dict]] = pickle.loads(bytes(buf_blob))
         else:
             buf, next_id, resume = [], 0, float("-inf")
 
+        def skey(item):
+            t, rec = item
+            return (t, rec[tiebreak]) if tiebreak else (t,)
+
+        new = []
         for pdf in batches:
-            for rec in pdf.to_dict("records"):
-                buf.append(rec)
+            ts = pdf[time_col].astype("datetime64[us]").astype("int64") / 1e6
+            for t, rec in zip(ts, pdf.to_dict("records")):
+                new.append((float(t), rec))
+        if new:
+            new.sort(key=skey)
+            # incremental: only new rows sorted; stable merge keeps the
+            # previous batches' tie order like the old full mergesort did
+            buf = list(heapq.merge(buf, new, key=skey))
 
         wm_ms = state.getCurrentWatermarkMs()
         stable_limit = wm_ms / 1000.0 - within
 
-        df = pd.DataFrame(buf)
         out_rows = []
-        if not df.empty:
-            df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-            df = df[df[time_col].astype("datetime64[us]").astype("int64") / 1e6 >= resume]
-            df = df.reset_index(drop=True)
-            rows = df.to_dict("records")
-            times = (df[time_col].astype("datetime64[us]").astype("int64") / 1e6).tolist()
+        if buf:
+            lo = bisect.bisect_left(buf, resume, key=lambda item: item[0])
+            buf = buf[lo:]
+        if buf:
+            times = [t for t, _ in buf]
+            rows = [rec for _, rec in buf]
 
             last_end = float("-inf")
-            first_unstable = None
-            for i, t in enumerate(times):
-                if t > stable_limit:
-                    first_unstable = t
-                    break
+            first_unstable = next((t for t in times if t > stable_limit), None)
             for m in _find_matches(rows, times, pattern, max_start_time=stable_limit):
                 for seq, (stage_name, ridx) in enumerate(m):
                     rec = {
@@ -114,7 +125,8 @@ def match_pattern_stream(
             if skip_past and last_end > float("-inf"):
                 new_resume = max(new_resume, last_end + 1e-6)
             resume = max(resume, new_resume)
-            buf = [r for r, t in zip(rows, times) if t >= resume]
+            lo = bisect.bisect_left(buf, resume, key=lambda item: item[0])
+            buf = buf[lo:]
 
         state.update((pickle.dumps(buf), next_id, resume))
         if buf:
@@ -122,9 +134,7 @@ def match_pattern_stream(
             # group re-fires when its oldest pending start stabilizes even
             # if no further events arrive for the key (Flink's CEP cleanup
             # timer parity).
-            earliest = min(
-                pd.Timestamp(r[time_col]).value / 1e9 for r in buf
-            )
+            earliest = buf[0][0]
             state.setTimeoutTimestamp(
                 max(int((earliest + within) * 1000) + 1, wm_ms + 1)
             )
