@@ -174,3 +174,30 @@ def interval_join(
         for k in keys:
             out = out.drop(right[k])
     return out
+
+
+def unbounded_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Unbounded (non-windowed) stream-stream join — the reference's
+    retraction-mode SQL join (flink-table/.../runtime/join/
+    NonWindowInnerJoin.scala): both sides' state grows without bound
+    because ANY past row may match a future one.
+
+    Spark supports this for INNER joins (each side's state retained
+    forever — identical unbounded-state cost to the reference's
+    NonWindowInnerJoin). Outer flavors need watermarks on both sides to
+    bound when unmatched rows can be emitted, so requesting one here
+    raises with the interval-join pointer rather than silently hanging.
+    """
+    if how != "inner":
+        raise NotImplementedError(
+            "unbounded stream-stream join supports inner only; outer joins "
+            "need time bounds — use interval_join with watermarks"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    out = left.join(right, keys, "inner")
+    return out

@@ -211,3 +211,71 @@ def async_map(
                 yield pd.DataFrame(results)
 
     return df.mapInPandas(run, output_schema)
+
+
+def punctuated_watermark_channel(
+    df: DataFrame,
+    time_col: str,
+    marker_pred,
+    marker_wm_col,
+    main_fn: Callable[[DataFrame, int], None],
+    late_fn: Callable[[DataFrame, int], None],
+    checkpoint: str | None = None,
+):
+    """Punctuated watermarks (AssignerWithPunctuatedWatermarks,
+    DataStream.java:926): the watermark advances ONLY when designated
+    marker rows appear in the stream — ``marker_pred`` (Column) selects
+    them, ``marker_wm_col`` (Column) reads the watermark they carry.
+
+    Structured Streaming's withWatermark is strictly bounded-delay, so
+    the punctuated contract runs in the foreachBatch collector exactly
+    like late_data_side_channel: marker rows advance the high-watermark
+    (persisted beside the checkpoint), data rows behind it route to
+    ``late_fn``, the rest to ``main_fn``.  Markers are not forwarded.
+    """
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    wm_path = _os.path.join(checkpoint, "_punct_wm.json") if checkpoint else None
+    hwm: dict[str, _dt.datetime] = {}
+    if wm_path and _os.path.exists(wm_path):
+        try:
+            with open(wm_path) as f:
+                hwm["wm"] = _dt.datetime.fromisoformat(_json.load(f)["wm"])
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _persist(wm: _dt.datetime) -> None:
+        if wm_path is None:
+            return
+        _os.makedirs(_os.path.dirname(wm_path), exist_ok=True)
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"wm": wm.isoformat()}, f)
+        _os.replace(tmp, wm_path)
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            cutoff = hwm.get("wm")
+            data = batch.filter(~marker_pred)
+            if cutoff is not None:
+                late_fn(data.filter(_F.col(time_col) < _F.lit(cutoff)), batch_id)
+                main_fn(data.filter(_F.col(time_col) >= _F.lit(cutoff)), batch_id)
+            else:
+                late_fn(data.limit(0), batch_id)
+                main_fn(data, batch_id)
+            mx = batch.filter(marker_pred).agg(_F.max(marker_wm_col)).first()[0]
+            if mx is not None and (cutoff is None or mx > cutoff):
+                hwm["wm"] = mx
+                _persist(mx)
+        finally:
+            batch.unpersist()
+
+    w = df.writeStream.foreachBatch(route)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w

@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -174,4 +175,59 @@ def count_window_agg(
         "cnt int, total double, emitted int",
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def event_time_sorted_emit(
+    df: DataFrame,
+    time_col: str,
+    watermark_delay: str,
+    key: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming event-time sort — Flink's RowTimeSortOperator
+    (flink-table/.../runtime/aggregate/RowTimeSortProcessFunction.scala):
+    buffer out-of-order rows, emit them in ascending event-time order
+    once the watermark passes them.
+
+    ``key=None`` gives the reference's total order (parallelism-1 sort:
+    one group, a deliberate single-task bottleneck, exactly as Flink's
+    streaming SQL ORDER BY ts requires); with a key, rows are ordered
+    per key but parallel across keys.  Output schema = input schema.
+    """
+    import pickle
+
+    src = df.withWatermark(time_col, watermark_delay)
+    if key is None:
+        # total order: one group (the reference's parallelism-1 sort)
+        src = src.withColumn("__g", F.lit(1))
+        group = ["__g"]
+    else:
+        group = [key]
+    cols = df.columns
+    out_schema = ", ".join(f"{c} {src.schema[c].dataType.simpleString()}" for c in cols)
+
+    def fn(key_tuple, batches, state: GroupState):
+        pending: list = pickle.loads(bytes(state.get[0])) if state.exists else []
+
+        def ts_sec(r) -> float:
+            return pd.Timestamp(r[time_col]).value / 1e9
+
+        for pdf in batches:
+            pending.extend(pdf[cols].to_dict("records"))
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        pending.sort(key=lambda r: (ts_sec(r), r.get(tiebreak) if tiebreak else 0))
+        ready = [r for r in pending if ts_sec(r) <= wm]
+        keep = [r for r in pending if ts_sec(r) > wm]
+        state.update((pickle.dumps(keep),))
+        if keep:
+            state.setTimeoutTimestamp(
+                max(int(ts_sec(keep[0]) * 1000) + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if ready:
+            yield pd.DataFrame(ready, columns=cols)
+
+    grouped = src.groupBy(*group)
+    return grouped.applyInPandasWithState(
+        fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -106,3 +106,46 @@ def test_async_map_matches_serial(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_punctuated_watermark_channel(spark, tmp_path):
+    """AssignerWithPunctuatedWatermarks parity: the watermark advances
+    ONLY on marker rows; data rows behind a marker-carried watermark go
+    to the late channel."""
+    import datetime as dt
+
+    from flink_1_8_sourcecode_spark.streaming.side_outputs import (
+        punctuated_watermark_channel,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, etype string, wm timestamp"
+    chunks = str(tmp_path / "punct")
+    rows1 = [(1, base + dt.timedelta(minutes=1), "data", None),
+             (2, base + dt.timedelta(minutes=9), "data", None),
+             (3, None, "marker", base + dt.timedelta(minutes=5))]
+    rows2 = [(4, base + dt.timedelta(minutes=2), "data", None),   # late: behind wm=5min
+             (5, base + dt.timedelta(minutes=7), "data", None)]   # on time
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(chunks + "/__chunk=a")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(chunks + "/__chunk=b")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks)
+    )
+    main_ids, late_ids = [], []
+    q = punctuated_watermark_channel(
+        stream, time_col="ts",
+        marker_pred=F.col("etype") == "marker",
+        marker_wm_col=F.col("wm"),
+        main_fn=lambda b, i: main_ids.extend(r.event_id for r in b.collect()),
+        late_fn=lambda b, i: late_ids.extend(r.event_id for r in b.collect()),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert 4 in late_ids          # behind the marker watermark
+    assert {1, 2, 5} <= set(main_ids)
+    assert 3 not in main_ids + late_ids  # markers are not forwarded

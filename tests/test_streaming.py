@@ -187,3 +187,51 @@ def test_stream_interval_join(spark, chunk_dir):
         .toPandas()
     )
     assert_frames_match(got, expected, name="stream_interval_join")
+
+
+def test_event_time_sorted_emit(spark, chunk_dir):
+    """RowTimeSort parity: rows come out in ascending event-time order
+    (total order, single group) once the watermark passes them."""
+    stream = sources.read_event_stream(spark, chunk_dir).select("event_id", "ts", "user_id")
+    out = stateful.event_time_sorted_emit(
+        stream, time_col="ts", watermark_delay="0 seconds", tiebreak="event_id"
+    )
+    got = _run(out.writeStream.format("memory"), "t_sorted", spark, mode="append")
+    ev = table(spark, SF_SMALL, "events").toPandas().sort_values(["ts", "event_id"])
+    # everything but the rows after the final watermark must flush, in order
+    assert len(got) >= len(ev) * 0.9
+    emitted = list(zip(got.ts, got.event_id))
+    assert emitted == sorted(emitted)
+
+
+def test_unbounded_stream_join_inner(spark, chunk_dir):
+    """Non-window stream-stream inner join == batch join (unbounded
+    state on both sides, like the reference's NonWindowInnerJoin)."""
+    from flink_1_8_sourcecode_spark.operators.joins import unbounded_stream_join
+
+    s1 = sources.read_event_stream(spark, chunk_dir).select("event_id", "user_id", "value")
+    s2 = sources.read_event_stream(spark, chunk_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(F.col("user_id").alias("p_user"), F.col("event_id").alias("p_event"))
+    joined = unbounded_stream_join(
+        s1.withColumnRenamed("user_id", "u"), s2.withColumnRenamed("p_user", "u"), on="u"
+    )
+    # stream-stream joins emit in append mode only
+    q = joined.writeStream.format("memory").queryName("t_unb_join").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_unb_join").toPandas()
+    ev = table(spark, SF_SMALL, "events")
+    expected = (
+        ev.select("event_id", F.col("user_id").alias("u"))
+        .join(ev.filter(F.col("event_type") == "purchase").select(F.col("user_id").alias("u"), "ts"), "u")
+        .groupBy("u").count().toPandas()
+    )
+    got_counts = got.groupby("u").size().to_dict()
+    assert got_counts == dict(zip(expected.u, expected["count"]))
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        unbounded_stream_join(s1, s2, on="u", how="left")
