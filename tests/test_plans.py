@@ -80,3 +80,13 @@ def test_whole_stage_codegen_active(spark):
     assert "isFinalPlan=true" in plan
     # '*(n)' node prefixes mark WholeStageCodegen spans in the final plan
     assert "*(" in plan
+
+
+def test_q19_or_of_ands_pushes_to_scan(spark):
+    """The disjunction of conjunctive ranges must reach the lineitem
+    parquet scan (Catalyst keeps the l_quantity arms of each conjunct),
+    not evaluate only post-join."""
+    plan = _plan(spark, "tpch_q19")
+    pushed = plan.split("PushedFilters: [")[1][:400]
+    assert "l_quantity" in pushed
+    assert "Or(" in pushed
