@@ -113,12 +113,15 @@ def rewrite_flink_sql(sql: str) -> str:
             ts, gap = args
             call = f"session_window({ts}, {_interval_to_duration(gap)})"
 
+        # Spark names the grouping struct 'window' for TUMBLE/HOP but
+        # 'session_window' for SESSION
+        struct_name = "session_window" if fn == "SESSION" else "window"
         if suffix in ("_START", "_ROWTIME"):
             # _ROWTIME is window end - 1ms in Flink; we expose window.start/
             # end (the 1ms epsilon is a representation detail, documented).
-            repl = "window.start" if suffix == "_START" else "window.end"
+            repl = f"{struct_name}.start" if suffix == "_START" else f"{struct_name}.end"
         elif suffix in ("_END", "_PROCTIME"):
-            repl = "window.end"
+            repl = f"{struct_name}.end"
         else:
             repl = call
         sql = sql[: m.start()] + repl + sql[close:]

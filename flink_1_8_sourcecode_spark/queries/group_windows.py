@@ -187,3 +187,41 @@ def window_tumble_daily_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("day_start"), "event_type", "active_users", "total")
     )
+
+
+@register(
+    "window_session_flink_sql",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts::TIMESTAMP AS ts,
+             CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP)
+                    OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 10 MINUTE THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS s_start, count(*) AS cnt
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="Flink SQL SESSION spelling (SESSION/SESSION_START, "
+    "FunctionCatalog.scala:509) through the pre-rewrite layer -> "
+    "session_window().",
+)
+def window_session_flink_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return eng.sql(
+        """
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '10' MINUTE) AS s_start,
+               count(*) AS cnt
+        FROM events GROUP BY SESSION(ts, INTERVAL '10' MINUTE), user_id
+        """
+    )
