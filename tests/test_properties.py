@@ -65,3 +65,83 @@ def test_truncate_matches_python(spark):
             factor = 10**d
             expected = math.trunc(x * factor) / factor
             assert t == expected or abs(t - expected) < 1e-9, (x, d, t, expected)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """The union+struct-carry as-of join must agree with pandas
+    merge_asof on randomized keyed version histories (including NULL
+    payload fields in the latest version)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_left, n_right = 200, 80
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, n_left),
+        "t": rng.integers(0, 1000, n_left).astype("int64"),
+    }).sort_values("t").reset_index(drop=True)
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, n_right),
+        "rt": np.sort(rng.choice(np.arange(0, 1000, 7), n_right, replace=False)).astype("int64"),
+        "payload": [None if i % 11 == 0 else float(i) for i in range(n_right)],
+    }).sort_values("rt").reset_index(drop=True)
+
+    from flink_1_8_sourcecode_spark.operators.joins import asof_join
+
+    got = asof_join(
+        spark.createDataFrame(left_pd, "k long, t long"),
+        spark.createDataFrame(right_pd, "k long, rt long, payload double"),
+        on="k", left_time="t", right_time="rt",
+    ).toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("rt"),
+        left_on="t", right_on="rt", by="k",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    for g, e in zip(got.itertuples(index=False), exp.itertuples(index=False)):
+        assert (g.k, g.t) == (e.k, e.t)
+        ge, ee = g.payload, e.payload
+        assert (pd.isna(ge) and pd.isna(ee)) or ge == ee, (g, e)
+
+
+def test_lsh_cap_preserves_transitive_closure(spark):
+    """Star-linking hot buckets must keep the same connected components
+    as the uncapped all-pairs expansion (that is the dedup contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "completely different words entirely here now",
+    ]
+    rows = []
+    for i in range(120):
+        base = texts[int(rng.integers(0, len(texts)))]
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from flink_1_8_sourcecode_spark.operators.dedup import minhash_lsh_pairs
+
+    def components(pairs_pdf):
+        parent = list(range(120))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs_pdf.id_a, pairs_pdf.id_b):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[ra] = rb
+        return frozenset(frozenset(i for i in range(120) if find(i) == r)
+                         for r in {find(i) for i in range(120)})
+
+    capped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=8).toPandas()
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=None).toPandas()
+    assert len(capped) < len(uncapped)  # the cap actually bit
+    assert components(capped) == components(uncapped)
