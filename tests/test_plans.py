@@ -90,3 +90,14 @@ def test_q19_or_of_ands_pushes_to_scan(spark):
     pushed = plan.split("PushedFilters: [")[1][:400]
     assert "l_quantity" in pushed
     assert "Or(" in pushed
+
+
+def test_lsh_reuses_signature_exchange(spark):
+    """The hot-bucket guard branches (small self-join sides + hot
+    filter) must share the signature pipeline via ReusedExchange in the
+    final AQE plan — a stats-join variant silently recomputed it per
+    branch (~2x slower)."""
+    df = REGISTRY["dedup_minhash_lsh"].spark(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1
