@@ -50,6 +50,14 @@ def asof_join(
 
     Ties on right_time are broken deterministically by the greatest
     right_cols struct (field-by-field comparison).
+
+    Skew note: each key's full (probe + version) history flows through
+    ONE window partition — the same per-key serialization as the
+    reference's keyed TemporalRowtimeJoin state.  A pathologically hot
+    key serializes its own history; if that bites, pre-bucket the time
+    axis (join on (key, time_bucket) with a per-bucket seed carried
+    from the previous bucket) — not done by default because it adds a
+    second pass for a case the keyed model already bounds.
     """
     from pyspark.sql import types as T
 
