@@ -94,12 +94,19 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 3,
     exclude_self: bool = True,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: centroids = per-cluster mean vector; each
     query searches only its ``nprobe`` closest clusters.
 
     Returns (query_id, neighbor_id, cosine, rank) like cosine_topk; the
     approximation may differ from the exact result by design.
+
+    ``broadcast_probes=False`` drops the probe-side broadcast hint for
+    the large-query-set regime: with the corpus written BUCKETED on the
+    cluster column, the probe join then sort-merges against the
+    pre-partitioned corpus with NO corpus-side exchange (the scale path
+    SCALE.md describes); only the small probe set shuffles.
     """
     centroids = (
         corpus.select(
@@ -127,7 +134,8 @@ def ivf_topk(
         F.col(cluster_col).alias("cluster"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    joined = c.join(F.broadcast(probes), "cluster")
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    joined = c.join(probe_side, "cluster")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(

