@@ -89,3 +89,20 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over whitespace-normalized lower-cased
     text — identical content (modulo spacing/case) collides by design."""
     return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+# engine-portable subword split: letter runs, digit runs, punctuation runs
+# (the GPT-2-style pre-tokenizer shape, without unicode categories so the
+# same pattern means the same thing in Spark's Java regex and DuckDB's RE2)
+SUBWORD_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def subword_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: split lower-cased text into letter /
+    digit / punctuation runs — the unit a byte-pair tokenizer merges
+    from, and a far better LLM-cost proxy than whitespace words."""
+    return F.regexp_extract_all(F.lower(F.trim(text)), F.lit(SUBWORD_PATTERN), 0)
+
+
+def subword_count(text: Column) -> Column:
+    return F.size(subword_tokens(text))

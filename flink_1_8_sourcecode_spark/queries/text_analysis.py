@@ -148,3 +148,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_subword_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS subwords,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '')) AS words
+    FROM documents
+    """,
+    doc="BPE-ish token counting: letter/digit/punctuation runs (the "
+    "pre-tokenizer unit a byte-pair encoder merges from) next to the "
+    "whitespace word count — the LLM-cost estimate column pair.",
+)
+def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import subword_count, token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        subword_count(F.col("text")).alias("subwords"),
+        token_count(F.col("text")).alias("words"),
+    )

@@ -120,3 +120,60 @@ def test_count_evictor_keeps_last_n(spark, tmp_path):
     )
     assert_frames_match(got[["user_id", "w_start", "cnt", "total"]], expected,
                         name="count_evictor")
+
+
+def test_time_evictor_keeps_recent_span(spark, tmp_path):
+    """TimeEvictor.java parity: only elements within the span of the
+    window's max timestamp survive."""
+    from pyspark.sql import Window
+
+    from flink_1_8_sourcecode_spark.streaming.evictors import evicted_tumble_agg
+
+    chunks = str(tmp_path / "tevict_chunks")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=3)
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+    stream = sources.read_event_stream(spark, chunks)
+    span = 2 * 86400.0  # keep the last 2 days of each weekly window
+    out = evicted_tumble_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        window_seconds=WINDOW_S, evictor=("time", span),
+    )
+    q = out.writeStream.format("memory").queryName("t_tevict").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_tevict").toPandas()
+    got = got[got.user_id >= 0].reset_index(drop=True)
+
+    w = Window.partitionBy("user_id", F.window("ts", "7 days"))
+    expected = (
+        ev.withColumn("__mx", F.max(F.col("ts").cast("double")).over(w))
+        .filter(F.col("ts").cast("double") > F.col("__mx") - span)
+        .groupBy("user_id", F.window("ts", "7 days").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .select("user_id", F.col("w.start").alias("w_start"), "cnt", "total")
+        .toPandas()
+    )
+    assert_frames_match(got[["user_id", "w_start", "cnt", "total"]], expected,
+                        name="time_evictor")
+
+
+def test_purging_count_trigger_emits_deltas(spark, tmp_path):
+    """PurgingTrigger(CountTrigger) parity: each early firing reports
+    only the delta since the last firing; summed early deltas + the
+    final residue equal the full batch window total."""
+    got = _run(spark, tmp_path, "purge_trig", trigger=("count", 5), purging=True)
+    early = got[~got.is_final]
+    assert len(early) > 0
+    assert (early.cnt == 5).all()  # each FIRE_AND_PURGE covers exactly 5 rows
+    per_window = got.groupby(["user_id", "w_start"]).agg(
+        cnt=("cnt", "sum"), total=("total", "sum")
+    ).reset_index()
+    assert_frames_match(per_window, _batch_expected(spark), name="purging_trigger")
