@@ -251,3 +251,49 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Banding is the blocking (pigeonhole): a 32-bit fingerprint splits
+    into 4 byte-bands; hamming(a, b) <= 3 forces at least one equal
+    band, so candidates come from 4 band-equality self-joins (shuffle
+    keyed on (band_id, band_value) — the collision classes), then the
+    exact hamming check runs inside buckets with bit_count(xor).
+    Never an unconstrained O(n^2) cross join.
+    """
+    fp = df.select(F.col(id_col).alias("__id"), simhash32(F.col(text_col)).alias("__fp"))
+    band_rows = fp.select(
+        "__id", "__fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band_id"),
+                    F.shiftright("__fp", 8 * j).bitwiseAND(F.lit(255)).alias("band_val"),
+                )
+                for j in range(4)
+            ])
+        ).alias("b"),
+    ).select("__id", "__fp", "b.band_id", "b.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))) <= max_hamming)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))).alias("hamming"),
+        )
+        .distinct()
+    )

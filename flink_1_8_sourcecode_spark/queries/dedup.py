@@ -136,6 +136,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_FP_DUCK = """
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')) AS toks
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, t ->
+               -- first 8 hex chars of md5 -> 32-bit int via digit arithmetic
+               (strpos('0123456789abcdef', md5(t)[1]) - 1) * 268435456
+             + (strpos('0123456789abcdef', md5(t)[2]) - 1) * 16777216
+             + (strpos('0123456789abcdef', md5(t)[3]) - 1) * 1048576
+             + (strpos('0123456789abcdef', md5(t)[4]) - 1) * 65536
+             + (strpos('0123456789abcdef', md5(t)[5]) - 1) * 4096
+             + (strpos('0123456789abcdef', md5(t)[6]) - 1) * 256
+             + (strpos('0123456789abcdef', md5(t)[7]) - 1) * 16
+             + (strpos('0123456789abcdef', md5(t)[8]) - 1)) AS hs
+      FROM tok
+    ), fp AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 32), j ->
+               CASE WHEN 2 * list_sum(list_transform(hs,
+                           h -> (h // (2**j)::BIGINT) % 2)) > n
+                    THEN (2**j)::BIGINT ELSE 0 END))::BIGINT AS simhash
+      FROM hashes
+    )
+"""
+
+
 @register(
     "dedup_simhash",
     oracle="""
@@ -215,3 +245,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, "vec_id", "embedding", block_col="label", threshold=0.8)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_FP_DUCK + """
+    , bands AS (
+      SELECT doc_id, simhash, j AS band_id,
+             (simhash >> (8 * j)) & 255 AS band_val
+      FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(j)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup PAIRS: 4 byte-bands block candidates "
+    "(pigeonhole: hamming <= 3 forces an equal band), exact "
+    "bit_count(xor) verification inside buckets.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import simhash_neardup_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3)
