@@ -94,10 +94,24 @@ def _driver_verified() -> set[str]:
     return green
 
 
+# queries first registered in round 2 — they rank behind round-1 queries
+# that still lack a driver-green row, so the capped sweep clears the
+# oldest verification debt first
+_ADDED_R2 = {
+    "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q19", "tpch_q22",
+    "window_session_flink_sql", "cep_funnel_timeout",
+    "graph_label_propagation", "graph_triangles", "graph_hits",
+    "graph_community_detection", "graph_summarize",
+    "dedup_simhash_pairs", "text_subword_count",
+}
+
+
 def _ordered_names() -> list[str]:
     green = _driver_verified()
     names = list(_REGISTRY)
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    pending_old = [n for n in names if n not in green and n not in _ADDED_R2]
+    pending_new = [n for n in names if n not in green and n in _ADDED_R2]
+    return pending_old + pending_new + [n for n in names if n in green]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
