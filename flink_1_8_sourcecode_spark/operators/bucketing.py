@@ -14,6 +14,8 @@ biggest recurring-cost lever for a star schema that is joined daily.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -26,6 +28,17 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist a DataFrame as a bucketed (and bucket-sorted) table."""
+    if mode == "overwrite":
+        # a managed-table location can outlive its catalog entry (fresh
+        # session, old warehouse dir) and then block saveAsTable with
+        # LOCATION_ALREADY_EXISTS — drop both metadata and location
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.format("parquet").saveAsTable(table_name)
