@@ -94,8 +94,8 @@ def _driver_verified() -> set[str]:
     return green
 
 
-# queries first registered in round 2 — they rank behind round-1 queries
-# that still lack a driver-green row, so the capped sweep clears the
+# queries first registered in round N rank behind still-unverified queries
+# from earlier rounds, so the capped driver sweep (~50/round) clears the
 # oldest verification debt first
 _ADDED_R2 = {
     "tpch_q7", "tpch_q8", "tpch_q12", "tpch_q19", "tpch_q22",
@@ -104,14 +104,31 @@ _ADDED_R2 = {
     "graph_community_detection", "graph_summarize",
     "dedup_simhash_pairs", "text_subword_count",
 }
+_ADDED_R3 = {
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q21",
+    "multimodal_decode_features", "multimodal_frame_sample",
+    "multimodal_resize_plan",  # first round with an oracle attached
+    "window_delta_trigger", "window_delta_evictor",
+    "cep_match_recognize_all_rows", "dedup_skew_salted_join",
+}
 
 
 def _ordered_names() -> list[str]:
     green = _driver_verified()
     names = list(_REGISTRY)
-    pending_old = [n for n in names if n not in green and n not in _ADDED_R2]
-    pending_new = [n for n in names if n not in green and n in _ADDED_R2]
-    return pending_old + pending_new + [n for n in names if n in green]
+
+    def rank(n: str) -> int:
+        if n in green:
+            return 3
+        if n in _ADDED_R3:
+            return 2
+        if n in _ADDED_R2:
+            return 1
+        return 0
+
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (rank(n), order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -173,7 +173,8 @@ def _find_matches(
                 return  # first-match semantics for non-any contiguity
 
     def prefix_partial(start_i: int):
-        """Longest proper stage-prefix bound at start_i (timed-out run)."""
+        """Longest proper stage-prefix bound at start_i, plus the index
+        of the first unbound stage."""
         from dataclasses import replace
 
         for k in range(len(stages) - 1, 0, -1):
@@ -182,8 +183,37 @@ def _find_matches(
             sub = replace(pattern, stages=pattern.stages[:k])
             for m in _find_matches(rows, times, sub, anchor=start_i):
                 if m:
-                    return m
-        return None
+                    return m, k
+        return None, None
+
+    def timeout_attributable(prefix, k: int) -> bool:
+        """True when the partial run was still alive when ``within``
+        expired — Flink's NFA emits a timeout ONLY then.  A run pruned
+        earlier (strict 'next' successor failing the predicate, or a
+        notFollowedBy guard firing inside the window) is discarded
+        silently (nfa/NFA.java run pruning), not reported on the
+        timeout channel."""
+        last = max(idx for _, idx in prefix)
+        first_t = times[prefix[0][1]]
+
+        def in_window(j: int) -> bool:
+            return times[j] - first_t <= pattern.within_seconds
+
+        si = k
+        while si < len(stages) and stages[si].negative:
+            neg = stages[si]
+            j = last + 1
+            hi = min(j + 1, n) if neg.contiguity == "next" else n
+            while j < hi and in_window(j):
+                if neg.accepts(rows[j]):
+                    return False  # guard fired in-window: run killed
+                j += 1
+            si += 1
+        if si < len(stages) and stages[si].contiguity == "next":
+            j = last + 1
+            if j < n and in_window(j) and not stages[si].accepts(rows[j]):
+                return False  # strict successor broke the run pre-expiry
+        return True
 
     i = 0 if anchor is None else anchor
     while i < n:
@@ -200,8 +230,8 @@ def _find_matches(
                 if pattern.skip_strategy == "skip_past_last":
                     break
             if emit_timeouts and not matched_here and pattern.within_seconds is not None:
-                partial = prefix_partial(i)
-                if partial:
+                partial, first_unbound = prefix_partial(i)
+                if partial and timeout_attributable(partial, first_unbound):
                     yield partial, True
         if anchor is not None:
             return

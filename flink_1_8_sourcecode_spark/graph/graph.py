@@ -204,10 +204,15 @@ class Graph:
         delta/superstep when the label changed.  Edges need a ``weight``
         column (default 1.0 when absent).  Returns (id, label).
 
+        The reference converts the graph with getUndirected() before the
+        scatter-gather (CommunityDetection.java:79), so messages flow in
+        BOTH directions along every input edge; we do the same (reversed
+        edges appended, duplicates kept — Gelly semantics).
+
         Each superstep is one join + a two-level aggregation (per-label
         partial sums/maxes, then an argmax per vertex) — two shuffles on
         the same key, both with map-side partial aggregation."""
-        e = self.edges
+        e = self.get_undirected().edges
         if "weight" not in e.columns:
             e = e.withColumn("weight", F.lit(1.0))
         e_p = e.select("src", "dst", "weight").persist()

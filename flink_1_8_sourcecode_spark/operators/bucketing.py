@@ -29,16 +29,30 @@ def write_bucketed(
 ) -> None:
     """Persist a DataFrame as a bucketed (and bucket-sorted) table."""
     if mode == "overwrite":
-        # a managed-table location can outlive its catalog entry (fresh
-        # session, old warehouse dir) and then block saveAsTable with
-        # LOCATION_ALREADY_EXISTS — drop both metadata and location
         import shutil
 
         spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
-        shutil.rmtree(loc, ignore_errors=True)
+        if spark.catalog.tableExists(table_name):
+            # DROP TABLE removes a managed table's data with it; an
+            # external table's location belongs to the user — never
+            # touched (the fresh saveAsTable gets a managed location)
+            spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        else:
+            # orphaned location: a prior session's managed dir outlived
+            # its catalog entry and would block saveAsTable with
+            # LOCATION_ALREADY_EXISTS.  Only a local-filesystem path
+            # under the managed warehouse is ever deleted — remote
+            # warehouses (hdfs://, s3a://) are left for the catalog to
+            # reconcile
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            if "://" not in warehouse or warehouse.startswith("file:"):
+                root = warehouse.removeprefix("file:")
+                if "." in table_name:
+                    db, tbl = table_name.rsplit(".", 1)
+                    loc = os.path.join(root, f"{db.lower()}.db", tbl.lower())
+                else:
+                    loc = os.path.join(root, table_name.lower())
+                shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.format("parquet").saveAsTable(table_name)

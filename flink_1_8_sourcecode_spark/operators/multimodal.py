@@ -32,16 +32,22 @@ MEDIA_SCHEMA = (
 
 def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Build a media-typed frame from any byte-bearing column (test path:
-    documents.text encoded as bytes stands in for image payloads)."""
+    documents.text encoded as bytes stands in for image payloads).
+
+    The fake dimensions derive from the first 8 hex chars of md5(content)
+    — md5 (not crc32/sha) because every engine in the toolchain has it,
+    so a SQL oracle can replicate the derivation exactly:
+    ``('0x' || substr(md5(text), 1, 8))::BIGINT`` in DuckDB equals
+    ``conv(substring(md5(content), 1, 8), 16, 10)`` here."""
     content = F.encode(F.col(payload_col), "UTF-8")
-    h = F.crc32(content)
+    h = F.conv(F.substring(F.md5(content), 1, 8), 16, 10).cast("long")
     return df.select(
         F.col(id_col).alias("media_id"),
         content.alias("content"),
         F.struct(
             F.lit("fake/rgb8").alias("format"),
             (h % 640 + 16).cast("int").alias("width"),
-            (F.shiftright(h, 8) % 480 + 16).cast("int").alias("height"),
+            (F.floor(h / 256) % 480 + 16).cast("int").alias("height"),
             (h % 8 + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
@@ -49,8 +55,10 @@ def attach_fake_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
 
 def _fake_decode(content: bytes) -> dict:
     """Deterministic stand-in for a real image decode: derives 'pixel'
-    statistics from a digest of the bytes.  REPLACE with a real codec."""
-    d = hashlib.sha256(content).digest()
+    statistics from the md5 digest of the bytes (md5 so a SQL oracle can
+    reproduce each byte as ('0x' || substr(md5_hex, 2i+1, 2))::INT).
+    REPLACE with a real codec."""
+    d = hashlib.md5(content).digest()
     return {
         "mean_r": d[0] / 255.0,
         "mean_g": d[1] / 255.0,

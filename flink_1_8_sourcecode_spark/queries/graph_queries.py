@@ -230,8 +230,12 @@ _CD_DELTA = 0.5
 
 
 def _community_oracle(iters: int = _CD_ITER) -> str:
+    # the engine runs on getUndirected() per CommunityDetection.java:79 —
+    # symmetrize the oracle's edges the same way (duplicates kept)
     sql = (
-        f"WITH edges AS ({_PR_EDGES_DUCK}), "
+        f"WITH edges_d AS ({_PR_EDGES_DUCK}), "
+        "edges AS (SELECT src, dst FROM edges_d "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges_d), "
         "c0 AS (SELECT n_nationkey::BIGINT AS id, n_nationkey::BIGINT AS label, "
         "1.0 AS score FROM nation)"
     )

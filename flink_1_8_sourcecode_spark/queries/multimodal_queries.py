@@ -1,6 +1,13 @@
-"""Multimodal-column inventory (SURVEY.md §2.16) — declared as rows-only
-checks (the decode kernel is a deterministic stub; the Spark-side
-plumbing — schema, Arrow batch flow, explode pattern — is what's real).
+"""Multimodal-column inventory (SURVEY.md §2.16).
+
+The decode kernel is a deterministic md5-derived stub (image libraries
+are not in this container), which makes the whole pipeline ORACLE-ABLE:
+every derived value — fake dimensions, fake channel means, frame
+explosion, resize arithmetic — is replicated in DuckDB SQL, so these
+queries get full rows+schema+hash checks despite the stubbed codec.
+The Spark-side plumbing (binary column, Arrow-batched mapInPandas,
+metadata-driven explode) is the real deliverable; swap `_fake_decode`
+for Pillow/ffmpeg in deployment (strict=True path).
 """
 
 from __future__ import annotations
@@ -18,10 +25,42 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.attach_fake_media(docs, "doc_id", "text")
 
 
+# shared CTE: replicate attach_fake_media's md5-derived metadata
+_MEDIA_CTE = """
+    m AS (
+      SELECT doc_id AS media_id, md5(text) AS hx,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT AS n
+      FROM documents
+    ),
+    meta AS (
+      SELECT media_id, hx,
+             (n % 640 + 16)::INT AS width,
+             ((n // 256) % 480 + 16)::INT AS height,
+             (n % 8 + 1)::INT AS n_frames
+      FROM m
+    )
+"""
+
+
+def _byte(i: int) -> str:
+    """SQL for byte i (0-based) of the md5 digest, from its hex form."""
+    return f"('0x' || substr(hx, {2 * i + 1}, 2))::INT"
+
+
 @register(
     "multimodal_decode_features",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id, width, height,
+           {_byte(0)} / 255.0 AS mean_r,
+           {_byte(1)} / 255.0 AS mean_g,
+           {_byte(2)} / 255.0 AS mean_b,
+           ({" + ".join(_byte(i) for i in range(16))}) / {16 * 255.0} AS entropy
+    FROM meta
+    """,
     doc="Binary media column -> Arrow-batched mapInPandas feature "
-    "extraction (decode stubbed deterministically; rows-only check).",
+    "extraction; the deterministic md5 decode stub is replicated "
+    "byte-for-byte in the oracle.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(_media(spark, sf_dir))
@@ -29,17 +68,40 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
+    oracle=f"""
+    WITH {_MEDIA_CTE},
+    exploded AS (
+      SELECT media_id, n_frames,
+             unnest(range(n_frames))::INT AS frame_idx
+      FROM meta
+    )
+    SELECT media_id, n_frames, frame_idx
+    FROM exploded WHERE frame_idx % 2 = 0
+    """,
     doc="Video frame sampling: metadata-driven frame explode, every 2nd "
-    "frame kept (rows-only check).",
+    "frame kept.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.frame_sample(_media(spark, sf_dir), every_nth=2)
+    return multimodal.frame_sample(_media(spark, sf_dir), every_nth=2).select(
+        "media_id", F.col("meta.n_frames").alias("n_frames"), "frame_idx"
+    )
 
 
 @register(
     "multimodal_resize_plan",
+    oracle=f"""
+    WITH {_MEDIA_CTE}
+    SELECT media_id,
+           round(width / (CASE WHEN greatest(width, height) > 128
+                 THEN greatest(width, height) / 128.0 ELSE 1.0 END))::INT
+             AS target_width,
+           round(height / (CASE WHEN greatest(width, height) > 128
+                 THEN greatest(width, height) / 128.0 ELSE 1.0 END))::INT
+             AS target_height
+    FROM meta
+    """,
     doc="Resize planning (pure metadata arithmetic, JVM-side): target "
-    "dims bounded by max side 128 (rows-only check).",
+    "dims bounded by max side 128.",
 )
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(_media(spark, sf_dir), max_side=128).select(

@@ -404,9 +404,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
            sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'

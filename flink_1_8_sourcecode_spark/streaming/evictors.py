@@ -85,10 +85,14 @@ def evicted_tumble_agg(
                     }
                 )
 
-        state.update((pickle.dumps(wins),))
         if wins:
+            state.update((pickle.dumps(wins),))
             target_ms = int(min(ws + window_seconds for ws in wins) * 1000)
             state.setTimeoutTimestamp(max(target_ms, int(wm * 1000) + 1))
+        elif state.exists:
+            # no open windows: drop the key's state entry entirely so
+            # state stays bounded by ACTIVE keys, not all keys ever seen
+            state.remove()
         if out:
             yield pd.DataFrame(out)
 

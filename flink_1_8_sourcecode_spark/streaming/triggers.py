@@ -113,8 +113,8 @@ def triggered_tumble_agg(
                 emit(ws, acc, final=True)
                 del wins[ws]
 
-        state.update((pickle.dumps(st),))
         if wins:
+            state.update((pickle.dumps(st),))
             # event-time timer at the earliest pending deadline (next
             # window end or continuous boundary), like Flink's
             # registerEventTimeTimer — must sit beyond the watermark
@@ -123,6 +123,10 @@ def triggered_tumble_agg(
                 deadlines += [acc[2] for acc in wins.values()]
             target_ms = int(min(deadlines) * 1000)
             state.setTimeoutTimestamp(max(target_ms, int(wm * 1000) + 1))
+        elif state.exists:
+            # no open windows: drop the key's state entry entirely so
+            # state stays bounded by ACTIVE keys, not all keys ever seen
+            state.remove()
         if out:
             yield pd.DataFrame(out)
 
