@@ -34,11 +34,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Median of 3 runs per query: single-shot numbers on a shared box
+    # ride scheduler jitter (observed 2x swings on identical plans), and
+    # the per-query 2x regression gate should not.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -148,9 +148,14 @@ def minhash_lsh_pairs(
     # bucket stats via a window over the SAME partition key the pair join
     # shuffles on: every downstream branch (both self-join sides + the
     # hot-bucket filter) then shares one identical subplan, so Spark's
-    # ReusedExchange computes the expensive signature pipeline once —
-    # a groupBy-stats + join-back variant defeated that reuse and
-    # measured ~2x slower end-to-end
+    # ReusedExchange computes the expensive signature pipeline once.
+    # Measured alternatives at sf0.1 local[32] (median of 3):
+    #   window guard (this shape)                  2.44 s
+    #   persist(sig) + agg + broadcast hot keys    3.6-6.0 s  (SMJ sorts
+    #     band_rows twice — the reused window sort does it once — and
+    #     pays cache population per fresh plan)
+    #   groupBy-stats + shuffle join-back (r1)     ~2x window (defeats
+    #     ReusedExchange; the signature pipeline recomputes per branch)
     wb = Window.partitionBy("band_id", "band_hash")
     rows = band_rows.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
         "__anchor", F.min("__id").over(wb)
