@@ -58,6 +58,7 @@ _MODULES = (
     "rowops",
     "sql_suite",
     "multimodal_queries",
+    "streaming_windows",
 )
 
 

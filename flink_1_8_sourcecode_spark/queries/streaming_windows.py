@@ -1,0 +1,120 @@
+"""Streaming-window queries with full DuckDB oracles.
+
+DeltaTrigger / DeltaEvictor (flink-streaming-java/.../windowing/
+triggers/DeltaTrigger.java, evictors/DeltaEvictor.java) run through the
+real Structured Streaming path: the events table is replayed as chunked
+micro-batches, the stateful window operator fires per the trigger /
+evicts per the evictor, and the FINAL rows land in a memory sink.  The
+returned DataFrame is that sink's content — trigger finals must equal
+the batch tumbling aggregate, and delta-evictor finals must equal the
+batch aggregate over the surviving elements, both SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.streaming import sources
+
+_WINDOW_S = 86400.0  # daily tumble
+_TRIGGER_DELTA = 75.0
+_EVICTOR_DELTA = 100.0
+
+
+def _replayed_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """events replayed as 4 time-ordered chunks + a far-future sentinel
+    row (user_id = -1) that closes every window by advancing the global
+    watermark — the bounded-input end-of-stream convention."""
+    chunks = tempfile.mkdtemp(prefix=prefix)
+    sources.write_event_chunks(spark, sf_dir, chunks, n_chunks=4)
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        sources.EVENTS_SCHEMA,
+    )
+    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+    return sources.read_event_stream(spark, chunks)
+
+
+def _run_to_table(out: DataFrame, prefix: str) -> str:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+@register(
+    "window_delta_trigger",
+    oracle="""
+    SELECT user_id, time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w_start,
+           count(*) AS cnt, sum(value) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="DeltaTrigger.java parity through the streaming path: daily "
+    f"windows fire early when |value - last_fired_value| > {_TRIGGER_DELTA}; "
+    "the FINAL firings (checked here) must equal the batch tumbling "
+    "aggregate regardless of early fires.",
+)
+def window_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming.triggers import triggered_tumble_agg
+
+    stream = _replayed_stream(spark, sf_dir, "delta_trig_")
+    out = triggered_tumble_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        window_seconds=_WINDOW_S, trigger=("delta", _TRIGGER_DELTA),
+    )
+    name = _run_to_table(out, "q_delta_trigger")
+    return (
+        spark.table(name)
+        .filter((F.col("user_id") >= 0) & F.col("is_final"))
+        .select("user_id", "w_start", "cnt", "total")
+    )
+
+
+@register(
+    "window_delta_evictor",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, value, ts::TIMESTAMP AS ts,
+             time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w_start
+      FROM events
+    ), lv AS (
+      SELECT *, last_value(value) OVER (
+               PARTITION BY user_id, w_start ORDER BY ts, value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS last_v
+      FROM b
+    )
+    SELECT user_id, w_start, count(*) AS cnt, sum(value) AS total
+    FROM lv WHERE abs(value - last_v) < {_EVICTOR_DELTA}
+    GROUP BY 1, 2
+    """,
+    doc="DeltaEvictor.java parity through the streaming path: at firing, "
+    f"elements with |value - last_element_value| >= {_EVICTOR_DELTA} are "
+    "evicted before the window function (doEvictAfter=false); the oracle "
+    "replays the same rule with a last_value window.",
+)
+def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming.evictors import evicted_tumble_agg
+
+    stream = _replayed_stream(spark, sf_dir, "delta_evict_")
+    out = evicted_tumble_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        window_seconds=_WINDOW_S, evictor=("delta", _EVICTOR_DELTA),
+    )
+    name = _run_to_table(out, "q_delta_evictor")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "w_start", "cnt", "total")
+    )

@@ -31,6 +31,7 @@ def evicted_tumble_agg(
     window_seconds: float,
     evictor: tuple[str, float],
     watermark_delay: str = "0 seconds",
+    delta_fn=None,
 ) -> DataFrame:
     """Tumbling event-time windows whose buffer passes through an
     evictor before aggregating:
@@ -38,14 +39,27 @@ def evicted_tumble_agg(
     - ``("count", n)`` — CountEvictor.java: keep only the LAST n
       elements (in event-time order) of each window;
     - ``("time", span)`` — TimeEvictor.java: keep elements with
-      ``ts > max_ts_in_window - span``.
+      ``ts > max_ts_in_window - span``;
+    - ``("delta", threshold)`` — DeltaEvictor.java: evict every element
+      whose ``delta_fn(element, last_element) >= threshold``, where
+      ``last_element`` is the window's final element.
+
+    Count/time evictors are suffix-keepers, so eviction applies eagerly
+    on every arrival and state stays bounded.  The delta evictor is
+    relative to the LAST element — which isn't known until the window
+    closes — so its windows buffer every element, exactly like the
+    reference's EvictingWindowOperator (which keeps the full element
+    list for ANY evictor); eviction then runs once at firing time
+    (evict-before-apply, doEvictAfter=false).
 
     Output: ``(key, w_start, cnt, total)`` over the surviving elements,
     one row per window at watermark passage.
     """
     kind, param = evictor
-    if kind not in ("count", "time"):
+    if kind not in ("count", "time", "delta"):
         raise ValueError(f"unknown evictor {kind!r}")
+    if delta_fn is None:
+        delta_fn = lambda e, last: abs(e - last)  # noqa: E731
     key_field = df.schema[key]
     key_name, key_ddl = key_field.name, key_field.dataType.simpleString()
     out_schema = f"{key_name} {key_ddl}, w_start timestamp, cnt long, total double"
@@ -54,8 +68,13 @@ def evicted_tumble_agg(
         buf.sort()
         if kind == "count":
             return buf[-int(param):]
-        cutoff = buf[-1][0] - param
-        return [r for r in buf if r[0] > cutoff]
+        if kind == "time":
+            cutoff = buf[-1][0] - param
+            return [r for r in buf if r[0] > cutoff]
+        # delta: keep elements strictly under the threshold vs the last
+        # element (reference evicts on delta >= threshold)
+        last_v = buf[-1][1]
+        return [r for r in buf if delta_fn(r[1], last_v) < param]
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         wins: dict[float, list] = pickle.loads(state.get[0]) if state.exists else {}
@@ -71,11 +90,16 @@ def evicted_tumble_agg(
                     continue  # behind the watermark: window already fired
                 buf = wins.setdefault(ws, [])
                 buf.append((float(t), float(v)))
-                wins[ws] = evict(buf)  # eager eviction keeps state bounded
+                if kind != "delta":
+                    # eager eviction keeps state bounded; delta must see
+                    # the final element, so it buffers the whole window
+                    wins[ws] = evict(buf)
 
         for ws in sorted(wins):
             if ws + window_seconds <= wm:
                 survivors = wins.pop(ws)
+                if kind == "delta":
+                    survivors = evict(survivors)  # evict-before-apply at firing
                 out.append(
                     {
                         key_name: key_tuple[0],

@@ -35,6 +35,7 @@ def triggered_tumble_agg(
     trigger: tuple[str, float],
     watermark_delay: str = "0 seconds",
     purging: bool = False,
+    delta_fn=None,
 ) -> DataFrame:
     """Tumbling event-time sum/count windows with an early-firing trigger.
 
@@ -44,6 +45,11 @@ def triggered_tumble_agg(
     - ``("continuous", interval)`` — ContinuousEventTimeTrigger.java:
       FIRE whenever the watermark passes the next epoch-aligned
       ``interval`` boundary inside the window.
+    - ``("delta", threshold)`` — DeltaTrigger.java: the window state
+      keeps the element that last fired (seeded with the first
+      element); FIRE when ``delta_fn(last, current) > threshold``, then
+      the current element becomes the new comparison point — exactly
+      the reference's onElement/ValueState<T> loop.
 
     ``purging=True`` wraps the trigger PurgingTrigger-style: early
     firings reset the accumulator (FIRE_AND_PURGE), so each firing
@@ -55,8 +61,12 @@ def triggered_tumble_agg(
     (Flink default without allowed lateness).
     """
     kind, param = trigger
-    if kind not in ("count", "continuous"):
+    if kind not in ("count", "continuous", "delta"):
         raise ValueError(f"unknown trigger {kind!r}")
+    if delta_fn is None:
+        # the reference ships DeltaFunction as user code; the default
+        # mirrors its euclidean example on the aggregated value column
+        delta_fn = lambda last, cur: abs(cur - last)  # noqa: E731
     key_field = df.schema[key]
     key_name, key_ddl = key_field.name, key_field.dataType.simpleString()
     out_schema = (
@@ -90,8 +100,14 @@ def triggered_tumble_agg(
                 if ws + window_seconds <= wm:
                     continue  # behind the watermark: window already purged
                 if ws not in wins:
-                    # [cnt, total, since_fire or next epoch-aligned boundary]
-                    cursor = 0 if kind == "count" else (t - (t % param) + param)
+                    # [cnt, total, cursor]: since_fire count, next
+                    # epoch-aligned boundary, or last-fired element value
+                    if kind == "count":
+                        cursor = 0
+                    elif kind == "continuous":
+                        cursor = t - (t % param) + param
+                    else:
+                        cursor = None  # DeltaTrigger's empty ValueState
                     wins[ws] = [0, 0.0, cursor]
                 acc = wins[ws]
                 acc[0] += 1
@@ -101,6 +117,12 @@ def triggered_tumble_agg(
                     if acc[2] >= param:
                         emit(ws, acc, final=False)
                         acc[2] = 0
+                elif kind == "delta":
+                    if acc[2] is None:
+                        acc[2] = float(v)
+                    elif delta_fn(acc[2], float(v)) > param:
+                        emit(ws, acc, final=False)
+                        acc[2] = float(v)
 
         for ws in sorted(wins):
             acc = wins[ws]

@@ -165,6 +165,62 @@ def test_time_evictor_keeps_recent_span(spark, tmp_path):
                         name="time_evictor")
 
 
+def test_delta_trigger_early_firings_and_final(spark, tmp_path):
+    """DeltaTrigger.java parity: FIRE when |value - last_fired| exceeds
+    the threshold (comparison point updates on each fire); finals must
+    still equal the batch aggregate."""
+    got = _run(spark, tmp_path, "delta_trig", trigger=("delta", 50.0))
+    early, final = got[~got.is_final], got[got.is_final]
+    assert len(early) > 0  # value jumps past 50 occur in every chunk
+    assert_frames_match(
+        final[["user_id", "w_start", "cnt", "total"]].reset_index(drop=True),
+        _batch_expected(spark),
+        name="delta_trigger_final",
+    )
+
+
+def test_delta_evictor_keeps_near_last(spark, tmp_path):
+    """DeltaEvictor.java parity on a hand-built window: elements with
+    delta(e, last) >= threshold are evicted before the aggregate."""
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.streaming.evictors import evicted_tumble_agg
+
+    rows = [
+        # one user, one daily window: values 10, 90, 45, 50 -> last = 50,
+        # threshold 30 evicts 90 (delta 40) and keeps 10? no: |10-50|=40
+        # evicted too; survivors = 45, 50
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "e", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 6, 0, 0), 7, "e", 90.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12, 0, 0), 7, "e", 45.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 18, 0, 0), 7, "e", 50.0, "{}"),
+        # sentinel advances the watermark past the window
+        (9, dt.datetime(2024, 3, 1), -1, "noop", 0.0, "{}"),
+    ]
+    chunks = str(tmp_path / "devict_chunks")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], schema).write.mode("append").parquet(
+            f"{chunks}/__chunk={i}"
+        )
+    stream = sources.read_event_stream(spark, chunks)
+    out = evicted_tumble_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        window_seconds=86400.0, evictor=("delta", 30.0),
+    )
+    q = out.writeStream.format("memory").queryName("t_devict").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_devict").toPandas()
+    got = got[got.user_id >= 0].reset_index(drop=True)
+    assert len(got) == 1
+    assert int(got.cnt.iloc[0]) == 2  # 45 and 50 survive
+    assert float(got.total.iloc[0]) == 95.0
+    assert pd.Timestamp(got.w_start.iloc[0]) == pd.Timestamp("2024-01-01")
+
+
 def test_purging_count_trigger_emits_deltas(spark, tmp_path):
     """PurgingTrigger(CountTrigger) parity: each early firing reports
     only the delta since the last firing; summed early deltas + the
