@@ -189,23 +189,162 @@ def unbounded_stream_join(
     right: DataFrame,
     on: str | list[str],
     how: str = "inner",
+    left_time: str | None = None,
+    right_time: str | None = None,
+    watermark_delay: str = "0 seconds",
+    idle_state_ttl_seconds: float = 3600.0,
 ) -> DataFrame:
     """Unbounded (non-windowed) stream-stream join — the reference's
-    retraction-mode SQL join (flink-table/.../runtime/join/
-    NonWindowInnerJoin.scala): both sides' state grows without bound
+    retraction-mode SQL joins (flink-table/.../runtime/join/
+    NonWindowInnerJoin.scala, NonWindowFullJoin.scala,
+    NonWindowLeftRightJoin.scala): both sides' state grows without bound
     because ANY past row may match a future one.
 
-    Spark supports this for INNER joins (each side's state retained
-    forever — identical unbounded-state cost to the reference's
-    NonWindowInnerJoin). Outer flavors need watermarks on both sides to
-    bound when unmatched rows can be emitted, so requesting one here
-    raises with the interval-join pointer rather than silently hanging.
+    INNER delegates to Spark's native stream-stream join (identical
+    unbounded-state cost to NonWindowInnerJoin).
+
+    LEFT/RIGHT/FULL OUTER run as a symmetric hash join in the stateful
+    layer: per key, both sides buffer in state; each arriving row emits
+    its cross-pairs with the already-buffered opposite side (append
+    mode, no duplicates).  Flink emits null-padded rows EAGERLY and
+    retracts them when a match arrives; an append-only sink cannot
+    retract, so null-padded rows are emitted when the key's event-time
+    timer fires — the watermark has passed every buffered element, the
+    key has gone idle, and state clears (exactly the final state Flink's
+    join converges to under idle-state retention, which the reference
+    also requires for unbounded joins to stay feasible; a match arriving
+    after the TTL is dropped there too).  ``left_time``/``right_time``
+    event-time columns are required for the outer flavors to drive that
+    watermark; ``idle_state_ttl_seconds`` is the event-time idle span
+    after which an unmatched key flushes (Flink's
+    withIdleStateRetentionTime analogue — size it above the expected
+    key re-arrival gap).
     """
-    if how != "inner":
-        raise NotImplementedError(
-            "unbounded stream-stream join supports inner only; outer joins "
-            "need time bounds — use interval_join with watermarks"
-        )
     keys = [on] if isinstance(on, str) else list(on)
-    out = left.join(right, keys, "inner")
-    return out
+    if how == "inner":
+        return left.join(right, keys, "inner")
+    how_n = {
+        "left": "left", "left_outer": "left", "leftouter": "left",
+        "right": "right", "right_outer": "right", "rightouter": "right",
+        "full": "full", "full_outer": "full", "fullouter": "full",
+    }.get(how)
+    if how_n is None:
+        raise ValueError(f"unknown join type {how!r}")
+    if left_time is None or right_time is None:
+        raise ValueError(
+            "outer unbounded stream joins need event-time columns on both "
+            "sides (left_time/right_time) to bound null-padded emission"
+        )
+    return _outer_unbounded_join(
+        left, right, keys, how_n, left_time, right_time, watermark_delay,
+        idle_state_ttl_seconds,
+    )
+
+
+def _outer_unbounded_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str,
+    left_time: str,
+    right_time: str,
+    watermark_delay: str,
+    idle_state_ttl_seconds: float,
+) -> DataFrame:
+    """Symmetric hash join with timer-driven null-padding (see
+    unbounded_stream_join).  Non-key columns of the two sides must be
+    disjoint (alias before joining, as in SQL)."""
+    import json as _json
+    import pickle
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, both sides have {overlap}")
+
+    def _ddl(df: DataFrame, cols: list[str]) -> list[tuple[str, str]]:
+        return [(c, df.schema[c].dataType.simpleString()) for c in cols]
+
+    key_ddl = _ddl(left, keys)
+    l_ddl, r_ddl = _ddl(left, lcols), _ddl(right, rcols)
+    out_schema = ", ".join(f"{c} {t}" for c, t in key_ddl + l_ddl + r_ddl)
+    ts_cols = {c for c, t in l_ddl + r_ddl if t.startswith("timestamp")}
+
+    def _tag(df: DataFrame, time_col: str, side: int, payload_cols: list[str]) -> DataFrame:
+        # watermark goes on the post-projection __ts column — the tag
+        # does not survive an alias
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.col(time_col).cast("timestamp").alias("__ts"),
+            F.lit(side).alias("__side"),
+            F.to_json(F.struct(*payload_cols)).alias("__payload"),
+        ).withWatermark("__ts", watermark_delay)
+
+    u = _tag(left, left_time, 0, lcols).unionByName(_tag(right, right_time, 1, rcols))
+
+    def _revive(rec: dict, cols: list[str]) -> dict:
+        # to_json omits null fields; timestamps round-trip as ISO strings
+        out = {}
+        for c in cols:
+            v = rec.get(c)
+            if v is not None and c in ts_cols:
+                t = pd.to_datetime(v)
+                v = t.tz_localize(None) if t.tzinfo else t
+            out[c] = v
+        return out
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        lefts, rights = pickle.loads(state.get[0]) if state.exists else ([], [])
+        wm = state.getCurrentWatermarkMs()
+        out: list[dict] = []
+        base = dict(zip(keys, key_tuple))
+        null_l = {c: None for c in lcols}
+        null_r = {c: None for c in rcols}
+
+        def pair(lrec, rrec):
+            out.append({**base, **lrec, **rrec})
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
+            for side, payload in zip(pdf["__side"], pdf["__payload"]):
+                rec = _json.loads(payload)
+                if side == 0:
+                    lrec = _revive(rec, lcols)
+                    for rrec in rights:
+                        pair(lrec, rrec)
+                    lefts.append(lrec)
+                else:
+                    rrec = _revive(rec, rcols)
+                    for lrec in lefts:
+                        pair(lrec, rrec)
+                    rights.append(rrec)
+
+        if state.hasTimedOut:
+            # key idle past its TTL: flush null-padded rows and clear —
+            # Flink's idle-state-retention final state
+            if how in ("left", "full") and not rights:
+                for lrec in lefts:
+                    pair(lrec, null_r)
+            if how in ("right", "full") and not lefts:
+                for rrec in rights:
+                    pair(null_l, rrec)
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pickle.dumps((lefts, rights)),))
+            state.setTimeoutTimestamp(wm + int(idle_state_ttl_seconds * 1000) + 1)
+
+        if out:
+            res = pd.DataFrame(out, columns=[c for c, _t in key_ddl + l_ddl + r_ddl])
+            for c in ts_cols:
+                res[c] = pd.to_datetime(res[c])  # None -> NaT, dtype datetime64
+            yield res
+
+    return u.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
+    )
