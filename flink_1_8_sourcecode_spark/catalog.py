@@ -33,16 +33,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-        # read natively: take it as epoch-nanos long and truncate to
-        # microseconds exactly (integer div — double math would lose
-        # precision above 2^53).  Matches DuckDB's ns->us cast semantics.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _read_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with a dtype-aware ``ts`` normalisation.
+
+    The driver's testdata has shipped ``ts`` both as parquet
+    TIMESTAMP(MICROS) (reads natively as a timestamp) and as
+    TIMESTAMP(NANOS) (Spark 4 refuses it unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` maps it to epoch-nanos
+    long).  Branch on what the file actually contains instead of
+    assuming either shape.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Legacy TIMESTAMP(NANOS) file: map to long and retry.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # Epoch-nanos long (nanosAsLong path): truncate to microseconds
+        # exactly (integer div — double math would lose precision above
+        # 2^53).  Matches DuckDB's ns->us cast semantics.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -253,12 +253,27 @@ def _outer_unbounded_join(
 ) -> DataFrame:
     """Symmetric hash join with timer-driven null-padding (see
     unbounded_stream_join).  Non-key columns of the two sides must be
-    disjoint (alias before joining, as in SQL)."""
-    import json as _json
-    import pickle
+    disjoint (alias before joining, as in SQL).
+
+    Implementation notes (hot-path discipline):
+    - payload columns travel as NATIVE Spark columns (the other side's
+      columns null-cast before the union) — no JSON round-trip;
+    - buffered state is Arrow-IPC-serialized pandas frames, not pickled
+      Python lists — the Arrow boundary is the same one
+      applyInPandasWithState already pays;
+    - per-batch matching is a vectorized pandas cross-merge: the new
+      pairs of a batch are exactly new_left x all_right + old_left x
+      new_right (the incremental cross product), no per-row Python loop;
+    - the idle timer is armed off ``max(watermark, max observed event
+      time)`` — the first micro-batch's watermark is epoch 0, and a
+      timer based on it alone fires as soon as the watermark first
+      advances, flushing null-padded rows for keys whose match is still
+      in flight (the round-3 flake).
+    """
     from collections.abc import Iterator
 
     import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     lcols = [c for c in left.columns if c not in keys]
@@ -272,79 +287,115 @@ def _outer_unbounded_join(
 
     key_ddl = _ddl(left, keys)
     l_ddl, r_ddl = _ddl(left, lcols), _ddl(right, rcols)
+    out_cols = [c for c, _t in key_ddl + l_ddl + r_ddl]
     out_schema = ", ".join(f"{c} {t}" for c, t in key_ddl + l_ddl + r_ddl)
     ts_cols = {c for c, t in l_ddl + r_ddl if t.startswith("timestamp")}
 
-    def _tag(df: DataFrame, time_col: str, side: int, payload_cols: list[str]) -> DataFrame:
-        # watermark goes on the post-projection __ts column — the tag
-        # does not survive an alias
+    def _tag(df: DataFrame, time_col: str, side: int) -> DataFrame:
+        # Both sides project to the SAME wide schema (own payload native,
+        # other side's columns null-cast) so the union keeps every value
+        # typed end-to-end.  Watermark goes on the post-projection __ts
+        # column — the tag does not survive an alias.
+        own = lcols if side == 0 else rcols
+        other = r_ddl if side == 0 else l_ddl
         return df.select(
             *[F.col(k) for k in keys],
             F.col(time_col).cast("timestamp").alias("__ts"),
             F.lit(side).alias("__side"),
-            F.to_json(F.struct(*payload_cols)).alias("__payload"),
+            *[F.col(c) for c in own],
+            *[F.lit(None).cast(t).alias(c) for c, t in other],
         ).withWatermark("__ts", watermark_delay)
 
-    u = _tag(left, left_time, 0, lcols).unionByName(_tag(right, right_time, 1, rcols))
+    u = _tag(left, left_time, 0).unionByName(_tag(right, right_time, 1))
 
-    def _revive(rec: dict, cols: list[str]) -> dict:
-        # to_json omits null fields; timestamps round-trip as ISO strings
-        out = {}
-        for c in cols:
-            v = rec.get(c)
-            if v is not None and c in ts_cols:
-                t = pd.to_datetime(v)
-                v = t.tz_localize(None) if t.tzinfo else t
-            out[c] = v
-        return out
+    def _ser(pdf: pd.DataFrame) -> bytes:
+        if not len(pdf):
+            return b""
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        return sink.getvalue().to_pybytes()
+
+    def _de(buf: bytes, cols: list[str]) -> pd.DataFrame:
+        if not buf:
+            return pd.DataFrame(columns=cols)
+        return pa.ipc.open_stream(pa.BufferReader(buf)).read_all().to_pandas()
+
+    def _concat(parts: list[pd.DataFrame], cols: list[str]) -> pd.DataFrame:
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+
+    ttl_ms = int(idle_state_ttl_seconds * 1000)
+
+    def _finish(pdf: pd.DataFrame, key_tuple) -> pd.DataFrame:
+        for k, v in zip(keys, key_tuple):
+            pdf[k] = v
+        for c in ts_cols:
+            pdf[c] = pd.to_datetime(pdf[c])  # None -> NaT, dtype datetime64
+        return pdf.reindex(columns=out_cols)
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
-        lefts, rights = pickle.loads(state.get[0]) if state.exists else ([], [])
+        if state.exists:
+            lbuf, rbuf, max_ts_ms = state.get
+            old_l, old_r = _de(lbuf, lcols), _de(rbuf, rcols)
+        else:
+            old_l, old_r, max_ts_ms = pd.DataFrame(columns=lcols), pd.DataFrame(columns=rcols), 0
         wm = state.getCurrentWatermarkMs()
-        out: list[dict] = []
-        base = dict(zip(keys, key_tuple))
-        null_l = {c: None for c in lcols}
-        null_r = {c: None for c in rcols}
 
-        def pair(lrec, rrec):
-            out.append({**base, **lrec, **rrec})
-
+        new_l_parts: list[pd.DataFrame] = []
+        new_r_parts: list[pd.DataFrame] = []
         for pdf in batches:
-            pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
-            for side, payload in zip(pdf["__side"], pdf["__payload"]):
-                rec = _json.loads(payload)
-                if side == 0:
-                    lrec = _revive(rec, lcols)
-                    for rrec in rights:
-                        pair(lrec, rrec)
-                    lefts.append(lrec)
-                else:
-                    rrec = _revive(rec, rcols)
-                    for lrec in lefts:
-                        pair(lrec, rrec)
-                    rights.append(rrec)
+            if not len(pdf):
+                continue
+            mt = pdf["__ts"].dropna().max()
+            if mt is not pd.NaT and not pd.isna(mt):
+                max_ts_ms = max(max_ts_ms, pd.Timestamp(mt).value // 1_000_000)
+            new_l_parts.append(pdf.loc[pdf["__side"] == 0, lcols])
+            new_r_parts.append(pdf.loc[pdf["__side"] == 1, rcols])
+        new_l = _concat(new_l_parts, lcols)
+        new_r = _concat(new_r_parts, rcols)
+        all_l = _concat([old_l, new_l], lcols)
+        all_r = _concat([old_r, new_r], rcols)
+
+        # Incremental cross product: everything involving a new row,
+        # nothing already emitted.
+        pairs: list[pd.DataFrame] = []
+        if len(new_l) and len(all_r):
+            pairs.append(new_l.merge(all_r, how="cross"))
+        if len(old_l) and len(new_r):
+            pairs.append(old_l.merge(new_r, how="cross"))
+        out = _concat(pairs, lcols + rcols)
 
         if state.hasTimedOut:
             # key idle past its TTL: flush null-padded rows and clear —
             # Flink's idle-state-retention final state
-            if how in ("left", "full") and not rights:
-                for lrec in lefts:
-                    pair(lrec, null_r)
-            if how in ("right", "full") and not lefts:
-                for rrec in rights:
-                    pair(null_l, rrec)
+            if how in ("left", "full") and len(all_l) and not len(all_r):
+                pad = all_l.copy()
+                for c in rcols:
+                    pad[c] = None
+                out = _concat([out, pad], lcols + rcols)
+            if how in ("right", "full") and len(all_r) and not len(all_l):
+                pad = all_r.copy()
+                for c in lcols:
+                    pad[c] = None
+                out = _concat([out, pad], lcols + rcols)
             if state.exists:
                 state.remove()
         else:
-            state.update((pickle.dumps((lefts, rights)),))
-            state.setTimeoutTimestamp(wm + int(idle_state_ttl_seconds * 1000) + 1)
+            state.update((_ser(all_l), _ser(all_r), max_ts_ms))
+            # Arm off the max of watermark and observed event time: batch-1
+            # watermarks are epoch 0, and an epoch-based timer fires the
+            # moment the watermark first advances — padding keys whose
+            # match arrives a few batches later.
+            state.setTimeoutTimestamp(max(wm, max_ts_ms) + ttl_ms + 1)
 
-        if out:
-            res = pd.DataFrame(out, columns=[c for c, _t in key_ddl + l_ddl + r_ddl])
-            for c in ts_cols:
-                res[c] = pd.to_datetime(res[c])  # None -> NaT, dtype datetime64
-            yield res
+        if len(out):
+            yield _finish(out, key_tuple)
 
     return u.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
+        fn, out_schema, "lbuf binary, rbuf binary, max_ts_ms long", "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

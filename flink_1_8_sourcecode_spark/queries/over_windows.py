@@ -83,7 +83,9 @@ def over_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def over_bounded_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        # NTZ cannot cast straight to long in Spark 4; go via LTZ (session
+        # tz is UTC, so epoch seconds are identical either way)
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return table(spark, sf_dir, "events").select(

@@ -42,6 +42,10 @@ def test_no_forced_broadcast_on_scaling_tables(spark):
         "tpch_q5": 2,   # nation + region
         "tpch_q10": 1,  # nation
         "join_single_row": 1,  # single-row aggregate broadcast NL join
+        "tpch_q9": 1,   # nation only; part/supplier/orders: size-based
+        "tpch_q21": 0,  # lineitem/orders/supplier all scale with sf
+        "tpch_q2": 2,   # nation + region; supply/supplier: size-based
+        "tpch_q17": 0,  # lineitem/part both scale with sf
     }
     for name, n in expected_bounded_hints.items():
         assert _hint_count(spark, name) == n, f"{name}: unexpected broadcast hints"

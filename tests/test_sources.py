@@ -143,3 +143,25 @@ def test_add_source_split_parallel(spark):
     assert len(out) == 40
     assert sorted(out.tag.unique()) == ["s0", "s1", "s2", "s3"]
     assert sorted(out.v) == list(range(40))
+
+
+def test_catalog_schema_probe(spark):
+    """Fail fast, with a readable message, if the driver regenerates the
+    testdata with a different shape (the round-4 regression: events.ts
+    flipped parquet TIMESTAMP(NANOS) -> TIMESTAMP(MICROS) and an
+    unconditional conversion broke every events read)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from flink_1_8_sourcecode_spark.catalog import TABLES, table
+
+    sf = "/root/testdata/sf0.001"
+    for name in TABLES:
+        df = table(spark, sf, name)
+        assert df.limit(1).count() >= 0, f"{name}: does not load"
+    ev = table(spark, sf, "events")
+    ts_type = ev.schema["ts"].dataType
+    assert isinstance(ts_type, (TimestampType, TimestampNTZType)), (
+        f"events.ts must load as a timestamp, got {ts_type.simpleString()} — "
+        "check _read_events in catalog.py against the current parquet dtype"
+    )
+    assert ev.filter(F.col("ts").isNull()).limit(1).count() == 0

@@ -233,5 +233,6 @@ def test_unbounded_stream_join_inner(spark, chunk_dir):
     assert got_counts == dict(zip(expected.u, expected["count"]))
 
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    # outer flavors require event-time columns to bound null-padded emission
+    with _pytest.raises(ValueError, match="event-time"):
         unbounded_stream_join(s1, s2, on="u", how="left")

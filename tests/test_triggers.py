@@ -154,8 +154,8 @@ def test_time_evictor_keeps_recent_span(spark, tmp_path):
 
     w = Window.partitionBy("user_id", F.window("ts", "7 days"))
     expected = (
-        ev.withColumn("__mx", F.max(F.col("ts").cast("double")).over(w))
-        .filter(F.col("ts").cast("double") > F.col("__mx") - span)
+        ev.withColumn("__mx", F.max(F.col("ts").cast("timestamp").cast("double")).over(w))
+        .filter(F.col("ts").cast("timestamp").cast("double") > F.col("__mx") - span)
         .groupBy("user_id", F.window("ts", "7 days").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
         .select("user_id", F.col("w.start").alias("w_start"), "cnt", "total")

@@ -99,6 +99,72 @@ def test_outer_unbounded_finals_equal_batch(spark, tmp_path, how):
     assert canon(got) == canon(expected), f"{how}: finals != batch outer join"
 
 
+def test_outer_unbounded_late_match_no_premature_pad(spark, tmp_path):
+    """A match that arrives TWO micro-batches after its partner must still
+    pair (no premature null-pad).  Regression for the epoch-0 timer: the
+    first batch's watermark is 0, and a timer armed off it alone fires as
+    soon as the watermark first advances — padding key 10 before its match
+    (chunk 3 on the right) has arrived, then double-emitting the pair.
+    """
+    left_rows = [
+        [(10, _t(0), 1.0)],            # chunk 0: the early left row
+        [(11, _t(5), 2.0)],            # chunk 1: filler advances the stream
+        [(11, _t(10), 3.0)],           # chunk 2: more filler
+        [SENT_L],                      # chunk 3: sentinel pushes watermark
+    ]
+    right_rows = [
+        [(12, _t(1), 9.0)],            # chunk 0: filler
+        [(12, _t(6), 8.0)],            # chunk 1: filler
+        [(12, _t(11), 7.0)],           # chunk 2: filler
+        [(10, _t(20), 100.0), SENT_R], # chunk 3: the LATE match
+    ]
+
+    import os
+    import time
+
+    def write(base, chunks, schema):
+        now = time.time()
+        for i, chunk in enumerate(chunks):
+            d = f"{base}/__chunk={i}"
+            spark.createDataFrame(chunk, schema).write.mode("append").parquet(d)
+            for dp, _dn, fns in os.walk(d):
+                for fn in fns:
+                    os.utime(os.path.join(dp, fn), (now + 10 * i, now + 10 * i))
+        return base
+
+    lbase = write(str(tmp_path / "l_late"), left_rows, L_SCHEMA)
+    rbase = write(str(tmp_path / "r_late"), right_rows, R_SCHEMA)
+    ls = spark.readStream.schema(L_SCHEMA).option("maxFilesPerTrigger", 1) \
+        .option("recursiveFileLookup", "true").parquet(lbase)
+    rs = spark.readStream.schema(R_SCHEMA).option("maxFilesPerTrigger", 1) \
+        .option("recursiveFileLookup", "true").parquet(rbase)
+    out = unbounded_stream_join(
+        ls, rs, on="k", how="full", left_time="lts", right_time="rts",
+        watermark_delay="2 hours", idle_state_ttl_seconds=3600.0,
+    )
+    q = out.writeStream.format("memory").queryName("t_unb_late").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_unb_late").toPandas()
+    got = got[got.k < 900].reset_index(drop=True)
+
+    flat_l = [r for c in left_rows for r in c if r[0] < 900]
+    flat_r = [r for c in right_rows for r in c if r[0] < 900]
+    lb = spark.createDataFrame(flat_l, L_SCHEMA)
+    rb = spark.createDataFrame(flat_r, R_SCHEMA)
+    expected = lb.join(rb, "k", "full").select("k", "lts", "lv", "rts", "rv").toPandas()
+
+    def canon(df):
+        df = df[["k", "lts", "lv", "rts", "rv"]].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+    assert canon(got) == canon(expected), "late match padded or double-emitted"
+
+
 def test_outer_unbounded_requires_time_columns(spark):
     ls = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="event-time"):
