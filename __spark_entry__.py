@@ -113,6 +113,12 @@ _ADDED_R3 = {
     "cep_match_recognize_all_rows", "dedup_skew_salted_join",
 }
 
+# every pre-declared name must resolve — a stale promise here fails at
+# import time instead of silently misrepresenting scope to the driver
+for _added in (_ADDED_R2, _ADDED_R3):
+    _missing = _added - set(_REGISTRY)
+    assert not _missing, f"declared but unregistered queries: {sorted(_missing)}"
+
 
 def _ordered_names() -> list[str]:
     green = _driver_verified()

@@ -22,6 +22,10 @@ from flink_1_8_sourcecode_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Heavy non-headline operators tracked separately so the headline total
+# stays comparable against the r1/r3 anchors.
+SECONDARY = ("window_delta_trigger", "graph_connected_components", "graph_pagerank")
+
 
 def main() -> None:
     registry = load_all()
@@ -38,14 +42,19 @@ def main() -> None:
     # ride scheduler jitter (observed 2x swings on identical plans), and
     # the per-query 2x regression gate should not.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name, q in bench_queries.items():
+
+    def median_wall(q) -> float:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
+        return round(sorted(samples)[len(samples) // 2], 4)
+
+    timings = {name: median_wall(q) for name, q in bench_queries.items()}
+    secondary = {
+        name: median_wall(registry[name]) for name in SECONDARY if name in registry
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -55,6 +64,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

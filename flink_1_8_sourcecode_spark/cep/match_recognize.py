@@ -15,8 +15,17 @@ Supported subset (documented):
   ``LAST(B.x) < A.y`` is not supported in round 1)
 - MEASURES FIRST(S.col) / LAST(S.col) / S.col (= FIRST) / COUNT(S.*)
   AS alias
-- ONE ROW PER MATCH (only); AFTER MATCH SKIP PAST LAST ROW (default) or
-  AFTER MATCH SKIP TO NEXT ROW
+- ONE ROW PER MATCH (default) and ALL ROWS PER MATCH.  The reference's
+  SQL planner rejects all-rows mode (DataStreamMatch.scala:182-183
+  ``throw new TableException("All rows per match mode is not supported
+  yet.")``) — ours is a documented superset: one output row per matched
+  event carrying the input columns, CLASSIFIER() as ``classifier``, and
+  the MEASURES with FINAL semantics (each match's measures repeated on
+  its rows).
+- AFTER MATCH SKIP PAST LAST ROW (default), SKIP TO NEXT ROW,
+  SKIP TO FIRST <sym>, SKIP TO LAST <sym> — the skip-to forms raise on
+  no-progress/unbound symbol, per the SQL standard (and Flink's
+  throwExceptionOnMiss)
 
 Execution: DEFINE conditions are evaluated JVM-side as boolean columns
 (one ``F.expr`` each — whole-stage codegen), so the Python NFA only
@@ -55,7 +64,7 @@ _QUANT_RE = re.compile(r"(?P<sym>[A-Za-z_]\w*)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<
 
 def _parse_clause(text: str, name: str, required: bool = True) -> str | None:
     m = re.search(
-        rf"{name}\s+(.*?)(?=(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|AFTER\s+MATCH|PATTERN|DEFINE|$))",
+        rf"{name}\s+(.*?)(?=(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN|DEFINE|$))",
         text,
         re.IGNORECASE | re.DOTALL,
     )
@@ -135,6 +144,12 @@ def match_recognize(df: DataFrame, clause: str) -> DataFrame:
     pattern_txt = _parse_clause(clause, "PATTERN")
     define_txt = _parse_clause(clause, "DEFINE")
     skip_txt = _parse_clause(clause, r"AFTER\s+MATCH", required=False) or "SKIP PAST LAST ROW"
+    all_rows = re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE) is not None
+
+    # ORDER BY <time_col>[, <tiebreak>] — extra columns break ties so the
+    # row sequence the NFA sees is deterministic under equal timestamps
+    order_cols = [c.strip() for c in order.split(",")]
+    order, tiebreak = order_cols[0], (order_cols[1] if len(order_cols) > 1 else None)
 
     # -- PATTERN first: its symbols scope the DEFINE prefix rewrite ---
     parsed = _parse_pattern(pattern_txt)
@@ -184,39 +199,73 @@ def match_recognize(df: DataFrame, clause: str) -> DataFrame:
                 strict_iter=True,
             )
         )
-    skip = "skip_past_last" if re.search(r"PAST\s+LAST", skip_txt, re.IGNORECASE) else "no_skip"
-    pattern = Pattern(stages=tuple(stages), skip_strategy=skip)
+    # -- AFTER MATCH SKIP ---------------------------------------------
+    skip_kw = {}
+    if re.search(r"PAST\s+LAST", skip_txt, re.IGNORECASE):
+        skip = "skip_past_last"
+    elif re.search(r"TO\s+NEXT\s+ROW", skip_txt, re.IGNORECASE):
+        skip = "skip_to_next"
+    elif m := re.search(r"TO\s+(FIRST|LAST)\s+(\w+)", skip_txt, re.IGNORECASE):
+        skip = f"skip_to_{m.group(1).lower()}"
+        # SQL standard: skipping to an unbound symbol or to the match's
+        # own first row is a runtime error (Flink: throwExceptionOnMiss)
+        skip_kw = {"stage": m.group(2), "throw_on_miss": True}
+    else:
+        skip = "no_skip"
+    pattern = Pattern(stages=tuple(stages)).with_skip(skip, **skip_kw)
 
     # -- evaluate defines, run the NFA --------------------------------
     work = df
     for sym, cond in defines.items():
         work = work.withColumn(f"__def_{sym}", F.expr(cond))
 
-    needed = sorted(
-        {m.col for m in measures if m.col is not None} | {order}
-    )
+    measure_cols = {m.col for m in measures if m.col is not None}
+    if all_rows:
+        # every input column rides along — the SQL-standard all-rows shape
+        needed = [c for c in df.columns if c != partition]
+    else:
+        needed = sorted(measure_cols | {order})
     matches = match_pattern(
-        work, pattern, key=partition, time_col=order, select_cols=needed
+        work, pattern, key=partition, time_col=order, select_cols=needed,
+        tiebreak=tiebreak,
     )
 
     # -- measures: sorted-collect per match, pure Column expressions --
-    arr = F.array_sort(F.collect_list(F.struct("seq", "stage", *needed)))
+    struct_cols = sorted(measure_cols | {order}) if all_rows else needed
+    arr_of = F.collect_list(F.struct("seq", "stage", *struct_cols))
 
     def stage_filter(sym: str):
         # closure factory — a default-arg lambda would change the HOF arity
         return lambda x: x["stage"] == sym
 
-    aggs = []
-    for ms in measures:
-        sub = F.filter(arr, stage_filter(ms.symbol))
-        if ms.kind == "count":
-            aggs.append(F.size(sub).alias(ms.alias))
-        elif ms.kind == "first":
-            aggs.append(sub[0][ms.col].alias(ms.alias))
-        else:  # last
-            aggs.append(F.element_at(sub, -1)[ms.col].alias(ms.alias))
+    def measure_exprs(arr):
+        out = []
+        for ms in measures:
+            sub = F.filter(arr, stage_filter(ms.symbol))
+            if ms.kind == "count":
+                out.append(F.size(sub).alias(ms.alias))
+            elif ms.kind == "first":
+                out.append(sub[0][ms.col].alias(ms.alias))
+            else:  # last
+                out.append(F.element_at(sub, -1)[ms.col].alias(ms.alias))
+        return out
+
+    if all_rows:
+        # one row per matched event: input columns + CLASSIFIER() +
+        # FINAL-semantics measures, computed over a per-match window (one
+        # exchange on (partition, match_id); no extra join)
+        from pyspark.sql import Window
+
+        wm = Window.partitionBy(partition, "match_id")
+        arr = F.array_sort(arr_of.over(wm))
+        return matches.select(
+            partition,
+            *needed,
+            F.col("stage").alias("classifier"),
+            *measure_exprs(arr),
+        )
     return (
         matches.groupBy(F.col(partition), F.col("match_id"))
-        .agg(*aggs)
+        .agg(*measure_exprs(F.array_sort(arr_of)))
         .drop("match_id")
     )

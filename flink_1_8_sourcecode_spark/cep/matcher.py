@@ -87,7 +87,9 @@ def _find_matches(
         # 'followed_by_any' additionally branches on alternative positions
         # for each occurrence; the others commit to the first qualifying.
         def runs(i: int, count: int, acc: list[int]):
-            if count >= st.times_min:
+            # optional() permits the empty run even when times_min > 0
+            # (Pattern.java:332 — optional is orthogonal to the quantifier)
+            if count >= st.times_min or (count == 0 and st.optional and st.times_min > 0):
                 yield list(acc)
             if st.times_max is not None and count >= st.times_max:
                 return
@@ -219,15 +221,17 @@ def _find_matches(
     while i < n:
         if max_start_time is not None and times[i] > max_start_time:
             return
-        produced_end = None
+        next_i = None  # scan-advance override from the after-match skip
         matched_here = False
         if stages[0].accepts(rows[i]):
             for m in backtrack(0, i, None, []):
                 matched_here = True
                 yield (m, False) if emit_timeouts else m
-                if m:
-                    produced_end = max(idx for _, idx in m)
-                if pattern.skip_strategy == "skip_past_last":
+                if m and next_i is None:
+                    next_i = _after_match_pos(pattern, m, i)
+                if next_i is not None:
+                    # every later branch from this start is a partial that
+                    # started before the pruning event — discarded
                     break
             if emit_timeouts and not matched_here and pattern.within_seconds is not None:
                 partial, first_unbound = prefix_partial(i)
@@ -235,10 +239,49 @@ def _find_matches(
                     yield partial, True
         if anchor is not None:
             return
-        if pattern.skip_strategy == "skip_past_last" and produced_end is not None:
-            i = produced_end + 1
-        else:
-            i += 1
+        i = next_i if next_i is not None else i + 1
+
+
+def _after_match_pos(pattern: Pattern, match, start_i: int) -> int | None:
+    """Scan position after an emitted match, per AfterMatchSkipStrategy
+    (nfa/aftermatch/): partial matches that started BEFORE the pruning
+    event are discarded, so the scan resumes at it.  ``None`` = no
+    pruning effect — NoSkip behavior: keep enumerating this start's
+    remaining branches, then advance one event.
+
+    - skip_past_last: pruning event is just past the match's last event
+      (SkipPastLastStrategy).
+    - skip_to_next: discards every partial that started WITH the same
+      event (SkipToNextStrategy) — resume at the next event.
+    - skip_to_first/skip_to_last: pruning event is the first/last event
+      bound to ``pattern.skip_stage`` (SkipToFirstStrategy.getIndex=0 /
+      SkipToLastStrategy.getIndex=size-1).  A miss (stage bound nothing)
+      falls back to NoSkip, and a no-progress skip (pruning event == the
+      match's own start) prunes nothing — unless ``skip_throw_on_miss``
+      (throwExceptionOnMiss), which raises in both cases exactly like
+      SkipToElementStrategy.getPruningId.
+    """
+    s = pattern.skip_strategy
+    if s == "no_skip":
+        return None
+    if s == "skip_past_last":
+        return max(idx for _, idx in match) + 1
+    if s == "skip_to_next":
+        return start_i + 1
+    bound = [idx for name, idx in match if name == pattern.skip_stage]
+    if not bound:
+        if pattern.skip_throw_on_miss:
+            raise ValueError(
+                f"Could not skip to {pattern.skip_stage!r}: no such element "
+                f"in the found match"
+            )
+        return None
+    pos = bound[0] if s == "skip_to_first" else bound[-1]
+    if pos <= min(idx for _, idx in match):
+        if pattern.skip_throw_on_miss:
+            raise ValueError("Could not skip to first element of a match")
+        return None
+    return pos
 
 
 def match_pattern(

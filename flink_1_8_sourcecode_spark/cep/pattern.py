@@ -12,7 +12,9 @@ Semantics subset (documented, SURVEY.md §7 'what's hard' #2):
 - negatives ``not_next`` / ``not_followed_by`` guard the gap to the next
   stage; ``not_followed_by`` cannot end a pattern (same rule as Flink).
 - ``within`` bounds first-to-last event time.
-- after-match skip: ``no_skip`` (default) or ``skip_past_last``.
+- after-match skip: the full reference set — ``no_skip`` (default),
+  ``skip_to_next``, ``skip_past_last``, ``skip_to_first(stage)``,
+  ``skip_to_last(stage)`` with optional throw-on-miss.
 """
 
 from __future__ import annotations
@@ -49,7 +51,11 @@ class Stage:
 class Pattern:
     stages: tuple[Stage, ...] = ()
     within_seconds: float | None = None
-    skip_strategy: str = "no_skip"  # | 'skip_past_last'
+    # AfterMatchSkipStrategy.java:46,56 — the full reference set:
+    # no_skip | skip_to_next | skip_past_last | skip_to_first | skip_to_last
+    skip_strategy: str = "no_skip"
+    skip_stage: str | None = None  # skip_to_first/skip_to_last target
+    skip_throw_on_miss: bool = False  # SkipToElementStrategy.throwExceptionOnMiss
 
     # -- construction --------------------------------------------------
     @staticmethod
@@ -113,16 +119,38 @@ class Pattern:
     def within(self, duration: str) -> "Pattern":
         return replace(self, within_seconds=_parse_duration(duration))
 
-    def with_skip(self, strategy: str) -> "Pattern":
-        if strategy not in ("no_skip", "skip_past_last"):
-            raise ValueError(f"unknown skip strategy {strategy!r}")
-        return replace(self, skip_strategy=strategy)
+    def with_skip(
+        self, strategy: str, stage: str | None = None, throw_on_miss: bool = False
+    ) -> "Pattern":
+        """AfterMatchSkipStrategy (nfa/aftermatch/AfterMatchSkipStrategy.java):
+        ``skip_to_first``/``skip_to_last`` take the target ``stage`` name
+        (SkipToFirstStrategy/SkipToLastStrategy); ``throw_on_miss`` mirrors
+        ``throwExceptionOnMiss()`` — raise when the stage bound no events
+        or the skip would not progress past the match's own start, instead
+        of silently falling back to no-skip."""
+        known = ("no_skip", "skip_to_next", "skip_past_last", "skip_to_first", "skip_to_last")
+        if strategy not in known:
+            raise ValueError(f"unknown skip strategy {strategy!r}; known: {known}")
+        if strategy in ("skip_to_first", "skip_to_last"):
+            if not stage:
+                raise ValueError(f"{strategy} requires the target stage name")
+        elif stage is not None:
+            raise ValueError(f"{strategy} takes no stage name")
+        return replace(
+            self, skip_strategy=strategy, skip_stage=stage, skip_throw_on_miss=throw_on_miss
+        )
 
     def validate(self) -> "Pattern":
         if not self.stages:
             raise ValueError("empty pattern")
         if self.stages[-1].negative:
             raise ValueError("notFollowedBy/notNext cannot end a pattern (Flink rule)")
+        if self.skip_stage is not None and self.skip_stage not in {
+            s.name for s in self.stages
+        }:
+            raise ValueError(
+                f"skip target stage {self.skip_stage!r} is not a pattern stage"
+            )
         return self
 
 

@@ -167,3 +167,47 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("event_id"))
     )
     return wide.select("user_id", "e1", "e2", "e3")
+
+
+@register(
+    "cep_match_recognize_all_rows",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value, props,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lag(event_type) OVER w AS prev_type,
+             lag(event_id) OVER w AS prev_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, event_type, value, props,
+           'S' AS classifier, event_id AS signup_id, next_id AS purchase_id
+    FROM seq WHERE event_type = 'signup' AND next_type = 'purchase'
+    UNION ALL
+    SELECT user_id, event_id, ts, event_type, value, props,
+           'P' AS classifier, prev_id AS signup_id, event_id AS purchase_id
+    FROM seq WHERE event_type = 'purchase' AND prev_type = 'signup'
+    """,
+    doc="MATCH_RECOGNIZE ALL ROWS PER MATCH: one output row per matched "
+    "event with CLASSIFIER() and FINAL measures.  Documented superset — "
+    "the reference's planner gates this mode (DataStreamMatch.scala:"
+    "182-183 'All rows per match mode is not supported yet').",
+)
+def cep_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+
+    ev = table(spark, sf_dir, "events")
+    return match_recognize(
+        ev,
+        """
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S P)
+        DEFINE S AS S.event_type = 'signup',
+               P AS P.event_type = 'purchase'
+        """,
+    )

@@ -271,3 +271,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, d.n_events
+    FROM events e
+    JOIN (SELECT user_id, count(*) AS n_events
+          FROM events GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    """,
+    doc="Auto-skew salted join (operators/partitioning.py:skew_salted_join): "
+    "hot user_ids detected by sampling get per-key salt factors; the "
+    "enrichment side replicates per salt so no reducer owns a hot key "
+    "whole.  Result is identical to the plain join — the oracle IS the "
+    "plain join.",
+)
+def dedup_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.partitioning import skew_salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return skew_salted_join(
+        e.select("event_id", "user_id", "event_type"), dim, on="user_id"
+    ).select("event_id", "user_id", "event_type", "n_events")

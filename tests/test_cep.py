@@ -193,3 +193,109 @@ def test_timeout_side_channel(spark):
     # timed-out partials carry only the bound prefix (the signup row)
     assert sorted(zip(timed_out.user_id, timed_out.event_id)) == [(2, 2), (3, 4)]
     assert set(timed_out.stage) == {"s"}
+
+
+# -- after-match skip matrix (AfterMatchSkipStrategy.java) -------------
+# Canonical sequence from the reference docs: a1 a2 a3 b, pattern
+# (a+ greedy, then b).  Expected matches per strategy:
+#   no_skip / skip_to_next / skip_to_first[a]:
+#       [a0 a1 a2 b3], [a1 a2 b3], [a2 b3]
+#   skip_past_last:      [a0 a1 a2 b3]
+#   skip_to_last[a]:     [a0 a1 a2 b3], [a2 b3]
+#   skip_to_first[b]:    [a0 a1 a2 b3]
+
+@pytest.fixture(scope="module")
+def aaab_df(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(seconds=i), t)
+        for i, t in enumerate(["a", "a", "a", "b"])
+    ]
+    return spark.createDataFrame(rows, "k int, event_id int, ts timestamp, etype string")
+
+
+def _aplus_b():
+    return (
+        Pattern.begin("a").where(_is("a")).one_or_more().greedy()
+        .followed_by("b").where(_is("b"))
+    )
+
+
+ALL_THREE = [
+    [("a", 0), ("a", 1), ("a", 2), ("b", 3)],
+    [("a", 1), ("a", 2), ("b", 3)],
+    [("a", 2), ("b", 3)],
+]
+
+
+@pytest.mark.parametrize(
+    "skip_kw, expected",
+    [
+        (dict(strategy="no_skip"), ALL_THREE),
+        (dict(strategy="skip_to_next"), ALL_THREE),
+        (dict(strategy="skip_past_last"), ALL_THREE[:1]),
+        (dict(strategy="skip_to_first", stage="a"), ALL_THREE),
+        (dict(strategy="skip_to_last", stage="a"), [ALL_THREE[0], ALL_THREE[2]]),
+        (dict(strategy="skip_to_first", stage="b"), ALL_THREE[:1]),
+    ],
+    ids=["no_skip", "to_next", "past_last", "to_first_a", "to_last_a", "to_first_b"],
+)
+def test_after_match_skip_matrix(spark, aaab_df, skip_kw, expected):
+    p = _aplus_b().with_skip(**skip_kw)
+    m = _matches(aaab_df, p)
+    assert sorted(m.values()) == sorted(expected)
+
+
+def test_skip_to_first_no_progress_raises(spark, aaab_df):
+    # pruning event == the match's own start; throwExceptionOnMiss parity
+    p = _aplus_b().with_skip("skip_to_first", stage="a", throw_on_miss=True)
+    with pytest.raises(Exception, match="first element of a match"):
+        _matches(aaab_df, p)
+
+
+def test_skip_to_unbound_stage(spark, aaab_df):
+    # optional stage that never matches: miss falls back to NoSkip...
+    p = (
+        Pattern.begin("a").where(_is("a")).one_or_more().greedy()
+        .followed_by("o").where(_is("x")).optional()
+        .followed_by("b").where(_is("b"))
+    )
+    m = _matches(aaab_df, p.with_skip("skip_to_first", stage="o"))
+    assert len(m) == 3
+    # ...and raises under throw_on_miss
+    with pytest.raises(Exception, match="no such element"):
+        _matches(aaab_df, p.with_skip("skip_to_first", stage="o", throw_on_miss=True))
+
+
+def test_skip_validate_unknown_stage(spark):
+    p = _aplus_b().with_skip("skip_to_first", stage="zzz")
+    with pytest.raises(ValueError, match="not a pattern stage"):
+        p.validate()
+
+
+def test_match_recognize_all_rows(spark):
+    from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+
+    base = dt.datetime(2024, 1, 1)
+    types = ["signup", "purchase", "signup", "noise", "purchase"]
+    rows = [
+        (7, i, base + dt.timedelta(seconds=i), t) for i, t in enumerate(types)
+    ]
+    df = spark.createDataFrame(rows, "k int, event_id int, ts timestamp, etype string")
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY k
+        ORDER BY ts, event_id
+        MEASURES S.event_id AS sid, P.event_id AS pid
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S P)
+        DEFINE S AS S.etype = 'signup', P AS P.etype = 'purchase'
+        """,
+    ).toPandas().sort_values("event_id")
+    # strict contiguity: only rows 0-1 match; rows 2-4 break on 'noise'
+    assert list(out.event_id) == [0, 1]
+    assert list(out.classifier) == ["S", "P"]
+    assert set(zip(out.sid, out.pid)) == {(0, 1)}
+    assert {"k", "event_id", "ts", "etype", "classifier", "sid", "pid"} <= set(out.columns)

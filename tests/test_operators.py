@@ -244,3 +244,63 @@ def test_scatter_gather_iteration_max_propagation(spark):
         max_iterations=6,
     ).toPandas()
     assert (out.val == 5.0).all()
+
+
+class TestSkewSaltedJoin:
+    """Auto-skew salting: identical results to the plain join, hot keys
+    detected by sampling and scattered across salt values (the
+    max-task-time flattening claim, measured as max-rows-per-
+    (key,salt)-group vs. the unsalted hot-key row count)."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # key 1 owns 90% of rows; keys 2..50 share the rest
+        rows = [(1, i) for i in range(9000)] + [
+            (2 + i % 49, i) for i in range(1000)
+        ]
+        return spark.createDataFrame(rows, "k int, v int")
+
+    @pytest.fixture(scope="class")
+    def dim(self, spark):
+        return spark.createDataFrame(
+            [(i, f"name_{i}") for i in range(1, 51)], "k int, name string"
+        )
+
+    def test_results_equal_plain_join(self, spark, skewed, dim):
+        got = partitioning.skew_salted_join(skewed, dim, on="k")
+        plain = skewed.join(dim, "k")
+        assert got.count() == plain.count() == 10000
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+    def test_left_join_keeps_unmatched(self, spark, skewed, dim):
+        small_dim = dim.filter(F.col("k") > 1)  # hot key 1 unmatched
+        got = partitioning.skew_salted_join(skewed, small_dim, on="k", how="left")
+        plain = skewed.join(small_dim, "k", "left")
+        assert got.count() == plain.count()
+        assert got.filter(F.col("name").isNull()).count() == 9000
+
+    def test_hot_key_detected_and_scattered(self, spark, skewed):
+        hot = partitioning.detect_hot_keys(skewed, "k", sample_fraction=0.5)
+        rows = {r["k"]: r["__factor"] for r in hot.collect()}
+        assert 1 in rows and rows[1] >= 2, "the 90% key must be hot"
+        assert all(k == 1 for k in rows), f"cold keys flagged hot: {rows}"
+
+    def test_max_group_flattens(self, spark, skewed, dim):
+        # after salting, no (key, salt) group may own the hot key whole
+        hot = partitioning.detect_hot_keys(skewed, "k", sample_fraction=0.5)
+        lf = skewed.join(F.broadcast(hot), "k", "left").withColumn(
+            "__salt",
+            F.when(F.col("__factor").isNull(), F.lit(0)).otherwise(
+                (F.rand(seed=42) * F.col("__factor")).cast("int")
+            ),
+        )
+        per_group = lf.groupBy("k", "__salt").count()
+        hot_max = per_group.filter(F.col("k") == 1).agg(F.max("count")).first()[0]
+        n_slices = per_group.filter(F.col("k") == 1).count()
+        assert n_slices >= 2
+        assert hot_max <= 9000 * 0.8, "hot key not flattened"
+
+    def test_right_full_rejected(self, spark, skewed, dim):
+        with pytest.raises(ValueError, match="inner/left"):
+            partitioning.skew_salted_join(skewed, dim, on="k", how="full")
