@@ -302,3 +302,28 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup PAIRS into clusters and pick one keeper per
+    cluster — the step an LLM-data pipeline runs after LSH/SimHash pair
+    generation: transitive closure via min-id connected components
+    (delta iteration, graph/graph.py), cluster_id = the cluster's min
+    doc id, is_keeper = (id == cluster_id).  Docs in no pair are their
+    own singleton cluster.
+
+    Scale: inherits connected_components' delta-iteration bound — each
+    superstep joins edges against only the vertices whose label changed,
+    and near-dup clusters are shallow (diameter rarely > a few hops), so
+    the iteration count stays small even at 100 TB.
+    """
+    from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+    v = docs.select(F.col(id_col).alias("id"))
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = Graph(v, e).connected_components(max_iterations=15)
+    return cc.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

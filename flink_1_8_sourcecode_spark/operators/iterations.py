@@ -65,15 +65,22 @@ def iterate_delta(
     ``on_progress(iteration, workset_count)`` observes the (already
     computed) per-iteration workset size — counts come from the
     empty-workset termination check, so observing them is free.
+
+    Cost note: the workset is eagerly materialized every iteration (it is
+    the SMALL, shrinking side — exactly the cheap thing to cache), so
+    the termination count reads cached blocks and ``step`` does not
+    recompute the workset lineage a second time; without this every
+    iteration's workset DAG would execute twice (once for the count,
+    once inside the step's join).  The big solution set is only
+    lineage-truncated every ``checkpoint_every`` rounds.
     """
     keys = [key] if isinstance(key, str) else list(key)
     solution, workset = initial_solution, initial_workset
     for i in range(max_iterations):
-        # localCheckpoint both frames BEFORE counting so the count action
-        # materializes the truncated lineage (iterative-join blowup guard)
         if i % checkpoint_every == checkpoint_every - 1:
             solution = solution.localCheckpoint(eager=False)
-            workset = workset.localCheckpoint(eager=False)
+        # eager: one materialization serves the count AND the step
+        workset = workset.localCheckpoint(eager=True)
         n = workset.count()
         if on_progress is not None:
             on_progress(i, n)

@@ -296,3 +296,42 @@ def dedup_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_salted_join(
         e.select("event_id", "user_id", "event_type"), dim, on="user_id"
     ).select("event_id", "user_id", "event_type", "n_events")
+
+
+def _cluster_oracle() -> str:
+    # transitive closure over the SAME pair set as dedup_minhash_lsh:
+    # reach = every node reachable from id over undirected pair edges;
+    # cluster = min reachable id (incl. self)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+    FROM reach GROUP BY id
+    """
+
+
+@register(
+    "dedup_cluster_resolution",
+    oracle=_cluster_oracle(),
+    doc="Near-dup cluster resolution (operators/dedup.py:dedup_clusters): "
+    "MinHash-LSH pairs -> undirected transitive closure (min-id delta "
+    "iteration) -> one keeper per cluster.  The pipeline step that turns "
+    "candidate pairs into an actual dedup decision.",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    return dedup_clusters(d, pairs, id_col="doc_id")

@@ -304,3 +304,23 @@ class TestSkewSaltedJoin:
     def test_right_full_rejected(self, spark, skewed, dim):
         with pytest.raises(ValueError, match="inner/left"):
             partitioning.skew_salted_join(skewed, dim, on="k", how="full")
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from flink_1_8_sourcecode_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2, pair 5-6, singletons 3,4,7; edge direction mixed on
+    # purpose — closure must be undirected
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True),
+        5: (5, True), 6: (5, False), 7: (7, True),
+    }
