@@ -106,6 +106,88 @@ class Graph:
         edges.unpersist()
         return out
 
+    def connected_components_alternating(
+        self,
+        max_rounds: int = 12,
+        on_progress=None,
+    ) -> DataFrame:
+        """Connected components in O(log n) rounds via alternating
+        large-star / small-star contractions (Kiveris et al., "Connected
+        Components in MapReduce and Beyond", SoCC'14) — same (id, min
+        component id) output as ``connected_components``.
+
+        Why a second algorithm: min-id label propagation needs
+        O(diameter) supersteps — a 10^6-hop chain (or any high-diameter
+        web/link graph) at 100 TB means 10^6 shuffles.  The star
+        contractions halve tree heights every round, converging in
+        O(log n) rounds regardless of diameter; each round is two
+        local-aggregation shuffles over the shrinking edge set.  Use the
+        delta iteration for shallow graphs (near-dup clusters), this one
+        when diameter is unknown or large.
+
+        ``on_progress(round, edge_count)`` observes each round's
+        (already computed) edge-set size.
+        """
+        u, v = F.col("u"), F.col("v")
+
+        def large_star(e: DataFrame) -> DataFrame:
+            # symmetrize; connect every LARGER neighbor of u to
+            # min(N(u) + {u})
+            nbrs = e.select("u", "v").unionAll(e.select(v.alias("u"), u.alias("v")))
+            m = nbrs.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            return (
+                nbrs.join(m, "u")
+                .filter(v > u)
+                .select(v.alias("u"), F.col("m").alias("v"))
+                .filter(u != v)
+                .distinct()
+            )
+
+        def small_star(e: DataFrame) -> DataFrame:
+            # orient each edge toward its smaller endpoint; connect every
+            # (smaller) neighbor and u itself to min(N(u) + {u})
+            canon = e.select(
+                F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+            ).filter(u != v)
+            m = canon.groupBy("u").agg(F.min("v").alias("m"))
+            joined = canon.join(m, "u")
+            return (
+                joined.select(v.alias("u"), F.col("m").alias("v"))
+                .unionAll(joined.select("u", F.col("m").alias("v")))
+                .filter(u != v)
+                .distinct()
+            )
+
+        edges = (
+            self.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .filter(u != v)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        prev_sig = None
+        for i in range(max_rounds):
+            edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+            # convergence: the edge set is stable (order-insensitive
+            # signature — count + xor-of-hashes, one aggregate job)
+            sig = edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+            if on_progress is not None:
+                on_progress(i, sig["n"])
+            if (sig["n"], sig["h"]) == prev_sig:
+                break
+            prev_sig = (sig["n"], sig["h"])
+        # stars: every non-root points at its component's min id (min-agg
+        # in case max_rounds exhausted before a perfect star formed)
+        roots = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("__root"))
+        labels = self.vertices.select("id").join(roots, "id", "left")
+        return labels.select(
+            "id", F.coalesce(F.col("__root"), F.col("id")).alias("component")
+        )
+
     def label_propagation(
         self, iterations: int, label_col: str | None = None
     ) -> DataFrame:

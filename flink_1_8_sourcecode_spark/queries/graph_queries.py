@@ -298,3 +298,25 @@ def graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_group").cast("int"), F.col("dst_group").cast("int"),
         "edge_value", "edge_count",
     )
+
+
+@register(
+    "graph_cc_logrounds",
+    oracle="""
+    SELECT id::BIGINT AS id, ((id // 10) * 10)::BIGINT AS component
+    FROM range(100) t(id)
+    """,
+    doc="ConnectedComponents via alternating large-star/small-star "
+    "contractions (O(log n) rounds regardless of diameter — the 100 TB "
+    "path for high-diameter graphs; graph/graph.py:"
+    "connected_components_alternating) on the same 10x10-chain graph as "
+    "graph_connected_components.",
+)
+def graph_cc_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = spark.range(100).select(F.col("id"))
+    e = (
+        spark.range(100)
+        .filter((F.col("id") % 10) != 9)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    return Graph(v, e).connected_components_alternating()

@@ -324,3 +324,38 @@ def test_dedup_clusters_transitive_closure(spark):
         3: (3, True), 4: (4, True),
         5: (5, True), 6: (5, False), 7: (7, True),
     }
+
+
+class TestAlternatingCC:
+    """Large-star/small-star CC (Kiveris et al.): same answer as min-id
+    propagation, but O(log n) rounds instead of O(diameter) supersteps."""
+
+    def test_agrees_with_delta_iteration_on_random_graphs(self, spark):
+        import random
+
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        rng = random.Random(3)
+        n = 120
+        v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        g = Graph(v, e)
+        a = {r.id: r.component for r in g.connected_components(max_iterations=40).collect()}
+        b = {r.id: r.component for r in g.connected_components_alternating().collect()}
+        assert a == b
+
+    def test_log_rounds_on_long_chain(self, spark):
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        n = 256  # chain diameter 255: propagation would need ~255 supersteps
+        v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        rounds = []
+        out = Graph(v, e).connected_components_alternating(
+            on_progress=lambda i, c: rounds.append(c)
+        ).toPandas()
+        assert (out.component == 0).all() and len(out) == n
+        assert len(rounds) <= 10, f"expected O(log n) rounds, took {len(rounds)}"

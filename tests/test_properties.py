@@ -145,3 +145,67 @@ def test_lsh_cap_preserves_transitive_closure(spark):
     uncapped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=None).toPandas()
     assert len(capped) < len(uncapped)  # the cap actually bit
     assert components(capped) == components(uncapped)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized check of the union+carry as-of join against pandas
+    merge_asof (the reference semantics of TemporalRowtimeJoin): 5 keys,
+    random probe times, unique build times per key."""
+    import random
+
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.joins import asof_join
+
+    rng = random.Random(7)
+    lrows = [
+        (k, rng.randrange(0, 500), round(rng.random(), 6))
+        for k in range(1, 6)
+        for _ in range(40)
+    ]
+    rrows = [
+        (k, t, float(t) + k) for k in range(1, 6) for t in rng.sample(range(500), 30)
+    ]
+    left = spark.createDataFrame(lrows, "k int, lt long, lv double")
+    right = spark.createDataFrame(rrows, "k int, rt long, rv double")
+    got = asof_join(left, right, on="k", left_time="lt", right_time="rt").toPandas()
+
+    lp = pd.DataFrame(lrows, columns=["k", "lt", "lv"]).sort_values(
+        ["lt", "k", "lv"], kind="mergesort"
+    )
+    rp = pd.DataFrame(rrows, columns=["k", "rt", "rv"]).sort_values(
+        "rt", kind="mergesort"
+    )
+    exp = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k")
+
+    def canon(df, cols=("k", "lt", "lv", "rv")):
+        return sorted(
+            tuple(None if pd.isna(v) else round(float(v), 6) for v in t)
+            for t in df[list(cols)].itertuples(index=False, name=None)
+        )
+
+    assert canon(got) == canon(exp)
+
+
+def test_skew_salted_join_random_distributions(spark):
+    """Randomized key distributions (incl. a planted heavy hitter):
+    salted join multiset-equals the plain join every time."""
+    import random
+
+    from flink_1_8_sourcecode_spark.operators import partitioning
+
+    rng = random.Random(11)
+    for trial in range(3):
+        hot = rng.randrange(1, 10)
+        rows = [(hot, i) for i in range(2000)] + [
+            (rng.randrange(1, 30), i) for i in range(500)
+        ]
+        left = spark.createDataFrame(rows, "k int, v int")
+        dim = spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 30) if rng.random() < 0.8],
+            "k int, attr int",
+        )
+        got = partitioning.skew_salted_join(left, dim, on="k", seed=trial)
+        plain = left.join(dim, "k")
+        assert got.count() == plain.count(), f"trial {trial}"
+        assert got.exceptAll(plain).count() == 0, f"trial {trial}"

@@ -236,3 +236,47 @@ def test_unbounded_stream_join_inner(spark, chunk_dir):
     # outer flavors require event-time columns to bound null-padded emission
     with _pytest.raises(ValueError, match="event-time"):
         unbounded_stream_join(s1, s2, on="u", how="left")
+
+
+def test_socket_source_reads_lines(spark):
+    """socketTextStream parity (StreamExecutionEnvironment.java:1190)
+    against a real localhost socket server."""
+    import socket
+    import threading
+    import time
+
+    from flink_1_8_sourcecode_spark.streaming import sources
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    try:
+        srv.bind(("127.0.0.1", 0))
+    except OSError:
+        pytest.skip("sandbox forbids localhost sockets")
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    lines = [f"msg_{i}" for i in range(5)]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        time.sleep(20)  # keep the connection open while the query drains
+        conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    stream = sources.socket_stream(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.format("memory").queryName("t_socket")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("t_socket").count() >= len(lines):
+                break
+            time.sleep(0.5)
+        got = [r.value for r in spark.table("t_socket").collect()]
+    finally:
+        q.stop()
+        srv.close()
+    assert sorted(got) == sorted(lines)
