@@ -312,16 +312,19 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     doc id, is_keeper = (id == cluster_id).  Docs in no pair are their
     own singleton cluster.
 
-    Scale: inherits connected_components' delta-iteration bound — each
-    superstep joins edges against only the vertices whose label changed,
-    and near-dup clusters are shallow (diameter rarely > a few hops), so
-    the iteration count stays small even at 100 TB.
+    Scale: uses the alternating large-star/small-star components
+    (O(log n) rounds) rather than the delta iteration — its cost scales
+    with the EDGE set (the near-dup pairs, tiny relative to the corpus),
+    whereas label propagation seeds its first superstep with every
+    vertex, making isolated documents — the overwhelming majority of a
+    deduped corpus — pay shuffle cost for nothing.  Singletons never
+    enter the iteration here; they label themselves in the final join.
     """
     from flink_1_8_sourcecode_spark.graph.graph import Graph
 
     v = docs.select(F.col(id_col).alias("id"))
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = Graph(v, e).connected_components(max_iterations=15)
+    cc = Graph(v, e).connected_components_alternating()
     return cc.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster_id"),
