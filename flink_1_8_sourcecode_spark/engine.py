@@ -9,11 +9,15 @@ spellings go through the pre-rewrite layer.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_1_8_sourcecode_spark.catalog import TABLES, table
 from flink_1_8_sourcecode_spark.plans import rewrite_flink_sql
 from flink_1_8_sourcecode_spark.session import get_spark
+
+_MATCH_RECOGNIZE = re.compile(r"\bFROM\s+(?P<tbl>\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
 
 
 class Engine:
@@ -37,8 +41,31 @@ class Engine:
     # --- SQL ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """sqlQuery (TableEnvironment.scala:740) with the Flink-SQL
-        pre-rewrite (TUMBLE/HOP/SESSION -> window())."""
+        pre-rewrite (TUMBLE/HOP/SESSION -> window()) and SQL
+        MATCH_RECOGNIZE routing (DataStreamMatch.scala:65): ``FROM t
+        MATCH_RECOGNIZE (<clause>)`` runs the CEP engine on ``t`` and
+        splices the result back in as a view, so the outer SELECT stays
+        plain Spark SQL.  Subset: one MATCH_RECOGNIZE per query, over a
+        registered table name."""
+        query = self._route_match_recognize(query)
         return self.spark.sql(rewrite_flink_sql(query))
+
+    def _route_match_recognize(self, query: str) -> str:
+        m = _MATCH_RECOGNIZE.search(query)
+        if not m:
+            return query
+        from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+        from flink_1_8_sourcecode_spark.plans.sql_rewrite import _find_call
+
+        open_paren = m.end() - 1
+        close = _find_call(query, open_paren)
+        clause = query[m.end() : close - 1]
+        out = match_recognize(self.table(m.group("tbl")), clause)
+        view = f"__mr_{abs(hash(clause)) % 10**8}"
+        out.createOrReplaceTempView(view)
+        # a trailing "AS alias" after the close paren keeps working —
+        # the view name simply takes the table position
+        return query[: m.start()] + f"FROM {view}" + query[close:]
 
     # --- functions ---------------------------------------------------
     def register_function(self, name: str, fn, return_type=None) -> None:

@@ -88,8 +88,10 @@ def rewrite_flink_sql(sql: str) -> str:
     plain Spark SQL."""
     if _UNSUPPORTED.search(sql):
         raise NotImplementedError(
-            "MATCH_RECOGNIZE / FOR SYSTEM_TIME are not SQL-rewritable: use "
-            "the cep module (pattern DSL) or operators.joins.asof_join."
+            "MATCH_RECOGNIZE / FOR SYSTEM_TIME are not string-rewritable: "
+            "Engine.sql routes MATCH_RECOGNIZE through cep.match_recognize "
+            "(use it instead of calling rewrite_flink_sql directly); for "
+            "FOR SYSTEM_TIME use operators.joins.asof_join."
         )
     while True:
         m = _WINDOW_FN.search(sql)
