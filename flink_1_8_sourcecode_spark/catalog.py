@@ -52,8 +52,16 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        # Legacy TIMESTAMP(NANOS) file: map to long and retry.
+    except Exception as exc:
+        # Retry ONLY for the TIMESTAMP(NANOS) shape; any other failure
+        # (missing file, corrupt footer) must surface as-is rather than
+        # leak legacy-read semantics into the whole session.
+        msg = str(exc)
+        if not ("NANOS" in msg or "nanosAsLong" in msg):
+            raise
+        # The conf must stay set for the session: the returned DataFrame
+        # is lazy, so the nanos mapping is consulted again at job run
+        # time, not just at schema inference.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):

@@ -43,13 +43,32 @@ def _replayed_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame
     return sources.read_event_stream(spark, chunks)
 
 
-def _run_to_table(out: DataFrame, prefix: str) -> str:
+def _run_to_table(out: DataFrame, prefix: str, state_partitions: int | None = None) -> str:
+    """Run a bounded streaming query to a memory sink.
+
+    ``state_partitions`` sizes the stateful shuffle for the query — the
+    analogue of Flink's per-operator parallelism (``setParallelism``):
+    the state-partition count is fixed at stream start from
+    ``spark.sql.shuffle.partitions`` and should match key cardinality ×
+    state volume, not the session's batch default.  At 100 TB you raise
+    it (hundreds-thousands); at bench scale (~1.5k keys, accumulators
+    only) a handful of partitions avoids paying per-partition state-store
+    commit + Python-worker round-trip overhead 32× per micro-batch.
+    """
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    spark = out.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -72,8 +91,9 @@ def window_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = triggered_tumble_agg(
         stream, key="user_id", time_col="ts", value_col="value",
         window_seconds=_WINDOW_S, trigger=("delta", _TRIGGER_DELTA),
+        key_buckets=32,
     )
-    name = _run_to_table(out, "q_delta_trigger")
+    name = _run_to_table(out, "q_delta_trigger", state_partitions=4)
     return (
         spark.table(name)
         .filter((F.col("user_id") >= 0) & F.col("is_final"))
@@ -111,8 +131,9 @@ def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = evicted_tumble_agg(
         stream, key="user_id", time_col="ts", value_col="value",
         window_seconds=_WINDOW_S, evictor=("delta", _EVICTOR_DELTA),
+        key_buckets=32,
     )
-    name = _run_to_table(out, "q_delta_evictor")
+    name = _run_to_table(out, "q_delta_evictor", state_partitions=4)
     return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)

@@ -32,10 +32,10 @@ def write_event_chunks(
     """Materialize the events table as n time-ordered parquet chunk files
     so a file-source stream replays them as micro-batches in event-time
     order (bounded out-of-orderness ~= one chunk)."""
-    ev = table(spark, sf_dir, "events").orderBy("ts")
-    n = ev.count()
-    per = (n + n_chunks - 1) // n_chunks
-    chunk = F.floor((F.row_number().over(_ts_window()) - 1) / per)
+    ev = table(spark, sf_dir, "events")
+    # ntile assigns balanced, time-contiguous chunks in one pass — no
+    # separate count() job, no division bookkeeping
+    chunk = F.ntile(n_chunks).over(_ts_window()) - 1
     ev.withColumn("__chunk", chunk).write.mode("overwrite").partitionBy("__chunk").parquet(
         out_dir
     )

@@ -1,6 +1,6 @@
 """Window triggers — early-firing emulation of the reference's trigger
 surface (flink-streaming-java/.../windowing/triggers/CountTrigger.java,
-ContinuousEventTimeTrigger.java, PurgingTrigger.java).
+ContinuousEventTimeTrigger.java, DeltaTrigger.java, PurgingTrigger.java).
 
 Structured Streaming's windowed aggregation fires once per micro-batch
 with no user trigger hook, so custom triggers run in the stateful layer
@@ -11,19 +11,48 @@ and purges — the classic assign -> state -> trigger -> emit loop of
 WindowOperator.java:294.  Event-time timeouts flush windows of keys
 that receive no further data, exactly like Flink's event-time timers.
 
-Scale notes: state per key holds only open-window accumulators
-(cnt/total/fire-cursor), never buffered rows; keys shard across
-executors via the groupBy shuffle exactly like Flink's keyed windows.
+Scale notes:
+
+- **Key groups.** Flink never runs one state task per user key: keys
+  hash into a fixed number of key groups
+  (flink-runtime/.../state/KeyGroupRangeAssignment.java, default
+  maxParallelism 128) and each task owns a key-group range.
+  ``key_buckets`` is the same design here: the stateful shuffle is on
+  ``hash(key) % key_buckets``, one applyInPandasWithState invocation
+  per bucket per micro-batch, and per-(key, window) accumulators live
+  inside the bucket's state.  This amortizes the per-invocation
+  JVM<->Python protocol cost over all keys of the bucket — at high key
+  cardinality the per-key-invocation alternative is the scale-killer,
+  not the arithmetic.  Size ``key_buckets`` like Flink's
+  maxParallelism: >= the executor-core count you want to saturate.
+- **State.** Per bucket, one packed float64 matrix of
+  (key, w_start, cnt, total, cursor) open-window accumulators (typed,
+  no pickle; see ``arrow_state.pack_f64``), never buffered rows.
+- **Vectorization.** Per-batch work is numpy: count-trigger firings
+  fall out of modular arithmetic on cumulative counts,
+  continuous-trigger firings out of boundary crossings, and emitted
+  snapshots out of cumulative sums.  Only the delta trigger walks
+  elements (its comparison point is data-dependent on the previous
+  firing, sequential by definition — DeltaTrigger.java's
+  onElement/ValueState<T> loop), and that walk is a float-only scan
+  over numpy arrays with firing indices collected for vectorized
+  emission.
 """
 
 from __future__ import annotations
 
-import pickle
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+from flink_1_8_sourcecode_spark.streaming import arrow_state
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 
 
 def triggered_tumble_agg(
@@ -36,6 +65,7 @@ def triggered_tumble_agg(
     watermark_delay: str = "0 seconds",
     purging: bool = False,
     delta_fn=None,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Tumbling event-time sum/count windows with an early-firing trigger.
 
@@ -56,6 +86,11 @@ def triggered_tumble_agg(
     reports only the delta since the previous one.  The final firing at
     watermark passage always purges the window.
 
+    ``key_buckets`` shards keys into that many key groups (Flink's
+    KeyGroupRangeAssignment design — see module docstring) instead of
+    one stateful invocation per key; requires an integral key column.
+    Results are identical; only the state sharding changes.
+
     Output: ``(key, w_start timestamp, cnt, total, is_final)``; rows
     behind the watermark for an already-purged window are dropped
     (Flink default without allowed lateness).
@@ -69,93 +104,192 @@ def triggered_tumble_agg(
         delta_fn = lambda last, cur: abs(cur - last)  # noqa: E731
     key_field = df.schema[key]
     key_name, key_ddl = key_field.name, key_field.dataType.simpleString()
+    numeric_key = isinstance(key_field.dataType, _INTEGRAL)
+    bucketed = key_buckets is not None
+    if bucketed and not numeric_key:
+        raise ValueError(
+            f"key_buckets requires an integral key column; {key_name} is {key_ddl}"
+        )
     out_schema = (
         f"{key_name} {key_ddl}, w_start timestamp, cnt long, total double, is_final boolean"
     )
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
-        st = pickle.loads(state.get[0]) if state.exists else {"wins": {}}
-        wins: dict[float, list] = st["wins"]
+        # wins: (u, ws) -> [cnt, total, cursor]; cursor NaN = DeltaTrigger's
+        # empty ValueState.  u is the key value (0.0 when the invocation
+        # is already per-key and the key is non-numeric).  State rides as
+        # a packed (n, 5) float64 matrix — typed, no pickle.
+        wins: dict[tuple[float, float], list] = {}
+        if state.exists:
+            for u, w, c, t, cu in arrow_state.unpack_f64(state.get[0], 5):
+                wins[(float(u), float(w))] = [int(c), float(t), float(cu)]
         wm = state.getCurrentWatermarkMs() / 1000.0  # global event-time watermark
-        out = []
+        out_u: list[float] = []
+        out_ws: list[float] = []
+        out_cnt: list[int] = []
+        out_total: list[float] = []
+        out_final: list[bool] = []
 
-        def emit(ws: float, acc: list, final: bool) -> None:
-            out.append(
-                {
-                    key_name: key_tuple[0],
-                    "w_start": pd.Timestamp(ws, unit="s"),
-                    "cnt": int(acc[0]),
-                    "total": float(acc[1]),
-                    "is_final": final,
-                }
-            )
-            if not final and purging:
-                acc[0], acc[1] = 0, 0.0
+        def emit(u: float, ws: float, cnt: int, total: float, final: bool) -> None:
+            out_u.append(u)
+            out_ws.append(ws)
+            out_cnt.append(int(cnt))
+            out_total.append(float(total))
+            out_final.append(final)
 
+        def emit_fires(u: float, ws: float, fires: np.ndarray, cnt0: int,
+                       total0: float, csum: np.ndarray) -> None:
+            # early-firing snapshots, all fires of one (key, window) at once
+            if purging:
+                cnts = np.diff(np.concatenate(([-1], fires)))
+                cnts[0] = cnt0 + fires[0] + 1
+                tots = np.diff(np.concatenate(([0.0], csum[fires])))
+                tots[0] = total0 + csum[fires[0]]
+            else:
+                cnts = cnt0 + fires + 1
+                tots = total0 + csum[fires]
+            n = len(fires)
+            out_u.extend([u] * n)
+            out_ws.extend([ws] * n)
+            out_cnt.extend(int(c) for c in cnts)
+            out_total.extend(float(t) for t in tots)
+            out_final.extend([False] * n)
+
+        u_parts, ts_parts, val_parts = [], [], []
         for pdf in batches:
-            ts = pdf[time_col].astype("datetime64[us]").astype("int64") / 1e6
-            vals = pdf[value_col].astype(float)
-            for t, v in sorted(zip(ts, vals)):
-                ws = t - (t % window_seconds)
-                if ws + window_seconds <= wm:
-                    continue  # behind the watermark: window already purged
-                if ws not in wins:
-                    # [cnt, total, cursor]: since_fire count, next
-                    # epoch-aligned boundary, or last-fired element value
-                    if kind == "count":
-                        cursor = 0
-                    elif kind == "continuous":
-                        cursor = t - (t % param) + param
-                    else:
-                        cursor = None  # DeltaTrigger's empty ValueState
-                    wins[ws] = [0, 0.0, cursor]
-                acc = wins[ws]
-                acc[0] += 1
-                acc[1] += float(v)
-                if kind == "count":
-                    acc[2] += 1
-                    if acc[2] >= param:
-                        emit(ws, acc, final=False)
-                        acc[2] = 0
-                elif kind == "delta":
-                    if acc[2] is None:
-                        acc[2] = float(v)
-                    elif delta_fn(acc[2], float(v)) > param:
-                        emit(ws, acc, final=False)
-                        acc[2] = float(v)
+            ts_parts.append(
+                pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+            )
+            val_parts.append(pdf[value_col].astype(float).to_numpy())
+            if numeric_key:
+                u_parts.append(pdf[key_name].to_numpy().astype(np.float64))
+            else:
+                u_parts.append(np.zeros(len(pdf)))
+        ts = np.concatenate(ts_parts) if ts_parts else np.empty(0)
+        if len(ts):
+            vals = np.concatenate(val_parts)
+            us = np.concatenate(u_parts)
+            ws_all = ts - np.mod(ts, window_seconds)
+            live = ws_all + window_seconds > wm  # behind-watermark rows dropped
+            ts, vals, us, ws_all = ts[live], vals[live], us[live], ws_all[live]
+        if len(ts):
+            # key-major, then event-time order (value tiebreak); within a
+            # key, ts order makes (key, window) runs contiguous
+            order = np.lexsort((vals, ts, us))
+            ts, vals, us, ws_all = ts[order], vals[order], us[order], ws_all[order]
+            change = np.concatenate(
+                ([True], (us[1:] != us[:-1]) | (ws_all[1:] != ws_all[:-1]))
+            )
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [len(us)]))
 
-        for ws in sorted(wins):
-            acc = wins[ws]
+            for s, e in zip(starts, ends):
+                u, w = float(us[s]), float(ws_all[s])
+                wvals = vals[s:e]
+                m = e - s
+                acc = wins.get((u, w))
+                if acc is None:
+                    if kind == "count":
+                        cursor = 0.0  # elements since last fire
+                    elif kind == "continuous":
+                        t0 = ts[s]  # next epoch-aligned boundary
+                        cursor = t0 - (t0 % param) + param
+                    else:
+                        cursor = np.nan  # DeltaTrigger's empty ValueState
+                    acc = wins[(u, w)] = [0, 0.0, cursor]
+                cnt0, total0, cursor = acc
+                csum = np.cumsum(wvals)
+
+                if kind == "count":
+                    # fires at elements where the since-fire counter hits
+                    # param: (cursor + i + 1) % param == 0 — pure modular
+                    # arithmetic, no scan
+                    fires = np.flatnonzero(
+                        np.mod(cursor + np.arange(1, m + 1), param) == 0
+                    )
+                    if len(fires):
+                        emit_fires(u, w, fires, cnt0, total0, csum)
+                    acc[2] = float((cursor + m) % param)
+                elif kind == "delta":
+                    # sequential by definition: the comparison point is the
+                    # last FIRED element — float-only scan, vectorized emit
+                    fires_l = []
+                    c = cursor
+                    for i in range(m):
+                        v = float(wvals[i])
+                        if c != c:  # NaN: seed with the first element
+                            c = v
+                        elif delta_fn(c, v) > param:
+                            fires_l.append(i)
+                            c = v
+                    fires = np.asarray(fires_l, dtype=np.int64)
+                    if len(fires):
+                        emit_fires(u, w, fires, cnt0, total0, csum)
+                    acc[2] = c
+                else:
+                    fires = np.empty(0, dtype=np.int64)  # continuous fires on wm below
+
+                if purging and len(fires):
+                    last = int(fires[-1])
+                    acc[0] = m - 1 - last
+                    acc[1] = float(csum[-1] - csum[last])
+                else:
+                    acc[0] = cnt0 + m
+                    acc[1] = total0 + float(csum[-1])
+
+        for (u, w) in sorted(wins):
+            acc = wins[(u, w)]
             if kind == "continuous":
                 # fire at every passed epoch-aligned boundary in the window
-                while acc[2] <= wm and acc[2] < ws + window_seconds:
-                    emit(ws, acc, final=False)
+                while acc[2] <= wm and acc[2] < w + window_seconds:
+                    emit(u, w, acc[0], acc[1], final=False)
+                    if purging:
+                        acc[0], acc[1] = 0, 0.0
                     acc[2] += param
-            if ws + window_seconds <= wm:
-                emit(ws, acc, final=True)
-                del wins[ws]
+            if w + window_seconds <= wm:
+                emit(u, w, acc[0], acc[1], final=True)
+                del wins[(u, w)]
 
         if wins:
-            state.update((pickle.dumps(st),))
+            st_new = np.array(
+                [[u, w, a[0], a[1], a[2]] for (u, w), a in wins.items()],
+                dtype=np.float64,
+            )
+            state.update((arrow_state.pack_f64(st_new),))
             # event-time timer at the earliest pending deadline (next
             # window end or continuous boundary), like Flink's
             # registerEventTimeTimer — must sit beyond the watermark
-            deadlines = [ws + window_seconds for ws in wins]
+            deadlines = [w + window_seconds for (_u, w) in wins]
             if kind == "continuous":
-                deadlines += [acc[2] for acc in wins.values()]
+                deadlines += [a[2] for a in wins.values()]
             target_ms = int(min(deadlines) * 1000)
             state.setTimeoutTimestamp(max(target_ms, int(wm * 1000) + 1))
         elif state.exists:
             # no open windows: drop the key's state entry entirely so
             # state stays bounded by ACTIVE keys, not all keys ever seen
             state.remove()
-        if out:
-            yield pd.DataFrame(out)
+        if out_ws:
+            if bucketed:
+                key_col = np.array(out_u).astype(np.int64)
+            else:
+                key_col = key_tuple[0]  # invocation is per key
+            yield pd.DataFrame(
+                {
+                    key_name: key_col,
+                    "w_start": pd.to_datetime(np.array(out_ws), unit="s"),
+                    "cnt": np.array(out_cnt, dtype="int64"),
+                    "total": np.array(out_total, dtype="float64"),
+                    "is_final": np.array(out_final, dtype="bool"),
+                }
+            )
 
-    return (
-        df.withWatermark(time_col, watermark_delay)
-        .groupBy(key)
-        .applyInPandasWithState(
-            fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
-        )
+    src = df.withWatermark(time_col, watermark_delay)
+    if bucketed:
+        grouped = src.withColumn(
+            "__kg", F.pmod(F.xxhash64(F.col(key)), F.lit(key_buckets))
+        ).groupBy("__kg")
+    else:
+        grouped = src.groupBy(key)
+    return grouped.applyInPandasWithState(
+        fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -18,7 +18,7 @@ from tests.conftest import SF_SMALL, assert_frames_match
 WINDOW_S = 7 * 86400.0  # weekly: sf0.001 is sparse, early firings need multi-event windows
 
 
-def _run(spark, tmp_path, sub, trigger, purging=False):
+def _run(spark, tmp_path, sub, trigger, purging=False, key_buckets=None):
     chunks = str(tmp_path / sub)
     sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=5)
     ev = table(spark, SF_SMALL, "events")
@@ -32,7 +32,7 @@ def _run(spark, tmp_path, sub, trigger, purging=False):
     out = triggered_tumble_agg(
         stream, key="user_id", time_col="ts", value_col="value",
         window_seconds=WINDOW_S, trigger=trigger, purging=purging,
-        watermark_delay="0 seconds",
+        watermark_delay="0 seconds", key_buckets=key_buckets,
     )
     name = f"t_trig_{sub}"
     q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -219,6 +219,34 @@ def test_delta_evictor_keeps_near_last(spark, tmp_path):
     assert int(got.cnt.iloc[0]) == 2  # 45 and 50 survive
     assert float(got.total.iloc[0]) == 95.0
     assert pd.Timestamp(got.w_start.iloc[0]) == pd.Timestamp("2024-01-01")
+
+
+def test_count_trigger_bucketed_key_groups_same_result(spark, tmp_path):
+    """key_buckets shards keys into Flink-style key groups
+    (KeyGroupRangeAssignment.java); the trigger result must be identical
+    to the per-key sharding — early-fire invariants and finals alike."""
+    got = _run(spark, tmp_path, "kg_trig", trigger=("count", 5), key_buckets=8)
+    early, final = got[~got.is_final], got[got.is_final]
+    assert len(early) > 0
+    assert (early.cnt % 5 == 0).all()
+    assert_frames_match(
+        final[["user_id", "w_start", "cnt", "total"]].reset_index(drop=True),
+        _batch_expected(spark),
+        name="count_trigger_bucketed_final",
+    )
+
+
+def test_key_buckets_rejects_non_integral_key(spark):
+    """The key-group path packs key values into float64 state — only
+    integral keys are exact, others must be rejected loudly."""
+    import pytest
+
+    stream = sources.rate_stream(spark).withColumn("k", F.lit("x"))
+    with pytest.raises(ValueError, match="integral key"):
+        triggered_tumble_agg(
+            stream, key="k", time_col="timestamp", value_col="value",
+            window_seconds=60.0, trigger=("count", 5), key_buckets=4,
+        )
 
 
 def test_purging_count_trigger_emits_deltas(spark, tmp_path):
