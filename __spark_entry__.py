@@ -70,7 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return _REGISTRY["tpch_q3"].spark(spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified() -> set[str]:
+def _driver_verified(results_dir: str = _REPO) -> set[str]:
     """Query names with a fully-green row in any past CORRECTNESS_r*.json.
 
     The driver's per-round sweep may cap how many queries it checks (r1
@@ -82,14 +82,23 @@ def _driver_verified() -> set[str]:
     import json
 
     green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(results_dir, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, r in rows.items():
-            if isinstance(r, dict) and r.get("rows_match") and r.get("schema_match"):
+            # hash_match is None for rows-only checks (no oracle) — that
+            # still counts as that query's strongest possible green; an
+            # explicit False means a value mismatch and must NOT count,
+            # so the query re-surfaces first in the next capped sweep.
+            if (
+                isinstance(r, dict)
+                and r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match") is not False
+            ):
                 green.add(name)
     return green
 

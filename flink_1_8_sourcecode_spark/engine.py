@@ -9,6 +9,7 @@ spellings go through the pre-rewrite layer.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,7 +18,10 @@ from flink_1_8_sourcecode_spark.catalog import TABLES, table
 from flink_1_8_sourcecode_spark.plans import rewrite_flink_sql
 from flink_1_8_sourcecode_spark.session import get_spark
 
-_MATCH_RECOGNIZE = re.compile(r"\bFROM\s+(?P<tbl>\w+)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+from flink_1_8_sourcecode_spark.plans.sql_rewrite import mask_literals as _mask_literals  # noqa: E402
+
+_MR_TOKEN = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_$.]*\Z")
 
 
 class Engine:
@@ -42,30 +46,134 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         """sqlQuery (TableEnvironment.scala:740) with the Flink-SQL
         pre-rewrite (TUMBLE/HOP/SESSION -> window()) and SQL
-        MATCH_RECOGNIZE routing (DataStreamMatch.scala:65): ``FROM t
-        MATCH_RECOGNIZE (<clause>)`` runs the CEP engine on ``t`` and
-        splices the result back in as a view, so the outer SELECT stays
-        plain Spark SQL.  Subset: one MATCH_RECOGNIZE per query, over a
-        registered table name."""
+        MATCH_RECOGNIZE routing (DataStreamMatch.scala:65, where the
+        planner accepts arbitrary relational input): each ``FROM <src>
+        MATCH_RECOGNIZE (<clause>)`` runs the CEP engine on ``<src>``
+        and splices the result back in as a view, so the outer SELECT
+        stays plain Spark SQL.  ``<src>`` may be a registered table
+        name, ``<table> [AS] <alias>``, or a derived table ``(SELECT
+        ...) [AS] [<alias>]`` (itself routed recursively, so nested
+        MATCH_RECOGNIZE works); multiple clauses per statement are
+        handled left-to-right.  Unsupported source shapes (e.g. a join
+        in the table position) raise NotImplementedError with the
+        offending text instead of falling through to an opaque Spark
+        parse error."""
         query = self._route_match_recognize(query)
         return self.spark.sql(rewrite_flink_sql(query))
 
     def _route_match_recognize(self, query: str) -> str:
-        m = _MATCH_RECOGNIZE.search(query)
-        if not m:
-            return query
         from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
         from flink_1_8_sourcecode_spark.plans.sql_rewrite import _find_call
 
-        open_paren = m.end() - 1
-        close = _find_call(query, open_paren)
-        clause = query[m.end() : close - 1]
-        out = match_recognize(self.table(m.group("tbl")), clause)
-        view = f"__mr_{abs(hash(clause)) % 10**8}"
-        out.createOrReplaceTempView(view)
-        # a trailing "AS alias" after the close paren keeps working —
-        # the view name simply takes the table position
-        return query[: m.start()] + f"FROM {view}" + query[close:]
+        while True:
+            masked = _mask_literals(query)
+            m = _MR_TOKEN.search(masked)
+            if not m:
+                return query
+            # --- forward: the (<clause>) after the token ---------------
+            open_paren = masked.find("(", m.end())
+            if open_paren == -1 or masked[m.end() : open_paren].strip():
+                raise NotImplementedError(
+                    "SQL MATCH_RECOGNIZE: expected '(' after MATCH_RECOGNIZE near "
+                    f"{query[m.start(): m.end() + 30]!r}"
+                )
+            close = _find_call(masked, open_paren)
+            clause = query[open_paren + 1 : close - 1]
+            # --- backward: the source in the table position ------------
+            from_start, src_df, src_text = self._parse_mr_source(query, masked, m.start())
+            out = match_recognize(src_df, clause)
+            digest = hashlib.md5((src_text + clause).encode()).hexdigest()[:8]
+            view = f"__mr_{digest}"
+            out.createOrReplaceTempView(view)
+            # a trailing "AS alias" after the close paren keeps working —
+            # the view name simply takes the table position
+            query = query[:from_start] + f"FROM {view}" + query[close:]
+
+    def _parse_mr_source(self, query: str, masked: str, mr_start: int):
+        """Parse backward from a MATCH_RECOGNIZE token for its source
+        relation.  Returns (index of FROM, source DataFrame, source text).
+        Accepted shapes::
+
+            FROM <table> MATCH_RECOGNIZE(...)
+            FROM <table> [AS] <alias> MATCH_RECOGNIZE(...)
+            FROM (<subquery>) [AS] [<alias>] MATCH_RECOGNIZE(...)
+        """
+
+        def unsupported(reason: str):
+            ctx = query[max(0, mr_start - 60) : mr_start + 20].strip()
+            return NotImplementedError(
+                f"SQL MATCH_RECOGNIZE: {reason} near {ctx!r}; supported sources: "
+                "FROM <table> [alias] MATCH_RECOGNIZE(...), "
+                "FROM (<subquery>) [alias] MATCH_RECOGNIZE(...)"
+            )
+
+        def prev_token(end: int):
+            """(token, start_index) of the token ending right before
+            ``end`` in the masked text; token is an identifier or ')'."""
+            k = end - 1
+            while k >= 0 and masked[k].isspace():
+                k -= 1
+            if k < 0:
+                return None, -1
+            if masked[k] == ")":
+                return ")", k
+            j = k
+            while j >= 0 and (masked[j].isalnum() or masked[j] in "_$."):
+                j -= 1
+            if j == k:
+                return masked[k], k
+            return query[j + 1 : k + 1], j + 1
+
+        def expect_from(end: int) -> int:
+            tok, at = prev_token(end)
+            if tok is None or tok.upper() != "FROM":
+                raise unsupported(
+                    f"source must directly follow FROM (found {tok!r} instead)"
+                )
+            return at
+
+        def derived(close_at: int):
+            # derived table: find the matching open paren backward
+            depth = 0
+            open_at = -1
+            for i in range(close_at, -1, -1):
+                if masked[i] == ")":
+                    depth += 1
+                elif masked[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_at = i
+                        break
+            if open_at == -1:
+                raise unsupported("unbalanced parentheses in the table position")
+            from_at = expect_from(open_at)
+            sub = query[open_at + 1 : close_at]
+            # recurse through self.sql so nested MATCH_RECOGNIZE and
+            # Flink-SQL spellings inside the subquery keep working
+            return from_at, self.sql(sub), sub
+
+        def is_ident(t) -> bool:
+            return isinstance(t, str) and bool(_IDENT.match(t))
+
+        # backward grammar: [alias [AS]] ( ')' derived | table ) FROM
+        tok, at = prev_token(mr_start)
+        if tok == ")":
+            return derived(at)  # (subquery) with no alias
+        if not is_ident(tok):
+            raise unsupported(f"cannot parse the table position (stopped at {tok!r})")
+        nxt, nat = prev_token(at)
+        if is_ident(nxt) and nxt.upper() == "FROM":
+            return nat, self.table(tok), tok  # plain "FROM table"
+        if is_ident(nxt) and nxt.upper() == "AS":
+            rel, rat = prev_token(nat)  # "... AS alias": rel sits before AS
+        else:
+            rel, rat = nxt, nat  # "... alias" without AS
+        if rel == ")":
+            return derived(rat)  # "(subquery) [AS] alias"
+        if is_ident(rel):
+            from_at = expect_from(rat)
+            return from_at, self.table(rel), rel  # "table [AS] alias"
+        raise unsupported(f"cannot parse the table position (stopped at {rel!r})")
 
     # --- functions ---------------------------------------------------
     def register_function(self, name: str, fn, return_type=None) -> None:

@@ -69,6 +69,31 @@ _WINDOW_FN = re.compile(
 _UNSUPPORTED = re.compile(r"\bMATCH_RECOGNIZE\b|\bFOR\s+SYSTEM_TIME\b", re.IGNORECASE)
 
 
+def mask_literals(sql: str) -> str:
+    """Blank out string-literal / quoted-identifier contents (keeping
+    length and positions) so keyword and paren scans never fire inside
+    ``'...'``, ``"..."`` or backticks — including doubled-quote escapes."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # '' / "" escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _find_call(sql: str, start: int) -> int:
     """Index just past the matching close paren for a call whose open
     paren is at ``start``."""
@@ -86,7 +111,7 @@ def _find_call(sql: str, start: int) -> int:
 def rewrite_flink_sql(sql: str) -> str:
     """Rewrite Flink-1.8 group-window SQL into Spark SQL. Idempotent on
     plain Spark SQL."""
-    if _UNSUPPORTED.search(sql):
+    if _UNSUPPORTED.search(mask_literals(sql)):
         raise NotImplementedError(
             "MATCH_RECOGNIZE / FOR SYSTEM_TIME are not string-rewritable: "
             "Engine.sql routes MATCH_RECOGNIZE through cep.match_recognize "
@@ -94,7 +119,7 @@ def rewrite_flink_sql(sql: str) -> str:
             "FOR SYSTEM_TIME use operators.joins.asof_join."
         )
     while True:
-        m = _WINDOW_FN.search(sql)
+        m = _WINDOW_FN.search(mask_literals(sql))
         if not m:
             return sql
         open_paren = m.end() - 1

@@ -211,3 +211,48 @@ def cep_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                P AS P.event_type = 'purchase'
         """,
     )
+
+
+@register(
+    "cep_match_recognize_sql_derived",
+    oracle="""
+    WITH filtered AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), seq AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id
+      FROM filtered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, next_id AS purchase_id
+    FROM seq WHERE event_type = 'signup' AND next_type = 'purchase'
+    """,
+    doc="SQL MATCH_RECOGNIZE over a DERIVED-TABLE source routed through "
+    "Engine.sql — the reference planner accepts any relational input "
+    "(DataStreamMatch.scala:65 builds from an arbitrary RelNode); here "
+    "the source is a filtered subquery, so signup->purchase adjacency "
+    "is over the filtered sequence, not raw events.",
+)
+def cep_match_recognize_sql_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("events", table(spark, sf_dir, "events"))
+    return eng.sql(
+        """
+        SELECT user_id, signup_id, purchase_id
+        FROM (SELECT user_id, event_id, ts, event_type FROM events
+              WHERE event_type IN ('signup', 'purchase')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S P)
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    )

@@ -82,3 +82,115 @@ def test_sql_match_recognize_routing(spark):
         map(tuple, direct[key].itertuples(index=False, name=None))
     )
     assert len(got) > 0
+
+
+_MR_CLAUSE = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S P)
+      DEFINE S AS S.event_type = 'signup',
+             P AS P.event_type = 'purchase'
+"""
+
+
+def _mr_engine(spark):
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from tests.conftest import SF_SMALL
+
+    eng = Engine(spark)
+    eng.register_testdata(SF_SMALL)
+    return eng
+
+
+def _baseline(spark):
+    from flink_1_8_sourcecode_spark.catalog import table as _table
+    from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+    from tests.conftest import SF_SMALL
+
+    pdf = match_recognize(_table(spark, SF_SMALL, "events"), _MR_CLAUSE).toPandas()
+    key = ["user_id", "signup_id", "purchase_id"]
+    return sorted(map(tuple, pdf[key].itertuples(index=False, name=None)))
+
+
+def test_sql_match_recognize_derived_table_source(spark):
+    """DataStreamMatch.scala:65 builds MATCH_RECOGNIZE from arbitrary
+    relational input — a derived-table source must route too."""
+    eng = _mr_engine(spark)
+    got = eng.sql(
+        "SELECT user_id, signup_id, purchase_id "
+        "FROM (SELECT * FROM events WHERE user_id >= 0) MATCH_RECOGNIZE ("
+        + _MR_CLAUSE + ")"
+    ).toPandas()
+    key = ["user_id", "signup_id", "purchase_id"]
+    assert sorted(map(tuple, got[key].itertuples(index=False, name=None))) == _baseline(spark)
+    assert len(got) > 0
+
+
+def test_sql_match_recognize_aliased_sources(spark):
+    """`FROM t AS x MATCH_RECOGNIZE`, `FROM t x ...` and
+    `FROM (sub) AS x ...` all parse to the same result."""
+    eng = _mr_engine(spark)
+    base = _baseline(spark)
+    key = ["user_id", "signup_id", "purchase_id"]
+    for src in (
+        "events AS e",
+        "events e",
+        "(SELECT * FROM events) AS sub",
+        "(SELECT * FROM events) sub",
+    ):
+        got = eng.sql(
+            f"SELECT user_id, signup_id, purchase_id FROM {src} MATCH_RECOGNIZE ("
+            + _MR_CLAUSE + ")"
+        ).toPandas()
+        assert sorted(map(tuple, got[key].itertuples(index=False, name=None))) == base, src
+
+
+def test_sql_match_recognize_two_clauses_one_statement(spark):
+    """Two MATCH_RECOGNIZE clauses in one statement route independently."""
+    eng = _mr_engine(spark)
+    one = (
+        "SELECT user_id, signup_id, purchase_id FROM events MATCH_RECOGNIZE ("
+        + _MR_CLAUSE + ")"
+    )
+    got = eng.sql(f"SELECT count(*) AS n FROM ({one}) a JOIN ({one}) b USING (user_id, signup_id)").toPandas()
+    assert int(got.n.iloc[0]) >= len(_baseline(spark))
+
+
+def test_sql_match_recognize_in_string_literal_not_routed(spark):
+    """The token inside a string literal must not trigger routing."""
+    eng = _mr_engine(spark)
+    got = eng.sql("SELECT 'use MATCH_RECOGNIZE (wisely)' AS tip").toPandas()
+    assert got.tip.iloc[0] == "use MATCH_RECOGNIZE (wisely)"
+
+
+def test_sql_match_recognize_unsupported_source_raises(spark):
+    """A join in the table position is rejected with a readable message,
+    not passed through to an opaque Spark parse error."""
+    import pytest
+
+    eng = _mr_engine(spark)
+    with pytest.raises(NotImplementedError, match="MATCH_RECOGNIZE"):
+        eng.sql(
+            "SELECT * FROM events JOIN events ON 1=1 MATCH_RECOGNIZE ("
+            + _MR_CLAUSE + ")"
+        )
+
+
+def test_driver_verified_requires_hash_match(tmp_path):
+    """A rows-green/hash-red record must NOT count as verified (it should
+    re-surface first in the driver's capped sweep); hash_match=None
+    (rows-only check) still counts."""
+    import json
+    import __spark_entry__ as entrymod
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "good": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "rows_only": {"rows_match": True, "schema_match": True, "hash_match": None},
+        "hash_red": {"rows_match": True, "schema_match": True, "hash_match": False},
+        "rows_red": {"rows_match": False, "schema_match": True, "hash_match": True},
+    }))
+    green = entrymod._driver_verified(str(tmp_path))
+    assert green == {"good", "rows_only"}
