@@ -167,6 +167,7 @@ class Graph:
             .localCheckpoint(eager=True)
         )
         prev_sig = None
+        converged = False
         for i in range(max_rounds):
             edges = small_star(large_star(edges)).localCheckpoint(eager=True)
             # convergence: the edge set is stable (order-insensitive
@@ -178,10 +179,28 @@ class Graph:
             if on_progress is not None:
                 on_progress(i, sig["n"])
             if (sig["n"], sig["h"]) == prev_sig:
+                converged = True
                 break
             prev_sig = (sig["n"], sig["h"])
-        # stars: every non-root points at its component's min id (min-agg
-        # in case max_rounds exhausted before a perfect star formed)
+        if not converged:
+            # The residual edge set is NOT a star forest, so a groupBy-min
+            # over it would assign inconsistent labels (e.g. residual
+            # {(1,0),(2,1)} would label 2 as 1, not 0).  Both star
+            # operations preserve connectivity and never drop a
+            # non-isolated vertex, so the residual graph has exactly the
+            # original components over far fewer/flatter edges — finish
+            # exactly with min-id propagation on the residual.
+            residual = Graph(
+                self.vertices,
+                edges.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            )
+            # run to the fixed point (workset-empty), not a step cap: the
+            # residual diameter shrinks ~4x per completed star round, so
+            # the remaining propagation depth is small and bounded
+            return residual.connected_components(
+                max_iterations=2**31, on_progress=on_progress
+            )
+        # star fixed point: every non-root points at its component's min id
         roots = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("__root"))
         labels = self.vertices.select("id").join(roots, "id", "left")
         return labels.select(

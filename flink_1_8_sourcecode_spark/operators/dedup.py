@@ -307,10 +307,10 @@ def simhash_neardup_pairs(
 def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup PAIRS into clusters and pick one keeper per
     cluster — the step an LLM-data pipeline runs after LSH/SimHash pair
-    generation: transitive closure via min-id connected components
-    (delta iteration, graph/graph.py), cluster_id = the cluster's min
-    doc id, is_keeper = (id == cluster_id).  Docs in no pair are their
-    own singleton cluster.
+    generation: transitive closure via alternating large-star/small-star
+    connected components (Kiveris et al., SoCC'14; graph/graph.py),
+    cluster_id = the cluster's min doc id, is_keeper = (id ==
+    cluster_id).  Docs in no pair are their own singleton cluster.
 
     Scale: uses the alternating large-star/small-star components
     (O(log n) rounds) rather than the delta iteration — its cost scales

@@ -323,9 +323,10 @@ def _cluster_oracle() -> str:
     "dedup_cluster_resolution",
     oracle=_cluster_oracle(),
     doc="Near-dup cluster resolution (operators/dedup.py:dedup_clusters): "
-    "MinHash-LSH pairs -> undirected transitive closure (min-id delta "
-    "iteration) -> one keeper per cluster.  The pipeline step that turns "
-    "candidate pairs into an actual dedup decision.",
+    "MinHash-LSH pairs -> undirected transitive closure (alternating "
+    "large-star/small-star components, Kiveris et al. SoCC'14) -> one "
+    "keeper per cluster.  The pipeline step that turns candidate pairs "
+    "into an actual dedup decision.",
 )
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.dedup import dedup_clusters

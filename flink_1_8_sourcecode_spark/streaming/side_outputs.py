@@ -152,8 +152,16 @@ def late_data_side_channel(
         try:
             with open(wm_path) as f:
                 hwm["wm"] = _dt.datetime.fromisoformat(_json.load(f)["wm"])
-        except (OSError, ValueError, KeyError):
-            pass
+        except (OSError, ValueError, KeyError) as exc:
+            # a corrupt/unreadable watermark file degrades to a cold
+            # start (late rows may route to main once) — say so rather
+            # than silently losing the recovery guarantee
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not restore late-watermark from %s (%s); starting cold",
+                wm_path, exc,
+            )
 
     def _persist_wm(wm: _dt.datetime) -> None:
         if wm_path is None:
@@ -245,8 +253,16 @@ def punctuated_watermark_channel(
         try:
             with open(wm_path) as f:
                 hwm["wm"] = _dt.datetime.fromisoformat(_json.load(f)["wm"])
-        except (OSError, ValueError, KeyError):
-            pass
+        except (OSError, ValueError, KeyError) as exc:
+            # a corrupt/unreadable watermark file degrades to a cold
+            # start (late rows may route to main once) — say so rather
+            # than silently losing the recovery guarantee
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "could not restore late-watermark from %s (%s); starting cold",
+                wm_path, exc,
+            )
 
     def _persist(wm: _dt.datetime) -> None:
         if wm_path is None:

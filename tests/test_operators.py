@@ -359,3 +359,21 @@ class TestAlternatingCC:
         ).toPandas()
         assert (out.component == 0).all() and len(out) == n
         assert len(rounds) <= 10, f"expected O(log n) rounds, took {len(rounds)}"
+
+    def test_max_rounds_exhausted_falls_back_exactly(self, spark):
+        """If the star fixed point is not reached within max_rounds, a
+        groupBy-min over the residual would be silently wrong (residual
+        {(1,0),(2,1)} labels 2 as 1); the operator must instead finish
+        with min-id propagation on the residual and stay exact."""
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        n = 200  # long chain, forced premature stop
+        v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        out = Graph(v, e).connected_components_alternating(max_rounds=3).toPandas()
+        assert len(out) == n
+        assert (out.component == 0).all(), (
+            out[out.component != 0].head()
+        )

@@ -67,7 +67,7 @@ def test_truncate_matches_python(spark):
             assert t == expected or abs(t - expected) < 1e-9, (x, d, t, expected)
 
 
-def test_asof_join_matches_pandas_merge_asof(spark):
+def test_asof_join_matches_pandas_merge_asof_with_null_payload(spark):
     """The union+struct-carry as-of join must agree with pandas
     merge_asof on randomized keyed version histories (including NULL
     payload fields in the latest version)."""
