@@ -33,21 +33,20 @@ def main() -> None:
     spark = get_spark(app_name="flink18-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footer caches once (not timed).
-    next(iter(bench_queries.values())).spark(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
     # Median of 3 runs per query: single-shot numbers on a shared box
     # ride scheduler jitter (observed 2x swings on identical plans), and
-    # the per-query 2x regression gate should not.
+    # the per-query 2x regression gate should not.  Every query gets its
+    # OWN untimed warmup first (scan + codegen + shuffle-file caches):
+    # warming only the first query inflates every other query's first
+    # sample and can still skew a median of 3.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def median_wall(q) -> float:
+    def median_wall(q, sf_dir: str = SF_DIR) -> float:
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         return round(sorted(samples)[len(samples) // 2], 4)
 
@@ -55,6 +54,33 @@ def main() -> None:
     secondary = {
         name: median_wall(registry[name]) for name in SECONDARY if name in registry
     }
+
+    # Scaling-curve guard: time the headline set one scale factor down
+    # and report the small->big wall-time ratio per query.  At 10x the
+    # data a healthy scan-bound plan lands well under 10x wall (fixed
+    # job overhead dominates small SF); a ratio far beyond 10x means
+    # super-linear work (an accidental cross join, a collapsed
+    # partition, an O(n^2) expansion) that a real cluster would find
+    # the hard way.
+    scaling = {}
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_SF_SMALL_DIR",
+        os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01"),
+    )
+    if os.path.isdir(small_dir) and os.path.realpath(small_dir) != os.path.realpath(SF_DIR):
+        small = {name: median_wall(q, small_dir) for name, q in bench_queries.items()}
+        ratios = {
+            name: round(timings[name] / small[name], 2) if small[name] > 0 else None
+            for name in bench_queries
+        }
+        superlinear = sorted(n for n, r in ratios.items() if r is not None and r > 15)
+        scaling = {"small_dir": small_dir, "small": small, "ratio": ratios,
+                   "superlinear": superlinear}
+        if superlinear:
+            print(
+                f"WARNING super-linear scaling (> 15x wall for 10x data): {superlinear}",
+                file=sys.stderr,
+            )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -65,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "secondary": secondary,
+                "scaling": scaling,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -94,3 +94,64 @@ def test_stream_cep_requires_within(spark, chunk_dir):
     p = Pattern.begin("a").where(lambda e: True)
     with pytest.raises(ValueError, match="within"):
         match_pattern_stream(stream, p, "user_id", "ts", ["event_id"], "10 minutes")
+
+
+def test_stream_cep_skip_to_first_across_batches(spark, tmp_path):
+    """AfterMatchSkipStrategy SKIP_TO_FIRST interacts with the streaming
+    stable-start cutoff: matches that resume at a previous match's
+    middle stage must survive micro-batch boundaries and equal the batch
+    matcher exactly."""
+    p = (
+        Pattern.begin("a")
+        .where(lambda e: e["event_type"] == "error")
+        .followed_by("b")
+        .where(lambda e: e["event_type"] == "error")
+        .followed_by("c")
+        .where(lambda e: e["event_type"] == "error")
+        .within("2 hours")
+        .with_skip("skip_to_first", stage="b")
+    )
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=10 * i), 7, "error", float(i), "{}")
+        for i in range(8)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    d = str(tmp_path / "skipfirst_chunks")
+    # two events per chunk: every overlapping (a b c) triple spans a
+    # micro-batch boundary.  coalesce(1) keeps one file per chunk so the
+    # file source replays them in event-time order — a chunk split over
+    # part files can arrive behind the 0-second watermark, which is
+    # legitimate late-data loss, not what this test pins.
+    for ci in range(4):
+        spark.createDataFrame(rows[2 * ci : 2 * ci + 2], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/__chunk={ci}")
+    sentinel = spark.createDataFrame(
+        [(10**9, base + dt.timedelta(days=30), -1, "noop", 0.0, "{}")], schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(d + "/__chunk=zz_sentinel")
+
+    stream = sources.read_event_stream(spark, d)
+    out = match_pattern_stream(
+        stream, p, key="user_id", time_col="ts", select_cols=["event_id"],
+        watermark_delay="0 seconds", tiebreak="event_id",
+    )
+    q = out.writeStream.format("memory").queryName("t_cep_skipfirst").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_cep_skipfirst").toPandas()
+    got = got[got.user_id >= 0]
+
+    batch = match_pattern(
+        spark.createDataFrame(rows, schema), p,
+        key="user_id", time_col="ts", select_cols=["event_id"], tiebreak="event_id",
+    ).toPandas()
+
+    assert len(got) > 0
+    assert _norm(got) == _norm(batch)

@@ -377,3 +377,51 @@ class TestAlternatingCC:
         assert (out.component == 0).all(), (
             out[out.component != 0].head()
         )
+
+
+class TestIvfRecallProperty:
+    """ivf_topk is oracle-checked for determinism elsewhere; this pins
+    its QUALITY claim: recall@k vs the exact cosine_topk ground truth is
+    high on clustered data, monotone in nprobe (probe sets are nested),
+    and exact once every cluster is probed."""
+
+    def test_recall_monotone_in_nprobe_and_exact_at_full_probe(self, spark):
+        import numpy as np
+
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        rng = np.random.default_rng(11)
+        n_clusters, dim, per = 8, 12, 40
+        centers = rng.normal(size=(n_clusters, dim)) * 5.0
+        rows, vid = [], 0
+        for c in range(n_clusters):
+            for p in centers[c] + rng.normal(size=(per, dim)):
+                rows.append((vid, c, [float(x) for x in p]))
+                vid += 1
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<double>"
+        )
+        queries = corpus.filter(F.col("vec_id") % 37 == 0)  # 9 spread queries
+
+        gt = cosine_topk(corpus, queries, "vec_id", "embedding", "vec_id", k=5).toPandas()
+        gt_sets = {q: set(g.neighbor_id) for q, g in gt.groupby("query_id")}
+
+        recalls = []
+        for nprobe in (1, 2, 4, 8):
+            got = ivf_topk(
+                corpus, queries, "vec_id", "embedding", "vec_id",
+                cluster_col="label", k=5, nprobe=nprobe,
+            ).toPandas()
+            got_sets = {q: set(g.neighbor_id) for q, g in got.groupby("query_id")}
+            recalls.append(
+                float(np.mean([
+                    len(gt_sets[q] & got_sets.get(q, set())) / len(gt_sets[q])
+                    for q in gt_sets
+                ]))
+            )
+        assert recalls[-1] == 1.0, recalls  # nprobe = #clusters => exact
+        assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+        assert recalls[0] >= 0.5, recalls  # blobby corpus: 1 probe catches most
