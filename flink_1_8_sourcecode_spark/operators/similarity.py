@@ -84,6 +84,74 @@ def cosine_topk(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iterations: int = 5,
+) -> DataFrame:
+    """K-means coarse quantizer for ``ivf_topk``: returns
+    ``(id_col, cluster)`` — use it when the corpus has no natural
+    cluster/label column to bucket the inverted file on.
+
+    Deterministic init (no RNG state): the k vectors with the smallest
+    ``xxhash64(id)`` seed the centroids.  Each iteration broadcasts the
+    k centroids, assigns every vector to its nearest centroid (squared
+    L2, cluster-id tiebreak), and recomputes centroids as per-cluster
+    means.  Scale: the corpus never moves — per iteration it is one
+    broadcast-join map + one partial-aggregated groupBy over k * dim
+    cells; only the tiny centroid table shuttles.  Lineage is truncated
+    per iteration (localCheckpoint) so plans stay flat.  Clusters that
+    lose all members drop out (standard k-means degeneracy; k shrinks).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    centroids = (
+        v.orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("__id")) - 1).alias("cluster"),
+            F.col("__v").alias("__centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w = Window.partitionBy("__id").orderBy(F.asc("__d"), F.asc("cluster"))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        return (
+            v.join(F.broadcast(cents), F.lit(True))
+            .select("__id", "__v", "cluster", sq_l2(F.col("__v"), F.col("__centroid")).alias("__d"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", "cluster")
+        )
+
+    for _ in range(iterations):
+        centroids = (
+            assign(centroids)
+            .select("cluster", F.posexplode("__v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("__centroid"))
+            .localCheckpoint(eager=True)
+        )
+    # final assignment against the final centroids: every id's cluster is
+    # its nearest surviving centroid by construction
+    return assign(centroids).select(F.col("__id").alias(id_col), "cluster")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

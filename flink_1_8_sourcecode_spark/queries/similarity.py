@@ -92,3 +92,20 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, "vec_id", "embedding", "vec_id", cluster_col="label", k=10, nprobe=3
     )
+
+
+@register(
+    "sim_ivf_train_assign",
+    doc="K-means coarse-quantizer training (operators/similarity.py:"
+    "ivf_train) over the embeddings table: deterministic hash-seeded "
+    "init, 3 Lloyd iterations, returns (vec_id, cluster).  Iterative "
+    "algorithm -> rows-only driver check; quality/invariants pinned by "
+    "tests/test_operators.py::TestIvfTrain (assignment is "
+    "nearest-of-final-centroids; trained clusters beat the raw label "
+    "column's recall at equal nprobe on blobby data).",
+)
+def sim_ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_train(emb, "vec_id", "embedding", k=8, iterations=3)

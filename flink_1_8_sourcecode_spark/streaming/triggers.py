@@ -55,6 +55,69 @@ from flink_1_8_sourcecode_spark.streaming import arrow_state
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 
 
+def _scan_group(kind, param, purging, delta_fn, acc, wvals):
+    """One (key, window) group of one micro-batch: detect early firings
+    and advance the accumulator.
+
+    ``acc`` is the window's ``[cnt, total, cursor]`` state (mutated in
+    place; cursor pre-initialized by the caller on window creation).
+    Returns ``(fires, cnts, tots)`` — the 0-based firing indices within
+    the sorted batch slice and the snapshot (cnt, total) emitted at each
+    firing.  Pure function of its inputs, unit-tested against a per-row
+    reference implementation in ``tests/test_triggers.py``.
+    """
+    cnt0, total0, cursor = acc
+    m = len(wvals)
+    if m == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0)
+    csum = np.cumsum(wvals)
+
+    if kind == "count":
+        # fires at elements where the since-fire counter hits param:
+        # (cursor + i + 1) % param == 0 — pure modular arithmetic, no scan
+        fires = np.flatnonzero(np.mod(cursor + np.arange(1, m + 1), param) == 0)
+        acc[2] = float((cursor + m) % param)
+    elif kind == "delta":
+        # sequential by definition: the comparison point is the last
+        # FIRED element — float-only scan, vectorized emit
+        fires_l = []
+        c = cursor
+        for i in range(m):
+            v = float(wvals[i])
+            if c != c:  # NaN: seed with the first element
+                c = v
+            elif delta_fn(c, v) > param:
+                fires_l.append(i)
+                c = v
+        fires = np.asarray(fires_l, dtype=np.int64)
+        acc[2] = c
+    else:
+        fires = np.empty(0, dtype=np.int64)  # continuous fires on watermark
+
+    if len(fires):
+        # early-firing snapshots, all fires of the group at once
+        if purging:
+            cnts = np.diff(np.concatenate(([-1], fires)))
+            cnts[0] = cnt0 + fires[0] + 1
+            tots = np.diff(np.concatenate(([0.0], csum[fires])))
+            tots[0] = total0 + csum[fires[0]]
+        else:
+            cnts = cnt0 + fires + 1
+            tots = total0 + csum[fires]
+    else:
+        cnts = tots = np.empty(0)
+
+    if purging and len(fires):
+        last = int(fires[-1])
+        acc[0] = m - 1 - last
+        acc[1] = float(csum[-1] - csum[last])
+    else:
+        acc[0] = cnt0 + m
+        acc[1] = total0 + float(csum[-1])
+    return fires, cnts, tots
+
+
 def triggered_tumble_agg(
     df: DataFrame,
     key: str,
@@ -137,24 +200,6 @@ def triggered_tumble_agg(
             out_total.append(float(total))
             out_final.append(final)
 
-        def emit_fires(u: float, ws: float, fires: np.ndarray, cnt0: int,
-                       total0: float, csum: np.ndarray) -> None:
-            # early-firing snapshots, all fires of one (key, window) at once
-            if purging:
-                cnts = np.diff(np.concatenate(([-1], fires)))
-                cnts[0] = cnt0 + fires[0] + 1
-                tots = np.diff(np.concatenate(([0.0], csum[fires])))
-                tots[0] = total0 + csum[fires[0]]
-            else:
-                cnts = cnt0 + fires + 1
-                tots = total0 + csum[fires]
-            n = len(fires)
-            out_u.extend([u] * n)
-            out_ws.extend([ws] * n)
-            out_cnt.extend(int(c) for c in cnts)
-            out_total.extend(float(t) for t in tots)
-            out_final.extend([False] * n)
-
         u_parts, ts_parts, val_parts = [], [], []
         for pdf in batches:
             ts_parts.append(
@@ -186,7 +231,6 @@ def triggered_tumble_agg(
             for s, e in zip(starts, ends):
                 u, w = float(us[s]), float(ws_all[s])
                 wvals = vals[s:e]
-                m = e - s
                 acc = wins.get((u, w))
                 if acc is None:
                     if kind == "count":
@@ -197,45 +241,16 @@ def triggered_tumble_agg(
                     else:
                         cursor = np.nan  # DeltaTrigger's empty ValueState
                     acc = wins[(u, w)] = [0, 0.0, cursor]
-                cnt0, total0, cursor = acc
-                csum = np.cumsum(wvals)
-
-                if kind == "count":
-                    # fires at elements where the since-fire counter hits
-                    # param: (cursor + i + 1) % param == 0 — pure modular
-                    # arithmetic, no scan
-                    fires = np.flatnonzero(
-                        np.mod(cursor + np.arange(1, m + 1), param) == 0
-                    )
-                    if len(fires):
-                        emit_fires(u, w, fires, cnt0, total0, csum)
-                    acc[2] = float((cursor + m) % param)
-                elif kind == "delta":
-                    # sequential by definition: the comparison point is the
-                    # last FIRED element — float-only scan, vectorized emit
-                    fires_l = []
-                    c = cursor
-                    for i in range(m):
-                        v = float(wvals[i])
-                        if c != c:  # NaN: seed with the first element
-                            c = v
-                        elif delta_fn(c, v) > param:
-                            fires_l.append(i)
-                            c = v
-                    fires = np.asarray(fires_l, dtype=np.int64)
-                    if len(fires):
-                        emit_fires(u, w, fires, cnt0, total0, csum)
-                    acc[2] = c
-                else:
-                    fires = np.empty(0, dtype=np.int64)  # continuous fires on wm below
-
-                if purging and len(fires):
-                    last = int(fires[-1])
-                    acc[0] = m - 1 - last
-                    acc[1] = float(csum[-1] - csum[last])
-                else:
-                    acc[0] = cnt0 + m
-                    acc[1] = total0 + float(csum[-1])
+                fires, cnts, tots = _scan_group(
+                    kind, param, purging, delta_fn, acc, wvals
+                )
+                n = len(fires)
+                if n:
+                    out_u.extend([u] * n)
+                    out_ws.extend([w] * n)
+                    out_cnt.extend(int(c) for c in cnts)
+                    out_total.extend(float(t) for t in tots)
+                    out_final.extend([False] * n)
 
         for (u, w) in sorted(wins):
             acc = wins[(u, w)]

@@ -425,3 +425,72 @@ class TestIvfRecallProperty:
         assert recalls[-1] == 1.0, recalls  # nprobe = #clusters => exact
         assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
         assert recalls[0] >= 0.5, recalls  # blobby corpus: 1 probe catches most
+
+
+class TestIvfTrain:
+    """ivf_train = deterministic Lloyd k-means over DataFrames: the
+    coarse quantizer for ivf_topk when no cluster column exists."""
+
+    def _blobs(self, spark, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(6, 10)) * 8.0
+        rows, vid = [], 0
+        for c in range(6):
+            for p in centers[c] + rng.normal(size=(30, 10)):
+                rows.append((vid, [float(x) for x in p]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_deterministic_and_nearest_centroid_invariant(self, spark):
+        import numpy as np
+
+        from flink_1_8_sourcecode_spark.operators.similarity import ivf_train
+
+        corpus = self._blobs(spark)
+        a = ivf_train(corpus, "vec_id", "embedding", k=6, iterations=4).toPandas()
+        b = ivf_train(corpus, "vec_id", "embedding", k=6, iterations=4).toPandas()
+        pa_ = a.sort_values("vec_id").reset_index(drop=True)
+        pb_ = b.sort_values("vec_id").reset_index(drop=True)
+        assert (pa_.cluster == pb_.cluster).all()  # no RNG state anywhere
+
+        # every point sits with its nearest final centroid (Lloyd invariant)
+        vecs = {r.vec_id: np.array(r.embedding) for r in corpus.collect()}
+        assign = dict(zip(pa_.vec_id, pa_.cluster))
+        cents = {}
+        for cl in set(assign.values()):
+            members = [vecs[i] for i, c in assign.items() if c == cl]
+            cents[cl] = np.mean(members, axis=0)
+        # recompute one more assignment step by hand: with 4 iterations on
+        # well-separated blobs the assignment is stable, so nearest final
+        # centroid == recorded cluster
+        for i, v in vecs.items():
+            d = {cl: float(((v - c) ** 2).sum()) for cl, c in cents.items()}
+            nearest = min(d, key=lambda cl: (d[cl], cl))
+            assert nearest == assign[i], (i, d)
+
+    def test_trained_clusters_give_high_recall(self, spark):
+        import numpy as np
+
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+            ivf_train,
+        )
+
+        corpus = self._blobs(spark)
+        assign = ivf_train(corpus, "vec_id", "embedding", k=6, iterations=4)
+        clustered = corpus.join(assign, "vec_id")
+        queries = corpus.filter(F.col("vec_id") % 29 == 0)
+        gt = cosine_topk(corpus, queries, "vec_id", "embedding", "vec_id", k=5).toPandas()
+        got = ivf_topk(
+            clustered, queries, "vec_id", "embedding", "vec_id",
+            cluster_col="cluster", k=5, nprobe=2,
+        ).toPandas()
+        gt_sets = {q: set(g.neighbor_id) for q, g in gt.groupby("query_id")}
+        got_sets = {q: set(g.neighbor_id) for q, g in got.groupby("query_id")}
+        recall = float(np.mean([
+            len(gt_sets[q] & got_sets.get(q, set())) / len(gt_sets[q]) for q in gt_sets
+        ]))
+        assert recall >= 0.8, recall

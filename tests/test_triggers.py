@@ -261,3 +261,115 @@ def test_purging_count_trigger_emits_deltas(spark, tmp_path):
         cnt=("cnt", "sum"), total=("total", "sum")
     ).reset_index()
     assert_frames_match(per_window, _batch_expected(spark), name="purging_trigger")
+
+
+def test_scan_group_matches_per_row_reference():
+    """The vectorized firing math (_scan_group) must be element-for-
+    element equal to the reference's per-row onElement loop
+    (CountTrigger.java / DeltaTrigger.java semantics), including
+    purging resets and state carried across micro-batches."""
+    import math
+    import random
+
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.streaming.triggers import _scan_group
+
+    def ref_scan(kind, param, purging, delta_fn, acc, wvals):
+        # transcription of the per-row loop this repo shipped before the
+        # vectorization (itself oracle-validated)
+        emits = []
+        for v in wvals:
+            v = float(v)
+            acc[0] += 1
+            acc[1] += v
+            if kind == "count":
+                acc[2] += 1
+                if acc[2] >= param:
+                    emits.append((acc[0], acc[1]))
+                    if purging:
+                        acc[0], acc[1] = 0, 0.0
+                    acc[2] = 0
+            elif kind == "delta":
+                if acc[2] is None or acc[2] != acc[2]:  # empty ValueState
+                    acc[2] = v
+                elif delta_fn(acc[2], v) > param:
+                    emits.append((acc[0], acc[1]))
+                    if purging:
+                        acc[0], acc[1] = 0, 0.0
+                    acc[2] = v
+        return emits
+
+    rng = random.Random(42)
+    dfn = lambda last, cur: abs(cur - last)  # noqa: E731
+    for trial in range(200):
+        kind = rng.choice(["count", "delta"])
+        param = rng.randint(1, 5) if kind == "count" else rng.uniform(0.5, 3.0)
+        purging = rng.random() < 0.5
+        n = rng.randint(0, 40)
+        vals = [round(rng.uniform(-5, 5), 3) for _ in range(n)]
+        # random micro-batch boundaries
+        cuts = sorted(rng.sample(range(n + 1), rng.randint(0, min(4, n)))) if n else []
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            batches.append(vals[prev:c])
+            prev = c
+
+        acc_v = [0, 0.0, 0.0 if kind == "count" else float("nan")]
+        acc_r = [0, 0.0, 0 if kind == "count" else None]
+        got, exp = [], []
+        for b in batches:
+            fires, cnts, tots = _scan_group(
+                kind, param, purging, dfn, acc_v, np.asarray(b, dtype=float)
+            )
+            got.extend(zip(cnts.tolist(), tots.tolist()))
+            exp.extend(ref_scan(kind, param, purging, dfn, acc_r, b))
+
+        ctx = (trial, kind, param, purging, vals, cuts)
+        assert len(got) == len(exp), ctx
+        for (gc, gt), (ec, et) in zip(got, exp):
+            assert int(gc) == int(ec) and math.isclose(gt, et, abs_tol=1e-9), ctx
+        assert acc_v[0] == acc_r[0], ctx
+        assert math.isclose(acc_v[1], acc_r[1], abs_tol=1e-9), ctx
+        cv, cr = acc_v[2], acc_r[2]
+        if kind == "count":
+            assert int(cv) == int(cr), ctx
+        else:
+            both_unset = (cv != cv) and (cr is None or cr != cr)
+            assert both_unset or math.isclose(cv, cr, abs_tol=1e-9), ctx
+
+
+def test_evictor_bucketed_key_groups_same_result(spark, tmp_path):
+    """evicted_tumble_agg with key_buckets must equal the per-key
+    sharding exactly (same count-evictor window results)."""
+    from flink_1_8_sourcecode_spark.streaming.evictors import evicted_tumble_agg
+
+    chunks = str(tmp_path / "kg_evict")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=3)
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+
+    outs = []
+    for kb in (None, 8):
+        stream = sources.read_event_stream(spark, chunks)
+        out = evicted_tumble_agg(
+            stream, key="user_id", time_col="ts", value_col="value",
+            window_seconds=WINDOW_S, evictor=("count", 3), key_buckets=kb,
+        )
+        name = f"t_kg_evict_{kb}"
+        q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pdf = spark.table(name).toPandas()
+        pdf = pdf[pdf.user_id >= 0].sort_values(
+            ["user_id", "w_start"]
+        ).reset_index(drop=True)
+        outs.append(pdf)
+    assert_frames_match(outs[0], outs[1], name="evictor_key_groups")
