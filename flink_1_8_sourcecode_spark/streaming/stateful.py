@@ -13,7 +13,10 @@ Reference parity:
 Scale notes: state is per-key and partitioned by the groupBy key — the
 same sharding as Flink's keyed state backend; Arrow batches move groups
 into pandas.  State stays small (counters/ring buffers), never whole
-groups.
+groups, and buffers ride as Arrow-IPC blobs (typed, no pickle); all
+per-batch work is vectorized (stable sorts, boolean watermark splits,
+carry+cumsum running aggregates, shared ``triggers._scan_group`` firing
+math) — no per-row Python in any of these operators.
 """
 
 from __future__ import annotations
@@ -65,8 +68,15 @@ def event_time_running_agg(
     event-time order once the watermark passes them (same firing rule as
     the reference's over-window state cleanup).  Emits append-mode rows
     (key, time, tiebreak?, value, running_sum, running_cnt).
+
+    Scale notes: the pending buffer rides as an Arrow-IPC blob (typed,
+    no pickle); per batch the work is one stable sort + boolean split +
+    cumsum — the running sums fall out of ``carry + cumsum`` with no
+    per-row Python.
     """
-    import pickle
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.streaming import arrow_state
 
     src = df.withWatermark(time_col, watermark_delay)
     key_t = src.schema[key].dataType.simpleString()
@@ -76,48 +86,60 @@ def event_time_running_agg(
         f"{key} {key_t}, {time_col} timestamp{tb_schema}, "
         f"{value_col} double, running_sum double, running_cnt long"
     )
+    buf_cols = [time_col, *tb, value_col]
 
     def fn(key_tuple, batches, state: GroupState):
         if state.exists:
             blob, total, cnt = state.get
-            pending: list[dict] = pickle.loads(bytes(blob))
+            parts = [arrow_state.de(bytes(blob), buf_cols)]
         else:
-            pending, total, cnt = [], 0.0, 0
-        for pdf in batches:
-            pending.extend(pdf.to_dict("records"))
+            parts, total, cnt = [], 0.0, 0
+        parts += [pdf[buf_cols] for pdf in batches]
+        pend = arrow_state.concat(parts, buf_cols)
         wm = state.getCurrentWatermarkMs() / 1000.0
 
-        def ts_sec(r) -> float:
-            return pd.Timestamp(r[time_col]).value / 1e9
-
-        pending.sort(key=lambda r: (ts_sec(r), r.get(tiebreak) if tiebreak else 0))
-        out, keep = [], []
-        for r in pending:
-            if ts_sec(r) <= wm:
-                total += float(r[value_col])
-                cnt += 1
-                rec = {
-                    key: key_tuple[0],
-                    time_col: r[time_col],
-                    value_col: float(r[value_col]),
-                    "running_sum": total,
-                    "running_cnt": cnt,
-                }
-                if tiebreak:
-                    rec[tiebreak] = r[tiebreak]
-                out.append(rec)
+        keep = pend
+        if len(pend):
+            pend = pend.sort_values([time_col, *tb], kind="stable", ignore_index=True)
+            tsec = (
+                pend[time_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+            )
+            ready_mask = tsec <= wm
+            ready, keep = pend[ready_mask], pend[~ready_mask]
+            if len(ready):
+                vals = ready[value_col].astype(float).to_numpy()
+                cs = np.cumsum(vals)
+                out = pd.DataFrame(
+                    {
+                        key: key_tuple[0],
+                        time_col: ready[time_col].to_numpy(),
+                        **{t: ready[t].to_numpy() for t in tb},
+                        value_col: vals,
+                        "running_sum": total + cs,
+                        "running_cnt": cnt + np.arange(1, len(vals) + 1, dtype="int64"),
+                    }
+                )
+                total += float(cs[-1])
+                cnt += len(vals)
             else:
-                keep.append(r)
-        state.update((pickle.dumps(keep), total, cnt))
-        if keep:
+                out = None
+        else:
+            out = None
+
+        state.update(
+            (arrow_state.ser(keep.reset_index(drop=True)), float(total), int(cnt))
+        )
+        if len(keep):
             # Re-arm an event-time timer at the earliest pending row so the
             # group is re-invoked when the watermark passes it — without
             # this, a group that stops receiving data never flushes
             # (Flink's over-window registers the same cleanup timer).
-            state.setTimeoutTimestamp(int(ts_sec(keep[0]) * 1000) + 1)
-        if out:
-            cols = [key, time_col, *tb, value_col, "running_sum", "running_cnt"]
-            yield pd.DataFrame(out, columns=cols)
+            earliest = (
+                keep[time_col].astype("datetime64[us]").astype("int64").min() / 1e3
+            )
+            state.setTimeoutTimestamp(int(earliest) + 1)
+        if out is not None:
+            yield out
 
     return src.groupBy(key).applyInPandasWithState(
         fn, out_schema, "buf binary, total double, cnt long", "append",
@@ -136,8 +158,14 @@ def count_window_agg(
 
     State = (elements_in_current_window, running_sum, windows_emitted);
     carry-over partial windows stay in state until filled — identical to
-    Flink's count-trigger semantics (CountTrigger.java).
+    Flink's count-trigger semantics (CountTrigger.java).  A count window
+    IS a purging count trigger, so the firing math is the shared
+    vectorized ``triggers._scan_group`` (modular arithmetic over
+    cumulative counts, cumsum-diff totals — no per-element Python).
     """
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.streaming.triggers import _scan_group
 
     # derive the key column's name/type from the input so string or
     # otherwise-typed keys keep their schema (not a hardcoded 'key long')
@@ -149,25 +177,25 @@ def count_window_agg(
             cnt, total, emitted = state.get
         else:
             cnt, total, emitted = 0, 0.0, 0
-        out_rows = []
-        for pdf in batches:
-            for v in pdf[value_col]:
-                cnt += 1
-                total += float(v)
-                if cnt == window_size:
-                    out_rows.append(
-                        {
-                            key_name: key_tuple[0],
-                            "window_seq": emitted,
-                            "cnt": cnt,
-                            "total": total,
-                        }
-                    )
-                    emitted += 1
-                    cnt, total = 0, 0.0
-        state.update((cnt, total, emitted))
-        if out_rows:
-            yield pd.DataFrame(out_rows)
+        parts = [pdf[value_col].astype(float).to_numpy() for pdf in batches]
+        vals = np.concatenate(parts) if parts else np.empty(0)
+        # count window == count trigger with FIRE_AND_PURGE: cursor is the
+        # same elements-since-fire counter as cnt
+        acc = [int(cnt), float(total), float(cnt)]
+        fires, cnts, tots = _scan_group(
+            "count", window_size, True, None, acc, vals
+        )
+        n_fires = len(fires)
+        state.update((int(acc[0]), float(acc[1]), int(emitted) + n_fires))
+        if n_fires:
+            yield pd.DataFrame(
+                {
+                    key_name: key_tuple[0],
+                    "window_seq": np.arange(emitted, emitted + n_fires, dtype="int32"),
+                    "cnt": cnts.astype("int32"),
+                    "total": tots.astype("float64"),
+                }
+            )
 
     return df.groupBy(key).applyInPandasWithState(
         fn,
@@ -194,8 +222,12 @@ def event_time_sorted_emit(
     one group, a deliberate single-task bottleneck, exactly as Flink's
     streaming SQL ORDER BY ts requires); with a key, rows are ordered
     per key but parallel across keys.  Output schema = input schema.
+
+    Scale notes: the buffer rides as an Arrow-IPC blob of the full row
+    schema (typed, no pickle); per batch the work is one stable sort
+    plus a boolean watermark split — no per-row Python.
     """
-    import pickle
+    from flink_1_8_sourcecode_spark.streaming import arrow_state
 
     src = df.withWatermark(time_col, watermark_delay)
     if key is None:
@@ -208,24 +240,31 @@ def event_time_sorted_emit(
     out_schema = ", ".join(f"{c} {src.schema[c].dataType.simpleString()}" for c in cols)
 
     def fn(key_tuple, batches, state: GroupState):
-        pending: list = pickle.loads(bytes(state.get[0])) if state.exists else []
-
-        def ts_sec(r) -> float:
-            return pd.Timestamp(r[time_col]).value / 1e9
-
-        for pdf in batches:
-            pending.extend(pdf[cols].to_dict("records"))
+        parts = [arrow_state.de(bytes(state.get[0]), cols)] if state.exists else []
+        parts += [pdf[cols] for pdf in batches]
+        pend = arrow_state.concat(parts, cols)
         wm = state.getCurrentWatermarkMs() / 1000.0
-        pending.sort(key=lambda r: (ts_sec(r), r.get(tiebreak) if tiebreak else 0))
-        ready = [r for r in pending if ts_sec(r) <= wm]
-        keep = [r for r in pending if ts_sec(r) > wm]
-        state.update((pickle.dumps(keep),))
-        if keep:
-            state.setTimeoutTimestamp(
-                max(int(ts_sec(keep[0]) * 1000) + 1, state.getCurrentWatermarkMs() + 1)
+
+        ready, keep = None, pend
+        if len(pend):
+            sort_cols = [time_col, *( [tiebreak] if tiebreak else [] )]
+            pend = pend.sort_values(sort_cols, kind="stable", ignore_index=True)
+            tsec = (
+                pend[time_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
             )
-        if ready:
-            yield pd.DataFrame(ready, columns=cols)
+            ready_mask = tsec <= wm
+            ready, keep = pend[ready_mask], pend[~ready_mask]
+
+        state.update((arrow_state.ser(keep.reset_index(drop=True)),))
+        if len(keep):
+            earliest = (
+                keep[time_col].astype("datetime64[us]").astype("int64").min() / 1e3
+            )
+            state.setTimeoutTimestamp(
+                max(int(earliest) + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if ready is not None and len(ready):
+            yield ready
 
     grouped = src.groupBy(*group)
     return grouped.applyInPandasWithState(
