@@ -17,27 +17,26 @@ to rows at or after the resume point:
 - under skip_past_last, also past the last emitted match's end (those
   rows are consumed by definition of the skip strategy).
 
-State per key = (pickled row buffer, next match id, resume timestamp) —
-O(rows within the watermark+within horizon), the same bound as Flink's
-NFA state.  The buffer is kept SORTED in state: each micro-batch sorts
-only its new rows and merges them in (O(B + n log n) instead of
-re-sorting the whole buffer), and the resume trim is a bisect on the
-sorted times.
+State per key = (Arrow-IPC row buffer, next match id, resume timestamp)
+— O(rows within the watermark+within horizon), the same bound as
+Flink's NFA state.  The buffer is typed columnar (no pickle), kept
+sorted with one stable pandas sort per batch, and the resume trim is a
+searchsorted on the time column; rows materialize as dicts only for the
+NFA scan itself (the matcher is per-row by nature — it IS the NFA).
 """
 
 from __future__ import annotations
 
-import bisect
-import heapq
-import pickle
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_1_8_sourcecode_spark.cep.matcher import _find_matches
 from flink_1_8_sourcecode_spark.cep.pattern import Pattern
+from flink_1_8_sourcecode_spark.streaming import arrow_state
 
 
 def match_pattern_stream(
@@ -68,39 +67,44 @@ def match_pattern_stream(
     )
     out_schema = f"{key} {key_t}, match_id long, stage string, seq int, {sel_schema}"
 
+    # the full input row must survive buffering: DEFINE/where predicates
+    # may reference any column, not just the selected ones
+    buf_cols = ["__t", *stream.columns]
+
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
-        # buf = [(t_seconds, row_dict)] kept sorted by (t, tiebreak)
+        # buf = typed row frame with a __t seconds column, kept sorted by
+        # (__t, tiebreak); state rides as Arrow IPC, never pickle
         if state.exists:
             buf_blob, next_id, resume = state.get
-            buf: list[tuple[float, dict]] = pickle.loads(bytes(buf_blob))
+            parts = [arrow_state.de(bytes(buf_blob), buf_cols)]
         else:
-            buf, next_id, resume = [], 0, float("-inf")
-
-        def skey(item):
-            t, rec = item
-            return (t, rec[tiebreak]) if tiebreak else (t,)
-
-        new = []
+            parts, next_id, resume = [], 0, float("-inf")
         for pdf in batches:
-            ts = pdf[time_col].astype("datetime64[us]").astype("int64") / 1e6
-            for t, rec in zip(ts, pdf.to_dict("records")):
-                new.append((float(t), rec))
-        if new:
-            new.sort(key=skey)
-            # incremental: only new rows sorted; stable merge keeps the
-            # previous batches' tie order like the old full mergesort did
-            buf = list(heapq.merge(buf, new, key=skey))
+            p = pdf[buf_cols[1:]].copy()
+            p.insert(
+                0, "__t",
+                pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6,
+            )
+            parts.append(p)
+        buf = arrow_state.concat(parts, buf_cols)
+        if len(buf):
+            # state part first + stable sort == the incremental stable
+            # merge (equal keys keep earlier-batch order)
+            buf = buf.sort_values(
+                ["__t", *( [tiebreak] if tiebreak else [] )],
+                kind="stable", ignore_index=True,
+            )
 
         wm_ms = state.getCurrentWatermarkMs()
         stable_limit = wm_ms / 1000.0 - within
 
         out_rows = []
-        if buf:
-            lo = bisect.bisect_left(buf, resume, key=lambda item: item[0])
-            buf = buf[lo:]
-        if buf:
-            times = [t for t, _ in buf]
-            rows = [rec for _, rec in buf]
+        if len(buf):
+            tarr = buf["__t"].to_numpy()
+            buf = buf.iloc[np.searchsorted(tarr, resume, side="left"):]
+        if len(buf):
+            times = buf["__t"].tolist()
+            rows = buf.drop(columns="__t").to_dict("records")
 
             last_end = float("-inf")
             first_unstable = next((t for t in times if t > stable_limit), None)
@@ -125,16 +129,17 @@ def match_pattern_stream(
             if skip_past and last_end > float("-inf"):
                 new_resume = max(new_resume, last_end + 1e-6)
             resume = max(resume, new_resume)
-            lo = bisect.bisect_left(buf, resume, key=lambda item: item[0])
-            buf = buf[lo:]
+            buf = buf.iloc[
+                np.searchsorted(buf["__t"].to_numpy(), resume, side="left"):
+            ]
 
-        state.update((pickle.dumps(buf), next_id, resume))
-        if buf:
+        state.update((arrow_state.ser(buf.reset_index(drop=True)), next_id, resume))
+        if len(buf):
             # Event-time timer at the earliest buffered row + within: the
             # group re-fires when its oldest pending start stabilizes even
             # if no further events arrive for the key (Flink's CEP cleanup
             # timer parity).
-            earliest = buf[0][0]
+            earliest = float(buf["__t"].iloc[0])
             state.setTimeoutTimestamp(
                 max(int((earliest + within) * 1000) + 1, wm_ms + 1)
             )
