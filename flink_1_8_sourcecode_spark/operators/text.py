@@ -42,8 +42,8 @@ def stopword_ratio(text: Column) -> Column:
     return F.when(F.size(t) > 0, stop / F.size(t)).otherwise(F.lit(0.0))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams, joined with single spaces.
+def word_ngrams(text: Column, k: int = 3) -> Column:
+    """Word k-grams in document order (duplicates kept), space-joined.
 
     Built from zip_with over shifted slices rather than
     ``transform(sequence, i -> element_at(t, i+j))``: an outer array
@@ -62,7 +62,12 @@ def shingles(text: Column, k: int = 3) -> Column:
                 x.isNull() | y.isNull(), F.lit(None)
             ).otherwise(F.concat(x, F.lit(" "), y)),
         )
-    return F.array_distinct(F.filter(acc, lambda s: s.isNotNull()))
+    return F.filter(acc, lambda s: s.isNotNull())
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams, joined with single spaces."""
+    return F.array_distinct(word_ngrams(text, k))
 
 
 def quality_score(text: Column) -> Column:
@@ -106,3 +111,85 @@ def subword_tokens(text: Column) -> Column:
 
 def subword_count(text: Column) -> Column:
     return F.size(subword_tokens(text))
+
+
+def lines(text: Column) -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of a document's lines that repeat an earlier line — the
+    Gopher repetition filter family (Rae et al. 2021, public): pages
+    dominated by repeated lines (menus, boilerplate) score high and get
+    dropped before LLM training."""
+    ls = lines(text)
+    return F.when(
+        F.size(ls) > 0,
+        1.0 - F.size(F.array_distinct(ls)) / F.size(ls),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df, id_col: str, text_col: str, k: int = 2):
+    """Gopher-style per-document repetition signals (Rae et al. 2021):
+    ``(id, n_lines, dup_line_frac, top_ngram_share)`` where
+    ``top_ngram_share`` is the fraction of all word-k-gram occurrences
+    taken by the document's single most frequent k-gram.
+
+    Scale: the k-gram mode runs as explode -> two partial-aggregated
+    groupBys keyed by (doc, gram) then doc — fully distributed, no
+    per-row Python, and no O(n^2) HOF re-evaluation (an outer array
+    captured in a higher-order-function lambda re-evaluates per
+    element; the explode path reads each gram once)."""
+    ident = F.col(id_col)
+    base = df.select(
+        ident,
+        F.size(lines(F.col(text_col))).alias("n_lines"),
+        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+    )
+    share = (
+        df.select(ident, F.explode(word_ngrams(F.col(text_col), k)).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg((F.max("__c") / F.sum("__c")).alias("top_ngram_share"))
+    )
+    return base.join(share, id_col, "left").select(
+        ident,
+        F.col("n_lines"),
+        F.col("dup_line_frac"),
+        F.coalesce(F.col("top_ngram_share"), F.lit(0.0)).alias("top_ngram_share"),
+    )
+
+
+def decontaminate(df, benchmark, id_col: str, text_col: str,
+                  bench_text_col: str | None = None, n: int = 5):
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a (small) benchmark/eval corpus — the published
+    GPT-3-style n-gram overlap filter (Brown et al. 2020 used 13-grams;
+    ``n`` is a parameter because synthetic test docs are short).
+
+    Returns ``df`` + a boolean ``contaminated`` column.  Scale: the
+    benchmark's distinct n-grams are a SMALL relation — the overlap
+    check is a broadcast LEFT SEMI join against the exploded training
+    n-grams (no shuffle of the big side), then a semi-join back on
+    doc id; the corpus is never collected or replicated."""
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(shingles(F.col(bench_text), n)).alias("__g"))
+        .distinct()
+    )
+    hit_ids = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g"))
+        .join(F.broadcast(bench_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__contaminated", F.lit(True))
+    )
+    return (
+        df.join(hit_ids, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__contaminated"), F.lit(False)))
+        .drop("__contaminated")
+    )

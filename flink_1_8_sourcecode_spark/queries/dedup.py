@@ -336,3 +336,37 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
     return dedup_clusters(d, pairs, id_col="doc_id")
+
+
+@register(
+    "dedup_decontaminate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             ))) AS gram
+      FROM tok WHERE len(t) >= 5
+    ), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+    hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    doc="Benchmark decontamination (operators/text.py:decontaminate): "
+    "flag training docs sharing any word 5-gram with the doc_id<5 "
+    "'benchmark' corpus — the published GPT-3-style n-gram overlap "
+    "filter (Brown et al. 2020), as a broadcast semi-join of exploded "
+    "n-grams (the corpus side never shuffles).",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 5)
+    return decontaminate(d, bench, "doc_id", "text", n=5).select(
+        "doc_id", "contaminated"
+    )

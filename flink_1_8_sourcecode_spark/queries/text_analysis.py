@@ -172,3 +172,37 @@ def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         subword_count(F.col("text")).alias("subwords"),
         token_count(F.col("text")).alias("words"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                         s -> s != '') AS ls
+      FROM documents
+    ), tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+               t[i] || ' ' || t[i + 1])) AS g
+      FROM tok WHERE len(t) >= 2
+    ), cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    share AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_ngram_share
+              FROM cnt GROUP BY 1)
+    SELECT l.doc_id, len(ls) AS n_lines,
+           CASE WHEN len(ls) > 0
+                THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                ELSE 0.0 END AS dup_line_frac,
+           coalesce(top_ngram_share, 0.0) AS top_ngram_share
+    FROM l LEFT JOIN share USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals (Rae et al. 2021): duplicate-"
+    "line fraction + top-2-gram occurrence share per document — the "
+    "published boilerplate/repetition pre-filters for LLM corpora "
+    "(operators/text.py:repetition_stats; explode + two partial-agg "
+    "groupBys, no per-row Python).",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.repetition_stats(d, "doc_id", "text", k=2)

@@ -494,3 +494,51 @@ class TestIvfTrain:
             len(gt_sets[q] & got_sets.get(q, set())) / len(gt_sets[q]) for q in gt_sets
         ]))
         assert recall >= 0.8, recall
+
+
+class TestTrainingDataFilters:
+    """Published LLM-corpus pre-filters: Gopher repetition signals and
+    GPT-3-style n-gram decontamination."""
+
+    def test_repetition_stats_known_docs(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "menu\nmenu\nmenu\nabout us"),        # 3/4 lines duplicate
+                (2, "one two one two one two"),            # top 2-gram dominates
+                (3, "all words differ here entirely"),     # clean
+                (4, ""),                                   # empty
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+        assert got[1].n_lines == 4 and abs(got[1].dup_line_frac - 0.5) < 1e-9
+        # doc 2 grams: [one two, two one, one two, two one, one two] -> 3/5
+        assert abs(got[2].top_ngram_share - 0.6) < 1e-9
+        assert got[3].dup_line_frac == 0.0
+        assert got[3].top_ngram_share < 0.5
+        assert got[4].n_lines == 0 and got[4].top_ngram_share == 0.0
+
+    def test_decontaminate_flags_overlaps_and_broadcasts(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "he said the quick brown fox jumps away fast"),  # 5-gram overlap
+                (2, "a completely unrelated training document text here"),
+                (3, "quick brown fox jumps over"),                    # exact 5-gram
+            ],
+            "doc_id long, text string",
+        )
+        out = decontaminate(docs, bench, "doc_id", "text", n=5)
+        got = {r.doc_id: r.contaminated for r in out.collect()}
+        assert got == {1: True, 2: False, 3: True}
+        # the benchmark gram table must reach the join as a broadcast —
+        # the corpus side never shuffles for it
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
