@@ -74,37 +74,54 @@ class Graph:
         self,
         max_iterations: int = 20,
         on_progress=None,
+        shuffle_partitions: int | None = None,
     ) -> DataFrame:
         """Min-id label propagation on the undirected graph as a DELTA
         iteration (flink-gelly/.../library/ConnectedComponents.java runs
         on iterateDelta): the workset holds only vertices whose label
         changed last superstep, so each iteration joins edges against
         the shrinking changed set instead of all vertices.
-        Returns (id, component)."""
-        und = self.get_undirected()
-        edges = und.edges.select("src", "dst").distinct().persist()
-        labels = self.vertices.select("id", F.col("id").alias("component"))
+        Returns (id, component).
 
-        def step(solution: DataFrame, workset: DataFrame, _i: int):
-            # candidate labels flow only from CHANGED vertices over edges
-            cand = (
-                edges.join(workset, edges.src == workset.id)
-                .select(F.col("dst").alias("id"), F.col("component").alias("cand"))
-                .groupBy("id")
-                .agg(F.min("cand").alias("cand"))
-            )
-            delta = (
-                cand.join(solution, "id")
-                .filter(F.col("cand") < F.col("component"))
-                .select("id", F.col("cand").alias("component"))
-            )
-            return delta, delta
+        ``shuffle_partitions`` sizes the per-superstep shuffles — the
+        analogue of Flink's per-operator ``setParallelism``: iteration
+        parallelism should track the workset/edge volume, not the
+        session's batch default (32 partitions x N supersteps of
+        scheduler overhead dwarfs a small graph; a 100 TB edge set wants
+        hundreds).  The iteration runs eagerly here, so the conf applies
+        to every superstep and is restored afterwards."""
+        spark = self.vertices.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            und = self.get_undirected()
+            edges = und.edges.select("src", "dst").distinct().persist()
+            labels = self.vertices.select("id", F.col("id").alias("component"))
 
-        out = iterate_delta(
-            labels, labels, step, max_iterations, key="id", on_progress=on_progress
-        )
-        edges.unpersist()
-        return out
+            def step(solution: DataFrame, workset: DataFrame, _i: int):
+                # candidate labels flow only from CHANGED vertices over edges
+                cand = (
+                    edges.join(workset, edges.src == workset.id)
+                    .select(F.col("dst").alias("id"), F.col("component").alias("cand"))
+                    .groupBy("id")
+                    .agg(F.min("cand").alias("cand"))
+                )
+                delta = (
+                    cand.join(solution, "id")
+                    .filter(F.col("cand") < F.col("component"))
+                    .select("id", F.col("cand").alias("component"))
+                )
+                return delta, delta
+
+            out = iterate_delta(
+                labels, labels, step, max_iterations, key="id", on_progress=on_progress
+            )
+            edges.unpersist()
+            return out
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     def connected_components_alternating(
         self,

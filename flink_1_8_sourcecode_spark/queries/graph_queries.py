@@ -36,7 +36,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id") % 10) != 9)
         .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     )
-    return Graph(v, e).connected_components(max_iterations=15)
+    # iteration parallelism tracks the (tiny) workset — Flink
+    # setParallelism parity; see connected_components' docstring
+    return Graph(v, e).connected_components(max_iterations=15, shuffle_partitions=4)
 
 
 @register(
