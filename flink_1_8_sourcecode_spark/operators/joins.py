@@ -193,6 +193,7 @@ def unbounded_stream_join(
     right_time: str | None = None,
     watermark_delay: str = "0 seconds",
     idle_state_ttl_seconds: float = 3600.0,
+    key_buckets: int = 64,
 ) -> DataFrame:
     """Unbounded (non-windowed) stream-stream join — the reference's
     retraction-mode SQL joins (flink-table/.../runtime/join/
@@ -219,6 +220,14 @@ def unbounded_stream_join(
     after which an unmatched key flushes (Flink's
     withIdleStateRetentionTime analogue — size it above the expected
     key re-arrival gap).
+
+    ``key_buckets`` shards join keys into Flink-style key groups
+    (KeyGroupRangeAssignment.java, see streaming/triggers.py): the
+    stateful shuffle is on ``hash(keys) % key_buckets`` and each
+    invocation handles all of a bucket's keys with keyed pandas merges
+    — amortizing the per-invocation JVM<->Python protocol cost that
+    dominates at high key cardinality.  Results are identical; size it
+    like Flink's maxParallelism (>= target executor cores).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how == "inner":
@@ -237,7 +246,7 @@ def unbounded_stream_join(
         )
     return _outer_unbounded_join(
         left, right, keys, how_n, left_time, right_time, watermark_delay,
-        idle_state_ttl_seconds,
+        idle_state_ttl_seconds, key_buckets,
     )
 
 
@@ -250,6 +259,7 @@ def _outer_unbounded_join(
     right_time: str,
     watermark_delay: str,
     idle_state_ttl_seconds: float,
+    key_buckets: int,
 ) -> DataFrame:
     """Symmetric hash join with timer-driven null-padding (see
     unbounded_stream_join).  Non-key columns of the two sides must be
@@ -258,23 +268,31 @@ def _outer_unbounded_join(
     Implementation notes (hot-path discipline):
     - payload columns travel as NATIVE Spark columns (the other side's
       columns null-cast before the union) — no JSON round-trip;
-    - buffered state is Arrow-IPC-serialized pandas frames, not pickled
-      Python lists — the Arrow boundary is the same one
-      applyInPandasWithState already pays;
-    - per-batch matching is a vectorized pandas cross-merge: the new
-      pairs of a batch are exactly new_left x all_right + old_left x
-      new_right (the incremental cross product), no per-row Python loop;
-    - the idle timer is armed off ``max(watermark, max observed event
-      time)`` — the first micro-batch's watermark is epoch 0, and a
-      timer based on it alone fires as soon as the watermark first
-      advances, flushing null-padded rows for keys whose match is still
-      in flight (the round-3 flake).
+    - the stateful shuffle is on a KEY GROUP (``hash(keys) %
+      key_buckets``): one applyInPandasWithState invocation per bucket
+      per micro-batch holds every key of the bucket, so the
+      JVM<->Python protocol cost amortizes across keys (Flink's
+      KeyGroupRangeAssignment design);
+    - buffered state is Arrow-IPC-serialized pandas frames carrying the
+      key columns, not pickled Python lists;
+    - per-batch matching is vectorized keyed pandas merges: the new
+      pairs of a batch are exactly new_left >< all_right + old_left ><
+      new_right ON the join keys, no per-row Python loop;
+    - each key's idle deadline is ``max(watermark at last arrival, max
+      observed event time) + ttl`` — the first micro-batch's watermark
+      is epoch 0, and a deadline off it alone would fire as soon as the
+      watermark first advances, flushing null-padded rows for keys
+      whose match is still in flight (the round-3 flake).  Expired keys
+      flush on ANY bucket invocation (data or timer) once the watermark
+      passes their deadline; the bucket timer is armed at the earliest
+      pending deadline.
     """
     from collections.abc import Iterator
 
     import pandas as pd
-    import pyarrow as pa
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_1_8_sourcecode_spark.streaming import arrow_state
 
     lcols = [c for c in left.columns if c not in keys]
     rcols = [c for c in right.columns if c not in keys]
@@ -290,6 +308,9 @@ def _outer_unbounded_join(
     out_cols = [c for c, _t in key_ddl + l_ddl + r_ddl]
     out_schema = ", ".join(f"{c} {t}" for c, t in key_ddl + l_ddl + r_ddl)
     ts_cols = {c for c, t in l_ddl + r_ddl if t.startswith("timestamp")}
+    lbuf_cols = keys + lcols
+    rbuf_cols = keys + rcols
+    meta_cols = keys + ["__deadline"]
 
     def _tag(df: DataFrame, time_col: str, side: int) -> DataFrame:
         # Both sides project to the SAME wide schema (own payload native,
@@ -306,96 +327,119 @@ def _outer_unbounded_join(
             *[F.lit(None).cast(t).alias(c) for c, t in other],
         ).withWatermark("__ts", watermark_delay)
 
-    u = _tag(left, left_time, 0).unionByName(_tag(right, right_time, 1))
+    u = (
+        _tag(left, left_time, 0)
+        .unionByName(_tag(right, right_time, 1))
+        .withColumn("__kg", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(key_buckets)))
+    )
 
-    def _ser(pdf: pd.DataFrame) -> bytes:
-        if not len(pdf):
-            return b""
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, tbl.schema) as w:
-            w.write_table(tbl)
-        return sink.getvalue().to_pybytes()
-
-    def _de(buf: bytes, cols: list[str]) -> pd.DataFrame:
-        if not buf:
-            return pd.DataFrame(columns=cols)
-        return pa.ipc.open_stream(pa.BufferReader(buf)).read_all().to_pandas()
-
-    def _concat(parts: list[pd.DataFrame], cols: list[str]) -> pd.DataFrame:
-        parts = [p for p in parts if len(p)]
-        if not parts:
-            return pd.DataFrame(columns=cols)
-        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-
+    _concat = arrow_state.concat
     ttl_ms = int(idle_state_ttl_seconds * 1000)
 
-    def _finish(pdf: pd.DataFrame, key_tuple) -> pd.DataFrame:
-        for k, v in zip(keys, key_tuple):
-            pdf[k] = v
+    def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
         for c in ts_cols:
             pdf[c] = pd.to_datetime(pdf[c])  # None -> NaT, dtype datetime64
         return pdf.reindex(columns=out_cols)
 
+    def _anti(df: pd.DataFrame, key_df: pd.DataFrame) -> pd.DataFrame:
+        """Rows of df whose key tuple is NOT in key_df."""
+        if not len(df) or not len(key_df):
+            return df  # also avoids object-dtype merges on empty frames
+        m = df.merge(key_df.assign(__hit=1), on=keys, how="left")
+        return m[m["__hit"].isna()].drop(columns="__hit")
+
+    def _semi(df: pd.DataFrame, key_df: pd.DataFrame) -> pd.DataFrame:
+        """Rows of df whose key tuple IS in key_df."""
+        if not len(df) or not len(key_df):
+            return df.iloc[0:0]
+        return df.merge(key_df, on=keys)
+
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
-            lbuf, rbuf, max_ts_ms = state.get
-            old_l, old_r = _de(lbuf, lcols), _de(rbuf, rcols)
+            lbuf, rbuf, mbuf = state.get
+            old_l = arrow_state.de(bytes(lbuf), lbuf_cols)
+            old_r = arrow_state.de(bytes(rbuf), rbuf_cols)
+            meta = arrow_state.de(bytes(mbuf), meta_cols)
         else:
-            old_l, old_r, max_ts_ms = pd.DataFrame(columns=lcols), pd.DataFrame(columns=rcols), 0
+            old_l = pd.DataFrame(columns=lbuf_cols)
+            old_r = pd.DataFrame(columns=rbuf_cols)
+            meta = pd.DataFrame(columns=meta_cols)
         wm = state.getCurrentWatermarkMs()
 
         new_l_parts: list[pd.DataFrame] = []
         new_r_parts: list[pd.DataFrame] = []
+        ts_parts: list[pd.DataFrame] = []
         for pdf in batches:
             if not len(pdf):
                 continue
-            mt = pdf["__ts"].dropna().max()
-            if mt is not pd.NaT and not pd.isna(mt):
-                max_ts_ms = max(max_ts_ms, pd.Timestamp(mt).value // 1_000_000)
-            new_l_parts.append(pdf.loc[pdf["__side"] == 0, lcols])
-            new_r_parts.append(pdf.loc[pdf["__side"] == 1, rcols])
-        new_l = _concat(new_l_parts, lcols)
-        new_r = _concat(new_r_parts, rcols)
-        all_l = _concat([old_l, new_l], lcols)
-        all_r = _concat([old_r, new_r], rcols)
+            ts_ms = pdf["__ts"].astype("datetime64[us]").astype("int64") // 1000
+            ts_parts.append(pdf[keys].assign(__t=ts_ms))
+            new_l_parts.append(pdf.loc[pdf["__side"] == 0, lbuf_cols])
+            new_r_parts.append(pdf.loc[pdf["__side"] == 1, rbuf_cols])
+        new_l = _concat(new_l_parts, lbuf_cols)
+        new_r = _concat(new_r_parts, rbuf_cols)
+        all_l = _concat([old_l, new_l], lbuf_cols)
+        all_r = _concat([old_r, new_r], rbuf_cols)
 
-        # Incremental cross product: everything involving a new row,
-        # nothing already emitted.
+        if ts_parts:
+            # refresh the deadline of every key touched this batch
+            touched = (
+                _concat(ts_parts, keys + ["__t"])
+                .groupby(keys, as_index=False)["__t"].max()
+            )
+            touched["__deadline"] = (
+                touched["__t"].clip(lower=wm).astype("int64") + ttl_ms + 1
+            )
+            touched = touched[meta_cols]
+            meta = _concat([_anti(meta, touched[keys]), touched], meta_cols)
+
+        # Incremental keyed cross product: everything involving a new
+        # row, nothing already emitted.
         pairs: list[pd.DataFrame] = []
         if len(new_l) and len(all_r):
-            pairs.append(new_l.merge(all_r, how="cross"))
+            pairs.append(new_l.merge(all_r, on=keys))
         if len(old_l) and len(new_r):
-            pairs.append(old_l.merge(new_r, how="cross"))
-        out = _concat(pairs, lcols + rcols)
+            pairs.append(old_l.merge(new_r, on=keys))
+        out = _concat(pairs, out_cols)
 
-        if state.hasTimedOut:
-            # key idle past its TTL: flush null-padded rows and clear —
-            # Flink's idle-state-retention final state
-            if how in ("left", "full") and len(all_l) and not len(all_r):
-                pad = all_l.copy()
-                for c in rcols:
-                    pad[c] = None
-                out = _concat([out, pad], lcols + rcols)
-            if how in ("right", "full") and len(all_r) and not len(all_l):
-                pad = all_r.copy()
-                for c in lcols:
-                    pad[c] = None
-                out = _concat([out, pad], lcols + rcols)
-            if state.exists:
-                state.remove()
-        else:
-            state.update((_ser(all_l), _ser(all_r), max_ts_ms))
-            # Arm off the max of watermark and observed event time: batch-1
-            # watermarks are epoch 0, and an epoch-based timer fires the
-            # moment the watermark first advances — padding keys whose
-            # match arrives a few batches later.
-            state.setTimeoutTimestamp(max(wm, max_ts_ms) + ttl_ms + 1)
+        # keys idle past their TTL: flush null-padded rows and clear —
+        # Flink's idle-state-retention final state
+        if len(meta):
+            exp_mask = meta["__deadline"].astype("int64") <= wm
+            if exp_mask.any():
+                expired = meta.loc[exp_mask, keys]
+                meta = meta[~exp_mask]
+                l_exp, r_exp = _semi(all_l, expired), _semi(all_r, expired)
+                all_l, all_r = _anti(all_l, expired), _anti(all_r, expired)
+                if how in ("left", "full") and len(l_exp):
+                    pad = _anti(l_exp, r_exp[keys].drop_duplicates())
+                    if len(pad):
+                        for c in rcols:
+                            pad[c] = None
+                        out = _concat([out, pad], out_cols)
+                if how in ("right", "full") and len(r_exp):
+                    pad = _anti(r_exp, l_exp[keys].drop_duplicates())
+                    if len(pad):
+                        for c in lcols:
+                            pad[c] = None
+                        out = _concat([out, pad], out_cols)
+
+        if len(meta):
+            state.update((
+                arrow_state.ser(all_l.reset_index(drop=True)),
+                arrow_state.ser(all_r.reset_index(drop=True)),
+                arrow_state.ser(meta.reset_index(drop=True)),
+            ))
+            state.setTimeoutTimestamp(
+                max(int(meta["__deadline"].astype("int64").min()), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
 
         if len(out):
-            yield _finish(out, key_tuple)
+            yield _finish(out)
 
-    return u.groupBy(*keys).applyInPandasWithState(
-        fn, out_schema, "lbuf binary, rbuf binary, max_ts_ms long", "append",
+    return u.groupBy("__kg").applyInPandasWithState(
+        fn, out_schema, "lbuf binary, rbuf binary, meta binary", "append",
         GroupStateTimeout.EventTimeTimeout,
     )
