@@ -169,3 +169,58 @@ def test_outer_unbounded_requires_time_columns(spark):
     ls = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="event-time"):
         unbounded_stream_join(ls, ls, on="value", how="full")
+
+
+def test_outer_unbounded_multi_key_and_small_buckets(spark, tmp_path):
+    """Composite join keys through the key-grouped state path, with
+    key_buckets=2 so multiple distinct key tuples share one bucket
+    invocation — the keyed merges must still pair and pad per key."""
+    l_schema = "a long, b string, lts timestamp, lv double"
+    r_schema = "a long, b string, rts timestamp, rv double"
+    lrows = [
+        (1, "x", _t(0), 10.0),
+        (1, "y", _t(1), 11.0),   # left-only (b differs)
+        (2, "x", _t(2), 20.0),
+        (3, "z", _t(3), 30.0),   # left-only key
+    ]
+    rrows = [
+        (1, "x", _t(4), 100.0),
+        (2, "x", _t(5), 200.0),
+        (2, "x", _t(6), 201.0),
+        (9, "q", _t(7), 900.0),  # right-only key
+    ]
+    sent_l = (999, "s", _t(60 * 24 * 30), 0.0)
+    sent_r = (998, "s", _t(60 * 24 * 30), 0.0)
+    lbase = _write_chunks(spark, str(tmp_path / "ml"), lrows, l_schema, sent_l)
+    rbase = _write_chunks(spark, str(tmp_path / "mr"), rrows, r_schema, sent_r)
+    ls = spark.readStream.schema(l_schema).option("maxFilesPerTrigger", 1) \
+        .option("recursiveFileLookup", "true").parquet(lbase)
+    rs = spark.readStream.schema(r_schema).option("maxFilesPerTrigger", 1) \
+        .option("recursiveFileLookup", "true").parquet(rbase)
+
+    out = unbounded_stream_join(
+        ls, rs, on=["a", "b"], how="full", left_time="lts", right_time="rts",
+        watermark_delay="2 hours", idle_state_ttl_seconds=3600.0,
+        key_buckets=2,
+    )
+    q = out.writeStream.format("memory").queryName("t_unb_mk").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_unb_mk").toPandas()
+    got = got[got.a < 900].reset_index(drop=True)
+
+    lb = spark.createDataFrame(lrows, l_schema)
+    rb = spark.createDataFrame(rrows, r_schema)
+    expected = lb.join(rb, ["a", "b"], "full").select(
+        "a", "b", "lts", "lv", "rts", "rv"
+    ).toPandas()
+
+    def canon(df):
+        df = df[["a", "b", "lts", "lv", "rts", "rv"]].copy()
+        for c in df.columns:
+            df[c] = df[c].astype(str)
+        return sorted(map(tuple, df.itertuples(index=False, name=None)))
+
+    assert canon(got) == canon(expected)
