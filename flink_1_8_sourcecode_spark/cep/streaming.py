@@ -17,12 +17,15 @@ to rows at or after the resume point:
 - under skip_past_last, also past the last emitted match's end (those
   rows are consumed by definition of the skip strategy).
 
-State per key = (Arrow-IPC row buffer, next match id, resume timestamp)
-— O(rows within the watermark+within horizon), the same bound as
-Flink's NFA state.  The buffer is typed columnar (no pickle), kept
-sorted with one stable pandas sort per batch, and the resume trim is a
-searchsorted on the time column; rows materialize as dicts only for the
-NFA scan itself (the matcher is per-row by nature — it IS the NFA).
+State = an Arrow-IPC row buffer plus per-key (next match id, resume
+timestamp) cursors — O(rows within the watermark+within horizon), the
+same bound as Flink's NFA state.  The buffer is typed columnar (no
+pickle), kept sorted with one stable pandas sort per batch, and resume
+trims are searchsorted on the time column; rows materialize as dicts
+only for the NFA scan itself (the matcher is per-row by nature — it IS
+the NFA).  With ``key_buckets`` the stateful shuffle rides on Flink-
+style key groups (hash(key) % B) and one invocation serves all of a
+bucket's keys.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_1_8_sourcecode_spark.cep.matcher import _find_matches
@@ -47,10 +51,19 @@ def match_pattern_stream(
     select_cols: list[str],
     watermark_delay: str,
     tiebreak: str | None = None,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming PatternStream.select: same output shape as the batch
     ``match_pattern`` ((key, match_id, stage, seq, select_cols)), emitted
-    in append mode as matches stabilize behind the watermark."""
+    in append mode as matches stabilize behind the watermark.
+
+    ``key_buckets`` shards keys into Flink-style key groups
+    (KeyGroupRangeAssignment.java — see streaming/triggers.py): the
+    stateful shuffle rides on ``hash(key) % key_buckets`` and one
+    invocation per bucket per micro-batch runs the NFA for all of the
+    bucket's keys, amortizing the per-invocation JVM<->Python protocol
+    cost.  Results are identical; works for any key type (key values
+    live in the Arrow buffers, not packed numerics)."""
     pattern = pattern.validate()
     if pattern.within_seconds is None:
         raise ValueError(
@@ -71,14 +84,18 @@ def match_pattern_stream(
     # may reference any column, not just the selected ones
     buf_cols = ["__t", *stream.columns]
 
+    meta_cols = [key, "__next_id", "__resume"]
+
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         # buf = typed row frame with a __t seconds column, kept sorted by
-        # (__t, tiebreak); state rides as Arrow IPC, never pickle
+        # (key, __t, tiebreak); per-key (next_id, resume) cursors live in
+        # an Arrow meta frame — state rides as Arrow IPC, never pickle
         if state.exists:
-            buf_blob, next_id, resume = state.get
+            buf_blob, meta_blob = state.get
             parts = [arrow_state.de(bytes(buf_blob), buf_cols)]
+            meta = arrow_state.de(bytes(meta_blob), meta_cols)
         else:
-            parts, next_id, resume = [], 0, float("-inf")
+            parts, meta = [], pd.DataFrame(columns=meta_cols)
         for pdf in batches:
             p = pdf[buf_cols[1:]].copy()
             p.insert(
@@ -87,59 +104,83 @@ def match_pattern_stream(
             )
             parts.append(p)
         buf = arrow_state.concat(parts, buf_cols)
-        if len(buf):
-            # state part first + stable sort == the incremental stable
-            # merge (equal keys keep earlier-batch order)
-            buf = buf.sort_values(
-                ["__t", *( [tiebreak] if tiebreak else [] )],
-                kind="stable", ignore_index=True,
-            )
 
         wm_ms = state.getCurrentWatermarkMs()
         stable_limit = wm_ms / 1000.0 - within
 
+        # per-key cursors: next_id survives a drained buffer so match ids
+        # never recycle within a key (the batch matcher's id contract)
+        cursors = {
+            k: [int(n), float(r)]
+            for k, n, r in zip(meta[key], meta["__next_id"], meta["__resume"])
+        }
         out_rows = []
+        kept: list[pd.DataFrame] = []
         if len(buf):
-            tarr = buf["__t"].to_numpy()
-            buf = buf.iloc[np.searchsorted(tarr, resume, side="left"):]
-        if len(buf):
-            times = buf["__t"].tolist()
-            rows = buf.drop(columns="__t").to_dict("records")
-
-            last_end = float("-inf")
-            first_unstable = next((t for t in times if t > stable_limit), None)
-            for m in _find_matches(rows, times, pattern, max_start_time=stable_limit):
-                for seq, (stage_name, ridx) in enumerate(m):
-                    rec = {
-                        key: key_tuple[0],
-                        "match_id": next_id,
-                        "stage": stage_name,
-                        "seq": seq,
-                    }
-                    for c in select_cols:
-                        rec[c] = rows[ridx][c]
-                    out_rows.append(rec)
-                next_id += 1
-                if m:
-                    last_end = max(last_end, max(times[idx] for _, idx in m))
-
-            new_resume = first_unstable if first_unstable is not None else (
-                times[-1] + 1e-6 if times else resume
+            # state part first + stable sort == the incremental stable
+            # merge (equal keys keep earlier-batch order)
+            buf = buf.sort_values(
+                [key, "__t", *( [tiebreak] if tiebreak else [] )],
+                kind="stable", ignore_index=True,
             )
-            if skip_past and last_end > float("-inf"):
-                new_resume = max(new_resume, last_end + 1e-6)
-            resume = max(resume, new_resume)
-            buf = buf.iloc[
-                np.searchsorted(buf["__t"].to_numpy(), resume, side="left"):
-            ]
+            for kval, grp in buf.groupby(key, sort=False):
+                cur = cursors.setdefault(kval, [0, float("-inf")])
+                next_id, resume = cur
+                tarr = grp["__t"].to_numpy()
+                grp = grp.iloc[np.searchsorted(tarr, resume, side="left"):]
+                if not len(grp):
+                    continue
+                times = grp["__t"].tolist()
+                rows = grp.drop(columns="__t").to_dict("records")
 
-        state.update((arrow_state.ser(buf.reset_index(drop=True)), next_id, resume))
+                last_end = float("-inf")
+                first_unstable = next((t for t in times if t > stable_limit), None)
+                for m in _find_matches(rows, times, pattern, max_start_time=stable_limit):
+                    for seq, (stage_name, ridx) in enumerate(m):
+                        rec = {
+                            key: kval,
+                            "match_id": next_id,
+                            "stage": stage_name,
+                            "seq": seq,
+                        }
+                        for c in select_cols:
+                            rec[c] = rows[ridx][c]
+                        out_rows.append(rec)
+                    next_id += 1
+                    if m:
+                        last_end = max(last_end, max(times[idx] for _, idx in m))
+
+                new_resume = first_unstable if first_unstable is not None else (
+                    times[-1] + 1e-6 if times else resume
+                )
+                if skip_past and last_end > float("-inf"):
+                    new_resume = max(new_resume, last_end + 1e-6)
+                resume = max(resume, new_resume)
+                grp = grp.iloc[
+                    np.searchsorted(grp["__t"].to_numpy(), resume, side="left"):
+                ]
+                if len(grp):
+                    kept.append(grp)
+                cur[0], cur[1] = next_id, resume
+
+        buf = arrow_state.concat(kept, buf_cols)
+        meta = pd.DataFrame(
+            {
+                key: list(cursors),
+                "__next_id": [c[0] for c in cursors.values()],
+                "__resume": [c[1] for c in cursors.values()],
+            },
+            columns=meta_cols,
+        )
+        state.update((
+            arrow_state.ser(buf.reset_index(drop=True)),
+            arrow_state.ser(meta),
+        ))
         if len(buf):
             # Event-time timer at the earliest buffered row + within: the
-            # group re-fires when its oldest pending start stabilizes even
-            # if no further events arrive for the key (Flink's CEP cleanup
-            # timer parity).
-            earliest = float(buf["__t"].iloc[0])
+            # bucket re-fires when its oldest pending start stabilizes even
+            # if no further events arrive (Flink's CEP cleanup timer parity).
+            earliest = float(buf["__t"].min())
             state.setTimeoutTimestamp(
                 max(int((earliest + within) * 1000) + 1, wm_ms + 1)
             )
@@ -148,10 +189,16 @@ def match_pattern_stream(
                 out_rows, columns=[key, "match_id", "stage", "seq", *select_cols]
             )
 
-    return src.groupBy(key).applyInPandasWithState(
+    if key_buckets is not None:
+        grouped = src.withColumn(
+            "__kg", F.pmod(F.xxhash64(F.col(key)), F.lit(key_buckets))
+        ).groupBy("__kg")
+    else:
+        grouped = src.groupBy(key)
+    return grouped.applyInPandasWithState(
         fn,
         out_schema,
-        "buf binary, next_id long, resume double",
+        "buf binary, meta binary",
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )

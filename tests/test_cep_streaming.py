@@ -155,3 +155,33 @@ def test_stream_cep_skip_to_first_across_batches(spark, tmp_path):
 
     assert len(got) > 0
     assert _norm(got) == _norm(batch)
+
+
+def test_stream_cep_bucketed_key_groups_same_result(spark, chunk_dir):
+    """key_buckets (Flink key-group sharding) must be result-identical
+    to per-key sharding — match sets and per-key id grouping alike."""
+    stream = sources.read_event_stream(spark, chunk_dir).filter(
+        F.col("event_type").isin("signup", "purchase", "noop")
+    )
+    out = match_pattern_stream(
+        stream, PATTERN, key="user_id", time_col="ts",
+        select_cols=["event_id"], watermark_delay="10 minutes",
+        tiebreak="event_id", key_buckets=8,
+    )
+    q = out.writeStream.format("memory").queryName("t_cep_kg").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_cep_kg").toPandas()
+    got = got[got.user_id >= 0]
+
+    batch = match_pattern(
+        table(spark, SF_SMALL, "events").filter(
+            F.col("event_type").isin("signup", "purchase")
+        ),
+        PATTERN, key="user_id", time_col="ts",
+        select_cols=["event_id"], tiebreak="event_id",
+    ).toPandas()
+    assert len(got) > 0
+    assert _norm(got) == _norm(batch)
