@@ -14,7 +14,6 @@ Streaming test idiom replacing Flink's OneInputStreamOperatorTestHarness.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
