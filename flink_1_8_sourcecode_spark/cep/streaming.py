@@ -52,10 +52,18 @@ def match_pattern_stream(
     watermark_delay: str,
     tiebreak: str | None = None,
     key_buckets: int | None = None,
+    emit_timeouts: bool = False,
 ) -> DataFrame:
     """Streaming PatternStream.select: same output shape as the batch
     ``match_pattern`` ((key, match_id, stage, seq, select_cols)), emitted
     in append mode as matches stabilize behind the watermark.
+
+    ``emit_timeouts=True`` is PatternStream.select(timeoutTag, ...) on a
+    STREAM: the output gains a ``timed_out`` boolean, and a partial
+    match whose ``within`` window has fully passed the watermark (so no
+    in-delay arrival can ever complete it) emits its longest bound
+    stage-prefix with ``timed_out=true`` — the stable-start cutoff makes
+    the timeout decision final by construction.
 
     ``key_buckets`` shards keys into Flink-style key groups
     (KeyGroupRangeAssignment.java — see streaming/triggers.py): the
@@ -78,7 +86,14 @@ def match_pattern_stream(
     sel_schema = ", ".join(
         f"{c} {src.schema[c].dataType.simpleString()}" for c in select_cols
     )
-    out_schema = f"{key} {key_t}, match_id long, stage string, seq int, {sel_schema}"
+    timeout_schema = ", timed_out boolean" if emit_timeouts else ""
+    out_schema = (
+        f"{key} {key_t}, match_id long, stage string, seq int"
+        f"{timeout_schema}, {sel_schema}"
+    )
+    out_cols = [key, "match_id", "stage", "seq"] + (
+        ["timed_out"] if emit_timeouts else []
+    ) + list(select_cols)
 
     # the full input row must survive buffering: DEFINE/where predicates
     # may reference any column, not just the selected ones
@@ -135,7 +150,12 @@ def match_pattern_stream(
 
                 last_end = float("-inf")
                 first_unstable = next((t for t in times if t > stable_limit), None)
-                for m in _find_matches(rows, times, pattern, max_start_time=stable_limit):
+                found = _find_matches(
+                    rows, times, pattern,
+                    max_start_time=stable_limit, emit_timeouts=emit_timeouts,
+                )
+                for item in found:
+                    m, is_timeout = item if emit_timeouts else (item, False)
                     for seq, (stage_name, ridx) in enumerate(m):
                         rec = {
                             key: kval,
@@ -143,11 +163,15 @@ def match_pattern_stream(
                             "stage": stage_name,
                             "seq": seq,
                         }
+                        if emit_timeouts:
+                            rec["timed_out"] = is_timeout
                         for c in select_cols:
                             rec[c] = rows[ridx][c]
                         out_rows.append(rec)
                     next_id += 1
-                    if m:
+                    if m and not is_timeout:
+                        # completed matches drive skip_past trimming;
+                        # timeout prefixes consume nothing
                         last_end = max(last_end, max(times[idx] for _, idx in m))
 
                 new_resume = first_unstable if first_unstable is not None else (
@@ -185,9 +209,7 @@ def match_pattern_stream(
                 max(int((earliest + within) * 1000) + 1, wm_ms + 1)
             )
         if out_rows:
-            yield pd.DataFrame(
-                out_rows, columns=[key, "match_id", "stage", "seq", *select_cols]
-            )
+            yield pd.DataFrame(out_rows, columns=out_cols)
 
     if key_buckets is not None:
         grouped = src.withColumn(

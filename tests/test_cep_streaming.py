@@ -185,3 +185,44 @@ def test_stream_cep_bucketed_key_groups_same_result(spark, chunk_dir):
     ).toPandas()
     assert len(got) > 0
     assert _norm(got) == _norm(batch)
+
+
+def test_stream_cep_timeout_channel_equals_batch(spark, chunk_dir):
+    """PatternStream.select(timeoutTag, ...) on a stream: signups with no
+    purchase inside `within` emit their prefix with timed_out=true once
+    the window has fully passed the watermark — and the two channels
+    together must equal the batch emit_timeouts output."""
+    stream = sources.read_event_stream(spark, chunk_dir).filter(
+        F.col("event_type").isin("signup", "purchase", "noop")
+    )
+    out = match_pattern_stream(
+        stream, PATTERN, key="user_id", time_col="ts",
+        select_cols=["event_id"], watermark_delay="10 minutes",
+        tiebreak="event_id", emit_timeouts=True,
+    )
+    q = out.writeStream.format("memory").queryName("t_cep_to").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_cep_to").toPandas()
+    got = got[got.user_id >= 0]
+
+    batch = match_pattern(
+        table(spark, SF_SMALL, "events").filter(
+            F.col("event_type").isin("signup", "purchase")
+        ),
+        PATTERN, key="user_id", time_col="ts",
+        select_cols=["event_id"], tiebreak="event_id", emit_timeouts=True,
+    ).toPandas()
+
+    def norm_t(pdf):
+        out = set()
+        for (_u, _m), grp in pdf.groupby(["user_id", "match_id"]):
+            g = grp.sort_values("seq")
+            out.add((_u, bool(g.timed_out.iloc[0]),
+                     tuple(zip(g.stage, g.event_id))))
+        return out
+
+    assert (got.timed_out).any() and (~got.timed_out).any()  # both channels
+    assert norm_t(got) == norm_t(batch)
