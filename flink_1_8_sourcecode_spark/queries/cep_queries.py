@@ -256,3 +256,53 @@ def cep_match_recognize_sql_derived(spark: SparkSession, sf_dir: str) -> DataFra
         )
         """
     )
+
+
+@register(
+    "cep_funnel_timeout_stream",
+    oracle="""
+    SELECT user_id, event_id AS signup_id FROM events s
+    WHERE event_type = 'signup' AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+        AND (p.ts, p.event_id) > (s.ts, s.event_id)
+        AND p.ts <= s.ts + INTERVAL 30 MINUTE)
+    """,
+    doc="The cep_funnel_timeout query run through STRUCTURED STREAMING: "
+    "events replayed as micro-batches, cep.streaming.match_pattern_stream "
+    "with emit_timeouts + key-group sharding; timeout decisions are "
+    "final once a signup's 30-minute window passes the watermark, so "
+    "the streamed timeout channel must equal the batch NOT EXISTS "
+    "oracle exactly.",
+)
+def cep_funnel_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.cep.streaming import match_pattern_stream
+    from flink_1_8_sourcecode_spark.queries.streaming_windows import (
+        _replayed_stream,
+        _run_to_table,
+    )
+
+    stream = _replayed_stream(spark, sf_dir, "cep_to_").filter(
+        F.col("event_type").isin("signup", "purchase", "noop")
+    )
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda e: e["event_type"] == "signup")
+        .followed_by("purchase")
+        .where(lambda e: e["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    out = match_pattern_stream(
+        stream, pat, key="user_id", time_col="ts", select_cols=["event_id"],
+        watermark_delay="10 minutes", tiebreak="event_id",
+        key_buckets=16, emit_timeouts=True,
+    )
+    name = _run_to_table(out, "q_cep_to", state_partitions=4)
+    return (
+        spark.table(name)
+        .filter(
+            (F.col("user_id") >= 0) & F.col("timed_out")
+            & (F.col("stage") == "signup")
+        )
+        .select("user_id", F.col("event_id").alias("signup_id"))
+    )
