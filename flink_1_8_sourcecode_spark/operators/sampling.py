@@ -1,0 +1,133 @@
+"""Deterministic sampling / split / mixture operators for training-data
+pipelines (SURVEY.md §2.16 north-star).
+
+A 100 TB corpus is never sampled with ``rand()``: the split must be
+STABLE (re-running the pipeline, or running it on two engines, yields
+the same rows) and MAP-ONLY where possible.  The standard trick is a
+content hash interpreted as a uniform draw — here the lexicographic
+value of an md5 hex prefix, which means the exact same predicate runs
+on any engine with an md5() function (the DuckDB oracles run it
+verbatim).
+
+- ``hash_split``            : map-only deterministic train/holdout
+  assignment — zero shuffles, linear scan, the only sane split at scale.
+- ``stratified_sample_exact``: exact per-stratum row counts via one
+  shuffle on the stratum key + a window rank over the hash order.
+  Exactness costs a per-stratum sort; when approximate fractions are
+  fine, ``hash_split``'s predicate per-stratum is the cheaper path.
+- ``token_budget_mix``      : per-source token-budget mixing (the
+  "data mixture" step of LLM corpus prep): docs are taken in hash
+  order until the source's token budget is exhausted, so the mixture
+  is deterministic and engine-reproducible.
+
+No Flink analogue — the reference stops at DataSet.sample / partition
+ops (flink-java/.../operators/DataSetUtils.java:sample*); these are the
+corpus-prep extensions the brief asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_key(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform draw in hex: md5 of the stringified key
+    (optionally salted so independent decisions de-correlate)."""
+    return F.md5(F.concat(col.cast("string"), F.lit(salt)))
+
+
+def hex_threshold(fraction: float, digits: int = 8) -> str:
+    """Hex string h such that P[md5_prefix < h] == fraction (exactly, in
+    units of 16^-digits)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(round(fraction * 16**digits)), f"0{digits}x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+    label_col: str = "split",
+    labels: tuple[str, str] = ("holdout", "train"),
+) -> DataFrame:
+    """Deterministic two-way split: rows whose salted md5(id) prefix
+    falls below the fraction threshold get ``labels[0]``, the rest
+    ``labels[1]``.  Map-only (no shuffle, no rand()); the same id lands
+    on the same side on every engine, every run — which is exactly what
+    a train/eval contamination guarantee needs.
+    """
+    h = F.substring(hash_key(F.col(id_col), salt), 1, 8)
+    lab = F.when(h < F.lit(hex_threshold(fraction)), F.lit(labels[0])).otherwise(
+        F.lit(labels[1])
+    )
+    return df.withColumn(label_col, lab)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fraction: float,
+    salt: str = "",
+) -> DataFrame:
+    """Exact stratified sample: ceil(fraction * n_s) rows from every
+    stratum s, chosen deterministically as the lowest md5-hash ids.
+
+    One shuffle (hash partition on the stratum) + a per-stratum window
+    rank over the hash order.  The rank sort is per-stratum, so a skewed
+    stratum bounds the task — for approximate fractions at extreme
+    scale, prefer the map-only ``hash_split`` predicate.  Exact counts
+    are what eval-set construction and class-balanced subsampling need.
+    """
+    h = hash_key(F.col(id_col), salt)
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    n = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col: Column,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget data mixing: per source, take documents in
+    deterministic (md5-hash, id) order until the source's token budget
+    is reached; the first document that crosses the budget is the last
+    one kept (budgets are met, never silently undershot by a huge doc).
+
+    ``budgets`` maps source -> token budget; unlisted sources get
+    ``default_budget`` (0 = excluded).  The budget table is a literal
+    map (broadcast-sized by construction: one entry per corpus source).
+
+    One shuffle on the source key; the running token sum is a window
+    cumulative sum over the hash order — per-source sequential by
+    definition (the cutoff depends on every prior doc), parallel across
+    sources.  Returns the kept rows plus ``cum_tokens``.
+    """
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
+    )
+    h = hash_key(F.col(id_col))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.coalesce(budget_map[F.col(source_col)], F.lit(int(default_budget)))
+    return (
+        df.withColumn("__tok", token_count_col)
+        .withColumn("cum_tokens", F.sum("__tok").over(w))
+        .filter((F.col("cum_tokens") - F.col("__tok")) < budget)
+        .drop("__tok")
+    )

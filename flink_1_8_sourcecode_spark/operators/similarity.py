@@ -215,3 +215,66 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = True,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    Per vector: ``scale = max(|v_i|) / 127``; ``q_i = round(v_i / scale)``
+    (zero vectors quantize to all-zero with scale 0).  This is the
+    standard 4x memory cut for ANN serving — at 100 TB of embeddings the
+    index either quantizes or doesn't fit, and a dot product on int8
+    codes is SIMD-friendly downstream.
+
+    Map-only Column math (transform/aggregate — JVM, no shuffle).
+    Returns (id, qvec array<int>, scale double[, original vec]); exact
+    reconstruction is ``q_i * scale``.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)
+    )
+    out = df.select(
+        F.col(id_col),
+        *( [F.col(vec_col)] if keep_vec else [] ),
+        scale.alias("scale"),
+    )
+    # the quantize expression references the already-computed scale
+    # column (projection chaining — Catalyst collapses the projects but
+    # evaluates the max once via the named column)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return out.withColumn("qvec", q)
+
+
+def quantization_error(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-vector int8 quantization quality report:
+    (id, scale, max_abs_err, mse, cos_sim) where cos_sim compares the
+    reconstructed vector with the original.  Pure Column math; the
+    acceptance gate one runs before switching an ANN index to int8.
+    """
+    qd = quantize_int8(df, id_col, vec_col, keep_vec=True)
+    v = F.col(vec_col).cast("array<double>")
+    rec = F.zip_with(F.col("qvec"), F.array_repeat(F.col("scale"), F.size("qvec")),
+                     lambda q, s: q * s)
+    qd = qd.withColumn("__rec", rec)
+    err = F.zip_with(v, F.col("__rec"), lambda a, b: F.abs(a - b))
+    n = F.size(err)
+    return qd.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.aggregate(err, F.lit(0.0), lambda acc, x: F.greatest(acc, x)).alias("max_abs_err"),
+        (F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x * x) / n).alias("mse"),
+        cosine(v, F.col("__rec")).alias("cos_sim"),
+    )

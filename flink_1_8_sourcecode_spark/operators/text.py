@@ -113,6 +113,31 @@ def subword_count(text: Column) -> Column:
     return F.size(subword_tokens(text))
 
 
+# PII-shaped scrubbing patterns.  Engine-portable (Java regex == RE2
+# here: no lookarounds, no unicode classes) so oracles run them verbatim.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def scrub_count(text: Column, pattern: str) -> Column:
+    """How many pattern occurrences a scrub of ``text`` would redact."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def scrub(text: Column, pattern: str, replacement: str = "[REDACTED]") -> Column:
+    """Redact every occurrence of ``pattern`` (a PII regex from
+    ``PII_PATTERNS``, or any blocklist regex) with ``replacement``.
+
+    Pure Column (regexp_replace — JVM, whole-stage-codegen, map-only):
+    the standard PII / blocklist scrub pass of a corpus pipeline costs
+    one linear scan at 100 TB, no shuffle.
+    """
+    return F.regexp_replace(text, pattern, replacement)
+
+
 def lines(text: Column) -> Column:
     """Non-empty trimmed lines of a document."""
     return F.filter(

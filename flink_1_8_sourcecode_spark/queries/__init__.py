@@ -59,6 +59,7 @@ _MODULES = (
     "sql_suite",
     "multimodal_queries",
     "streaming_windows",
+    "pipeline_ops",
 )
 
 

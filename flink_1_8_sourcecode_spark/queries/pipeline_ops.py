@@ -1,0 +1,165 @@
+"""Corpus-pipeline operator inventory — SURVEY.md §2.16 north-star,
+round-6 additions: deterministic splits/sampling, token-budget data
+mixing, PII-shaped scrubbing, and int8 embedding quantization.
+
+All deterministic and engine-portable by construction (md5-prefix
+draws, portable regexes, ordered list folds), so every query here has a
+full value-hash DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.operators import sampling as smp
+from flink_1_8_sourcecode_spark.operators import text as tx
+from flink_1_8_sourcecode_spark.operators.similarity import quantization_error
+from flink_1_8_sourcecode_spark.queries import register
+
+# hex_threshold(0.1) — pinned in the oracle as a literal so the SQL is
+# self-contained; the operator computes the same constant.
+_T10 = smp.hex_threshold(0.1)
+assert _T10 == "1999999a", _T10
+
+_SUBWORD_SQL = "len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))"
+
+
+@register(
+    "sample_split_deterministic",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_T10}'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 10% holdout split (md5-prefix draw): map-only, "
+    "zero shuffles, stable across runs and engines — the train/eval "
+    "contamination guarantee (operators/sampling.py:hash_split).",
+)
+def sample_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return smp.hash_split(d, "doc_id", 0.1).select("doc_id", "split")
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ) WHERE rn <= ceil(n * 0.2)
+    """,
+    doc="Exact 20% stratified sample per source: ceil(0.2*n_s) rows per "
+    "stratum, chosen as the lowest md5-hash doc ids (one shuffle on the "
+    "stratum + per-stratum window rank; "
+    "operators/sampling.py:stratified_sample_exact).",
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return smp.stratified_sample_exact(d, "source", "doc_id", 0.2).select(
+        "source", "doc_id"
+    )
+
+
+@register(
+    "mix_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SUBWORD_SQL} AS tok FROM documents
+    ), w AS (
+      SELECT doc_id, source, tok,
+             sum(tok) OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, cum_tokens FROM w
+    WHERE cum_tokens - tok < CASE source WHEN 'src0' THEN 5000
+                                         WHEN 'src1' THEN 0
+                                         ELSE 1000 END
+    """,
+    doc="Token-budget data mixing: per source, keep docs in "
+    "deterministic hash order until the source's subword-token budget "
+    "is crossed (src0: 5000, src1: excluded, default 1000) — the "
+    "mixture-weights step of LLM corpus prep "
+    "(operators/sampling.py:token_budget_mix).",
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    out = smp.token_budget_mix(
+        d,
+        "source",
+        "doc_id",
+        tx.subword_count(F.col("text")),
+        budgets={"src0": 5000, "src1": 0},
+        default_budget=1000,
+    )
+    return out.select("doc_id", "source", "cum_tokens")
+
+
+_SCRUB_PAT = r"\b(spark|customer|vector)\b"
+
+
+@register(
+    "text_scrub_blocklist",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_SCRUB_PAT}')) AS n_hits,
+           md5(regexp_replace(text, '{_SCRUB_PAT}', '[TERM]', 'g')) AS scrubbed_fp
+    FROM documents
+    """,
+    doc="Blocklist/PII-shaped scrub pass: count + redact every "
+    "occurrence of blocklisted terms, fingerprint the scrubbed text "
+    "(operators/text.py:scrub — same code path as the email/ipv4/phone "
+    "PII_PATTERNS; map-only regexp_replace).",
+)
+def text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.scrub_count(t, _SCRUB_PAT).alias("n_hits"),
+        F.md5(tx.scrub(t, _SCRUB_PAT, "[TERM]")).alias("scrubbed_fp"),
+    )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+               FROM v),
+         q AS (SELECT vec_id, e, scale,
+                      CASE WHEN scale > 0
+                           THEN list_transform(e, x -> round(x / scale)::INT)
+                           ELSE list_transform(e, x -> 0) END AS qv
+               FROM s),
+         r AS (SELECT vec_id, e, scale,
+                      list_transform(qv, x -> x * scale) AS rec
+               FROM q),
+         err AS (SELECT vec_id, e, scale, rec,
+                        list_transform(range(1, len(e) + 1),
+                                       i -> abs(e[i] - rec[i])) AS d
+                 FROM r)
+    SELECT vec_id, scale,
+           list_max(d) AS max_abs_err,
+           list_sum(list_transform(d, x -> x * x)) / len(d) AS mse,
+           list_dot_product(e, rec)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(rec, rec)))
+             AS cos_sim
+    FROM err
+    """,
+    doc="Symmetric per-vector int8 quantization quality gate: scale, "
+    "max |err|, MSE, and reconstructed-vs-original cosine per embedding "
+    "(operators/similarity.py:quantize_int8 — the 4x memory cut an ANN "
+    "index takes before it fits at 100 TB).",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return quantization_error(emb, "vec_id", "embedding")

@@ -1,0 +1,131 @@
+"""Round-6 corpus-pipeline operators: deterministic splits/sampling,
+token-budget mixing, scrubbing, int8 quantization.
+
+Oracle equivalence is covered by test_correctness.py; these tests pin
+the operator SEMANTICS (boundary behavior, exactness, reconstruction
+bounds) and the plan shape (the map-only claim of hash_split).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.operators import sampling as smp
+from flink_1_8_sourcecode_spark.operators import text as tx
+from flink_1_8_sourcecode_spark.operators.similarity import quantization_error
+from tests.conftest import SF_DIR
+
+
+def test_hash_split_is_map_only_and_calibrated(spark):
+    d = table(spark, SF_DIR, "documents")
+    out = smp.hash_split(d, "doc_id", 0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"hash_split must not shuffle:\n{plan}"
+    n = d.count()
+    held = out.filter(F.col("split") == "holdout").count()
+    # md5 draw: binomial(n, 0.1); allow 5 sigma
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    assert abs(held - 0.1 * n) <= 5 * sigma, (held, n)
+
+
+def test_hash_split_stable_and_salt_decorrelates(spark):
+    d = table(spark, SF_DIR, "documents")
+    a = {r["doc_id"] for r in smp.hash_split(d, "doc_id", 0.1)
+         .filter(F.col("split") == "holdout").collect()}
+    b = {r["doc_id"] for r in smp.hash_split(d, "doc_id", 0.1)
+         .filter(F.col("split") == "holdout").collect()}
+    assert a == b, "same salt must reproduce the identical split"
+    c = {r["doc_id"] for r in smp.hash_split(d, "doc_id", 0.1, salt="v2")
+         .filter(F.col("split") == "holdout").collect()}
+    assert c != a, "different salt should draw a different holdout set"
+
+
+def test_stratified_sample_exact_counts(spark):
+    d = table(spark, SF_DIR, "documents")
+    frac = 0.2
+    kept = smp.stratified_sample_exact(d, "source", "doc_id", frac)
+    want = {
+        r["source"]: math.ceil(r["n"] * frac)
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_token_budget_mix_boundary_semantics(spark):
+    d = table(spark, SF_DIR, "documents")
+    budgets = {"src0": 5000, "src1": 0}
+    out = smp.token_budget_mix(
+        d, "source", "doc_id", tx.subword_count(F.col("text")),
+        budgets=budgets, default_budget=1000,
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "src1" not in by_src, "zero-budget source must be excluded"
+    for src, rows in by_src.items():
+        budget = budgets.get(src, 1000)
+        rows.sort(key=lambda r: r["cum_tokens"])
+        # every kept row except the last is strictly under budget;
+        # the last kept row is the first to meet-or-cross it
+        for r in rows[:-1]:
+            assert r["cum_tokens"] < budget, (src, r)
+        assert rows[-1]["cum_tokens"] >= min(budget, rows[-1]["cum_tokens"])
+        # budgets are met, not undershot: the final cum is >= budget
+        # unless the source ran out of documents entirely
+        total_docs = sum(1 for r2 in out if r2["source"] == src)
+        if rows[-1]["cum_tokens"] < budget:
+            n_src = [r2 for r2 in out if r2["source"] == src]
+            assert len(n_src) == total_docs
+
+
+def test_quantize_int8_reconstruction_bounds(spark):
+    emb = table(spark, SF_DIR, "embeddings").limit(100)
+    rep = quantization_error(emb, "vec_id", "embedding").collect()
+    assert len(rep) == 100
+    for r in rep:
+        # symmetric rounding: |err| <= scale/2 per element
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12, r
+        assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12, r
+        assert r["cos_sim"] > 0.999, r
+
+
+def test_scrub_removes_all_blocklisted_terms(spark):
+    d = table(spark, SF_DIR, "documents")
+    pat = r"\b(spark|customer|vector)\b"
+    scrubbed = d.select(tx.scrub(F.col("text"), pat).alias("t"))
+    leftovers = scrubbed.filter(
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), 0)) > 0
+    ).count()
+    assert leftovers == 0
+    # and the op actually fired on this corpus (non-vacuous test)
+    hits = d.select(tx.scrub_count(F.col("text"), pat).alias("c")).agg(
+        F.sum("c").alias("s")
+    ).first()["s"]
+    assert hits > 0
+
+
+def test_pii_patterns_fire_on_synthetic_pii(spark):
+    rows = [
+        ("contact me at a.b+c@example.org or 10.1.2.3", 1, 1),
+        ("call +1 (415) 555-0100 now", 0, 0),
+        ("clean text", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "text string, want_email int, want_ip int")
+    got = df.select(
+        tx.scrub_count(F.col("text"), tx.PII_PATTERNS["email"]).alias("email"),
+        tx.scrub_count(F.col("text"), tx.PII_PATTERNS["ipv4"]).alias("ip"),
+        tx.scrub_count(F.col("text"), tx.PII_PATTERNS["phone"]).alias("phone"),
+        "want_email", "want_ip",
+    ).collect()
+    for r in got:
+        assert r["email"] == r["want_email"]
+        assert r["ip"] == r["want_ip"]
+    assert sum(r["phone"] for r in got) >= 1
