@@ -24,7 +24,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Heavy non-headline operators tracked separately so the headline total
 # stays comparable against the r1/r3 anchors.
-SECONDARY = ("window_delta_trigger", "graph_connected_components", "graph_pagerank")
+SECONDARY = (
+    "window_delta_trigger",
+    "graph_connected_components",
+    "graph_pagerank",
+    "sim_topk_gemm",
+    "pipeline_curate_corpus",
+)
 
 
 def main() -> None:

@@ -1,0 +1,100 @@
+"""End-to-end corpus curation: the composition the individual §2.16
+operators exist for — scrub -> language filter -> quality filter ->
+exact dedup -> deterministic split -> token-budget mixing, as ONE
+declarative DataFrame plan.
+
+Catalyst fuses the scrub/lang/quality stages into a single map-only
+scan (they are all Column expressions over the text); the whole
+pipeline then costs exactly two shuffles — one on the content
+fingerprint (dedup keeper) and one on the source (mixing window) —
+regardless of corpus size.  That is the 100 TB shape: a curation pass
+over the full corpus is 2 shuffle stages, not a chain of 6 jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators import sampling as smp
+from flink_1_8_sourcecode_spark.operators import text as tx
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scrub_pattern: str | None = None,
+    lang: str | None = "en",
+    min_quality: float = 0.0,
+    holdout_fraction: float = 0.1,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Curate a document corpus into a training mixture + fixed holdout.
+
+    Stages (each optional-by-argument, all deterministic):
+
+    1. **Scrub** — redact ``scrub_pattern`` matches from the text
+       (map-only regexp).
+    2. **Language filter** — keep docs whose ``lang_id`` heuristic
+       predicts ``lang`` (None = keep all).
+    3. **Quality filter** — keep docs with ``quality_score >=
+       min_quality`` (scored on the scrubbed text).
+    4. **Exact dedup** — one keeper (min id) per content fingerprint
+       (md5 over the normalized token stream), so spacing/case
+       duplicates collapse.  Shuffle #1.
+    5. **Split** — md5-prefix draw: ``holdout_fraction`` of surviving
+       docs become the fixed eval side; map-only.
+    6. **Mix** — TRAIN docs only: per-source token budgets in
+       deterministic hash order (``budgets``/``default_budget`` as in
+       ``token_budget_mix``); holdout docs are never budget-dropped
+       (the eval set must not depend on mixture weights).  Shuffle #2.
+       Skipped entirely when ``budgets`` is None (then the output has
+       no ``cum_tokens`` column).
+
+    Returns (id, source, split, n_tokens, cum_tokens) — ``cum_tokens``
+    is the running token total within (source, split); for holdout
+    rows it is informational only (never filtered on).
+    """
+    t = F.col(text_col)
+    out = docs
+    if scrub_pattern is not None:
+        out = out.withColumn(text_col, tx.scrub(t, scrub_pattern))
+    if lang is not None:
+        out = out.filter(tx.lang_id(t) == lang)
+    if min_quality > 0.0:
+        out = out.filter(tx.quality_score(t) >= min_quality)
+
+    # exact dedup: deterministic keeper (min id) per fingerprint
+    fp_w = Window.partitionBy(tx.fingerprint(t)).orderBy(F.col(id_col))
+    out = out.withColumn("__rn", F.row_number().over(fp_w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+    out = smp.hash_split(out, id_col, holdout_fraction)
+    out = out.withColumn("n_tokens", tx.subword_count(t))
+
+    if budgets is None:
+        return out.select(id_col, source_col, "split", "n_tokens")
+
+    # single-branch mixing: window over (source, split) so train rows
+    # accumulate among themselves and holdout rows ride along untouched
+    # — a union of filtered branches would recompute the dedup stage
+    # per branch (observed: no exchange reuse across union arms)
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
+    )
+    budget = F.coalesce(budget_map[F.col(source_col)], F.lit(int(default_budget)))
+    w = (
+        Window.partitionBy(source_col, "split")
+        .orderBy(smp.hash_key(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    is_hold = F.col("split") == "holdout"
+    return out.filter(
+        is_hold | ((F.col("cum_tokens") - F.col("n_tokens")) < budget)
+    ).select(id_col, source_col, "split", "n_tokens", "cum_tokens")

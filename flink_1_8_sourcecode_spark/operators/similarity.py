@@ -278,3 +278,81 @@ def quantization_error(
         (F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x * x) / n).alias("mse"),
         cosine(v, F.col("__rec")).alias("cos_sim"),
     )
+
+
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k with a numpy GEMM kernel — the
+    vectorized scale path for the many-queries regime (SCALE.md's
+    "transpose to corpus-partitioned accumulation" item).
+
+    The query side is the BOUNDED side by contract (exactly the bound a
+    broadcast-hash-join build side carries): it is collected once into
+    a normalized float64 matrix and broadcast to executors.  Each
+    corpus partition then scores ALL queries against its Arrow batch
+    with ONE matrix multiply (Q_norm @ V_norm.T — BLAS, not per-row
+    expression evaluation) and emits only its local top-k per query;
+    the final per-query rank touches P*k survivor rows, never |C|.
+
+    Same results as ``cosine_topk`` (exact, same tie-break); ~an order
+    of magnitude less CPU per scored pair at 100 TB because the inner
+    loop is SGEMM instead of interpreted per-element aggregation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()  # bounded side by contract (broadcast-build-side bound)
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qnorm))
+
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+    out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, cosine double"
+
+    def score(batches):
+        b_qids, b_qnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["__nid"].to_numpy()
+            vmat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            vnorm = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = b_qnorm @ vnorm.T  # (|Q|, batch) — one BLAS call
+            if exclude_self:
+                sims[b_qids[:, None] == nids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            # per-query local top-k: argpartition (O(n)) then exact sort
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(sims.shape[0]), kk)
+            cols = part.ravel()
+            vals = sims[rows, cols]
+            keep = vals > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[rows[keep]],
+                    "neighbor_id": nids[cols[keep]],
+                    "cosine": vals[keep],
+                }
+            )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -163,3 +163,81 @@ def text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return quantization_error(emb, "vec_id", "embedding")
+
+
+_Q = """((CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0
+               WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END)
+       + (CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks))::DOUBLE / len(toks)
+               ELSE 0.0 END)
+       + (CASE WHEN len(toks) > 0
+                AND len(list_filter(toks, t -> t IN
+                    ('the','a','of','and','to','in','is','it')))::DOUBLE
+                    / len(toks) BETWEEN 0.05 AND 0.6
+               THEN 1.0 ELSE 0.5 END)) / 3.0"""
+
+_STOP = """CASE WHEN len(toks) > 0
+                THEN len(list_filter(toks, t -> t IN
+                    ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)
+                ELSE 0.0 END"""
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_SCRUB_PAT}', '[TERM]', 'g') AS text
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM scrubbed
+    ), kept AS (
+      SELECT * FROM tok
+      WHERE {_STOP} >= 0.08         -- lang_id heuristic predicts 'en'
+        AND {_Q} >= 0.55            -- quality gate
+    ), dedup AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY md5(array_to_string(toks, ' '))
+               ORDER BY doc_id) AS rn
+      FROM kept
+    ), split AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_T10}'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             {_SUBWORD_SQL} AS n_tokens
+      FROM dedup WHERE rn = 1
+    ), win AS (
+      SELECT doc_id, source, split, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, split
+                                 ORDER BY md5(doc_id::VARCHAR), doc_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM split
+    )
+    SELECT doc_id, source, split, n_tokens, cum_tokens FROM win
+    WHERE split = 'holdout'
+       OR cum_tokens - n_tokens < CASE source WHEN 'src0' THEN 4000 ELSE 800 END
+    """,
+    doc="End-to-end corpus curation in ONE declarative plan "
+    "(operators/pipeline.py:curate_corpus): scrub -> lang filter -> "
+    "quality gate -> exact dedup (min-id keeper per fingerprint) -> "
+    "deterministic 10% holdout -> per-source token-budget train mixing "
+    "(src0: 4000, default 800).  Two shuffles total at any scale "
+    "(fingerprint window + mixing window); everything else fuses into "
+    "the scan.",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return curate_corpus(
+        d,
+        scrub_pattern=_SCRUB_PAT,
+        lang="en",
+        min_quality=0.55,
+        holdout_fraction=0.1,
+        budgets={"src0": 4000},
+        default_budget=800,
+    )

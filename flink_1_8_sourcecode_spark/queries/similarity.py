@@ -109,3 +109,33 @@ def sim_ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ivf_train(emb, "vec_id", "embedding", k=8, iterations=3)
+
+
+@register(
+    "sim_topk_gemm",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_COS} AS cosine
+           FROM q JOIN v c ON c.vec_id != q.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Exact brute-force cosine top-10 via the numpy GEMM kernel "
+    "(operators/similarity.py:cosine_topk_gemm): broadcast normalized "
+    "query matrix, one BLAS matmul per corpus Arrow batch, local top-k "
+    "per partition, final rank over P*k survivors — the vectorized "
+    "many-queries scale path (same oracle as sim_topk_bruteforce).",
+)
+def sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import cosine_topk_gemm
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk_gemm(emb, queries, "vec_id", "embedding", "vec_id", k=10)
