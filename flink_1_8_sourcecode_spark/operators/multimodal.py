@@ -95,27 +95,88 @@ def _pil_decode(content: bytes) -> dict:
     }
 
 
+def _ppm_decode(content: bytes) -> dict:
+    """Real image decode for binary PPM (P6) — a pure-numpy parser of
+    the public Netpbm format, so the REAL codec path (parse header,
+    reshape the pixel buffer, compute channel statistics) executes even
+    where Pillow is absent.  Same feature definitions as ``_pil_decode``
+    (per-channel means in [0,1], red-histogram entropy / 8)."""
+    import math
+
+    import numpy as np
+
+    # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    # ('#' comment lines allowed between tokens per the spec)
+    if not content.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(content[start:pos]))
+    pos += 1  # the single whitespace byte before the raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+    px = px.reshape(h, w, 3).astype(np.float64)
+    n = w * h
+    hist = np.bincount(px[:, :, 0].astype(np.int64).ravel(), minlength=256)
+    p = hist[hist > 0] / n
+    return {
+        "mean_r": float(px[:, :, 0].mean() / 255.0),
+        "mean_g": float(px[:, :, 1].mean() / 255.0),
+        "mean_b": float(px[:, :, 2].mean() / 255.0),
+        "entropy": float(-(p * np.log2(p)).sum() / 8.0),
+    }
+
+
+def encode_ppm(pixels) -> bytes:
+    """Inverse of ``_ppm_decode`` for tests/fixtures: (h, w, 3) uint8
+    array -> binary PPM bytes."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _real_decode(content: bytes) -> dict:
+    """Strict-mode codec dispatch: built-in PPM parser for P6 payloads,
+    Pillow for everything else when importable, otherwise a loud
+    NotImplementedError (never a silent fake)."""
+    if content.startswith(b"P6"):
+        return _ppm_decode(content)
+    try:
+        import PIL  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "strict media decode: payload is not PPM (the built-in codec) "
+            "and Pillow is not in this environment; see "
+            "operators/multimodal.py"
+        ) from exc
+    return _pil_decode(content)
+
+
 def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
 
-    strict=True uses a REAL codec (Pillow) when importable and raises
-    NotImplementedError otherwise — the marker that a codec library
-    must be present; strict=False uses the deterministic fake so the
-    Spark-side plumbing is testable without image libraries.
+    strict=True uses a REAL codec — the built-in numpy PPM (P6) parser,
+    or Pillow for other formats when importable — and raises
+    NotImplementedError otherwise (never a silent fake); strict=False
+    uses the deterministic fake so the Spark-side plumbing is testable
+    on arbitrary bytes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            try:
-                import PIL  # noqa: F401
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "strict media decode requires Pillow, which is not in "
-                    "this environment; see operators/multimodal.py"
-                ) from exc
-            decode = _pil_decode
-        else:
-            decode = _fake_decode
+        decode = _real_decode if strict else _fake_decode
         for pdf in batches:
             feats = pdf["content"].map(lambda b: decode(bytes(b)))
             yield pd.DataFrame(

@@ -131,3 +131,59 @@ def token_budget_mix(
         .filter((F.col("cum_tokens") - F.col("__tok")) < budget)
         .drop("__tok")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards): the md5-prefix value of
+    the (salted) id, mod n_shards.  Map-only, uniform, stable — the
+    write-layout step that turns a curated corpus into N equal-ish
+    output shards without a global sort or a rand() that re-draws on
+    task retry.  (To physically produce the shards, repartition on the
+    shard column or partitionBy it at write time.)
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    val = F.conv(F.substring(hash_key(F.col(id_col), salt), 1, 8), 16, 10).cast("long")
+    return df.withColumn(shard_col, (val % n_shards).cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col: Column,
+    seq_len: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic (md5-hash, id) stream per source and chunked into
+    fixed ``seq_len``-token training sequences — the GPT-style packing
+    step that turns a document corpus into equal-length training rows.
+
+    A document whose stream offset is ``o`` starts in sequence
+    ``floor(o / seq_len)`` at in-sequence offset ``o % seq_len`` (a doc
+    may straddle a boundary and continue into the next sequence — the
+    standard concat-and-chunk semantics; downstream tokenization splits
+    it there).  Returns ``df`` + (seq_id, seq_offset, n_tokens).
+
+    One shuffle on the source; the layout is a per-source cumulative
+    sum (window), parallel across sources, reproducible across engines.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(hash_key(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return (
+        df.withColumn("n_tokens", token_count_col)
+        .withColumn("seq_id", F.floor(start / seq_len))
+        .withColumn("seq_offset", start % seq_len)
+    )

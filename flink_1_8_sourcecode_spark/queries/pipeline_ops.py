@@ -241,3 +241,98 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         budgets={"src0": 4000},
         default_budget=800,
     )
+
+
+@register(
+    "sample_shard_assignment",
+    oracle="""
+    SELECT doc_id,
+           ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) % 16)::INT
+             AS shard
+    FROM documents
+    """,
+    doc="Deterministic 16-way shard assignment (md5-prefix value mod "
+    "n): map-only, uniform, stable on task retry — the write-layout "
+    "step before repartition/partitionBy "
+    "(operators/sampling.py:shard_assignment).",
+)
+def sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return smp.shard_assignment(d, "doc_id", 16).select("doc_id", "shard")
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SUBWORD_SQL} AS n_tokens FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              - n_tokens)::BIGINT AS st
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (st // 512) AS seq_id, (st % 512) AS seq_offset
+    FROM w
+    """,
+    doc="Concat-and-chunk sequence packing: per-source deterministic "
+    "token stream chunked into 512-token training sequences; each doc "
+    "gets (seq_id, seq_offset) — the GPT-style packing step "
+    "(operators/sampling.py:pack_sequences; one shuffle on source).",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return smp.pack_sequences(
+        d, "source", "doc_id", tx.subword_count(F.col("text")), seq_len=512
+    ).select("doc_id", "source", "n_tokens", "seq_id", "seq_offset")
+
+
+@register(
+    "pipeline_contamination_check",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_T10}'
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, source, split,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS t
+      FROM s
+    ), g AS (
+      SELECT doc_id, source, split,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM tok WHERE len(t) >= 3
+    ), hg AS (SELECT DISTINCT gram FROM g WHERE split = 'holdout'),
+    hits AS (SELECT DISTINCT g.doc_id FROM g JOIN hg USING (gram)
+             WHERE g.split = 'train')
+    SELECT t.source, count(*) AS n_train,
+           sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated
+    FROM (SELECT doc_id, source FROM s WHERE split = 'train') t
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.source
+    """,
+    doc="Train/holdout contamination report: after the deterministic "
+    "10% split, count train docs per source sharing any word 3-gram "
+    "with the holdout side (operators/text.py:decontaminate over "
+    "operators/sampling.py:hash_split) — the eval-leakage audit every "
+    "corpus release needs.",
+)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    split = smp.hash_split(d, "doc_id", 0.1)
+    train = split.filter(F.col("split") == "train")
+    holdout = split.filter(F.col("split") == "holdout")
+    flagged = decontaminate(train, holdout, "doc_id", "text", n=3)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+    )

@@ -542,3 +542,59 @@ class TestTrainingDataFilters:
         # the corpus side never shuffles for it
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_decode_strict_runs_builtin_ppm_codec(spark):
+    """The REAL codec path executes with no image library present:
+    deterministic P6 images round-trip encode -> Arrow batch ->
+    _ppm_decode, and the channel stats match numpy ground truth."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        decode_features,
+        encode_ppm,
+    )
+
+    rows = []
+    truth = {}
+    for i in range(5):
+        rng = np.random.default_rng(seed=i)
+        px = rng.integers(0, 256, size=(8 + i, 6 + i, 3), dtype=np.uint8)
+        rows.append((i, bytearray(encode_ppm(px)), ("image/ppm", px.shape[1], px.shape[0], 1)))
+        n = px.shape[0] * px.shape[1]
+        hist = np.bincount(px[:, :, 0].ravel(), minlength=256)
+        p = hist[hist > 0] / n
+        truth[i] = (
+            px[:, :, 0].mean() / 255.0,
+            px[:, :, 1].mean() / 255.0,
+            px[:, :, 2].mean() / 255.0,
+            float(-(p * np.log2(p)).sum() / 8.0),
+        )
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, content binary, "
+        "meta struct<format: string, width: int, height: int, n_frames: int>",
+    )
+    out = decode_features(media, strict=True).toPandas().set_index("media_id")
+    assert len(out) == 5
+    for i, (r, g, b, e) in truth.items():
+        row = out.loc[i]
+        assert abs(row.mean_r - r) < 1e-12
+        assert abs(row.mean_g - g) < 1e-12
+        assert abs(row.mean_b - b) < 1e-12
+        assert abs(row.entropy - e) < 1e-12
+
+
+def test_ppm_decoder_handles_comments_and_rejects_garbage(spark):
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import _ppm_decode
+
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[:, :, 0] = 200
+    with_comment = b"P6\n# a netpbm comment\n3 2\n255\n" + px.tobytes()
+    d = _ppm_decode(with_comment)
+    assert abs(d["mean_r"] - 200 / 255.0) < 1e-12
+    assert d["mean_g"] == 0.0 and d["entropy"] == 0.0
+    with pytest.raises(ValueError):
+        _ppm_decode(b"JFIF not a ppm")

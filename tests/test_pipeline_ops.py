@@ -182,3 +182,42 @@ def test_cosine_topk_gemm_equals_column_kernel(spark):
     bc = {key(r): r["cosine"] for r in b}
     for r in a:
         assert abs(r["cosine"] - bc[key(r)]) < 1e-9
+
+
+def test_shard_assignment_map_only_uniform_stable(spark):
+    d = table(spark, SF_DIR, "documents")
+    out = smp.shard_assignment(d, "doc_id", 16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "shard_assignment must not shuffle"
+    counts = {r["shard"]: r["n"] for r in
+              out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(range(16))
+    n = sum(counts.values())
+    # uniformity: no shard more than 3x the fair share on 500 docs
+    assert max(counts.values()) < 3 * n / 16
+    again = {r["shard"]: r["n"] for r in
+             smp.shard_assignment(d, "doc_id", 16)
+             .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+
+
+def test_pack_sequences_invariants(spark):
+    from flink_1_8_sourcecode_spark.operators import text as tx2
+
+    d = table(spark, SF_DIR, "documents")
+    seq_len = 512
+    out = smp.pack_sequences(
+        d, "source", "doc_id", tx2.subword_count(F.col("text")), seq_len
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (r["seq_id"], r["seq_offset"]))
+        # offsets are within a sequence, streams are gapless: each doc
+        # starts exactly where the previous one ended
+        pos = 0
+        for r in rows:
+            assert 0 <= r["seq_offset"] < seq_len
+            assert r["seq_id"] * seq_len + r["seq_offset"] == pos, (src, r)
+            pos += r["n_tokens"]
