@@ -49,3 +49,28 @@ def upsert_sink(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w
+
+
+def queryable_state(df: DataFrame, name: str, checkpoint: str | None = None):
+    """Queryable state (KeyedStream.asQueryableState, flink-streaming-java/
+    .../datastream/KeyedStream.java:1004 + QueryableStateClient): expose a
+    streaming aggregation's CURRENT state for ad-hoc point lookups while
+    the job runs.
+
+    Spark's idiomatic equivalent is the complete-mode memory sink: every
+    micro-batch publishes the full updated state as the in-memory table
+    ``name``, and any concurrent ``spark.sql("SELECT ... FROM name WHERE
+    key = ...")`` is the QueryableStateClient.getKvState call — same
+    read-your-aggregation-live contract, without a bespoke RPC layer.
+
+    Scale note: complete mode re-publishes the whole aggregate each
+    batch, so this fits state that a Flink deployment would also have
+    served queryably (bounded keyed aggregates), not raw streams; for
+    unbounded key spaces, upsert_sink into an external KV store is the
+    production path (same as Flink recommending state TTL + external
+    serving there).
+    """
+    w = df.writeStream.format("memory").queryName(name).outputMode("complete")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w

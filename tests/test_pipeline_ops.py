@@ -221,3 +221,54 @@ def test_pack_sequences_invariants(spark):
             assert 0 <= r["seq_offset"] < seq_len
             assert r["seq_id"] * seq_len + r["seq_offset"] == pos, (src, r)
             pos += r["n_tokens"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pack_and_mix_match_python_reference(spark, seed):
+    """Randomized cross-check: pack_sequences and token_budget_mix agree
+    with a straightforward pure-Python reference on random corpora
+    (random sources, random token counts, including huge docs that
+    straddle several sequences / blow the budget on arrival)."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    ids = rng.choice(10_000, size=n, replace=False)
+    srcs = rng.integers(0, 4, size=n)
+    toks = rng.integers(1, 700, size=n)
+    rows = [(int(i), f"s{s}", int(t)) for i, s, t in zip(ids, srcs, toks)]
+    df = spark.createDataFrame(rows, "id long, src string, tok int")
+
+    def order_key(row):
+        return (hashlib.md5(str(row[0]).encode()).hexdigest(), row[0])
+
+    # --- reference packing ---
+    seq_len = 512
+    want_pack = {}
+    for s in {r[1] for r in rows}:
+        pos = 0
+        for r in sorted((r for r in rows if r[1] == s), key=order_key):
+            want_pack[r[0]] = (pos // seq_len, pos % seq_len)
+            pos += r[2]
+    got = smp.pack_sequences(df, "src", "id", F.col("tok"), seq_len).collect()
+    assert len(got) == n
+    for r in got:
+        assert (r["seq_id"], r["seq_offset"]) == want_pack[r["id"]], r
+
+    # --- reference mixing ---
+    budgets = {"s0": 3000, "s1": 0}
+    default = 900
+    want_keep = {}
+    for s in {r[1] for r in rows}:
+        b = budgets.get(s, default)
+        cum = 0
+        for r in sorted((r for r in rows if r[1] == s), key=order_key):
+            if cum < b:
+                cum += r[2]
+                want_keep[r[0]] = cum
+    got_mix = smp.token_budget_mix(
+        df, "src", "id", F.col("tok"), budgets=budgets, default_budget=default
+    ).collect()
+    assert {r["id"]: r["cum_tokens"] for r in got_mix} == want_keep

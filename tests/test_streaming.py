@@ -280,3 +280,40 @@ def test_socket_source_reads_lines(spark):
         q.stop()
         srv.close()
     assert sorted(got) == sorted(lines)
+
+
+def test_queryable_state_live_point_lookup(spark, chunk_dir):
+    """Queryable state parity (KeyedStream.asQueryableState +
+    QueryableStateClient): a running aggregation's CURRENT state answers
+    point lookups between micro-batches, and the final state equals the
+    batch aggregate."""
+    from flink_1_8_sourcecode_spark.streaming.sinks import queryable_state
+
+    stream = sources.read_event_stream(spark, chunk_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total")
+    )
+    q = queryable_state(agg, "qstate").start()
+    try:
+        q.processAllAvailable()
+        # the live point lookup: SELECT against the named state table
+        mid = spark.sql(
+            "SELECT cnt, total FROM qstate WHERE event_type = "
+            "(SELECT min(event_type) FROM qstate)"
+        ).collect()
+        assert len(mid) == 1 and mid[0]["cnt"] > 0
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("qstate").toPandas().set_index("event_type")
+    want = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert sorted(got.index) == sorted(want.index)
+    for k in want.index:
+        assert got.loc[k, "cnt"] == want.loc[k, "cnt"]
+        assert abs(got.loc[k, "total"] - want.loc[k, "total"]) < 1e-6
