@@ -181,9 +181,13 @@ def pack_sequences(
         .orderBy(hash_key(F.col(id_col)), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # compute the stream offset ONCE (a second window expression would
+    # add a second Window node over the same sort — one extra pass)
     start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return (
         df.withColumn("n_tokens", token_count_col)
-        .withColumn("seq_id", F.floor(start / seq_len))
-        .withColumn("seq_offset", start % seq_len)
+        .withColumn("__start", start)
+        .withColumn("seq_id", F.floor(F.col("__start") / seq_len))
+        .withColumn("seq_offset", F.col("__start") % seq_len)
+        .drop("__start")
     )

@@ -272,3 +272,22 @@ def test_pack_and_mix_match_python_reference(spark, seed):
         df, "src", "id", F.col("tok"), budgets=budgets, default_budget=default
     ).collect()
     assert {r["id"]: r["cum_tokens"] for r in got_mix} == want_keep
+
+
+def test_shard_partitioned_write_and_pruned_read(spark, tmp_path):
+    """The write-layout end-to-end: shard_assignment -> partitionBy
+    write -> partition-pruned read of one shard."""
+    d = table(spark, SF_DIR, "documents")
+    sharded = smp.shard_assignment(d, "doc_id", 8)
+    out = str(tmp_path / "corpus_shards")
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    one = back.filter(F.col("shard") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the shard predicate must land in PartitionFilters,
+    # not in a post-scan Filter
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan[:800]
+    want = sharded.filter(F.col("shard") == 3).count()
+    assert one.count() == want
