@@ -34,12 +34,23 @@ def asof_join(
     right_time: str,
     right_cols: list[str] | None = None,
     allow_exact_match: bool = True,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` (or ``<`` when not allow_exact_match),
     matching on the key column(s) ``on``. Left rows without a prior right
     row keep NULLs (left-outer as-of semantics, like pandas merge_asof
     and the reference's temporal join).
+
+    ``direction`` extends the merge_asof surface: ``"backward"`` (the
+    reference's temporal-join semantics, default), ``"forward"`` (the
+    earliest right row at-or-after the probe time — the same carry over
+    a reversed time order), ``"nearest"`` (whichever of the two is
+    closer; ties prefer backward, like pandas).  ``tolerance`` (same
+    units as a numeric time column, seconds for timestamps) voids a
+    match whose time distance exceeds it — the payload reverts to NULL,
+    never to an older version.
 
     The whole right payload is carried as ONE struct with a single
     ``last(ignorenulls=True)``, exactly as the reference's
@@ -61,10 +72,16 @@ def asof_join(
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns if c not in keys + [right_time]]
+    # the matched right row's own time rides inside the payload struct so
+    # tolerance/nearest can measure the match distance after the carry
     r_struct_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField("__rt", right.schema[right_time].dataType)]
     )
 
     # Tag and align schemas: left rows carry a NULL right-payload struct,
@@ -82,26 +99,61 @@ def asof_join(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_time).alias("__rt"),
+        ).alias("__r"),
     ).select(*[c for c in l_tagged.columns])
 
     # Exact-time ties: a right row (tag 0) must sort BEFORE the left row
-    # (tag 1) to be visible at equal timestamps (<= semantics) — ascending
-    # tag order; strict (<) puts left first — descending.  Equal-time right
-    # rows order by the payload struct so "last" is deterministic.
+    # (tag 1) in scan order to be visible at equal timestamps (<=
+    # semantics) — ascending tag order; strict (<) puts left first —
+    # descending.  The same tie logic holds for the forward scan (time
+    # descending): only the time direction flips.  Equal-time right rows
+    # order by the payload struct so "last" is deterministic.
     order_left_flag = (
         F.col("__is_left").asc() if allow_exact_match else F.col("__is_left").desc()
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), order_left_flag, F.col("__r").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     unioned = l_tagged.unionByName(r_tagged)
-    carried = unioned.select(
-        *[c for c in l_tagged.columns if c != "__r"],
-        F.last("__r", ignorenulls=True).over(w).alias("__r"),
-    )
+
+    def carry(time_asc: bool) -> "F.Column":
+        t_order = F.col("__t").asc() if time_asc else F.col("__t").desc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(t_order, order_left_flag, F.col("__r").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last("__r", ignorenulls=True).over(w)
+
+    passthrough = [c for c in l_tagged.columns if c != "__r"]
+    if direction == "backward":
+        carried = unioned.select(*passthrough, carry(True).alias("__r"))
+    elif direction == "forward":
+        carried = unioned.select(*passthrough, carry(False).alias("__r"))
+    else:  # nearest: both carries share one exchange (same partition keys)
+        carried = unioned.select(
+            *passthrough, carry(True).alias("__rb"), carry(False).alias("__rf")
+        )
+        lt = F.col("__t").cast("double")
+        db = lt - F.col("__rb.__rt").cast("double")
+        df_ = F.col("__rf.__rt").cast("double") - lt
+        carried = carried.select(
+            *passthrough,
+            F.when(F.col("__rf").isNull(), F.col("__rb"))
+            .when(F.col("__rb").isNull(), F.col("__rf"))
+            .when(df_ < db, F.col("__rf"))
+            .otherwise(F.col("__rb"))  # ties prefer backward (pandas)
+            .alias("__r"),
+        )
+
+    if tolerance is not None:
+        lt = F.col("__t").cast("double")
+        rt = F.col("__r.__rt").cast("double")
+        dist = F.abs(lt - rt)
+        carried = carried.withColumn(
+            "__r", F.when(dist <= F.lit(float(tolerance)), F.col("__r"))
+        )
+
     out = carried.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
     for c in right_cols:
         out = out.withColumn(c, F.col("__r")[c])

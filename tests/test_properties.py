@@ -209,3 +209,50 @@ def test_skew_salted_join_random_distributions(spark):
         plain = left.join(dim, "k")
         assert got.count() == plain.count(), f"trial {trial}"
         assert got.exceptAll(plain).count() == 0, f"trial {trial}"
+
+
+def test_asof_join_directions_and_tolerance_match_pandas():
+    """merge_asof parity for the round-6 surface extension: direction
+    backward/forward/nearest x tolerance on randomized numeric-time
+    version histories."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.joins import asof_join
+    from flink_1_8_sourcecode_spark.session import get_spark
+
+    spark = get_spark(app_name="flink18-spark-tests")
+    rng = np.random.default_rng(7)
+    n_l, n_r = 120, 80
+    lp = pd.DataFrame({
+        "k": rng.integers(0, 5, n_l),
+        "lt": rng.integers(0, 1000, n_l).astype("float64"),
+    }).sort_values("lt", kind="stable").reset_index(drop=True)
+    lp["lid"] = np.arange(n_l)
+    rp = pd.DataFrame({
+        "k": rng.integers(0, 5, n_r),
+        "rt": np.sort(rng.choice(np.arange(0, 1000, 3), n_r, replace=False)).astype("float64"),
+        "payload": rng.integers(0, 10**6, n_r),
+    }).reset_index(drop=True)
+
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 50.0):
+            got = (
+                asof_join(left, right, on="k", left_time="lt", right_time="rt",
+                          direction=direction, tolerance=tol)
+                .toPandas().sort_values("lid").reset_index(drop=True)
+            )
+            kw = {"tolerance": tol} if tol is not None else {}
+            exp = pd.merge_asof(
+                lp, rp, left_on="lt", right_on="rt", by="k",
+                direction=direction, **kw,
+            )
+            for i in range(n_l):
+                g, e = got.loc[i], exp.loc[i]
+                ok = (g["payload"] == e["payload"]) or (
+                    pd.isna(g["payload"]) and pd.isna(e["payload"])
+                )
+                assert ok, (direction, tol, i, g.to_dict(), e.to_dict())
