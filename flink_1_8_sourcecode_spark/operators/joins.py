@@ -77,6 +77,16 @@ def asof_join(
 
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns if c not in keys + [right_time]]
+
+    def secs(c, dtype):
+        # epoch seconds for time arithmetic; TIMESTAMP_NTZ has no direct
+        # double cast — route through ltz (session tz is UTC, so exact)
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return c.cast("timestamp_ltz").cast("double")
+        return c.cast("double")
+
+    lt_type = left.schema[left_time].dataType
+    rt_type = right.schema[right_time].dataType
     # the matched right row's own time rides inside the payload struct so
     # tolerance/nearest can measure the match distance after the carry
     r_struct_type = T.StructType(
@@ -134,9 +144,9 @@ def asof_join(
         carried = unioned.select(
             *passthrough, carry(True).alias("__rb"), carry(False).alias("__rf")
         )
-        lt = F.col("__t").cast("double")
-        db = lt - F.col("__rb.__rt").cast("double")
-        df_ = F.col("__rf.__rt").cast("double") - lt
+        lt = secs(F.col("__t"), lt_type)
+        db = lt - secs(F.col("__rb.__rt"), rt_type)
+        df_ = secs(F.col("__rf.__rt"), rt_type) - lt
         carried = carried.select(
             *passthrough,
             F.when(F.col("__rf").isNull(), F.col("__rb"))
@@ -147,8 +157,8 @@ def asof_join(
         )
 
     if tolerance is not None:
-        lt = F.col("__t").cast("double")
-        rt = F.col("__r.__rt").cast("double")
+        lt = secs(F.col("__t"), lt_type)
+        rt = secs(F.col("__r.__rt"), rt_type)
         dist = F.abs(lt - rt)
         carried = carried.withColumn(
             "__r", F.when(dist <= F.lit(float(tolerance)), F.col("__r"))

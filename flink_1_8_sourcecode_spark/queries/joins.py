@@ -291,3 +291,79 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce(F.col("last_click_id"), F.lit(-1)).alias("last_click_id"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           coalesce(CASE WHEN c.ts <= p.ts + INTERVAL 10 MINUTE
+                         THEN c.event_id END, -1) AS next_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    doc="Forward as-of join with tolerance (merge_asof direction= "
+    "'forward'): the next click at-or-after each purchase, voided when "
+    "more than 10 minutes out — same single-shuffle carry as backward, "
+    "over a reversed time order (operators/joins.py:asof_join).",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("next_click_id")
+    )
+    out = asof_join(
+        p, c, on="user_id", left_time="p_ts", right_time="c_ts",
+        right_cols=["next_click_id"], direction="forward", tolerance=600.0,
+    )
+    return out.select(
+        "purchase_id", "user_id",
+        F.coalesce(F.col("next_click_id"), F.lit(-1)).alias("next_click_id"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         b AS (SELECT p.event_id, p.user_id, p.ts,
+                      c.event_id AS bid, c.ts AS bt
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.ts <= p.ts),
+         f AS (SELECT p.event_id, c.event_id AS fid, c.ts AS ft
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.ts >= p.ts)
+    SELECT b.event_id AS purchase_id, b.user_id,
+           coalesce(CASE
+             WHEN fid IS NULL THEN bid
+             WHEN bid IS NULL THEN fid
+             WHEN (epoch(ft) - epoch(b.ts)) < (epoch(b.ts) - epoch(bt)) THEN fid
+             ELSE bid END, -1) AS nearest_click_id
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+    doc="Nearest as-of join (merge_asof direction='nearest', ties "
+    "prefer backward): the closest click in either direction per "
+    "purchase; both carries share one exchange "
+    "(operators/joins.py:asof_join).",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("nearest_click_id")
+    )
+    out = asof_join(
+        p, c, on="user_id", left_time="p_ts", right_time="c_ts",
+        right_cols=["nearest_click_id"], direction="nearest",
+    )
+    return out.select(
+        "purchase_id", "user_id",
+        F.coalesce(F.col("nearest_click_id"), F.lit(-1)).alias("nearest_click_id"),
+    )
