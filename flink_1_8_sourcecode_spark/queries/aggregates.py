@@ -305,3 +305,84 @@ def agg_sort_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.concat_ws("|", sorted_names).alias("top3"))
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (built-in agg breadth "
+    "beyond the reference's SUM/AVG/STDDEV set — documented superset): "
+    "Spark percentile() == DuckDB quantile_cont (both linear "
+    "interpolation over the sorted group).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT CASE WHEN o_totalprice < lo THEN 0
+                WHEN o_totalprice >= hi THEN 11
+                ELSE floor((o_totalprice - lo) / ((hi - lo) / 10))::BIGINT + 1
+           END AS bucket,
+           count(*) AS cnt
+    FROM orders, b GROUP BY 1
+    """,
+    doc="Value-distribution histogram via width_bucket over the global "
+    "min/max (single-row broadcast, then a map-side bucket + one hash "
+    "agg — the scalable two-pass histogram shape).  The oracle spells "
+    "out Postgres width_bucket semantics (DuckDB lacks the function) "
+    "with the same division order as Spark's WidthBucket expression.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return (
+        o.join(F.broadcast(bounds), F.lit(True))
+        .select(
+            F.width_bucket("o_totalprice", F.col("lo"), F.col("hi"), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           corr(l_extendedprice, l_discount) AS price_disc_corr,
+           covar_pop(l_extendedprice, l_quantity) AS price_qty_covar,
+           covar_samp(l_extendedprice, l_quantity) AS price_qty_covar_s
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistical aggregates (corr / covar_pop / "
+    "covar_samp) per group — partial-aggregable single-pass moments, "
+    "map-side combine like any hash agg.",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_extendedprice", "l_discount").alias("price_disc_corr"),
+        F.covar_pop("l_extendedprice", "l_quantity").alias("price_qty_covar"),
+        F.covar_samp("l_extendedprice", "l_quantity").alias("price_qty_covar_s"),
+    )
