@@ -336,3 +336,46 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_train"),
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
     )
+
+
+_ZBITS = 8
+_Z_SQL = " | ".join(
+    f"(((qa >> {i}) & 1) << {2 * i}) | (((qb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZBITS)
+)
+
+
+@register(
+    "layout_zorder_code",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(o_totalprice)::DOUBLE AS lo_a, max(o_totalprice)::DOUBLE AS hi_a,
+             min(o_custkey)::DOUBLE    AS lo_b, max(o_custkey)::DOUBLE    AS hi_b
+      FROM orders
+    ), q AS (
+      SELECT o_orderkey,
+             greatest(0, least({2**_ZBITS - 1}, floor(
+               (o_totalprice::DOUBLE - lo_a)
+               / (CASE WHEN hi_a > lo_a THEN hi_a - lo_a ELSE 1.0 END)
+               * {float(2**_ZBITS - 1)})::BIGINT)) AS qa,
+             greatest(0, least({2**_ZBITS - 1}, floor(
+               (o_custkey::DOUBLE - lo_b)
+               / (CASE WHEN hi_b > lo_b THEN hi_b - lo_b ELSE 1.0 END)
+               * {float(2**_ZBITS - 1)})::BIGINT)) AS qb
+      FROM orders, b
+    )
+    SELECT o_orderkey, ({_Z_SQL})::BIGINT AS zcode FROM q
+    """,
+    doc="Z-order (Morton) clustering code over (o_totalprice, "
+    "o_custkey): per-column min/max quantization to 8 bits + bit "
+    "interleave — the data-layout lever that lets multi-dimensional "
+    "range predicates prune files "
+    "(operators/partitioning.py:zorder_value/zorder_layout; locality "
+    "property pinned by tests/test_pipeline_ops.py).",
+)
+def layout_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.partitioning import zorder_layout
+
+    o = table(spark, sf_dir, "orders")
+    out = zorder_layout(o, ["o_totalprice", "o_custkey"], n_partitions=8, bits=_ZBITS)
+    return out.select("o_orderkey", F.col("__z").alias("zcode"))

@@ -291,3 +291,48 @@ def test_shard_partitioned_write_and_pruned_read(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(shard" in plan, plan[:800]
     want = sharded.filter(F.col("shard") == 3).count()
     assert one.count() == want
+
+
+def test_zorder_layout_prunes_multidim_ranges(spark):
+    """Z-order locality: for a square range predicate over two uniform
+    dimensions, the Z-clustered layout touches fewer partitions than a
+    single-column sort layout (which answers x-ranges well but smears
+    y across every partition)."""
+    from flink_1_8_sourcecode_spark.operators.partitioning import zorder_layout
+
+    n, parts = 4096, 16
+    base = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.floor(F.col("id") / 64)).alias("y"),
+    )
+
+    def touched(df, pred):
+        return (
+            df.withColumn("__p", F.spark_partition_id())
+            .filter(pred)
+            .select("__p").distinct().count()
+        )
+
+    pred = (
+        (F.col("x") >= 10) & (F.col("x") < 18)
+        & (F.col("y") >= 20) & (F.col("y") < 28)
+    )
+    z = zorder_layout(base, ["x", "y"], parts, bits=6).persist()
+    linear = base.repartitionByRange(parts, "x").sortWithinPartitions("x").persist()
+    zt, lt = touched(z, pred), touched(linear, pred)
+    assert z.count() == n and linear.count() == n
+    # 8x8 query on a 64x64 grid: z-order confines it to a few curve
+    # segments; the x-sorted layout slices through ~every y for the x band
+    assert zt < lt, (zt, lt)
+    assert zt <= 4, zt
+    z.unpersist(); linear.unpersist()
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from flink_1_8_sourcecode_spark.operators.partitioning import zorder_value
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    got = df.select(zorder_value([F.col("a"), F.col("b")], bits=3).alias("z")).first()["z"]
+    # a bits go to even positions, b bits to odd: a=101, b=011
+    # -> z bits LSB..MSB: a0=1,b0=1,a1=0,b1=1,a2=1,b2=0 -> 0b011011
+    assert got == 0b011011, bin(got)
