@@ -192,3 +192,70 @@ def zorder_layout(
     out = out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
     # __z stays in the output: the write path can partition/inspect on it
     return out.repartitionByRange(n_partitions, "__z").sortWithinPartitions("__z")
+
+
+def zip_with_unique_id(df: DataFrame, id_col: str = "unique_id") -> DataFrame:
+    """DataSetUtils.zipWithUniqueId (flink-java/.../utils/DataSetUtils.java:120)
+    parity: a unique (NOT consecutive) long per row, assigned without
+    any counting pass — Spark's monotonically_increasing_id is the same
+    partition-id-in-the-high-bits scheme Flink uses (taskId + i * #tasks).
+    """
+    return df.withColumn(id_col, F.monotonically_increasing_id())
+
+
+def zip_with_index(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "index",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """DataSetUtils.zipWithIndex (DataSetUtils.java:77) parity:
+    CONSECUTIVE indices 0..n-1, in ``order_cols`` order, with the same
+    two-pass shape as the reference (count elements per partition,
+    broadcast the per-partition offsets, then label locally).
+
+    Pass 1 range-partitions on the order columns and counts rows per
+    partition (a #partitions-row aggregate).  Pass 2 joins the
+    broadcast cumulative offsets and adds the partition-local running
+    index from an Arrow-batched counter — no global single-reducer
+    sort, no window over one partition.  Include a unique tiebreaker in
+    ``order_cols`` for a fully deterministic assignment.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part = part.localCheckpoint(eager=False)  # pin partitioning across both passes
+    from pyspark.sql import Window
+
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__offset")
+    )
+
+    def label(batches):
+        import pandas as pd  # noqa: F401
+
+        i = 0  # partition-local running index: one worker per partition
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__local"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield pdf
+
+    # NOT part.schema.add(...): PySpark's StructType.add MUTATES the
+    # DataFrame's cached schema object, which corrupts part.columns
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(part.schema.fields) + [T.StructField("__local", T.LongType())]
+    )
+    labeled = part.mapInPandas(label, schema)
+    return (
+        labeled.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )

@@ -379,3 +379,24 @@ def layout_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     out = zorder_layout(o, ["o_totalprice", "o_custkey"], n_partitions=8, bits=_ZBITS)
     return out.select("o_orderkey", F.col("__z").alias("zcode"))
+
+
+@register(
+    "rowop_zip_with_index",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS index
+    FROM customer
+    """,
+    doc="DataSetUtils.zipWithIndex parity (DataSetUtils.java:77): "
+    "consecutive global indices in (c_acctbal, c_custkey) order via the "
+    "reference's own two-pass shape — per-partition counts, broadcast "
+    "cumulative offsets, partition-local labeling — no single-reducer "
+    "global sort (operators/partitioning.py:zip_with_index).",
+)
+def rowop_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.partitioning import zip_with_index
+
+    c = table(spark, sf_dir, "customer")
+    out = zip_with_index(c, ["c_acctbal", "c_custkey"], n_partitions=8)
+    return out.select("c_custkey", "index")

@@ -336,3 +336,22 @@ def test_zorder_value_interleaves_bits(spark):
     # a bits go to even positions, b bits to odd: a=101, b=011
     # -> z bits LSB..MSB: a0=1,b0=1,a1=0,b1=1,a2=1,b2=0 -> 0b011011
     assert got == 0b011011, bin(got)
+
+
+def test_zip_with_index_consecutive_and_unique_id_unique(spark):
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        zip_with_index,
+        zip_with_unique_id,
+    )
+
+    d = table(spark, SF_DIR, "documents")
+    idx = zip_with_index(d, ["n_chars", "doc_id"], n_partitions=5)
+    pdf = idx.orderBy("index").toPandas()
+    n = len(pdf)
+    assert list(pdf["index"]) == list(range(n)), "indices must be 0..n-1"
+    # order contract: index follows (n_chars, doc_id)
+    key = list(zip(pdf["n_chars"], pdf["doc_id"]))
+    assert key == sorted(key)
+
+    uid = zip_with_unique_id(d).toPandas()
+    assert uid["unique_id"].nunique() == n
