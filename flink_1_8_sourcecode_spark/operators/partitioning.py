@@ -195,7 +195,7 @@ def zorder_layout(
 
 
 def zip_with_unique_id(df: DataFrame, id_col: str = "unique_id") -> DataFrame:
-    """DataSetUtils.zipWithUniqueId (flink-java/.../utils/DataSetUtils.java:120)
+    """DataSetUtils.zipWithUniqueId (flink-java/.../utils/DataSetUtils.java:149)
     parity: a unique (NOT consecutive) long per row, assigned without
     any counting pass — Spark's monotonically_increasing_id is the same
     partition-id-in-the-high-bits scheme Flink uses (taskId + i * #tasks).
@@ -209,7 +209,7 @@ def zip_with_index(
     id_col: str = "index",
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """DataSetUtils.zipWithIndex (DataSetUtils.java:77) parity:
+    """DataSetUtils.zipWithIndex (DataSetUtils.java:89) parity:
     CONSECUTIVE indices 0..n-1, in ``order_cols`` order, with the same
     two-pass shape as the reference (count elements per partition,
     broadcast the per-partition offsets, then label locally).
@@ -258,4 +258,23 @@ def zip_with_index(
         labeled.join(F.broadcast(offsets), "__pid")
         .withColumn(id_col, (F.col("__offset") + F.col("__local")).cast("long"))
         .drop("__pid", "__local", "__offset")
+    )
+
+
+def dataset_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """DataSetUtils.checksumHashCode (DataSetUtils.java:347) parity: a
+    single-row (n_rows, checksum) integrity summary of a dataset.
+
+    The checksum is the bit-XOR of a 60-bit md5-derived hash of each
+    row's ``cols`` rendering — order-insensitive (XOR commutes, like
+    the reference's sum of hashCodes), partial-aggregable map-side, and
+    engine-portable (the DuckDB oracle computes the identical value).
+    Use string/int/date columns; float renderings are not portable
+    across engines and belong behind an explicit round/cast.
+    """
+    row_repr = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h).alias("checksum"),
     )

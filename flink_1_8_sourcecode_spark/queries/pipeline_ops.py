@@ -388,7 +388,7 @@ def layout_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS index
     FROM customer
     """,
-    doc="DataSetUtils.zipWithIndex parity (DataSetUtils.java:77): "
+    doc="DataSetUtils.zipWithIndex parity (DataSetUtils.java:89): "
     "consecutive global indices in (c_acctbal, c_custkey) order via the "
     "reference's own two-pass shape — per-partition counts, broadcast "
     "cumulative offsets, partition-local labeling — no single-reducer "
@@ -400,3 +400,71 @@ def rowop_zip_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     out = zip_with_index(c, ["c_acctbal", "c_custkey"], n_partitions=8)
     return out.select("c_custkey", "index")
+
+
+@register(
+    "rowop_dataset_checksum",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           bit_xor(('0x' || substr(md5(concat_ws('|',
+             l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+             l_returnflag, l_shipdate::VARCHAR)), 1, 15))::BIGINT)
+             AS checksum
+    FROM lineitem
+    """,
+    doc="Distributed dataset checksum (DataSetUtils.checksumHashCode "
+    "parity): bit-XOR of 60-bit md5 row hashes + row count in one "
+    "map-side-combinable aggregate — the cheap cross-engine integrity "
+    "check a corpus migration runs on both sides "
+    "(operators/partitioning.py:dataset_checksum).",
+)
+def rowop_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.partitioning import dataset_checksum
+
+    li = table(spark, sf_dir, "lineitem")
+    return dataset_checksum(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+    )
+
+
+@register(
+    "rowop_summarize",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_non_null,
+           min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+           avg(o_totalprice) AS mean_v, stddev_samp(o_totalprice) AS std_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           count(*), count(o_custkey),
+           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE,
+           avg(o_custkey), stddev_samp(o_custkey)
+    FROM orders
+    """,
+    doc="DataSetUtils.summarize parity (DataSetUtils.java:311 — "
+    "per-column aggregate statistics in one pass): count / non-null / "
+    "min / max / mean / stddev per selected column, all "
+    "partial-aggregable (one map-side-combined job regardless of "
+    "column count).",
+)
+def rowop_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_col = []
+    for c in ("o_totalprice", "o_custkey"):
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_non_null"),
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+                F.avg(c).alias("mean_v"),
+                F.stddev_samp(c).alias("std_v"),
+            )
+        )
+    # ONE aggregate job: every column's stats in the same pass, then
+    # unpivot the struct row into one output row per column
+    agg = o.agg(F.array(*per_col).alias("stats"))
+    return agg.select(F.explode("stats").alias("s")).select("s.*")
