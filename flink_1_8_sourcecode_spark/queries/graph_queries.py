@@ -322,3 +322,86 @@ def graph_cc_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     )
     return Graph(v, e).connected_components_alternating()
+
+
+_UND_DUCK = f"""
+    und AS (SELECT DISTINCT s, t FROM (
+              SELECT src AS s, dst AS t FROM edges WHERE src != dst
+              UNION ALL
+              SELECT dst AS s, src AS t FROM edges WHERE src != dst)),
+    deg AS (SELECT s, count(*) AS d FROM und GROUP BY 1)
+"""
+
+
+@register(
+    "graph_jaccard_index",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK},
+    wedge AS (SELECT a.t AS u, b.t AS v
+              FROM und a JOIN und b ON a.s = b.s AND a.t < b.t),
+    shared AS (SELECT u, v, count(*) AS shared FROM wedge GROUP BY 1, 2)
+    SELECT u::BIGINT AS u, v::BIGINT AS v, shared,
+           shared::DOUBLE / (du.d + dv.d - shared) AS jaccard
+    FROM shared JOIN deg du ON du.s = u JOIN deg dv ON dv.s = v
+    """,
+    doc="Jaccard vertex similarity (flink-gelly/.../library/similarity/"
+    "JaccardIndex.java): |N(u) n N(v)| / |N(u) u N(v)| per pair with a "
+    "common neighbor — wedge self-join + degree join on the ring+hub "
+    "nation graph.",
+)
+def graph_jaccard_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).jaccard_index()
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK},
+    cent AS (SELECT und.s, und.t, 1.0 / ln(deg.d) AS w
+             FROM und JOIN deg ON und.s = deg.s),
+    wedge AS (SELECT a.t AS u, b.t AS v, a.w
+              FROM cent a JOIN cent b ON a.s = b.s AND a.t < b.t)
+    SELECT u::BIGINT AS u, v::BIGINT AS v, sum(w) AS score
+    FROM wedge GROUP BY 1, 2
+    """,
+    doc="Adamic-Adar similarity (flink-gelly/.../library/similarity/"
+    "AdamicAdar.java): sum of 1/ln(deg(w)) over common neighbors — "
+    "rare shared neighbors outweigh hubs.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).adamic_adar()
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK},
+    ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE src != dst),
+    tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+            FROM ce e1
+            JOIN ce e2 ON e2.a = e1.b
+            JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (SELECT v1 AS id FROM tri UNION ALL SELECT v2 FROM tri
+          UNION ALL SELECT v3 FROM tri),
+    tc AS (SELECT id, count(*) AS triangles FROM m GROUP BY 1)
+    SELECT deg.s::BIGINT AS id,
+           coalesce(tc.triangles, 0) AS triangles,
+           CASE WHEN deg.d >= 2
+                THEN 2.0 * coalesce(tc.triangles, 0) / (deg.d * (deg.d - 1))
+                ELSE 0.0 END AS coefficient
+    FROM deg LEFT JOIN tc ON tc.id = deg.s
+    """,
+    doc="Local clustering coefficient (flink-gelly/.../library/"
+    "clustering/undirected/LocalClusteringCoefficient.java): "
+    "2*triangles / d*(d-1) per vertex, triangle counts from the "
+    "degree-ordered enumerator.",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    return Graph(v, e).local_clustering_coefficient()
