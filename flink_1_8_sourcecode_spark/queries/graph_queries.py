@@ -405,3 +405,61 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, e = _ring_hub_graph(spark, sf_dir)
     return Graph(v, e).local_clustering_coefficient()
+
+
+@register(
+    "graph_clustering_global",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK},
+    ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE src != dst),
+    tri AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+            FROM ce e1
+            JOIN ce e2 ON e2.a = e1.b
+            JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (SELECT v1 AS id FROM tri UNION ALL SELECT v2 FROM tri
+          UNION ALL SELECT v3 FROM tri),
+    tc AS (SELECT id, count(*) AS triangles FROM m GROUP BY 1),
+    local AS (SELECT deg.s AS id, deg.d,
+                     coalesce(tc.triangles, 0) AS t,
+                     CASE WHEN deg.d >= 2
+                          THEN 2.0 * coalesce(tc.triangles, 0)
+                               / (deg.d * (deg.d - 1))
+                          ELSE 0.0 END AS c
+              FROM deg LEFT JOIN tc ON tc.id = deg.s)
+    SELECT sum(t) / 3 AS n_triangles,
+           (sum(d * (d - 1)) / 2)::BIGINT AS n_wedges,
+           CASE WHEN sum(d * (d - 1)) > 0
+                THEN 3.0 * (sum(t) / 3) / (sum(d * (d - 1)) / 2)
+                ELSE 0.0 END AS global_coefficient,
+           avg(c) AS average_coefficient
+    FROM local
+    """,
+    doc="Global + average clustering coefficient (flink-gelly/.../"
+    "clustering/undirected/GlobalClusteringCoefficient.java, "
+    "AverageClusteringCoefficient.java): 3*triangles/wedges and the "
+    "mean of local coefficients, one aggregate over the local table.",
+)
+def graph_clustering_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    g = Graph(v, e)
+    und = (
+        e.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+        .unionAll(e.select(F.col("dst").alias("s"), F.col("src").alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    local = g.local_clustering_coefficient()
+    joined = local.join(deg, local.id == deg.s)
+    return joined.agg(
+        (F.sum("triangles") / 3).alias("n_triangles"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+        F.when(
+            F.sum(F.col("d") * (F.col("d") - 1)) > 0,
+            3.0 * (F.sum("triangles") / 3)
+            / (F.sum(F.col("d") * (F.col("d") - 1)) / 2),
+        ).otherwise(F.lit(0.0)).alias("global_coefficient"),
+        F.avg("coefficient").alias("average_coefficient"),
+    )
