@@ -463,3 +463,57 @@ def graph_clustering_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("global_coefficient"),
         F.avg("coefficient").alias("average_coefficient"),
     )
+
+
+@register(
+    "graph_triadic_census",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK},
+    ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges WHERE src != dst),
+    tri AS (SELECT count(*) AS t FROM (
+              SELECT 1 FROM ce e1
+              JOIN ce e2 ON e2.a = e1.b
+              JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)),
+    base AS (SELECT (SELECT count(*) FROM deg) AS n,
+                    (SELECT count(*) FROM ce) AS m,
+                    (SELECT sum(d * (d - 1)) / 2 FROM deg) AS w,
+                    (SELECT t FROM tri) AS t)
+    SELECT (n * (n - 1) * (n - 2) / 6
+            - (m * (n - 2) - 2 * (w - 3 * t) - 3 * t)
+            - (w - 3 * t) - t)::BIGINT AS t0_empty,
+           (m * (n - 2) - 2 * (w - 3 * t) - 3 * t)::BIGINT AS t1_one_edge,
+           (w - 3 * t)::BIGINT AS t2_open_wedge,
+           t::BIGINT AS t3_triangle
+    FROM base
+    """,
+    doc="Undirected triadic census (flink-gelly/.../clustering/"
+    "undirected/TriadicCensus.java): vertex-triple counts by edge "
+    "count (0/1/2/3) in closed form from n, m, wedges, and triangles — "
+    "three cheap aggregates instead of materializing C(n,3) triples.",
+)
+def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    g = Graph(v, e)
+    und = (
+        e.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+        .unionAll(e.select(F.col("dst").alias("s"), F.col("src").alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("d") / 2).cast("long").alias("m"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("w"),
+    ).join(F.broadcast(g.triangle_enumeration().agg(F.count(F.lit(1)).alias("t"))))
+    n, m, w, t = F.col("n"), F.col("m"), F.col("w"), F.col("t")
+    t2 = w - 3 * t
+    t1 = m * (n - 2) - 2 * t2 - 3 * t
+    return base.select(
+        (n * (n - 1) * (n - 2) / 6 - t1 - t2 - t).cast("long").alias("t0_empty"),
+        t1.cast("long").alias("t1_one_edge"),
+        t2.cast("long").alias("t2_open_wedge"),
+        t.cast("long").alias("t3_triangle"),
+    )
