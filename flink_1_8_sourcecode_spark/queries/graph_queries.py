@@ -517,3 +517,38 @@ def graph_triadic_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.cast("long").alias("t2_open_wedge"),
         t.cast("long").alias("t3_triangle"),
     )
+
+
+@register(
+    "graph_vertex_metrics",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK}
+    SELECT (SELECT count(*) FROM deg) AS n_vertices,
+           ((SELECT count(*) FROM und) / 2)::BIGINT AS n_edges,
+           (SELECT avg(d) FROM deg) AS avg_degree,
+           (SELECT max(d) FROM deg) AS max_degree,
+           (SELECT sum(d * (d - 1)) / 2 FROM deg)::BIGINT AS n_wedges
+    FROM (SELECT 1)
+    """,
+    doc="Vertex metrics summary (flink-gelly/.../library/metric/"
+    "undirected/VertexMetrics.java): vertex/edge counts, average and "
+    "max degree, wedge (triplet) count — one aggregate over the "
+    "degree table.",
+)
+def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    und = (
+        e.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+        .unionAll(e.select(F.col("dst").alias("s"), F.col("src").alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.avg("d").alias("avg_degree"),
+        F.max("d").alias("max_degree"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    )
