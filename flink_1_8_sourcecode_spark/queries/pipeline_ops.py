@@ -468,3 +468,25 @@ def rowop_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpivot the struct row into one output row per column
     agg = o.agg(F.array(*per_col).alias("stats"))
     return agg.select(F.explode("stats").alias("s")).select("s.*")
+
+
+@register(
+    "sample_exact_size",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 50
+    """,
+    doc="Exact-size deterministic sample (DataSetUtils.sampleWithSize:"
+    "232 parity, without-replacement): the 50 lowest md5-hash docs — "
+    "Spark executes ORDER BY hash LIMIT n as TakeOrderedAndProject "
+    "(per-partition top-n, then a driver merge of P*n rows), never a "
+    "global sort; stable across runs/engines unlike the reference's "
+    "RNG-based reservoir.",
+)
+def sample_exact_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.orderBy(smp.hash_key(F.col("doc_id")), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "source")
+    )
