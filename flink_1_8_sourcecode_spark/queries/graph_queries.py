@@ -552,3 +552,68 @@ def graph_vertex_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("max_degree"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
     )
+
+
+@register(
+    "graph_edge_metrics",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_DUCK}),
+    {_UND_DUCK},
+    d2 AS (SELECT und.s, und.t, ds.d AS sd, dt.d AS td
+           FROM und JOIN deg ds ON ds.s = und.s JOIN deg dt ON dt.s = und.t),
+    per_v AS (SELECT s, max(sd) AS d,
+                     sum(CASE WHEN sd < td OR (sd = td AND s < t)
+                              THEN 1 ELSE 0 END) AS low
+              FROM d2 GROUP BY s),
+    tri AS (SELECT s, low * (low - 1) / 2 AS tt,
+                   low * (low - 1) / 2 + low * (d - low) AS rt
+            FROM per_v)
+    SELECT sum(tt)::BIGINT AS triangle_triplet_count,
+           sum(rt)::BIGINT AS rectangle_triplet_count,
+           max(tt)::BIGINT AS maximum_triangle_triplets,
+           max(rt)::BIGINT AS maximum_rectangle_triplets
+    FROM tri
+    """,
+    doc="Edge metrics (flink-gelly/.../library/metric/undirected/"
+    "EdgeMetrics.java): per vertex, low = #edges where it is the "
+    "(degree, id)-low-order endpoint; triangle triplets = C(low, 2), "
+    "rectangle triplets add low*(d-low); summed and maxed exactly as "
+    "the reference's accumulators.",
+)
+def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = _ring_hub_graph(spark, sf_dir)
+    und = (
+        e.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+        .unionAll(e.select(F.col("dst").alias("s"), F.col("src").alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("s").alias("__vs"), F.col("d").alias("sd"))
+    dt = deg.select(F.col("s").alias("__vt"), F.col("d").alias("td"))
+    d2 = (
+        und.join(ds, und.s == F.col("__vs"))
+        .join(dt, und.t == F.col("__vt"))
+        .select(und.s.alias("u"), und.t.alias("w"), "sd", "td")
+    )
+    per_v = d2.groupBy("u").agg(
+        F.max("sd").alias("d"),
+        F.sum(
+            F.when(
+                (F.col("sd") < F.col("td"))
+                | ((F.col("sd") == F.col("td")) & (F.col("u") < F.col("w"))),
+                1,
+            ).otherwise(0)
+        ).alias("low"),
+    )
+    low, d = F.col("low"), F.col("d")
+    tri = per_v.select(
+        (low * (low - 1) / 2).alias("tt"),
+        (low * (low - 1) / 2 + low * (d - low)).alias("rt"),
+    )
+    return tri.agg(
+        F.sum("tt").cast("long").alias("triangle_triplet_count"),
+        F.sum("rt").cast("long").alias("rectangle_triplet_count"),
+        F.max("tt").cast("long").alias("maximum_triangle_triplets"),
+        F.max("rt").cast("long").alias("maximum_rectangle_triplets"),
+    )
