@@ -617,3 +617,25 @@ def graph_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tt").cast("long").alias("maximum_triangle_triplets"),
         F.max("rt").cast("long").alias("maximum_rectangle_triplets"),
     )
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH be AS (SELECT DISTINCT source AS top, lang AS bottom FROM documents)
+    SELECT a.top AS src, b.top AS dst, a.bottom
+    FROM be a JOIN be b ON a.bottom = b.bottom AND a.top != b.top
+    """,
+    doc="Bipartite top projection (flink-gelly/.../bipartite/"
+    "BipartiteGraph.java:127 projectionTopSimple): sources connected "
+    "once per shared language on the documents source-language "
+    "bipartite graph (graph/bipartite.py).",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.graph.bipartite import BipartiteGraph
+
+    d = table(spark, sf_dir, "documents")
+    edges = d.select(F.col("source").alias("top"), F.col("lang").alias("bottom"))
+    top = d.select(F.col("source").alias("id")).distinct()
+    bottom = d.select(F.col("lang").alias("id")).distinct()
+    return BipartiteGraph(top, bottom, edges).projection_top_simple()
