@@ -79,3 +79,34 @@ _sql_query(
     """,
     "HAVING + derived-table filtering through the SQL entry.",
 )
+
+
+_sql_query(
+    "sql_topn_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "The canonical Flink SQL Top-N recipe (ROW_NUMBER per group, "
+    "filter rn <= N — the pattern the reference's planner recognizes "
+    "as a rank retraction operator): top-3 orders per customer.",
+)
+
+_sql_query(
+    "sql_dedup_latest",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "The canonical Flink SQL deduplication recipe (ROW_NUMBER ... "
+    "ORDER BY time DESC, keep rn = 1): latest event per user — the "
+    "SQL form of dedup-by-key.",
+)
