@@ -632,3 +632,40 @@ class _SimilarityMixin:
 # graft the similarity mixin onto Graph (kept separate for readability)
 for _name in ("jaccard_index", "adamic_adar", "local_clustering_coefficient"):
     setattr(Graph, _name, getattr(_SimilarityMixin, _name))
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Reachability closure of a DAG/graph: all (src, dst) pairs with a
+    directed path (flink-examples/.../graph/TransitiveClosureNaive.java
+    — the reference's canonical bulk-iteration example).
+
+    Doubling iteration instead of the naive one-hop-per-round loop:
+    each round joins the current closure with ITSELF, so path length
+    covered doubles per round (O(log diameter) rounds, not O(diameter))
+    — the right shape when each round is a full distributed join.
+    Converges when a round adds no pairs (count aggregate, no collect).
+    """
+    from flink_1_8_sourcecode_spark.operators.iterations import iterate
+
+    base = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+
+    def step(cur: DataFrame, _i: int) -> DataFrame:
+        a, b = cur.alias("a"), cur.alias("b")
+        new_pairs = (
+            a.join(b, F.col("a.t") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.t").alias("t"))
+            .filter(F.col("s") != F.col("t"))
+        )
+        return cur.unionByName(new_pairs).distinct()
+
+    def converged(prev: DataFrame, nxt: DataFrame) -> bool:
+        return nxt.count() == prev.count()
+
+    return iterate(base, step, max_iterations, has_converged=converged,
+                   checkpoint_every=1).select(
+        F.col("s").cast("long").alias("src"), F.col("t").cast("long").alias("dst")
+    )

@@ -639,3 +639,36 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = d.select(F.col("source").alias("id")).distinct()
     bottom = d.select(F.col("lang").alias("id")).distinct()
     return BipartiteGraph(top, bottom, edges).projection_top_simple()
+
+
+@register(
+    "graph_transitive_closure",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT id AS src, id + 1 AS dst FROM range(12) t(id) WHERE id % 4 != 3
+      UNION ALL
+      SELECT id AS src, id + 4 AS dst FROM range(8) t(id)
+    ), tc AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+      WHERE tc.src != e.dst
+    )
+    SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM tc
+    """,
+    doc="Transitive closure (flink-examples/.../graph/"
+    "TransitiveClosureNaive.java — the reference's canonical bulk-"
+    "iteration example) on a 12-vertex layered DAG, via DOUBLING "
+    "iteration (closure joined with itself: O(log diameter) rounds "
+    "instead of one hop per round); oracle is the recursive CTE.",
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.graph.graph import transitive_closure
+
+    chain = (
+        spark.range(12)
+        .filter(F.col("id") % 4 != 3)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    skips = spark.range(8).select(F.col("id").alias("src"), (F.col("id") + 4).alias("dst"))
+    return transitive_closure(chain.unionByName(skips), max_iterations=6)
