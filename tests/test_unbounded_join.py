@@ -110,13 +110,17 @@ def test_outer_unbounded_late_match_no_premature_pad(spark, tmp_path):
         [(10, _t(0), 1.0)],            # chunk 0: the early left row
         [(11, _t(5), 2.0)],            # chunk 1: filler advances the stream
         [(11, _t(10), 3.0)],           # chunk 2: more filler
-        [SENT_L],                      # chunk 3: sentinel pushes watermark
-    ]
+        [(11, _t(12), 3.5)],           # chunks 3-4: buffer triggers so a
+        [(11, _t(14), 3.6)],           # +-2-trigger listing skew between
+        [SENT_L],                      # the two file sources cannot land
+    ]                                  # the sentinel before the match
     right_rows = [
         [(12, _t(1), 9.0)],            # chunk 0: filler
         [(12, _t(6), 8.0)],            # chunk 1: filler
         [(12, _t(11), 7.0)],           # chunk 2: filler
-        [(10, _t(20), 100.0), SENT_R], # chunk 3: the LATE match
+        [(10, _t(20), 100.0)],         # chunk 3: the LATE match
+        [(12, _t(21), 6.0)],           # chunk 4: buffer
+        [SENT_R],                      # chunk 5: sentinel pushes watermark
     ]
 
     import os
