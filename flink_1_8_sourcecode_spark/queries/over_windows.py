@@ -72,13 +72,18 @@ def over_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over_bounded_range_time",
     oracle="""
     SELECT event_id, user_id,
-           sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+           sum(value) OVER (PARTITION BY user_id
+                            ORDER BY floor(epoch(ts))::BIGINT
                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hr_sum
     FROM events
     """,
     doc="Bounded RANGE over event time, 1h window "
     "(ProcTimeBoundedRangeOver/RowTimeBoundedRangeOver) — ordered on "
-    "epoch seconds so the frame is a true time interval.",
+    "epoch seconds so the frame is a true time interval.  The oracle "
+    "floors epoch() explicitly: DuckDB's DOUBLE->BIGINT cast ROUNDS "
+    "fractional seconds while Spark's timestamp->long cast truncates, "
+    "which shifts a frame boundary for sub-second timestamps (bit the "
+    "sf0.1 sweep on 2 rows).",
 )
 def over_bounded_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
