@@ -555,8 +555,13 @@ class _SimilarityMixin:
     def jaccard_index(self) -> DataFrame:
         """(u, v, shared, jaccard) for every vertex pair with >=1 common
         neighbor: |N(u) ∩ N(v)| / |N(u) ∪ N(v)| on the undirected graph
-        (flink-gelly/.../library/similarity/JaccardIndex.java)."""
-        und = _undirected_neighbors(self.edges).persist()
+        (flink-gelly/.../library/similarity/JaccardIndex.java).
+
+        No persist here: the result is returned lazily, so a persist
+        could never be paired with an unpersist (it would leak cached
+        blocks across calls) — Catalyst's exchange reuse already shares
+        the ``und`` subtree between the degree and wedge branches."""
+        und = _undirected_neighbors(self.edges)
         deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
         a, b = und.alias("a"), und.alias("b")
         wedges = a.join(
@@ -581,8 +586,9 @@ class _SimilarityMixin:
     def adamic_adar(self) -> DataFrame:
         """(u, v, score) with score = sum over common neighbors w of
         1/ln(deg(w)) (flink-gelly/.../library/similarity/AdamicAdar.java):
-        rare shared neighbors weigh more than hubs."""
-        und = _undirected_neighbors(self.edges).persist()
+        rare shared neighbors weigh more than hubs.  (Same no-persist
+        rationale as jaccard_index — a lazy return can't unpersist.)"""
+        und = _undirected_neighbors(self.edges)
         deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
         centered = und.join(deg, "s").select(
             "s", "t", (F.lit(1.0) / F.log(F.col("d"))).alias("w")

@@ -39,10 +39,20 @@ def hash_key(col: Column, salt: str = "") -> Column:
 
 def hex_threshold(fraction: float, digits: int = 8) -> str:
     """Hex string h such that P[md5_prefix < h] == fraction (exactly, in
-    units of 16^-digits)."""
+    units of 16^-digits).
+
+    The comparison downstream is LEXICOGRAPHIC against a ``digits``-char
+    hex prefix, so the fraction>=1.0 threshold must be a string that
+    sorts above every hex prefix — "g" (hex digits are 0-9a-f < 'g'),
+    not the 9-char "1" + zeros form whose second character '0' loses to
+    any prefix with a nonzero tail.
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(int(round(fraction * 16**digits)), f"0{digits}x")
+    n = int(round(fraction * 16**digits))
+    if n >= 16**digits:
+        return "g"
+    return format(n, f"0{digits}x")
 
 
 def hash_split(

@@ -239,19 +239,18 @@ def quantize_int8(
     scale = (
         F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)
     )
-    out = df.select(
-        F.col(id_col),
-        *( [F.col(vec_col)] if keep_vec else [] ),
-        scale.alias("scale"),
-    )
+    out = df.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
     # the quantize expression references the already-computed scale
     # column (projection chaining — Catalyst collapses the projects but
-    # evaluates the max once via the named column)
+    # evaluates the max once via the named column); the source vector
+    # column stays in scope until qvec is computed, THEN is dropped —
+    # keep_vec=False must not un-resolve the quantize expression.
     q = F.when(
         F.col("scale") > 0,
         F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int")),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return out.withColumn("qvec", q)
+    out = out.withColumn("qvec", q)
+    return out if keep_vec else out.drop(vec_col)
 
 
 def quantization_error(

@@ -44,6 +44,20 @@ def test_hash_split_stable_and_salt_decorrelates(spark):
     assert c != a, "different salt should draw a different holdout set"
 
 
+def test_hash_split_boundary_fractions(spark):
+    """fraction=1.0 must assign EVERY row to holdout (regression: the
+    old 9-char '100000000' threshold lost lexicographically to ~94% of
+    8-char md5 prefixes), and fraction=0.0 must assign none."""
+    assert smp.hex_threshold(1.0) == "g"
+    assert smp.hex_threshold(0.0) == "00000000"
+    d = table(spark, SF_DIR, "documents")
+    n = d.count()
+    all_hold = smp.hash_split(d, "doc_id", 1.0).filter(F.col("split") == "holdout")
+    assert all_hold.count() == n
+    none_hold = smp.hash_split(d, "doc_id", 0.0).filter(F.col("split") == "holdout")
+    assert none_hold.count() == 0
+
+
 def test_stratified_sample_exact_counts(spark):
     d = table(spark, SF_DIR, "documents")
     frac = 0.2
@@ -95,6 +109,21 @@ def test_quantize_int8_reconstruction_bounds(spark):
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12, r
         assert r["mse"] <= (r["scale"] / 2) ** 2 + 1e-12, r
         assert r["cos_sim"] > 0.999, r
+
+
+def test_quantize_int8_drop_vec(spark):
+    """keep_vec=False must resolve (regression: qvec used to be built
+    AFTER the select had dropped the vector column) and agree with the
+    keep_vec=True codes."""
+    from flink_1_8_sourcecode_spark.operators.similarity import quantize_int8
+
+    emb = table(spark, SF_DIR, "embeddings").limit(20)
+    slim = quantize_int8(emb, "vec_id", "embedding", keep_vec=False)
+    assert "embedding" not in slim.columns
+    full = quantize_int8(emb, "vec_id", "embedding", keep_vec=True)
+    a = {r["vec_id"]: (r["scale"], r["qvec"]) for r in slim.collect()}
+    b = {r["vec_id"]: (r["scale"], r["qvec"]) for r in full.collect()}
+    assert a == b and len(a) == 20
 
 
 def test_scrub_removes_all_blocklisted_terms(spark):
