@@ -61,6 +61,59 @@ _MEASURE_RE = re.compile(
 
 _QUANT_RE = re.compile(r"(?P<sym>[A-Za-z_]\w*)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<rel>\?)?")
 
+_INTERVAL_UNITS = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
+
+
+def _parse_sql_interval(text: str) -> float:
+    """``INTERVAL '<v>' <UNIT> [TO <UNIT>]`` -> seconds.
+
+    Single-unit (``INTERVAL '10' MINUTE``, fractional values fine) and
+    the common day-time composite forms (``'d hh:mm:ss' DAY TO SECOND``,
+    ``'hh:mm:ss' HOUR TO SECOND``, ``'hh:mm' HOUR TO MINUTE``,
+    ``'mm:ss' MINUTE TO SECOND``).  Anything else raises readably —
+    matching the reference planner, which rejects non-constant /
+    non-time-interval WITHIN bounds (DataStreamMatch.scala:100-118
+    translateTimeBound)."""
+    t = text.strip().rstrip(";").strip()
+    m = re.fullmatch(
+        r"INTERVAL\s+'(?P<val>[^']+)'\s+(?P<unit>[A-Za-z]+)(?:\s*\(\s*\d+\s*\))?"
+        r"(?:\s+TO\s+(?P<to>[A-Za-z]+))?",
+        t,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE WITHIN: unsupported interval {text!r}; supported: "
+            "INTERVAL '<n>' SECOND|MINUTE|HOUR|DAY and day-time composites "
+            "like INTERVAL '1 02:30:00' DAY TO SECOND"
+        )
+    val = m.group("val").strip()
+    unit = m.group("unit").lower().rstrip("s")
+    to = (m.group("to") or "").lower().rstrip("s")
+    if not to:
+        if unit not in _INTERVAL_UNITS:
+            raise NotImplementedError(f"MATCH_RECOGNIZE WITHIN: unknown unit {unit!r}")
+        return float(val) * _INTERVAL_UNITS[unit]
+    shapes = {
+        ("day", "second"): r"(?:(?P<d>\d+)\s+)?(?P<h>\d+):(?P<mi>\d+):(?P<s>\d+(?:\.\d+)?)",
+        ("hour", "second"): r"(?P<h>\d+):(?P<mi>\d+):(?P<s>\d+(?:\.\d+)?)",
+        ("hour", "minute"): r"(?P<h>\d+):(?P<mi>\d+)",
+        ("minute", "second"): r"(?P<mi>\d+):(?P<s>\d+(?:\.\d+)?)",
+    }
+    shape = shapes.get((unit, to))
+    vm = re.fullmatch(shape, val) if shape else None
+    if vm is None:
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE WITHIN: cannot parse {val!r} as {unit.upper()} TO {to.upper()}"
+        )
+    g = {k: float(v) for k, v in vm.groupdict(default="0").items()}
+    return (
+        g.get("d", 0.0) * 86400.0
+        + g.get("h", 0.0) * 3600.0
+        + g.get("mi", 0.0) * 60.0
+        + g.get("s", 0.0)
+    )
+
 
 def _parse_clause(text: str, name: str, required: bool = True) -> str | None:
     m = re.search(
@@ -136,13 +189,36 @@ def _parse_pattern(pat: str) -> list[tuple[str, int, int | None, bool]]:
     return out
 
 
-def match_recognize(df: DataFrame, clause: str) -> DataFrame:
-    """Run ``MATCH_RECOGNIZE (<clause>)`` over a DataFrame."""
+def match_recognize(
+    df: DataFrame, clause: str, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Run ``MATCH_RECOGNIZE (<clause>)`` over a DataFrame.
+
+    ``PATTERN (...) WITHIN <interval>`` bounds a match's first-to-last
+    event time, exactly the Pattern DSL's ``within`` (reference:
+    DataStreamMatch.scala:100-118 translateTimeBound -> Pattern.within).
+
+    A STREAMING ``df`` routes to the streaming CEP matcher
+    (cep/streaming.py) — the reference's MATCH_RECOGNIZE is natively a
+    DataStream operator — and returns an append-mode stream of one row
+    per match as matches stabilize behind the watermark
+    (``watermark_delay`` on the ORDER BY time column).  Streaming mode
+    REQUIRES a WITHIN bound (unbounded patterns would keep unbounded
+    state, the same constraint Flink's CEP enforces) and supports ONE
+    ROW PER MATCH only.
+    """
     partition = _parse_clause(clause, r"PARTITION\s+BY")
     order = _parse_clause(clause, r"ORDER\s+BY")
     measures_txt = _parse_clause(clause, "MEASURES")
     pattern_txt = _parse_clause(clause, "PATTERN")
     define_txt = _parse_clause(clause, "DEFINE")
+
+    # -- PATTERN (...) WITHIN <interval> ------------------------------
+    within_secs = None
+    wm = re.search(r"\bWITHIN\b", pattern_txt, re.IGNORECASE)
+    if wm:
+        within_secs = _parse_sql_interval(pattern_txt[wm.end():])
+        pattern_txt = pattern_txt[: wm.start()].strip()
     skip_txt = _parse_clause(clause, r"AFTER\s+MATCH", required=False) or "SKIP PAST LAST ROW"
     all_rows = re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE) is not None
 
@@ -213,6 +289,8 @@ def match_recognize(df: DataFrame, clause: str) -> DataFrame:
     else:
         skip = "no_skip"
     pattern = Pattern(stages=tuple(stages)).with_skip(skip, **skip_kw)
+    if within_secs is not None:
+        pattern = pattern.within(f"{within_secs} seconds")
 
     # -- evaluate defines, run the NFA --------------------------------
     work = df
@@ -225,6 +303,58 @@ def match_recognize(df: DataFrame, clause: str) -> DataFrame:
         needed = [c for c in df.columns if c != partition]
     else:
         needed = sorted(measure_cols | {order})
+
+    if df.isStreaming:
+        # ---- streaming dispatch (DataStreamMatch is a stream operator
+        # in the reference) — the measures fold to one row per match
+        # inside the stateful function, so no downstream streaming agg
+        if all_rows:
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE: ALL ROWS PER MATCH is not supported on a "
+                "streaming source (batch only)"
+            )
+        if pattern.within_seconds is None:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE requires PATTERN (...) WITHIN "
+                "<interval> — unbounded patterns would keep unbounded state "
+                "(the same constraint Flink's CEP enforces)"
+            )
+        from flink_1_8_sourcecode_spark.cep.streaming import match_pattern_stream
+
+        def _mtype(ms: _Measure) -> str:
+            if ms.kind == "count":
+                return "int"  # batch path uses F.size -> int
+            return work.schema[ms.col].dataType.simpleString()
+
+        reduced_schema = ", ".join(
+            [f"{partition} {df.schema[partition].dataType.simpleString()}"]
+            + [f"{ms.alias} {_mtype(ms)}" for ms in measures]
+        )
+
+        def reduce_match(kval, mrows):
+            rec = {partition: kval}
+            for ms in measures:
+                sub = [r for r in mrows if r["__stage"] == ms.symbol]
+                if ms.kind == "count":
+                    rec[ms.alias] = len(sub)
+                elif ms.kind == "first":
+                    rec[ms.alias] = sub[0][ms.col] if sub else None
+                else:  # last
+                    rec[ms.alias] = sub[-1][ms.col] if sub else None
+            return rec
+
+        return match_pattern_stream(
+            work,
+            pattern,
+            key=partition,
+            time_col=order,
+            select_cols=needed,
+            watermark_delay=watermark_delay,
+            tiebreak=tiebreak,
+            match_reducer=reduce_match,
+            reduced_schema=reduced_schema,
+        )
+
     matches = match_pattern(
         work, pattern, key=partition, time_col=order, select_cols=needed,
         tiebreak=tiebreak,

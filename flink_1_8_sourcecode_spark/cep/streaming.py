@@ -53,6 +53,8 @@ def match_pattern_stream(
     tiebreak: str | None = None,
     key_buckets: int | None = None,
     emit_timeouts: bool = False,
+    match_reducer=None,
+    reduced_schema: str | None = None,
 ) -> DataFrame:
     """Streaming PatternStream.select: same output shape as the batch
     ``match_pattern`` ((key, match_id, stage, seq, select_cols)), emitted
@@ -71,8 +73,23 @@ def match_pattern_stream(
     invocation per bucket per micro-batch runs the NFA for all of the
     bucket's keys, amortizing the per-invocation JVM<->Python protocol
     cost.  Results are identical; works for any key type (key values
-    live in the Arrow buffers, not packed numerics)."""
+    live in the Arrow buffers, not packed numerics).
+
+    ``match_reducer`` folds each completed match into ONE output row
+    before it leaves Python (streaming MATCH_RECOGNIZE's ONE ROW PER
+    MATCH shape): called as ``match_reducer(key_value, match_rows)``
+    where ``match_rows`` is the match's full buffered rows in seq order,
+    each augmented with ``__stage``; must return a dict matching
+    ``reduced_schema`` (a DDL string that then becomes the output
+    schema).  All rows of a match live in one invocation by
+    construction, so the fold is stateless and needs no downstream
+    streaming aggregation.  Mutually exclusive with ``emit_timeouts``
+    (a reduced row can't carry a per-event timeout channel)."""
     pattern = pattern.validate()
+    if match_reducer is not None and emit_timeouts:
+        raise ValueError("match_reducer and emit_timeouts are mutually exclusive")
+    if (match_reducer is None) != (reduced_schema is None):
+        raise ValueError("match_reducer and reduced_schema go together")
     if pattern.within_seconds is None:
         raise ValueError(
             "streaming CEP requires Pattern.within(...) — unbounded patterns "
@@ -87,13 +104,17 @@ def match_pattern_stream(
         f"{c} {src.schema[c].dataType.simpleString()}" for c in select_cols
     )
     timeout_schema = ", timed_out boolean" if emit_timeouts else ""
-    out_schema = (
-        f"{key} {key_t}, match_id long, stage string, seq int"
-        f"{timeout_schema}, {sel_schema}"
-    )
-    out_cols = [key, "match_id", "stage", "seq"] + (
-        ["timed_out"] if emit_timeouts else []
-    ) + list(select_cols)
+    if match_reducer is not None:
+        out_schema = reduced_schema
+        out_cols = [f.strip().split()[0] for f in reduced_schema.split(",")]
+    else:
+        out_schema = (
+            f"{key} {key_t}, match_id long, stage string, seq int"
+            f"{timeout_schema}, {sel_schema}"
+        )
+        out_cols = [key, "match_id", "stage", "seq"] + (
+            ["timed_out"] if emit_timeouts else []
+        ) + list(select_cols)
 
     # the full input row must survive buffering: DEFINE/where predicates
     # may reference any column, not just the selected ones
@@ -156,18 +177,29 @@ def match_pattern_stream(
                 )
                 for item in found:
                     m, is_timeout = item if emit_timeouts else (item, False)
-                    for seq, (stage_name, ridx) in enumerate(m):
-                        rec = {
-                            key: kval,
-                            "match_id": next_id,
-                            "stage": stage_name,
-                            "seq": seq,
-                        }
-                        if emit_timeouts:
-                            rec["timed_out"] = is_timeout
-                        for c in select_cols:
-                            rec[c] = rows[ridx][c]
-                        out_rows.append(rec)
+                    if match_reducer is not None:
+                        out_rows.append(
+                            match_reducer(
+                                kval,
+                                [
+                                    {**rows[ridx], "__stage": stage_name}
+                                    for stage_name, ridx in m
+                                ],
+                            )
+                        )
+                    else:
+                        for seq, (stage_name, ridx) in enumerate(m):
+                            rec = {
+                                key: kval,
+                                "match_id": next_id,
+                                "stage": stage_name,
+                                "seq": seq,
+                            }
+                            if emit_timeouts:
+                                rec["timed_out"] = is_timeout
+                            for c in select_cols:
+                                rec[c] = rows[ridx][c]
+                            out_rows.append(rec)
                     next_id += 1
                     if m and not is_timeout:
                         # completed matches drive skip_past trimming;

@@ -27,8 +27,14 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_$.]*\Z")
 class Engine:
     """The engine's ExecutionEnvironment + TableEnvironment in one."""
 
-    def __init__(self, spark: SparkSession | None = None):
+    def __init__(
+        self, spark: SparkSession | None = None, mr_watermark_delay: str = "10 minutes"
+    ):
         self.spark = spark or get_spark()
+        # watermark delay used when MATCH_RECOGNIZE routes over a
+        # STREAMING source (the reference takes it from the source's
+        # assigned watermarks; Structured Streaming needs it stated)
+        self.mr_watermark_delay = mr_watermark_delay
 
     # --- catalog -----------------------------------------------------
     def register_testdata(self, sf_dir: str) -> None:
@@ -57,11 +63,23 @@ class Engine:
         handled left-to-right.  Unsupported source shapes (e.g. a join
         in the table position) raise NotImplementedError with the
         offending text instead of falling through to an opaque Spark
-        parse error."""
-        query = self._route_match_recognize(query)
-        return self.spark.sql(rewrite_flink_sql(query))
+        parse error.
 
-    def _route_match_recognize(self, query: str) -> str:
+        A STREAMING source (a temp view over a readStream DataFrame)
+        dispatches the CEP engine's streaming matcher and yields a
+        streaming result.  The ``__mr_*`` splice views are dropped once
+        the statement is resolved — the returned DataFrame captured its
+        plan at creation, so the views are pure parse-time scaffolding
+        and must not accumulate in the session catalog."""
+        created: list[str] = []
+        try:
+            query = self._route_match_recognize(query, created)
+            return self.spark.sql(rewrite_flink_sql(query))
+        finally:
+            for view in created:
+                self.spark.catalog.dropTempView(view)
+
+    def _route_match_recognize(self, query: str, created: list[str]) -> str:
         from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
         from flink_1_8_sourcecode_spark.plans.sql_rewrite import _find_call
 
@@ -81,10 +99,13 @@ class Engine:
             clause = query[open_paren + 1 : close - 1]
             # --- backward: the source in the table position ------------
             from_start, src_df, src_text = self._parse_mr_source(query, masked, m.start())
-            out = match_recognize(src_df, clause)
+            out = match_recognize(
+                src_df, clause, watermark_delay=self.mr_watermark_delay
+            )
             digest = hashlib.md5((src_text + clause).encode()).hexdigest()[:8]
             view = f"__mr_{digest}"
             out.createOrReplaceTempView(view)
+            created.append(view)
             # a trailing "AS alias" after the close paren keeps working —
             # the view name simply takes the table position
             query = query[:from_start] + f"FROM {view}" + query[close:]

@@ -90,7 +90,8 @@ def ivf_train(
     vec_col: str,
     k: int = 16,
     iterations: int = 5,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """K-means coarse quantizer for ``ivf_topk``: returns
     ``(id_col, cluster)`` — use it when the corpus has no natural
     cluster/label column to bucket the inverted file on.
@@ -104,6 +105,11 @@ def ivf_train(
     cells; only the tiny centroid table shuttles.  Lineage is truncated
     per iteration (localCheckpoint) so plans stay flat.  Clusters that
     lose all members drop out (standard k-means degeneracy; k shrinks).
+
+    ``return_centroids=True`` returns ``(assignment, centroids)`` where
+    centroids is the final ``(cluster, __centroid array<double>)`` table
+    — exporting it lets an external engine recompute the assignment step
+    independently (the driver's centroid-conditioned oracle).
     """
     v = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
@@ -149,7 +155,10 @@ def ivf_train(
         )
     # final assignment against the final centroids: every id's cluster is
     # its nearest surviving centroid by construction
-    return assign(centroids).select(F.col("__id").alias(id_col), "cluster")
+    assignment = assign(centroids).select(F.col("__id").alias(id_col), "cluster")
+    if return_centroids:
+        return assignment, centroids
+    return assignment
 
 
 def ivf_topk(

@@ -259,6 +259,54 @@ def cep_match_recognize_sql_derived(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "cep_match_recognize_within",
+    oracle="""
+    WITH filtered AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lead(ts) OVER w AS next_ts
+      FROM filtered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, next_id AS purchase_id
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL 1 DAY
+    """,
+    doc="SQL MATCH_RECOGNIZE with PATTERN (...) WITHIN INTERVAL '1' DAY "
+    "(DataStreamMatch.scala:100-118 translateTimeBound -> "
+    "Pattern.within): the time bound prunes adjacent signup->purchase "
+    "pairs more than a day apart, so the answer differs from the "
+    "unbounded cep_match_recognize_sql form (578 vs 937 at sf0.01).",
+)
+def cep_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("events", table(spark, sf_dir, "events"))
+    return eng.sql(
+        """
+        SELECT user_id, signup_id, purchase_id
+        FROM (SELECT user_id, event_id, ts, event_type FROM events
+              WHERE event_type IN ('signup', 'purchase')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S P) WITHIN INTERVAL '1' DAY
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    )
+
+
+@register(
     "cep_funnel_timeout_stream",
     oracle="""
     SELECT user_id, event_id AS signup_id FROM events s

@@ -94,21 +94,50 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The trained centroids are exported here so the oracle can recompute
+# the assignment step independently (centroid-conditioned check).  The
+# Spark query always writes before returning; the oracle runs after it
+# in every sweep, so the file it reads is the centroids of the same run.
+_IVF_CENTROID_EXPORT = "/tmp/spark_graft_ivf_centroids"
+
+
 @register(
     "sim_ivf_train_assign",
+    oracle=f"""
+    WITH c AS (SELECT cluster, centroid::DOUBLE[] AS cv
+               FROM read_parquet('{_IVF_CENTROID_EXPORT}/*.parquet')),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         d AS (SELECT v.vec_id, c.cluster,
+                      list_sum(list_transform(range(1, len(e) + 1),
+                               i -> (e[i] - cv[i]) * (e[i] - cv[i]))) AS d2
+               FROM v CROSS JOIN c)
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
     doc="K-means coarse-quantizer training (operators/similarity.py:"
     "ivf_train) over the embeddings table: deterministic hash-seeded "
-    "init, 3 Lloyd iterations, returns (vec_id, cluster).  Iterative "
-    "algorithm -> rows-only driver check; quality/invariants pinned by "
-    "tests/test_operators.py::TestIvfTrain (assignment is "
-    "nearest-of-final-centroids; trained clusters beat the raw label "
-    "column's recall at equal nprobe on blobby data).",
+    "init, 3 Lloyd iterations, returns (vec_id, cluster).  The oracle "
+    "is CENTROID-CONDITIONED: the query exports the final centroids to "
+    "parquet and DuckDB independently recomputes every vector's "
+    "nearest-centroid assignment (squared L2, cluster-id tiebreak) — "
+    "the assignment step is hash-checked exactly; the float centroid "
+    "ITERATION itself is pinned by the recall/invariant property tests "
+    "(tests/test_operators.py::TestIvfTrain).",
 )
 def sim_ivf_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.similarity import ivf_train
 
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_train(emb, "vec_id", "embedding", k=8, iterations=3)
+    assignment, centroids = ivf_train(
+        emb, "vec_id", "embedding", k=8, iterations=3, return_centroids=True
+    )
+    centroids.select("cluster", F.col("__centroid").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(_IVF_CENTROID_EXPORT)
+    return assignment
 
 
 @register(

@@ -226,3 +226,61 @@ def test_stream_cep_timeout_channel_equals_batch(spark, chunk_dir):
 
     assert (got.timed_out).any() and (~got.timed_out).any()  # both channels
     assert norm_t(got) == norm_t(batch)
+
+
+MR_CLAUSE = """
+SELECT user_id, signup_id, purchase_id
+FROM (SELECT user_id, event_id, ts, event_type FROM {src}
+      WHERE event_type IN ('signup', 'purchase', 'noop')) MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (S P) WITHIN INTERVAL '1' DAY
+  DEFINE S AS S.event_type = 'signup',
+         P AS P.event_type = 'purchase'
+)
+"""
+
+
+def test_streaming_match_recognize_sql_equals_batch(spark, chunk_dir):
+    """Engine.sql MATCH_RECOGNIZE routed over a STREAMING view: the
+    reference's MR is natively a DataStream operator (DataStreamMatch);
+    here the same SQL statement runs the streaming CEP matcher and the
+    stabilized append output must equal the batch answer exactly."""
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    stream = sources.read_event_stream(spark, chunk_dir)
+    assert stream.isStreaming
+    eng.register("ev_stream", stream)
+    out = eng.sql(MR_CLAUSE.format(src="ev_stream"))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("t_mr_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_mr_stream").toPandas()
+    got = got[got.user_id >= 0]
+
+    eng.register("ev_batch", table(spark, SF_SMALL, "events"))
+    want = eng.sql(MR_CLAUSE.format(src="ev_batch")).toPandas()
+
+    key = lambda pdf: sorted(zip(pdf.user_id, pdf.signup_id, pdf.purchase_id))  # noqa: E731
+    assert len(got) > 0
+    assert key(got) == key(want)
+
+
+def test_streaming_match_recognize_requires_within(spark, chunk_dir):
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("ev_stream2", sources.read_event_stream(spark, chunk_dir))
+    unbounded = MR_CLAUSE.replace("PATTERN (S P) WITHIN INTERVAL '1' DAY", "PATTERN (S P)")
+    with pytest.raises(ValueError, match="WITHIN"):
+        eng.sql(unbounded.format(src="ev_stream2"))

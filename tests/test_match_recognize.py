@@ -124,3 +124,42 @@ def test_decimal_literal_and_quoted_dot_survive_define_rewrite(spark):
     ).toPandas()
     assert len(out) == 1
     assert (out.iloc[0].hit_eid, out.iloc[0].hit_price) == (1, 2.0)
+
+
+def test_within_interval_parsing():
+    from flink_1_8_sourcecode_spark.cep.match_recognize import _parse_sql_interval
+
+    assert _parse_sql_interval("INTERVAL '10' MINUTE") == 600.0
+    assert _parse_sql_interval("interval '1.5' hours") == 5400.0
+    assert _parse_sql_interval("INTERVAL '2' DAY") == 172800.0
+    assert _parse_sql_interval("INTERVAL '30' SECOND(3)") == 30.0
+    assert _parse_sql_interval("INTERVAL '1 02:30:00' DAY TO SECOND") == 95400.0
+    assert _parse_sql_interval("INTERVAL '02:30:00' HOUR TO SECOND") == 9000.0
+    assert _parse_sql_interval("INTERVAL '02:30' HOUR TO MINUTE") == 9000.0
+    assert _parse_sql_interval("INTERVAL '10:30' MINUTE TO SECOND") == 630.0
+    with pytest.raises(NotImplementedError, match="unsupported interval"):
+        _parse_sql_interval("3 + 4")
+    with pytest.raises(NotImplementedError, match="unknown unit"):
+        _parse_sql_interval("INTERVAL '3' FORTNIGHT")
+    with pytest.raises(NotImplementedError, match="cannot parse"):
+        _parse_sql_interval("INTERVAL 'abc' DAY TO SECOND")
+
+
+def test_pattern_within_bounds_match_span(spark, auth_df):
+    """WITHIN prunes matches whose first-to-last span exceeds the bound;
+    the same clause without WITHIN used to raise 'unsupported PATTERN
+    token' — both behaviors pinned here.  Events are 1 s apart, so an
+    A{3} run spans 2 s: WITHIN '2' SECOND keeps it, '1' SECOND kills it."""
+    clause = """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS first_fail, COUNT(A.*) AS n_fails
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{{3}}) WITHIN INTERVAL '{iv}' SECOND
+        DEFINE A AS A.etype = 'fail'
+    """
+    wide = match_recognize(auth_df, clause.format(iv="2")).toPandas()
+    assert len(wide) == 1 and wide.iloc[0].first_fail == 1
+    tight = match_recognize(auth_df, clause.format(iv="1")).toPandas()
+    assert len(tight) == 0
