@@ -36,6 +36,7 @@ def asof_join(
     allow_exact_match: bool = True,
     direction: str = "backward",
     tolerance: float | None = None,
+    time_buckets: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` (or ``<`` when not allow_exact_match),
@@ -65,10 +66,17 @@ def asof_join(
     Skew note: each key's full (probe + version) history flows through
     ONE window partition — the same per-key serialization as the
     reference's keyed TemporalRowtimeJoin state.  A pathologically hot
-    key serializes its own history; if that bites, pre-bucket the time
-    axis (join on (key, time_bucket) with a per-bucket seed carried
-    from the previous bucket) — not done by default because it adds a
-    second pass for a case the keyed model already bounds.
+    key serializes its own history; ``time_buckets=<seconds>`` opts
+    into the time-bucket pre-split for that case: rows land in
+    ``floor(t / time_buckets)`` buckets, the carry window partitions on
+    (key, bucket) — so a hot key's history fans out across buckets —
+    and each bucket's carry is seeded from the latest right row of the
+    PRIOR buckets via a tiny per-(key, bucket) aggregate + a window
+    over the bucket-level table.  Equal timestamps always share a
+    bucket (floor bucketing), so the exact-match tie rules stay purely
+    intra-bucket and results are identical to the unbucketed path.
+    Not on by default: it adds a bucket-stats shuffle for a case the
+    keyed model already bounds.
     """
     from pyspark.sql import types as T
 
@@ -136,13 +144,95 @@ def asof_join(
         return F.last("__r", ignorenulls=True).over(w)
 
     passthrough = [c for c in l_tagged.columns if c != "__r"]
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+
+    if time_buckets is None:
+        carry_b = carry(True) if need_b else None
+        carry_f = carry(False) if need_f else None
+        carry_src = unioned
+    else:
+        # hot-key pre-split: partition the carry on (key, time bucket) so
+        # one key's history fans out; seed each bucket from prior buckets
+        w_b = float(time_buckets)
+        if w_b <= 0:
+            raise ValueError(f"time_buckets must be a positive width, got {time_buckets}")
+        u_t_type = unioned.schema["__t"].dataType
+        tnum = secs(F.col("__t"), u_t_type)
+        unioned = unioned.withColumn("__bkt", F.floor(tnum / F.lit(w_b)))
+
+        # per-(key, bucket) right-side extremes: max(struct) picks the
+        # LAST right row of the bucket under the carry's own tie rules
+        # (greatest time, then greatest payload); negating time gives the
+        # FIRST right row (smallest time, greatest payload) for forward
+        r_only = F.col("__is_left") == 0
+        aggs = []
+        if need_b:
+            aggs.append(
+                F.max(F.when(r_only, F.struct(tnum.alias("t"), F.col("__r").alias("r"))))
+                .alias("__mxb")
+            )
+        if need_f:
+            aggs.append(
+                F.max(F.when(r_only, F.struct((-tnum).alias("t"), F.col("__r").alias("r"))))
+                .alias("__mxf")
+            )
+        bstats = unioned.groupBy(*keys, "__bkt").agg(*aggs)
+        # bucket-level seed carry: buckets are listed for BOTH sides'
+        # rows, so last(ignorenulls) over prior buckets = the latest
+        # right row before this bucket (forward: bucket order reversed)
+        seed_cols = []
+        if need_b:
+            wsb = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__bkt").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            seed_cols.append(
+                F.last("__mxb", ignorenulls=True).over(wsb)["r"].alias("__seed_b")
+            )
+        if need_f:
+            wsf = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__bkt").desc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            seed_cols.append(
+                F.last("__mxf", ignorenulls=True).over(wsf)["r"].alias("__seed_f")
+            )
+        seeds = bstats.select(
+            *[F.col(k).alias(f"__sk{i}") for i, k in enumerate(keys)],
+            F.col("__bkt").alias("__sbkt"),
+            *seed_cols,
+        )
+        cond = F.col("__bkt") == F.col("__sbkt")
+        for i, k in enumerate(keys):
+            # null-safe: null key values form their own carry partition
+            # in the unbucketed path and must keep doing so here
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__sk{i}"))
+        carry_src = unioned.join(seeds, cond, "left").drop(
+            "__sbkt", *[f"__sk{i}" for i in range(len(keys))]
+        )
+
+        def bucket_carry(time_asc: bool, seed: str) -> "F.Column":
+            t_order = F.col("__t").asc() if time_asc else F.col("__t").desc()
+            w = (
+                Window.partitionBy(*keys, "__bkt")
+                .orderBy(t_order, order_left_flag, F.col("__r").asc_nulls_first())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return F.coalesce(F.last("__r", ignorenulls=True).over(w), F.col(seed))
+
+        carry_b = bucket_carry(True, "__seed_b") if need_b else None
+        carry_f = bucket_carry(False, "__seed_f") if need_f else None
+
     if direction == "backward":
-        carried = unioned.select(*passthrough, carry(True).alias("__r"))
+        carried = carry_src.select(*passthrough, carry_b.alias("__r"))
     elif direction == "forward":
-        carried = unioned.select(*passthrough, carry(False).alias("__r"))
+        carried = carry_src.select(*passthrough, carry_f.alias("__r"))
     else:  # nearest: both carries share one exchange (same partition keys)
-        carried = unioned.select(
-            *passthrough, carry(True).alias("__rb"), carry(False).alias("__rf")
+        carried = carry_src.select(
+            *passthrough, carry_b.alias("__rb"), carry_f.alias("__rf")
         )
         lt = secs(F.col("__t"), lt_type)
         db = lt - secs(F.col("__rb.__rt"), rt_type)

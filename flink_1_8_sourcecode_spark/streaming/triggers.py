@@ -55,6 +55,58 @@ from flink_1_8_sourcecode_spark.streaming import arrow_state
 _INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
 
 
+def _delta_fire_scan(delta_fn, param, cursor, wvals, chunk=512):
+    """DeltaTrigger scan: firing indices + final comparison point.
+
+    The comparison point is data-dependent on the previous firing
+    (sequential by definition — DeltaTrigger.java's onElement/
+    ValueState<T> loop), but BETWEEN firings the scan is a pure
+    "first index where delta_fn(c, v) > param" search, so it runs in
+    vectorized chunks: one ``delta_fn(c, chunk_array)`` call prunes up
+    to ``chunk`` candidates at a time (same vectorized-try convention as
+    evictors.delta_keep_mask), falling back to per-element calls for
+    non-vectorizable user functions.  Cost: O(m + fires*chunk) element
+    evaluations, all inside numpy for a vectorizable delta_fn.
+    """
+    fires: list[int] = []
+    c = cursor
+    m = len(wvals)
+    i = 0
+    if c != c:  # NaN: DeltaTrigger's empty ValueState seeds, no fire
+        if m == 0:
+            return fires, c
+        c = float(wvals[0])
+        i = 1
+    vectorizable = True  # probe on first chunk; remember the verdict
+    first_probe = True
+    while i < m:
+        j = min(i + chunk, m)
+        seg = wvals[i:j]
+        d = None
+        if vectorizable:
+            try:
+                r = np.asarray(delta_fn(c, seg))
+                if r.shape == seg.shape:
+                    d = r
+                elif first_probe:
+                    vectorizable = False
+            except Exception:
+                if first_probe:
+                    vectorizable = False
+            first_probe = False
+        if d is None:
+            d = np.array([delta_fn(c, float(x)) for x in seg])
+        hits = d > param
+        if hits.any():
+            k = int(np.argmax(hits))
+            fires.append(i + k)
+            c = float(seg[k])
+            i += k + 1
+        else:
+            i = j
+    return fires, c
+
+
 def _scan_group(kind, param, purging, delta_fn, acc, wvals):
     """One (key, window) group of one micro-batch: detect early firings
     and advance the accumulator.
@@ -79,17 +131,7 @@ def _scan_group(kind, param, purging, delta_fn, acc, wvals):
         fires = np.flatnonzero(np.mod(cursor + np.arange(1, m + 1), param) == 0)
         acc[2] = float((cursor + m) % param)
     elif kind == "delta":
-        # sequential by definition: the comparison point is the last
-        # FIRED element — float-only scan, vectorized emit
-        fires_l = []
-        c = cursor
-        for i in range(m):
-            v = float(wvals[i])
-            if c != c:  # NaN: seed with the first element
-                c = v
-            elif delta_fn(c, v) > param:
-                fires_l.append(i)
-                c = v
+        fires_l, c = _delta_fire_scan(delta_fn, param, cursor, wvals)
         fires = np.asarray(fires_l, dtype=np.int64)
         acc[2] = c
     else:

@@ -256,3 +256,65 @@ def test_asof_join_directions_and_tolerance_match_pandas():
                     pd.isna(g["payload"]) and pd.isna(e["payload"])
                 )
                 assert ok, (direction, tol, i, g.to_dict(), e.to_dict())
+
+
+def test_asof_time_buckets_parity_and_fanout():
+    """The hot-key time-bucket pre-split (time_buckets=) is a pure
+    re-plan: identical output to the unbucketed carry across
+    direction x tolerance x bucket width on randomized histories —
+    including widths that cut mid-history and a width larger than the
+    whole range (single bucket).  The skew case: one key holding 90%
+    of rows fans its carry across (key, bucket) partitions, visible as
+    __bkt in the window partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.joins import asof_join
+    from flink_1_8_sourcecode_spark.session import get_spark
+
+    spark = get_spark(app_name="flink18-spark-tests")
+    rng = np.random.default_rng(13)
+    n_l, n_r = 150, 100
+    # 90% of left rows on the hot key 0 — the skew shape the pre-split is for
+    lp = pd.DataFrame({
+        "k": np.where(rng.random(n_l) < 0.9, 0, rng.integers(1, 5, n_l)),
+        "lt": rng.integers(0, 1000, n_l).astype("float64"),
+    })
+    lp["lid"] = np.arange(n_l)
+    rp = pd.DataFrame({
+        "k": np.where(rng.random(n_r) < 0.9, 0, rng.integers(1, 5, n_r)),
+        "rt": rng.choice(np.arange(0, 1000, 2), n_r, replace=False).astype("float64"),
+        "payload": rng.integers(0, 10**6, n_r),
+    })
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 40.0):
+            base = (
+                asof_join(left, right, on="k", left_time="lt", right_time="rt",
+                          direction=direction, tolerance=tol)
+                .toPandas().sort_values("lid").reset_index(drop=True)
+            )
+            for width in (64.0, 250.0, 5000.0):
+                got = (
+                    asof_join(left, right, on="k", left_time="lt", right_time="rt",
+                              direction=direction, tolerance=tol, time_buckets=width)
+                    .toPandas().sort_values("lid").reset_index(drop=True)
+                )
+                for i in range(n_l):
+                    g, b = got.loc[i], base.loc[i]
+                    ok = (g["payload"] == b["payload"]) or (
+                        pd.isna(g["payload"]) and pd.isna(b["payload"])
+                    )
+                    assert ok, (direction, tol, width, i, g.to_dict(), b.to_dict())
+
+    plan = (
+        asof_join(left, right, on="k", left_time="lt", right_time="rt",
+                  time_buckets=64.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the carry window must partition on (key, bucket) — the fan-out
+    assert "__bkt" in plan and "partitionBy" not in plan  # sanity: physical plan
+    import re as _re
+    assert _re.search(r"hashpartitioning\(k#\d+L?, __bkt", plan), plan[:2000]
