@@ -32,6 +32,7 @@ def curate_corpus(
     holdout_fraction: float = 0.1,
     budgets: dict[str, int] | None = None,
     default_budget: int = 0,
+    neardup: bool = False,
 ) -> DataFrame:
     """Curate a document corpus into a training mixture + fixed holdout.
 
@@ -46,6 +47,16 @@ def curate_corpus(
     4. **Exact dedup** — one keeper (min id) per content fingerprint
        (md5 over the normalized token stream), so spacing/case
        duplicates collapse.  Shuffle #1.
+    4b. **Near-dup dedup** (``neardup=True``) — MinHash-LSH candidate
+       pairs (16 hashes, 8 bands, hot-bucket star guard) over the
+       exact-deduped survivors, resolved into clusters by the
+       alternating-star transitive closure; only cluster keepers (min
+       id) continue.  Real corpus prep chains this after the exact
+       pass: boilerplate variants that differ by a few tokens collapse
+       too.  Cost: the LSH banded shuffle (whose two self-join branches
+       reuse ONE signature exchange, as the standalone op does), the
+       O(log n) closure rounds over the PAIR set (tiny relative to the
+       corpus), and a keeper semi-join on the id.
     5. **Split** — md5-prefix draw: ``holdout_fraction`` of surviving
        docs become the fixed eval side; map-only.
     6. **Mix** — TRAIN docs only: per-source token budgets in
@@ -73,6 +84,22 @@ def curate_corpus(
     out = out.withColumn("__rn", F.row_number().over(fp_w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
+
+    if neardup:
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            dedup_clusters,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(out, id_col, text_col, num_hashes=16, bands=8)
+        keepers = (
+            dedup_clusters(out, pairs, id_col=id_col)
+            .filter(F.col("is_keeper"))
+            .select(F.col(id_col).alias("__keeper_id"))
+        )
+        out = out.join(
+            keepers, F.col(id_col) == F.col("__keeper_id"), "inner"
+        ).drop("__keeper_id")
 
     out = smp.hash_split(out, id_col, holdout_fraction)
     out = out.withColumn("n_tokens", tx.subword_count(t))

@@ -67,7 +67,11 @@ _SHINGLE_DUCK = """
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(doc_rel: str = "documents") -> str:
+    """The MinHash+LSH pair SQL, bit-for-bit portable (affine family over
+    an exact int64 base).  ``doc_rel`` names the (doc_id, text) relation
+    to pair over — "documents" for the standalone query, or an outer CTE
+    (e.g. the curated corpus) when composed into a pipeline oracle."""
     from flink_1_8_sourcecode_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     base = " + ".join(
@@ -88,7 +92,7 @@ def _minhash_oracle() -> str:
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          t -> t != '') AS toks
-      FROM documents
+      FROM {doc_rel}
     ), sh AS (
       SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM tok
     ), srow AS (

@@ -187,7 +187,7 @@ _STOP = """CASE WHEN len(toks) > 0
     oracle=f"""
     WITH scrubbed AS (
       SELECT doc_id, source,
-             regexp_replace(text, '{_SCRUB_PAT}', '[TERM]', 'g') AS text
+             regexp_replace(text, '{_SCRUB_PAT}', '[REDACTED]', 'g') AS text
       FROM documents
     ), tok AS (
       SELECT doc_id, source, text,
@@ -240,6 +240,92 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         holdout_fraction=0.1,
         budgets={"src0": 4000},
         default_budget=800,
+    )
+
+
+def _fuzzy_curate_oracle() -> str:
+    """pipeline_curate_corpus + the near-dup stage: MinHash-LSH pairs
+    over the CURATED corpus (scrubbed text), resolved to clusters by a
+    recursive-CTE transitive closure, keepers only into split/mix."""
+    from flink_1_8_sourcecode_spark.queries.dedup import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE scrubbed AS (
+      SELECT doc_id, source,
+             regexp_replace(text, '{_SCRUB_PAT}', '[REDACTED]', 'g') AS text
+      FROM documents
+    ), tk AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM scrubbed
+    ), kept AS (
+      SELECT * FROM tk
+      WHERE {_STOP} >= 0.08
+        AND {_Q} >= 0.55
+    ), dd AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY md5(array_to_string(toks, ' '))
+               ORDER BY doc_id) AS rn
+      FROM kept
+    ), curated AS (
+      SELECT doc_id, source, text FROM dd WHERE rn = 1
+    ), pairs AS (
+      {_minhash_oracle("curated")}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM curated
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), keepers AS (
+      SELECT id FROM reach GROUP BY id HAVING min(r) = id
+    ), split AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_T10}'
+                  THEN 'holdout' ELSE 'train' END AS split,
+             {_SUBWORD_SQL} AS n_tokens
+      FROM curated JOIN keepers ON curated.doc_id = keepers.id
+    ), win AS (
+      SELECT doc_id, source, split, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source, split
+                                 ORDER BY md5(doc_id::VARCHAR), doc_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM split
+    )
+    SELECT doc_id, source, split, n_tokens, cum_tokens FROM win
+    WHERE split = 'holdout'
+       OR cum_tokens - n_tokens < CASE source WHEN 'src0' THEN 4000 ELSE 800 END
+    """
+
+
+@register(
+    "pipeline_curate_corpus_fuzzy",
+    oracle=_fuzzy_curate_oracle(),
+    doc="curate_corpus with the near-dup stage on (neardup=True): after "
+    "the exact fingerprint dedup, MinHash-LSH candidate pairs (16 "
+    "hashes / 8 bands / hot-bucket star guard) over the surviving docs "
+    "resolve into clusters via the alternating-star transitive closure; "
+    "only cluster keepers (min id) enter the split/mix stages.  The "
+    "full chain real corpus prep runs (operators/pipeline.py:"
+    "curate_corpus).  The LSH stage's two self-join branches reuse ONE "
+    "signature exchange (plan-pinned in tests/test_pipeline_ops.py).",
+)
+def pipeline_curate_corpus_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return curate_corpus(
+        d,
+        scrub_pattern=_SCRUB_PAT,
+        lang="en",
+        min_quality=0.55,
+        holdout_fraction=0.1,
+        budgets={"src0": 4000},
+        default_budget=800,
+        neardup=True,
     )
 
 

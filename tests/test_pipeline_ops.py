@@ -384,3 +384,44 @@ def test_zip_with_index_consecutive_and_unique_id_unique(spark):
 
     uid = zip_with_unique_id(d).toPandas()
     assert uid["unique_id"].nunique() == n
+
+
+def test_curate_corpus_fuzzy_lsh_reuses_signature_exchange(spark):
+    """The near-dup stage's banded self-join must evaluate the expensive
+    MinHash signature pipeline ONCE: both join branches (and the
+    hot-bucket window) hang off a single exchange, the rest reusing it
+    — the same plan shape the standalone dedup_minhash_lsh op pins.
+    Checked on the pair subplan exactly as the pipeline builds it
+    (pairs over the curated survivors), since the closure iteration
+    truncates lineage in the final pipeline plan."""
+    from flink_1_8_sourcecode_spark.operators.dedup import minhash_lsh_pairs
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_corpus
+    from pyspark.sql import Window
+
+    d = table(spark, SF_DIR, "documents")
+    t = F.col("text")
+    curated = d.withColumn("text", tx.scrub(t, r"\b(spark)\b"))
+    curated = curated.filter(tx.lang_id(t) == "en").filter(tx.quality_score(t) >= 0.55)
+    fp_w = Window.partitionBy(tx.fingerprint(t)).orderBy(F.col("doc_id"))
+    curated = (
+        curated.withColumn("__rn", F.row_number().over(fp_w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    pairs = minhash_lsh_pairs(curated, "doc_id", "text", num_hashes=16, bands=8)
+    pairs.collect()  # AQE materializes ReusedExchange only in the final plan
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]
+
+    # and the full fuzzy pipeline runs end-to-end with both dedup
+    # stages: its survivors are a subset of the exact-only pipeline's
+    fuzzy = curate_corpus(
+        d, scrub_pattern=r"\b(spark)\b", lang="en", min_quality=0.55,
+        budgets=None, neardup=True,
+    )
+    exact = curate_corpus(
+        d, scrub_pattern=r"\b(spark)\b", lang="en", min_quality=0.55,
+        budgets=None,
+    )
+    f_ids = {r["doc_id"] for r in fuzzy.collect()}
+    e_ids = {r["doc_id"] for r in exact.collect()}
+    assert f_ids <= e_ids and len(f_ids) > 0
