@@ -6,10 +6,12 @@ operator; the idiomatic equivalent is a driver-side loop over DataFrames
 with periodic lineage truncation — each step is still a fully
 distributed Catalyst plan.
 
-Scale notes: ``localCheckpoint`` every few steps keeps the plan from
+Scale notes: lineage is truncated every few steps to keep the plan from
 growing unboundedly (the classic iterative-join lineage blowup);
 convergence checks are aggregates (a count), never collects of the
-working set.
+working set.  ``checkpoint_dir`` switches the truncation from
+executor-local blocks to reliable checkpoints (operators/lineage.py) —
+the fault-tolerance knob for 100 TB iterative runs.
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+
 
 def iterate(
     initial: DataFrame,
@@ -25,6 +29,7 @@ def iterate(
     max_iterations: int,
     has_converged: Callable[[DataFrame, DataFrame], bool] | None = None,
     checkpoint_every: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bulk iteration: repeatedly apply ``step`` until max_iterations or
     ``has_converged(prev, cur)`` (an aggregate-based predicate)."""
@@ -32,7 +37,7 @@ def iterate(
     for i in range(max_iterations):
         nxt = step(cur, i)
         if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = truncate_lineage(nxt, eager=True, checkpoint_dir=checkpoint_dir)
         if has_converged is not None and has_converged(cur, nxt):
             return nxt
         cur = nxt
@@ -47,6 +52,7 @@ def iterate_delta(
     key: str | list[str] = "id",
     checkpoint_every: int = 3,
     on_progress: Callable[[int, int], None] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Delta/workset iteration — DataSet.iterateDelta parity
     (flink-java/.../DataSet.java:1206).
@@ -77,9 +83,11 @@ def iterate_delta(
     solution, workset = initial_solution, initial_workset
     for i in range(max_iterations):
         if i % checkpoint_every == checkpoint_every - 1:
-            solution = solution.localCheckpoint(eager=False)
+            solution = truncate_lineage(
+                solution, eager=False, checkpoint_dir=checkpoint_dir
+            )
         # eager: one materialization serves the count AND the step
-        workset = workset.localCheckpoint(eager=True)
+        workset = truncate_lineage(workset, eager=True, checkpoint_dir=checkpoint_dir)
         n = workset.count()
         if on_progress is not None:
             on_progress(i, n)

@@ -208,6 +208,7 @@ def zip_with_index(
     order_cols: list[str],
     id_col: str = "index",
     n_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """DataSetUtils.zipWithIndex (DataSetUtils.java:89) parity:
     CONSECUTIVE indices 0..n-1, in ``order_cols`` order, with the same
@@ -220,6 +221,11 @@ def zip_with_index(
     index from an Arrow-batched counter — no global single-reducer
     sort, no window over one partition.  Include a unique tiebreaker in
     ``order_cols`` for a fully deterministic assignment.
+
+    The pinned partitioning is a lineage truncation; ``checkpoint_dir``
+    upgrades it to a reliable checkpoint so an executor loss between
+    the two passes cannot re-randomize partition contents on a 100 TB
+    run (operators/lineage.py).
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = (
@@ -227,7 +233,10 @@ def zip_with_index(
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    part = part.localCheckpoint(eager=False)  # pin partitioning across both passes
+    from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+
+    # pin partitioning across both passes
+    part = truncate_lineage(part, eager=False, checkpoint_dir=checkpoint_dir)
     from pyspark.sql import Window
 
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))

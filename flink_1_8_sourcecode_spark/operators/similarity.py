@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -91,6 +93,7 @@ def ivf_train(
     k: int = 16,
     iterations: int = 5,
     return_centroids: bool = False,
+    checkpoint_dir: str | None = None,
 ):
     """K-means coarse quantizer for ``ivf_topk``: returns
     ``(id_col, cluster)`` — use it when the corpus has no natural
@@ -103,8 +106,11 @@ def ivf_train(
     means.  Scale: the corpus never moves — per iteration it is one
     broadcast-join map + one partial-aggregated groupBy over k * dim
     cells; only the tiny centroid table shuttles.  Lineage is truncated
-    per iteration (localCheckpoint) so plans stay flat.  Clusters that
-    lose all members drop out (standard k-means degeneracy; k shrinks).
+    per iteration (``checkpoint_dir`` upgrades the truncation from
+    executor-local blocks to reliable checkpoints — the fault-tolerance
+    knob for long 100 TB trainings; see operators/lineage.py) so plans
+    stay flat.  Clusters that lose all members drop out (standard
+    k-means degeneracy; k shrinks).
 
     ``return_centroids=True`` returns ``(assignment, centroids)`` where
     centroids is the final ``(cluster, __centroid array<double>)`` table
@@ -121,8 +127,8 @@ def ivf_train(
             (F.row_number().over(Window.orderBy("__id")) - 1).alias("cluster"),
             F.col("__v").alias("__centroid"),
         )
-        .localCheckpoint(eager=True)
     )
+    centroids = truncate_lineage(centroids, checkpoint_dir=checkpoint_dir)
 
     def sq_l2(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -151,8 +157,8 @@ def ivf_train(
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.transform("pm", lambda s: s["m"]).alias("__centroid"))
-            .localCheckpoint(eager=True)
         )
+        centroids = truncate_lineage(centroids, checkpoint_dir=checkpoint_dir)
     # final assignment against the final centroids: every id's cluster is
     # its nearest surviving centroid by construction
     assignment = assign(centroids).select(F.col("__id").alias(id_col), "cluster")
@@ -357,6 +363,123 @@ def cosine_topk_gemm(
 
     partial = corpus.select(
         F.col(id_col).alias("__nid"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF pruning + the BLAS batch kernel — the many-queries x
+    big-corpus regime: same probe semantics as ``ivf_topk`` (per-cluster
+    mean centroids, nprobe nearest by cosine with cluster-id tiebreak),
+    but each probed cluster's corpus rows are scored against ALL of the
+    cluster's probing queries with one matrix multiply per Arrow batch
+    instead of an interpreted Column fold per (query, row) pair.
+
+    The query set and the centroid table are the BOUNDED sides by
+    contract (the broadcast-build-side bound ``cosine_topk_gemm``
+    documents): queries collect to a normalized float64 matrix, the
+    k x dim centroids collect for driver-side probe assignment, and the
+    probed-cluster id list becomes a LITERAL ``IN`` filter on the scan —
+    so with the corpus partitioned/bucketed on the cluster column the
+    non-probed majority is pruned at the source, never read.  Per
+    partition the local top-k survives (argpartition, O(n)); the final
+    rank touches P*k rows per query, never the probed-cluster row count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()  # bounded side by contract
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    cent_pdf = (
+        corpus.select(
+            F.col(cluster_col).alias("cluster"),
+            F.posexplode(F.col(vec_col).cast("array<double>")),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+        .toPandas()  # k x dim — tiny by construction
+    )
+    clusters = cent_pdf["cluster"].to_numpy()
+    cmat = np.stack(cent_pdf["c"].to_numpy()).astype(np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    csims = qnorm @ cnorm.T  # (|Q|, k_clusters)
+
+    # probe assignment, replicating ivf_topk's tie rules: cosine desc,
+    # cluster asc — lexsort keys are (cluster asc) then (-sim)
+    cluster_to_qrows: dict = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((clusters, -csims[qi]))[:nprobe]
+        for ci in order:
+            cluster_to_qrows.setdefault(clusters[ci], []).append(qi)
+    probed = sorted(cluster_to_qrows)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (qids, qnorm, {c: np.asarray(r) for c, r in cluster_to_qrows.items()})
+    )
+
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+    out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, cosine double"
+
+    def score(batches):
+        b_qids, b_qnorm, b_map = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cval, sub in pdf.groupby("__cl", sort=False):
+                qrows = b_map.get(cval)
+                if qrows is None:
+                    continue
+                nids = sub["__nid"].to_numpy()
+                vmat = np.stack(sub["__v"].to_numpy()).astype(np.float64)
+                vnorm = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+                sims = b_qnorm[qrows] @ vnorm.T  # one BLAS call per cluster-batch
+                if exclude_self:
+                    sims[b_qids[qrows][:, None] == nids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(sims.shape[0]), kk)
+                cols = part.ravel()
+                vals = sims[rows, cols]
+                keep = vals > -np.inf
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qrows[rows[keep]]],
+                        "neighbor_id": nids[cols[keep]],
+                        "cosine": vals[keep],
+                    }
+                )
+
+    # literal IN list -> partition pruning / pushdown on a
+    # cluster-partitioned corpus layout
+    filtered = corpus.filter(F.col(cluster_col).isin([c.item() if hasattr(c, "item") else c for c in probed]))
+    partial = filtered.select(
+        F.col(id_col).alias("__nid"),
+        F.col(cluster_col).alias("__cl"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     ).mapInPandas(score, out_ddl)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

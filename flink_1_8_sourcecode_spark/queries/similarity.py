@@ -43,9 +43,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)
 
 
-@register(
-    "sim_topk_ivf",
-    oracle="""
+_IVF_ORACLE = """
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
          q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
          cent AS (
@@ -82,7 +80,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     ) WHERE rank <= 10
-    """,
+    """
+
+
+@register(
+    "sim_topk_ivf",
+    oracle=_IVF_ORACLE,
     doc="IVF ANN top-10: label-cluster centroids, nprobe=3 — the corpus "
     "join prunes to 3/10 of the data (the 100 TB scale path).",
 )
@@ -168,3 +171,27 @@ def sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk_gemm(emb, queries, "vec_id", "embedding", "vec_id", k=10)
+
+
+@register(
+    "sim_topk_ivf_gemm",
+    oracle=_IVF_ORACLE,
+    doc="IVF pruning + BLAS batch kernel (operators/similarity.py:"
+    "ivf_topk_gemm): probe assignment happens driver-side over the "
+    "collected k x dim centroid table, probed cluster ids become a "
+    "literal IN filter on the scan (partition-prunable on a cluster-"
+    "partitioned layout), and each probed cluster's Arrow batches are "
+    "scored against all its probing queries with one matmul — the "
+    "many-queries x big-corpus regime.  Same semantics (and oracle) as "
+    "sim_topk_ivf.",
+    bench=True,
+)
+def sim_topk_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_topk_gemm
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk_gemm(
+        emb, queries, "vec_id", "embedding", "vec_id", cluster_col="label",
+        k=10, nprobe=3,
+    )

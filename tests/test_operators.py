@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from flink_1_8_sourcecode_spark.catalog import table
 from flink_1_8_sourcecode_spark.functions import scalar as fx
 from flink_1_8_sourcecode_spark.operators import multimodal, partitioning
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_DIR, SF_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -598,3 +598,61 @@ def test_ppm_decoder_handles_comments_and_rejects_garbage(spark):
     assert d["mean_g"] == 0.0 and d["entropy"] == 0.0
     with pytest.raises(ValueError):
         _ppm_decode(b"JFIF not a ppm")
+
+
+def test_reliable_checkpoint_knob(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation from localCheckpoint
+    to reliable checkpoints: identical results, and checkpoint files
+    actually land in the directory (the fault-tolerance contract a
+    100 TB iterative run needs)."""
+    import os
+
+    from flink_1_8_sourcecode_spark.operators.iterations import iterate, iterate_delta
+    from flink_1_8_sourcecode_spark.operators.partitioning import zip_with_index
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_train
+
+    ckdir = str(tmp_path / "reliable_ck")
+
+    def files_under(d):
+        return sum(len(fns) for _dp, _dn, fns in os.walk(d))
+
+    # iterate: double a counter 4 times, checkpointing every step
+    init = spark.createDataFrame([(1,)], "x long")
+    out = iterate(
+        init, lambda df, i: df.selectExpr("x * 2 AS x"),
+        max_iterations=4, checkpoint_every=1, checkpoint_dir=ckdir,
+    ).first()["x"]
+    assert out == 16
+    assert files_under(ckdir) > 0, "reliable checkpoint wrote nothing"
+
+    # iterate_delta: same answer both ways
+    sol = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    ws = spark.createDataFrame([(1,)], "id int")
+
+    def step(solution, workset, i):
+        delta = solution.join(workset, "id").selectExpr("id", "concat(val, 'x') AS val")
+        return delta, workset.limit(0)
+
+    got = iterate_delta(
+        sol, ws, step, max_iterations=3, key="id",
+        checkpoint_every=1, checkpoint_dir=ckdir,
+    ).toPandas()
+    assert dict(zip(got.id, got.val)) == {1: "ax", 2: "b"}
+
+    # ivf_train + zip_with_index run the reliable path end-to-end and
+    # agree with the local path
+    emb = table(spark, SF_DIR, "embeddings").limit(60)
+    a = ivf_train(emb, "vec_id", "embedding", k=4, iterations=2).toPandas()
+    b = ivf_train(
+        emb, "vec_id", "embedding", k=4, iterations=2, checkpoint_dir=ckdir
+    ).toPandas()
+    assert dict(zip(a.vec_id, a.cluster)) == dict(zip(b.vec_id, b.cluster))
+
+    d = table(spark, SF_DIR, "documents")
+    ix_local = zip_with_index(d, ["doc_id"], n_partitions=4).toPandas()
+    ix_rel = zip_with_index(
+        d, ["doc_id"], n_partitions=4, checkpoint_dir=ckdir
+    ).toPandas()
+    assert dict(zip(ix_local.doc_id, ix_local["index"])) == dict(
+        zip(ix_rel.doc_id, ix_rel["index"])
+    )

@@ -425,3 +425,22 @@ def test_curate_corpus_fuzzy_lsh_reuses_signature_exchange(spark):
     f_ids = {r["doc_id"] for r in fuzzy.collect()}
     e_ids = {r["doc_id"] for r in exact.collect()}
     assert f_ids <= e_ids and len(f_ids) > 0
+
+
+def test_ivf_gemm_equals_column_kernel_wide_queries(spark):
+    """ivf_topk_gemm is a pure acceleration of ivf_topk: identical
+    (query, neighbor, rank) on a 40-query probe set, cosines to float
+    tolerance (BLAS vs sequential fold)."""
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_topk, ivf_topk_gemm
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    a = ivf_topk(emb, queries, "vec_id", "embedding", "vec_id",
+                 cluster_col="label", k=5, nprobe=3).collect()
+    b = ivf_topk_gemm(emb, queries, "vec_id", "embedding", "vec_id",
+                      cluster_col="label", k=5, nprobe=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert {key(r): r["neighbor_id"] for r in a} == {key(r): r["neighbor_id"] for r in b}
+    bc = {key(r): r["cosine"] for r in b}
+    for r in a:
+        assert abs(r["cosine"] - bc[key(r)]) < 1e-9
