@@ -307,6 +307,63 @@ def cep_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_match_recognize_stream",
+    oracle="""
+    WITH filtered AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lead(ts) OVER w AS next_ts
+      FROM filtered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, next_id AS purchase_id
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL 1 DAY
+    """,
+    doc="SQL MATCH_RECOGNIZE over a STREAMING source: the events table "
+    "replayed as micro-batches behind a temp view, the SAME statement "
+    "as cep_match_recognize_within routed by Engine.sql through the "
+    "streaming CEP matcher (the reference's MR is a DataStream "
+    "operator — DataStreamMatch.scala); MEASURES fold to one row per "
+    "match inside the stateful function and the stabilized append "
+    "output equals the batch answer (same oracle).",
+)
+def cep_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from flink_1_8_sourcecode_spark.queries.streaming_windows import (
+        _replayed_stream,
+        _run_to_table,
+    )
+
+    eng = Engine(spark)
+    stream = _replayed_stream(spark, sf_dir, "mr_stream_")
+    eng.register("ev_mr_stream", stream)
+    out = eng.sql(
+        """
+        SELECT user_id, signup_id, purchase_id
+        FROM (SELECT user_id, event_id, ts, event_type FROM ev_mr_stream
+              WHERE event_type IN ('signup', 'purchase', 'noop')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S P) WITHIN INTERVAL '1' DAY
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    )
+    name = _run_to_table(out, "q_mr_stream", state_partitions=4)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
     "cep_funnel_timeout_stream",
     oracle="""
     SELECT user_id, event_id AS signup_id FROM events s

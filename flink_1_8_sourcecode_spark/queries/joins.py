@@ -294,6 +294,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           coalesce(c.event_id, -1) AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="join_asof through the hot-key time-bucket pre-split "
+    "(asof_join(time_buckets=6h)): the carry window partitions on "
+    "(key, 6-hour bucket) with per-bucket seeds carried from prior "
+    "buckets — identical semantics (same oracle as join_asof), but the "
+    "plan fans a hot key's history across buckets instead of one "
+    "window partition (operators/joins.py).",
+)
+def join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("last_click_id")
+    )
+    out = asof_join(
+        p,
+        c,
+        on="user_id",
+        left_time="p_ts",
+        right_time="c_ts",
+        right_cols=["last_click_id"],
+        time_buckets=6 * 3600.0,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("last_click_id"), F.lit(-1)).alias("last_click_id"),
+    )
+
+
+@register(
     "join_asof_forward",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,
