@@ -28,18 +28,32 @@ _TRIGGER_DELTA = 75.0
 _EVICTOR_DELTA = 100.0
 
 
+# replay-chunk layout per sf_dir, written once per process: the chunked
+# parquet replay is INPUT FIXTURE, not operator work — every stream
+# query re-reads it from a fresh file source (new checkpoint lists the
+# directory from scratch), exactly like the batch queries re-reading
+# the pre-existing testdata parquet.  Rewriting ~1.2 s of identical
+# chunks per bench sample would charge fixture prep to the operator.
+_CHUNK_CACHE: dict[str, str] = {}
+
+
 def _replayed_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """events replayed as 4 time-ordered chunks + a far-future sentinel
     row (user_id = -1) that closes every window by advancing the global
     watermark — the bounded-input end-of-stream convention."""
-    chunks = tempfile.mkdtemp(prefix=prefix)
-    sources.write_event_chunks(spark, sf_dir, chunks, n_chunks=4)
-    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    sentinel = spark.createDataFrame(
-        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
-        sources.EVENTS_SCHEMA,
-    )
-    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+    import os
+
+    chunks = _CHUNK_CACHE.get(sf_dir)
+    if chunks is None or not os.path.isdir(chunks):
+        chunks = tempfile.mkdtemp(prefix=prefix)
+        sources.write_event_chunks(spark, sf_dir, chunks, n_chunks=4)
+        max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+            sources.EVENTS_SCHEMA,
+        )
+        sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+        _CHUNK_CACHE[sf_dir] = chunks
     return sources.read_event_stream(spark, chunks)
 
 
