@@ -10,9 +10,15 @@ Supported subset (documented):
 - PATTERN over symbols with quantifiers ``+ * ? {n} {n,} {n,m}`` and a
   trailing ``?`` for reluctant (non-greedy); row contiguity is STRICT
   between and inside symbols, per the SQL standard
-- DEFINE <S> AS <condition on the current row> (``S.col`` and bare
-  ``col`` both refer to the current row; cross-symbol navigation like
-  ``LAST(B.x) < A.y`` is not supported in round 1)
+- DEFINE <S> AS <condition>: row-local conditions (``S.col`` / bare
+  ``col`` = current row) compile to JVM boolean columns; conditions
+  that NAVIGATE — ``FIRST(A.col[, n])`` / ``LAST(A.col[, n])`` or a
+  cross-symbol reference ``A.col`` (= ``LAST(A.col)`` per the SQL
+  standard) — run as iterative predicates inside the NFA with a
+  match context, the reference's IterativeCondition path
+  (MatchCodeGenerator.scala; IterativeCondition.java).  Supported
+  iterative grammar: comparisons/arithmetic, AND/OR/NOT,
+  IS [NOT] NULL; anything else raises readably.
 - MEASURES FIRST(S.col) / LAST(S.col) / S.col (= FIRST) / COUNT(S.*)
   AS alias
 - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH.  The reference's
@@ -27,10 +33,13 @@ Supported subset (documented):
   no-progress/unbound symbol, per the SQL standard (and Flink's
   throwExceptionOnMiss)
 
-Execution: DEFINE conditions are evaluated JVM-side as boolean columns
-(one ``F.expr`` each — whole-stage codegen), so the Python NFA only
-reads precomputed booleans; measures aggregate match rows with
-sorted-collect expressions (no Python post-processing).
+Execution: row-local DEFINE conditions are evaluated JVM-side as
+boolean columns (one ``F.expr`` each — whole-stage codegen), so the
+Python NFA only reads precomputed booleans; NAVIGATING conditions run
+as iterative Python predicates inside the NFA (they depend on the
+partial match, which only the NFA holds — same split as the
+reference's generated IterativeConditions); measures aggregate match
+rows with sorted-collect expressions (no Python post-processing).
 """
 
 from __future__ import annotations
@@ -189,6 +198,148 @@ def _parse_pattern(pat: str) -> list[tuple[str, int, int | None, bool]]:
     return out
 
 
+_NAV_RE = re.compile(r"\b(FIRST|LAST)\s*\(", re.IGNORECASE)
+
+
+def _needs_iterative(cond: str, sym: str, symbols: set[str]) -> bool:
+    """A DEFINE condition is iterative when it navigates (FIRST/LAST) or
+    references a DIFFERENT symbol's columns — those depend on the
+    current partial match, not just the current row."""
+    no_strings = re.sub(r"'(?:[^']|'')*'", "''", cond)
+    if _NAV_RE.search(no_strings):
+        return True
+    return any(
+        m.group(1) in symbols and m.group(1) != sym
+        for m in re.finditer(r"\b(\w+)\.(\w+)", no_strings)
+    )
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<nav>(?P<navkind>FIRST|LAST)\s*\(\s*(?P<navsym>\w+)\.(?P<navcol>\w+)
+        \s*(?:,\s*(?P<navoff>\d+)\s*)?\))
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<qual>(?P<qsym>\w+)\.(?P<qcol>\w+))
+  | (?P<word>[A-Za-z_]\w*)
+  | (?P<op><>|!=|<=|>=|=|<|>|\(|\)|\+|-|\*|/|%)
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_WORD_MAP = {"and": "and", "or": "or", "not": "not", "true": "True", "false": "False"}
+
+
+def _nav(ctx, row, kind, sym, col, off, cur):
+    """SQL MATCH_RECOGNIZE running navigation: while DEFINE for ``cur``
+    evaluates a candidate row, that row counts as the LAST row already
+    mapped to ``cur`` (SQL standard running semantics) — whereas the
+    underlying MatchContext (Flink IterativeCondition parity) holds
+    only previously-bound rows.  This shim re-bases the offsets."""
+    if sym == cur:
+        if kind == "last":
+            if off == 0:
+                return row.get(col)
+            return ctx.last(sym, col, off - 1)
+        v = ctx.first(sym, col, off)
+        if v is not None:
+            return v
+        # offset walked past every bound row: the current row sits at
+        # index n_bound in front-to-back order
+        return row.get(col) if off == len(ctx.events_for(sym)) else None
+    return ctx.last(sym, col, off) if kind == "last" else ctx.first(sym, col, off)
+
+
+def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None):
+    """Transpile an iterative DEFINE condition into a Python
+    ``(row, ctx) -> bool`` predicate (the reference evaluates these as
+    IterativeCondition code, MatchCodeGenerator.scala).
+
+    Supported surface: comparisons/arithmetic over ``S.col`` /
+    ``FIRST(S.col[, n])`` / ``LAST(S.col[, n])`` / bare columns /
+    literals, AND/OR/NOT, IS [NOT] NULL, parentheses.  Cross-symbol
+    ``A.col`` means ``LAST(A.col)`` per the SQL standard.  Anything
+    else raises readably instead of mis-evaluating.
+    """
+    out = []
+    pos = 0
+    while pos < len(cond):
+        m = _TOKEN_RE.match(cond, pos)
+        if not m:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE DEFINE: cannot parse {cond[pos:pos+25]!r} in "
+                f"iterative condition {cond!r}"
+            )
+        pos = m.end()
+        if m.group("ws"):
+            out.append(" ")
+        elif m.group("str"):
+            out.append(repr(m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("nav"):
+            kind = m.group("navkind").lower()
+            nsym, ncol = m.group("navsym"), m.group("navcol")
+            off = int(m.group("navoff") or 0)
+            if nsym not in symbols:
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: {kind.upper()}({nsym}.{ncol}) "
+                    f"references unknown symbol {nsym!r}"
+                )
+            out.append(f"_nav(ctx, row, {kind!r}, {nsym!r}, {ncol!r}, {off}, {sym!r})")
+        elif m.group("num"):
+            out.append(m.group("num"))
+        elif m.group("qual"):
+            qsym, qcol = m.group("qsym"), m.group("qcol")
+            if qsym == sym or qsym not in symbols:
+                out.append(f"row[{qcol!r}]")
+            else:
+                # SQL standard: a cross-symbol reference navigates to the
+                # symbol's LAST bound row
+                out.append(f"_nav(ctx, row, 'last', {qsym!r}, {qcol!r}, 0, {sym!r})")
+        elif m.group("word"):
+            w = m.group("word")
+            lw = w.lower()
+            if lw in _WORD_MAP:
+                out.append(_WORD_MAP[lw])
+            elif lw == "is":
+                # IS [NOT] NULL — peek ahead
+                rest = cond[pos:]
+                mm = re.match(r"\s+NOT\s+NULL\b", rest, re.IGNORECASE)
+                if mm:
+                    out.append(" is not None")
+                    pos += mm.end()
+                    continue
+                mm = re.match(r"\s+NULL\b", rest, re.IGNORECASE)
+                if mm:
+                    out.append(" is None")
+                    pos += mm.end()
+                    continue
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: IS must be followed by [NOT] NULL in {cond!r}"
+                )
+            elif columns is not None and w not in columns:
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: {w!r} in iterative condition "
+                    f"{cond!r} is neither a column nor a supported keyword "
+                    "(supported: comparisons/arithmetic, AND/OR/NOT, "
+                    "IS [NOT] NULL, FIRST/LAST navigation)"
+                )
+            else:
+                out.append(f"row[{w!r}]")
+        else:
+            op = m.group("op")
+            out.append({"=": "==", "<>": "!="}.get(op, op))
+    expr = "".join(out)
+    code = compile(expr, f"<define {sym}>", "eval")
+
+    def pred(row, ctx):
+        return bool(
+            eval(code, {"__builtins__": {}}, {"row": row, "ctx": ctx, "_nav": _nav})
+        )
+
+    return pred
+
+
 def match_recognize(
     df: DataFrame, clause: str, watermark_delay: str = "10 minutes"
 ) -> DataFrame:
@@ -238,9 +389,20 @@ def match_recognize(
             raise ValueError(f"bad DEFINE item: {item!r}")
         raw_defines[m.group(1)] = m.group(2).strip()
     symbols = set(raw_defines) | {sym for sym, *_ in parsed}
-    defines = {
-        sym: _strip_symbol_prefixes(cond, symbols) for sym, cond in raw_defines.items()
-    }
+    # row-local conditions evaluate JVM-side as boolean columns (one
+    # F.expr each — whole-stage codegen); conditions that NAVIGATE
+    # (FIRST/LAST or a cross-symbol reference) depend on the current
+    # partial match and run as iterative Python predicates inside the
+    # NFA, exactly the reference's IterativeCondition split
+    defines: dict[str, str] = {}
+    iter_defines: dict = {}
+    for sym, cond in raw_defines.items():
+        if _needs_iterative(cond, sym, symbols):
+            iter_defines[sym] = _compile_define_python(
+                cond, sym, symbols, columns=set(df.columns)
+            )
+        else:
+            defines[sym] = _strip_symbol_prefixes(cond, symbols)
 
     # -- MEASURES -----------------------------------------------------
     measures: list[_Measure] = []
@@ -261,13 +423,20 @@ def match_recognize(
     # -- PATTERN -> Pattern (strict contiguity, per SQL standard) -----
     stages = []
     for idx, (sym, lo, hi, greedy) in enumerate(parsed):
-        if sym not in defines:
+        if sym not in defines and sym not in iter_defines:
             defines[sym] = "true"  # undefined symbol matches any row
         stages.append(
             Stage(
                 name=sym,
                 contiguity="begin" if idx == 0 else "next",
-                predicates=(lambda row, s=sym: bool(row[f"__def_{s}"]),),
+                predicates=(
+                    (lambda row, s=sym: bool(row[f"__def_{s}"]),)
+                    if sym in defines
+                    else ()
+                ),
+                iter_predicates=(
+                    (iter_defines[sym],) if sym in iter_defines else ()
+                ),
                 times_min=lo,
                 times_max=hi,
                 optional=(lo == 0),

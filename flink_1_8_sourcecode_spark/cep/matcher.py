@@ -27,7 +27,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from flink_1_8_sourcecode_spark.cep.pattern import Pattern, Stage
+from flink_1_8_sourcecode_spark.cep.pattern import MatchContext, Pattern, Stage
 
 MATCH_SCHEMA_SUFFIX = "match_id long, stage string, seq int"
 
@@ -61,10 +61,15 @@ def _find_matches(
     stages = pattern.stages
     n = len(rows)
 
-    def stage_occurrences(si: int, start_i: int, first_time: float | None):
+    def stage_occurrences(
+        si: int, start_i: int, first_time: float | None, outer=()
+    ):
         """Yield (bindings, next_index) for stage si beginning search at
-        start_i. bindings = list of (stage_name, row_index)."""
+        start_i. bindings = list of (stage_name, row_index).  ``outer``
+        is the live binding list of the enclosing partial match — the
+        context iterative conditions (IterativeCondition.java) see."""
         st: Stage = stages[si]
+        needs_ctx = bool(st.iter_predicates)
 
         def within_ok(i: int, acc: list[int]) -> bool:
             if pattern.within_seconds is None:
@@ -97,7 +102,14 @@ def _find_matches(
             while j < n:
                 if not within_ok(j, acc):
                     return
-                if st.accepts(rows[j]):
+                ctx = (
+                    MatchContext(
+                        rows, list(outer) + [(st.name, x) for x in acc]
+                    )
+                    if needs_ctx
+                    else None
+                )
+                if st.accepts(rows[j], ctx):
                     acc.append(j)
                     yield from runs(j + 1, count + 1, acc)
                     acc.pop()
@@ -121,13 +133,14 @@ def _find_matches(
             nxt = (occ[-1] + 1) if occ else start_i
             yield [(st.name, i) for i in occ], nxt
 
-    def negative_ok(st: Stage, lo: int, hi: int) -> bool:
+    def negative_ok(st: Stage, lo: int, hi: int, outer=()) -> bool:
         """No row in [lo, hi) satisfies the negative predicate."""
         if st.contiguity == "next":
             rng = range(lo, min(lo + 1, hi))
         else:
             rng = range(lo, hi)
-        return not any(st.accepts(rows[i]) for i in rng)
+        ctx = MatchContext(rows, list(outer)) if st.iter_predicates else None
+        return not any(st.accepts(rows[i], ctx) for i in rng)
 
     def backtrack(si: int, start_i: int, first_time: float | None, acc):
         if si == len(stages):
@@ -139,12 +152,12 @@ def _find_matches(
             # find the next stage's match, then check the gap.
             nxt_stage = si + 1
             for bindings, nxt_i in stage_occurrences(
-                nxt_stage, start_i, first_time
+                nxt_stage, start_i, first_time, acc
             ):
                 if not bindings and not stages[nxt_stage].optional:
                     continue
                 gap_hi = bindings[0][1] if bindings else n
-                if not negative_ok(st, start_i, gap_hi):
+                if not negative_ok(st, start_i, gap_hi, acc):
                     continue
                 ft = first_time if first_time is not None else (
                     times[bindings[0][1]] if bindings else None
@@ -158,7 +171,7 @@ def _find_matches(
                         return
             return
         committed = st.contiguity in ("begin", "next", "followed_by")
-        for bindings, nxt_i in stage_occurrences(si, start_i, first_time):
+        for bindings, nxt_i in stage_occurrences(si, start_i, first_time, acc):
             if not bindings and not st.optional and st.times_min > 0:
                 continue
             ft = first_time
@@ -206,14 +219,20 @@ def _find_matches(
             neg = stages[si]
             j = last + 1
             hi = min(j + 1, n) if neg.contiguity == "next" else n
+            nctx = MatchContext(rows, list(prefix)) if neg.iter_predicates else None
             while j < hi and in_window(j):
-                if neg.accepts(rows[j]):
+                if neg.accepts(rows[j], nctx):
                     return False  # guard fired in-window: run killed
                 j += 1
             si += 1
         if si < len(stages) and stages[si].contiguity == "next":
             j = last + 1
-            if j < n and in_window(j) and not stages[si].accepts(rows[j]):
+            sctx = (
+                MatchContext(rows, list(prefix))
+                if stages[si].iter_predicates
+                else None
+            )
+            if j < n and in_window(j) and not stages[si].accepts(rows[j], sctx):
                 return False  # strict successor broke the run pre-expiry
         return True
 
@@ -223,7 +242,8 @@ def _find_matches(
             return
         next_i = None  # scan-advance override from the after-match skip
         matched_here = False
-        if stages[0].accepts(rows[i]):
+        ctx0 = MatchContext(rows, []) if stages[0].iter_predicates else None
+        if stages[0].accepts(rows[i], ctx0):
             for m in backtrack(0, i, None, []):
                 matched_here = True
                 yield (m, False) if emit_timeouts else m

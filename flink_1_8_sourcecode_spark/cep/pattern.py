@@ -26,12 +26,55 @@ from typing import Any
 Predicate = Callable[[dict[str, Any]], bool]
 
 
+class MatchContext:
+    """What an iterative condition can see: the rows already bound to
+    each stage of the CURRENT partial match — Flink's
+    ``IterativeCondition.Context.getEventsForPattern``
+    (flink-libraries/flink-cep/.../pattern/conditions/
+    IterativeCondition.java).  During a stage's own evaluation its
+    current candidate row is NOT yet bound, so ``last(stage)`` inside
+    that stage's condition sees the previous occurrence — the SQL
+    MATCH_RECOGNIZE running-navigation semantics too."""
+
+    __slots__ = ("_rows", "_bindings")
+
+    def __init__(self, rows, bindings):
+        self._rows = rows
+        self._bindings = bindings  # list[(stage_name, row_index)] in match order
+
+    def events_for(self, stage: str):
+        return [self._rows[i] for s, i in self._bindings if s == stage]
+
+    def first(self, stage: str, col: str, offset: int = 0):
+        """FIRST(S.col[, offset]) navigation: the (offset+1)-th bound
+        row of ``stage`` from the front; None when unbound."""
+        seen = 0
+        for s, i in self._bindings:
+            if s == stage:
+                if seen == offset:
+                    return self._rows[i].get(col)
+                seen += 1
+        return None
+
+    def last(self, stage: str, col: str, offset: int = 0):
+        """LAST(S.col[, offset]) navigation: the (offset+1)-th bound
+        row of ``stage`` from the back; None when unbound."""
+        seen = 0
+        for s, i in reversed(self._bindings):
+            if s == stage:
+                if seen == offset:
+                    return self._rows[i].get(col)
+                seen += 1
+        return None
+
+
 @dataclass(frozen=True)
 class Stage:
     name: str
     contiguity: str  # 'begin' | 'next' | 'followed_by' | 'followed_by_any'
     predicates: tuple[Predicate, ...] = ()
     or_predicates: tuple[Predicate, ...] = ()
+    iter_predicates: tuple = ()  # (row, MatchContext) -> bool
     times_min: int = 1
     times_max: int | None = 1  # None = unbounded (one_or_more)
     optional: bool = False
@@ -40,8 +83,15 @@ class Stage:
     strict_iter: bool = False  # quantifier occurrences must be consecutive
     # (Flink Pattern.consecutive(); also MATCH_RECOGNIZE's row contiguity)
 
-    def accepts(self, row: dict[str, Any]) -> bool:
+    def accepts(self, row: dict[str, Any], ctx: "MatchContext | None" = None) -> bool:
         base = all(p(row) for p in self.predicates) if self.predicates else True
+        if base and self.iter_predicates:
+            # SQL three-valued logic at the gate: a comparison against an
+            # unbound navigation (None) is unknown -> the row is rejected
+            try:
+                base = all(p(row, ctx) for p in self.iter_predicates)
+            except TypeError:
+                base = False
         if self.or_predicates:
             return base or any(p(row) for p in self.or_predicates)
         return base
@@ -91,6 +141,13 @@ class Pattern:
 
     def where(self, pred: Predicate) -> "Pattern":
         return self._mod(predicates=self.stages[-1].predicates + (pred,))
+
+    def where_iterative(self, pred) -> "Pattern":
+        """IterativeCondition parity (IterativeCondition.java): ``pred``
+        is called as ``pred(row, ctx)`` where ``ctx`` is a
+        ``MatchContext`` over the current partial match — e.g.
+        ``lambda e, ctx: e["price"] < ctx.last("A", "price")``."""
+        return self._mod(iter_predicates=self.stages[-1].iter_predicates + (pred,))
 
     def or_where(self, pred: Predicate) -> "Pattern":
         return self._mod(or_predicates=self.stages[-1].or_predicates + (pred,))

@@ -307,6 +307,58 @@ def cep_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_match_recognize_navigation",
+    oracle="""
+    WITH filtered AS (
+      SELECT user_id, event_id, ts, event_type, value FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), seq AS (
+      SELECT user_id, event_id, event_type, value,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lead(value) OVER w AS next_value
+      FROM filtered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, next_id AS purchase_id,
+           next_value AS purchase_value
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'purchase'
+      AND next_value > value
+    """,
+    doc="MATCH_RECOGNIZE DEFINE with cross-symbol navigation "
+    "(P.value > S.value = LAST(S.value) per the SQL standard): the "
+    "condition depends on the partial match, so it runs as an "
+    "iterative predicate inside the NFA — the reference's "
+    "IterativeCondition path (MatchCodeGenerator.scala, "
+    "IterativeCondition.java) — while row-local defines stay JVM "
+    "booleans (cep/match_recognize.py:_compile_define_python).",
+)
+def cep_match_recognize_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("events", table(spark, sf_dir, "events"))
+    return eng.sql(
+        """
+        SELECT user_id, signup_id, purchase_id, purchase_value
+        FROM (SELECT user_id, event_id, ts, event_type, value FROM events
+              WHERE event_type IN ('signup', 'purchase')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS signup_id, P.event_id AS purchase_id,
+                   P.value AS purchase_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S P)
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase' AND P.value > S.value
+        )
+        """
+    )
+
+
+@register(
     "cep_match_recognize_stream",
     oracle="""
     WITH filtered AS (

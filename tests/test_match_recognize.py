@@ -163,3 +163,82 @@ def test_pattern_within_bounds_match_span(spark, auth_df):
     assert len(wide) == 1 and wide.iloc[0].first_fail == 1
     tight = match_recognize(auth_df, clause.format(iv="1")).toPandas()
     assert len(tight) == 0
+
+
+@pytest.fixture(scope="module")
+def price_df(spark):
+    # per key: a price path for V-shape (down-run then recovery) patterns
+    base = dt.datetime(2024, 1, 1)
+    paths = {
+        1: [10.0, 9.0, 8.0, 7.0, 9.5],   # strict V: down down down up-above-2-back
+        2: [5.0, 6.0, 7.0, 8.0, 9.0],    # monotonic up: no down-run
+        3: [10.0, 9.5, 9.9, 9.0, 12.0],  # down, up, down, up
+    }
+    rows = [
+        (k, i, base + dt.timedelta(seconds=i), p)
+        for k, path in paths.items()
+        for i, p in enumerate(path)
+    ]
+    return spark.createDataFrame(rows, "k int, eid int, ts timestamp, price double")
+
+
+def test_define_cross_symbol_navigation_v_shape(spark, price_df):
+    """The classic MATCH_RECOGNIZE V-shape: DOWN+ rows each below the
+    PREVIOUS row (LAST(DOWN.price) with a FIRST(A.price) fallback for
+    the first DOWN), then UP above the last DOWN — cross-symbol and
+    self-navigation in DEFINE, the reference's IterativeCondition path."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES A.eid AS start_id,
+                 LAST(DOWN.eid) AS bottom_id,
+                 UP.eid AS up_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A DOWN+ UP)
+        DEFINE DOWN AS (LAST(DOWN.price, 1) IS NULL AND DOWN.price < A.price)
+                    OR DOWN.price < LAST(DOWN.price, 1),
+               UP AS UP.price > LAST(DOWN.price)
+        """,
+    ).toPandas()
+    got = {r.k: (r.start_id, r.bottom_id, r.up_id) for _, r in out.iterrows()}
+    # k=1: A=0, DOWN=1,2,3 (9<10, 8<9, 7<8), UP=4 (9.5>7)
+    assert got[1] == (0, 3, 4)
+    # k=2: no down-run anywhere
+    assert 2 not in got
+    # k=3: A=0, DOWN=1 (9.5<10), UP=2 (9.9>9.5)
+    assert got[3] == (0, 1, 2)
+
+
+def test_define_navigation_unknown_rejects_row(spark, price_df):
+    """SQL three-valued logic at the gate: a comparison against an
+    unbound navigation (NULL) is unknown -> the row cannot match."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES B.eid AS bid
+        ONE ROW PER MATCH
+        PATTERN (B)
+        DEFINE B AS B.price > LAST(Z.price)
+        """.replace("PATTERN (B)", "PATTERN (B Z?)"),
+    ).toPandas()
+    assert len(out) == 0  # Z never bound before B evaluates
+
+
+def test_define_iterative_unsupported_raises(spark, price_df):
+    with pytest.raises(NotImplementedError, match="DEFINE"):
+        match_recognize(
+            price_df,
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES B.eid AS bid
+            ONE ROW PER MATCH
+            PATTERN (A B)
+            DEFINE B AS B.price BETWEEN LAST(A.price) AND 10
+            """,
+        )
