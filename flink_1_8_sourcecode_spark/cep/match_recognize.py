@@ -198,7 +198,7 @@ def _parse_pattern(pat: str) -> list[tuple[str, int, int | None, bool]]:
     return out
 
 
-_NAV_RE = re.compile(r"\b(FIRST|LAST)\s*\(", re.IGNORECASE)
+_NAV_RE = re.compile(r"\b(FIRST|LAST|PREV)\s*\(", re.IGNORECASE)
 
 
 def _needs_iterative(cond: str, sym: str, symbols: set[str]) -> bool:
@@ -220,6 +220,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^']|'')*')
   | (?P<nav>(?P<navkind>FIRST|LAST)\s*\(\s*(?P<navsym>\w+)\.(?P<navcol>\w+)
         \s*(?:,\s*(?P<navoff>\d+)\s*)?\))
+  | (?P<prev>PREV\s*\(\s*(?P<prevcol>\w+)\s*(?:,\s*(?P<prevoff>\d+)\s*)?\))
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<qual>(?P<qsym>\w+)\.(?P<qcol>\w+))
   | (?P<word>[A-Za-z_]\w*)
@@ -286,6 +287,10 @@ def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None)
                     f"references unknown symbol {nsym!r}"
                 )
             out.append(f"_nav(ctx, row, {kind!r}, {nsym!r}, {ncol!r}, {off}, {sym!r})")
+        elif m.group("prev"):
+            pcol = m.group("prevcol")
+            poff = int(m.group("prevoff") or 1)
+            out.append(f"ctx.prev({pcol!r}, {poff})")
         elif m.group("num"):
             out.append(m.group("num"))
         elif m.group("qual"):

@@ -104,7 +104,7 @@ def _find_matches(
                     return
                 ctx = (
                     MatchContext(
-                        rows, list(outer) + [(st.name, x) for x in acc]
+                        rows, list(outer) + [(st.name, x) for x in acc], cur=j
                     )
                     if needs_ctx
                     else None
@@ -139,8 +139,12 @@ def _find_matches(
             rng = range(lo, min(lo + 1, hi))
         else:
             rng = range(lo, hi)
-        ctx = MatchContext(rows, list(outer)) if st.iter_predicates else None
-        return not any(st.accepts(rows[i], ctx) for i in rng)
+        if st.iter_predicates:
+            return not any(
+                st.accepts(rows[i], MatchContext(rows, list(outer), cur=i))
+                for i in rng
+            )
+        return not any(st.accepts(rows[i]) for i in rng)
 
     def backtrack(si: int, start_i: int, first_time: float | None, acc):
         if si == len(stages):
@@ -219,8 +223,9 @@ def _find_matches(
             neg = stages[si]
             j = last + 1
             hi = min(j + 1, n) if neg.contiguity == "next" else n
-            nctx = MatchContext(rows, list(prefix)) if neg.iter_predicates else None
+            needs_nctx = bool(neg.iter_predicates)
             while j < hi and in_window(j):
+                nctx = MatchContext(rows, list(prefix), cur=j) if needs_nctx else None
                 if neg.accepts(rows[j], nctx):
                     return False  # guard fired in-window: run killed
                 j += 1
@@ -228,7 +233,7 @@ def _find_matches(
         if si < len(stages) and stages[si].contiguity == "next":
             j = last + 1
             sctx = (
-                MatchContext(rows, list(prefix))
+                MatchContext(rows, list(prefix), cur=j)
                 if stages[si].iter_predicates
                 else None
             )
@@ -242,7 +247,7 @@ def _find_matches(
             return
         next_i = None  # scan-advance override from the after-match skip
         matched_here = False
-        ctx0 = MatchContext(rows, []) if stages[0].iter_predicates else None
+        ctx0 = MatchContext(rows, [], cur=i) if stages[0].iter_predicates else None
         if stages[0].accepts(rows[i], ctx0):
             for m in backtrack(0, i, None, []):
                 matched_here = True

@@ -36,11 +36,12 @@ class MatchContext:
     that stage's condition sees the previous occurrence — the SQL
     MATCH_RECOGNIZE running-navigation semantics too."""
 
-    __slots__ = ("_rows", "_bindings")
+    __slots__ = ("_rows", "_bindings", "_cur")
 
-    def __init__(self, rows, bindings):
+    def __init__(self, rows, bindings, cur=None):
         self._rows = rows
         self._bindings = bindings  # list[(stage_name, row_index)] in match order
+        self._cur = cur  # index of the row under evaluation (PREV/NEXT base)
 
     def events_for(self, stage: str):
         return [self._rows[i] for s, i in self._bindings if s == stage]
@@ -55,6 +56,14 @@ class MatchContext:
                     return self._rows[i].get(col)
                 seen += 1
         return None
+
+    def prev(self, col: str, offset: int = 1):
+        """PREV(col[, offset]): the physical row ``offset`` positions
+        before the one under evaluation, symbol-blind (SQL standard /
+        Flink PREV); None off the partition edge."""
+        if self._cur is None or self._cur - offset < 0:
+            return None
+        return self._rows[self._cur - offset].get(col)
 
     def last(self, stage: str, col: str, offset: int = 0):
         """LAST(S.col[, offset]) navigation: the (offset+1)-th bound

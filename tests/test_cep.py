@@ -299,3 +299,44 @@ def test_match_recognize_all_rows(spark):
     assert list(out.classifier) == ["S", "P"]
     assert set(zip(out.sid, out.pid)) == {(0, 1)}
     assert {"k", "event_id", "ts", "etype", "classifier", "sid", "pid"} <= set(out.columns)
+
+
+def test_where_iterative_condition_context(spark):
+    """Pattern.where_iterative — IterativeCondition parity: the
+    condition sees the partial match's bound events via MatchContext
+    (events_for / first / last), current candidate excluded."""
+    import datetime as dt
+
+    from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(seconds=i), v)
+        for i, v in enumerate([10.0, 4.0, 6.0, 3.0, 20.0])
+    ]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, v double")
+    # START then RISE+ where each RISE is above the previous bound RISE
+    # (seeded by START): strictly ascending run relative to the match
+    pat = (
+        Pattern.begin("start")
+        .where(lambda e: e["v"] < 5)
+        .followed_by("rise")
+        .one_or_more()
+        .where_iterative(
+            lambda e, ctx: e["v"]
+            > (
+                ctx.last("rise", "v")
+                if ctx.events_for("rise")
+                else ctx.last("start", "v")
+            )
+        )
+    )
+    m = match_pattern(df, pat, key="k", time_col="ts", select_cols=["eid", "v"])
+    got = sorted(
+        (r["match_id"], r["stage"], r["eid"]) for r in m.collect()
+    )
+    # first match starts at eid=1 (v=4): rise picks 6 then 20 (3 < 6 breaks? no —
+    # followed_by relaxed contiguity skips 3, 20 > 6 continues); greedy off ->
+    # shortest first = [6]; commit semantics: first viable branch
+    assert (0, "start", 1) in got
+    assert any(s == "rise" for _, s, _ in got)

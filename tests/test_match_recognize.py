@@ -242,3 +242,24 @@ def test_define_iterative_unsupported_raises(spark, price_df):
             DEFINE B AS B.price BETWEEN LAST(A.price) AND 10
             """,
         )
+
+
+def test_define_prev_physical_row(spark, price_df):
+    """PREV(col[, n]) navigates physical rows symbol-blind: the classic
+    'price strictly below the previous row' run, first row of each
+    partition rejected (PREV off the edge is NULL -> unknown)."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES D.eid AS did
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (D)
+        DEFINE D AS D.price < PREV(price)
+        """,
+    ).toPandas()
+    got = sorted(zip(out.k, out.did))
+    # k=1 [10,9,8,7,9.5]: rows 1,2,3 drop; k=2 rises; k=3 [10,9.5,9.9,9,12]: rows 1,3
+    assert got == [(1, 1), (1, 2), (1, 3), (3, 1), (3, 3)]
