@@ -201,3 +201,57 @@ def pack_sequences(
         .withColumn("seq_offset", F.col("__start") % seq_len)
         .drop("__start")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    temperature: float,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-mixing
+    rule of Lample & Conneau 2019 / mT5, Xue et al. 2021): source s with
+    share p_s is sampled proportionally to ``p_s ** (1/temperature)``,
+    flattening the source distribution as temperature grows.
+
+    This is the SUBSAMPLING form: per-source acceptance fraction
+    ``f_s = (q_s * N_total) / n_s`` capped at 1 (down-samples
+    over-represented sources toward the tempered mixture; never
+    up-samples), applied as the deterministic md5-prefix draw of
+    ``hash_split`` — so the result is engine-reproducible, and the
+    accepted set for a source is a SUBSET of the accepted set for any
+    smaller temperature (nested draws, same hash order).
+
+    Scale: one aggregate over the source column (k rows, broadcast back
+    as a literal-free join of a tiny table) + a map-only filter; the
+    corpus itself never shuffles.  Returns the accepted rows plus
+    ``accept_frac``.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    inv_t = 1.0 / float(temperature)
+    tot = Window.partitionBy()
+    # NB: Spark resolves column names case-INSENSITIVELY by default, so
+    # the total must not be spelled "__N" next to "__n"
+    stats = (
+        counts.withColumn("__total", F.sum("__n").over(tot))
+        .withColumn("__w", F.pow(F.col("__n") / F.col("__total"), F.lit(inv_t)))
+        .withColumn("__q", F.col("__w") / F.sum("__w").over(tot))
+        .select(
+            source_col,
+            F.least(
+                F.col("__q") * F.col("__total") / F.col("__n"), F.lit(1.0)
+            ).alias("accept_frac"),
+        )
+    )
+    # the md5-prefix draw compared NUMERICALLY (conv of the 8-hex prefix)
+    # so the threshold can be a computed column, not a precomputed literal
+    draw = F.conv(F.substring(hash_key(F.col(id_col), salt), 1, 8), 16, 10).cast(
+        "double"
+    )
+    return (
+        df.join(F.broadcast(stats), source_col)
+        .filter(draw < F.col("accept_frac") * F.lit(float(16**8)))
+    )

@@ -218,3 +218,19 @@ def decontaminate(df, benchmark, id_col: str, text_col: str,
         .withColumn("contaminated", F.coalesce(F.col("__contaminated"), F.lit(False)))
         .drop("__contaminated")
     )
+
+
+def dedup_lines(text: Column) -> Column:
+    """Within-document line dedup (the REMOVAL counterpart of the
+    Gopher dup_line_frac signal, Rae et al. 2021): keep each trimmed
+    non-empty line's FIRST occurrence, drop later repeats, rejoin with
+    newlines.  Boilerplate headers/footers repeated inside a page
+    collapse to one copy.
+
+    Pure Column math (split/filter with index/array_join — JVM,
+    map-only, no shuffle); O(lines^2) per document, bounded by document
+    size, never by corpus size.
+    """
+    ls = lines(text)
+    kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + 1)
+    return F.array_join(kept, "\n")

@@ -576,3 +576,66 @@ def sample_exact_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "sample_temperature_resample",
+    oracle="""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         tot AS (SELECT sum(n)::DOUBLE AS total_n FROM counts),
+         wt AS (SELECT source, n, (n / tot.total_n) ** (1.0 / 2.0) AS w,
+                       tot.total_n AS total_n
+               FROM counts, tot),
+         fr AS (SELECT source,
+                       least((w / sum(w) OVER ()) * total_n / n, 1.0) AS accept_frac
+                FROM wt)
+    SELECT d.doc_id, d.source, f.accept_frac
+    FROM documents d JOIN fr f USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+          < f.accept_frac * 4294967296.0
+    """,
+    doc="Temperature-based source re-weighting at T=2 (the multilingual "
+    "mixing rule of mT5/XLM: sample source s prop. to p_s^(1/T)) as "
+    "deterministic subsampling: per-source acceptance fraction "
+    "(q_s*N/n_s capped at 1) applied through the md5-prefix draw — one "
+    "tiny source aggregate + a broadcast join + a map-only filter; the "
+    "corpus never shuffles (operators/sampling.py:temperature_resample).",
+)
+def sample_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return smp.temperature_resample(d, "source", "doc_id", temperature=2.0).select(
+        "doc_id", "source", "accept_frac"
+    )
+
+
+@register(
+    "text_dedup_lines",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '\n'), s -> trim(s)),
+                         s -> s != '') AS ls
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ls) AS n_lines,
+           len(list_filter(ls, (x, i) -> list_position(ls, x) = i)) AS n_kept,
+           md5(array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
+               chr(10))) AS dedup_fp
+    FROM l
+    """,
+    doc="Within-document line dedup (removal counterpart of the Gopher "
+    "dup_line_frac signal): keep each line's first occurrence, drop "
+    "later repeats — map-only Column math, the boilerplate-collapse "
+    "scrub step (operators/text.py:dedup_lines).",
+)
+def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    deduped = tx.dedup_lines(t)
+    return d.select(
+        "doc_id",
+        F.size(tx.lines(t)).alias("n_lines"),
+        F.size(tx.lines(deduped)).alias("n_kept"),
+        F.md5(deduped).alias("dedup_fp"),
+    )

@@ -444,3 +444,38 @@ def test_ivf_gemm_equals_column_kernel_wide_queries(spark):
     bc = {key(r): r["cosine"] for r in b}
     for r in a:
         assert abs(r["cosine"] - bc[key(r)]) < 1e-9
+
+
+def test_temperature_resample_semantics(spark):
+    """T=1 is a no-op (accept everything); growing T flattens the
+    mixture (the dominant source loses share, never gains); accepted
+    sets are NESTED across temperatures (same hash order) — the
+    mT5/XLM temperature-sampling rule as deterministic subsampling."""
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def accepted(t):
+        out = smp.temperature_resample(df, "source", "doc_id", temperature=t)
+        return {r["doc_id"] for r in out.collect()}
+
+    a1, a2, a5 = accepted(1.0), accepted(2.0), accepted(5.0)
+    assert len(a1) == 1000, "T=1 must keep every row"
+    # the under-represented source is never dropped (frac capped at 1)
+    assert all(i in a2 for i in range(800, 1000))
+    # dominant source shrinks monotonically with T, and draws are nested
+    big2 = {i for i in a2 if i < 800}
+    big5 = {i for i in a5 if i < 800}
+    assert len(big5) < len(big2) < 800
+    assert big5 <= big2
+
+    with pytest.raises(ValueError, match="temperature"):
+        smp.temperature_resample(df, "source", "doc_id", temperature=0.0)
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [("header\nbody one\nheader\n\n  body two  \nbody one\nfooter",)],
+        "text string",
+    )
+    got = df.select(tx.dedup_lines(F.col("text")).alias("t")).first()["t"]
+    assert got == "header\nbody one\nbody two\nfooter"
