@@ -487,3 +487,198 @@ def ivf_topk_gemm(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 3,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training (Jegou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m`` subvectors, k-means each subspace independently,
+    code every vector as its per-subspace nearest-centroid ids.
+
+    Returns ``(codes, codebooks)``: codes = (id, codes array<int>[m]),
+    codebooks = (subspace, cluster, centroid array<double>).  Memory:
+    m log2(k) bits per vector (m=8, k=16 -> 4 bytes) — the compression
+    that makes a 100 TB embedding index fit in RAM for ADC serving.
+
+    Spark-first design: ALL m subspaces train in ONE plan — vectors
+    explode to (id, subspace, subvec) rows, every Lloyd iteration is a
+    single broadcast-join assign + one partial-aggregated groupBy over
+    (subspace, cluster, pos) cells; the corpus-derived subvector table
+    never reshuffles.  Deterministic init (k smallest xxhash64(id)
+    subvectors per subspace) and ties broken by cluster id, so training
+    is reproducible and the encoding step is oracle-checkable.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+
+    v = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    subs = v.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("__v", j * sub_d + 1, sub_d).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("__id", "s.subspace", "s.sv")
+
+    init_w = Window.partitionBy("subspace").orderBy(F.xxhash64(F.col("__id")), "__id")
+    codebooks = (
+        subs.withColumn("__rn", F.row_number().over(init_w))
+        .filter(F.col("__rn") <= k)
+        .select("subspace", (F.col("__rn") - 1).alias("cluster"), F.col("sv").alias("centroid"))
+    )
+    codebooks = truncate_lineage(codebooks, checkpoint_dir=checkpoint_dir)
+
+    def sq_l2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w = Window.partitionBy("__id", "subspace").orderBy(F.asc("__d"), F.asc("cluster"))
+
+    def assign(cb: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cb), "subspace")
+            .select(
+                "__id", "subspace", "sv", "cluster",
+                sq_l2(F.col("sv"), F.col("centroid")).alias("__d"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "subspace", "sv", "cluster")
+        )
+
+    for _ in range(iterations):
+        codebooks = (
+            assign(codebooks)
+            .select("subspace", "cluster", F.posexplode("sv"))
+            .groupBy("subspace", "cluster", "pos")
+            .agg(F.avg("col").alias("c"))
+            .groupBy("subspace", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "subspace", "cluster",
+                F.transform("pc", lambda s: s["c"]).alias("centroid"),
+            )
+        )
+        codebooks = truncate_lineage(codebooks, checkpoint_dir=checkpoint_dir)
+
+    codes = (
+        assign(codebooks)
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cluster"))),
+                lambda s: s["cluster"],
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+    return codes, codebooks
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes
+    (Jegou et al. 2011 §IV): per query, precompute the m x k lookup
+    table of squared L2 distances from each query SUBVECTOR to each
+    codebook centroid; a candidate's approximate distance is then just
+    ``sum_j LUT[j, code_j]`` — m table lookups per candidate, never a
+    d-dimensional arithmetic op.
+
+    The query set and the m x k x (d/m) codebook are the bounded
+    broadcast sides; the big codes table is scanned once with numpy
+    fancy-indexing per Arrow batch (|Q| x m LUT gather + sum), local
+    top-k per partition (argpartition), final rank over P*k survivors.
+    Returns (query_id, neighbor_id, adc_dist, rank) — rank 1..k by
+    ascending ADC distance, neighbor_id tiebreak.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb_pdf = codebooks.orderBy("subspace", "cluster").toPandas()  # m*k rows, tiny
+    m = int(cb_pdf["subspace"].max()) + 1
+    n_clusters = int(cb_pdf["cluster"].max()) + 1
+    sub_d = len(cb_pdf["centroid"].iloc[0])
+    cb = np.zeros((m, n_clusters, sub_d))
+    for _, r in cb_pdf.iterrows():
+        cb[int(r["subspace"]), int(r["cluster"])] = np.asarray(r["centroid"])
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()  # bounded side by contract
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+    # LUT[q, j, c] = ||query_q subvec_j - centroid_{j,c}||^2
+    qsub = qmat.reshape(len(qids), m, sub_d)
+    lut = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    bc = codes.sparkSession.sparkContext.broadcast((qids, lut))
+
+    id_ddl = codes.schema[id_col].dataType.simpleString()
+    qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+    out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, adc_dist double"
+
+    def score(batches):
+        b_qids, b_lut = bc.value
+        j_idx = np.arange(b_lut.shape[1])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["__nid"].to_numpy()
+            cmat = np.stack(pdf["__codes"].to_numpy()).astype(np.int64)  # (batch, m)
+            # dists[q, row] = sum_j lut[q, j, codes[row, j]]
+            dists = b_lut[:, j_idx[None, :], cmat[:, :]].sum(axis=2)
+            if exclude_self:
+                dists[b_qids[:, None] == nids[None, :]] = np.inf
+            kk = min(k, dists.shape[1])
+            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(dists.shape[0]), kk)
+            cols = part.ravel()
+            vals = dists[rows, cols]
+            keep = vals < np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[rows[keep]],
+                    "neighbor_id": nids[cols[keep]],
+                    "adc_dist": vals[keep],
+                }
+            )
+
+    partial = codes.select(
+        F.col(id_col).alias("__nid"), F.col("codes").alias("__codes")
+    ).mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

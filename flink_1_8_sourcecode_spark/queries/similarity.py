@@ -195,3 +195,98 @@ def sim_topk_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", cluster_col="label",
         k=10, nprobe=3,
     )
+
+
+_PQ_CODEBOOK_EXPORT = "/tmp/spark_graft_pq_codebooks"
+
+# Shared oracle fragment: recompute every vector's PQ codes from the
+# exported codebooks (nearest centroid per subspace, squared L2,
+# cluster-id tiebreak) — the same conditioning pattern as the IVF
+# centroid oracle: training floats are exported, the ASSIGNMENT step is
+# recomputed independently and hash-checked.
+_PQ_CODES_CTE = f"""
+    cb AS (SELECT subspace, cluster, centroid::DOUBLE[] AS cv
+           FROM read_parquet('{_PQ_CODEBOOK_EXPORT}/*.parquet')),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sub AS (SELECT v.vec_id, cb.subspace, cb.cluster,
+                   list_sum(list_transform(range(1, 9),
+                     i -> (e[cb.subspace * 8 + i] - cv[i])
+                        * (e[cb.subspace * 8 + i] - cv[i]))) AS d2
+            FROM v CROSS JOIN cb),
+    best AS (SELECT vec_id, subspace, cluster FROM (
+               SELECT vec_id, subspace, cluster,
+                      row_number() OVER (PARTITION BY vec_id, subspace
+                                         ORDER BY d2, cluster) AS rn
+               FROM sub) WHERE rn = 1),
+    codes AS (SELECT vec_id,
+                     string_agg(cluster::VARCHAR, '-' ORDER BY subspace) AS code
+              FROM best GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim_pq_train_encode",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id, code FROM codes
+    """,
+    doc="Product-quantization training + encoding (Jegou et al. 2011; "
+    "operators/similarity.py:pq_train): 8 subspaces x 16 centroids over "
+    "the 64-d embeddings, all subspaces trained in ONE Spark plan "
+    "(explode -> broadcast-assign -> partial-agg means per iteration).  "
+    "CODEBOOK-CONDITIONED oracle: the trained codebooks export to "
+    "parquet and DuckDB independently recomputes every vector's nearest "
+    "sub-centroid code string — the encoding step is hash-checked "
+    "exactly, mirroring sim_ivf_train_assign.",
+)
+def sim_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, codebooks = pq_train(emb, "vec_id", "embedding", m=8, k=16, iterations=2)
+    codebooks.write.mode("overwrite").parquet(_PQ_CODEBOOK_EXPORT)
+    return codes.select(
+        "vec_id", F.concat_ws("-", F.col("codes")).alias("code")
+    )
+
+
+@register(
+    "sim_pq_topk_adc",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 5),
+    lut AS (SELECT q.query_id, cb.subspace, cb.cluster,
+                   list_sum(list_transform(range(1, 9),
+                     i -> (q.e[cb.subspace * 8 + i] - cv[i])
+                        * (q.e[cb.subspace * 8 + i] - cv[i]))) AS d2
+            FROM q CROSS JOIN cb),
+    cand AS (SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d2) AS adc_dist
+             FROM best b
+             JOIN lut l ON l.subspace = b.subspace AND l.cluster = b.cluster
+             WHERE b.vec_id != l.query_id
+             GROUP BY l.query_id, b.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+    doc="Asymmetric-distance top-10 over PQ codes (Jegou et al. 2011 "
+    "SIV; operators/similarity.py:pq_topk_adc): per query an 8x16 "
+    "LUT of subvector-to-centroid distances broadcasts, each code "
+    "row's distance is 8 numpy gathers + a sum — the RAM-resident ANN "
+    "serving path at 100 TB (4-byte codes).  Oracle: given the "
+    "exported codebooks, DuckDB recomputes codes AND the exact ADC "
+    "ranking.",
+    bench=True,
+)
+def sim_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import pq_topk_adc, pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, codebooks = pq_train(emb, "vec_id", "embedding", m=8, k=16, iterations=2)
+    codebooks.write.mode("overwrite").parquet(_PQ_CODEBOOK_EXPORT)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk_adc(
+        codes, codebooks, queries, "vec_id", "embedding", "vec_id", k=10
+    )

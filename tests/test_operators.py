@@ -656,3 +656,44 @@ def test_reliable_checkpoint_knob(spark, tmp_path):
     assert dict(zip(ix_local.doc_id, ix_local["index"])) == dict(
         zip(ix_rel.doc_id, ix_rel["index"])
     )
+
+
+def test_pq_codes_shape_determinism_and_duplicate_retrieval(spark):
+    """PQ invariants: codes are m values in [0, k); training is
+    deterministic (same codes on re-run); an exact duplicate vector has
+    identical codes, hence ADC distance == the minimum over the corpus
+    — the planted duplicate must come back at rank 1."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.similarity import pq_topk_adc, pq_train
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(120, 16))
+    # ids 1000+i duplicate ids 0..19 exactly
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    rows += [(1000 + i, [float(x) for x in base[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    codes, cb = pq_train(df, "vec_id", "embedding", m=4, k=8, iterations=2)
+    pdf = codes.toPandas()
+    assert len(pdf) == 140
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in pdf.codes)
+    again = pq_train(df, "vec_id", "embedding", m=4, k=8, iterations=2)[0].toPandas()
+    assert {r.vec_id: list(r.codes) for r in pdf.itertuples()} == {
+        r.vec_id: list(r.codes) for r in again.itertuples()
+    }
+
+    by_id = {r.vec_id: tuple(r.codes) for r in pdf.itertuples()}
+    for i in range(20):
+        assert by_id[i] == by_id[1000 + i], "duplicates must share codes"
+
+    q = df.filter(F.col("vec_id") >= 1000)
+    top = pq_topk_adc(codes, cb, q, "vec_id", "embedding", "vec_id", k=3).toPandas()
+    r1 = top[top["rank"] == 1].set_index("query_id")
+    for i in range(20):
+        row = r1.loc[1000 + i]
+        # the duplicate's ADC distance is the corpus minimum (identical
+        # codes); rank-1 is the original unless another vector shares
+        # the same codes AND a smaller id — then dist still ties at min
+        assert row["adc_dist"] <= top[top.query_id == 1000 + i]["adc_dist"].min() + 1e-12
+        assert by_id[int(row["neighbor_id"])] == by_id[1000 + i]
