@@ -682,3 +682,130 @@ def pq_topk_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    cluster_col: str,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF + PQ composition — the IVFADC index of Jegou et al. 2011
+    §V (FAISS's workhorse): the coarse quantizer (per-cluster mean of
+    ``cluster_col``) prunes the corpus to each query's ``nprobe``
+    nearest clusters, and candidates inside probed clusters are scored
+    by PQ asymmetric distance over their ``codes`` — so the scan reads
+    ~nprobe/k_clusters of the corpus and each candidate costs m table
+    lookups on a 4-byte code instead of a d-dimensional op.  At 100 TB
+    this is THE architecture: coarse pruning bounds I/O, PQ bounds
+    memory, ADC bounds CPU.
+
+    ``codes``/``codebooks`` come from ``pq_train``.  The probe
+    assignment is driver-side over the collected centroid table (tiny
+    by construction) exactly as ``ivf_topk_gemm``; probed cluster ids
+    become a literal IN filter (partition-prunable on a
+    cluster-partitioned layout).  Returns (query_id, neighbor_id,
+    adc_dist, rank) — ascending ADC distance, neighbor-id tiebreak.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb_pdf = codebooks.orderBy("subspace", "cluster").toPandas()
+    m = int(cb_pdf["subspace"].max()) + 1
+    n_clusters = int(cb_pdf["cluster"].max()) + 1
+    sub_d = len(cb_pdf["centroid"].iloc[0])
+    cb = np.zeros((m, n_clusters, sub_d))
+    for _, r in cb_pdf.iterrows():
+        cb[int(r["subspace"]), int(r["cluster"])] = np.asarray(r["centroid"])
+
+    cent_pdf = (
+        corpus.select(
+            F.col(cluster_col).alias("cluster"),
+            F.posexplode(F.col(vec_col).cast("array<double>")),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg("col").alias("c"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cluster", F.transform("pc", lambda s: s["c"]).alias("cv"))
+        .toPandas()
+    )
+    coarse_ids = cent_pdf["cluster"].to_numpy()
+    coarse = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+
+    # coarse probe: nprobe nearest centroids by squared L2 (cluster-id
+    # tiebreak) — L2 matches the ADC metric, unlike ivf_topk's cosine
+    d2 = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cluster_to_qrows: dict = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((coarse_ids, d2[qi]))[:nprobe]
+        for ci in order:
+            cluster_to_qrows.setdefault(coarse_ids[ci], []).append(qi)
+    probed = sorted(cluster_to_qrows)
+
+    qsub = qmat.reshape(len(qids), m, sub_d)
+    lut = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (qids, lut, {c: np.asarray(r) for c, r in cluster_to_qrows.items()})
+    )
+
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+    out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, adc_dist double"
+
+    def score(batches):
+        b_qids, b_lut, b_map = bc.value
+        j_idx = np.arange(b_lut.shape[1])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cval, sub in pdf.groupby("__cl", sort=False):
+                qrows = b_map.get(cval)
+                if qrows is None:
+                    continue
+                nids = sub["__nid"].to_numpy()
+                cmat = np.stack(sub["__codes"].to_numpy()).astype(np.int64)
+                dists = b_lut[qrows][:, j_idx[None, :], cmat[:, :]].sum(axis=2)
+                if exclude_self:
+                    dists[b_qids[qrows][:, None] == nids[None, :]] = np.inf
+                kk = min(k, dists.shape[1])
+                part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
+                rows = np.repeat(np.arange(dists.shape[0]), kk)
+                cols = part.ravel()
+                vals = dists[rows, cols]
+                keep = vals < np.inf
+                yield pd.DataFrame(
+                    {
+                        "query_id": b_qids[qrows[rows[keep]]],
+                        "neighbor_id": nids[cols[keep]],
+                        "adc_dist": vals[keep],
+                    }
+                )
+
+    lst = [c.item() if hasattr(c, "item") else c for c in probed]
+    indexed = (
+        corpus.select(F.col(id_col).alias("__nid"), F.col(cluster_col).alias("__cl"))
+        .join(codes.select(F.col(id_col).alias("__nid"), F.col("codes").alias("__codes")), "__nid")
+        .filter(F.col("__cl").isin(lst))
+    )
+    partial = indexed.mapInPandas(score, out_ddl)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -290,3 +290,61 @@ def sim_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_adc(
         codes, codebooks, queries, "vec_id", "embedding", "vec_id", k=10
     )
+
+
+@register(
+    "sim_topk_ivfpq",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE},
+    vl AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT label AS cluster,
+                    list_transform(range(1, 65),
+                      i -> list_sum(list_transform(list(e), x -> x[i]))
+                           / count(*)) AS ce
+             FROM vl GROUP BY label),
+    q AS (SELECT vec_id AS query_id, e FROM vl WHERE vec_id < 5),
+    probes AS (SELECT query_id, cluster FROM (
+        SELECT q.query_id, cent.cluster,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(range(1, 65),
+                            i -> (q.e[i] - ce[i]) * (q.e[i] - ce[i]))),
+                          cent.cluster) AS pr
+        FROM q CROSS JOIN cent) WHERE pr <= 3),
+    lut AS (SELECT q.query_id, cb.subspace, cb.cluster,
+                   list_sum(list_transform(range(1, 9),
+                     i -> (q.e[cb.subspace * 8 + i] - cv[i])
+                        * (q.e[cb.subspace * 8 + i] - cv[i]))) AS d2
+            FROM q CROSS JOIN cb),
+    cand AS (SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.d2) AS adc_dist
+             FROM best b
+             JOIN vl ON vl.vec_id = b.vec_id
+             JOIN probes p ON p.cluster = vl.label
+             JOIN lut l ON l.query_id = p.query_id
+                       AND l.subspace = b.subspace AND l.cluster = b.cluster
+             WHERE b.vec_id != l.query_id
+             GROUP BY l.query_id, b.vec_id)
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+    doc="IVFADC (Jegou et al. 2011 SV — the FAISS IVF+PQ workhorse; "
+    "operators/similarity.py:ivfpq_topk): coarse label-centroid probes "
+    "(squared L2, nprobe=3) prune the scan to a literal IN filter, PQ "
+    "asymmetric distance scores candidates inside probed clusters — "
+    "coarse pruning bounds I/O, 4-byte codes bound memory, LUT "
+    "gathers bound CPU.  Oracle recomputes probes, codes, and the "
+    "exact ADC ranking from the exported codebooks.",
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import ivfpq_topk, pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, codebooks = pq_train(emb, "vec_id", "embedding", m=8, k=16, iterations=2)
+    codebooks.write.mode("overwrite").parquet(_PQ_CODEBOOK_EXPORT)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, queries, "vec_id", "embedding", "vec_id", cluster_col="label",
+        codes=codes, codebooks=codebooks, k=10, nprobe=3,
+    )
