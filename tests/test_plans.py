@@ -105,3 +105,18 @@ def test_lsh_reuses_signature_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1
+
+
+def test_pq_train_broadcast_assign_no_corpus_shuffle_join(spark):
+    """PQ training's assign step must broadcast the tiny codebook and
+    join it into the exploded subvector stream in place — a sort-merge
+    or cartesian there would shuffle the corpus-derived side every
+    Lloyd iteration."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.similarity import pq_train
+
+    emb = table(spark, SF_DIR, "embeddings")
+    codes, _cb = pq_train(emb, "vec_id", "embedding", m=8, k=16, iterations=1)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
