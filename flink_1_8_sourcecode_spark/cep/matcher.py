@@ -102,6 +102,14 @@ def _find_matches(
             while j < n:
                 if not within_ok(j, acc):
                     return
+                # Pattern.until stop condition: the loop stops expanding
+                # at the first matching event; runs already yielded
+                # (count >= times_min) stand, the stop event is not
+                # consumed (Pattern.java:219 semantics)
+                if st.until_predicates and any(
+                    p(rows[j]) for p in st.until_predicates
+                ):
+                    return
                 ctx = (
                     MatchContext(
                         rows, list(outer) + [(st.name, x) for x in acc], cur=j

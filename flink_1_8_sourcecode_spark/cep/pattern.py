@@ -84,6 +84,7 @@ class Stage:
     predicates: tuple[Predicate, ...] = ()
     or_predicates: tuple[Predicate, ...] = ()
     iter_predicates: tuple = ()  # (row, MatchContext) -> bool
+    until_predicates: tuple = ()  # loop stop condition (Pattern.until)
     times_min: int = 1
     times_max: int | None = 1  # None = unbounded (one_or_more)
     optional: bool = False
@@ -160,6 +161,20 @@ class Pattern:
 
     def or_where(self, pred: Predicate) -> "Pattern":
         return self._mod(or_predicates=self.stages[-1].or_predicates + (pred,))
+
+    def until(self, pred: Predicate) -> "Pattern":
+        """Pattern.until (Pattern.java:219): a STOP condition on a
+        looping pattern — once an event matching ``pred`` is reached
+        while expanding the loop, no further elements are accepted into
+        it (the stop event itself is never consumed by the loop).
+        Only meaningful on an unbounded quantifier, same as Flink."""
+        last = self.stages[-1]
+        if last.times_max is not None:
+            raise ValueError(
+                "until() applies to a looping pattern (one_or_more/"
+                "times_or_more), matching Flink's contract"
+            )
+        return self._mod(until_predicates=last.until_predicates + (pred,))
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
         return self._mod(times_min=n, times_max=m if m is not None else n)

@@ -340,3 +340,38 @@ def test_where_iterative_condition_context(spark):
     # shortest first = [6]; commit semantics: first viable branch
     assert (0, "start", 1) in got
     assert any(s == "rise" for _, s, _ in got)
+
+
+def test_pattern_until_stops_loop_expansion(spark):
+    """Pattern.until (Pattern.java:219): the looping stage stops
+    accepting elements at the first stop-condition event; shorter runs
+    already found stand, and the stop event is not consumed."""
+    import datetime as dt
+
+    from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 99.0, 4.0, 5.0]
+    rows = [(1, i, base + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, eid int, ts timestamp, v double")
+
+    pat = (
+        Pattern.begin("a")
+        .one_or_more()
+        .greedy()
+        .where(lambda e: e["v"] < 50)
+        .until(lambda e: e["v"] == 99.0)
+        .with_skip("skip_past_last")
+    )
+    m = match_pattern(df, pat, key="k", time_col="ts", select_cols=["eid"]).toPandas()
+    per_match = {
+        mid: sorted(g.eid) for mid, g in m.groupby("match_id")
+    }
+    # greedy run from eid 0 stops BEFORE the stop event at eid 3;
+    # skip_past_last resumes after eid 2 -> eid 3 is the stop event
+    # itself (v=99 fails where-pred anyway), then 4,5 form the next run
+    assert per_match[0] == [0, 1, 2]
+    assert per_match[1] == [4, 5]
+
+    with pytest.raises(ValueError, match="until"):
+        Pattern.begin("x").times(2).until(lambda e: True)
