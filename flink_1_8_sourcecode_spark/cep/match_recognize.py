@@ -60,9 +60,11 @@ class _Measure:
     symbol: str
     col: str | None
     alias: str
+    running: bool = False  # RUNNING vs FINAL semantics (ALL ROWS mode)
 
 
 _MEASURE_RE = re.compile(
+    r"(?:(?P<sem>RUNNING|FINAL)\s+)?"
     r"(?:(?P<nav>FIRST|LAST|COUNT)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
     r"|(?P<sym2>\w+)\.(?P<col2>\w+))\s+AS\s+(?P<alias>\w+)",
     re.IGNORECASE,
@@ -423,7 +425,8 @@ def match_recognize(
                 kind = "count"  # COUNT(S.col) counts non-null rows ~ rows
         else:
             kind, sym, col = "first", m.group("sym2"), m.group("col2")
-        measures.append(_Measure(kind, sym, col, m.group("alias")))
+        running = (m.group("sem") or "").upper() == "RUNNING"
+        measures.append(_Measure(kind, sym, col, m.group("alias"), running))
 
     # -- PATTERN -> Pattern (strict contiguity, per SQL standard) -----
     stages = []
@@ -556,17 +559,37 @@ def match_recognize(
 
     if all_rows:
         # one row per matched event: input columns + CLASSIFIER() +
-        # FINAL-semantics measures, computed over a per-match window (one
-        # exchange on (partition, match_id); no extra join)
+        # measures over a per-match window (one exchange on (partition,
+        # match_id); no extra join).  FINAL measures (default) see the
+        # whole match; RUNNING measures (SQL-standard per-row semantics,
+        # `RUNNING LAST(S.x)`) see only rows up to the current seq —
+        # the same sorted-collect over a running frame, no second
+        # exchange (both windows share the partition keys).
         from pyspark.sql import Window
 
         wm = Window.partitionBy(partition, "match_id")
+        wm_run = wm.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
         arr = F.array_sort(arr_of.over(wm))
+        arr_run = F.array_sort(arr_of.over(wm_run))
+
+        def per_measure():
+            out = []
+            for ms in measures:
+                src = arr_run if ms.running else arr
+                sub = F.filter(src, stage_filter(ms.symbol))
+                if ms.kind == "count":
+                    out.append(F.size(sub).alias(ms.alias))
+                elif ms.kind == "first":
+                    out.append(sub[0][ms.col].alias(ms.alias))
+                else:
+                    out.append(F.element_at(sub, -1)[ms.col].alias(ms.alias))
+            return out
+
         return matches.select(
             partition,
             *needed,
             F.col("stage").alias("classifier"),
-            *measure_exprs(arr),
+            *per_measure(),
         )
     return (
         matches.groupBy(F.col(partition), F.col("match_id"))

@@ -263,3 +263,26 @@ def test_define_prev_physical_row(spark, price_df):
     got = sorted(zip(out.k, out.did))
     # k=1 [10,9,8,7,9.5]: rows 1,2,3 drop; k=2 rises; k=3 [10,9.5,9.9,9,12]: rows 1,3
     assert got == [(1, 1), (1, 2), (1, 3), (3, 1), (3, 3)]
+
+
+def test_running_vs_final_measures_all_rows(spark, auth_df):
+    """ALL ROWS PER MATCH with RUNNING vs FINAL semantics: RUNNING
+    COUNT climbs row by row; FINAL repeats the match total (the SQL
+    standard's per-row navigation split the reference codegen also
+    implements, MatchCodeGenerator.scala)."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES RUNNING COUNT(A.*) AS n_run, FINAL COUNT(A.*) AS n_fin,
+                 RUNNING LAST(A.event_id) AS last_run
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{3})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas().sort_values("event_id")
+    assert list(out.n_run) == [1, 2, 3]
+    assert list(out.n_fin) == [3, 3, 3]
+    assert list(out.last_run) == [1, 2, 3]
