@@ -222,3 +222,106 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
         media.select("media_id", "meta", F.explode(idx).alias("frame_idx"))
         .filter(F.col("frame_idx") % every_nth == 0)
     )
+
+
+def _wav_decode(content: bytes) -> dict:
+    """Real audio decode for PCM WAV (RIFF/WAVE) — a pure-numpy parser
+    of the public format (fmt + data chunks, 8/16/32-bit integer PCM),
+    so the REAL audio path (container walk, sample reshape, signal
+    stats) executes even though audio libraries are absent here.
+    Returns sample_rate, n_channels, n_samples, duration_s, rms, peak
+    (rms/peak over samples normalized to [-1, 1])."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format {audio_format} (PCM only)")
+    dtype, scale = {
+        8: (np.uint8, 128.0),
+        16: (np.int16, 32768.0),
+        32: (np.int32, 2147483648.0),
+    }.get(bits, (None, None))
+    if dtype is None:
+        raise ValueError(f"unsupported PCM width {bits}")
+    samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
+    if bits == 8:
+        samples -= 128.0  # 8-bit WAV is unsigned
+    samples /= scale
+    n_frames = len(samples) // n_channels
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_s": n_frames / sample_rate if sample_rate else 0.0,
+        "rms": float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
+        "peak": float(np.abs(samples).max()) if len(samples) else 0.0,
+    }
+
+
+def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Inverse of ``_wav_decode`` for tests/fixtures: float array in
+    [-1, 1] -> 16-bit PCM WAV bytes."""
+    import numpy as np
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio decode + signal stats over mapInPandas (Arrow batches):
+    the built-in numpy RIFF/WAVE parser runs per payload (a REAL codec,
+    like the strict PPM image path), yielding (media_id, sample_rate,
+    n_channels, n_samples, duration_s, rms, peak).  Non-WAV payloads
+    raise readably — never a silent fake on the audio path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(lambda b: _wav_decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_s": [f["duration_s"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "peak": [f["peak"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, sample_rate int, n_channels int, n_samples long, "
+        "duration_s double, rms double, peak double",
+    )

@@ -697,3 +697,41 @@ def test_pq_codes_shape_determinism_and_duplicate_retrieval(spark):
         # the same codes AND a smaller id — then dist still ties at min
         assert row["adc_dist"] <= top[top.query_id == 1000 + i]["adc_dist"].min() + 1e-12
         assert by_id[int(row["neighbor_id"])] == by_id[1000 + i]
+
+
+def test_wav_audio_features_ground_truth(spark):
+    """The built-in RIFF/WAVE parser is a REAL codec: a synthesized
+    sine's RMS is amplitude/sqrt(2), duration and rate parse exactly,
+    stereo interleave counts frames (not raw samples), and non-WAV
+    payloads raise readably."""
+    import math
+
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        _wav_decode,
+        audio_features,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t / rate)
+    stereo = np.empty(2 * rate)
+    stereo[0::2] = sine
+    stereo[1::2] = sine
+    rows = [
+        (1, bytearray(encode_wav(sine, rate))),
+        (2, bytearray(encode_wav(stereo, rate, n_channels=2))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    for mid, ch in ((1, 1), (2, 2)):
+        r = got[mid]
+        assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (rate, ch, rate)
+        assert abs(r["duration_s"] - 1.0) < 1e-9
+        assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+        assert abs(r["peak"] - 0.5) < 1e-3
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _wav_decode(b"not audio")
