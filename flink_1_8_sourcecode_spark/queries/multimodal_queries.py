@@ -107,3 +107,64 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(_media(spark, sf_dir), max_side=128).select(
         "media_id", "target_width", "target_height"
     )
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+    WITH src AS (SELECT doc_id AS media_id,
+                        (doc_id % 100) / 128.0 AS amp,
+                        1000 + (doc_id % 50)::INT AS n
+                 FROM documents),
+         q AS (SELECT media_id, n,
+                      -- encode truncates toward zero into int16
+                      -- (astype), decode normalizes by 32768
+                      trunc(amp * 32767.0) / 32768.0 AS qa
+               FROM src)
+    SELECT media_id,
+           8000 AS sample_rate,
+           n::BIGINT AS n_samples,
+           n / 8000.0 AS duration_s,
+           qa AS rms,
+           qa AS peak
+    FROM q
+    """,
+    doc="The REAL audio path end-to-end, hash-checked: per document a "
+    "constant-amplitude 16-bit PCM WAV is SYNTHESIZED (multimodal.py:"
+    "encode_wav), parsed back by the built-in RIFF/WAVE codec "
+    "(audio_features), and the signal stats must equal the closed form "
+    "— a constant signal's rms and peak are exactly its int16-quantized "
+    "amplitude, so DuckDB verifies the full encode->container-walk->"
+    "decode->stats pipeline without any audio library (including the "
+    "exact int16 truncate-encode / 32768-normalize-decode arithmetic).",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        encode_wav(
+                            np.full(1000 + int(i % 50), (i % 100) / 128.0), 8000
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_s", "rms", "peak"
+    )
