@@ -35,6 +35,10 @@ class Engine:
         # STREAMING source (the reference takes it from the source's
         # assigned watermarks; Structured Streaming needs it stated)
         self.mr_watermark_delay = mr_watermark_delay
+        # temporal table functions (Table.createTemporalTableFunction
+        # registered via registerFunction, TableEnvironment.scala) — the
+        # LATERAL TABLE SQL routing resolves names here
+        self._ttfs: dict = {}
 
     # --- catalog -----------------------------------------------------
     def register_testdata(self, sf_dir: str) -> None:
@@ -73,11 +77,98 @@ class Engine:
         and must not accumulate in the session catalog."""
         created: list[str] = []
         try:
+            query = self._route_lateral_temporal(query, created)
             query = self._route_match_recognize(query, created)
             return self.spark.sql(rewrite_flink_sql(query))
         finally:
             for view in created:
                 self.spark.catalog.dropTempView(view)
+
+    def register_temporal_table_function(self, name: str, ttf) -> None:
+        """registerFunction for a TemporalTableFunction
+        (TableEnvironment.scala registerFunction overload for
+        Table.createTemporalTableFunction results): makes
+        ``LATERAL TABLE (<name>(<probe>.<time_col>))`` resolvable in
+        ``sql``."""
+        self._ttfs[name.lower()] = ttf
+
+    _LATERAL_RE = re.compile(
+        r"FROM\s+(?P<tbl>\w+)\s+(?:AS\s+)?(?P<palias>\w+)\s*,\s*"
+        r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*"
+        r"(?:(?P<q>\w+)\.)?(?P<tcol>\w+)\s*\)\s*\)\s*(?:AS\s+)?(?P<ralias>\w+)?",
+        re.IGNORECASE,
+    )
+
+    def _route_lateral_temporal(self, query: str, created: list[str]) -> str:
+        """Route Flink 1.8's temporal-table-function SQL join —
+        ``FROM Orders [AS] o, LATERAL TABLE (rates(o.rowtime)) [AS] r``
+        (docs: temporal table joins; planner
+        DataStreamTemporalTableJoin / TemporalRowtimeJoin.scala) — by
+        splicing in the as-of join with INNER semantics (a probe with
+        no valid version emits nothing, exactly the empty-correlate
+        behavior of LATERAL TABLE).
+
+        Supported shape: the statement's FROM is exactly the pair
+        ``<table> <alias>, LATERAL TABLE (<ttf>(<alias>.<time_col>))
+        [<alias2>]``; the spliced view exposes the probe's columns, the
+        version payload, and the history key under ITS name (when that
+        name doesn't collide with a probe column), so both aliases'
+        qualified references keep resolving after the alias prefixes
+        are stripped.  Anything fancier raises readably."""
+        from flink_1_8_sourcecode_spark.operators.joins import temporal_join
+
+        while True:
+            masked = _mask_literals(query)
+            m = self._LATERAL_RE.search(masked)
+            if m is None:
+                if re.search(r"\bLATERAL\s+TABLE\b", masked, re.IGNORECASE):
+                    raise NotImplementedError(
+                        "LATERAL TABLE: supported shape is FROM <table> "
+                        "<alias>, LATERAL TABLE (<ttf>(<alias>.<time_col>)) "
+                        f"[<alias>] — cannot parse {query!r}"
+                    )
+                return query
+            fn = m.group("fn").lower()
+            ttf = self._ttfs.get(fn)
+            if ttf is None:
+                raise NotImplementedError(
+                    f"LATERAL TABLE: {m.group('fn')!r} is not a registered "
+                    "temporal table function "
+                    "(Engine.register_temporal_table_function)"
+                )
+            palias = m.group("palias")
+            if m.group("q") and m.group("q") != palias:
+                raise NotImplementedError(
+                    f"LATERAL TABLE: the time argument must be the probe "
+                    f"alias's column ({palias}.<col>), got "
+                    f"{m.group('q')}.{m.group('tcol')}"
+                )
+            probe = self.table(m.group("tbl"))
+            history = ttf.history
+            right_cols = [
+                c for c in history.columns if c not in (ttf.key, ttf.time_attr)
+            ]
+            if ttf.key not in probe.columns:
+                right_cols.append(ttf.key)  # expose r.<key> in the view
+            out = temporal_join(
+                probe, ttf, probe_time=m.group("tcol"),
+                right_cols=right_cols, how="inner",
+            )
+            digest = hashlib.md5(masked[m.start(): m.end()].encode()).hexdigest()[:8]
+            view = f"__tt_{digest}"
+            out.createOrReplaceTempView(view)
+            created.append(view)
+            query = query[: m.start()] + f"FROM {view}" + query[m.end():]
+            # strip the now-dangling alias qualifiers (literal-safe)
+            aliases = [palias] + ([m.group("ralias")] if m.group("ralias") else [])
+            alias_re = re.compile(
+                rf"\b({'|'.join(map(re.escape, aliases))})\.(\w+)"
+            )
+            parts = re.split(r"('(?:[^']|'')*')", query)
+            query = "".join(
+                p if i % 2 else alias_re.sub(r"\2", p)
+                for i, p in enumerate(parts)
+            )
 
     def _route_match_recognize(self, query: str, created: list[str]) -> str:
         from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize

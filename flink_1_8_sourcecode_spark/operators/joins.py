@@ -37,6 +37,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: float | None = None,
     time_buckets: float | None = None,
+    match_time_col: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` (or ``<`` when not allow_exact_match),
@@ -257,6 +258,11 @@ def asof_join(
     out = carried.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
     for c in right_cols:
         out = out.withColumn(c, F.col("__r")[c])
+    if match_time_col is not None:
+        # the matched version's own time — NULL iff no version matched,
+        # which is how callers distinguish a real NULL payload field
+        # from "no match" (e.g. the SQL temporal join's INNER semantics)
+        out = out.withColumn(match_time_col, F.col("__r.__rt"))
     return out.drop("__r")
 
 
@@ -282,18 +288,30 @@ def temporal_join(
     versioned: TemporalTableFunction,
     probe_time: str,
     right_cols: list[str] | None = None,
+    how: str = "left",
 ) -> DataFrame:
     """LATERAL TABLE (versioned(probe_time)) join: each probe row gets the
     version of the build side valid at its timestamp — implemented by the
-    as-of join (TemporalRowtimeJoin.scala:63 semantics)."""
-    return asof_join(
+    as-of join (TemporalRowtimeJoin.scala:63 semantics).
+
+    ``how="inner"`` drops probe rows with NO valid version — the
+    semantics of the reference's SQL temporal-table-function join (a
+    LATERAL TABLE of an empty correlate emits nothing); ``"left"`` is
+    the DataFrame-API default (NULL payload, merge_asof-style)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left/inner, got {how!r}")
+    out = asof_join(
         probe,
         versioned.history,
         on=versioned.key,
         left_time=probe_time,
         right_time=versioned.time_attr,
         right_cols=right_cols,
+        match_time_col="__match_t" if how == "inner" else None,
     )
+    if how == "inner":
+        out = out.filter(F.col("__match_t").isNotNull()).drop("__match_t")
+    return out
 
 
 def interval_join(

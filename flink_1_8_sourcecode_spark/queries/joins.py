@@ -294,6 +294,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_temporal_sql_lateral",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts AS c_ts, event_id
+               FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.c_ts <= p.ts
+    """,
+    doc="Flink 1.8 temporal-table-function SQL join routed through "
+    "Engine.sql: FROM purchases p, LATERAL TABLE (user_clicks(p.ts)) c "
+    "— registerFunction(createTemporalTableFunction) + the reference's "
+    "LATERAL TABLE syntax (TemporalRowtimeJoin.scala), INNER "
+    "semantics (probes with no prior version vanish, the "
+    "empty-correlate behavior).  Oracle: DuckDB ASOF (inner) JOIN.",
+)
+def join_temporal_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        create_temporal_table_function,
+    )
+
+    eng = Engine(spark)
+    ev = table(spark, sf_dir, "events")
+    eng.register(
+        "purchases",
+        ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    eng.register_temporal_table_function(
+        "user_clicks", create_temporal_table_function(clicks, "c_ts", "user_id")
+    )
+    return eng.sql(
+        """
+        SELECT p.event_id AS purchase_id, p.user_id, c.click_id
+        FROM purchases p, LATERAL TABLE (user_clicks(p.ts)) c
+        """
+    )
+
+
+@register(
     "join_asof_bucketed",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,

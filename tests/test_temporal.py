@@ -83,3 +83,42 @@ def test_asof_no_version_tearing_and_null_survives(spark):
     # v@50 is the match: a is legitimately NULL there, b is 'new_b'
     assert out.a is None
     assert out.b == "new_b"
+
+
+def test_sql_lateral_table_temporal_join(spark, rates, payments):
+    """Flink 1.8's temporal-table-function SQL form routed through
+    Engine.sql: FROM payments p, LATERAL TABLE (rates(p.pay_ts)) r —
+    INNER semantics (pid=4 has no valid rate version and must vanish,
+    the empty-correlate behavior), payload from the version valid at
+    each probe time."""
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("payments", payments)
+    ttf = create_temporal_table_function(rates, "rate_ts", "ccy")
+    eng.register_temporal_table_function("rates", ttf)
+    out = eng.sql(
+        """
+        SELECT p.pid, p.amount * r.rate AS converted
+        FROM payments p, LATERAL TABLE (rates(p.pay_ts)) r
+        """
+    ).toPandas()
+    got = dict(zip(out.pid, out.converted))
+    assert got == pytest.approx({1: 110.0, 2: 120.0, 3: 130.0, 5: 150.0})
+    assert 4 not in got  # no version before the first GBP rate -> inner drop
+    # splice views are parse-time scaffolding, dropped after resolution
+    assert not [v.name for v in spark.catalog.listTables()
+                if v.name.startswith("__tt_")]
+
+
+def test_sql_lateral_table_rejections(spark, rates, payments):
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("payments", payments)
+    with pytest.raises(NotImplementedError, match="not a registered"):
+        eng.sql("SELECT 1 FROM payments p, LATERAL TABLE (nope(p.pay_ts)) r")
+    ttf = create_temporal_table_function(rates, "rate_ts", "ccy")
+    eng.register_temporal_table_function("rates", ttf)
+    with pytest.raises(NotImplementedError, match="cannot parse"):
+        eng.sql("SELECT 1 FROM LATERAL TABLE (rates(x.t)) r")
