@@ -112,3 +112,92 @@ def test_stream_hop_equals_batch(spark, tmp_path):
         table(spark, SF_SMALL, "events"), "ts", "1 hour", "30 minutes", [], aggs
     ).toPandas()
     assert_frames_match(got, expected, name="stream_hop")
+
+
+def test_streaming_cep_state_recovers_across_restart(spark, tmp_path):
+    """Stateful CEP (applyInPandasWithState buffer + cursors) across a
+    checkpointed restart: the stream stops mid-input with OPEN partial
+    matches in state, more data arrives while it is down, and the
+    restarted query completes those matches from recovered state —
+    final output equals the batch matcher on the full input."""
+    from flink_1_8_sourcecode_spark.cep import Pattern, match_pattern
+    from flink_1_8_sourcecode_spark.cep.streaming import match_pattern_stream
+
+    src_dir = str(tmp_path / "cep_src")
+    ckpt = str(tmp_path / "cep_ckpt")
+    base = dt.datetime(2024, 1, 1)
+    # per user: signup at t, purchase 5 min later — the purchase of the
+    # LAST users arrives only in the second file, so their partials must
+    # survive the restart inside recovered state
+    rows1, rows2 = [], []
+    for u in range(40):
+        s_ts = base + dt.timedelta(minutes=u)
+        p_ts = s_ts + dt.timedelta(minutes=5)
+        rows1.append((2 * u, s_ts, u, "signup", 0.0, "{}"))
+        (rows1 if u < 20 else rows2).append((2 * u + 1, p_ts, u, "purchase", 0.0, "{}"))
+    # far-future sentinel closes every window at the very end
+    rows2.append((10**9, base + dt.timedelta(days=30), -1, "noop", 0.0, "{}"))
+    schema = sources.EVENTS_SCHEMA
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(
+        src_dir + "/f=1"
+    )
+
+    pat = (
+        Pattern.begin("s").where(lambda e: e["event_type"] == "signup")
+        .followed_by("p").where(lambda e: e["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+
+    out_dir = str(tmp_path / "cep_out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        out = match_pattern_stream(
+            stream, pat, key="user_id", time_col="ts",
+            select_cols=["event_id"], watermark_delay="45 minutes",
+            tiebreak="event_id",
+        )
+        return (
+            out.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt).start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        src_dir + "/f=2"
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    got = got[got.user_id >= 0]
+
+    batch_input = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") >= 0
+    )
+    want = match_pattern(
+        batch_input, pat, key="user_id", time_col="ts",
+        select_cols=["event_id"], tiebreak="event_id",
+    ).toPandas()
+
+    def norm(pdf):
+        return sorted(
+            (int(u), tuple(g.sort_values("seq").event_id))
+            for (u, _m), g in pdf.groupby(["user_id", "match_id"])
+        )
+
+    assert len(got) > 0
+    assert norm(got) == norm(want)
