@@ -39,6 +39,38 @@ def sort_partition(df: DataFrame, cols: list[Column | str]) -> DataFrame:
     return df.sortWithinPartitions(*cols)
 
 
+def partition_custom(
+    df: DataFrame, partition_fn, key_col: str, n: int
+) -> DataFrame:
+    """DataSet.partitionCustom(partitioner, key) parity
+    (DataSet.java:1340): rows are placed in EXACTLY the partition the
+    user function returns for their key — not a hash of it.
+
+    Spark's DataFrame API cannot request direct partition placement
+    (repartition hashes expressions), so this is the documented
+    RDD-boundary compat shim: key the rows, ``rdd.partitionBy`` with
+    the user partitioner, rebuild the DataFrame with the same schema.
+    It pays a serialization round-trip — use it ONLY when an algorithm
+    genuinely needs placement (e.g. locality-aligned writes); for
+    everything else ``repartition``/``repartitionByRange`` keep the
+    plan inside Catalyst.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    schema = df.schema
+    spark = df.sparkSession
+
+    def clamp(k):
+        p = int(partition_fn(k))
+        if not 0 <= p < n:
+            raise ValueError(f"partitioner returned {p} for key {k!r}, not in [0, {n})")
+        return p
+
+    keyed = df.rdd.map(lambda row: (row[key_col], row))
+    placed = keyed.partitionBy(n, clamp).values()
+    return spark.createDataFrame(placed, schema)
+
+
 def salted_keys(df: DataFrame, key: str, buckets: int) -> DataFrame:
     """Skew mitigation: append a salt column; join the other side against
     an exploded (key, salt) dimension.  AQE's skew-join handles most

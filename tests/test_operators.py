@@ -735,3 +735,22 @@ def test_wav_audio_features_ground_truth(spark):
 
     with pytest.raises(ValueError, match="RIFF"):
         _wav_decode(b"not audio")
+
+
+def test_partition_custom_exact_placement(spark):
+    """DataSet.partitionCustom parity: every row lands in EXACTLY the
+    partition the user function chose for its key (not a hash), and a
+    partitioner that points outside [0, n) fails loudly."""
+    from flink_1_8_sourcecode_spark.operators.partitioning import partition_custom
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k long, v string")
+    out = partition_custom(df, lambda k: int(k) % 3, "k", n=3)
+    placed = out.select("k", F.spark_partition_id().alias("p")).collect()
+    assert len(placed) == 40
+    for r in placed:
+        assert r["p"] == r["k"] % 3, r
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not in"):
+        partition_custom(df, lambda k: 99, "k", n=3).collect()
