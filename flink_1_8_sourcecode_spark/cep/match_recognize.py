@@ -254,19 +254,19 @@ def _nav(ctx, row, kind, sym, col, off, cur):
     return ctx.last(sym, col, off) if kind == "last" else ctx.first(sym, col, off)
 
 
-def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None):
-    """Transpile an iterative DEFINE condition into a Python
-    ``(row, ctx) -> bool`` predicate (the reference evaluates these as
-    IterativeCondition code, MatchCodeGenerator.scala).
+import operator as _op_mod
 
-    Supported surface: comparisons/arithmetic over ``S.col`` /
-    ``FIRST(S.col[, n])`` / ``LAST(S.col[, n])`` / bare columns /
-    literals, AND/OR/NOT, IS [NOT] NULL, parentheses.  Cross-symbol
-    ``A.col`` means ``LAST(A.col)`` per the SQL standard.  Anything
-    else raises readably instead of mis-evaluating.
-    """
-    out = []
-    pos = 0
+_CMP_OPS = {
+    "=": _op_mod.eq, "<>": _op_mod.ne, "!=": _op_mod.ne,
+    "<": _op_mod.lt, ">": _op_mod.gt, "<=": _op_mod.le, ">=": _op_mod.ge,
+}
+_ADD_OPS = {"+": _op_mod.add, "-": _op_mod.sub}
+_MUL_OPS = {"*": _op_mod.mul, "/": _op_mod.truediv, "%": _op_mod.mod}
+
+
+def _tokenize_define(cond: str):
+    """-> list of (kind, payload) tokens for the DEFINE mini-grammar."""
+    toks, pos = [], 0
     while pos < len(cond):
         m = _TOKEN_RE.match(cond, pos)
         if not m:
@@ -276,75 +276,241 @@ def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None)
             )
         pos = m.end()
         if m.group("ws"):
-            out.append(" ")
-        elif m.group("str"):
-            out.append(repr(m.group("str")[1:-1].replace("''", "'")))
+            continue
+        if m.group("str"):
+            toks.append(("lit", m.group("str")[1:-1].replace("''", "'")))
         elif m.group("nav"):
-            kind = m.group("navkind").lower()
-            nsym, ncol = m.group("navsym"), m.group("navcol")
-            off = int(m.group("navoff") or 0)
+            toks.append(
+                (
+                    "nav",
+                    (
+                        m.group("navkind").lower(),
+                        m.group("navsym"),
+                        m.group("navcol"),
+                        int(m.group("navoff") or 0),
+                    ),
+                )
+            )
+        elif m.group("prev"):
+            toks.append(("prev", (m.group("prevcol"), int(m.group("prevoff") or 1))))
+        elif m.group("num"):
+            n = m.group("num")
+            toks.append(("lit", float(n) if "." in n else int(n)))
+        elif m.group("qual"):
+            toks.append(("qual", (m.group("qsym"), m.group("qcol"))))
+        elif m.group("word"):
+            toks.append(("word", m.group("word")))
+        else:
+            toks.append(("op", m.group("op")))
+    return toks
+
+
+def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None):
+    """Compile an iterative DEFINE condition into a Python
+    ``(row, ctx) -> bool | None`` predicate (the reference evaluates
+    these as IterativeCondition code, MatchCodeGenerator.scala) — a
+    recursive-descent parser producing closure ASTs with SQL
+    THREE-VALUED LOGIC: a comparison against NULL (unbound navigation)
+    is UNKNOWN, and ``UNKNOWN OR TRUE = TRUE`` / ``NOT UNKNOWN =
+    UNKNOWN`` / etc. hold regardless of operand order, exactly as the
+    reference's generated null checks behave.
+
+    Supported surface: comparisons/arithmetic over ``S.col`` /
+    ``FIRST|LAST(S.col[, n])`` / ``PREV(col[, n])`` / bare columns /
+    literals, AND/OR/NOT, IS [NOT] NULL, parentheses.  Cross-symbol
+    ``A.col`` means ``LAST(A.col)`` per the SQL standard.  Anything
+    else raises readably instead of mis-evaluating.  The NFA gate
+    (Stage.accepts) treats a final UNKNOWN as reject, per the standard.
+    """
+    toks = _tokenize_define(cond)
+    i = [0]
+
+    def peek():
+        return toks[i[0]] if i[0] < len(toks) else (None, None)
+
+    def peek_word(*words):
+        k, p = peek()
+        return k == "word" and p.lower() in words
+
+    def take():
+        t = toks[i[0]]
+        i[0] += 1
+        return t
+
+    def expect_op(op):
+        k, p = peek()
+        if k == "op" and p == op:
+            take()
+            return
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE DEFINE: expected {op!r} near token {p!r} in {cond!r}"
+        )
+
+    def primary():
+        k, p = peek()
+        if k == "op" and p == "(":
+            take()
+            e = or_expr()
+            expect_op(")")
+            return e
+        if k == "op" and p == "-":
+            take()
+            inner = primary()
+            return lambda row, ctx: (
+                None if (v := inner(row, ctx)) is None else -v
+            )
+        if k == "lit":
+            take()
+            return lambda row, ctx, v=p: v
+        if k == "nav":
+            take()
+            kind, nsym, ncol, off = p
             if nsym not in symbols:
                 raise NotImplementedError(
                     f"MATCH_RECOGNIZE DEFINE: {kind.upper()}({nsym}.{ncol}) "
                     f"references unknown symbol {nsym!r}"
                 )
-            out.append(f"_nav(ctx, row, {kind!r}, {nsym!r}, {ncol!r}, {off}, {sym!r})")
-        elif m.group("prev"):
-            pcol = m.group("prevcol")
-            poff = int(m.group("prevoff") or 1)
-            out.append(f"ctx.prev({pcol!r}, {poff})")
-        elif m.group("num"):
-            out.append(m.group("num"))
-        elif m.group("qual"):
-            qsym, qcol = m.group("qsym"), m.group("qcol")
+            return lambda row, ctx: _nav(ctx, row, kind, nsym, ncol, off, sym)
+        if k == "prev":
+            take()
+            pcol, poff = p
+            return lambda row, ctx: ctx.prev(pcol, poff)
+        if k == "qual":
+            take()
+            qsym, qcol = p
             if qsym == sym or qsym not in symbols:
-                out.append(f"row[{qcol!r}]")
-            else:
-                # SQL standard: a cross-symbol reference navigates to the
-                # symbol's LAST bound row
-                out.append(f"_nav(ctx, row, 'last', {qsym!r}, {qcol!r}, 0, {sym!r})")
-        elif m.group("word"):
-            w = m.group("word")
-            lw = w.lower()
-            if lw in _WORD_MAP:
-                out.append(_WORD_MAP[lw])
-            elif lw == "is":
-                # IS [NOT] NULL — peek ahead
-                rest = cond[pos:]
-                mm = re.match(r"\s+NOT\s+NULL\b", rest, re.IGNORECASE)
-                if mm:
-                    out.append(" is not None")
-                    pos += mm.end()
-                    continue
-                mm = re.match(r"\s+NULL\b", rest, re.IGNORECASE)
-                if mm:
-                    out.append(" is None")
-                    pos += mm.end()
-                    continue
+                return lambda row, ctx: row.get(qcol)
+            # SQL standard: a cross-symbol reference navigates to the
+            # symbol's LAST bound row
+            return lambda row, ctx: _nav(ctx, row, "last", qsym, qcol, 0, sym)
+        if k == "word":
+            lw = p.lower()
+            if lw == "true":
+                take()
+                return lambda row, ctx: True
+            if lw == "false":
+                take()
+                return lambda row, ctx: False
+            if lw == "null":
+                take()
+                return lambda row, ctx: None
+            if lw in ("and", "or", "not", "is"):
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: misplaced {p!r} in {cond!r}"
+                )
+            if columns is not None and p not in columns:
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: {p!r} in iterative condition "
+                    f"{cond!r} is neither a column nor a supported keyword "
+                    "(supported: comparisons/arithmetic, AND/OR/NOT, "
+                    "IS [NOT] NULL, FIRST/LAST/PREV navigation)"
+                )
+            take()
+            return lambda row, ctx: row.get(p)
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE DEFINE: unexpected end/token {p!r} in {cond!r}"
+        )
+
+    def binary(sub, ops):
+        def parse():
+            left = sub()
+            while True:
+                k, p = peek()
+                if k == "op" and p in ops:
+                    take()
+                    fn = ops[p]
+                    lhs, rhs = left, sub()
+                    left = (
+                        lambda row, ctx, lhs=lhs, rhs=rhs, fn=fn: None
+                        if (a := lhs(row, ctx)) is None
+                        or (b := rhs(row, ctx)) is None
+                        else fn(a, b)
+                    )
+                else:
+                    return left
+        return parse
+
+    mul_expr = binary(primary, _MUL_OPS)
+    add_expr = binary(mul_expr, _ADD_OPS)
+
+    def cmp_expr():
+        left = add_expr()
+        k, p = peek()
+        if k == "word" and p.lower() == "is":
+            take()
+            negate = False
+            if peek_word("not"):
+                take()
+                negate = True
+            if not peek_word("null"):
                 raise NotImplementedError(
                     f"MATCH_RECOGNIZE DEFINE: IS must be followed by [NOT] NULL in {cond!r}"
                 )
-            elif columns is not None and w not in columns:
-                raise NotImplementedError(
-                    f"MATCH_RECOGNIZE DEFINE: {w!r} in iterative condition "
-                    f"{cond!r} is neither a column nor a supported keyword "
-                    "(supported: comparisons/arithmetic, AND/OR/NOT, "
-                    "IS [NOT] NULL, FIRST/LAST navigation)"
-                )
-            else:
-                out.append(f"row[{w!r}]")
-        else:
-            op = m.group("op")
-            out.append({"=": "==", "<>": "!="}.get(op, op))
-    expr = "".join(out)
-    code = compile(expr, f"<define {sym}>", "eval")
+            take()
+            return lambda row, ctx: (left(row, ctx) is None) != negate
+        if k == "op" and p in _CMP_OPS:
+            take()
+            fn = _CMP_OPS[p]
+            rhs = add_expr()
+            # comparison against NULL is UNKNOWN (None), never an error
+            return (
+                lambda row, ctx: None
+                if (a := left(row, ctx)) is None or (b := rhs(row, ctx)) is None
+                else bool(fn(a, b))
+            )
+        return left
 
-    def pred(row, ctx):
-        return bool(
-            eval(code, {"__builtins__": {}}, {"row": row, "ctx": ctx, "_nav": _nav})
+    def not_expr():
+        if peek_word("not"):
+            take()
+            inner = not_expr()
+            return lambda row, ctx: (
+                None if (v := inner(row, ctx)) is None else not v
+            )
+        return cmp_expr()
+
+    def and_expr():
+        left = not_expr()
+        while peek_word("and"):
+            take()
+            lhs, rhs = left, not_expr()
+
+            def _and(row, ctx, lhs=lhs, rhs=rhs):
+                a = lhs(row, ctx)
+                if a is False:
+                    return False
+                b = rhs(row, ctx)
+                if b is False:
+                    return False
+                return None if a is None or b is None else True
+
+            left = _and
+        return left
+
+    def or_expr():
+        left = and_expr()
+        while peek_word("or"):
+            take()
+            lhs, rhs = left, and_expr()
+
+            def _or(row, ctx, lhs=lhs, rhs=rhs):
+                a = lhs(row, ctx)
+                if a is True:
+                    return True
+                b = rhs(row, ctx)
+                if b is True:
+                    return True
+                return None if a is None or b is None else False
+
+            left = _or
+        return left
+
+    root = or_expr()
+    if i[0] != len(toks):
+        raise NotImplementedError(
+            f"MATCH_RECOGNIZE DEFINE: trailing tokens {toks[i[0]:]} in {cond!r}"
         )
-
-    return pred
+    return root
 
 
 def match_recognize(

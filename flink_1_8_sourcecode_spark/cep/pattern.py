@@ -96,10 +96,16 @@ class Stage:
     def accepts(self, row: dict[str, Any], ctx: "MatchContext | None" = None) -> bool:
         base = all(p(row) for p in self.predicates) if self.predicates else True
         if base and self.iter_predicates:
-            # SQL three-valued logic at the gate: a comparison against an
-            # unbound navigation (None) is unknown -> the row is rejected
+            # SQL three-valued logic at the gate: compiled MR conditions
+            # return True/False/None (UNKNOWN) and UNKNOWN rejects; the
+            # TypeError catch covers user where_iterative lambdas that
+            # compare a raw None navigation themselves
+            def ok(p) -> bool:
+                r = p(row, ctx)
+                return r is not None and bool(r)
+
             try:
-                base = all(p(row, ctx) for p in self.iter_predicates)
+                base = all(ok(p) for p in self.iter_predicates)
             except TypeError:
                 base = False
         if self.or_predicates:

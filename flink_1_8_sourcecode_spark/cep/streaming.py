@@ -106,7 +106,20 @@ def match_pattern_stream(
     timeout_schema = ", timed_out boolean" if emit_timeouts else ""
     if match_reducer is not None:
         out_schema = reduced_schema
-        out_cols = [f.strip().split()[0] for f in reduced_schema.split(",")]
+        # field-name extraction must respect nesting: decimal(10,2) /
+        # struct<...> / map<...> DDL contains commas of their own
+        out_cols = []
+        depth, cur = 0, []
+        for ch in reduced_schema + ",":
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out_cols.append("".join(cur).strip().split()[0])
+                cur = []
+            else:
+                cur.append(ch)
     else:
         out_schema = (
             f"{key} {key_t}, match_id long, stage string, seq int"

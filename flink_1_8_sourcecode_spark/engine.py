@@ -92,10 +92,17 @@ class Engine:
         ``sql``."""
         self._ttfs[name.lower()] = ttf
 
+    # the optional trailing alias must NOT swallow the next SQL keyword
+    # when the alias is omitted (e.g. "... (rates(p.ts)) WHERE x > 5")
+    _SQL_KEYWORDS = (
+        "WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|INTERSECT|EXCEPT|JOIN|ON|"
+        "LEFT|RIGHT|FULL|INNER|CROSS|MATCH_RECOGNIZE"
+    )
     _LATERAL_RE = re.compile(
         r"FROM\s+(?P<tbl>\w+)\s+(?:AS\s+)?(?P<palias>\w+)\s*,\s*"
         r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*"
-        r"(?:(?P<q>\w+)\.)?(?P<tcol>\w+)\s*\)\s*\)\s*(?:AS\s+)?(?P<ralias>\w+)?",
+        r"(?:(?P<q>\w+)\.)?(?P<tcol>\w+)\s*\)\s*\)"
+        rf"(?:\s+(?:AS\s+)?(?!(?:{_SQL_KEYWORDS})\b)(?P<ralias>\w+))?",
         re.IGNORECASE,
     )
 
@@ -148,6 +155,16 @@ class Engine:
             right_cols = [
                 c for c in history.columns if c not in (ttf.key, ttf.time_attr)
             ]
+            clash = sorted(set(right_cols) & set(probe.columns))
+            if clash:
+                # asof_join's withColumn would silently REPLACE the
+                # probe's column — refuse instead of returning wrong data
+                raise NotImplementedError(
+                    "LATERAL TABLE: version payload column(s) "
+                    f"{clash} collide with probe columns; rename one side "
+                    "(the spliced view is alias-free, so both sides' "
+                    "columns must be distinct)"
+                )
             if ttf.key not in probe.columns:
                 right_cols.append(ttf.key)  # expose r.<key> in the view
             out = temporal_join(

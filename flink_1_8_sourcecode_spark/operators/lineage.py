@@ -21,16 +21,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# SparkContext.setCheckpointDir stores an FS-qualified, UUID-suffixed
+# subpath, so getCheckpointDir() never equals the caller's raw string —
+# remember what WE installed per context instead of comparing against it
+_INSTALLED: dict[int, str] = {}
+
 
 def truncate_lineage(
     df: DataFrame, eager: bool = True, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """Cut ``df``'s lineage: reliable ``checkpoint`` when
     ``checkpoint_dir`` is set (the directory is installed on the
-    SparkContext on first use), else ``localCheckpoint``."""
+    SparkContext once per distinct value), else ``localCheckpoint``."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != checkpoint_dir:
+    if _INSTALLED.get(id(sc)) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        _INSTALLED[id(sc)] = checkpoint_dir
     return df.checkpoint(eager=eager)

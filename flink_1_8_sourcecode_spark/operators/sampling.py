@@ -251,7 +251,16 @@ def temperature_resample(
     draw = F.conv(F.substring(hash_key(F.col(id_col), salt), 1, 8), 16, 10).cast(
         "double"
     )
+    # null-safe join: a NULL source is a legitimate stratum (it was
+    # counted in the aggregate) and must keep its tempered fraction,
+    # not silently vanish to null-rejecting equality
+    stats = stats.select(
+        F.col(source_col).alias("__src_key"), "accept_frac"
+    )
     return (
-        df.join(F.broadcast(stats), source_col)
+        df.join(
+            F.broadcast(stats), F.col(source_col).eqNullSafe(F.col("__src_key"))
+        )
+        .drop("__src_key")
         .filter(draw < F.col("accept_frac") * F.lit(float(16**8)))
     )

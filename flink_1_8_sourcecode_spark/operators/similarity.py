@@ -411,20 +411,7 @@ def ivf_topk_gemm(
     qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
-    cent_pdf = (
-        corpus.select(
-            F.col(cluster_col).alias("cluster"),
-            F.posexplode(F.col(vec_col).cast("array<double>")),
-        )
-        .groupBy("cluster", "pos")
-        .agg(F.avg("col").alias("m"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
-        .toPandas()  # k x dim — tiny by construction
-    )
-    clusters = cent_pdf["cluster"].to_numpy()
-    cmat = np.stack(cent_pdf["c"].to_numpy()).astype(np.float64)
+    clusters, cmat = _coarse_centroids(corpus, cluster_col, vec_col)
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     csims = qnorm @ cnorm.T  # (|Q|, k_clusters)
 
@@ -597,6 +584,68 @@ def pq_train(
     return codes, codebooks
 
 
+def _load_codebooks(codebooks: DataFrame):
+    """Collect a pq_train codebook table into an (m, k, d/m) numpy array
+    — the shared bounded-side loader of every ADC scorer."""
+    import numpy as np
+
+    cb_pdf = codebooks.orderBy("subspace", "cluster").toPandas()  # m*k rows
+    m = int(cb_pdf["subspace"].max()) + 1
+    n_clusters = int(cb_pdf["cluster"].max()) + 1
+    sub_d = len(cb_pdf["centroid"].iloc[0])
+    cb = np.zeros((m, n_clusters, sub_d))
+    for _, r in cb_pdf.iterrows():
+        cb[int(r["subspace"]), int(r["cluster"])] = np.asarray(r["centroid"])
+    return cb, m, n_clusters, sub_d
+
+
+def _coarse_centroids(corpus: DataFrame, cluster_col: str, vec_col: str):
+    """Per-cluster mean vectors collected driver-side (tiny by
+    construction) — the shared coarse-quantizer loader of the IVF GEMM
+    and IVFADC paths.  Returns (cluster_ids ndarray, centroid matrix)."""
+    import numpy as np
+
+    cent_pdf = (
+        corpus.select(
+            F.col(cluster_col).alias("cluster"),
+            F.posexplode(F.col(vec_col).cast("array<double>")),
+        )
+        .groupBy("cluster", "pos")
+        .agg(F.avg("col").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        .toPandas()
+    )
+    ids = cent_pdf["cluster"].to_numpy()
+    mat = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def _local_topk_frame(dists, qids_sel, nids, k, ascending):
+    """Partition-local top-k emission shared by the GEMM/ADC scorers:
+    argpartition (O(n)) then keep the k best per query row; masked
+    entries (+-inf) drop out.  Returns a pandas frame of
+    (query_id, neighbor_id, score)."""
+    import numpy as np
+    import pandas as pd
+
+    kk = min(k, dists.shape[1])
+    key = dists if ascending else -dists
+    part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+    rows = np.repeat(np.arange(dists.shape[0]), kk)
+    cols = part.ravel()
+    vals = dists[rows, cols]
+    keep = (vals < np.inf) if ascending else (vals > -np.inf)
+    return pd.DataFrame(
+        {
+            "query_id": qids_sel[rows[keep]],
+            "neighbor_id": nids[cols[keep]],
+            "score": vals[keep],
+        }
+    )
+
+
 def pq_topk_adc(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -622,15 +671,8 @@ def pq_topk_adc(
     ascending ADC distance, neighbor_id tiebreak.
     """
     import numpy as np
-    import pandas as pd
 
-    cb_pdf = codebooks.orderBy("subspace", "cluster").toPandas()  # m*k rows, tiny
-    m = int(cb_pdf["subspace"].max()) + 1
-    n_clusters = int(cb_pdf["cluster"].max()) + 1
-    sub_d = len(cb_pdf["centroid"].iloc[0])
-    cb = np.zeros((m, n_clusters, sub_d))
-    for _, r in cb_pdf.iterrows():
-        cb[int(r["subspace"]), int(r["cluster"])] = np.asarray(r["centroid"])
+    cb, m, _n_clusters, sub_d = _load_codebooks(codebooks)
 
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -659,19 +701,8 @@ def pq_topk_adc(
             dists = b_lut[:, j_idx[None, :], cmat[:, :]].sum(axis=2)
             if exclude_self:
                 dists[b_qids[:, None] == nids[None, :]] = np.inf
-            kk = min(k, dists.shape[1])
-            part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(dists.shape[0]), kk)
-            cols = part.ravel()
-            vals = dists[rows, cols]
-            keep = vals < np.inf
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[rows[keep]],
-                    "neighbor_id": nids[cols[keep]],
-                    "adc_dist": vals[keep],
-                }
-            )
+            frame = _local_topk_frame(dists, b_qids, nids, k, ascending=True)
+            yield frame.rename(columns={"score": "adc_dist"})
 
     partial = codes.select(
         F.col(id_col).alias("__nid"), F.col("codes").alias("__codes")
@@ -715,30 +746,9 @@ def ivfpq_topk(
     adc_dist, rank) — ascending ADC distance, neighbor-id tiebreak.
     """
     import numpy as np
-    import pandas as pd
 
-    cb_pdf = codebooks.orderBy("subspace", "cluster").toPandas()
-    m = int(cb_pdf["subspace"].max()) + 1
-    n_clusters = int(cb_pdf["cluster"].max()) + 1
-    sub_d = len(cb_pdf["centroid"].iloc[0])
-    cb = np.zeros((m, n_clusters, sub_d))
-    for _, r in cb_pdf.iterrows():
-        cb[int(r["subspace"]), int(r["cluster"])] = np.asarray(r["centroid"])
-
-    cent_pdf = (
-        corpus.select(
-            F.col(cluster_col).alias("cluster"),
-            F.posexplode(F.col(vec_col).cast("array<double>")),
-        )
-        .groupBy("cluster", "pos")
-        .agg(F.avg("col").alias("c"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("cluster", F.transform("pc", lambda s: s["c"]).alias("cv"))
-        .toPandas()
-    )
-    coarse_ids = cent_pdf["cluster"].to_numpy()
-    coarse = np.stack(cent_pdf["cv"].to_numpy()).astype(np.float64)
+    cb, m, _n_clusters, sub_d = _load_codebooks(codebooks)
+    coarse_ids, coarse = _coarse_centroids(corpus, cluster_col, vec_col)
 
     q_pdf = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -782,19 +792,10 @@ def ivfpq_topk(
                 dists = b_lut[qrows][:, j_idx[None, :], cmat[:, :]].sum(axis=2)
                 if exclude_self:
                     dists[b_qids[qrows][:, None] == nids[None, :]] = np.inf
-                kk = min(k, dists.shape[1])
-                part = np.argpartition(dists, kk - 1, axis=1)[:, :kk]
-                rows = np.repeat(np.arange(dists.shape[0]), kk)
-                cols = part.ravel()
-                vals = dists[rows, cols]
-                keep = vals < np.inf
-                yield pd.DataFrame(
-                    {
-                        "query_id": b_qids[qrows[rows[keep]]],
-                        "neighbor_id": nids[cols[keep]],
-                        "adc_dist": vals[keep],
-                    }
+                frame = _local_topk_frame(
+                    dists, b_qids[qrows], nids, k, ascending=True
                 )
+                yield frame.rename(columns={"score": "adc_dist"})
 
     lst = [c.item() if hasattr(c, "item") else c for c in probed]
     indexed = (

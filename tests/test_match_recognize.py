@@ -286,3 +286,44 @@ def test_running_vs_final_measures_all_rows(spark, auth_df):
     assert list(out.n_run) == [1, 2, 3]
     assert list(out.n_fin) == [3, 3, 3]
     assert list(out.last_run) == [1, 2, 3]
+
+
+def test_define_three_valued_logic_or_with_unknown(spark, price_df):
+    """SQL 3VL in iterative DEFINE: UNKNOWN OR TRUE = TRUE regardless of
+    operand order (regression: a None comparison used to raise and
+    reject the whole row even when the other disjunct held), and
+    NOT UNKNOWN = UNKNOWN rejects."""
+    # LAST(B.price, 9) is always unbound (UNKNOWN comparison); the other
+    # disjunct selects eid == 2 rows — both operand orders must agree
+    for clause_pat in (
+        "B AS B.price > LAST(B.price, 9) OR B.eid = 2",
+        "B AS B.eid = 2 OR B.price > LAST(B.price, 9)",
+    ):
+        out = match_recognize(
+            price_df,
+            f"""
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES B.eid AS bid
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (B)
+            DEFINE {clause_pat}
+            """,
+        ).toPandas()
+        got = sorted(zip(out.k, out.bid))
+        assert got == [(1, 2), (2, 2), (3, 2)], (clause_pat, got)
+
+    # NOT over an unknown comparison stays unknown -> reject everything
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES B.eid AS bid
+        ONE ROW PER MATCH
+        PATTERN (B)
+        DEFINE B AS NOT (B.price > LAST(B.price, 9))
+        """,
+    ).toPandas()
+    assert len(out) == 0
