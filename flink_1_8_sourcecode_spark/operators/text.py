@@ -234,3 +234,68 @@ def dedup_lines(text: Column) -> Column:
     ls = lines(text)
     kept = F.filter(ls, lambda x, i: F.array_position(ls, x) == i + 1)
     return F.array_join(kept, "\n")
+
+
+URL_HOST_PATTERN = r"https?://([^/\s]+)"
+
+
+def url_hosts(text: Column) -> Column:
+    """Distinct lowercased hostnames of every http(s) URL in the text —
+    the per-document signal URL/domain filtering keys on (RefinedWeb-
+    style blocklist curation).  Map-only regexp, engine-portable."""
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(URL_HOST_PATTERN), 1),
+            lambda h: F.lower(h),
+        )
+    )
+
+
+def domain_blocklist_flag(
+    df, text_col: str, blocked_domains: list[str], flag_col: str = "blocked"
+):
+    """Flag documents containing a URL on a blocked domain (exact host
+    match OR a subdomain of a blocked domain) — the standard corpus
+    domain filter.  The blocklist is a literal array (broadcast-sized
+    by definition: a curated list, not data), so the whole check is one
+    map-only expression: no join, no shuffle, linear scan at 100 TB.
+    """
+    hosts = url_hosts(F.col(text_col))
+    blocked = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    hit = F.exists(
+        hosts,
+        lambda h: F.exists(
+            blocked, lambda b: (h == b) | h.endswith(F.concat(F.lit("."), b))
+        ),
+    )
+    return df.withColumn(flag_col, hit)
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the cheap perplexity proxy corpus filters use to
+    kill binary-ish / repeated-garbage text (low entropy) and random
+    noise (entropy near log2(alphabet)).
+
+    Pure Column math, map-only, no shuffle: per document, iterate the
+    DISTINCT characters (first-occurrence order — the same order
+    DuckDB's list_distinct walks, so the float sum is
+    order-identical in the oracle) and fold -p*log2(p) over exact
+    integer counts.  O(distinct_chars x doc_len) JVM work per doc,
+    bounded by the alphabet, never by the corpus.
+    """
+    chars = F.split(text, "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    return F.when(
+        n > 0,
+        F.aggregate(
+            distinct,
+            F.lit(0.0),
+            lambda acc, ch: acc
+            - (
+                F.size(F.filter(chars, lambda x: x == ch)) / n
+            )
+            * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / n),
+        ),
+    ).otherwise(F.lit(0.0))

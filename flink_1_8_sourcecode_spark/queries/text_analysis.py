@@ -206,3 +206,70 @@ def text_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return tx.repetition_stats(d, "doc_id", "text", k=2)
+
+
+@register(
+    "text_url_domain_filter",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               regexp_extract_all(text, 'https?://([^/\\s]+)', 1),
+               x -> lower(x))) AS hosts
+      FROM documents
+    )
+    SELECT doc_id,
+           len(hosts) AS n_hosts,
+           len(list_filter(hosts, h ->
+             h = 'spam.example' OR h LIKE '%.spam.example'
+             OR h = 'bad.io' OR h LIKE '%.bad.io')) > 0 AS blocked
+    FROM h
+    """,
+    doc="URL/domain blocklist filter (the RefinedWeb-style curation "
+    "step): extract every http(s) URL's lowercased host, flag docs "
+    "hitting a blocked domain or any subdomain of one — the blocklist "
+    "is a literal array, so the whole check is one map-only expression "
+    "(operators/text.py:url_hosts/domain_blocklist_flag).",
+)
+def text_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import (
+        domain_blocklist_flag,
+        url_hosts,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    flagged = domain_blocklist_flag(d, "text", ["spam.example", "bad.io"])
+    return flagged.select(
+        "doc_id",
+        F.size(url_hosts(F.col("text"))).alias("n_hosts"),
+        "blocked",
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) + 1), i -> text[i:i]) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(cs) > 0 THEN
+             list_sum(list_transform(list_distinct(cs), ch ->
+               -(len(list_filter(cs, x -> x = ch))::DOUBLE / len(cs))
+               * log2(len(list_filter(cs, x -> x = ch))::DOUBLE / len(cs))))
+           ELSE 0.0 END AS entropy
+    FROM c
+    """,
+    doc="Character-distribution Shannon entropy (bits/char) — the cheap "
+    "perplexity proxy that kills repeated-garbage (low) and random "
+    "noise (high) documents; distinct-char fold in first-occurrence "
+    "order so the float sum is order-identical across engines "
+    "(operators/text.py:char_entropy).",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import char_entropy
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", char_entropy(F.col("text")).alias("entropy"))

@@ -479,3 +479,35 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     )
     got = df.select(tx.dedup_lines(F.col("text")).alias("t")).first()["t"]
     assert got == "header\nbody one\nbody two\nfooter"
+
+
+def test_domain_blocklist_and_char_entropy_semantics(spark):
+    import math
+
+    from flink_1_8_sourcecode_spark.operators.text import (
+        char_entropy,
+        domain_blocklist_flag,
+        url_hosts,
+    )
+
+    rows = [
+        (1, "go to https://evil.SPAM.example/path now"),   # subdomain hit
+        (2, "see https://spam.example.org/x"),             # NOT blocked (different host)
+        (3, "plain http://bad.io and https://ok.org/z"),   # exact hit
+        (4, "no urls at all"),
+        (5, "aaaa"),                                       # zero entropy
+        (6, "abab"),                                       # exactly 1 bit/char
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           domain_blocklist_flag(df, "text", ["spam.example", "bad.io"])
+           .select("doc_id", "blocked",
+                   F.size(url_hosts(F.col("text"))).alias("nh"),
+                   char_entropy(F.col("text")).alias("ent")).collect()}
+    assert out[1]["blocked"] is True and out[1]["nh"] == 1
+    assert out[2]["blocked"] is False  # spam.example.org != *.spam.example
+    assert out[3]["blocked"] is True and out[3]["nh"] == 2
+    assert out[4]["blocked"] is False and out[4]["nh"] == 0
+    assert abs(out[5]["ent"] - 0.0) < 1e-12
+    assert abs(out[6]["ent"] - 1.0) < 1e-12
+    assert out[1]["ent"] > 3.0  # natural text sits well above garbage
