@@ -299,3 +299,48 @@ def char_entropy(text: Column) -> Column:
             * F.log2(F.size(F.filter(chars, lambda x: x == ch)) / n),
         ),
     ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int | None = None,
+):
+    """Split documents into fixed-size whitespace-token windows with
+    optional overlap — the chunking step RAG indexing and long-document
+    training prep run on every corpus.  ``stride`` defaults to
+    ``chunk_tokens`` (disjoint chunks); a smaller stride overlaps
+    neighbors.  The final partial window is kept (last chunk may be
+    short); empty docs yield no chunks.
+
+    Map-only Column math: tokenize once, ``sequence`` over window
+    starts, ``slice``+``array_join`` per chunk — one linear scan, no
+    shuffle, no Python.  Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # window starts 0, stride, 2*stride, ... while start < n
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )

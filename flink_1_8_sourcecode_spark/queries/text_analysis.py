@@ -273,3 +273,38 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", char_entropy(F.col("text")).alias("entropy"))
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > 0
+                  THEN range(0, len(toks), 96) ELSE [] END AS starts
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(starts) AS st,
+             generate_subscripts(starts, 1) - 1 AS chunk_idx
+      FROM s
+    )
+    SELECT doc_id, chunk_idx::INT AS chunk_idx,
+           array_to_string(toks[st + 1 : st + 128], ' ') AS chunk_text,
+           least(128, len(toks) - st)::INT AS n_tokens
+    FROM e
+    """,
+    doc="Document chunking for RAG/training prep: 128-token windows "
+    "with stride 96 (32-token overlap), final partial window kept — "
+    "one map-only tokenize + sequence-of-starts + slice per chunk "
+    "(operators/text.py:chunk_documents; no shuffle, no Python).",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=128, stride=96)

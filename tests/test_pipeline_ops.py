@@ -511,3 +511,27 @@ def test_domain_blocklist_and_char_entropy_semantics(spark):
     assert abs(out[5]["ent"] - 0.0) < 1e-12
     assert abs(out[6]["ent"] - 1.0) < 1e-12
     assert out[1]["ent"] > 3.0  # natural text sits well above garbage
+
+
+def test_chunk_documents_overlap_and_partials(spark):
+    """Chunking invariants: disjoint chunks reassemble the token
+    stream exactly; strided chunks overlap by chunk-stride tokens; the
+    final partial window is kept; empty docs yield nothing."""
+    from flink_1_8_sourcecode_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "   ")], "doc_id long, text string")
+
+    dis = chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect()
+    by_idx = {r["chunk_idx"]: r for r in dis if r["doc_id"] == 1}
+    assert [by_idx[i]["chunk_text"] for i in range(3)] == [
+        "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9",
+    ]
+    assert by_idx[2]["n_tokens"] == 2  # partial kept
+    assert not [r for r in dis if r["doc_id"] == 2]  # empty doc -> no chunks
+
+    ov = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=2).collect()
+    texts = [r["chunk_text"] for r in sorted(
+        (r for r in ov if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    assert texts[0] == "t0 t1 t2 t3" and texts[1] == "t2 t3 t4 t5"
+    assert texts[-1] == "t8 t9"
