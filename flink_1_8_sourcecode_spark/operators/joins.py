@@ -613,3 +613,24 @@ def _outer_unbounded_join(
         fn, out_schema, "lbuf binary, rbuf binary, meta binary", "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def join_with_tiny(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """DataSet.joinWithTiny(other) (DataSet.java:797): declare the
+    RIGHT side broadcast-small — Flink's BROADCAST_HASH_SECOND hint; in
+    Spark the same declaration is the broadcast() hint on that side
+    (AQE would often pick it from stats anyway; the hint pins it when
+    stats lie, e.g. post-filter selectivity)."""
+    return left.join(F.broadcast(right), on, how)
+
+
+def join_with_huge(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """DataSet.joinWithHuge(other) (DataSet.java:820): declare the
+    RIGHT side too big to broadcast — BROADCAST_HASH_FIRST in Flink; in
+    Spark, broadcast the LEFT side instead (and a shuffle-hash/merge
+    hint would be the full-repartition fallback)."""
+    return F.broadcast(left).join(right, on, how)

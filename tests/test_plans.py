@@ -120,3 +120,22 @@ def test_pq_train_broadcast_assign_no_corpus_shuffle_join(spark):
     plan = codes._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_with_tiny_huge_hint_sides(spark):
+    """joinWithTiny/joinWithHuge parity: the declared-small side is the
+    broadcast build side in the physical plan."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        join_with_huge,
+        join_with_tiny,
+    )
+
+    nation = table(spark, SF_DIR, "nation")
+    region = table(spark, SF_DIR, "region")
+    t = join_with_tiny(nation, region, nation.n_regionkey == region.r_regionkey)
+    pt = t._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pt and "BuildRight" in pt, pt[:600]
+    h = join_with_huge(region, nation, region.r_regionkey == nation.n_regionkey)
+    ph = h._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ph and "BuildLeft" in ph, ph[:600]
