@@ -330,3 +330,60 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Refine LSH CANDIDATE pairs with the MinHash Jaccard estimate —
+    the fraction of agreeing signature components, an unbiased
+    estimator of the true shingle-set Jaccard (Broder 1997).  The
+    thresholding step real pipelines run between LSH candidate
+    generation and cluster resolution: banding admits false positives
+    by design, the estimate kills them cheaply without touching the
+    original text pairs.
+
+    Plan: recompute the per-doc signature exactly as
+    ``minhash_lsh_pairs`` does (map-side partial mins; Catalyst shares
+    the subtree when both run in one plan), then ONE join of the pair
+    list against the signature table per side and a component-wise
+    ``zip_with`` agreement count — never an n^2 text comparison.
+    Returns (id_a, id_b, est_jaccard).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    )
+    base = F.conv(F.substring(F.md5(F.col("__s")), 1, 7), 16, 10).cast("long")
+    hashed = exploded.select("__id", base.alias("__b"))
+    sig = hashed.groupBy("__id").agg(
+        F.array(
+            *[
+                F.min(
+                    (F.lit(MINHASH_A[i]) * F.col("__b") + F.lit(MINHASH_B[i]))
+                    % MINHASH_P
+                )
+                for i in range(num_hashes)
+            ]
+        ).alias("__sig")
+    )
+    a = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    b = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )

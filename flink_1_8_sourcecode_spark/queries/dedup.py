@@ -374,3 +374,54 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, bench, "doc_id", "text", n=5).select(
         "doc_id", "contaminated"
     )
+
+
+def _jaccard_estimate_oracle() -> str:
+    from flink_1_8_sourcecode_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+    WITH pairs AS (
+      {_minhash_oracle()}
+    ), tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLE_DUCK} AS sh FROM tok
+    ), srow AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), basev AS (
+      SELECT doc_id, {" + ".join(f"(strpos('0123456789abcdef', md5(s)[{i + 1}]) - 1) * {16 ** (6 - i)}" for i in range(7))} AS b FROM srow
+    ), sig AS (
+      SELECT doc_id, {", ".join(f"min(({MINHASH_A[i]} * b + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}" for i in range(16))}
+      FROM basev GROUP BY doc_id
+    )
+    SELECT p.id_a, p.id_b, ({agree}) / 16.0 AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    """
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    oracle=_jaccard_estimate_oracle(),
+    doc="MinHash Jaccard estimation on the LSH candidate pairs (Broder "
+    "1997: agreeing-component fraction is an unbiased Jaccard "
+    "estimator) — the thresholding refinement between candidate "
+    "generation and cluster resolution that kills banding's false "
+    "positives without any text-pair comparison "
+    "(operators/dedup.py:minhash_jaccard_estimate).",
+)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import minhash_jaccard_estimate
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    return minhash_jaccard_estimate(d, pairs, "doc_id", "text")
