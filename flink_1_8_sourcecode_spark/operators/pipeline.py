@@ -33,6 +33,7 @@ def curate_corpus(
     budgets: dict[str, int] | None = None,
     default_budget: int = 0,
     neardup: bool = False,
+    neardup_min_jaccard: float | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training mixture + fixed holdout.
 
@@ -53,10 +54,16 @@ def curate_corpus(
        alternating-star transitive closure; only cluster keepers (min
        id) continue.  Real corpus prep chains this after the exact
        pass: boilerplate variants that differ by a few tokens collapse
-       too.  Cost: the LSH banded shuffle (whose two self-join branches
-       reuse ONE signature exchange, as the standalone op does), the
-       O(log n) closure rounds over the PAIR set (tiny relative to the
-       corpus), and a keeper semi-join on the id.
+       too.  ``neardup_min_jaccard`` additionally refines the candidate
+       pairs with the MinHash Jaccard estimate (Broder 1997 —
+       agreeing-signature fraction) and keeps only pairs at or above
+       the threshold, killing banding's false positives BEFORE the
+       closure merges clusters.  Cost: the LSH banded shuffle (whose
+       two self-join branches reuse ONE signature exchange, as the
+       standalone op does), optionally one signature join per pair
+       side for the estimate, the O(log n) closure rounds over the
+       PAIR set (tiny relative to the corpus), and a keeper semi-join
+       on the id.
     5. **Split** — md5-prefix draw: ``holdout_fraction`` of surviving
        docs become the fixed eval side; map-only.
     6. **Mix** — TRAIN docs only: per-source token budgets in
@@ -92,6 +99,16 @@ def curate_corpus(
         )
 
         pairs = minhash_lsh_pairs(out, id_col, text_col, num_hashes=16, bands=8)
+        if neardup_min_jaccard is not None:
+            from flink_1_8_sourcecode_spark.operators.dedup import (
+                minhash_jaccard_estimate,
+            )
+
+            pairs = minhash_jaccard_estimate(
+                out, pairs, id_col, text_col
+            ).filter(
+                F.col("est_jaccard") >= float(neardup_min_jaccard)
+            ).select("id_a", "id_b")
         keepers = (
             dedup_clusters(out, pairs, id_col=id_col)
             .filter(F.col("is_keeper"))

@@ -535,3 +535,26 @@ def test_chunk_documents_overlap_and_partials(spark):
         (r for r in ov if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
     assert texts[0] == "t0 t1 t2 t3" and texts[1] == "t2 t3 t4 t5"
     assert texts[-1] == "t8 t9"
+
+
+def test_curate_fuzzy_jaccard_threshold_monotone(spark):
+    """neardup_min_jaccard prunes candidate pairs before closure: a
+    higher threshold can only KEEP more documents (fewer merges), and
+    threshold 0 equals the unthresholded fuzzy pipeline."""
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_corpus
+
+    d = table(spark, SF_DIR, "documents")
+
+    def ids(**kw):
+        return {
+            r["doc_id"]
+            for r in curate_corpus(
+                d, lang=None, min_quality=0.0, budgets=None, neardup=True, **kw
+            ).collect()
+        }
+
+    base = ids()
+    t0 = ids(neardup_min_jaccard=0.0)
+    t_hi = ids(neardup_min_jaccard=0.95)
+    assert t0 == base
+    assert base <= t_hi  # pruning pairs can only reduce merging
