@@ -153,3 +153,27 @@ def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "w_start", "cnt", "total")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming dedup-by-key (the reference's first-row-per-key "
+    "GroupAggProcessFunction pattern on a STREAM): events replayed as "
+    "micro-batches through dropDuplicatesWithinWatermark on (user_id, "
+    "event_type) — state for a key expires once the watermark passes "
+    "its event time plus the delay, bounding dedup state exactly like "
+    "Flink's idle-state retention.  The emitted key set must equal "
+    "batch DISTINCT.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _replayed_stream(spark, sf_dir, "dedup_wm_")
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = _run_to_table(out, "q_dedup_wm", state_partitions=4)
+    return spark.table(name).filter(F.col("user_id") >= 0).distinct()
