@@ -31,6 +31,7 @@ SECONDARY = (
     "sim_topk_gemm",
     "pipeline_curate_corpus",
     "pipeline_curate_corpus_fuzzy",
+    "sim_topk_ivfpq",
 )
 
 

@@ -139,3 +139,28 @@ def test_join_with_tiny_huge_hint_sides(spark):
     h = join_with_huge(region, nation, region.r_regionkey == nation.n_regionkey)
     ph = h._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in ph and "BuildLeft" in ph, ph[:600]
+
+
+def test_text_signal_ops_are_map_only(spark):
+    """The corpus text signals (entropy, URL filter, chunking, line
+    dedup) must stay map-only — a shuffle in any of them turns a
+    linear 100 TB scan into a repartition of the corpus."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.text import (
+        char_entropy,
+        chunk_documents,
+        dedup_lines,
+        domain_blocklist_flag,
+    )
+    from pyspark.sql import functions as F
+
+    d = table(spark, SF_DIR, "documents")
+    plans = {
+        "entropy": d.select(char_entropy(F.col("text"))),
+        "urls": domain_blocklist_flag(d, "text", ["x.example"]),
+        "chunks": chunk_documents(d, "doc_id", "text", 128, 96),
+        "dedup_lines": d.select(dedup_lines(F.col("text"))),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} must not shuffle:\n{plan[:800]}"
