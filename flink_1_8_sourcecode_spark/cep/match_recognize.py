@@ -20,7 +20,14 @@ Supported subset (documented):
   iterative grammar: comparisons/arithmetic, AND/OR/NOT,
   IS [NOT] NULL; anything else raises readably.
 - MEASURES FIRST(S.col) / LAST(S.col) / S.col (= FIRST) / COUNT(S.*)
-  AS alias
+  / COUNT(S.col) (non-null values) / SUM|AVG|MIN|MAX(S.col) AS alias —
+  the per-pattern-variable aggregates the reference code-generates
+  (MatchCodeGenerator.scala:42-69, AggregationPatternVariableFinder);
+  RUNNING forms apply in ALL ROWS mode; DEFINE conditions may use the
+  same aggregates with RUNNING semantics (current row included)
+- SUBSET U = (A, B): union variables — navigation and aggregates over
+  a subset see the merged rows of its component symbols
+  (DataStreamMatch.scala:38 ``subsets``)
 - ONE ROW PER MATCH (default) and ALL ROWS PER MATCH.  The reference's
   SQL planner rejects all-rows mode (DataStreamMatch.scala:182-183
   ``throw new TableException("All rows per match mode is not supported
@@ -56,19 +63,24 @@ from flink_1_8_sourcecode_spark.cep.pattern import Pattern, Stage
 
 @dataclass(frozen=True)
 class _Measure:
-    kind: str  # 'first' | 'last' | 'count'
+    kind: str  # 'first' | 'last' | 'count' | 'sum' | 'avg' | 'min' | 'max'
     symbol: str
     col: str | None
     alias: str
     running: bool = False  # RUNNING vs FINAL semantics (ALL ROWS mode)
 
 
+# per-pattern-variable aggregates (SUM/AVG/MIN/MAX/COUNT grouped by the
+# variable the argument is prefixed with) are the reference's
+# MatchCodeGenerator.scala:42-69 / AggregationPatternVariableFinder path
 _MEASURE_RE = re.compile(
     r"(?:(?P<sem>RUNNING|FINAL)\s+)?"
-    r"(?:(?P<nav>FIRST|LAST|COUNT)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
+    r"(?:(?P<nav>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
     r"|(?P<sym2>\w+)\.(?P<col2>\w+))\s+AS\s+(?P<alias>\w+)",
     re.IGNORECASE,
 )
+
+_AGG_KINDS = ("sum", "avg", "min", "max")
 
 _QUANT_RE = re.compile(r"(?P<sym>[A-Za-z_]\w*)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<rel>\?)?")
 
@@ -128,7 +140,7 @@ def _parse_sql_interval(text: str) -> float:
 
 def _parse_clause(text: str, name: str, required: bool = True) -> str | None:
     m = re.search(
-        rf"{name}\s+(.*?)(?=(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN|DEFINE|$))",
+        rf"{name}\s+(.*?)(?=(?:(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN|SUBSET|DEFINE)\b|$))",
         text,
         re.IGNORECASE | re.DOTALL,
     )
@@ -200,11 +212,12 @@ def _parse_pattern(pat: str) -> list[tuple[str, int, int | None, bool]]:
     return out
 
 
-_NAV_RE = re.compile(r"\b(FIRST|LAST|PREV)\s*\(", re.IGNORECASE)
+_NAV_RE = re.compile(r"\b(FIRST|LAST|PREV|SUM|AVG|MIN|MAX|COUNT)\s*\(", re.IGNORECASE)
 
 
 def _needs_iterative(cond: str, sym: str, symbols: set[str]) -> bool:
-    """A DEFINE condition is iterative when it navigates (FIRST/LAST) or
+    """A DEFINE condition is iterative when it navigates (FIRST/LAST),
+    aggregates over a pattern variable (SUM/AVG/MIN/MAX/COUNT), or
     references a DIFFERENT symbol's columns — those depend on the
     current partial match, not just the current row."""
     no_strings = re.sub(r"'(?:[^']|'')*'", "''", cond)
@@ -223,6 +236,7 @@ _TOKEN_RE = re.compile(
   | (?P<nav>(?P<navkind>FIRST|LAST)\s*\(\s*(?P<navsym>\w+)\.(?P<navcol>\w+)
         \s*(?:,\s*(?P<navoff>\d+)\s*)?\))
   | (?P<prev>PREV\s*\(\s*(?P<prevcol>\w+)\s*(?:,\s*(?P<prevoff>\d+)\s*)?\))
+  | (?P<agg>(?P<aggkind>SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(?P<aggsym>\w+)\.(?P<aggcol>\w+|\*)\s*\))
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<qual>(?P<qsym>\w+)\.(?P<qcol>\w+))
   | (?P<word>[A-Za-z_]\w*)
@@ -239,8 +253,13 @@ def _nav(ctx, row, kind, sym, col, off, cur):
     evaluates a candidate row, that row counts as the LAST row already
     mapped to ``cur`` (SQL standard running semantics) — whereas the
     underlying MatchContext (Flink IterativeCondition parity) holds
-    only previously-bound rows.  This shim re-bases the offsets."""
-    if sym == cur:
+    only previously-bound rows.  This shim re-bases the offsets.
+
+    ``sym`` may be a frozenset (a SUBSET union variable): the current
+    row participates when ``cur`` is one of its components, and
+    navigation merges the components' rows in match order."""
+    involved = (cur in sym) if isinstance(sym, frozenset) else (sym == cur)
+    if involved:
         if kind == "last":
             if off == 0:
                 return row.get(col)
@@ -252,6 +271,32 @@ def _nav(ctx, row, kind, sym, col, off, cur):
         # index n_bound in front-to-back order
         return row.get(col) if off == len(ctx.events_for(sym)) else None
     return ctx.last(sym, col, off) if kind == "last" else ctx.first(sym, col, off)
+
+
+def _agg_match(ctx, row, kind, sym, col, cur):
+    """Per-pattern-variable aggregate inside a DEFINE condition with SQL
+    RUNNING semantics (MatchCodeGenerator.scala:42-69): aggregate over
+    the rows currently bound to ``sym`` — the candidate row counts as
+    mapped to the symbol being defined (``cur``).  COUNT(S.*) counts
+    rows, COUNT(S.col) non-null values; SUM/AVG/MIN/MAX ignore NULLs
+    and return NULL (UNKNOWN upstream) over an empty/all-NULL set, per
+    standard SQL aggregate semantics."""
+    evs = ctx.events_for(sym)
+    involved = (cur in sym) if isinstance(sym, frozenset) else (sym == cur)
+    if involved:
+        evs = evs + [row]
+    if col is None:  # COUNT(S.*)
+        return len(evs)
+    vals = [v for r in evs if (v := r.get(col)) is not None]
+    if kind == "count":
+        return len(vals)
+    if not vals:
+        return None
+    if kind == "sum":
+        return sum(vals)
+    if kind == "avg":
+        return sum(vals) / len(vals)
+    return min(vals) if kind == "min" else max(vals)
 
 
 import operator as _op_mod
@@ -293,6 +338,18 @@ def _tokenize_define(cond: str):
             )
         elif m.group("prev"):
             toks.append(("prev", (m.group("prevcol"), int(m.group("prevoff") or 1))))
+        elif m.group("agg"):
+            col = m.group("aggcol")
+            toks.append(
+                (
+                    "agg",
+                    (
+                        m.group("aggkind").lower(),
+                        m.group("aggsym"),
+                        None if col == "*" else col,
+                    ),
+                )
+            )
         elif m.group("num"):
             n = m.group("num")
             toks.append(("lit", float(n) if "." in n else int(n)))
@@ -305,7 +362,9 @@ def _tokenize_define(cond: str):
     return toks
 
 
-def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None):
+def _compile_define_python(
+    cond: str, sym: str, symbols: set[str], columns=None, subsets=None
+):
     """Compile an iterative DEFINE condition into a Python
     ``(row, ctx) -> bool | None`` predicate (the reference evaluates
     these as IterativeCondition code, MatchCodeGenerator.scala) — a
@@ -316,12 +375,22 @@ def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None)
     reference's generated null checks behave.
 
     Supported surface: comparisons/arithmetic over ``S.col`` /
-    ``FIRST|LAST(S.col[, n])`` / ``PREV(col[, n])`` / bare columns /
-    literals, AND/OR/NOT, IS [NOT] NULL, parentheses.  Cross-symbol
-    ``A.col`` means ``LAST(A.col)`` per the SQL standard.  Anything
+    ``FIRST|LAST(S.col[, n])`` / ``PREV(col[, n])`` / per-variable
+    aggregates ``SUM|AVG|MIN|MAX|COUNT(S.col)`` and ``COUNT(S.*)``
+    (MatchCodeGenerator.scala:42-69 parity, RUNNING semantics) / bare
+    columns / literals, AND/OR/NOT, IS [NOT] NULL, parentheses.
+    Cross-symbol ``A.col`` means ``LAST(A.col)`` per the SQL standard;
+    symbol positions also accept SUBSET union variables.  Anything
     else raises readably instead of mis-evaluating.  The NFA gate
     (Stage.accepts) treats a final UNKNOWN as reject, per the standard.
     """
+    subsets = subsets or {}
+
+    def resolve(s: str):
+        # a SUBSET union variable navigates/aggregates over the merged
+        # rows of its component symbols
+        return subsets[s] if s in subsets else s
+
     toks = _tokenize_define(cond)
     i = [0]
 
@@ -365,12 +434,28 @@ def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None)
         if k == "nav":
             take()
             kind, nsym, ncol, off = p
-            if nsym not in symbols:
+            if nsym not in symbols and nsym not in subsets:
                 raise NotImplementedError(
                     f"MATCH_RECOGNIZE DEFINE: {kind.upper()}({nsym}.{ncol}) "
                     f"references unknown symbol {nsym!r}"
                 )
-            return lambda row, ctx: _nav(ctx, row, kind, nsym, ncol, off, sym)
+            nres = resolve(nsym)
+            return lambda row, ctx: _nav(ctx, row, kind, nres, ncol, off, sym)
+        if k == "agg":
+            take()
+            kind, asym, acol = p
+            if asym not in symbols and asym not in subsets:
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: {kind.upper()}({asym}.{acol or '*'}) "
+                    f"references unknown symbol {asym!r}"
+                )
+            if acol is None and kind != "count":
+                raise NotImplementedError(
+                    f"MATCH_RECOGNIZE DEFINE: {kind.upper()}({asym}.*) — "
+                    "only COUNT takes the .* argument"
+                )
+            ares = resolve(asym)
+            return lambda row, ctx: _agg_match(ctx, row, kind, ares, acol, sym)
         if k == "prev":
             take()
             pcol, poff = p
@@ -378,6 +463,9 @@ def _compile_define_python(cond: str, sym: str, symbols: set[str], columns=None)
         if k == "qual":
             take()
             qsym, qcol = p
+            if qsym in subsets:
+                qres = resolve(qsym)
+                return lambda row, ctx: _nav(ctx, row, "last", qres, qcol, 0, sym)
             if qsym == sym or qsym not in symbols:
                 return lambda row, ctx: row.get(qcol)
             # SQL standard: a cross-symbol reference navigates to the
@@ -562,17 +650,45 @@ def match_recognize(
             raise ValueError(f"bad DEFINE item: {item!r}")
         raw_defines[m.group(1)] = m.group(2).strip()
     symbols = set(raw_defines) | {sym for sym, *_ in parsed}
+
+    # -- SUBSET U = (A, B): union variables over component symbols ----
+    # (DataStreamMatch.scala:38 carries ``subsets`` from the parsed
+    # MatchRecognize RelNode into codegen; navigation/aggregates over a
+    # union variable see the merged rows of its components)
+    subsets: dict[str, frozenset[str]] = {}
+    subset_txt = _parse_clause(clause, "SUBSET", required=False)
+    if subset_txt:
+        for item in _split_top_level(subset_txt):
+            m = re.match(r"(\w+)\s*=\s*\(([^()]*)\)\s*$", item.strip())
+            if not m:
+                raise ValueError(f"bad SUBSET item: {item!r}")
+            name = m.group(1)
+            comps = [c.strip() for c in m.group(2).split(",") if c.strip()]
+            if name in symbols:
+                raise ValueError(
+                    f"SUBSET variable {name!r} collides with a pattern symbol"
+                )
+            unknown = [c for c in comps if c not in symbols]
+            if unknown or not comps:
+                raise ValueError(
+                    f"SUBSET {name} = ({', '.join(comps)}): components must "
+                    f"be pattern symbols; unknown: {unknown}"
+                )
+            subsets[name] = frozenset(comps)
+
     # row-local conditions evaluate JVM-side as boolean columns (one
     # F.expr each — whole-stage codegen); conditions that NAVIGATE
-    # (FIRST/LAST or a cross-symbol reference) depend on the current
-    # partial match and run as iterative Python predicates inside the
-    # NFA, exactly the reference's IterativeCondition split
+    # (FIRST/LAST or a cross-symbol reference) or AGGREGATE over a
+    # pattern variable depend on the current partial match and run as
+    # iterative Python predicates inside the NFA, exactly the
+    # reference's IterativeCondition split
     defines: dict[str, str] = {}
     iter_defines: dict = {}
+    symbols_ext = symbols | set(subsets)
     for sym, cond in raw_defines.items():
-        if _needs_iterative(cond, sym, symbols):
+        if _needs_iterative(cond, sym, symbols_ext):
             iter_defines[sym] = _compile_define_python(
-                cond, sym, symbols, columns=set(df.columns)
+                cond, sym, symbols, columns=set(df.columns), subsets=subsets
             )
         else:
             defines[sym] = _strip_symbol_prefixes(cond, symbols)
@@ -582,15 +698,26 @@ def match_recognize(
     for item in _split_top_level(measures_txt):
         m = _MEASURE_RE.fullmatch(item.strip())
         if not m:
-            raise ValueError(f"unsupported MEASURES item: {item!r}")
+            raise NotImplementedError(
+                f"unsupported MEASURES item: {item!r}; supported: "
+                "[RUNNING|FINAL] FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(S.col) "
+                "(COUNT also takes S.*), S.col, each AS alias"
+            )
         if m.group("nav"):
             kind = m.group("nav").lower()
             sym, col = m.group("sym1"), m.group("col1")
             col = None if col == "*" else col
-            if kind == "count" and col is not None:
-                kind = "count"  # COUNT(S.col) counts non-null rows ~ rows
+            if col is None and kind != "count":
+                raise NotImplementedError(
+                    f"unsupported MEASURES item: {item!r} — only COUNT "
+                    "takes the .* argument"
+                )
         else:
             kind, sym, col = "first", m.group("sym2"), m.group("col2")
+        if sym not in symbols and sym not in subsets:
+            raise ValueError(
+                f"MEASURES item {item!r} references unknown symbol {sym!r}"
+            )
         running = (m.group("sem") or "").upper() == "RUNNING"
         measures.append(_Measure(kind, sym, col, m.group("alias"), running))
 
@@ -667,6 +794,8 @@ def match_recognize(
         def _mtype(ms: _Measure) -> str:
             if ms.kind == "count":
                 return "int"  # batch path uses F.size -> int
+            if ms.kind in ("sum", "avg"):
+                return "double"  # batch path folds into a double
             return work.schema[ms.col].dataType.simpleString()
 
         reduced_schema = ", ".join(
@@ -677,13 +806,26 @@ def match_recognize(
         def reduce_match(kval, mrows):
             rec = {partition: kval}
             for ms in measures:
-                sub = [r for r in mrows if r["__stage"] == ms.symbol]
-                if ms.kind == "count":
+                comps = subsets.get(ms.symbol, (ms.symbol,))
+                sub = [r for r in mrows if r["__stage"] in comps]
+                if ms.kind == "count" and ms.col is None:
                     rec[ms.alias] = len(sub)
                 elif ms.kind == "first":
                     rec[ms.alias] = sub[0][ms.col] if sub else None
-                else:  # last
+                elif ms.kind == "last":
                     rec[ms.alias] = sub[-1][ms.col] if sub else None
+                else:
+                    vals = [r[ms.col] for r in sub if r[ms.col] is not None]
+                    if ms.kind == "count":
+                        rec[ms.alias] = len(vals)
+                    elif not vals:
+                        rec[ms.alias] = None
+                    elif ms.kind == "sum":
+                        rec[ms.alias] = float(sum(vals))
+                    elif ms.kind == "avg":
+                        rec[ms.alias] = float(sum(vals)) / len(vals)
+                    else:
+                        rec[ms.alias] = min(vals) if ms.kind == "min" else max(vals)
             return rec
 
         return match_pattern_stream(
@@ -709,19 +851,48 @@ def match_recognize(
 
     def stage_filter(sym: str):
         # closure factory — a default-arg lambda would change the HOF arity
+        comps = subsets.get(sym)
+        if comps:
+            in_list = sorted(comps)
+            return lambda x: x["stage"].isin(in_list)
         return lambda x: x["stage"] == sym
 
+    def field_of(col: str):
+        return lambda x: x[col]
+
+    def field_not_null(col: str):
+        return lambda x: x[col].isNotNull()
+
+    def measure_expr(arr, ms: _Measure):
+        """One measure over a sorted array of match-row structs — pure
+        Column HOFs, so aggregates run JVM-side per match with no extra
+        exchange (the reference code-generates the same per-variable
+        folds, MatchCodeGenerator.scala:42-69)."""
+        sub = F.filter(arr, stage_filter(ms.symbol))
+        if ms.kind == "count":
+            if ms.col is None:
+                return F.size(sub).alias(ms.alias)
+            return F.size(F.filter(sub, field_not_null(ms.col))).alias(ms.alias)
+        if ms.kind == "first":
+            return sub[0][ms.col].alias(ms.alias)
+        if ms.kind == "last":
+            return F.element_at(sub, -1)[ms.col].alias(ms.alias)
+        # SQL aggregate semantics: NULLs ignored, empty/all-NULL -> NULL
+        vals = F.filter(F.transform(sub, field_of(ms.col)), lambda v: v.isNotNull())
+        if ms.kind == "min":
+            return F.array_min(vals).alias(ms.alias)
+        if ms.kind == "max":
+            return F.array_max(vals).alias(ms.alias)
+        total = F.when(
+            F.size(vals) > 0,
+            F.aggregate(vals, F.lit(0.0), lambda a, v: a + v.cast("double")),
+        )
+        if ms.kind == "sum":
+            return total.alias(ms.alias)
+        return (total / F.size(vals)).alias(ms.alias)  # avg
+
     def measure_exprs(arr):
-        out = []
-        for ms in measures:
-            sub = F.filter(arr, stage_filter(ms.symbol))
-            if ms.kind == "count":
-                out.append(F.size(sub).alias(ms.alias))
-            elif ms.kind == "first":
-                out.append(sub[0][ms.col].alias(ms.alias))
-            else:  # last
-                out.append(F.element_at(sub, -1)[ms.col].alias(ms.alias))
-        return out
+        return [measure_expr(arr, ms) for ms in measures]
 
     if all_rows:
         # one row per matched event: input columns + CLASSIFIER() +
@@ -739,17 +910,10 @@ def match_recognize(
         arr_run = F.array_sort(arr_of.over(wm_run))
 
         def per_measure():
-            out = []
-            for ms in measures:
-                src = arr_run if ms.running else arr
-                sub = F.filter(src, stage_filter(ms.symbol))
-                if ms.kind == "count":
-                    out.append(F.size(sub).alias(ms.alias))
-                elif ms.kind == "first":
-                    out.append(sub[0][ms.col].alias(ms.alias))
-                else:
-                    out.append(F.element_at(sub, -1)[ms.col].alias(ms.alias))
-            return out
+            return [
+                measure_expr(arr_run if ms.running else arr, ms)
+                for ms in measures
+            ]
 
         return matches.select(
             partition,

@@ -43,15 +43,25 @@ class MatchContext:
         self._bindings = bindings  # list[(stage_name, row_index)] in match order
         self._cur = cur  # index of the row under evaluation (PREV/NEXT base)
 
-    def events_for(self, stage: str):
-        return [self._rows[i] for s, i in self._bindings if s == stage]
+    @staticmethod
+    def _targets(stage):
+        # ``stage`` may be one name or a collection of names — the latter
+        # is how MATCH_RECOGNIZE SUBSET union variables navigate over the
+        # merged rows of their component symbols (DataStreamMatch.scala:38
+        # carries ``subsets`` end-to-end for exactly this resolution)
+        return {stage} if isinstance(stage, str) else set(stage)
 
-    def first(self, stage: str, col: str, offset: int = 0):
+    def events_for(self, stage):
+        targets = self._targets(stage)
+        return [self._rows[i] for s, i in self._bindings if s in targets]
+
+    def first(self, stage, col: str, offset: int = 0):
         """FIRST(S.col[, offset]) navigation: the (offset+1)-th bound
         row of ``stage`` from the front; None when unbound."""
+        targets = self._targets(stage)
         seen = 0
         for s, i in self._bindings:
-            if s == stage:
+            if s in targets:
                 if seen == offset:
                     return self._rows[i].get(col)
                 seen += 1
@@ -65,12 +75,13 @@ class MatchContext:
             return None
         return self._rows[self._cur - offset].get(col)
 
-    def last(self, stage: str, col: str, offset: int = 0):
+    def last(self, stage, col: str, offset: int = 0):
         """LAST(S.col[, offset]) navigation: the (offset+1)-th bound
         row of ``stage`` from the back; None when unbound."""
+        targets = self._targets(stage)
         seen = 0
         for s, i in reversed(self._bindings):
-            if s == stage:
+            if s in targets:
                 if seen == offset:
                     return self._rows[i].get(col)
                 seen += 1

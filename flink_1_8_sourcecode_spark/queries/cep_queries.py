@@ -416,6 +416,135 @@ def cep_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_match_recognize_measures_agg",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    cand AS (
+      SELECT s.user_id, s.event_id AS signup_id, s.value AS sval,
+             p.rn AS prn, p.value AS pval, p.event_type AS ptype
+      FROM f s JOIN f p ON p.user_id = s.user_id AND p.rn > s.rn
+      WHERE s.event_type = 'signup'
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN ptype <> 'purchase'
+                       OR (avg(pval) OVER w >= sval) IS NOT TRUE
+                  THEN 1 ELSE 0 END AS viol
+      FROM cand
+      WINDOW w AS (PARTITION BY user_id, signup_id ORDER BY prn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, max(viol) OVER (PARTITION BY user_id, signup_id ORDER BY prn
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS anybad
+        FROM marked
+      ) WHERE anybad = 0
+    )
+    SELECT user_id, signup_id, CAST(count(*) AS INTEGER) AS n_purch,
+           CAST(sum(pval) AS DOUBLE) AS sum_purch,
+           CAST(avg(pval) AS DOUBLE) AS avg_purch,
+           min(pval) AS min_purch, max(pval) AS max_purch
+    FROM kept GROUP BY user_id, signup_id
+    """,
+    doc="MATCH_RECOGNIZE per-pattern-variable aggregates in MEASURES "
+    "(SUM/AVG/MIN/MAX/COUNT(P.value)) AND in DEFINE "
+    "(AVG(P.value) >= S.value with SQL RUNNING semantics — the "
+    "candidate row counts toward the aggregate), the reference's "
+    "MatchCodeGenerator.scala:42-69 / AggregationPatternVariableFinder "
+    "path: a greedy P+ run extends while the running purchase average "
+    "stays at-or-above the signup's value, with 3VL rejection on "
+    "UNKNOWN; the oracle replays the same prefix-scan with window "
+    "functions (running avg + violation running-max).",
+)
+def cep_match_recognize_measures_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("events", table(spark, sf_dir, "events"))
+    return eng.sql(
+        """
+        SELECT user_id, signup_id, n_purch, sum_purch, avg_purch,
+               min_purch, max_purch
+        FROM (SELECT user_id, event_id, ts, event_type, value FROM events
+              WHERE event_type IN ('signup', 'purchase')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS signup_id, COUNT(P.*) AS n_purch,
+                   SUM(P.value) AS sum_purch, AVG(P.value) AS avg_purch,
+                   MIN(P.value) AS min_purch, MAX(P.value) AS max_purch
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S P+)
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase' AND AVG(P.value) >= S.value
+        )
+        """
+    )
+
+
+@register(
+    "cep_match_recognize_subset",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, event_type, value FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ),
+    seq AS (
+      SELECT user_id, event_id, value, event_type,
+             lead(event_type, 1) OVER w AS t1, lead(value, 1) OVER w AS v1,
+             lead(event_type, 2) OVER w AS t2, lead(value, 2) OVER w AS v2,
+             lead(event_id, 2) OVER w AS id2
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, id2 AS last_all_id,
+           CAST(3 AS INTEGER) AS n_all,
+           CAST(value + v1 + v2 AS DOUBLE) AS sum_all,
+           CAST((v1 + v2) / 2 AS DOUBLE) AS avg_p
+    FROM seq
+    WHERE event_type = 'signup' AND t1 = 'purchase' AND t2 = 'purchase'
+    """,
+    doc="MATCH_RECOGNIZE SUBSET clause (DataStreamMatch.scala:38 "
+    "``subsets``, plan/logical/MatchRecognize.scala): U = (S, P) is a "
+    "union variable — LAST(U.event_id), COUNT(U.*) and SUM(U.value) "
+    "see the merged rows of both component symbols; matches are "
+    "signup followed by exactly two contiguous purchases (P{2}), "
+    "non-overlapping by construction, so the oracle is a lead-window "
+    "scan.",
+)
+def cep_match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("events", table(spark, sf_dir, "events"))
+    return eng.sql(
+        """
+        SELECT user_id, signup_id, last_all_id, n_all, sum_all, avg_p
+        FROM (SELECT user_id, event_id, ts, event_type, value FROM events
+              WHERE event_type IN ('signup', 'purchase')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES S.event_id AS signup_id, LAST(U.event_id) AS last_all_id,
+                   COUNT(U.*) AS n_all, SUM(U.value) AS sum_all,
+                   AVG(P.value) AS avg_p
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (S P{2})
+          SUBSET U = (S, P)
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    )
+
+
+@register(
     "cep_funnel_timeout_stream",
     oracle="""
     SELECT user_id, event_id AS signup_id FROM events s

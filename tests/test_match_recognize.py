@@ -327,3 +327,182 @@ def test_define_three_valued_logic_or_with_unknown(spark, price_df):
         """,
     ).toPandas()
     assert len(out) == 0
+
+
+def test_measures_aggregates_per_variable(spark, price_df):
+    """SUM/AVG/MIN/MAX/COUNT(S.col) grouped by pattern variable in
+    MEASURES (MatchCodeGenerator.scala:42-69 parity): the V-shape
+    match's DOWN-run aggregates differ from any FIRST/LAST form."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES FIRST(A.price) AS start_price,
+                 SUM(DOWN.price) AS sum_down, AVG(DOWN.price) AS avg_down,
+                 MIN(DOWN.price) AS min_down, MAX(DOWN.price) AS max_down,
+                 COUNT(DOWN.price) AS n_down
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A DOWN+ UP)
+        DEFINE DOWN AS (LAST(DOWN.price, 1) IS NULL AND DOWN.price < A.price)
+                    OR DOWN.price < LAST(DOWN.price, 1),
+               UP AS UP.price > LAST(DOWN.price)
+        """,
+    ).toPandas()
+    got = {r.k: r for _, r in out.iterrows()}
+    # k=1: DOWN = [9, 8, 7]
+    assert (got[1].sum_down, got[1].avg_down) == (24.0, 8.0)
+    assert (got[1].min_down, got[1].max_down, got[1].n_down) == (7.0, 9.0, 3)
+    # k=3: DOWN = [9.5]
+    assert (got[3].sum_down, got[3].n_down) == (9.5, 1)
+
+
+def test_define_aggregate_running_semantics(spark, price_df):
+    """AVG(D.price) inside DEFINE evaluates with RUNNING semantics —
+    the candidate row counts toward its own variable's aggregate: a
+    down-run extends only while the running average stays >= 8."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES COUNT(D.*) AS n, AVG(D.price) AS avg_kept
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (D+)
+        DEFINE D AS D.price < PREV(price) AND AVG(D.price) >= 8
+        """,
+    ).toPandas()
+    got = sorted(zip(out.k, out.n, out.avg_kept))
+    # k=1 [10,9,8,7,9.5]: candidates 9 (avg 9 ok), 8 (avg 8.5 ok),
+    # 7 (avg 8 ok) -> one run [9,8,7]; k=3 [10,9.5,9.9,9,12]: two
+    # single-row runs ([9.5] and [9]); k=2 rises -> none
+    assert got == [(1, 3, 8.0), (3, 1, 9.0), (3, 1, 9.5)]
+
+
+def test_measures_running_aggregate_all_rows(spark, price_df):
+    """RUNNING SUM in ALL ROWS PER MATCH mode climbs row by row while
+    FINAL repeats the match total."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES RUNNING SUM(D.price) AS s_run, FINAL SUM(D.price) AS s_fin
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (D{3})
+        DEFINE D AS D.price < PREV(price)
+        """,
+    ).toPandas()
+    rows = out[out.k == 1].sort_values("eid")
+    assert list(rows.s_run) == [9.0, 17.0, 24.0]
+    assert list(rows.s_fin) == [24.0, 24.0, 24.0]
+
+
+def test_subset_union_variable(spark, price_df):
+    """SUBSET W = (A, UP): LAST/COUNT/aggregates over the union of the
+    component symbols' rows (DataStreamMatch.scala:38 subsets)."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES LAST(W.eid) AS last_w, FIRST(W.price) AS first_w,
+                 COUNT(W.*) AS n_w, SUM(W.price) AS sum_w
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A DOWN+ UP)
+        SUBSET W = (A, UP)
+        DEFINE DOWN AS (LAST(DOWN.price, 1) IS NULL AND DOWN.price < A.price)
+                    OR DOWN.price < LAST(DOWN.price, 1),
+               UP AS UP.price > LAST(DOWN.price)
+        """,
+    ).toPandas()
+    got = {r.k: r for _, r in out.iterrows()}
+    # k=1: A=row0 (10.0), UP=row4 (9.5) -> union rows 0 and 4
+    assert (got[1].last_w, got[1].first_w) == (4, 10.0)
+    assert (got[1].n_w, got[1].sum_w) == (2, 19.5)
+
+
+def test_subset_in_define_navigation(spark, price_df):
+    """A DEFINE condition may navigate a SUBSET variable; the union
+    includes the current candidate row when its own symbol is a
+    component (running semantics)."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES FIRST(A.eid) AS aid, FIRST(B.eid) AS bid
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        SUBSET V = (A, B)
+        DEFINE A AS A.eid = 0,
+               B AS COUNT(V.*) = 2 AND B.price < FIRST(V.price)
+        """,
+    ).toPandas()
+    # B at row 1 sees V = {A row, B candidate}: count 2; price < first
+    # -> only partitions whose row1 price < row0 price (k=1, k=3)
+    got = sorted(zip(out.k, out.aid, out.bid))
+    assert got == [(1, 0, 1), (3, 0, 1)]
+
+
+def test_unsupported_measure_raises_not_implemented(spark, price_df):
+    """Task-7 normalization: an unsupported MEASURES item raises
+    NotImplementedError with the supported-grammar message, like every
+    other capability gate."""
+    with pytest.raises(NotImplementedError, match="supported"):
+        match_recognize(
+            price_df,
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES STDDEV(A.price) AS sd
+            ONE ROW PER MATCH
+            PATTERN (A)
+            DEFINE A AS A.price > 0
+            """,
+        )
+    with pytest.raises(NotImplementedError, match="COUNT"):
+        match_recognize(
+            price_df,
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES SUM(A.*) AS s
+            ONE ROW PER MATCH
+            PATTERN (A)
+            DEFINE A AS A.price > 0
+            """,
+        )
+
+
+def test_subset_validation_errors(spark, price_df):
+    with pytest.raises(ValueError, match="components must be pattern symbols"):
+        match_recognize(
+            price_df,
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES FIRST(A.eid) AS aid
+            ONE ROW PER MATCH
+            PATTERN (A)
+            SUBSET U = (A, NOPE)
+            DEFINE A AS A.price > 0
+            """,
+        )
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(
+            price_df,
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES FIRST(A.eid) AS aid
+            ONE ROW PER MATCH
+            PATTERN (A B)
+            SUBSET B = (A)
+            DEFINE A AS A.price > 0
+            """,
+        )
