@@ -62,12 +62,15 @@ def _find_matches(
     n = len(rows)
 
     def stage_occurrences(
-        si: int, start_i: int, first_time: float | None, outer=()
+        stages, si: int, start_i: int, first_time: float | None, outer=()
     ):
-        """Yield (bindings, next_index) for stage si beginning search at
-        start_i. bindings = list of (stage_name, row_index).  ``outer``
-        is the live binding list of the enclosing partial match — the
-        context iterative conditions (IterativeCondition.java) see."""
+        """Yield (bindings, next_index) for stage si of ``stages``
+        beginning search at start_i. bindings = list of (stage_name,
+        row_index).  ``outer`` is the live binding list of the enclosing
+        partial match — the context iterative conditions
+        (IterativeCondition.java) see.  ``stages`` is a parameter (not
+        the pattern's top-level tuple) so GROUP stages can recurse into
+        their nested sequences."""
         st: Stage = stages[si]
         needs_ctx = bool(st.iter_predicates)
 
@@ -84,6 +87,59 @@ def _find_matches(
             # the next positive stage's match; handled by caller via
             # _negative_ok — never yields bindings of its own.
             raise AssertionError("negative stages are inlined, not matched")
+
+        if st.group is not None:
+            # GROUP stage (GroupPattern.java): one occurrence = a complete
+            # match of the nested stage sequence, anchored at a candidate
+            # row; quantifiers count sequence-matches.  Each occurrence
+            # commits to the FIRST complete alternative at the earliest
+            # viable anchor (the same first-match commitment scalar
+            # stages make per occurrence); 'followed_by_any' additionally
+            # branches on later anchors.  Inner stage names label the
+            # bound events, so measures/selects see A/B, not the group.
+            def runs_group(j: int, count: int, acc):
+                # acc: list of (name, idx) for this stage's occurrences
+                if count >= st.times_min or (
+                    count == 0 and st.optional and st.times_min > 0
+                ):
+                    yield list(acc)
+                if st.times_max is not None and count >= st.times_max:
+                    return
+                jj = j
+                while jj < n:
+                    if not within_ok(jj, [idx for _, idx in acc]):
+                        return
+                    ft = first_time
+                    if ft is None and acc:
+                        ft = times[acc[0][1]]
+                    prefix = list(outer) + acc
+                    got = None
+                    for delta in seq_matches(st.group, jj, ft, prefix):
+                        if delta:  # empty sub-matches are not occurrences
+                            got = delta
+                            break
+                    if got is not None:
+                        acc.extend(got)
+                        nxt = max(idx for _, idx in got) + 1
+                        yield from runs_group(nxt, count + 1, acc)
+                        del acc[len(acc) - len(got):]
+                        if st.contiguity != "followed_by_any":
+                            return
+                    else:
+                        if count == 0 and st.contiguity in ("begin", "next"):
+                            return  # first occurrence must anchor at start
+                        if count > 0 and st.strict_iter:
+                            return  # consecutive(): run broken
+                    jj += 1
+
+            order = []
+            for occ in runs_group(start_i, 0, []):
+                order.append(occ)
+            order.sort(key=len, reverse=st.greedy)
+            for occ in order:
+                nxt = (max(idx for _, idx in occ) + 1) if occ else start_i
+                yield occ, nxt
+            return
 
         # Enumerate candidate runs of occurrences (times_min..times_max).
         # Contiguity rules (Flink defaults): 'begin'/'next' constrain only
@@ -154,7 +210,7 @@ def _find_matches(
             )
         return not any(st.accepts(rows[i]) for i in rng)
 
-    def backtrack(si: int, start_i: int, first_time: float | None, acc):
+    def backtrack(stages, si: int, start_i: int, first_time: float | None, acc):
         if si == len(stages):
             yield list(acc)
             return
@@ -164,7 +220,7 @@ def _find_matches(
             # find the next stage's match, then check the gap.
             nxt_stage = si + 1
             for bindings, nxt_i in stage_occurrences(
-                nxt_stage, start_i, first_time, acc
+                stages, nxt_stage, start_i, first_time, acc
             ):
                 if not bindings and not stages[nxt_stage].optional:
                     continue
@@ -175,7 +231,7 @@ def _find_matches(
                     times[bindings[0][1]] if bindings else None
                 )
                 acc.extend(bindings)
-                yield from backtrack(nxt_stage + 1, nxt_i, ft, acc)
+                yield from backtrack(stages, nxt_stage + 1, nxt_i, ft, acc)
                 for _ in bindings:
                     acc.pop()
                 if st.contiguity == "followed_by" or bindings:
@@ -183,7 +239,7 @@ def _find_matches(
                         return
             return
         committed = st.contiguity in ("begin", "next", "followed_by")
-        for bindings, nxt_i in stage_occurrences(si, start_i, first_time, acc):
+        for bindings, nxt_i in stage_occurrences(stages, si, start_i, first_time, acc):
             if not bindings and not st.optional and st.times_min > 0:
                 continue
             ft = first_time
@@ -191,13 +247,25 @@ def _find_matches(
                 ft = times[bindings[0][1]]
             acc.extend(bindings)
             matched_any = False
-            for m in backtrack(si + 1, nxt_i, ft, acc):
+            for m in backtrack(stages, si + 1, nxt_i, ft, acc):
                 matched_any = True
                 yield m
             for _ in bindings:
                 acc.pop()
             if committed and matched_any:
                 return  # first-match semantics for non-any contiguity
+
+    def seq_matches(gstages, anchor: int, first_time: float | None, prefix):
+        """Complete matches of the nested stage sequence ``gstages``
+        anchored at ``anchor`` (its first stage is 'begin', so the first
+        bound row sits exactly there), yielded as binding DELTAS.
+        ``prefix`` is the enclosing partial match's live binding list —
+        nested iterative conditions see the whole partial match, exactly
+        as Flink's shared NFA state does for group patterns."""
+        acc = list(prefix)
+        base = len(acc)
+        for full in backtrack(gstages, 0, anchor, first_time, acc):
+            yield full[base:]
 
     def prefix_partial(start_i: int):
         """Longest proper stage-prefix bound at start_i, plus the index
@@ -249,15 +317,27 @@ def _find_matches(
                 return False  # strict successor broke the run pre-expiry
         return True
 
+    def can_anchor(i: int) -> bool:
+        """Cheap start gate: the first scalar stage must accept rows[i].
+        Descends through group stages; bails to True when the first
+        inner stage is optional/negative (the anchor row may then bind
+        to a later stage, so only the full backtrack can decide)."""
+        st = stages[0]
+        while st.group is not None:
+            st = st.group[0]
+            if st.optional or st.times_min == 0 or st.negative:
+                return True
+        ctx0 = MatchContext(rows, [], cur=i) if st.iter_predicates else None
+        return st.accepts(rows[i], ctx0)
+
     i = 0 if anchor is None else anchor
     while i < n:
         if max_start_time is not None and times[i] > max_start_time:
             return
         next_i = None  # scan-advance override from the after-match skip
         matched_here = False
-        ctx0 = MatchContext(rows, [], cur=i) if stages[0].iter_predicates else None
-        if stages[0].accepts(rows[i], ctx0):
-            for m in backtrack(0, i, None, []):
+        if can_anchor(i):
+            for m in backtrack(stages, 0, i, None, []):
                 matched_here = True
                 yield (m, False) if emit_timeouts else m
                 if m and next_i is None:

@@ -103,6 +103,10 @@ class Stage:
     negative: bool = False  # not_next / not_followed_by
     strict_iter: bool = False  # quantifier occurrences must be consecutive
     # (Flink Pattern.consecutive(); also MATCH_RECOGNIZE's row contiguity)
+    group: "tuple[Stage, ...] | None" = None  # GroupPattern.java: one
+    # "occurrence" of this stage is a complete match of the nested stage
+    # sequence; quantifiers/optional/greedy apply at the sequence level,
+    # and matched events keep the INNER stage names
 
     def accepts(self, row: dict[str, Any], ctx: "MatchContext | None" = None) -> bool:
         base = all(p(row) for p in self.predicates) if self.predicates else True
@@ -135,28 +139,75 @@ class Pattern:
     skip_throw_on_miss: bool = False  # SkipToElementStrategy.throwExceptionOnMiss
 
     # -- construction --------------------------------------------------
+    # begin/next/followedBy/followedByAny each take either a stage NAME
+    # or a whole Pattern — the latter is Flink's GroupPattern
+    # (flink-libraries/flink-cep/.../pattern/GroupPattern.java): the
+    # nested sequence matches as one unit, quantifiers apply to the
+    # group, and events bind under the inner stage names.
+    def _as_group(self) -> tuple[Stage, ...]:
+        if not self.stages:
+            raise ValueError("empty pattern cannot form a group")
+        if self.within_seconds is not None:
+            raise ValueError(
+                "within() on a nested group pattern is not supported — "
+                "apply it to the outermost pattern (Flink's within is "
+                "whole-pattern too)"
+            )
+        if self.skip_strategy != "no_skip":
+            raise ValueError(
+                "after-match skip on a nested group pattern is not "
+                "supported — apply it to the outermost pattern"
+            )
+        if self.stages[-1].negative:
+            raise ValueError(
+                "notFollowedBy/notNext cannot end a group (Flink rule)"
+            )
+        return self.stages
+
     @staticmethod
-    def begin(name: str) -> "Pattern":
-        return Pattern(stages=(Stage(name=name, contiguity="begin"),))
+    def _stage_for(name_or_pattern, contiguity: str, n_existing: int) -> Stage:
+        if isinstance(name_or_pattern, Pattern):
+            return Stage(
+                name=f"__group{n_existing}",
+                contiguity=contiguity,
+                group=name_or_pattern._as_group(),
+            )
+        return Stage(name=name_or_pattern, contiguity=contiguity)
+
+    @staticmethod
+    def begin(name: "str | Pattern") -> "Pattern":
+        return Pattern(stages=(Pattern._stage_for(name, "begin", 0),))
 
     def _append(self, stage: Stage) -> "Pattern":
         if self.stages and self.stages[-1].negative and stage.negative:
             raise ValueError("consecutive negative stages are not supported")
         return replace(self, stages=self.stages + (stage,))
 
-    def next(self, name: str) -> "Pattern":
-        return self._append(Stage(name=name, contiguity="next"))
+    def next(self, name: "str | Pattern") -> "Pattern":
+        return self._append(self._stage_for(name, "next", len(self.stages)))
 
-    def followed_by(self, name: str) -> "Pattern":
-        return self._append(Stage(name=name, contiguity="followed_by"))
+    def followed_by(self, name: "str | Pattern") -> "Pattern":
+        return self._append(self._stage_for(name, "followed_by", len(self.stages)))
 
-    def followed_by_any(self, name: str) -> "Pattern":
-        return self._append(Stage(name=name, contiguity="followed_by_any"))
+    def followed_by_any(self, name: "str | Pattern") -> "Pattern":
+        return self._append(
+            self._stage_for(name, "followed_by_any", len(self.stages))
+        )
 
     def not_next(self, name: str) -> "Pattern":
+        if isinstance(name, Pattern):
+            raise NotImplementedError(
+                "negative group patterns are not supported (Flink's "
+                "notNext/notFollowedBy take a name, Pattern.java:272,303)"
+            )
         return self._append(Stage(name=name, contiguity="next", negative=True))
 
     def not_followed_by(self, name: str) -> "Pattern":
+        if isinstance(name, Pattern):
+            raise NotImplementedError(
+                "negative group patterns are not supported (Flink's "
+                "notNext/notFollowedBy take a name, Pattern.java:272,303)"
+            )
         return self._append(Stage(name=name, contiguity="followed_by", negative=True))
 
     # -- stage modifiers (apply to the last stage) ---------------------
@@ -166,7 +217,18 @@ class Pattern:
         last = replace(self.stages[-1], **kw)
         return replace(self, stages=self.stages[:-1] + (last,))
 
+    def _no_group(self, what: str) -> None:
+        # GroupPattern.java overrides where/or/until to throw — conditions
+        # attach to the inner stages, quantifiers to the group
+        if self.stages and self.stages[-1].group is not None:
+            raise NotImplementedError(
+                f"{what} on a group pattern is not supported — put "
+                "conditions on the inner pattern's stages "
+                "(GroupPattern.java where/or/until throw the same way)"
+            )
+
     def where(self, pred: Predicate) -> "Pattern":
+        self._no_group("where()")
         return self._mod(predicates=self.stages[-1].predicates + (pred,))
 
     def where_iterative(self, pred) -> "Pattern":
@@ -174,9 +236,11 @@ class Pattern:
         is called as ``pred(row, ctx)`` where ``ctx`` is a
         ``MatchContext`` over the current partial match — e.g.
         ``lambda e, ctx: e["price"] < ctx.last("A", "price")``."""
+        self._no_group("where_iterative()")
         return self._mod(iter_predicates=self.stages[-1].iter_predicates + (pred,))
 
     def or_where(self, pred: Predicate) -> "Pattern":
+        self._no_group("or_where()")
         return self._mod(or_predicates=self.stages[-1].or_predicates + (pred,))
 
     def until(self, pred: Predicate) -> "Pattern":
@@ -185,6 +249,7 @@ class Pattern:
         while expanding the loop, no further elements are accepted into
         it (the stop event itself is never consumed by the loop).
         Only meaningful on an unbounded quantifier, same as Flink."""
+        self._no_group("until()")
         last = self.stages[-1]
         if last.times_max is not None:
             raise ValueError(
@@ -243,9 +308,23 @@ class Pattern:
             raise ValueError("empty pattern")
         if self.stages[-1].negative:
             raise ValueError("notFollowedBy/notNext cannot end a pattern (Flink rule)")
-        if self.skip_stage is not None and self.skip_stage not in {
-            s.name for s in self.stages
-        }:
+
+        def all_names(stages: tuple[Stage, ...]):
+            for s in stages:
+                if s.group is not None:
+                    yield from all_names(s.group)
+                else:
+                    yield s.name
+
+        names = list(all_names(self.stages))
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"duplicate stage names {dupes} — every stage (including "
+                "group members) needs a unique name so event bindings and "
+                "navigation stay unambiguous"
+            )
+        if self.skip_stage is not None and self.skip_stage not in names:
             raise ValueError(
                 f"skip target stage {self.skip_stage!r} is not a pattern stage"
             )

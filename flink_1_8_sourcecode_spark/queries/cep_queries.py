@@ -416,6 +416,61 @@ def cep_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_group_pattern",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ),
+    seq AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+             lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2,
+             lead(event_type, 3) OVER w AS t3, lead(event_id, 3) OVER w AS id3
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS s1, id1 AS p1, id2 AS s2, id3 AS p2
+    FROM seq
+    WHERE event_type = 'signup' AND t1 = 'purchase'
+      AND t2 = 'signup' AND t3 = 'purchase'
+    """,
+    doc="CEP pattern GROUPS (GroupPattern.java): "
+    "Pattern.begin(Pattern.begin(S).next(P)).times(2).consecutive() — "
+    "a quantified sub-pattern (S P){2} whose occurrences must be "
+    "adjacent; events bind under the INNER stage names.  Default "
+    "no-skip enumerates every anchor (overlaps allowed), so the oracle "
+    "is a 4-wide lead-window scan for signup,purchase,signup,purchase "
+    "runs in the filtered per-user sequence.",
+)
+def cep_group_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    grp = (
+        Pattern.begin("S")
+        .where(lambda e: e["event_type"] == "signup")
+        .next("P")
+        .where(lambda e: e["event_type"] == "purchase")
+    )
+    pat = Pattern.begin(grp).times(2).consecutive()
+    m = match_pattern(
+        ev, pat, key="user_id", time_col="ts", select_cols=["event_id"],
+        tiebreak="event_id",
+    )
+    wide = (
+        m.withColumn(
+            "slot",
+            F.concat(F.lower(F.col("stage")), (F.col("seq") / 2).cast("int") + 1),
+        )
+        .groupBy("user_id", "match_id")
+        .pivot("slot", ["s1", "p1", "s2", "p2"])
+        .agg(F.first("event_id"))
+    )
+    return wide.select("user_id", "s1", "p1", "s2", "p2")
+
+
+@register(
     "cep_match_recognize_measures_agg",
     oracle="""
     WITH f AS (

@@ -375,3 +375,100 @@ def test_pattern_until_stops_loop_expansion(spark):
 
     with pytest.raises(ValueError, match="until"):
         Pattern.begin("x").times(2).until(lambda e: True)
+
+
+# ---------------------------------------------------------------------------
+# Pattern groups (GroupPattern.java): quantified sub-patterns like (A B)+
+# ---------------------------------------------------------------------------
+
+
+def _grp_ab():
+    return Pattern.begin("A").where(_is("a")).next("B").where(_is("b"))
+
+
+def test_group_times_relaxed(spark, seq_df):
+    # (a next b) twice, relaxed between occurrences: pairs (0,1) and (4,5)
+    p = Pattern.begin(_grp_ab()).times(2)
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [
+        [("A", 0), ("B", 1), ("A", 4), ("B", 5)]
+    ]
+
+
+def test_group_times_consecutive_requires_adjacency(spark, seq_df):
+    # consecutive(): the second pair must start right after the first —
+    # rows 2,3 are c,b so no match
+    p = Pattern.begin(_grp_ab()).times(2).consecutive()
+    assert _matches(seq_df, p) == {}
+
+
+def test_group_one_or_more_greedy(spark, seq_df):
+    p = Pattern.begin(_grp_ab()).one_or_more().greedy()
+    m = _matches(seq_df, p)
+    # start 0: greedy takes both pairs; start 4: one pair
+    assert sorted(m.values()) == [
+        [("A", 0), ("B", 1), ("A", 4), ("B", 5)],
+        [("A", 4), ("B", 5)],
+    ]
+
+
+def test_group_followed_by_scalar(spark, seq_df):
+    p = Pattern.begin(_grp_ab()).followed_by("C").where(_is("c"))
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [
+        [("A", 0), ("B", 1), ("C", 2)],
+        [("A", 4), ("B", 5), ("C", 7)],
+    ]
+
+
+def test_group_nested(spark, seq_df):
+    # ((a next b) next c) as a group-of-group: only rows 0,1,2 qualify
+    inner = Pattern.begin(_grp_ab()).next("C").where(_is("c"))
+    p = Pattern.begin(inner)
+    m = _matches(seq_df, p)
+    assert sorted(m.values()) == [[("A", 0), ("B", 1), ("C", 2)]]
+
+
+def test_group_within_bounds_whole_match(spark, seq_df):
+    tight = Pattern.begin(_grp_ab()).times(2).within("4 seconds")
+    assert _matches(seq_df, tight) == {}  # span 0..5 = 5s > 4s
+    loose = Pattern.begin(_grp_ab()).times(2).within("6 seconds")
+    assert len(_matches(seq_df, loose)) == 1
+
+
+def test_group_iterative_condition_sees_outer_occurrences(spark, seq_df):
+    # the 2nd group occurrence's B-condition sees the 1st occurrence's
+    # bindings (shared partial-match context across the group boundary)
+    g = (
+        Pattern.begin("A").where(_is("a"))
+        .next("B")
+        .where(_is("b"))
+        .where_iterative(lambda e, ctx: len(ctx.events_for("B")) < 1)
+    )
+    p = Pattern.begin(g).one_or_more().greedy()
+    m = _matches(seq_df, p)
+    # greedy would take 2 occurrences, but the iterative gate caps B at 1
+    assert sorted(m.values()) == [
+        [("A", 0), ("B", 1)],
+        [("A", 4), ("B", 5)],
+    ]
+
+
+def test_group_modifier_rejections(spark):
+    g = _grp_ab()
+    with pytest.raises(NotImplementedError, match="group"):
+        Pattern.begin(g).where(lambda e: True)
+    with pytest.raises(NotImplementedError, match="group"):
+        Pattern.begin(g).one_or_more().until(lambda e: True)
+    with pytest.raises(NotImplementedError, match="negative group"):
+        Pattern.begin("x").not_followed_by(g)
+    with pytest.raises(ValueError, match="within"):
+        Pattern.begin(g.within("10 seconds"))
+
+
+def test_group_duplicate_names_rejected(spark, seq_df):
+    p = Pattern.begin(_grp_ab()).followed_by("A").where(_is("a"))
+    with pytest.raises(ValueError, match="duplicate stage names"):
+        match_pattern(
+            seq_df, p, key="k", time_col="ts", select_cols=["event_id"]
+        )
