@@ -41,27 +41,41 @@ def main() -> None:
     spark = get_spark(app_name="flink18-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Median of 3 runs per query: single-shot numbers on a shared box
+    # Median of N runs per query: single-shot numbers on a shared box
     # ride scheduler jitter (observed 2x swings on identical plans), and
     # the per-query 2x regression gate should not.  Every query gets its
     # OWN untimed warmup first (scan + codegen + shuffle-file caches):
     # warming only the first query inflates every other query's first
-    # sample and can still skew a median of 3.
+    # sample and can still skew a median of 3.  Sub-second queries get 5
+    # samples and the MIN is reported alongside the median: on a shared
+    # box the min is the noise-floor estimator (r7's 26-39% "regression"
+    # on untouched plans was scheduler jitter, and the median of 3 could
+    # not show that).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-    def median_wall(q, sf_dir: str = SF_DIR) -> float:
+    mins: dict[str, float] = {}
+
+    def median_wall(q, sf_dir: str = SF_DIR, record_min: bool = True) -> float:
         q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
         samples = []
-        for _ in range(runs):
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+        n = max(runs, 5) if samples[0] < 1.0 else runs
+        for _ in range(n - 1):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        if record_min:
+            mins[q.name] = round(min(samples), 4)
         return round(sorted(samples)[len(samples) // 2], 4)
 
     timings = {name: median_wall(q) for name, q in bench_queries.items()}
+    timings_min = {name: mins[name] for name in timings}
     secondary = {
         name: median_wall(registry[name]) for name in SECONDARY if name in registry
     }
+    secondary_min = {name: mins[name] for name in secondary}
 
     # Scaling-curve guard: time the headline set one scale factor down
     # and report the small->big wall-time ratio per query.  At 10x the
@@ -80,7 +94,8 @@ def main() -> None:
         # iterative/LSH operators are exactly where super-linearity hides
         guarded = dict(timings, **secondary)
         small = {
-            name: median_wall(registry[name], small_dir) for name in guarded
+            name: median_wall(registry[name], small_dir, record_min=False)
+            for name in guarded
         }
         ratios = {
             name: round(guarded[name] / small[name], 2) if small[name] > 0 else None
@@ -101,9 +116,12 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 4),
+                "value_min": round(sum(timings_min.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "secondary": secondary,
+                "secondary_min": secondary_min,
                 "scaling": scaling,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -76,6 +76,11 @@ def asof_join(
     over the bucket-level table.  Equal timestamps always share a
     bucket (floor bucketing), so the exact-match tie rules stay purely
     intra-bucket and results are identical to the unbucketed path.
+    ``time_buckets="auto"`` self-tunes instead: a sample pass detects
+    hot keys (the detect_hot_keys recipe, operators/partitioning.py)
+    and derives a PER-KEY width from each hot key's sampled time span
+    and row count; cold keys keep a single bucket, paying nothing
+    beyond the bucket-stats aggregate.
     Not on by default: it adds a bucket-stats shuffle for a case the
     keyed model already bounds.
     """
@@ -155,12 +160,41 @@ def asof_join(
     else:
         # hot-key pre-split: partition the carry on (key, time bucket) so
         # one key's history fans out; seed each bucket from prior buckets
-        w_b = float(time_buckets)
-        if w_b <= 0:
-            raise ValueError(f"time_buckets must be a positive width, got {time_buckets}")
         u_t_type = unioned.schema["__t"].dataType
         tnum = secs(F.col("__t"), u_t_type)
-        unioned = unioned.withColumn("__bkt", F.floor(tnum / F.lit(w_b)))
+        if time_buckets == "auto":
+            # self-tuning: sample-detect hot keys (the detect_hot_keys
+            # recipe, operators/partitioning.py) with per-key time span,
+            # derive a PER-KEY width splitting each hot key into
+            # ~count/mean buckets (capped); cold keys stay in one bucket
+            # (constant 0), so only detected skew pays the fan-out
+            hot = _auto_bucket_widths(unioned, keys, tnum)
+            hw = hot.select(
+                *[F.col(k).alias(f"__hk{i}") for i, k in enumerate(keys)],
+                "__w",
+            )
+            jc = None
+            for i, k in enumerate(keys):
+                c = F.col(k).eqNullSafe(F.col(f"__hk{i}"))
+                jc = c if jc is None else (jc & c)
+            unioned = (
+                unioned.join(F.broadcast(hw), jc, "left")
+                .drop(*[f"__hk{i}" for i in range(len(keys))])
+                .withColumn(
+                    "__bkt",
+                    F.when(
+                        F.col("__w").isNotNull(), F.floor(tnum / F.col("__w"))
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("__w")
+            )
+        else:
+            w_b = float(time_buckets)
+            if w_b <= 0:
+                raise ValueError(
+                    f"time_buckets must be a positive width, got {time_buckets}"
+                )
+            unioned = unioned.withColumn("__bkt", F.floor(tnum / F.lit(w_b)))
 
         # per-(key, bucket) right-side extremes: max(struct) picks the
         # LAST right row of the bucket under the carry's own tie rules
@@ -264,6 +298,49 @@ def asof_join(
         # from "no match" (e.g. the SQL temporal join's INNER semantics)
         out = out.withColumn(match_time_col, F.col("__r.__rt"))
     return out.drop("__r")
+
+
+def _auto_bucket_widths(
+    unioned: DataFrame,
+    keys: list[str],
+    tnum,
+    sample_fraction: float = 0.05,
+    hot_factor: float = 4.0,
+    max_buckets: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample-driven per-key bucket widths for ``asof_join(time_buckets=
+    "auto")`` — the detect_hot_keys recipe (operators/partitioning.py:81)
+    extended with the per-key time span: keys whose sampled row count
+    exceeds ``hot_factor``x the mean get width ``span / n_buckets`` with
+    ``n_buckets ~ count/mean`` capped at ``max_buckets``.  Returns a
+    SMALL (hot keys only) DataFrame (keys..., __w) meant to be
+    broadcast; keys with zero sampled span are excluded (no split can
+    help a single-instant key).
+    """
+    stats = (
+        unioned.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(tnum).alias("__tmin"),
+            F.max(tnum).alias("__tmax"),
+        )
+    )
+    mean = stats.agg(F.avg("__cnt").alias("__mean"))
+    n_buckets = F.least(
+        F.lit(max_buckets),
+        F.greatest(F.lit(2), F.ceil(F.col("__cnt") / F.col("__mean")).cast("int")),
+    )
+    return (
+        stats.join(F.broadcast(mean))
+        .filter(F.col("__cnt") > F.col("__mean") * hot_factor)
+        .select(
+            *keys,
+            ((F.col("__tmax") - F.col("__tmin")) / n_buckets).alias("__w"),
+        )
+        .filter(F.col("__w") > 0)
+    )
 
 
 class TemporalTableFunction:
@@ -611,6 +688,192 @@ def _outer_unbounded_join(
 
     return u.groupBy("__kg").applyInPandasWithState(
         fn, out_schema, "lbuf binary, rbuf binary, meta binary", "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def temporal_join_stream(
+    probe: DataFrame,
+    versioned: DataFrame,
+    on: str | list[str],
+    probe_time: str,
+    version_time: str,
+    right_cols: list[str] | None = None,
+    how: str = "inner",
+    watermark_delay: str = "0 seconds",
+    key_buckets: int = 64,
+) -> DataFrame:
+    """STREAMING event-time temporal join — the reference's
+    ``TemporalRowtimeJoin`` (flink-table/.../runtime/join/
+    TemporalRowtimeJoin.scala:63): both sides are unbounded streams;
+    per key, probe rows and version rows buffer in state, and when the
+    watermark passes a probe row's event time the probe is emitted
+    joined with the LATEST version at-or-before its timestamp — at that
+    point no earlier version can still arrive, so the answer is final
+    (the reference registers exactly this watermark timer,
+    ``registerSmallestTimer``/``emitResultAndCleanUpState``).
+
+    ``how="inner"`` (default) drops probes with no valid version — the
+    SQL LATERAL TABLE semantics; ``"left"`` keeps them with NULLs.
+    Version ties on time break by the greatest payload (same rule as
+    the batch ``asof_join``).
+
+    State & cleanup (TemporalRowtimeJoin.scala cleanupState parity):
+    emitted probes leave state; versions older than the latest one
+    at-or-before the watermark are dropped (every future probe has
+    ``ts > watermark``, so only that latest version can still win).
+    The stateful shuffle is on a key group (``hash(keys) %
+    key_buckets``) with keyed pandas merges per bucket — the same
+    amortization as ``unbounded_stream_join``.  Scale: per-key state is
+    one pending-probe window plus one pruned version chain, the same
+    bound as the reference's keyed MapState.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_1_8_sourcecode_spark.streaming import arrow_state
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [
+        c for c in versioned.columns if c not in keys + [version_time]
+    ]
+    lcols = [c for c in probe.columns if c not in keys]
+    overlap = set(lcols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, both sides have {overlap}")
+
+    def _ddl(df: DataFrame, cols: list[str]) -> list[tuple[str, str]]:
+        return [(c, df.schema[c].dataType.simpleString()) for c in cols]
+
+    key_ddl = _ddl(probe, keys)
+    l_ddl = _ddl(probe, lcols)
+    r_ddl = _ddl(versioned, right_cols)
+    out_cols = [c for c, _t in key_ddl + l_ddl + r_ddl]
+    out_schema = ", ".join(f"{c} {t}" for c, t in key_ddl + l_ddl + r_ddl)
+    ts_cols = {c for c, t in l_ddl + r_ddl if t.startswith("timestamp")}
+    pbuf_cols = keys + lcols + ["__t"]
+    vbuf_cols = keys + right_cols + ["__t"]
+
+    def _tag(df: DataFrame, time_col: str, side: int) -> DataFrame:
+        own = lcols if side == 0 else right_cols
+        other = r_ddl if side == 0 else l_ddl
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.col(time_col).cast("timestamp").alias("__ts"),
+            F.lit(side).alias("__side"),
+            *[F.col(c) for c in own],
+            *[F.lit(None).cast(t).alias(c) for c, t in other],
+        ).withWatermark("__ts", watermark_delay)
+
+    u = (
+        _tag(probe, probe_time, 0)
+        .unionByName(_tag(versioned, version_time, 1))
+        .withColumn(
+            "__kg", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(key_buckets))
+        )
+    )
+
+    _concat = arrow_state.concat
+
+    def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        for c in ts_cols:
+            pdf[c] = pd.to_datetime(pdf[c])
+        return pdf.reindex(columns=out_cols)
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            pb, vb = state.get
+            pend = arrow_state.de(bytes(pb), pbuf_cols)
+            vers = arrow_state.de(bytes(vb), vbuf_cols)
+        else:
+            pend = pd.DataFrame(columns=pbuf_cols)
+            vers = pd.DataFrame(columns=vbuf_cols)
+        wm = state.getCurrentWatermarkMs()
+
+        new_p: list[pd.DataFrame] = []
+        new_v: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(
+                __t=pdf["__ts"].astype("datetime64[us]").astype("int64") // 1000
+            )
+            new_p.append(pdf.loc[pdf["__side"] == 0, pbuf_cols])
+            new_v.append(pdf.loc[pdf["__side"] == 1, vbuf_cols])
+        pend = _concat([pend] + new_p, pbuf_cols)
+        vers = _concat([vers] + new_v, vbuf_cols)
+
+        # probes whose event time the watermark has passed are FINAL:
+        # any version at-or-before them has already arrived
+        ready = pend[pend["__t"].astype("int64") <= wm]
+        pend = pend[pend["__t"].astype("int64") > wm]
+        out = None
+        if len(ready):
+            ready = ready.sort_values("__t", kind="mergesort")
+            if len(vers):
+                # sort by (time, payload): merge_asof takes the LAST row
+                # <= the probe time, giving the greatest-payload tie rule
+                vs = (
+                    vers.sort_values(["__t"] + right_cols, kind="mergesort")
+                    .loc[:, keys + right_cols + ["__t"]]
+                    .rename(columns={"__t": "__vt"})
+                )
+                out = pd.merge_asof(
+                    ready,
+                    vs,
+                    left_on="__t",
+                    right_on="__vt",
+                    by=keys,
+                    direction="backward",
+                    allow_exact_matches=True,
+                )
+            else:
+                out = ready.copy()
+                out["__vt"] = None
+                for c in right_cols:
+                    out[c] = None
+            miss = out["__vt"].isna()
+            if how == "inner":
+                out = out[~miss]
+            elif miss.any():
+                # keep integer payload columns nullable (NaN-float drift)
+                for c in right_cols:
+                    out[c] = out[c].astype(object)
+                    out.loc[miss, c] = None
+
+        # version-chain pruning: keep everything past the watermark plus
+        # the single latest version at-or-before it (per key)
+        if len(vers):
+            vv = vers.sort_values(["__t"] + right_cols, kind="mergesort")
+            below = vv[vv["__t"].astype("int64") <= wm]
+            if len(below):
+                below = below.groupby(keys, as_index=False).tail(1)
+            vers = _concat(
+                [below, vv[vv["__t"].astype("int64") > wm]], vbuf_cols
+            )
+
+        if len(pend) or len(vers):
+            state.update((
+                arrow_state.ser(pend.reset_index(drop=True)),
+                arrow_state.ser(vers.reset_index(drop=True)),
+            ))
+            if len(pend):
+                # wake exactly when the earliest pending probe stabilizes
+                state.setTimeoutTimestamp(
+                    max(int(pend["__t"].astype("int64").min()), wm + 1)
+                )
+        elif state.exists:
+            state.remove()
+
+        if out is not None and len(out):
+            yield _finish(out)
+
+    return u.groupBy("__kg").applyInPandasWithState(
+        fn, out_schema, "pbuf binary, vbuf binary", "append",
         GroupStateTimeout.EventTimeTimeout,
     )
 

@@ -177,3 +177,56 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = _run_to_table(out, "q_dedup_wm", state_partitions=4)
     return spark.table(name).filter(F.col("user_id") >= 0).distinct()
+
+
+@register(
+    "join_temporal_stream",
+    oracle="""
+    WITH probe AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    ver AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS click_ts,
+             v.value AS purch_value,
+             row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                ORDER BY v.ts DESC, v.value DESC) AS rn
+      FROM probe p JOIN ver v
+        ON v.user_id = p.user_id AND v.ts <= p.ts
+    )
+    SELECT user_id, event_id AS click_id, click_ts, purch_value
+    FROM j WHERE rn = 1
+    """,
+    doc="STREAMING event-time temporal join (TemporalRowtimeJoin."
+    "scala:63): clicks (probe) and purchases (version history) replayed "
+    "as two streams from the same chunked source; each click emits, once "
+    "the watermark passes its event time, joined with the latest "
+    "purchase value at-or-before it (inner semantics — clicks with no "
+    "prior purchase drop).  Finals must equal the batch as-of answer, "
+    "which is the oracle's windowed backward scan.",
+)
+def join_temporal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.joins import temporal_join_stream
+
+    stream = _replayed_stream(spark, sf_dir, "tjoin_")
+    probe = stream.filter(F.col("event_type").isin("click", "noop")).select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    ver = stream.filter(F.col("event_type").isin("purchase", "noop")).select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("purch_value")
+    )
+    out = temporal_join_stream(
+        probe, ver, on="user_id", probe_time="ts", version_time="vts",
+        right_cols=["purch_value"], how="inner",
+        watermark_delay="10 minutes", key_buckets=16,
+    )
+    name = _run_to_table(out, "q_tjoin", state_partitions=4)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id", "click_id", F.col("ts").alias("click_ts"), "purch_value"
+        )
+    )

@@ -318,3 +318,61 @@ def test_asof_time_buckets_parity_and_fanout():
     assert "__bkt" in plan and "partitionBy" not in plan  # sanity: physical plan
     import re as _re
     assert _re.search(r"hashpartitioning\(k#\d+L?, __bkt", plan), plan[:2000]
+
+
+def test_asof_time_buckets_auto(spark=None):
+    """time_buckets="auto" must (a) equal the unbucketed and
+    manual-width answers on randomized skewed histories, and (b) fan
+    the detected hot key's carry across (key, __bkt) partitions with
+    NO user-supplied width."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.joins import asof_join
+    from flink_1_8_sourcecode_spark.session import get_spark
+
+    spark = get_spark(app_name="flink18-spark-tests")
+    rng = np.random.default_rng(29)
+    n_l, n_r = 200, 140
+    # 90% of rows on hot key 0; cold keys 1..4
+    lp = pd.DataFrame({
+        "k": np.where(rng.random(n_l) < 0.9, 0, rng.integers(1, 5, n_l)),
+        "lt": rng.integers(0, 1000, n_l).astype("float64"),
+    })
+    lp["lid"] = np.arange(n_l)
+    rp = pd.DataFrame({
+        "k": np.where(rng.random(n_r) < 0.9, 0, rng.integers(1, 5, n_r)),
+        "rt": rng.choice(np.arange(0, 1000, 2), n_r, replace=False).astype("float64"),
+        "payload": rng.integers(0, 10**6, n_r),
+    })
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+
+    for direction in ("backward", "forward", "nearest"):
+        base = (
+            asof_join(left, right, on="k", left_time="lt", right_time="rt",
+                      direction=direction)
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        for buckets in ("auto", 130.0):
+            got = (
+                asof_join(left, right, on="k", left_time="lt", right_time="rt",
+                          direction=direction, time_buckets=buckets)
+                .toPandas().sort_values("lid").reset_index(drop=True)
+            )
+            for i in range(n_l):
+                g, b = got.loc[i], base.loc[i]
+                ok = (g["payload"] == b["payload"]) or (
+                    pd.isna(g["payload"]) and pd.isna(b["payload"])
+                )
+                assert ok, (direction, buckets, i, g.to_dict(), b.to_dict())
+
+    # the carry must partition on (key, __bkt) with no user width
+    probe = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        time_buckets="auto",
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"hashpartitioning\(k#\d+L?, __bkt", plan), plan[:2000]

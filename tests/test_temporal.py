@@ -122,3 +122,71 @@ def test_sql_lateral_table_rejections(spark, rates, payments):
     eng.register_temporal_table_function("rates", ttf)
     with pytest.raises(NotImplementedError, match="cannot parse"):
         eng.sql("SELECT 1 FROM LATERAL TABLE (rates(x.t)) r")
+
+
+def test_temporal_join_stream_equals_batch_asof(spark):
+    """TemporalRowtimeJoin.scala:63 parity: the streaming event-time
+    temporal join's stabilized finals must equal the batch as-of join
+    on the same replayed events — including LEFT semantics with an
+    integer version payload (null-padding must not NaN-drift it)."""
+    from flink_1_8_sourcecode_spark.catalog import table as cat_table
+    from flink_1_8_sourcecode_spark.operators.joins import temporal_join_stream
+    from flink_1_8_sourcecode_spark.queries.streaming_windows import (
+        _replayed_stream,
+        _run_to_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = _replayed_stream(spark, sf_dir, "tjs_test_")
+    probe_s = stream.filter(F.col("event_type").isin("click", "noop")).select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    ver_s = stream.filter(F.col("event_type").isin("purchase", "noop")).select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("value").alias("purch_value"),
+        F.col("event_id").alias("purch_id"),
+    )
+    out = temporal_join_stream(
+        probe_s, ver_s, on="user_id", probe_time="ts", version_time="vts",
+        right_cols=["purch_value", "purch_id"], how="left",
+        watermark_delay="10 minutes", key_buckets=8,
+    )
+    name = _run_to_table(out, "q_tjs_test", state_partitions=4)
+    streamed = (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "click_id", "ts", "purch_value", "purch_id")
+        .toPandas()
+    )
+
+    ev = cat_table(spark, sf_dir, "events")
+    probe_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    ver_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("value").alias("purch_value"),
+        F.col("event_id").alias("purch_id"),
+    )
+    batch = (
+        asof_join(
+            probe_b, ver_b, on="user_id", left_time="ts", right_time="vts",
+            right_cols=["purch_value", "purch_id"],
+        )
+        .select("user_id", "click_id", "ts", "purch_value", "purch_id")
+        .toPandas()
+    )
+
+    key = ["user_id", "click_id"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b) > 0
+    for c in ["user_id", "click_id", "ts", "purch_value", "purch_id"]:
+        sa, ba = s[c], b[c]
+        assert sa.isna().equals(ba.isna()), c
+        mask = ~sa.isna()
+        assert (sa[mask] == ba[mask]).all(), c
+    # at least one probe must be unmatched for the null-padding path
+    assert s["purch_id"].isna().any()
