@@ -6,10 +6,17 @@ Flink 1.8 supports PARTITION BY / ORDER BY / MEASURES / ONE ROW PER
 MATCH / AFTER MATCH SKIP / PATTERN / DEFINE with FIRST/LAST navigation.
 
 Supported subset (documented):
-- PARTITION BY <col>, ORDER BY <col>
+- PARTITION BY <col>, ORDER BY <col>[, <tiebreak> ...]
 - PATTERN over symbols with quantifiers ``+ * ? {n} {n,} {n,m}`` and a
   trailing ``?`` for reluctant (non-greedy); row contiguity is STRICT
-  between and inside symbols, per the SQL standard
+  between and inside symbols, per the SQL standard; parenthesized
+  QUANTIFIED groups — ``(A B)+``, ``(A B){2}`` — match as units via
+  the CEP group machinery (GroupPattern.java semantics), and
+  unquantified parentheses are plain grouping
+- MEASURES also accept ``MATCH_NUMBER()`` (1-based per-partition match
+  ordinal) and ``CLASSIFIER()`` (the matched row's variable; in ONE
+  ROW mode, the last row's) — documented superset where the reference
+  planner rejects them
 - DEFINE <S> AS <condition>: row-local conditions (``S.col`` / bare
   ``col`` = current row) compile to JVM boolean columns; conditions
   that NAVIGATE — ``FIRST(A.col[, n])`` / ``LAST(A.col[, n])`` or a
@@ -75,14 +82,13 @@ class _Measure:
 # MatchCodeGenerator.scala:42-69 / AggregationPatternVariableFinder path
 _MEASURE_RE = re.compile(
     r"(?:(?P<sem>RUNNING|FINAL)\s+)?"
-    r"(?:(?P<nav>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
+    r"(?:(?P<noarg>MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)"
+    r"|(?P<nav>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
     r"|(?P<sym2>\w+)\.(?P<col2>\w+))\s+AS\s+(?P<alias>\w+)",
     re.IGNORECASE,
 )
 
 _AGG_KINDS = ("sum", "avg", "min", "max")
-
-_QUANT_RE = re.compile(r"(?P<sym>[A-Za-z_]\w*)(?P<q>[+*?]|\{\d+(?:,\d*)?\})?(?P<rel>\?)?")
 
 _INTERVAL_UNITS = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
 
@@ -184,31 +190,114 @@ def _strip_symbol_prefixes(cond: str, symbols: set[str]) -> str:
     return "".join(p if i % 2 else sym_re.sub(r"\2", p) for i, p in enumerate(parts))
 
 
-def _parse_pattern(pat: str) -> list[tuple[str, int, int | None, bool]]:
-    """-> [(symbol, times_min, times_max, greedy)]"""
-    out = []
-    for tok in pat.replace("(", " ").replace(")", " ").split():
-        m = _QUANT_RE.fullmatch(tok)
-        if not m:
-            raise ValueError(f"unsupported PATTERN token {tok!r}")
-        q, rel = m.group("q"), bool(m.group("rel"))
-        greedy = not rel
-        if q is None:
-            lo, hi = 1, 1
-        elif q == "+":
-            lo, hi = 1, None
-        elif q == "*":
-            lo, hi = 0, None
-        elif q == "?":
-            lo, hi = 0, 1
-        else:
-            inner = q.strip("{}")
-            if "," in inner:
-                a, b = inner.split(",")
-                lo, hi = int(a), (int(b) if b else None)
+_PAT_TOK_RE = re.compile(
+    r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<brace>\{\d+(?:,\d*)?\})"
+    r"|(?P<q>[+*?])|(?P<sym>[A-Za-z_]\w*))"
+)
+
+
+def _parse_pattern(pat: str):
+    """Recursive PATTERN parser.
+
+    -> list of nodes; node = ``("sym", name, lo, hi, greedy)`` or
+    ``("grp", inner_nodes, lo, hi, greedy)`` for a parenthesized,
+    QUANTIFIED sub-pattern like ``(A B)+`` — the SQL-standard pattern
+    grouping, matched by the CEP group machinery (GroupPattern.java
+    semantics with MR's strict contiguity).  An UNquantified group is
+    pure grouping and is inlined.  A trailing ``?`` after a quantifier
+    marks it reluctant (non-greedy).
+    """
+    toks = []
+    pos = 0
+    while pos < len(pat):
+        m = _PAT_TOK_RE.match(pat, pos)
+        if not m or m.end() == pos:
+            rest = pat[pos:].strip()
+            if not rest:
+                break
+            raise ValueError(f"unsupported PATTERN token {rest[:20]!r}")
+        pos = m.end()
+        if m.lastgroup:
+            toks.append((m.lastgroup, m.group(m.lastgroup)))
+
+    i = [0]
+
+    def peek():
+        return toks[i[0]] if i[0] < len(toks) else (None, None)
+
+    def parse_quant():
+        lo, hi, greedy = 1, 1, True
+        k, v = peek()
+        if k == "q" or k == "brace":
+            i[0] += 1
+            if v == "+":
+                lo, hi = 1, None
+            elif v == "*":
+                lo, hi = 0, None
+            elif v == "?":
+                lo, hi = 0, 1
             else:
-                lo = hi = int(inner)
-        out.append((m.group("sym"), lo, hi, greedy))
+                inner = v.strip("{}")
+                if "," in inner:
+                    a, b = inner.split(",")
+                    lo, hi = int(a), (int(b) if b else None)
+                else:
+                    lo = hi = int(inner)
+            k2, v2 = peek()
+            if k2 == "q" and v2 == "?":
+                i[0] += 1
+                greedy = False
+        return lo, hi, greedy
+
+    def parse_seq(depth: int):
+        elems = []
+        while True:
+            k, v = peek()
+            if k is None:
+                break
+            if k == "rp":
+                if depth == 0:
+                    raise ValueError(f"unbalanced ')' in PATTERN {pat!r}")
+                break
+            if k == "lp":
+                i[0] += 1
+                inner = parse_seq(depth + 1)
+                if peek()[0] != "rp":
+                    raise ValueError(f"unbalanced '(' in PATTERN {pat!r}")
+                i[0] += 1
+                lo, hi, greedy = parse_quant()
+                if not inner:
+                    raise ValueError(f"empty group in PATTERN {pat!r}")
+                if (lo, hi, greedy) == (1, 1, True):
+                    elems.extend(inner)  # plain grouping — inline
+                else:
+                    elems.append(("grp", inner, lo, hi, greedy))
+            elif k == "sym":
+                i[0] += 1
+                lo, hi, greedy = parse_quant()
+                elems.append(("sym", v, lo, hi, greedy))
+            else:
+                raise ValueError(
+                    f"unsupported PATTERN token {v!r} in {pat!r} (a "
+                    "quantifier needs a symbol or group before it)"
+                )
+        return elems
+
+    out = parse_seq(0)
+    if i[0] != len(toks):
+        raise ValueError(f"unbalanced ')' in PATTERN {pat!r}")
+    if not out:
+        raise ValueError(f"empty PATTERN {pat!r}")
+    return out
+
+
+def _pattern_symbols(nodes) -> list[str]:
+    out = []
+    for node in nodes:
+        if node[0] == "sym":
+            out.append(node[1])
+        else:
+            out.extend(_pattern_symbols(node[1]))
     return out
 
 
@@ -634,10 +723,11 @@ def match_recognize(
     skip_txt = _parse_clause(clause, r"AFTER\s+MATCH", required=False) or "SKIP PAST LAST ROW"
     all_rows = re.search(r"ALL\s+ROWS\s+PER\s+MATCH", clause, re.IGNORECASE) is not None
 
-    # ORDER BY <time_col>[, <tiebreak>] — extra columns break ties so the
-    # row sequence the NFA sees is deterministic under equal timestamps
+    # ORDER BY <time_col>[, <tiebreak>...] — ALL extra columns break ties
+    # so the row sequence the NFA sees is deterministic under equal
+    # timestamps (previously only the first tiebreak was honored)
     order_cols = [c.strip() for c in order.split(",")]
-    order, tiebreak = order_cols[0], (order_cols[1] if len(order_cols) > 1 else None)
+    order, tiebreak = order_cols[0], (order_cols[1:] or None)
 
     # -- PATTERN first: its symbols scope the DEFINE prefix rewrite ---
     parsed = _parse_pattern(pattern_txt)
@@ -649,7 +739,7 @@ def match_recognize(
         if not m:
             raise ValueError(f"bad DEFINE item: {item!r}")
         raw_defines[m.group(1)] = m.group(2).strip()
-    symbols = set(raw_defines) | {sym for sym, *_ in parsed}
+    symbols = set(raw_defines) | set(_pattern_symbols(parsed))
 
     # -- SUBSET U = (A, B): union variables over component symbols ----
     # (DataStreamMatch.scala:38 carries ``subsets`` from the parsed
@@ -703,7 +793,12 @@ def match_recognize(
                 "[RUNNING|FINAL] FIRST/LAST/COUNT/SUM/AVG/MIN/MAX(S.col) "
                 "(COUNT also takes S.*), S.col, each AS alias"
             )
-        if m.group("nav"):
+        if m.group("noarg"):
+            # MATCH_NUMBER(): 1-based per-partition match ordinal in scan
+            # order; CLASSIFIER(): the (last) matched row's variable —
+            # documented superset where the reference planner rejects
+            kind, sym, col = m.group("noarg").lower(), None, None
+        elif m.group("nav"):
             kind = m.group("nav").lower()
             sym, col = m.group("sym1"), m.group("col1")
             col = None if col == "*" else col
@@ -714,7 +809,7 @@ def match_recognize(
                 )
         else:
             kind, sym, col = "first", m.group("sym2"), m.group("col2")
-        if sym not in symbols and sym not in subsets:
+        if sym is not None and sym not in symbols and sym not in subsets:
             raise ValueError(
                 f"MEASURES item {item!r} references unknown symbol {sym!r}"
             )
@@ -722,29 +817,56 @@ def match_recognize(
         measures.append(_Measure(kind, sym, col, m.group("alias"), running))
 
     # -- PATTERN -> Pattern (strict contiguity, per SQL standard) -----
-    stages = []
-    for idx, (sym, lo, hi, greedy) in enumerate(parsed):
+    # quantified groups become GROUP stages (GroupPattern machinery in
+    # the NFA) whose occurrences are complete sub-sequence matches,
+    # strictly contiguous like every other MR position
+    for sym in _pattern_symbols(parsed):
         if sym not in defines and sym not in iter_defines:
             defines[sym] = "true"  # undefined symbol matches any row
-        stages.append(
-            Stage(
-                name=sym,
-                contiguity="begin" if idx == 0 else "next",
-                predicates=(
-                    (lambda row, s=sym: bool(row[f"__def_{s}"]),)
-                    if sym in defines
-                    else ()
-                ),
-                iter_predicates=(
-                    (iter_defines[sym],) if sym in iter_defines else ()
-                ),
-                times_min=lo,
-                times_max=hi,
-                optional=(lo == 0),
-                greedy=greedy,
-                strict_iter=True,
-            )
-        )
+    grp_counter = iter(range(10**6))
+
+    def build_stages(nodes) -> list[Stage]:
+        out = []
+        for idx, node in enumerate(nodes):
+            contiguity = "begin" if idx == 0 else "next"
+            if node[0] == "sym":
+                _, sym, lo, hi, greedy = node
+                out.append(
+                    Stage(
+                        name=sym,
+                        contiguity=contiguity,
+                        predicates=(
+                            (lambda row, s=sym: bool(row[f"__def_{s}"]),)
+                            if sym in defines
+                            else ()
+                        ),
+                        iter_predicates=(
+                            (iter_defines[sym],) if sym in iter_defines else ()
+                        ),
+                        times_min=lo,
+                        times_max=hi,
+                        optional=(lo == 0),
+                        greedy=greedy,
+                        strict_iter=True,
+                    )
+                )
+            else:
+                _, inner, lo, hi, greedy = node
+                out.append(
+                    Stage(
+                        name=f"__grp{next(grp_counter)}",
+                        contiguity=contiguity,
+                        group=tuple(build_stages(inner)),
+                        times_min=lo,
+                        times_max=hi,
+                        optional=(lo == 0),
+                        greedy=greedy,
+                        strict_iter=True,
+                    )
+                )
+        return out
+
+    stages = build_stages(parsed)
     # -- AFTER MATCH SKIP ---------------------------------------------
     skip_kw = {}
     if re.search(r"PAST\s+LAST", skip_txt, re.IGNORECASE):
@@ -792,6 +914,14 @@ def match_recognize(
         from flink_1_8_sourcecode_spark.cep.streaming import match_pattern_stream
 
         def _mtype(ms: _Measure) -> str:
+            if ms.kind == "match_number":
+                raise NotImplementedError(
+                    "MATCH_NUMBER() is not supported on a streaming "
+                    "source (per-key match ordinals live in the batch "
+                    "matcher's scan; use the batch path)"
+                )
+            if ms.kind == "classifier":
+                return "string"
             if ms.kind == "count":
                 return "int"  # batch path uses F.size -> int
             if ms.kind in ("sum", "avg"):
@@ -806,6 +936,9 @@ def match_recognize(
         def reduce_match(kval, mrows):
             rec = {partition: kval}
             for ms in measures:
+                if ms.kind == "classifier":
+                    rec[ms.alias] = mrows[-1]["__stage"] if mrows else None
+                    continue
                 comps = subsets.get(ms.symbol, (ms.symbol,))
                 sub = [r for r in mrows if r["__stage"] in comps]
                 if ms.kind == "count" and ms.col is None:
@@ -868,6 +1001,12 @@ def match_recognize(
         Column HOFs, so aggregates run JVM-side per match with no extra
         exchange (the reference code-generates the same per-variable
         folds, MatchCodeGenerator.scala:42-69)."""
+        if ms.kind == "match_number":
+            # match_id is a grouping column in ONE ROW mode and a plain
+            # column in ALL ROWS mode — legal in both select contexts
+            return (F.col("match_id") + 1).alias(ms.alias)
+        if ms.kind == "classifier":
+            return F.element_at(arr, -1)["stage"].alias(ms.alias)
         sub = F.filter(arr, stage_filter(ms.symbol))
         if ms.kind == "count":
             if ms.col is None:

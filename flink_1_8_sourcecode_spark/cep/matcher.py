@@ -426,7 +426,9 @@ def match_pattern(
         f"{key} {key_field.dataType.simpleString()}, {MATCH_SCHEMA_SUFFIX}"
         f"{timeout_schema}, {sel_schema}"
     )
-    sort_cols = [time_col] + ([tiebreak] if tiebreak else [])
+    # one or several tiebreak columns (ORDER BY t, c1, c2, ...)
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    sort_cols = [time_col] + tb
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)

@@ -168,9 +168,9 @@ def match_pattern_stream(
         if len(buf):
             # state part first + stable sort == the incremental stable
             # merge (equal keys keep earlier-batch order)
+            tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
             buf = buf.sort_values(
-                [key, "__t", *( [tiebreak] if tiebreak else [] )],
-                kind="stable", ignore_index=True,
+                [key, "__t", *tb], kind="stable", ignore_index=True,
             )
             for kval, grp in buf.groupby(key, sort=False):
                 cur = cursors.setdefault(kval, [0, float("-inf")])

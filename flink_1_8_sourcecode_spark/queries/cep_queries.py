@@ -600,6 +600,66 @@ def cep_match_recognize_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_match_recognize_group_sql",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    seq AS (
+      SELECT user_id, event_id, event_type, rn,
+             lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+             lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2,
+             lead(event_type, 3) OVER w AS t3, lead(event_id, 3) OVER w AS id3
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    hits AS (
+      SELECT user_id, rn, event_id AS s1, id1 AS p1, id2 AS s2, id3 AS p2
+      FROM seq
+      WHERE event_type = 'signup' AND t1 = 'purchase'
+        AND t2 = 'signup' AND t3 = 'purchase'
+    )
+    SELECT user_id, s1, p1, s2, p2,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn) AS mno,
+           'P' AS cls
+    FROM hits
+    """,
+    doc="SQL MATCH_RECOGNIZE with a QUANTIFIED PATTERN GROUP — "
+    "PATTERN ((S P){2}) — parsed by the recursive pattern grammar and "
+    "matched by the CEP group machinery (GroupPattern.java semantics "
+    "under MR's strict contiguity), plus MATCH_NUMBER() (per-partition "
+    "match ordinal in scan order) and CLASSIFIER() (last matched "
+    "row's variable) measures; SKIP TO NEXT ROW makes overlapping "
+    "anchors enumerable by a lead-window oracle.",
+)
+def cep_match_recognize_group_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("events", table(spark, sf_dir, "events"))
+    return eng.sql(
+        """
+        SELECT user_id, s1, p1, s2, p2, mno, cls
+        FROM (SELECT user_id, event_id, ts, event_type FROM events
+              WHERE event_type IN ('signup', 'purchase')) MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS s1, FIRST(P.event_id) AS p1,
+                   LAST(S.event_id) AS s2, LAST(P.event_id) AS p2,
+                   MATCH_NUMBER() AS mno, CLASSIFIER() AS cls
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN ((S P){2})
+          DEFINE S AS S.event_type = 'signup',
+                 P AS P.event_type = 'purchase'
+        )
+        """
+    )
+
+
+@register(
     "cep_funnel_timeout_stream",
     oracle="""
     SELECT user_id, event_id AS signup_id FROM events s

@@ -506,3 +506,97 @@ def test_subset_validation_errors(spark, price_df):
             DEFINE A AS A.price > 0
             """,
         )
+
+
+def test_pattern_group_parse_shapes():
+    from flink_1_8_sourcecode_spark.cep.match_recognize import _parse_pattern
+
+    assert _parse_pattern("A B{2}") == [
+        ("sym", "A", 1, 1, True), ("sym", "B", 2, 2, True)
+    ]
+    # unquantified parens are plain grouping — inlined
+    assert _parse_pattern("(A B)") == [
+        ("sym", "A", 1, 1, True), ("sym", "B", 1, 1, True)
+    ]
+    assert _parse_pattern("(A B)+ C") == [
+        ("grp", [("sym", "A", 1, 1, True), ("sym", "B", 1, 1, True)], 1, None, True),
+        ("sym", "C", 1, 1, True),
+    ]
+    # nested group, bounded quantifier, reluctant outer star
+    assert _parse_pattern("(A (B C){2})*?") == [
+        ("grp",
+         [("sym", "A", 1, 1, True),
+          ("grp", [("sym", "B", 1, 1, True), ("sym", "C", 1, 1, True)], 2, 2, True)],
+         0, None, False)
+    ]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unbalanced"):
+        _parse_pattern("(A B")
+    with _pt.raises(ValueError, match="quantifier"):
+        _parse_pattern("+ A")
+
+
+def test_sql_pattern_group_matches(spark, auth_df):
+    """PATTERN ((L FA){1,2}) through SQL MR: quantified group with
+    strict contiguity; u1 has login,fail adjacent once; u2 too."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES FIRST(L.event_id) AS lid, LAST(FA.event_id) AS fid,
+                 MATCH_NUMBER() AS mno, CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((L FA){1,2})
+        DEFINE L AS L.etype = 'login', FA AS FA.etype = 'fail'
+        """,
+    ).toPandas()
+    got = sorted(zip(out.user_id, out.lid, out.fid, out.mno, out.cls))
+    assert got == [(1, 0, 1, 1, "FA"), (2, 0, 1, 1, "FA")]
+
+
+def test_order_by_multiple_tiebreaks(spark):
+    """ALL extra ORDER BY columns break ties (previously only the
+    first was honored — rows with equal (ts, c1) order by c2)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # same ts and same c1 — c2 decides the sequence a then b
+        (1, base, 0, 1, "b"),
+        (1, base, 0, 0, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, c1 int, c2 int, t string")
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY k
+        ORDER BY ts, c1, c2
+        MEASURES A.c2 AS a2, B.c2 AS b2
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS A.t = 'a', B AS B.t = 'b'
+        """,
+    ).toPandas()
+    assert len(out) == 1 and (out.iloc[0].a2, out.iloc[0].b2) == (0, 1)
+
+
+def test_match_number_not_supported_on_stream(spark, auth_df):
+    """MATCH_NUMBER() on a streaming source must refuse loudly (the
+    gate fires at plan time, before any execution)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mr_mno_")
+    auth_df.write.mode("overwrite").parquet(d)
+    s = spark.readStream.schema(auth_df.schema).parquet(d)
+    with pytest.raises(NotImplementedError, match="MATCH_NUMBER"):
+        match_recognize(
+            s,
+            """
+            PARTITION BY user_id
+            ORDER BY ts
+            MEASURES MATCH_NUMBER() AS mno
+            ONE ROW PER MATCH
+            PATTERN (A B) WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.etype = 'login', B AS B.etype = 'fail'
+            """,
+        )
