@@ -387,3 +387,76 @@ def minhash_jaccard_estimate(
             (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 8,
+    iterations: int = 3,
+    return_centroids: bool = False,
+    checkpoint_dir: str | None = None,
+):
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): k-means-cluster the embedding
+    space, then WITHIN each cluster drop every item that has a
+    same-cluster neighbor with cosine similarity above ``threshold``
+    and a smaller id (the deterministic keep-lowest-id representative
+    rule).  Returns the KEPT rows as ``(id_col, cluster)``; with
+    ``return_centroids=True`` also returns the trained centroid table
+    for external recomputation (the conditioned-oracle pattern).
+
+    The reference engine has no embedding-space dedup — this is part of
+    the training-data-pipeline family (SURVEY §2.16) alongside the
+    MinHash/SimHash text near-dup stack.
+
+    Scale: clustering reuses ``ivf_train`` (corpus never moves, one
+    broadcast-join map + k*dim-cell aggregate per Lloyd iteration).
+    The pairwise stage is exactly SemDeDup's cost model — O(sum c_i^2
+    * dim) inside clusters instead of O(n^2) globally — executed as
+    one groupBy(cluster) shuffle and a per-cluster normalized GEMM
+    (``X @ X.T`` on an Arrow batch, numpy BLAS) with a boolean
+    any-smaller-id reduction; clusters shard across executors.  A
+    pathologically giant cluster serializes its own GEMM — raise ``k``
+    (the paper's own knob) so max cluster size fits one task.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_train
+
+    assignment, centroids = ivf_train(
+        emb, id_col, vec_col, k=k, iterations=iterations,
+        return_centroids=True, checkpoint_dir=checkpoint_dir,
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    clustered = vecs.join(
+        assignment.select(F.col(id_col).alias("__id"), "cluster"), "__id"
+    )
+
+    id_t = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, cluster int"
+
+    def keep_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
+        x = np.asarray(pdf["__v"].tolist(), dtype="float64")
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+        xn = x / norms[:, None]
+        sims = xn @ xn.T
+        # drop row i when any j < i (sorted by id) has cos > threshold;
+        # strict lower triangle = the smaller-id side of every pair
+        tri = np.tril(sims > threshold, k=-1)
+        dropped = tri.any(axis=1)
+        kept = pdf.loc[~dropped, ["__id", "cluster"]].rename(columns={"__id": id_col})
+        return kept
+
+    kept = clustered.groupBy("cluster").applyInPandas(keep_cluster, out_schema)
+    if return_centroids:
+        return kept, centroids
+    return kept

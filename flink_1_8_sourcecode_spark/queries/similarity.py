@@ -372,3 +372,61 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id", cluster_col="label",
         codes=codes, codebooks=codebooks, k=10, nprobe=3,
     )
+
+
+_SEMDD_CENTROID_EXPORT = "/tmp/spark_graft_semdd_centroids"
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH c AS (SELECT cluster, centroid::DOUBLE[] AS cv
+               FROM read_parquet('{_SEMDD_CENTROID_EXPORT}/*.parquet')),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         d AS (SELECT v.vec_id, v.e, c.cluster,
+                      list_sum(list_transform(range(1, len(e) + 1),
+                               i -> (e[i] - cv[i]) * (e[i] - cv[i]))) AS d2
+               FROM v CROSS JOIN c),
+         assigned AS (
+           SELECT vec_id, e, cluster FROM (
+             SELECT vec_id, e, cluster,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+             FROM d
+           ) WHERE rn = 1
+         ),
+         dropped AS (
+           SELECT DISTINCT a.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+            AND list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e))
+                   * sqrt(list_dot_product(b.e, b.e))) > 0.3
+         )
+    SELECT vec_id, cluster FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    doc="SEMANTIC deduplication (SemDeDup, Abbas et al. 2023): k-means "
+    "cluster the embedding space (ivf_train, deterministic hash-seeded "
+    "init), then within each cluster drop every vector with a "
+    "same-cluster neighbor above cosine 0.3 and a smaller id "
+    "(keep-lowest-id representative rule) — the paper's "
+    "cluster-then-pairwise cost model, run as one groupBy(cluster) "
+    "shuffle + per-cluster normalized GEMM.  The oracle is "
+    "CENTROID-CONDITIONED: the query exports the trained centroids and "
+    "DuckDB independently recomputes assignment, every within-cluster "
+    "pairwise cosine, and the drop rule (threshold sits in a 7.8e-5 "
+    "gap of the pair-cosine distribution, so float association order "
+    "cannot flip a decision).",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    kept, cents = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, k=8, iterations=3,
+        return_centroids=True,
+    )
+    cents.select("cluster", F.col("__centroid").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(_SEMDD_CENTROID_EXPORT)
+    return kept

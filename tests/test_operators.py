@@ -754,3 +754,65 @@ def test_partition_custom_exact_placement(spark):
 
     with _pytest.raises(Exception, match="not in"):
         partition_custom(df, lambda k: 99, "k", n=3).collect()
+
+
+class TestSemanticDedup:
+    """SemDeDup invariants (operators/dedup.py:semantic_dedup)."""
+
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # two tight bundles + noise: bundles are near-dups of each other
+        rows = []
+        for i in range(40):
+            base = np.zeros(8)
+            if i % 3 == 0:
+                base[0] = 1.0  # bundle A: same direction -> cosine ~1
+            elif i % 3 == 1:
+                base[1] = 1.0  # bundle B
+            else:
+                base = rng.normal(size=8)  # noise
+            v = base + rng.normal(scale=0.01, size=8)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_drop_rule_invariants(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from flink_1_8_sourcecode_spark.operators.dedup import semantic_dedup
+
+        emb = self._emb(spark)
+        t = 0.95
+        kept = semantic_dedup(emb, "vec_id", "embedding", threshold=t, k=4,
+                              iterations=3).toPandas()
+        # recompute clusters+cosines locally for the invariant check
+        from flink_1_8_sourcecode_spark.operators.similarity import ivf_train
+        assign = ivf_train(emb, "vec_id", "embedding", k=4, iterations=3).toPandas()
+        full = emb.toPandas().merge(assign, on="vec_id")
+        kept_ids = set(kept.vec_id)
+        for cl, g in full.groupby("cluster"):
+            g = g.sort_values("vec_id").reset_index(drop=True)
+            x = np.asarray(g["embedding"].tolist())
+            xn = x / np.linalg.norm(x, axis=1)[:, None]
+            s = xn @ xn.T
+            ids = g["vec_id"].tolist()
+            # lowest id of every cluster is always kept
+            assert ids[0] in kept_ids
+            for i, xid in enumerate(ids):
+                has_smaller_nn = any(s[i, j] > t for j in range(i))
+                assert (xid not in kept_ids) == has_smaller_nn, (cl, xid)
+
+    def test_threshold_extremes(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import semantic_dedup
+
+        emb = self._emb(spark)
+        all_kept = semantic_dedup(emb, "vec_id", "embedding", threshold=1.1,
+                                  k=4, iterations=2).toPandas()
+        assert len(all_kept) == 40  # nothing exceeds cosine 1.1
+        one_per_cluster = semantic_dedup(emb, "vec_id", "embedding",
+                                         threshold=-1.1, k=4,
+                                         iterations=2).toPandas()
+        # cos > -1.1 always: only each cluster's lowest id survives
+        assert len(one_per_cluster) == one_per_cluster.cluster.nunique()
