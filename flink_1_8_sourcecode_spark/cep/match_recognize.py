@@ -13,10 +13,11 @@ Supported subset (documented):
   QUANTIFIED groups — ``(A B)+``, ``(A B){2}`` — match as units via
   the CEP group machinery (GroupPattern.java semantics), and
   unquantified parentheses are plain grouping
-- MEASURES also accept ``MATCH_NUMBER()`` (1-based per-partition match
-  ordinal) and ``CLASSIFIER()`` (the matched row's variable; in ONE
-  ROW mode, the last row's) — documented superset where the reference
-  planner rejects them
+- MEASURES also accept ``MATCH_ROWTIME()`` (the match's last-row
+  event time, Flink 1.8 parity), ``MATCH_NUMBER()`` (1-based
+  per-partition match ordinal) and ``CLASSIFIER()`` (the matched
+  row's variable; in ONE ROW mode, the last row's) — the latter two a
+  documented superset where the reference planner rejects them
 - DEFINE <S> AS <condition>: row-local conditions (``S.col`` / bare
   ``col`` = current row) compile to JVM boolean columns; conditions
   that NAVIGATE — ``FIRST(A.col[, n])`` / ``LAST(A.col[, n])`` or a
@@ -82,7 +83,7 @@ class _Measure:
 # MatchCodeGenerator.scala:42-69 / AggregationPatternVariableFinder path
 _MEASURE_RE = re.compile(
     r"(?:(?P<sem>RUNNING|FINAL)\s+)?"
-    r"(?:(?P<noarg>MATCH_NUMBER|CLASSIFIER)\s*\(\s*\)"
+    r"(?:(?P<noarg>MATCH_NUMBER|CLASSIFIER|MATCH_ROWTIME)\s*\(\s*\)"
     r"|(?P<nav>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
     r"|(?P<sym2>\w+)\.(?P<col2>\w+))\s+AS\s+(?P<alias>\w+)",
     re.IGNORECASE,
@@ -922,6 +923,8 @@ def match_recognize(
                 )
             if ms.kind == "classifier":
                 return "string"
+            if ms.kind == "match_rowtime":
+                return work.schema[order].dataType.simpleString()
             if ms.kind == "count":
                 return "int"  # batch path uses F.size -> int
             if ms.kind in ("sum", "avg"):
@@ -938,6 +941,9 @@ def match_recognize(
             for ms in measures:
                 if ms.kind == "classifier":
                     rec[ms.alias] = mrows[-1]["__stage"] if mrows else None
+                    continue
+                if ms.kind == "match_rowtime":
+                    rec[ms.alias] = mrows[-1][order] if mrows else None
                     continue
                 comps = subsets.get(ms.symbol, (ms.symbol,))
                 sub = [r for r in mrows if r["__stage"] in comps]
@@ -1007,6 +1013,11 @@ def match_recognize(
             return (F.col("match_id") + 1).alias(ms.alias)
         if ms.kind == "classifier":
             return F.element_at(arr, -1)["stage"].alias(ms.alias)
+        if ms.kind == "match_rowtime":
+            # the rowtime of the match's last row (Flink 1.8's
+            # MATCH_ROWTIME(), the event-time attribute the planner
+            # carries downstream for subsequent time-based operators)
+            return F.element_at(arr, -1)[order].alias(ms.alias)
         sub = F.filter(arr, stage_filter(ms.symbol))
         if ms.kind == "count":
             if ms.col is None:

@@ -460,3 +460,50 @@ def semantic_dedup(
     if return_centroids:
         return kept, centroids
     return kept
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication detection a la Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better" —
+    public paper), approximated at token n-gram granularity: every
+    length-``n`` token window is a candidate span, and spans occurring
+    ``min_count``+ times corpus-wide are reported with total occurrence
+    and distinct-document counts.  The paper's suffix array finds
+    MAXIMAL repeats; fixed-n sliding windows are the bounded-memory
+    distributed approximation (any repeat of length L >= n surfaces as
+    L-n+1 repeated windows), the standard trade for a shuffle-based
+    engine.
+
+    Returns (span, occ, ndocs), occ >= min_count.
+
+    Scale: span generation is map-only (per doc, ~token_count windows
+    via one transform over a token array — no Python); the single
+    shuffle is the groupBy on the span, partial-aggregated map-side.
+    At 100 TB the span column dominates the exchange — hash the span
+    (xxhash64) for the count pass and semi-join survivors back when
+    the span text itself is not needed downstream.
+    """
+    toks = tokens(F.col(text_col))
+    n_spans = F.size(toks) - (n - 1)
+    spans = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.countDistinct("__id").alias("ndocs"),
+        )
+        .filter(F.col("occ") >= min_count)
+    )

@@ -702,6 +702,7 @@ def temporal_join_stream(
     how: str = "inner",
     watermark_delay: str = "0 seconds",
     key_buckets: int = 64,
+    version_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """STREAMING event-time temporal join — the reference's
     ``TemporalRowtimeJoin`` (flink-table/.../runtime/join/
@@ -727,6 +728,15 @@ def temporal_join_stream(
     amortization as ``unbounded_stream_join``.  Scale: per-key state is
     one pending-probe window plus one pruned version chain, the same
     bound as the reference's keyed MapState.
+
+    ``version_ttl_seconds`` bounds DEAD-KEY state: without it the
+    latest version of every key ever seen is retained forever (the
+    reference behaves the same until idle-state retention is
+    configured).  With it, a retained below-watermark version older
+    than ``watermark - ttl`` is dropped — a probe arriving later finds
+    no version (NULL / dropped per ``how``), exactly the trade Flink's
+    withIdleStateRetentionTime makes.  Size it above the longest
+    probe-silence per key you must serve.
     """
     from collections.abc import Iterator
 
@@ -778,6 +788,9 @@ def temporal_join_stream(
     )
 
     _concat = arrow_state.concat
+    ttl_ms = (
+        None if version_ttl_seconds is None else int(version_ttl_seconds * 1000)
+    )
 
     def _finish(pdf: pd.DataFrame) -> pd.DataFrame:
         for c in ts_cols:
@@ -846,12 +859,16 @@ def temporal_join_stream(
                     out.loc[miss, c] = None
 
         # version-chain pruning: keep everything past the watermark plus
-        # the single latest version at-or-before it (per key)
+        # the single latest version at-or-before it (per key); with a
+        # TTL, a retained version older than wm - ttl is dead-key state
+        # and clears (idle-state-retention semantics)
         if len(vers):
             vv = vers.sort_values(["__t"] + right_cols, kind="mergesort")
             below = vv[vv["__t"].astype("int64") <= wm]
             if len(below):
                 below = below.groupby(keys, as_index=False).tail(1)
+                if ttl_ms is not None:
+                    below = below[below["__t"].astype("int64") > wm - ttl_ms]
             vers = _concat(
                 [below, vv[vv["__t"].astype("int64") > wm]], vbuf_cols
             )
@@ -865,6 +882,13 @@ def temporal_join_stream(
                 # wake exactly when the earliest pending probe stabilizes
                 state.setTimeoutTimestamp(
                     max(int(pend["__t"].astype("int64").min()), wm + 1)
+                )
+            elif ttl_ms is not None and len(vers):
+                # no probes pending: wake when the oldest retained
+                # version's TTL expires so dead-key state clears even
+                # if the bucket never sees data again
+                state.setTimeoutTimestamp(
+                    max(int(vers["__t"].astype("int64").min()) + ttl_ms, wm + 1)
                 )
         elif state.exists:
             state.remove()

@@ -308,3 +308,26 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return chunk_documents(d, "doc_id", "text", chunk_tokens=128, stride=96)
+
+
+@register(
+    "text_repeated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8),
+                i -> array_to_string(toks[i:i+9], ' '))) AS span
+          FROM t WHERE len(toks) >= 10)
+    SELECT span, count(*) AS occ, count(DISTINCT doc_id) AS ndocs
+    FROM s GROUP BY span HAVING count(*) >= 2
+    """,
+    doc="Repeated-span detection (Lee et al. 2021 exact-substring dedup "
+    "approximated at 10-token window granularity, operators/dedup.py:"
+    "repeated_ngram_spans): every 10-gram token window, corpus-wide "
+    "count + distinct-doc count, spans occurring twice or more.  "
+    "Map-only window generation, one partial-aggregated shuffle.",
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import repeated_ngram_spans
+
+    d = table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)

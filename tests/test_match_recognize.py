@@ -600,3 +600,23 @@ def test_match_number_not_supported_on_stream(spark, auth_df):
             DEFINE A AS A.etype = 'login', B AS B.etype = 'fail'
             """,
         )
+
+
+def test_match_rowtime_measure(spark, auth_df):
+    """MATCH_ROWTIME(): the match's last-row event time (Flink 1.8
+    exposes it as the event-time attribute of MR output)."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS first_fail, MATCH_ROWTIME() AS mrt
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{3})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas()
+    assert len(out) == 1
+    # u1 fails at seconds 1..3 -> last row ts = base + 3s
+    assert out.iloc[0].mrt == dt.datetime(2024, 1, 1, 0, 0, 3)

@@ -190,3 +190,59 @@ def test_temporal_join_stream_equals_batch_asof(spark):
         assert (sa[mask] == ba[mask]).all(), c
     # at least one probe must be unmatched for the null-padding path
     assert s["purch_id"].isna().any()
+
+
+def test_temporal_join_stream_version_ttl(spark):
+    """version_ttl_seconds: a retained version older than watermark-ttl
+    clears (idle-state retention); a probe arriving later finds no
+    version.  Without the TTL the same probe matches."""
+    import tempfile
+
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.joins import temporal_join_stream
+    from flink_1_8_sourcecode_spark.queries.streaming_windows import _run_to_table
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    schema = "k long, side string, ts timestamp, payload double"
+    chunks = [
+        [(1, "v", t(0), 7.0), (999, "w", t(1), 0.0)],
+        [(999, "w", t(3000), 0.0)],
+        [(1, "p", t(5000), 0.0)],
+        [(999, "w", t(10**6), 0.0)],
+    ]
+
+    def run(ttl):
+        d = tempfile.mkdtemp(prefix="tjs_ttl_")
+        for i, rows in enumerate(chunks):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/{i:02d}")
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/*")
+        )
+        probe = s.filter(F.col("side").isin("p", "w")).select(
+            "k", F.col("ts").alias("pts")
+        )
+        ver = s.filter(F.col("side").isin("v", "w")).select(
+            "k", F.col("ts").alias("vts"), F.col("payload")
+        )
+        out = temporal_join_stream(
+            probe, ver, on="k", probe_time="pts", version_time="vts",
+            right_cols=["payload"], how="inner",
+            watermark_delay="0 seconds", key_buckets=1,
+            version_ttl_seconds=ttl,
+        )
+        name = _run_to_table(out, "q_tjs_ttl", state_partitions=1)
+        return spark.table(name).filter(F.col("k") == 1).toPandas()
+
+    with_ttl = run(1000.0)
+    assert len(with_ttl) == 0  # version expired before the probe emitted
+    without = run(None)
+    assert len(without) == 1 and without.iloc[0].payload == 7.0
