@@ -366,6 +366,8 @@ def temporal_join(
     probe_time: str,
     right_cols: list[str] | None = None,
     how: str = "left",
+    watermark_delay: str = "0 seconds",
+    static_history_limit: int = 1_000_000,
 ) -> DataFrame:
     """LATERAL TABLE (versioned(probe_time)) join: each probe row gets the
     version of the build side valid at its timestamp — implemented by the
@@ -374,9 +376,44 @@ def temporal_join(
     ``how="inner"`` drops probe rows with NO valid version — the
     semantics of the reference's SQL temporal-table-function join (a
     LATERAL TABLE of an empty correlate emits nothing); ``"left"`` is
-    the DataFrame-API default (NULL payload, merge_asof-style)."""
+    the DataFrame-API default (NULL payload, merge_asof-style).
+
+    STREAMING probes dispatch by the history side's nature:
+    - history also streaming -> ``temporal_join_stream`` (the
+      TemporalRowtimeJoin stateful path; results stabilize behind the
+      watermark, ``watermark_delay`` applies);
+    - history static/bounded -> a STATELESS map: the sorted history is
+      captured once (bounded-side contract, like a broadcast dim — the
+      ``static_history_limit`` guard refuses anything bigger and points
+      at the streaming path) and every probe micro-batch runs a
+      vectorized per-batch ``merge_asof`` against it inside
+      ``mapInPandas``.  No shuffle, no state — the plan a fixed rates
+      table deserves at any scale.
+    """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left/inner, got {how!r}")
+    if probe.isStreaming:
+        if right_cols:
+            # the key/time ride along implicitly; callers (e.g. the SQL
+            # LATERAL router) may list the key to expose it in a view
+            right_cols = [
+                c for c in right_cols
+                if c not in (versioned.key, versioned.time_attr)
+            ]
+        if versioned.history.isStreaming:
+            return temporal_join_stream(
+                probe,
+                versioned.history,
+                on=versioned.key,
+                probe_time=probe_time,
+                version_time=versioned.time_attr,
+                right_cols=right_cols,
+                how=how,
+                watermark_delay=watermark_delay,
+            )
+        return _stream_probe_static_asof(
+            probe, versioned, probe_time, right_cols, how, static_history_limit
+        )
     out = asof_join(
         probe,
         versioned.history,
@@ -389,6 +426,93 @@ def temporal_join(
     if how == "inner":
         out = out.filter(F.col("__match_t").isNotNull()).drop("__match_t")
     return out
+
+
+def _stream_probe_static_asof(
+    probe: DataFrame,
+    versioned: TemporalTableFunction,
+    probe_time: str,
+    right_cols: list[str] | None,
+    how: str,
+    limit: int,
+) -> DataFrame:
+    """Streaming probe x STATIC version history: per-micro-batch
+    vectorized merge_asof against the captured sorted history (see
+    temporal_join).  The history is a bounded-side contract — a rates /
+    dimension table, not a fact stream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    key, vtime = versioned.key, versioned.time_attr
+    hist = versioned.history
+    right_cols = right_cols or [
+        c for c in hist.columns if c not in (key, vtime)
+    ]
+    overlap = set(right_cols) & set(probe.columns)
+    if overlap:
+        raise ValueError(
+            f"version payload columns {sorted(overlap)} collide with probe "
+            "columns; rename one side"
+        )
+    n = hist.count()
+    if n > limit:
+        raise ValueError(
+            f"static history has {n} rows > static_history_limit={limit}: "
+            "a history that big is a fact stream — use a streaming "
+            "history side (temporal_join_stream) instead"
+        )
+    hist_pdf = (
+        hist.select(key, vtime, *right_cols)
+        .toPandas()
+        .sort_values([vtime] + right_cols, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    if pd.api.types.is_datetime64_any_dtype(hist_pdf[vtime]):
+        hist_pdf[vtime] = hist_pdf[vtime].astype("datetime64[us]")
+    hist_pdf = hist_pdf.rename(columns={vtime: "__vt"})
+
+    out_cols = list(probe.columns) + right_cols
+    schema = ", ".join(
+        [f"{c} {probe.schema[c].dataType.simpleString()}" for c in probe.columns]
+        + [f"{c} {hist.schema[c].dataType.simpleString()}" for c in right_cols]
+    )
+    inner = how == "inner"
+    ts_payload = {
+        c for c in right_cols
+        if hist.schema[c].dataType.simpleString().startswith("timestamp")
+    }
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf[probe_time]
+            if pd.api.types.is_datetime64_any_dtype(t):
+                t = t.astype("datetime64[us]")
+            work = pdf.assign(__pt=t).sort_values("__pt", kind="mergesort")
+            j = pd.merge_asof(
+                work,
+                hist_pdf,
+                left_on="__pt",
+                right_on="__vt",
+                by=key,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            miss = j["__vt"].isna()
+            if inner:
+                j = j[~miss]
+            elif miss.any():
+                for c in right_cols:
+                    j[c] = j[c].astype(object)
+                    j.loc[miss, c] = None
+            for c in ts_payload:
+                j[c] = pd.to_datetime(j[c])
+            if len(j):
+                yield j[out_cols]
+
+    return probe.mapInPandas(fn, schema)
 
 
 def interval_join(

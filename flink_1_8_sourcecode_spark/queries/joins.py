@@ -449,3 +449,64 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id", "user_id",
         F.coalesce(F.col("nearest_click_id"), F.lit(-1)).alias("nearest_click_id"),
     )
+
+
+@register(
+    "join_temporal_sql_lateral_stream",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS c_ts, event_id FROM events
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS purchase_id, p.user_id,
+                  c.event_id AS click_id,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.c_ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts <= p.ts
+         )
+    SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1
+    """,
+    doc="The temporal-table-function SQL join with a STREAMING probe "
+    "and a STATIC version history, routed through Engine.sql: "
+    "FROM purchases_stream p, LATERAL TABLE (user_clicks(p.ts)) c.  "
+    "temporal_join dispatches to the stateless path — the bounded "
+    "history is captured sorted once and every probe micro-batch runs "
+    "a vectorized merge_asof inside mapInPandas (no shuffle, no "
+    "state); INNER semantics, greatest-(time, payload) tie rule, same "
+    "answer as the batch LATERAL form.",
+)
+def join_temporal_sql_lateral_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        create_temporal_table_function,
+    )
+    from flink_1_8_sourcecode_spark.queries.streaming_windows import (
+        _replayed_stream,
+        _run_to_table,
+    )
+
+    eng = Engine(spark)
+    stream = _replayed_stream(spark, sf_dir, "lat_stream_")
+    eng.register(
+        "purchases_s",
+        stream.filter(F.col("event_type").isin("purchase", "noop")).select(
+            "event_id", "user_id", "ts"
+        ),
+    )
+    clicks = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id"))
+    )
+    eng.register_temporal_table_function(
+        "user_clicks", create_temporal_table_function(clicks, "c_ts", "user_id")
+    )
+    out = eng.sql(
+        """
+        SELECT p.event_id AS purchase_id, p.user_id, c.click_id
+        FROM purchases_s p, LATERAL TABLE (user_clicks(p.ts)) c
+        """
+    )
+    name = _run_to_table(out, "q_lat_stream", state_partitions=4)
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -246,3 +246,28 @@ def test_temporal_join_stream_version_ttl(spark):
     assert len(with_ttl) == 0  # version expired before the probe emitted
     without = run(None)
     assert len(without) == 1 and without.iloc[0].payload == 7.0
+
+
+def test_temporal_join_static_history_limit_guard(spark):
+    """A streaming probe against an over-limit static history must
+    refuse and point at the streaming path (bounded-side contract)."""
+    import tempfile
+
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        create_temporal_table_function,
+        temporal_join,
+    )
+
+    hist = spark.createDataFrame(
+        [(i % 3, dt.datetime(2024, 1, 1, 0, 0, i), float(i)) for i in range(50)],
+        "k long, vt timestamp, payload double",
+    )
+    d = tempfile.mkdtemp(prefix="tj_guard_")
+    hist.write.mode("overwrite").parquet(d)
+    probe = spark.readStream.schema(hist.schema).parquet(d).select(
+        "k", F.col("vt").alias("pt")
+    )
+    ttf = create_temporal_table_function(hist, "vt", "k")
+    with pytest.raises(ValueError, match="static_history_limit"):
+        temporal_join(probe, ttf, probe_time="pt", how="inner",
+                      static_history_limit=10)
