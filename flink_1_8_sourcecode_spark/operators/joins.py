@@ -1026,6 +1026,20 @@ def temporal_join_stream(
     )
 
 
+def cross_with_tiny(left: DataFrame, right: DataFrame) -> DataFrame:
+    """DataSet.crossWithTiny(other) (DataSet.java:1068): cartesian
+    product with the RIGHT side declared broadcast-small — Spark's
+    broadcast nested-loop join with the hint pinned on that side."""
+    return left.crossJoin(F.broadcast(right))
+
+
+def cross_with_huge(left: DataFrame, right: DataFrame) -> DataFrame:
+    """DataSet.crossWithHuge(other) (DataSet.java:1090): cartesian
+    product with the RIGHT side huge — broadcast the LEFT side
+    instead, exactly the inverted hint of crossWithTiny."""
+    return F.broadcast(left).crossJoin(right)
+
+
 def join_with_tiny(
     left: DataFrame, right: DataFrame, on, how: str = "inner"
 ) -> DataFrame:

@@ -164,3 +164,65 @@ def test_text_signal_ops_are_map_only(spark):
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} must not shuffle:\n{plan[:800]}"
+
+
+def test_cross_with_tiny_huge_hint_sides(spark):
+    """crossWithTiny/crossWithHuge parity (DataSet.java:1068,1090): the
+    declared-small side is the broadcast side of the nested-loop."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        cross_with_huge,
+        cross_with_tiny,
+    )
+
+    nation = table(spark, SF_DIR, "nation")
+    region = table(spark, SF_DIR, "region")
+    t = cross_with_tiny(nation, region)
+    pt = t._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in pt and "BuildRight" in pt, pt[:600]
+    h = cross_with_huge(region, nation)
+    ph = h._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in ph and "BuildLeft" in ph, ph[:600]
+
+
+def test_repeated_spans_single_span_exchange(spark):
+    """repeated_ngram_spans: window generation is map-side; the only
+    exchanges belong to the span aggregate (count + countDistinct) —
+    the corpus text itself is never repartitioned twice."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.dedup import repeated_ngram_spans
+
+    d = table(spark, SF_DIR, "documents")
+    out = repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges\n{plan[:1500]}"
+    assert "Generate explode" in plan  # map-side window generation
+
+
+def test_stream_static_temporal_join_is_stateless(spark):
+    """temporal_join with a streaming probe and static history must
+    plan NO stateful operator — pure per-batch mapInPandas."""
+    import tempfile
+
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        create_temporal_table_function,
+        temporal_join,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "k long, vt timestamp, payload double"
+    )
+    d = tempfile.mkdtemp(prefix="tj_plan_")
+    hist.write.mode("overwrite").parquet(d)
+    probe = spark.readStream.schema(hist.schema).parquet(d).select(
+        "k", F.col("vt").alias("pt")
+    )
+    ttf = create_temporal_table_function(hist, "vt", "k")
+    out = temporal_join(probe, ttf, probe_time="pt", how="inner")
+    s = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsWithState" not in s and "statestore" not in s.lower()
