@@ -147,7 +147,10 @@ def _parse_sql_interval(text: str) -> float:
 
 def _parse_clause(text: str, name: str, required: bool = True) -> str | None:
     m = re.search(
-        rf"{name}\s+(.*?)(?=(?:(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN|SUBSET|DEFINE)\b|$))",
+        # SUBSET only terminates a clause when followed by "<name> =" —
+        # otherwise an alias/identifier named "subset" would truncate
+        # the clause it appears in
+        rf"{name}\s+(.*?)(?=(?:(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN|DEFINE)\b|SUBSET\s+\w+\s*=|$))",
         text,
         re.IGNORECASE | re.DOTALL,
     )
@@ -747,7 +750,9 @@ def match_recognize(
     # MatchRecognize RelNode into codegen; navigation/aggregates over a
     # union variable see the merged rows of its components)
     subsets: dict[str, frozenset[str]] = {}
-    subset_txt = _parse_clause(clause, "SUBSET", required=False)
+    # the lookahead keeps an alias/identifier named "subset" from being
+    # mistaken for the clause keyword
+    subset_txt = _parse_clause(clause, r"SUBSET(?=\s+\w+\s*=)", required=False)
     if subset_txt:
         for item in _split_top_level(subset_txt):
             m = re.match(r"(\w+)\s*=\s*\(([^()]*)\)\s*$", item.strip())

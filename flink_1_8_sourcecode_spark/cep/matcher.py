@@ -113,16 +113,23 @@ def _find_matches(
                     if ft is None and acc:
                         ft = times[acc[0][1]]
                     prefix = list(outer) + acc
-                    got = None
+                    # EVERY inner alternative at this anchor is explored
+                    # (a greedy variable-length inner match must not
+                    # steal rows a later occurrence needs — committing
+                    # to the first alternative silently dropped matches
+                    # like (A+){2} over [a, a]); the scan still commits
+                    # to the first VIABLE anchor like scalar stages,
+                    # with followed_by_any branching on later anchors.
+                    matched_any = False
                     for delta in seq_matches(st.group, jj, ft, prefix):
-                        if delta:  # empty sub-matches are not occurrences
-                            got = delta
-                            break
-                    if got is not None:
-                        acc.extend(got)
-                        nxt = max(idx for _, idx in got) + 1
+                        if not delta:  # empty sub-matches are not occurrences
+                            continue
+                        matched_any = True
+                        acc.extend(delta)
+                        nxt = max(idx for _, idx in delta) + 1
                         yield from runs_group(nxt, count + 1, acc)
-                        del acc[len(acc) - len(got):]
+                        del acc[len(acc) - len(delta):]
+                    if matched_any:
                         if st.contiguity != "followed_by_any":
                             return
                     else:
@@ -133,8 +140,12 @@ def _find_matches(
                     jj += 1
 
             order = []
+            seen_runs = set()
             for occ in runs_group(start_i, 0, []):
-                order.append(occ)
+                key = tuple(occ)
+                if key not in seen_runs:  # different occurrence splits can
+                    seen_runs.add(key)    # reach identical binding lists
+                    order.append(occ)
             order.sort(key=len, reverse=st.greedy)
             for occ in order:
                 nxt = (max(idx for _, idx in occ) + 1) if occ else start_i
@@ -210,7 +221,15 @@ def _find_matches(
             )
         return not any(st.accepts(rows[i]) for i in rng)
 
-    def backtrack(stages, si: int, start_i: int, first_time: float | None, acc):
+    def backtrack(
+        stages, si: int, start_i: int, first_time: float | None, acc,
+        exhaustive: bool = False,
+    ):
+        # ``exhaustive`` disables the first-match commitment: a nested
+        # GROUP sequence must surface EVERY complete alternative so the
+        # enclosing quantifier can leave rows for later occurrences
+        # (Flink's NFA branches the same way in its shared buffer); the
+        # top-level pattern keeps the committed followedBy semantics.
         if si == len(stages):
             yield list(acc)
             return
@@ -231,10 +250,12 @@ def _find_matches(
                     times[bindings[0][1]] if bindings else None
                 )
                 acc.extend(bindings)
-                yield from backtrack(stages, nxt_stage + 1, nxt_i, ft, acc)
+                yield from backtrack(
+                    stages, nxt_stage + 1, nxt_i, ft, acc, exhaustive
+                )
                 for _ in bindings:
                     acc.pop()
-                if st.contiguity == "followed_by" or bindings:
+                if not exhaustive and (st.contiguity == "followed_by" or bindings):
                     if not stages[nxt_stage].contiguity == "followed_by_any":
                         return
             return
@@ -247,24 +268,25 @@ def _find_matches(
                 ft = times[bindings[0][1]]
             acc.extend(bindings)
             matched_any = False
-            for m in backtrack(stages, si + 1, nxt_i, ft, acc):
+            for m in backtrack(stages, si + 1, nxt_i, ft, acc, exhaustive):
                 matched_any = True
                 yield m
             for _ in bindings:
                 acc.pop()
-            if committed and matched_any:
+            if committed and matched_any and not exhaustive:
                 return  # first-match semantics for non-any contiguity
 
     def seq_matches(gstages, anchor: int, first_time: float | None, prefix):
         """Complete matches of the nested stage sequence ``gstages``
         anchored at ``anchor`` (its first stage is 'begin', so the first
-        bound row sits exactly there), yielded as binding DELTAS.
+        bound row sits exactly there), yielded as binding DELTAS — ALL
+        alternatives, not just the first (see ``exhaustive``).
         ``prefix`` is the enclosing partial match's live binding list —
         nested iterative conditions see the whole partial match, exactly
         as Flink's shared NFA state does for group patterns."""
         acc = list(prefix)
         base = len(acc)
-        for full in backtrack(gstages, 0, anchor, first_time, acc):
+        for full in backtrack(gstages, 0, anchor, first_time, acc, True):
             yield full[base:]
 
     def prefix_partial(start_i: int):
@@ -307,26 +329,42 @@ def _find_matches(
                 j += 1
             si += 1
         if si < len(stages) and stages[si].contiguity == "next":
+            # a GROUP successor has no predicates of its own — descend
+            # to its first scalar stage (bailing out, i.e. keeping the
+            # run alive, when that stage is optional/negative and the
+            # cheap check cannot decide)
+            succ = stages[si]
+            while succ is not None:
+                if succ.optional or succ.times_min == 0 or succ.negative:
+                    succ = None  # cheap check cannot decide: keep alive
+                    break
+                if succ.group is None:
+                    break
+                succ = succ.group[0]
             j = last + 1
-            sctx = (
-                MatchContext(rows, list(prefix), cur=j)
-                if stages[si].iter_predicates
-                else None
-            )
-            if j < n and in_window(j) and not stages[si].accepts(rows[j], sctx):
-                return False  # strict successor broke the run pre-expiry
+            if succ is not None and j < n and in_window(j):
+                sctx = (
+                    MatchContext(rows, list(prefix), cur=j)
+                    if succ.iter_predicates
+                    else None
+                )
+                if not succ.accepts(rows[j], sctx):
+                    return False  # strict successor broke the run pre-expiry
         return True
 
     def can_anchor(i: int) -> bool:
         """Cheap start gate: the first scalar stage must accept rows[i].
-        Descends through group stages; bails to True when the first
-        inner stage is optional/negative (the anchor row may then bind
-        to a later stage, so only the full backtrack can decide)."""
+        Descends through group stages; bails to True whenever the stage
+        under inspection (INCLUDING the outermost first stage) is
+        optional/zero-min/negative — the anchor row may then bind to a
+        later stage, so only the full backtrack can decide."""
         st = stages[0]
-        while st.group is not None:
-            st = st.group[0]
+        while True:
             if st.optional or st.times_min == 0 or st.negative:
                 return True
+            if st.group is None:
+                break
+            st = st.group[0]
         ctx0 = MatchContext(rows, [], cur=i) if st.iter_predicates else None
         return st.accepts(rows[i], ctx0)
 

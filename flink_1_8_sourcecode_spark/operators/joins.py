@@ -300,44 +300,21 @@ def asof_join(
     return out.drop("__r")
 
 
-def _auto_bucket_widths(
-    unioned: DataFrame,
-    keys: list[str],
-    tnum,
-    sample_fraction: float = 0.05,
-    hot_factor: float = 4.0,
-    max_buckets: int = 32,
-    seed: int = 42,
-) -> DataFrame:
-    """Sample-driven per-key bucket widths for ``asof_join(time_buckets=
-    "auto")`` — the detect_hot_keys recipe (operators/partitioning.py:81)
-    extended with the per-key time span: keys whose sampled row count
-    exceeds ``hot_factor``x the mean get width ``span / n_buckets`` with
-    ``n_buckets ~ count/mean`` capped at ``max_buckets``.  Returns a
-    SMALL (hot keys only) DataFrame (keys..., __w) meant to be
-    broadcast; keys with zero sampled span are excluded (no split can
-    help a single-instant key).
-    """
-    stats = (
-        unioned.sample(fraction=sample_fraction, seed=seed)
-        .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(tnum).alias("__tmin"),
-            F.max(tnum).alias("__tmax"),
-        )
-    )
-    mean = stats.agg(F.avg("__cnt").alias("__mean"))
-    n_buckets = F.least(
-        F.lit(max_buckets),
-        F.greatest(F.lit(2), F.ceil(F.col("__cnt") / F.col("__mean")).cast("int")),
-    )
+def _auto_bucket_widths(unioned: DataFrame, keys: list[str], tnum) -> DataFrame:
+    """Per-key bucket widths for ``asof_join(time_buckets="auto")``:
+    ``detect_hot_keys`` (operators/partitioning.py — shared recipe, one
+    source of truth for sampling/threshold/scaling) with the per-key
+    time span, width = span / __factor.  Returns a SMALL (hot keys
+    only) DataFrame (keys..., __w) meant to be broadcast; keys with
+    zero sampled span are excluded (no split can help a single-instant
+    key)."""
+    from flink_1_8_sourcecode_spark.operators.partitioning import detect_hot_keys
+
+    hot = detect_hot_keys(unioned, keys, time_expr=tnum)
     return (
-        stats.join(F.broadcast(mean))
-        .filter(F.col("__cnt") > F.col("__mean") * hot_factor)
-        .select(
+        hot.select(
             *keys,
-            ((F.col("__tmax") - F.col("__tmin")) / n_buckets).alias("__w"),
+            ((F.col("__tmax") - F.col("__tmin")) / F.col("__factor")).alias("__w"),
         )
         .filter(F.col("__w") > 0)
     )
@@ -414,6 +391,13 @@ def temporal_join(
         return _stream_probe_static_asof(
             probe, versioned, probe_time, right_cols, how, static_history_limit
         )
+    if versioned.history.isStreaming:
+        raise NotImplementedError(
+            "temporal_join: a BATCH probe against a STREAMING version "
+            "history has no meaningful answer point (the history never "
+            "finishes); stream the probe too (temporal_join_stream "
+            "semantics) or snapshot the history to a batch table first"
+        )
     out = asof_join(
         probe,
         versioned.history,
@@ -455,19 +439,18 @@ def _stream_probe_static_asof(
             f"version payload columns {sorted(overlap)} collide with probe "
             "columns; rename one side"
         )
-    n = hist.count()
-    if n > limit:
+    # one job collects AND guards: limit+1 rows caps the transfer even
+    # when the guard is about to fire on a fact-sized table
+    hist_pdf = hist.select(key, vtime, *right_cols).limit(limit + 1).toPandas()
+    if len(hist_pdf) > limit:
         raise ValueError(
-            f"static history has {n} rows > static_history_limit={limit}: "
+            f"static history exceeds static_history_limit={limit}: "
             "a history that big is a fact stream — use a streaming "
             "history side (temporal_join_stream) instead"
         )
-    hist_pdf = (
-        hist.select(key, vtime, *right_cols)
-        .toPandas()
-        .sort_values([vtime] + right_cols, kind="mergesort")
-        .reset_index(drop=True)
-    )
+    hist_pdf = hist_pdf.sort_values(
+        [vtime] + right_cols, kind="mergesort"
+    ).reset_index(drop=True)
     if pd.api.types.is_datetime64_any_dtype(hist_pdf[vtime]):
         hist_pdf[vtime] = hist_pdf[vtime].astype("datetime64[us]")
     hist_pdf = hist_pdf.rename(columns={vtime: "__vt"})

@@ -85,6 +85,7 @@ def detect_hot_keys(
     hot_factor: float = 4.0,
     max_salt: int = 32,
     seed: int = 42,
+    time_expr=None,
 ) -> DataFrame:
     """Sample-driven hot-key detection: estimate per-key row counts from
     a ``sample_fraction`` sample and return the keys whose estimated
@@ -93,16 +94,26 @@ def detect_hot_keys(
     mean the key sits).  The result is a SMALL DataFrame (hot keys only)
     meant to be broadcast — nothing is collected to the driver.
 
+    ``time_expr`` (a numeric Column) additionally returns each hot
+    key's sampled time span as ``__tmin``/``__tmax`` — the input
+    ``asof_join(time_buckets="auto")`` derives per-key bucket widths
+    from (span / __factor).
+
     Reference parity: Flink has no automatic skew handling — its answer
     is the ship-strategy choice (OutputEmitter.java) plus manual
     pre-aggregation; the sample-plan-rewrite here is the Spark-idiomatic
     equivalent of what its optimizer could not do.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    span_cols = []
+    if time_expr is not None:
+        aggs += [F.min(time_expr).alias("__tmin"), F.max(time_expr).alias("__tmax")]
+        span_cols = [F.col("__tmin"), F.col("__tmax")]
     stats = (
         df.sample(fraction=sample_fraction, seed=seed)
         .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(*aggs)
     )
     mean = stats.agg(F.avg("__cnt").alias("__mean"))
     return (
@@ -114,6 +125,7 @@ def detect_hot_keys(
                 F.lit(max_salt),
                 F.greatest(F.lit(2), F.ceil(F.col("__cnt") / F.col("__mean")).cast("int")),
             ).alias("__factor"),
+            *span_cols,
         )
     )
 

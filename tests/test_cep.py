@@ -472,3 +472,52 @@ def test_group_duplicate_names_rejected(spark, seq_df):
         match_pattern(
             seq_df, p, key="k", time_col="ts", select_cols=["event_id"]
         )
+
+
+def test_group_greedy_inner_does_not_steal_later_occurrences(spark):
+    """Review regression: (A+){2} with a greedy inner quantifier on
+    [a, a] must match (A)(A) — committing each group occurrence to its
+    first (longest) inner alternative silently dropped the match."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, i, base + dt.timedelta(seconds=i), "a") for i in range(2)]
+    df = spark.createDataFrame(rows, "k int, event_id int, ts timestamp, etype string")
+    inner = Pattern.begin("A").where(_is("a")).one_or_more().greedy()
+    p = Pattern.begin(inner).times(2).consecutive()
+    m = _matches(df, p)
+    assert [("A", 0), ("A", 1)] in list(m.values())
+
+
+def test_optional_leading_group_anchor(spark, seq_df):
+    """Review regression: an OPTIONAL leading group must not gate out
+    anchors where only the following stage matches."""
+    p = Pattern.begin(_grp_ab()).optional().next("C").where(_is("c"))
+    m = _matches(seq_df, p)
+    # row 2 is 'c' with rows 0,1 = a,b before it: the full (A B) C and
+    # the C-only match at row 7 (preceded by b, not a-b adjacent... row
+    # 6 is b, row 7 c -> group can't bind ending at 6 from 5? rows 4,5
+    # are a,b: not adjacent to 7) — C at 7 matches with zero group rows
+    got = sorted(m.values(), key=len)
+    assert [("C", 2)] in got or [("C", 7)] in got  # C-only form exists
+    assert [("A", 0), ("B", 1), ("C", 2)] in got
+
+
+def test_timeout_not_emitted_when_group_successor_pruned(spark):
+    """A strict-'next' GROUP successor whose first inner condition
+    rejects the next row prunes the run — no timeout row (NFA.java run
+    pruning), mirroring the scalar-successor rule."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, "x"),
+        (1, 1, base + dt.timedelta(seconds=1), "z"),  # not 'a': run pruned
+    ]
+    df = spark.createDataFrame(rows, "k int, event_id int, ts timestamp, etype string")
+    p = (
+        Pattern.begin("X").where(_is("x"))
+        .next(Pattern.begin("A").where(_is("a")).next("B").where(_is("b")))
+        .within("10 seconds")
+    )
+    out = match_pattern(
+        df, p, key="k", time_col="ts", select_cols=["event_id"],
+        emit_timeouts=True,
+    ).toPandas()
+    assert len(out[out.timed_out]) == 0

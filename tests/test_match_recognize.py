@@ -620,3 +620,40 @@ def test_match_rowtime_measure(spark, auth_df):
     assert len(out) == 1
     # u1 fails at seconds 1..3 -> last row ts = base + 3s
     assert out.iloc[0].mrt == dt.datetime(2024, 1, 1, 0, 0, 3)
+
+
+def test_optional_first_symbol_anchor(spark, auth_df):
+    """Review regression: PATTERN (A? C) must match C-only at rows
+    where A's condition fails (the anchor gate used to reject them)."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(C.event_id) AS cid, COUNT(A.*) AS na
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A? C)
+        DEFINE A AS A.etype = 'login', C AS C.etype = 'logout'
+        """,
+    ).toPandas()
+    # u1 logout at event 4, preceded by 'fail' (A rejects) -> C-only
+    got = sorted(zip(out.user_id, out.cid, out.na))
+    assert got == [(1, 4, 0)]
+
+
+def test_alias_named_subset_parses(spark, auth_df):
+    """Review regression: an alias named 'subset' must not be mistaken
+    for the SUBSET clause keyword."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS subset
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas()
+    assert list(out.columns) == ["user_id", "subset"] and len(out) == 1

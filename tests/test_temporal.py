@@ -271,3 +271,25 @@ def test_temporal_join_static_history_limit_guard(spark):
     with pytest.raises(ValueError, match="static_history_limit"):
         temporal_join(probe, ttf, probe_time="pt", how="inner",
                       static_history_limit=10)
+
+
+def test_temporal_join_batch_probe_streaming_history_raises(spark):
+    """Review regression: a batch probe against a streaming history
+    must refuse loudly instead of unioning batch with stream."""
+    import tempfile
+
+    from flink_1_8_sourcecode_spark.operators.joins import (
+        create_temporal_table_function,
+        temporal_join,
+    )
+
+    hist_b = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "k long, vt timestamp, payload double"
+    )
+    d = tempfile.mkdtemp(prefix="tj_bps_")
+    hist_b.write.mode("overwrite").parquet(d)
+    hist_s = spark.readStream.schema(hist_b.schema).parquet(d)
+    probe = hist_b.select("k", F.col("vt").alias("pt"))
+    ttf = create_temporal_table_function(hist_s, "vt", "k")
+    with pytest.raises(NotImplementedError, match="STREAMING version"):
+        temporal_join(probe, ttf, probe_time="pt")
