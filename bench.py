@@ -32,6 +32,8 @@ SECONDARY = (
     "pipeline_curate_corpus",
     "pipeline_curate_corpus_fuzzy",
     "sim_topk_ivfpq",
+    "dedup_semantic",
+    "text_repeated_spans",
 )
 
 

@@ -284,3 +284,42 @@ def test_streaming_match_recognize_requires_within(spark, chunk_dir):
     unbounded = MR_CLAUSE.replace("PATTERN (S P) WITHIN INTERVAL '1' DAY", "PATTERN (S P)")
     with pytest.raises(ValueError, match="WITHIN"):
         eng.sql(unbounded.format(src="ev_stream2"))
+
+
+def test_stream_cep_group_pattern_equals_batch(spark, chunk_dir):
+    """GROUP patterns through the STREAMING matcher (it runs the same
+    NFA): (signup purchase){1,2} relaxed, stream finals == batch."""
+    grp = (
+        Pattern.begin("S")
+        .where(lambda e: e["event_type"] == "signup")
+        .next("P")
+        .where(lambda e: e["event_type"] == "purchase")
+    )
+    pat = Pattern.begin(grp).times(1, 2).within("2 hours")
+    stream = sources.read_event_stream(spark, chunk_dir).filter(
+        F.col("event_type").isin("signup", "purchase", "noop")
+    )
+    out = match_pattern_stream(
+        stream, pat, key="user_id", time_col="ts", select_cols=["event_id"],
+        watermark_delay="10 minutes", tiebreak="event_id",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("t_cep_grp_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_cep_grp_stream").toPandas()
+    got = got[got.user_id >= 0]
+
+    batch = match_pattern(
+        table(spark, SF_SMALL, "events").filter(
+            F.col("event_type").isin("signup", "purchase")
+        ),
+        pat, key="user_id", time_col="ts", select_cols=["event_id"],
+        tiebreak="event_id",
+    ).toPandas()
+    assert len(got) > 0
+    assert _norm(got) == _norm(batch)
