@@ -521,3 +521,47 @@ def test_timeout_not_emitted_when_group_successor_pruned(spark):
         emit_timeouts=True,
     ).toPandas()
     assert len(out[out.timed_out]) == 0
+
+
+def test_group_exact_quantifier_flattening_equivalence(spark):
+    """Property: with strict contiguity, (A B){k} as a GROUP must bind
+    exactly the same row sequences as the FLATTENED pattern
+    A1 B1 ... Ak Bk (fresh names, same conditions) — on randomized
+    event strings.  Pins the group machinery against the scalar path
+    it generalizes."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(12):
+        types = rng.choice(list("abc"), size=8)
+        rows = [
+            (trial, i, base + dt.timedelta(seconds=i), str(t))
+            for i, t in enumerate(types)
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, event_id int, ts timestamp, etype string"
+        )
+        for k in (1, 2, 3):
+            grp = Pattern.begin("A").where(_is("a")).next("B").where(_is("b"))
+            grouped = Pattern.begin(grp).times(k).consecutive()
+            flat = None
+            for j in range(k):
+                if flat is None:
+                    flat = Pattern.begin(f"A{j}").where(_is("a"))
+                else:
+                    flat = flat.next(f"A{j}").where(_is("a"))
+                flat = flat.next(f"B{j}").where(_is("b"))
+
+            def seqs(pat):
+                pdf = match_pattern(
+                    df, pat, key="k", time_col="ts",
+                    select_cols=["event_id"], tiebreak="event_id",
+                ).toPandas()
+                return sorted(
+                    tuple(g.sort_values("seq").event_id)
+                    for _m, g in pdf.groupby("match_id")
+                )
+
+            got, want = seqs(grouped), seqs(flat)
+            assert got == want, (trial, k, "".join(types), got, want)
