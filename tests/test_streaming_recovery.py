@@ -201,3 +201,71 @@ def test_streaming_cep_state_recovers_across_restart(spark, tmp_path):
 
     assert len(got) > 0
     assert norm(got) == norm(want)
+
+
+def test_temporal_join_stream_state_survives_restart(spark, tmp_path):
+    """TemporalRowtimeJoin state recovery: a version buffered BEFORE a
+    stop must still serve a probe that arrives AFTER the restart — the
+    pruned version chain lives in checkpointed state."""
+    from flink_1_8_sourcecode_spark.operators.joins import temporal_join_stream
+
+    src = str(tmp_path / "tj_src")
+    out = str(tmp_path / "tj_out")
+    ckpt = str(tmp_path / "tj_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    schema = "k long, side string, ts timestamp, payload double"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    write("00", [(1, "v", t(0), 7.0), (999, "w", t(1), 0.0)])
+    write("01", [(999, "w", t(100), 0.0)])
+
+    def start():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        probe = s.filter(F.col("side").isin("p", "w")).select(
+            "k", F.col("ts").alias("pts")
+        )
+        ver = s.filter(F.col("side").isin("v", "w")).select(
+            "k", F.col("ts").alias("vts"), F.col("payload")
+        )
+        j = temporal_join_stream(
+            probe, ver, on="k", probe_time="pts", version_time="vts",
+            right_cols=["payload"], how="inner",
+            watermark_delay="0 seconds", key_buckets=1,
+        )
+        return (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # probe + sentinel arrive while the query is DOWN
+    write("02", [(1, "p", t(5000), 0.0)])
+    write("03", [(999, "w", t(10**6), 0.0)])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out).filter(F.col("k") == 1).toPandas()
+    assert len(got) == 1 and got.iloc[0].payload == 7.0
