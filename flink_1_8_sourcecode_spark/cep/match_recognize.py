@@ -147,10 +147,12 @@ def _parse_sql_interval(text: str) -> float:
 
 def _parse_clause(text: str, name: str, required: bool = True) -> str | None:
     m = re.search(
-        # SUBSET only terminates a clause when followed by "<name> =" —
-        # otherwise an alias/identifier named "subset" would truncate
-        # the clause it appears in
-        rf"{name}\s+(.*?)(?=(?:(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN|DEFINE)\b|SUBSET\s+\w+\s*=|$))",
+        # keyword-shaped identifiers must not terminate a clause:
+        # SUBSET only counts followed by "<name> =", PATTERN only
+        # followed by "(", DEFINE only followed by "<sym> AS" — so an
+        # alias named subset/pattern/define parses instead of
+        # truncating the clause it appears in
+        rf"{name}\s+(.*?)(?=(?:(?:PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH)\b|PATTERN\s*\(|DEFINE\s+\w+\s+AS\b|SUBSET\s+\w+\s*=|$))",
         text,
         re.IGNORECASE | re.DOTALL,
     )
@@ -715,8 +717,10 @@ def match_recognize(
     partition = _parse_clause(clause, r"PARTITION\s+BY")
     order = _parse_clause(clause, r"ORDER\s+BY")
     measures_txt = _parse_clause(clause, "MEASURES")
-    pattern_txt = _parse_clause(clause, "PATTERN")
-    define_txt = _parse_clause(clause, "DEFINE")
+    # the lookaheads keep keyword-shaped aliases (e.g. "AS pattern")
+    # from being mistaken for the clause keywords
+    pattern_txt = _parse_clause(clause, r"PATTERN(?=\s*\()")
+    define_txt = _parse_clause(clause, r"DEFINE(?=\s+\w+\s+AS\b)")
 
     # -- PATTERN (...) WITHIN <interval> ------------------------------
     within_secs = None

@@ -565,3 +565,17 @@ def test_group_exact_quantifier_flattening_equivalence(spark):
 
             got, want = seqs(grouped), seqs(flat)
             assert got == want, (trial, k, "".join(types), got, want)
+
+
+def test_group_followed_by_any_branches_anchors(spark, seq_df):
+    """followed_by_any on a GROUP branches over later anchors too: x
+    then every (a next b) pair at-or-after it."""
+    p = (
+        Pattern.begin("X").where(_is("a"))
+        .followed_by_any(Pattern.begin("A2").where(_is("a")).next("B2").where(_is("b")))
+    )
+    m = _matches(seq_df, p)
+    # X = a@0: group anchors (4,5); X = a@4: none after... a@0 with
+    # pair (4,5); also X=a@0 pair at (0,1)? group must start AFTER X
+    got = sorted(m.values())
+    assert [("X", 0), ("A2", 4), ("B2", 5)] in got

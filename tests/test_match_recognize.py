@@ -657,3 +657,42 @@ def test_alias_named_subset_parses(spark, auth_df):
         """,
     ).toPandas()
     assert list(out.columns) == ["user_id", "subset"] and len(out) == 1
+
+
+def test_keyword_shaped_aliases_parse(spark, auth_df):
+    """Aliases named pattern/define/subset are identifiers, not clause
+    keywords — the guarded lookaheads must keep them intact."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS pattern, LAST(A.event_id) AS define,
+                 COUNT(A.*) AS subset
+        ONE ROW PER MATCH
+        PATTERN (A{3})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas()
+    assert sorted(out.columns) == ["define", "pattern", "subset", "user_id"]
+    assert len(out) == 1 and out.iloc[0]["pattern"] == 1
+
+
+def test_all_rows_with_sql_pattern_group(spark, auth_df):
+    """ALL ROWS PER MATCH over a quantified SQL pattern group: one row
+    per matched event, classifier = inner stage names."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES COUNT(FA.*) AS n_fa
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((L FA){1})
+        DEFINE L AS L.etype = 'login', FA AS FA.etype = 'fail'
+        """,
+    ).toPandas().sort_values(["user_id", "event_id"])
+    # both users: login@0 fail@1
+    assert list(out.classifier) == ["L", "FA", "L", "FA"]
+    assert list(out.n_fa) == [1, 1, 1, 1]
