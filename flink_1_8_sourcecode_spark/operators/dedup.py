@@ -468,6 +468,7 @@ def repeated_ngram_spans(
     text_col: str,
     n: int = 10,
     min_count: int = 2,
+    hash_prepass: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication detection a la Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better" —
@@ -482,25 +483,72 @@ def repeated_ngram_spans(
 
     Returns (span, occ, ndocs), occ >= min_count.
 
-    Scale: span generation is map-only (per doc, ~token_count windows
-    via one transform over a token array — no Python); the single
-    shuffle is the groupBy on the span, partial-aggregated map-side.
-    At 100 TB the span column dominates the exchange — hash the span
-    (xxhash64) for the count pass and semi-join survivors back when
-    the span text itself is not needed downstream.
+    Scale: with ``hash_prepass`` (default) the corpus-wide exchange
+    carries only ``(xxhash64(n-token slice), doc id, position)`` — no
+    span strings are ever built for the ~|tokens| windows per document;
+    the JVM hashes the token slice directly inside the transform
+    lambda.  Surviving hashes (a tiny fraction on real corpora) join
+    back to their (doc, position) sites, and ONLY those sites
+    materialize span text, which a second, survivor-only aggregate
+    recounts on the actual strings — so a 64-bit collision can only
+    add a candidate site, never corrupt a count, and the final filter
+    re-applies ``min_count`` exactly.  The price is scanning the
+    corpus twice (hash pass + text pass); the win is the heavy
+    exchange shrinking from ~n tokens of text per window to 24 bytes,
+    and string materialization dropping from every window to matched
+    sites only.  ``hash_prepass=False`` keeps the direct one-scan
+    shape (better when nearly every span repeats, e.g. tiny corpora).
     """
     toks = tokens(F.col(text_col))
     n_spans = F.size(toks) - (n - 1)
-    spans = F.when(
+    if not hash_prepass:
+        spans = F.when(
+            n_spans > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            docs.select(F.col(id_col).alias("__id"), F.explode(spans).alias("span"))
+            .groupBy("span")
+            .agg(
+                F.count(F.lit(1)).alias("occ"),
+                F.countDistinct("__id").alias("ndocs"),
+            )
+            .filter(F.col("occ") >= min_count)
+        )
+
+    hashes = F.when(
         n_spans > 0,
         F.transform(
             F.sequence(F.lit(1), n_spans),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    sites = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos", "__h")
+    )
+    surviving = (
+        sites.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_count)
+        .select("__h")
+    )
+    matched = sites.join(surviving, "__h", "left_semi")
+    # survivor sites are few -> AQE broadcasts them against the text scan,
+    # so the corpus itself is never repartitioned
+    with_text = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).join(matched, "__id")
+    span_rows = with_text.select(
+        "__id",
+        F.array_join(
+            F.slice(tokens(F.col("__text")), F.col("__pos") + 1, n), " "
+        ).alias("span"),
+    )
     return (
-        docs.select(F.col(id_col).alias("__id"), F.explode(spans).alias("span"))
-        .groupBy("span")
+        span_rows.groupBy("span")
         .agg(
             F.count(F.lit(1)).alias("occ"),
             F.countDistinct("__id").alias("ndocs"),

@@ -816,3 +816,38 @@ class TestSemanticDedup:
                                          iterations=2).toPandas()
         # cos > -1.1 always: only each cluster's lowest id survives
         assert len(one_per_cluster) == one_per_cluster.cluster.nunique()
+
+
+class TestRepeatedSpansHashPrepass:
+    """The hash pre-pass must be a pure execution-strategy choice:
+    identical (span, occ, ndocs) output to the direct string path."""
+
+    def _docs(self, spark):
+        rep = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, rep + " first tail words here"),
+            (2, rep + " second tail entirely different ending tokens"),
+            (3, "short doc"),  # < n tokens: zero windows
+            (4, "x " * 30 + "y"),  # within-doc repetition of one token window
+            (5, "unique sentence with no overlap whatsoever in this corpus at all ok"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_parity_with_direct_path(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import repeated_ngram_spans
+
+        d = self._docs(spark)
+        for n, mc in ((10, 2), (3, 2), (3, 3)):
+            fast = repeated_ngram_spans(d, "doc_id", "text", n=n, min_count=mc)
+            slow = repeated_ngram_spans(
+                d, "doc_id", "text", n=n, min_count=mc, hash_prepass=False
+            )
+            got = sorted(map(tuple, fast.collect()))
+            want = sorted(map(tuple, slow.collect()))
+            assert got == want, (n, mc, got, want)
+        # sanity: the shared prefix actually repeats across docs 1 and 2
+        out = dict(
+            (r["span"], (r["occ"], r["ndocs"]))
+            for r in repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2).collect()
+        )
+        assert any(v[1] == 2 for v in out.values())

@@ -193,11 +193,28 @@ def test_repeated_spans_single_span_exchange(spark):
     from flink_1_8_sourcecode_spark.operators.dedup import repeated_ngram_spans
 
     d = table(spark, SF_DIR, "documents")
-    out = repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+    out = repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2,
+                              hash_prepass=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, f"{n_exchanges} exchanges\n{plan[:1500]}"
     assert "Generate explode" in plan  # map-side window generation
+
+
+def test_repeated_spans_hash_prepass_exchanges_carry_hashes(spark):
+    """Default repeated_ngram_spans: the corpus-wide count exchange
+    carries xxhash64 values, never span strings — array_join (string
+    materialization) happens only after the survivor semi-join."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.dedup import repeated_ngram_spans
+
+    d = table(spark, SF_DIR, "documents")
+    out = repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan[:1500]
+    # string spans are built exactly once (the survivor-site pass), not
+    # inside the window-generation explode
+    assert plan.count("array_join") == 1, plan[:2000]
 
 
 def test_stream_static_temporal_join_is_stateless(spark):
