@@ -67,6 +67,121 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH band rows ``(__id, band_id, band_hash)`` for every document —
+    the shared front half of MinHash LSH (self-join dedup AND cross-
+    corpus decontamination build on the same band relation).
+
+    Plan shape (the 100 TB path): explode shingles to rows, ONE md5 per
+    shingle, then groupBy(doc).min per seed — map-side partial mins make
+    the shuffle tiny, and no expression is evaluated more than once.
+    (The naive nested-array form looks the same logically but Catalyst's
+    projection collapse would inline the whole signature expression into
+    every downstream reference — a measured ~100x blowup.)  The k-hash
+    family is affine over the 28-bit base value: h_i = (a_i*h + b_i)
+    mod p; products stay < 2^59 — exact in int64 on both engines, so
+    the DuckDB oracle replicates bit-for-bit.
+    """
+    r = num_hashes // bands
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    )
+    base = F.conv(F.substring(F.md5(F.col("__s")), 1, 7), 16, 10).cast("long")
+    hashed = exploded.select("__id", base.alias("__b"))
+    sig = hashed.groupBy("__id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("__b") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+                f"__h{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.concat_ws(
+                            "#", *[F.col(f"__h{j * r + i}") for i in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band_id", "b.band_hash")
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    flag_col: str = "contaminated_fuzzy",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag training documents
+    whose MinHash signature shares >= 1 LSH band with ANY benchmark/eval
+    document.  The fuzzy counterpart of :func:`~flink_1_8_sourcecode_spark.
+    operators.text.decontaminate` (exact n-gram overlap) — catches
+    lightly-edited eval leakage (reformatted whitespace, a swapped
+    sentence) that exact n-gram matching misses, the documented gap in
+    GPT-3-style decontamination (Brown et al. 2020, app. C).
+
+    Returns ``df`` + a boolean ``flag_col``.  Scale: the benchmark side
+    is small by definition — its distinct band hashes BROADCAST into a
+    left-semi join against the training band rows, so the corpus is
+    never shuffled for the probe; the only corpus-wide exchange is the
+    signature groupBy's tiny partial-min rows.
+    """
+    bench_text = bench_text_col or text_col
+    # each benchmark row needs its OWN signature (merging ids would pool
+    # shingles across docs into one meaningless minimum); the id values
+    # themselves never surface, so a synthetic unique id is fine
+    bench_bands = (
+        minhash_band_rows(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("__bid"),
+                F.col(bench_text).alias("__bt"),
+            ),
+            "__bid",
+            "__bt",
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+        )
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    train_bands = minhash_band_rows(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+    )
+    hit_ids = (
+        train_bands.join(F.broadcast(bench_bands), ["band_id", "band_hash"], "left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        df.join(hit_ids, id_col, "left")
+        .withColumn(flag_col, F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -97,41 +212,9 @@ def minhash_lsh_pairs(
     consumes — is identical, and per-bucket output drops from O(n^2)
     to O(n).  ``max_bucket_size=None`` disables the guard (all-pairs).
     """
-    r = num_hashes // bands
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    band_rows = minhash_band_rows(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
     )
-    # ONE md5 per shingle; the k-hash family is affine over the 28-bit
-    # base value: h_i = (a_i * h + b_i) mod p.  (Products stay < 2^59 —
-    # exact in int64 on both engines, so the DuckDB oracle replicates
-    # bit-for-bit.)  16x fewer hash evaluations than per-seed md5.
-    base = F.conv(F.substring(F.md5(F.col("__s")), 1, 7), 16, 10).cast("long")
-    hashed = exploded.select("__id", base.alias("__b"))
-    sig = hashed.groupBy("__id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("__b") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
-                f"__h{i}"
-            )
-            for i in range(num_hashes)
-        ]
-    )
-    band_rows = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.concat_ws(
-                            "#", *[F.col(f"__h{j * r + i}") for i in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("__id", "b.band_id", "b.band_hash")
     if max_bucket_size is None:
         a = band_rows.alias("a")
         b = band_rows.alias("b")

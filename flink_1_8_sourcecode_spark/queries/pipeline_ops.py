@@ -424,6 +424,91 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_decontam_oracle() -> str:
+    """MinHash-LSH cross-set decontamination SQL: the affine-family band
+    relation (bit-for-bit portable, see queries/dedup.py:_minhash_oracle)
+    computed over BOTH sides of the deterministic split; a train doc is
+    fuzzy-contaminated when any of its 8 bands matches a holdout band."""
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from flink_1_8_sourcecode_spark.queries.dedup import _SHINGLE_DUCK
+
+    base = " + ".join(
+        f"(strpos('0123456789abcdef', md5(s)[{i + 1}]) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+    sig_cols = ", ".join(
+        f"min(({MINHASH_A[i]} * b + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(16)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, split, {j} AS band_id, "
+        f"h{2 * j}::VARCHAR || '#' || h{2 * j + 1}::VARCHAR AS band_hash FROM sig"
+        for j in range(8)
+    )
+    return f"""
+    WITH sp AS (
+      SELECT doc_id, source, text,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_T10}'
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, split,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM sp
+    ), shi AS (
+      SELECT doc_id, split, {_SHINGLE_DUCK} AS sh FROM tok
+    ), srow AS (
+      SELECT doc_id, split, unnest(sh) AS s FROM shi
+    ), basev AS (
+      SELECT doc_id, split, {base} AS b FROM srow
+    ), sig AS (
+      SELECT doc_id, split, {sig_cols} FROM basev GROUP BY doc_id, split
+    ), bands AS (
+      {band_rows}
+    ), hb AS (
+      SELECT DISTINCT band_id, band_hash FROM bands WHERE split = 'holdout'
+    ), hits AS (
+      SELECT DISTINCT b.doc_id FROM bands b
+      JOIN hb USING (band_id, band_hash) WHERE b.split = 'train'
+    )
+    SELECT t.source, count(*) AS n_train,
+           sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_fuzzy_contaminated
+    FROM (SELECT doc_id, source FROM sp WHERE split = 'train') t
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.source
+    """
+
+
+@register(
+    "pipeline_decontaminate_fuzzy",
+    oracle=_fuzzy_decontam_oracle(),
+    doc="NEAR-duplicate decontamination audit: train docs whose MinHash "
+    "signature shares an LSH band with any holdout doc, per source "
+    "(operators/dedup.py:decontaminate_fuzzy) — catches lightly-edited "
+    "eval leakage that exact n-gram overlap (pipeline_contamination_"
+    "check) misses.  Holdout band hashes broadcast; the corpus is "
+    "never shuffled for the probe.",
+)
+def pipeline_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import decontaminate_fuzzy
+
+    d = table(spark, sf_dir, "documents")
+    split = smp.hash_split(d, "doc_id", 0.1)
+    train = split.filter(F.col("split") == "train")
+    holdout = split.filter(F.col("split") == "holdout")
+    flagged = decontaminate_fuzzy(train, holdout, "doc_id", "text")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.col("contaminated_fuzzy").cast("long")).alias("n_fuzzy_contaminated"),
+    )
+
+
 _ZBITS = 8
 _Z_SQL = " | ".join(
     f"(((qa >> {i}) & 1) << {2 * i}) | (((qb >> {i}) & 1) << {2 * i + 1})"

@@ -851,3 +851,68 @@ class TestRepeatedSpansHashPrepass:
             for r in repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2).collect()
         )
         assert any(v[1] == 2 for v in out.values())
+
+
+class TestDecontaminateFuzzy:
+    """MinHash-LSH cross-set decontamination: catches lightly-edited
+    eval leakage exact n-gram overlap misses; benchmark side broadcasts."""
+
+    def _corpora(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "the capital of france is paris and the capital of italy is rome ok")],
+            "qid long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                # near-copy: one token changed mid-sentence
+                (10, "the capital of france is paris and the capital of spain is rome ok"),
+                (11, "completely unrelated document about distributed query engines"),
+                # exact copy
+                (12, "the capital of france is paris and the capital of italy is rome ok"),
+            ],
+            "doc_id long, text string",
+        )
+        return train, bench
+
+    def test_flags_near_and_exact_copies_only(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import decontaminate_fuzzy
+
+        train, bench = self._corpora(spark)
+        out = decontaminate_fuzzy(train, bench, "doc_id", "text")
+        got = {r["doc_id"]: r["contaminated_fuzzy"] for r in out.collect()}
+        assert got == {10: True, 11: False, 12: True}
+
+    def test_benchmark_band_side_broadcasts(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import decontaminate_fuzzy
+
+        train, bench = self._corpora(spark)
+        out = decontaminate_fuzzy(train, bench, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
+
+    def test_multi_doc_benchmark_signatures_not_pooled(self, spark):
+        """Two benchmark docs must produce two signatures: a train doc
+        matching neither individual doc but sharing tokens with both
+        stays clean (a pooled min over the union could hash-collide
+        bands it shouldn't)."""
+        from flink_1_8_sourcecode_spark.operators.dedup import decontaminate_fuzzy
+
+        bench = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (2, "one two three four five six seven eight nine ten eleven"),
+            ],
+            "qid long, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (20, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (21, "alpha two gamma four epsilon six eta eight iota ten mixed"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["contaminated_fuzzy"]
+            for r in decontaminate_fuzzy(train, bench, "doc_id", "text").collect()
+        }
+        assert got[20] is True and got[21] is False
