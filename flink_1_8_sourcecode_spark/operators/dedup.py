@@ -638,3 +638,158 @@ def repeated_ngram_spans(
         )
         .filter(F.col("occ") >= min_count)
     )
+
+
+def repeated_span_sites(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc, 0-based window position) sites whose n-token window text
+    occurs ``min_count``+ times corpus-wide — the shared site relation
+    behind interval reporting and span stripping.
+
+    Same hash pre-pass as :func:`repeated_ngram_spans` (the heavy
+    exchange carries 64-bit hashes), with the same exactness guarantee:
+    hash survivors are recounted on their ACTUAL span text (computed
+    only at matched sites), so a collision can only add a candidate that
+    the recount then rejects.
+    """
+    toks = tokens(F.col(text_col))
+    n_spans = F.size(toks) - (n - 1)
+    hashes = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_spans),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sites = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos", "__h")
+    )
+    surviving = (
+        sites.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_count)
+        .select("__h")
+    )
+    matched = sites.join(surviving, "__h", "left_semi")
+    with_text = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).join(matched, "__id")
+    span_sites = with_text.select(
+        "__id",
+        "__pos",
+        F.array_join(
+            F.slice(tokens(F.col("__text")), F.col("__pos") + 1, n), " "
+        ).alias("__span"),
+    )
+    wspan = Window.partitionBy("__span")
+    return (
+        span_sites.withColumn("__occ", F.count(F.lit(1)).over(wspan))
+        .filter(F.col("__occ") >= min_count)
+        .select("__id", "__pos")
+    )
+
+
+def repeated_span_intervals(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """MAXIMAL repeated intervals per document — overlapping repeated
+    n-token windows merged gaps-and-islands style, the distributed
+    stand-in for Lee et al. 2021's suffix-array maximal repeats: any
+    repeated substring of L >= n tokens surfaces as L-n+1 overlapping
+    windows, and this merges them back into the single [start, end]
+    token interval.
+
+    Returns ``(id, start_tok, end_tok, span)`` with 1-based inclusive
+    token bounds.  Scale: sites are the (tiny) survivor relation; the
+    island window and the interval aggregate share one (doc)-keyed
+    exchange; the final text slice joins docs once more (survivor side
+    broadcastable).
+    """
+    sites = repeated_span_sites(docs, id_col, text_col, n=n, min_count=min_count)
+    wdoc = Window.partitionBy("__id").orderBy("__pos")
+    isl = (
+        sites.withColumn("__prev", F.lag("__pos").over(wdoc))
+        # same-length sorted intervals: overlap with the previous one
+        # iff start diff < n, and the chain's max end grows monotonically,
+        # so a lag-based break is exact interval merging
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("__pos") - F.col("__prev") >= n)).cast(
+                "int"
+            ),
+        )
+        .withColumn("__isl", F.sum("__new").over(wdoc))
+    )
+    groups = isl.groupBy("__id", "__isl").agg(
+        (F.min("__pos") + 1).alias("start_tok"),
+        (F.max("__pos") + F.lit(n)).alias("end_tok"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .join(groups, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "start_tok",
+            "end_tok",
+            F.array_join(
+                F.slice(
+                    tokens(F.col("__text")),
+                    F.col("start_tok"),
+                    F.col("end_tok") - F.col("start_tok") + 1,
+                ),
+                " ",
+            ).alias("span"),
+        )
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """REMOVE corpus-wide repeated spans from every document (Lee et al.
+    2021's dedup action, all-occurrences variant): every token covered
+    by any surviving repeated window is dropped, the rest rejoin with
+    single spaces.  Whitespace is canonicalized by reconstruction —
+    downstream of tokenization that is the working representation.
+
+    Returns ``(id, out_col)`` for EVERY input document (docs with
+    nothing to strip pass through with tokens rejoined).  Scale: the
+    per-doc removal set comes from the survivor sites (tiny) aggregated
+    to one covered-index array per doc; the corpus streams through one
+    broadcastable left join + map-only token filter.
+    """
+    sites = repeated_span_sites(docs, id_col, text_col, n=n, min_count=min_count)
+    covered = (
+        sites.select(
+            "__id", F.explode(F.sequence(F.col("__pos") + 1, F.col("__pos") + n)).alias("__t")
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(F.collect_set("__t").alias("__rm"))
+    )
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    joined = base.join(covered, "__id", "left")
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("__rm"), i + 1), F.lit(False)
+        ),
+    )
+    return joined.select(
+        F.col("__id").alias(id_col), F.array_join(kept, " ").alias(out_col)
+    )

@@ -324,10 +324,93 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approximated at 10-token window granularity, operators/dedup.py:"
     "repeated_ngram_spans): every 10-gram token window, corpus-wide "
     "count + distinct-doc count, spans occurring twice or more.  "
-    "Map-only window generation, one partial-aggregated shuffle.",
+    "Hash pre-pass: the corpus-wide exchange carries xxhash64 values; "
+    "span strings materialize only at surviving sites and are recounted "
+    "exactly on text.",
 )
 def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.dedup import repeated_ngram_spans
 
     d = table(spark, sf_dir, "documents")
     return repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+
+
+@register(
+    "text_repeated_span_intervals",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+9], ' ') AS span
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS pos
+            FROM tok WHERE len(toks) >= 10)
+    ), c AS (SELECT span FROM w GROUP BY span HAVING count(*) >= 2),
+    s AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (span)),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 10
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM b
+    ), iv AS (
+      SELECT doc_id, g, min(pos)::INTEGER AS start_tok,
+             (max(pos) + 9)::INTEGER AS end_tok
+      FROM isl GROUP BY doc_id, g
+    )
+    SELECT iv.doc_id, start_tok, end_tok,
+           array_to_string(toks[start_tok:end_tok], ' ') AS span
+    FROM iv JOIN tok USING (doc_id)
+    """,
+    doc="MAXIMAL repeated intervals (operators/dedup.py:"
+    "repeated_span_intervals): overlapping repeated 10-token windows "
+    "merged gaps-and-islands style into [start_tok, end_tok] per doc — "
+    "the distributed stand-in for Lee et al. 2021's suffix-array "
+    "maximal repeats.  Islands + interval aggregate share one doc-keyed "
+    "exchange over the tiny survivor relation.",
+)
+def text_repeated_span_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import repeated_span_intervals
+
+    d = table(spark, sf_dir, "documents")
+    return repeated_span_intervals(d, "doc_id", "text", n=10, min_count=2)
+
+
+@register(
+    "text_strip_repeated_spans",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    w AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+9], ' ') AS span
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS pos
+            FROM tok WHERE len(toks) >= 10)
+    ), c AS (SELECT span FROM w GROUP BY span HAVING count(*) >= 2),
+    s AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (span)),
+    cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 10)) AS t FROM s),
+    trow AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tok),
+    kept AS (
+      SELECT tr.doc_id, tr.i, tr.toks[tr.i] AS tokn
+      FROM trow tr LEFT JOIN cov ON tr.doc_id = cov.doc_id AND tr.i = cov.t
+      WHERE cov.t IS NULL
+    ), ag AS (
+      SELECT doc_id, array_to_string(list(tokn ORDER BY i), ' ') AS ct
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tok.doc_id, coalesce(ag.ct, '') AS clean_text
+    FROM tok LEFT JOIN ag USING (doc_id)
+    """,
+    doc="Repeated-span REMOVAL (operators/dedup.py:strip_repeated_spans, "
+    "Lee et al. 2021's dedup action, all-occurrences variant): every "
+    "token covered by a corpus-wide repeated 10-gram window dropped, "
+    "remaining tokens rejoined.  Survivor sites aggregate to one "
+    "covered-index array per doc; the corpus streams through a "
+    "broadcastable left join + map-only token filter.",
+)
+def text_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import strip_repeated_spans
+
+    d = table(spark, sf_dir, "documents")
+    return strip_repeated_spans(d, "doc_id", "text", n=10, min_count=2)

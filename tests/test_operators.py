@@ -916,3 +916,52 @@ class TestDecontaminateFuzzy:
             for r in decontaminate_fuzzy(train, bench, "doc_id", "text").collect()
         }
         assert got[20] is True and got[21] is False
+
+
+class TestRepeatedSpanIntervals:
+    """Gaps-and-islands merge of repeated windows into maximal intervals,
+    and the strip action that removes covered tokens."""
+
+    def test_overlapping_windows_merge_to_one_interval(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import repeated_span_intervals
+
+        rep = " ".join(f"w{i}" for i in range(12))  # 12-token shared prefix
+        d = spark.createDataFrame(
+            [(1, rep + " t1 one"), (2, rep + " t2 two different")],
+            "doc_id long, text string",
+        )
+        iv = repeated_span_intervals(d, "doc_id", "text", n=10, min_count=2)
+        rows = {(r["doc_id"], r["start_tok"], r["end_tok"]): r["span"] for r in iv.collect()}
+        assert set(rows) == {(1, 1, 12), (2, 1, 12)}
+        assert all(v == rep for v in rows.values())
+
+    def test_touching_but_disjoint_repeats_stay_separate(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import repeated_span_intervals
+
+        a = " ".join(f"a{i}" for i in range(3))
+        b = " ".join(f"b{i}" for i in range(3))
+        # doc 1 has A immediately followed by B (touching, not overlapping);
+        # docs 2/3 repeat A and B separately so only the 3-gram windows
+        # inside A and inside B survive
+        d = spark.createDataFrame(
+            [(1, f"{a} {b} tail x y"), (2, a + " mid1 mid2 q"), (3, b + " mid3 mid4 r")],
+            "doc_id long, text string",
+        )
+        iv = repeated_span_intervals(d, "doc_id", "text", n=3, min_count=2)
+        doc1 = sorted(
+            (r["start_tok"], r["end_tok"]) for r in iv.collect() if r["doc_id"] == 1
+        )
+        assert doc1 == [(1, 3), (4, 6)], doc1
+
+    def test_strip_keeps_unrepeated_docs_verbatim_tokens(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import strip_repeated_spans
+
+        rep = " ".join(f"w{i}" for i in range(10))
+        d = spark.createDataFrame(
+            [(1, rep + " keepA keepB"), (2, rep + " keepC"), (3, "no repeats here at all")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["clean_text"] for r in
+               strip_repeated_spans(d, "doc_id", "text", n=10, min_count=2).collect()}
+        # reconstruction happens downstream of tokens(), which lowercases
+        assert got == {1: "keepa keepb", 2: "keepc", 3: "no repeats here at all"}
