@@ -34,6 +34,8 @@ SECONDARY = (
     "sim_topk_ivfpq",
     "dedup_semantic",
     "text_repeated_spans",
+    "text_strip_repeated_spans",
+    "pipeline_decontaminate_fuzzy",
 )
 
 

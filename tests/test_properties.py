@@ -376,3 +376,74 @@ def test_asof_time_buckets_auto(spark=None):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert _re.search(r"hashpartitioning\(k#\d+L?, __bkt", plan), plan[:2000]
+
+
+def test_repeated_span_intervals_and_strip_match_bruteforce(spark):
+    """Randomized corpora: the distributed interval merge and the strip
+    action agree with a direct Python reference (window counting +
+    interval merging + covered-token removal)."""
+    import random
+    from collections import Counter
+
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        repeated_span_intervals,
+        strip_repeated_spans,
+    )
+
+    rng = random.Random(1234)
+
+    def reference(docs, n, min_count):
+        wins = Counter()
+        for toks in docs.values():
+            for p in range(len(toks) - n + 1):
+                wins[tuple(toks[p : p + n])] += 1
+        intervals, stripped = set(), {}
+        for did, toks in docs.items():
+            pos = [
+                p
+                for p in range(len(toks) - n + 1)
+                if wins[tuple(toks[p : p + n])] >= min_count
+            ]
+            merged = []
+            for p in pos:
+                if merged and p - merged[-1][1] < n:
+                    merged[-1][1] = p
+                else:
+                    merged.append([p, p])
+            covered = set()
+            for a, b in merged:
+                intervals.add(
+                    (did, a + 1, b + n, " ".join(toks[a : b + n]))
+                )
+                covered.update(range(a, b + n))
+            stripped[did] = " ".join(
+                t for i, t in enumerate(toks) if i not in covered
+            )
+        return intervals, stripped
+
+    for trial in range(8):
+        n = rng.randint(2, 4)
+        min_count = rng.randint(2, 3)
+        docs = {
+            did: [rng.choice("abcde") for _ in range(rng.randint(0, 14))]
+            for did in range(rng.randint(2, 6))
+        }
+        df = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in docs.items()],
+            "doc_id long, text string",
+        )
+        want_iv, want_strip = reference(docs, n, min_count)
+        got_iv = {
+            (r["doc_id"], r["start_tok"], r["end_tok"], r["span"])
+            for r in repeated_span_intervals(
+                df, "doc_id", "text", n=n, min_count=min_count
+            ).collect()
+        }
+        assert got_iv == want_iv, (trial, n, min_count, docs)
+        got_strip = {
+            r["doc_id"]: r["clean_text"]
+            for r in strip_repeated_spans(
+                df, "doc_id", "text", n=n, min_count=min_count
+            ).collect()
+        }
+        assert got_strip == want_strip, (trial, n, min_count, docs)
