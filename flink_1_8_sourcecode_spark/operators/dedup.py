@@ -793,3 +793,81 @@ def strip_repeated_spans(
     return joined.select(
         F.col("__id").alias(id_col), F.array_join(kept, " ").alias(out_col)
     )
+
+
+def paragraph_dedup_global(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """CORPUS-WIDE paragraph deduplication (CCNet, Wenzek et al. 2019 —
+    public paper): every paragraph keeps exactly ONE copy across the
+    whole corpus (the occurrence with the smallest (doc id, position)),
+    and each document is reconstructed from its surviving paragraphs.
+    This is the cross-document counterpart of the within-document
+    ``text.dedup_lines`` scrub — the step that removes boilerplate
+    repeated ACROSS pages, which no per-document pass can see.
+
+    The corpus here has no newline structure, so a ``chunk_tokens``-
+    token window is the deterministic paragraph proxy (same
+    granularity trade ``repeated_ngram_spans`` documents).
+
+    Returns (id_col, n_chunks, n_kept, clean_text) — one row per input
+    document, including documents whose every paragraph lost (n_kept=0,
+    empty text).
+
+    Scale shape (the reason this is not a window over md5(paragraph)):
+    the keeper of a paragraph is ``min(struct(doc, pos, text))`` over
+    its occurrences, computed with ``groupBy(hash)`` — partial
+    aggregation collapses duplicate paragraphs map-side, so a
+    boilerplate string repeated 10^9 times ships ONE row per input
+    partition instead of 10^9 rows into one reducer (a row_number
+    window would do exactly that).  Reconstruction then groups the
+    WINNNERS (= distinct paragraphs, the already-deduplicated small
+    side) by keeper document — never the raw chunk table.  Total: two
+    skew-immune exchanges plus the keep-empty-docs join back.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("long")
+    chunk_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(chunk_arr).alias("__pos", "__chunk")
+    )
+    winners = (
+        chunks.groupBy(F.md5("__chunk").alias("__h"))
+        .agg(F.min(F.struct("__id", "__pos", "__chunk")).alias("__w"))
+        .select(
+            F.col("__w.__id").alias("__id"),
+            F.col("__w.__pos").alias("__pos"),
+            F.col("__w.__chunk").alias("__chunk"),
+        )
+    )
+    kept = winners.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(F.col(id_col), n_chunks.alias("n_chunks"))
+    return (
+        base.join(kept, base[id_col] == kept["__id"], "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -372,6 +372,72 @@ def cosine_topk_gemm(
     )
 
 
+def range_search_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    threshold: float,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine RANGE search: every (query, corpus) pair with
+    ``cosine >= threshold`` — the radius-query counterpart of
+    ``cosine_topk_gemm`` (FAISS ``range_search``; the dedup/recall
+    workload where "all neighbors within tau" matters and a fixed k
+    silently truncates).
+
+    Scale shape: the query side is the BOUNDED side by contract
+    (collected once, normalized, broadcast); the corpus streams through
+    ONE ``mapInPandas`` stage — BLAS matmul per Arrow batch, boolean
+    mask, emit survivors.  Unlike top-k there is no global rank, so the
+    whole operator is MAP-ONLY: zero shuffles, output bounded by the
+    number of matches, never by |Q| x |C|.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()  # bounded side by contract (broadcast-build-side bound)
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qnorm))
+
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    qid_ddl = queries.schema[query_id_col].dataType.simpleString()
+    out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, cosine double"
+
+    def score(batches):
+        b_qids, b_qnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nids = pdf["__nid"].to_numpy()
+            vmat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            vnorm = vmat / np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = b_qnorm @ vnorm.T  # (|Q|, batch) — one BLAS call
+            keep = sims >= threshold
+            if exclude_self:
+                keep &= b_qids[:, None] != nids[None, :]
+            rows, cols = np.nonzero(keep)
+            if not len(rows):
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": b_qids[rows],
+                    "neighbor_id": nids[cols],
+                    "cosine": sims[rows, cols],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(score, out_ddl)
+
+
 def ivf_topk_gemm(
     corpus: DataFrame,
     queries: DataFrame,

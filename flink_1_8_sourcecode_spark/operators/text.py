@@ -344,3 +344,69 @@ def chunk_documents(
         df.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
     )
+
+
+def bigram_lm_score(
+    df,
+    id_col: str,
+    text_col: str,
+    add_k: float = 0.5,
+):
+    """Per-document bigram language-model score — the CCNet quality
+    signal (Wenzek et al. 2019 score documents with a KenLM n-gram
+    model and bucket the corpus by perplexity; public paper).  Here the
+    LM is trained on the corpus itself in the SAME plan: add-k-smoothed
+    bigram probabilities ``p(w2|w1) = (c(w1,w2)+k) / (c(w1)+k*V)`` with
+    ``c(w1)`` = occurrences of ``w1`` as a bigram context and ``V`` =
+    corpus vocabulary size, then each document is scored with the mean
+    log-probability of its bigrams and ``ppl = exp(-mean)``.
+
+    Returns (id, n_bigrams, avg_logp, ppl) — documents with fewer than
+    2 tokens have no bigrams and yield no row (same convention both
+    engines tokenize to).
+
+    Scale shape: bigram extraction is map-only Column math (zip of the
+    token array with its shift — no Python, no shuffle); LM training is
+    two partial-aggregated groupBys (duplicate bigrams collapse
+    map-side, so hot bigrams like "of the" are skew-immune); scoring
+    joins doc-bigrams to the LM on (w1, w2) — the LM side is bounded by
+    vocabulary squared, broadcast when small, AQE-skew-split shuffle
+    join otherwise; the vocabulary size is ONE scalar from a bounded
+    aggregate (the documented driver-side bounded contract).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = df.select(
+        F.col(id_col).alias("__id"), F.explode(pairs).alias("__b")
+    ).select("__id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    lm = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = lm.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    # vocabulary size: one scalar off a bounded aggregate (driver-side
+    # bounded contract — a single long, never data rows)
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .agg(F.countDistinct("__t"))
+        .first()[0]
+    )
+    logp = F.log((F.col("__c12") + add_k) / (F.col("__c1") + add_k * F.lit(float(vocab))))
+    return (
+        big.join(lm, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("avg_logp"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_bigrams",
+            "avg_logp",
+            F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )

@@ -425,3 +425,49 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
     return minhash_jaccard_estimate(d, pairs, "doc_id", "text")
+
+
+@register(
+    "dedup_paragraphs_global",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[(i*20+1):(i*20+20)], ' ') AS chunk
+      FROM toks, UNNEST(range(0, CAST(ceil(len(ts)/20.0) AS BIGINT))) AS u(i)
+    ),
+    winners AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    ),
+    kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(chunk ORDER BY pos), ' ') AS clean_text
+      FROM winners WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.ts)/20.0) AS BIGINT) AS n_chunks,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    """,
+    doc="CORPUS-WIDE paragraph dedup (CCNet, Wenzek et al. 2019): every "
+    "20-token paragraph keeps one copy across the whole corpus (keeper "
+    "= smallest (doc_id, pos)), documents reconstructed from surviving "
+    "paragraphs — the cross-document boilerplate remover that "
+    "within-document line dedup cannot see.  groupBy(md5) with "
+    "map-side partial aggregation, NOT a row_number window, so a "
+    "paragraph repeated 10^9 times ships one row per input partition "
+    "(operators/dedup.py:paragraph_dedup_global).",
+)
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import paragraph_dedup_global
+
+    d = table(spark, sf_dir, "documents")
+    return paragraph_dedup_global(d, "doc_id", "text", chunk_tokens=20)

@@ -430,3 +430,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(_SEMDD_CENTROID_EXPORT)
     return kept
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS cosine
+    FROM q JOIN v c ON c.vec_id != q.vec_id
+    WHERE {_COS} >= 0.3
+    """,
+    doc="Exact cosine RANGE search (FAISS range_search counterpart): "
+    "every corpus vector within cosine >= 0.3 of query vectors 0-4 — "
+    "broadcast normalized query matrix, one BLAS matmul per Arrow "
+    "batch, boolean-mask emit.  Unlike top-k there is no global rank, "
+    "so the operator is MAP-ONLY (zero shuffles); output is bounded by "
+    "the matches, never |Q| x |C| "
+    "(operators/similarity.py:range_search_gemm).",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import range_search_gemm
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return range_search_gemm(emb, queries, "vec_id", "embedding", "vec_id", threshold=0.3)

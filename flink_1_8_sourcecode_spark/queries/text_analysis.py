@@ -414,3 +414,48 @@ def text_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return strip_repeated_spans(d, "doc_id", "text", n=10, min_count=2)
+
+
+@register(
+    "text_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    lm AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(ts) AS t FROM toks)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             ln((lm.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)) AS lp
+      FROM big b
+      JOIN lm USING (w1, w2)
+      JOIN ctx USING (w1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           avg(lp) AS avg_logp,
+           exp(-avg(lp)) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document bigram LM perplexity (CCNet's quality signal, "
+    "Wenzek et al. 2019): add-0.5-smoothed bigram LM trained on the "
+    "corpus in the SAME plan, documents scored by mean log-prob and "
+    "ppl=exp(-mean).  Bigram extraction is a map-only token-array zip; "
+    "LM training is two partial-aggregated groupBys (hot bigrams "
+    "collapse map-side); scoring joins doc-bigrams to the "
+    "vocab^2-bounded LM (operators/text.py:bigram_lm_score).",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.bigram_lm_score(d, "doc_id", "text", add_k=0.5)

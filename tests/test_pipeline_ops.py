@@ -558,3 +558,98 @@ def test_curate_fuzzy_jaccard_threshold_monotone(spark):
     t_hi = ids(neardup_min_jaccard=0.95)
     assert t0 == base
     assert base <= t_hi  # pruning pairs can only reduce merging
+
+
+def test_paragraph_dedup_global_matches_bruteforce(spark):
+    """Randomized corpora: the two-exchange groupBy(md5) paragraph dedup
+    agrees with a direct Python reference (first corpus-wide occurrence
+    by (doc_id, pos) wins; docs reconstructed from survivors)."""
+    import random
+
+    from flink_1_8_sourcecode_spark.operators.dedup import paragraph_dedup_global
+
+    rng = random.Random(77)
+    for trial in range(5):
+        w = rng.randint(2, 4)
+        docs = {
+            did: [rng.choice("abc") for _ in range(rng.randint(0, 13))]
+            for did in range(rng.randint(2, 6))
+        }
+        seen, want = set(), {}
+        for did in sorted(docs):
+            toks = docs[did]
+            chunks = [
+                " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+            ]
+            kept = []
+            for c in chunks:
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            want[did] = (len(chunks), len(kept), " ".join(kept))
+        df = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+            for r in paragraph_dedup_global(
+                df, "doc_id", "text", chunk_tokens=w
+            ).collect()
+        }
+        assert got == want, (trial, w, docs)
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Two-doc corpus small enough to check the smoothed LM by hand."""
+    import math
+
+    from flink_1_8_sourcecode_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    # bigrams: doc1 = ab, ba, ab ; doc2 = ab, bc ; vocab = {a,b,c,x}, V=4
+    # c(ab)=3 c(ba)=1 c(bc)=1 ; ctx c(a)=3 c(b)=2
+    k, V = 0.5, 4
+    p_ab = (3 + k) / (3 + k * V)
+    p_ba = (1 + k) / (2 + k * V)
+    p_bc = (1 + k) / (2 + k * V)
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(df, "doc_id", "text", add_k=k).collect()
+    }
+    assert set(rows) == {1, 2}  # doc 3 has no bigrams
+    want1 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    want2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert rows[1]["n_bigrams"] == 3 and abs(rows[1]["avg_logp"] - want1) < 1e-12
+    assert rows[2]["n_bigrams"] == 2 and abs(rows[2]["avg_logp"] - want2) < 1e-12
+    assert abs(rows[1]["ppl"] - math.exp(-want1)) < 1e-12
+
+
+def test_range_search_gemm_consistent_with_topk_and_map_only(spark, sf_dir):
+    """range_search at threshold t returns exactly the topk pairs with
+    cosine >= t when k is large enough — and its plan has NO exchange."""
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        cosine_topk,
+        range_search_gemm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    t = 0.25
+    rs = range_search_gemm(emb, queries, "vec_id", "embedding", "vec_id", threshold=t)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rs.collect()}
+    topk = cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=1000)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk.collect()
+        if r["cosine"] >= t
+    }
+    assert got == want and got
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
