@@ -264,3 +264,59 @@ def temperature_resample(
         .drop("__src_key")
         .filter(draw < F.col("accept_frac") * F.lit(float(16**8)))
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: Column,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023 — public paper): score every document by how much more likely
+    its tokens are under the TARGET distribution than under the raw
+    corpus, ``log w(doc) = sum_t [ln p_target(t) - ln p_raw(t)]`` with
+    add-k-smoothed unigram bag models (the paper's hashed-ngram
+    features at unigram granularity).  ``target_filter`` selects the
+    in-domain rows (e.g. a trusted source or language); downstream
+    resampling keeps the top-weight documents to shift the corpus
+    toward the target domain.
+
+    Returns (id, n_tokens, log_weight) for every document.
+
+    Scale shape: both unigram tables are vocabulary-bounded groupBys
+    with map-side partial aggregation (hot tokens collapse before the
+    shuffle); the three normalizers (raw/target token totals and vocab
+    size) are scalars off bounded aggregates (documented driver-side
+    bounded contract); scoring joins exploded tokens to the
+    vocab-bounded LM — broadcast when it fits, AQE-skew-split
+    otherwise — then one per-document sum.
+    """
+    from flink_1_8_sourcecode_spark.operators.text import tokens
+
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        target_filter.alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    )
+    lm = ex.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count_if(F.col("__tgt")).alias("__ct"),
+    )
+    tot = lm.agg(
+        F.sum("__cr").alias("nr"), F.sum("__ct").alias("nt"), F.count(F.lit(1)).alias("v")
+    ).first()  # three scalars off a bounded aggregate (bounded contract)
+    nr, nt, v = float(tot["nr"]), float(tot["nt"]), float(tot["v"])
+    logratio = F.log((F.col("__ct") + add_k) / F.lit(nt + add_k * v)) - F.log(
+        (F.col("__cr") + add_k) / F.lit(nr + add_k * v)
+    )
+    return (
+        ex.join(lm, "__t")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(logratio).alias("log_weight"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "log_weight")
+    )

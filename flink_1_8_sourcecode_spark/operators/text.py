@@ -8,7 +8,7 @@ hot path, so these scale linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # A tiny deterministic English stopword set for quality/lang heuristics.
@@ -408,5 +408,57 @@ def bigram_lm_score(
             "n_bigrams",
             "avg_logp",
             F.exp(-F.col("avg_logp")).alias("ppl"),
+        )
+    )
+
+
+def feature_hash_embed(
+    df,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+):
+    """Hashed bag-of-words document embeddings (feature hashing /
+    "the hashing trick", Weinberger et al. 2009 — public paper): each
+    token hashes to one of ``dim`` buckets with a +/-1 sign drawn from
+    the next hash bit, per-document bucket sums are L2-normalized, and
+    the result is emitted SPARSE as (id, dim, weight) rows with
+    zero-sum buckets dropped.  This is the deterministic,
+    vocabulary-free featurizer that bridges the documents table into
+    every embedding operator downstream (cosine top-k, range search,
+    SemDeDup) without a model.
+
+    Hash family: the repo-standard engine-portable md5 base
+    (first 7 hex digits as an integer) — bucket = base mod dim, sign =
+    bit (base div dim) mod 2.
+
+    Scale shape: tokenize+hash is map-only Column math; the bucket-sum
+    groupBy is partial-aggregated (hot tokens collapse map-side); the
+    L2 norm is a per-document window over at most ``dim`` rows.  Two
+    exchanges total, output bounded by |docs| x dim.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    base = F.conv(F.substring(F.md5(F.col("__t")), 1, 7), 16, 10).cast("long")
+    f = ex.select(
+        "__id",
+        (base % dim).alias("dim"),
+        F.when((base / dim).cast("long") % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .alias("__s"),
+    )
+    agg = (
+        f.groupBy("__id", "dim")
+        .agg(F.sum("__s").alias("__w"))
+        .filter(F.col("__w") != 0)
+    )
+    w = Window.partitionBy("__id")
+    return (
+        agg.withColumn("__n", F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(w)))
+        .select(
+            F.col("__id").alias(id_col),
+            "dim",
+            (F.col("__w") / F.col("__n")).alias("weight"),
         )
     )

@@ -724,3 +724,38 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tx.lines(deduped)).alias("n_kept"),
         F.md5(deduped).alias("dedup_fp"),
     )
+
+
+@register(
+    "sample_dsir",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                s -> s != '')) AS t
+      FROM documents
+    ),
+    lm AS (
+      SELECT t, count(*) AS cr, count(*) FILTER (WHERE tgt) AS ct
+      FROM ex GROUP BY t
+    ),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm)
+    SELECT ex.doc_id,
+           count(*) AS n_tokens,
+           sum(ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+               - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v))) AS log_weight
+    FROM ex JOIN lm USING (t) CROSS JOIN tot
+    GROUP BY ex.doc_id
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): per-document "
+    "log w = sum_t [ln p_target(t) - ln p_raw(t)] under add-1-smoothed "
+    "unigram models, target = English documents — resample by weight "
+    "to shift the corpus toward the target domain.  Vocab-bounded LM "
+    "groupBy (partial-agg), three scalar normalizers, one "
+    "token-to-LM join + per-doc sum "
+    "(operators/sampling.py:dsir_importance).",
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return smp.dsir_importance(d, "doc_id", "text", F.col("lang") == "en", add_k=1.0)

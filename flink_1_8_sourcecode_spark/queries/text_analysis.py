@@ -459,3 +459,100 @@ def text_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return tx.bigram_lm_score(d, "doc_id", "text", add_k=0.5)
+
+
+_HEX_BASE = " + ".join(
+    f"(strpos('0123456789abcdef', md5(t)[{i + 1}]) - 1) * {16 ** (6 - i)}"
+    for i in range(7)
+)
+
+
+@register(
+    "text_feature_hash_embed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                        s -> s != '')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_HEX_BASE} AS base FROM toks),
+    f AS (
+      SELECT doc_id, base % 64 AS dim,
+             CASE WHEN (base // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+      FROM h
+    ),
+    agg AS (
+      SELECT doc_id, dim, sum(s) AS w FROM f GROUP BY doc_id, dim
+      HAVING sum(s) != 0
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS n FROM agg GROUP BY doc_id)
+    SELECT a.doc_id, a.dim, a.w / nrm.n AS weight
+    FROM agg a JOIN nrm USING (doc_id)
+    """,
+    doc="Hashed bag-of-words document embeddings (feature hashing, "
+    "Weinberger et al. 2009): tokens hash to 64 signed buckets via the "
+    "engine-portable md5 base, per-doc sums L2-normalized, emitted "
+    "SPARSE as (doc_id, dim, weight) — the vocabulary-free featurizer "
+    "bridging documents into the similarity operators.  Map-only hash, "
+    "one partial-agg groupBy, per-doc window norm "
+    "(operators/text.py:feature_hash_embed).",
+)
+def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.feature_hash_embed(d, "doc_id", "text", dim=64)
+
+
+@register(
+    "text_ppl_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    lm AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM lm GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM toks)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             ln((lm.c12 + 0.5) / (ctx.c1 + 0.5 * vocab.v)) AS lp
+      FROM big b JOIN lm USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+    ),
+    ppl AS (SELECT doc_id, exp(-avg(lp)) AS ppl FROM scored GROUP BY doc_id),
+    cuts AS (
+      SELECT quantile_cont(ppl, 1.0/3) AS c1, quantile_cont(ppl, 2.0/3) AS c2
+      FROM ppl
+    )
+    SELECT doc_id, ppl,
+           CASE WHEN ppl <= cuts.c1 THEN 'head'
+                WHEN ppl <= cuts.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl CROSS JOIN cuts
+    """,
+    doc="CCNet perplexity bucketing (Wenzek et al. 2019 split the "
+    "corpus into head/middle/tail thirds by LM perplexity): cutoffs "
+    "are exact interpolated terciles computed as two scalar "
+    "aggregates (NOT a global ntile window — no single-task global "
+    "sort; at 100 TB the same cutoffs come from percentile_approx or "
+    "a sample), bucketing itself is a map-only comparison "
+    "(operators/text.py:bigram_lm_score + exact percentile).",
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lm = tx.bigram_lm_score(d, "doc_id", "text", add_k=0.5).select("doc_id", "ppl")
+    cuts = lm.agg(
+        F.percentile("ppl", 1.0 / 3).alias("c1"),
+        F.percentile("ppl", 2.0 / 3).alias("c2"),
+    ).first()  # two scalars off a bounded aggregate (bounded contract)
+    bucket = (
+        F.when(F.col("ppl") <= float(cuts["c1"]), "head")
+        .when(F.col("ppl") <= float(cuts["c2"]), "middle")
+        .otherwise("tail")
+    )
+    return lm.select("doc_id", "ppl", bucket.alias("bucket"))

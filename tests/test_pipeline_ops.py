@@ -653,3 +653,68 @@ def test_range_search_gemm_consistent_with_topk_and_map_only(spark, sf_dir):
     assert got == want and got
     plan = rs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_feature_hash_embed_invariants(spark):
+    """Unit norms, dims in range, single-token doc gives weight +/-1,
+    and identical texts embed identically."""
+    from flink_1_8_sourcecode_spark.operators.text import feature_hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha beta gamma beta"), (3, "alpha beta gamma beta")],
+        "doc_id long, text string",
+    )
+    rows = feature_hash_embed(df, "doc_id", "text", dim=64).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["dim"] < 64
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["weight"]
+    for did, vec in by_doc.items():
+        assert abs(sum(w * w for w in vec.values()) - 1.0) < 1e-9, did
+    assert list(by_doc[1].values())[0] in (1.0, -1.0)
+    assert by_doc[2] == by_doc[3]
+
+
+def test_dsir_importance_hand_computed(spark):
+    """Three-doc corpus, target = docs containing 'x' marker: weights
+    match the add-1 smoothed unigram log-ratio computed by hand."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.operators.sampling import dsir_importance
+
+    df = spark.createDataFrame(
+        [(1, "a a b", True), (2, "a c", False), (3, "b c", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    # raw counts: a=3 b=2 c=2 (nr=7); target counts: a=2 b=1 c=0 (nt=3); V=3
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    k, v, nr, nt = 1.0, 3, 7, 3
+
+    def lr(ct, cr):
+        return math.log((ct + k) / (nt + k * v)) - math.log((cr + k) / (nr + k * v))
+
+    want1 = 2 * lr(2, 3) + lr(1, 2)
+    want3 = lr(1, 2) + lr(0, 2)
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["log_weight"] - want1) < 1e-12
+    assert out[3]["n_tokens"] == 2 and abs(out[3]["log_weight"] - want3) < 1e-12
+    # the all-target-token doc outweighs the no-target-token doc
+    assert out[1]["log_weight"] > out[3]["log_weight"]
+
+
+def test_ppl_buckets_ordered_and_balanced(spark, sf_dir):
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    rows = load_all()["text_ppl_buckets"].spark(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["ppl"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+    n = len(rows)
+    for b in by.values():  # terciles within one doc of n/3
+        assert abs(len(b) - n / 3) <= 1
