@@ -871,3 +871,71 @@ def paragraph_dedup_global(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS plagiarism-detection algorithm; public paper): hash every
+    k-token gram, slide a ``window``-gram window, keep each window's
+    MINIMUM hash; the distinct kept hashes are the document's
+    fingerprints.  Guarantee: any shared run of >= window+k-1 tokens
+    between two documents produces at least one SHARED fingerprint,
+    at ~2/(window+1) density — the local, position-robust alternative
+    to MinHash for substring-level overlap detection.
+
+    Documents with fewer than ``window`` grams keep their single
+    minimum gram hash (the short-document convention); documents
+    shorter than ``k`` tokens emit nothing.
+
+    Returns (id, fp) rows, fingerprints distinct per document.
+
+    Scale shape: entirely MAP-ONLY Column math — no shuffle, no
+    Python.  Both the token array and the gram-hash array go through
+    ``bind_once`` (text.py): Catalyst inlines captured expressions
+    into HOF lambdas, so without the binding the tokenizer re-splits
+    per gram and the hash array re-hashes per window (measured 2.4x).
+    Gram hashes use the repo-standard engine-portable md5 base so the
+    DuckDB oracle reproduces fingerprint VALUES bit-for-bit.
+    """
+    from flink_1_8_sourcecode_spark.operators.text import bind_once
+
+    def gram_hash(s):
+        return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+
+    def grams_of(t):
+        n_grams = F.size(t) - (k - 1)
+        return F.when(
+            n_grams > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: gram_hash(F.array_join(F.slice(t, i, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def fps_of(g):
+        n_win = F.size(g) - (window - 1)
+        return (
+            F.when(
+                n_win > 0,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_win),
+                        lambda j: F.array_min(F.slice(g, j, window)),
+                    )
+                ),
+            )
+            .when(F.size(g) > 0, F.array(F.array_min(g)))
+            .otherwise(F.array().cast("array<long>"))
+        )
+
+    fps = bind_once(
+        tokens(F.col(text_col)), lambda t: bind_once(grams_of(t), fps_of)
+    )
+    return docs.select(F.col(id_col), F.explode(fps).alias("fp"))

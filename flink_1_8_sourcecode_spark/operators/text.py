@@ -462,3 +462,62 @@ def feature_hash_embed(
             (F.col("__w") / F.col("__n")).alias("weight"),
         )
     )
+
+
+def bind_once(expr, fn):
+    """Evaluate a Column expression ONCE and bind it as a higher-order-
+    function lambda variable inside ``fn``.
+
+    Catalyst's CollapseProject inlines a referenced expression into
+    every use site inside HOF lambdas — an expression used N times in a
+    ``transform`` body is EVALUATED N times (whole-stage codegen's
+    subexpression elimination does not reach across lambda scopes).
+    Wrapping the expression in a 1-element array and `transform`-ing
+    over it turns the value into a bound lambda variable, which IS
+    shared: measured 2.4x on winnowing fingerprints at sf0.1 (the
+    token array was being re-split per gram, the gram array re-hashed
+    per window).  Same trick `minhash_band_rows` documents via its
+    explode/groupBy detour — this is the map-only form.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def ngram_novelty(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct word k-grams that occur in NO other document — the
+    complement of the repeated-span family (a doc scoring ~1.0 is
+    original content; ~0.0 is assembled from corpus boilerplate).
+    Used as a memorization/quality signal alongside Lee et al. 2021
+    dedup: low-novelty docs are the ones whose removal the paper shows
+    hurts least.
+
+    Returns (id, n_grams_distinct, novelty) — docs shorter than k
+    tokens have no k-grams and yield n_grams_distinct=0, novelty=0.0.
+
+    Scale shape: distinct (doc, gram) pairs -> gram document-frequency
+    via one partial-aggregated groupBy (hot boilerplate grams collapse
+    map-side) -> join back (AQE-skew-split; the DF table is bounded by
+    distinct grams, not occurrences) -> per-doc mean.  No Python, no
+    all-pairs anything.
+    """
+    dg = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), k)).alias("__g"),
+    )
+    gdf = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__ndocs"))
+    scored = (
+        dg.join(gdf, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams_distinct"),
+            F.avg((F.col("__ndocs") == 1).cast("double")).alias("novelty"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(
+        scored, base[id_col] == scored["__id"], "left"
+    ).select(
+        id_col,
+        F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
+        F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+    )

@@ -471,3 +471,52 @@ def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return paragraph_dedup_global(d, "doc_id", "text", chunk_tokens=20)
+
+
+def _duck_gram_base(expr: str) -> str:
+    """DuckDB expression for the repo-standard 28-bit md5 base of ``expr``."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', md5({expr})[{i + 1}]) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ts) - 3, 0) + 1),
+                i -> {_duck_gram_base("array_to_string(ts[i:i+3], ' ')")}) AS grams
+      FROM toks
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) >= 5 THEN
+               list_distinct(list_transform(range(1, len(grams) - 3),
+                  j -> list_min(grams[j:j+4])))
+             WHEN len(grams) > 0 THEN [list_min(grams)]
+             ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM f
+    """,
+    doc="Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — "
+    "the MOSS algorithm): min gram-hash per sliding 5-window over "
+    "4-token gram hashes, distinct per doc; any shared run of >= 8 "
+    "tokens between two docs yields a shared fingerprint at ~1/3 "
+    "density.  Entirely MAP-ONLY Column math — zero shuffles; "
+    "bind_once prevents Catalyst's lambda-inlining from re-splitting "
+    "tokens per gram / re-hashing grams per window (measured 2.4x; "
+    "operators/dedup.py:winnowing_fingerprints).",
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import winnowing_fingerprints
+
+    d = table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, "doc_id", "text", k=4, window=5)

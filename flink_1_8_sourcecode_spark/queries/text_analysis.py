@@ -556,3 +556,40 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return lm.select("doc_id", "ppl", bucket.alias("bucket"))
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, g
+      FROM toks,
+           UNNEST(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                 i -> array_to_string(ts[i:i+2], ' '))) AS u(g)
+    ),
+    gdf AS (SELECT g, count(*) AS ndocs FROM dg GROUP BY g),
+    scored AS (
+      SELECT dg.doc_id,
+             count(*) AS n_grams_distinct,
+             avg(CASE WHEN gdf.ndocs = 1 THEN 1.0 ELSE 0.0 END) AS novelty
+      FROM dg JOIN gdf USING (g) GROUP BY dg.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(s.n_grams_distinct, 0) AS n_grams_distinct,
+           coalesce(s.novelty, 0.0) AS novelty
+    FROM toks t LEFT JOIN scored s USING (doc_id)
+    """,
+    doc="Per-document 3-gram NOVELTY (fraction of the doc's distinct "
+    "3-grams occurring in no other document) — the complement of the "
+    "repeated-span family; low-novelty docs are corpus boilerplate.  "
+    "Distinct (doc,gram) pairs -> partial-agg gram document-frequency "
+    "-> join back -> per-doc mean (operators/text.py:ngram_novelty).",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.ngram_novelty(d, "doc_id", "text", k=3)

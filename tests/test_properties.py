@@ -447,3 +447,80 @@ def test_repeated_span_intervals_and_strip_match_bruteforce(spark):
             ).collect()
         }
         assert got_strip == want_strip, (trial, n, min_count, docs)
+
+
+def test_winnowing_matches_bruteforce_and_guarantee(spark):
+    """Randomized corpora: distributed winnowing equals a direct Python
+    reference (same md5-base gram hash, min per window, distinct), and
+    the paper's guarantee holds: docs sharing a run of >= window+k-1
+    tokens share at least one fingerprint."""
+    import hashlib as _hl
+    import random as _rand
+
+    from flink_1_8_sourcecode_spark.operators.dedup import winnowing_fingerprints
+
+    def base(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:7], 16)
+
+    def reference(toks, k, w):
+        grams = [base(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+    rng = _rand.Random(4242)
+    for trial in range(6):
+        k = rng.randint(2, 4)
+        w = rng.randint(2, 5)
+        shared = [rng.choice("abcdef") for _ in range(w + k - 1)]
+        docs = {}
+        for did in range(5):
+            toks = [rng.choice("abcdef") for _ in range(rng.randint(0, 20))]
+            if did in (1, 3):  # plant the shared run
+                p = rng.randint(0, len(toks))
+                toks = toks[:p] + shared + toks[p:]
+            docs[did] = toks
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = {}
+        for r in winnowing_fingerprints(df, "doc_id", "text", k=k, window=w).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        want = {d: reference(t, k, w) for d, t in docs.items()}
+        want = {d: s for d, s in want.items() if s}
+        assert got == want, (trial, k, w, docs)
+        assert got[1] & got[3], "guarantee violated: shared run, no shared fp"
+
+
+def test_winnowing_plan_is_map_only(spark, sf_dir):
+    from flink_1_8_sourcecode_spark.operators.dedup import winnowing_fingerprints
+    from flink_1_8_sourcecode_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(d, "doc_id", "text")
+    plan = fps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from flink_1_8_sourcecode_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: "a b c", "b c d"
+            (2, "a b c"),        # gram: "a b c" (shared with doc 1)
+            (3, "x y z w"),      # grams: "x y z", "y z w" (unique)
+            (4, "q r"),          # too short: no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams_distinct"], r["novelty"])
+        for r in ngram_novelty(df, "doc_id", "text", k=3).collect()
+    }
+    assert got[1] == (2, 0.5)   # "a b c" shared, "b c d" novel
+    assert got[2] == (1, 0.0)
+    assert got[3] == (2, 1.0)
+    assert got[4] == (0, 0.0)
