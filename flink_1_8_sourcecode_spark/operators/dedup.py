@@ -582,16 +582,22 @@ def repeated_ngram_spans(
     sites only.  ``hash_prepass=False`` keeps the direct one-scan
     shape (better when nearly every span repeats, e.g. tiny corpora).
     """
-    toks = tokens(F.col(text_col))
-    n_spans = F.size(toks) - (n - 1)
+    from flink_1_8_sourcecode_spark.operators.text import bind_once
+
+    # bind_once: without it Catalyst inlines the tokenizer into the
+    # window lambda and re-splits the text PER WINDOW — O(tokens^2)
+    # per document (measured ~2x on this operator at sf0.1)
     if not hash_prepass:
-        spans = F.when(
-            n_spans > 0,
-            F.transform(
-                F.sequence(F.lit(1), n_spans),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        spans = bind_once(
+            tokens(F.col(text_col)),
+            lambda t: F.when(
+                F.size(t) - (n - 1) > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
         return (
             docs.select(F.col(id_col).alias("__id"), F.explode(spans).alias("span"))
             .groupBy("span")
@@ -602,13 +608,16 @@ def repeated_ngram_spans(
             .filter(F.col("occ") >= min_count)
         )
 
-    hashes = F.when(
-        n_spans > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_spans),
-            lambda i: F.xxhash64(F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    hashes = bind_once(
+        tokens(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) - (n - 1) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.xxhash64(F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     sites = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos", "__h")
     )
@@ -657,15 +666,19 @@ def repeated_span_sites(
     only at matched sites), so a collision can only add a candidate that
     the recount then rejects.
     """
-    toks = tokens(F.col(text_col))
-    n_spans = F.size(toks) - (n - 1)
-    hashes = F.when(
-        n_spans > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_spans),
-            lambda i: F.xxhash64(F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    from flink_1_8_sourcecode_spark.operators.text import bind_once
+
+    # bind_once: see repeated_ngram_spans — prevents per-window re-split
+    hashes = bind_once(
+        tokens(F.col(text_col)),
+        lambda t: F.when(
+            F.size(t) - (n - 1) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.xxhash64(F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     sites = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos", "__h")
     )
@@ -828,17 +841,24 @@ def paragraph_dedup_global(
     side) by keeper document — never the raw chunk table.  Total: two
     skew-immune exchanges plus the keep-empty-docs join back.
     """
+    from flink_1_8_sourcecode_spark.operators.text import bind_once
+
     toks = tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("long")
-    chunk_arr = F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+    # bind_once: keep the tokenizer from re-running per chunk (Catalyst
+    # inlines captured expressions into HOF lambdas)
+    chunk_arr = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("long") - 1),
+                lambda i: F.array_join(
+                    F.slice(t, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     chunks = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(chunk_arr).alias("__pos", "__chunk")
     )
