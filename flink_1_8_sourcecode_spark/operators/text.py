@@ -327,19 +327,24 @@ def chunk_documents(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    n = F.size(toks)
-    # window starts 0, stride, 2*stride, ... while start < n
-    starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
-    ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
-            F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
-        ),
-    )
+
+    # bind_once: without it the tokenizer re-splits per chunk (Catalyst
+    # inlines captured expressions into HOF lambdas)
+    def chunks_of(t):
+        n = F.size(t)
+        starts = F.when(
+            n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                F.array_join(F.slice(t, s + 1, chunk_tokens), " ").alias("chunk_text"),
+                F.least(F.lit(chunk_tokens), n - s).alias("n_tokens"),
+            ),
+        )
+
+    chunks = bind_once(toks, chunks_of)
     return (
         df.select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
