@@ -959,3 +959,60 @@ def winnowing_fingerprints(
         tokens(F.col(text_col)), lambda t: bind_once(grams_of(t), fps_of)
     )
     return docs.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 2,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """The MOSS match step over :func:`winnowing_fingerprints`:
+    candidate pairs (id_a < id_b) with their shared-fingerprint count,
+    kept when ``n_shared >= min_shared`` — substring-overlap detection
+    (each shared fingerprint witnesses a shared token run) where
+    MinHash-LSH detects whole-document set similarity.
+
+    Hot-fingerprint guard, same as ``minhash_lsh_pairs``: a
+    boilerplate fingerprint shared by n docs would expand to n^2/2
+    pairs inside one join task; fingerprints hitting more than
+    ``max_bucket_size`` docs are star-linked to the min-id anchor
+    (reported with n_shared = 0 as a sentinel — the transitive closure
+    downstream cluster resolution consumes is identical, and the
+    exact shared count over a boilerplate hash is meaningless anyway).
+
+    Scale: one window over the fingerprint relation (reused exchange
+    across both self-join sides), bucket-bounded self-join, one
+    partial-aggregated pair count.
+    """
+    fps = winnowing_fingerprints(docs, id_col, text_col, k=k, window=window)
+    wb = Window.partitionBy("fp")
+    rows = fps.withColumn("__n", F.count(F.lit(1)).over(wb)).withColumn(
+        "__anchor", F.min(id_col).over(wb)
+    )
+    small = rows.filter(F.col("__n") <= max_bucket_size).select(id_col, "fp")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    hot_pairs = (
+        rows.filter(
+            (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__anchor"))
+        )
+        .select(F.col("__anchor").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+        .withColumn("n_shared", F.lit(0).cast("long"))
+    )
+    return small_pairs.unionByName(hot_pairs)

@@ -526,3 +526,96 @@ def ngram_novelty(df, id_col: str, text_col: str, k: int = 3):
         F.coalesce("n_grams_distinct", F.lit(0)).alias("n_grams_distinct"),
         F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_stopwords: int = 2,
+):
+    """The Gopher rule-based quality filter (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1 — public paper): the
+    standard pre-LLM-training document gate, applied per document with
+    the paper's published thresholds:
+
+    - 50 <= word count <= 100000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (# or ellipsis) <= 0.1
+    - < 90% of lines starting with a bullet; < 30% ending in ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - document contains >= 2 of the 8-word Gopher stopword list
+
+    Returns every signal plus the conjunction ``keep`` — keep the
+    signals, not just the verdict, so downstream can re-threshold
+    without a rescan.
+
+    The paper's word-count and stopword thresholds are parameters
+    (defaults = published values).  On the synthetic test corpus most
+    documents fail the stopword rule by construction — the emitted
+    signals, not the verdict, carry the information there.
+
+    Map-only Column math end to end (tokenize once via ``bind_once``,
+    ratios as array folds): one linear scan, zero shuffles at 100 TB.
+    """
+
+    def signals(t):
+        n = F.size(t)
+        nd = F.lit(None).cast("double")
+        mean_len = F.when(
+            n > 0,
+            F.aggregate(t, F.lit(0.0), lambda a, x: a + F.length(x)) / n,
+        ).otherwise(nd)
+        n_sym = F.size(
+            F.filter(t, lambda x: x.contains("#") | x.contains("..."))
+        )
+        sym_ratio = F.when(n > 0, n_sym / n).otherwise(nd)
+        alpha_frac = F.when(
+            n > 0, F.size(F.filter(t, lambda x: x.rlike("[a-z]"))) / n
+        ).otherwise(nd)
+        n_stop = F.size(
+            F.array_intersect(t, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+        )
+        return F.struct(
+            n.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            sym_ratio.alias("symbol_ratio"),
+            alpha_frac.alias("alpha_frac"),
+            n_stop.alias("n_stopwords"),
+        )
+
+    def line_signals(ls):
+        m = F.size(ls)
+        nd = F.lit(None).cast("double")
+        bullet = F.when(
+            m > 0,
+            F.size(
+                F.filter(ls, lambda x: x.startswith("-") | x.startswith("*"))
+            )
+            / m,
+        ).otherwise(nd)
+        ellipsis = F.when(
+            m > 0, F.size(F.filter(ls, lambda x: x.endswith("..."))) / m
+        ).otherwise(nd)
+        return F.struct(bullet.alias("bullet_frac"), ellipsis.alias("ellipsis_frac"))
+
+    s = bind_once(tokens(F.col(text_col)), signals)
+    l = bind_once(lines(F.col(text_col)), line_signals)
+    out = df.select(F.col(id_col), s.alias("__s"), l.alias("__l")).select(
+        id_col, "__s.*", "__l.*"
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") < 0.9)
+        & (F.col("ellipsis_frac") < 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))

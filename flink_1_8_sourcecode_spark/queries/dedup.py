@@ -520,3 +520,52 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return winnowing_fingerprints(d, "doc_id", "text", k=4, window=5)
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ts) - 3, 0) + 1),
+                i -> {_duck_gram_base("array_to_string(ts[i:i+3], ' ')")}) AS grams
+      FROM toks
+    ),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(grams) >= 5 THEN
+               list_distinct(list_transform(range(1, len(grams) - 3),
+                  j -> list_min(grams[j:j+4])))
+             WHEN len(grams) > 0 THEN [list_min(grams)]
+             ELSE [] END AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    stats AS (SELECT fp, count(*) AS n, min(doc_id) AS anchor FROM fp GROUP BY fp),
+    fr AS (SELECT fp.*, n, anchor FROM fp JOIN stats USING (fp))
+    SELECT id_a, id_b, count(*) AS n_shared FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.n <= 64
+    ) GROUP BY id_a, id_b HAVING count(*) >= 2
+    UNION ALL
+    SELECT DISTINCT anchor AS id_a, doc_id AS id_b, 0 AS n_shared
+    FROM fr WHERE n > 64 AND doc_id != anchor
+    """,
+    doc="The MOSS match step (Schleimer et al. 2003) over winnowing "
+    "fingerprints: pairs sharing >= 2 fingerprints with the shared "
+    "count (substring-level overlap, vs MinHash's whole-doc set "
+    "similarity); hot fingerprints (> 64 docs) star-link to the min-id "
+    "anchor with n_shared=0 sentinel — same n^2-bucket guard as LSH "
+    "(operators/dedup.py:winnowing_pairs).",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import winnowing_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return winnowing_pairs(d, "doc_id", "text", k=4, window=5, min_shared=2)

@@ -593,3 +593,61 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return tx.ngram_novelty(d, "doc_id", "text", k=3)
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts,
+             list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                         s -> s != '') AS ls
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+        len(ts) AS n_words,
+        CASE WHEN len(ts) > 0
+             THEN list_sum(list_transform(ts, x -> length(x)))::DOUBLE / len(ts)
+        END AS mean_word_len,
+        CASE WHEN len(ts) > 0
+             THEN len(list_filter(ts, x -> contains(x, '#') OR contains(x, '...')))::DOUBLE
+                  / len(ts)
+        END AS symbol_ratio,
+        CASE WHEN len(ts) > 0
+             THEN len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ts)
+        END AS alpha_frac,
+        len(list_intersect(ts, ['the','be','to','of','and','that','have','with']))
+          AS n_stopwords,
+        CASE WHEN len(ls) > 0
+             THEN len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')))::DOUBLE
+                  / len(ls)
+        END AS bullet_frac,
+        CASE WHEN len(ls) > 0
+             THEN len(list_filter(ls, x -> ends_with(x, '...')))::DOUBLE / len(ls)
+        END AS ellipsis_frac
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           n_stopwords, bullet_frac, ellipsis_frac,
+           coalesce(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_frac < 0.9
+                    AND ellipsis_frac < 0.3
+                    AND alpha_frac >= 0.8
+                    AND n_stopwords >= 2, false) AS keep
+    FROM sig
+    """,
+    doc="The Gopher rule-based quality gate (Rae et al. 2021, Table A1) "
+    "with the paper's published thresholds: word-count band, mean word "
+    "length band, symbol-to-word ratio, bullet/ellipsis line "
+    "fractions, alphabetic-word fraction, >=2 Gopher stopwords — every "
+    "signal emitted alongside the conjunction so downstream can "
+    "re-threshold without a rescan.  Map-only Column math, tokenize "
+    "once via bind_once (operators/text.py:gopher_quality_flags).",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.gopher_quality_flags(d, "doc_id", "text")

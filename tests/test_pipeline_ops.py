@@ -718,3 +718,59 @@ def test_ppl_buckets_ordered_and_balanced(spark, sf_dir):
     n = len(rows)
     for b in by.values():  # terciles within one doc of n/3
         assert abs(len(b) - n / 3) <= 1
+
+
+def test_gopher_rules_hand_computed(spark):
+    from flink_1_8_sourcecode_spark.operators.text import gopher_quality_flags
+
+    good = " ".join(["that", "have", "with", "the"] * 15)  # 60 words, mean len 3.75
+    bad_sym = " ".join(["x#y"] * 60)                  # all symbol words
+    short = "the be nice"                             # < min_words
+    df = spark.createDataFrame(
+        [(1, good), (2, bad_sym), (3, short)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in gopher_quality_flags(df, "doc_id", "text").collect()
+    }
+    assert got[1]["keep"] and got[1]["n_stopwords"] == 4
+    assert not got[2]["keep"] and got[2]["symbol_ratio"] == 1.0
+    assert not got[3]["keep"] and got[3]["n_words"] == 3
+    # relaxed thresholds admit the short doc
+    relaxed = {
+        r["doc_id"]: r["keep"]
+        for r in gopher_quality_flags(
+            df, "doc_id", "text", min_words=2, min_stopwords=1
+        ).collect()
+    }
+    assert relaxed[3]
+
+
+def test_winnowing_pairs_min_shared_and_star_cap(spark):
+    from flink_1_8_sourcecode_spark.operators.dedup import winnowing_pairs
+
+    run = "p q r s t u v w"  # 8 tokens: >= w+k-1 -> shared fingerprints
+    docs = [
+        (1, run + " alpha beta gamma delta"),
+        (2, run + " epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_pairs(
+            df, "doc_id", "text", k=4, window=5, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+    # star cap: a fingerprint hitting all 4 docs with max_bucket_size=2
+    # links every member to the anchor with the n_shared=0 sentinel
+    boil = [(i, run) for i in range(10, 14)]
+    bdf = spark.createDataFrame(boil, "doc_id long, text string")
+    star = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_pairs(
+            bdf, "doc_id", "text", k=4, window=5, min_shared=1, max_bucket_size=2
+        ).collect()
+    }
+    assert star == {(10, 11): 0, (10, 12): 0, (10, 13): 0}
