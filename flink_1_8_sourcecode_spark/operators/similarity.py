@@ -167,30 +167,21 @@ def ivf_train(
     return assignment
 
 
-def ivf_topk(
+def _ivf_scored(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str,
     vec_col: str,
     query_id_col: str,
     cluster_col: str,
-    k: int = 10,
-    nprobe: int = 3,
-    exclude_self: bool = True,
-    broadcast_probes: bool = True,
+    nprobe: int,
+    exclude_self: bool,
+    broadcast_probes: bool,
 ) -> DataFrame:
-    """IVF approximate top-k: centroids = per-cluster mean vector; each
-    query searches only its ``nprobe`` closest clusters.
-
-    Returns (query_id, neighbor_id, cosine, rank) like cosine_topk; the
-    approximation may differ from the exact result by design.
-
-    ``broadcast_probes=False`` drops the probe-side broadcast hint for
-    the large-query-set regime: with the corpus written BUCKETED on the
-    cluster column, the probe join then sort-merges against the
-    pre-partitioned corpus with NO corpus-side exchange (the scale path
-    SCALE.md describes); only the small probe set shuffles.
-    """
+    """Shared IVF front half: per-cluster mean centroids, nprobe nearest
+    clusters per query (cosine, cluster-id tiebreak), probe join against
+    the cluster-pruned corpus, per-pair cosine — (query_id, neighbor_id,
+    cosine) rows for top-k ranking or threshold filtering."""
     centroids = (
         corpus.select(
             F.col(cluster_col).alias("cluster"), F.posexplode(F.col(vec_col).cast("array<double>"))
@@ -221,8 +212,68 @@ def ivf_topk(
     joined = c.join(probe_side, "cluster")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
+    return joined.select(
         "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine")
+    )
+
+
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    cluster_col: str,
+    threshold: float,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF-pruned cosine RANGE search (FAISS ``range_search`` on an
+    IVF index): every corpus vector with ``cosine >= threshold`` among
+    each query's ``nprobe`` nearest clusters — approximate like
+    ``ivf_topk`` (neighbors outside probed clusters are missed by
+    design), with the same probe semantics.
+
+    Unlike top-k there is NO per-query rank window: after the
+    cluster-pruned probe join the operator is a filter — at 100 TB the
+    probed cluster ids partition-prune a cluster-partitioned corpus
+    layout and nothing ranks globally.
+    """
+    scored = _ivf_scored(
+        corpus, queries, id_col, vec_col, query_id_col, cluster_col,
+        nprobe, exclude_self, broadcast_probes,
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: centroids = per-cluster mean vector; each
+    query searches only its ``nprobe`` closest clusters.
+
+    Returns (query_id, neighbor_id, cosine, rank) like cosine_topk; the
+    approximation may differ from the exact result by design.
+
+    ``broadcast_probes=False`` drops the probe-side broadcast hint for
+    the large-query-set regime: with the corpus written BUCKETED on the
+    cluster column, the probe join then sort-merges against the
+    pre-partitioned corpus with NO corpus-side exchange (the scale path
+    SCALE.md describes); only the small probe set shuffles.
+    """
+    scored = _ivf_scored(
+        corpus, queries, id_col, vec_col, query_id_col, cluster_col,
+        nprobe, exclude_self, broadcast_probes,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -456,3 +456,57 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return range_search_gemm(emb, queries, "vec_id", "embedding", "vec_id", threshold=0.3)
+
+
+@register(
+    "sim_range_search_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         cent AS (
+           SELECT label AS cluster,
+                  list_transform(range(1, 65),
+                    i -> list_sum(list_transform(list(e), x -> x[i]))
+                         / count(*)) AS ce
+           FROM v GROUP BY label
+         ),
+         probes AS (
+           SELECT query_id, cluster FROM (
+             SELECT q.vec_id AS query_id, cent.cluster,
+                    row_number() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.e, cent.ce)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                        cent.cluster) AS pr
+             FROM q CROSS JOIN cent
+           ) WHERE pr <= 3
+         )
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.e, c.e)
+             / (sqrt(list_dot_product(q.e, q.e))
+                * sqrt(list_dot_product(c.e, c.e))) AS cosine
+    FROM probes p
+    JOIN v c ON c.label = p.cluster
+    JOIN q ON q.vec_id = p.query_id
+    WHERE c.vec_id != p.query_id
+      AND list_dot_product(q.e, c.e)
+            / (sqrt(list_dot_product(q.e, q.e))
+               * sqrt(list_dot_product(c.e, c.e))) >= 0.25
+    """,
+    doc="IVF-pruned cosine RANGE search (FAISS range_search on an IVF "
+    "index): all corpus vectors with cosine >= 0.25 inside each "
+    "query's 3 probed clusters — no per-query rank window, just the "
+    "cluster-pruned probe join + a filter; probed cluster ids "
+    "partition-prune a cluster-partitioned layout at 100 TB "
+    "(operators/similarity.py:ivf_range_search).",
+)
+def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import ivf_range_search
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_range_search(
+        emb, queries, "vec_id", "embedding", "vec_id",
+        cluster_col="label", threshold=0.25, nprobe=3,
+    )

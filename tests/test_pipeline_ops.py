@@ -774,3 +774,33 @@ def test_winnowing_pairs_min_shared_and_star_cap(spark):
         ).collect()
     }
     assert star == {(10, 11): 0, (10, 12): 0, (10, 13): 0}
+
+
+def test_ivf_range_search_consistent_with_ivf_topk(spark, sf_dir):
+    """IVF range search at threshold t == IVF top-k (k >= bucket size)
+    filtered to cosine >= t: same probes, no rank truncation."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        ivf_range_search,
+        ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    t = 0.2
+    rs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_range_search(
+            emb, queries, "vec_id", "embedding", "vec_id",
+            cluster_col="label", threshold=t, nprobe=2,
+        ).collect()
+    }
+    tk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, "vec_id", "embedding", "vec_id",
+            cluster_col="label", k=10**6, nprobe=2,
+        ).collect()
+        if r["cosine"] >= t
+    }
+    assert rs == tk and rs
