@@ -886,7 +886,7 @@ def paragraph_dedup_global(
         base.join(kept, base[id_col] == kept["__id"], "left")
         .select(
             id_col,
-            "n_chunks",
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
@@ -979,10 +979,12 @@ def winnowing_pairs(
     Hot-fingerprint guard, same as ``minhash_lsh_pairs``: a
     boilerplate fingerprint shared by n docs would expand to n^2/2
     pairs inside one join task; fingerprints hitting more than
-    ``max_bucket_size`` docs are star-linked to the min-id anchor
-    (reported with n_shared = 0 as a sentinel — the transitive closure
-    downstream cluster resolution consumes is identical, and the
-    exact shared count over a boilerplate hash is meaningless anyway).
+    ``max_bucket_size`` docs are star-linked to the min-id anchor with
+    n_shared = 0 as a sentinel (the transitive closure downstream
+    cluster resolution consumes is identical, and the exact shared
+    count over a boilerplate hash is meaningless anyway).  Exactly one
+    row per pair: a pair reachable via both a hot fingerprint and >=
+    min_shared small ones keeps the real count (max-merge).
 
     Scale: one window over the fingerprint relation (reused exchange
     across both self-join sides), bucket-bounded self-join, one
@@ -1015,4 +1017,11 @@ def winnowing_pairs(
         .distinct()
         .withColumn("n_shared", F.lit(0).cast("long"))
     )
-    return small_pairs.unionByName(hot_pairs)
+    # one row per pair: a pair sharing BOTH a hot fingerprint (star
+    # edge, sentinel 0) and >= min_shared small ones keeps the real
+    # count — max() merges the sentinel into it
+    return (
+        small_pairs.unionByName(hot_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("n_shared").alias("n_shared"))
+    )

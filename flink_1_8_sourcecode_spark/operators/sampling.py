@@ -283,7 +283,8 @@ def dsir_importance(
     resampling keeps the top-weight documents to shift the corpus
     toward the target domain.
 
-    Returns (id, n_tokens, log_weight) for every document.
+    Returns (id, n_tokens, log_weight) for every document —
+    zero-token documents keep a row with n_tokens=0, log_weight=0.0.
 
     Scale shape: both unigram tables are vocabulary-bounded groupBys
     with map-side partial aggregation (hot tokens collapse before the
@@ -311,12 +312,19 @@ def dsir_importance(
     logratio = F.log((F.col("__ct") + add_k) / F.lit(nt + add_k * v)) - F.log(
         (F.col("__cr") + add_k) / F.lit(nr + add_k * v)
     )
-    return (
+    scored = (
         ex.join(lm, "__t")
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(logratio).alias("log_weight"),
         )
-        .select(F.col("__id").alias(id_col), "n_tokens", "log_weight")
+    )
+    # keep zero-token documents (no exploded rows -> absent from scored):
+    # weight 0 = "no evidence either way", not "silently dropped"
+    base = df.select(F.col(id_col))
+    return base.join(scored, base[id_col] == scored["__id"], "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )

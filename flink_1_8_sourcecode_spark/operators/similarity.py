@@ -345,6 +345,26 @@ def quantization_error(
     )
 
 
+def _gemm_query_side(queries: DataFrame, vec_col: str, query_id_col: str):
+    """Shared GEMM front half: collect the BOUNDED query side (the
+    broadcast-build-side contract every *_gemm kernel documents) into
+    (ids, L2-normalized float64 matrix).  Returns (None, None) for an
+    empty query set — callers emit an empty result instead of letting
+    np.stack crash on zero arrays."""
+    import numpy as np
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).toPandas()  # bounded side by contract (broadcast-build-side bound)
+    if not len(q_pdf):
+        return None, None
+    qids = q_pdf["query_id"].to_numpy()
+    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    return qids, qnorm
+
+
 def cosine_topk_gemm(
     corpus: DataFrame,
     queries: DataFrame,
@@ -373,18 +393,13 @@ def cosine_topk_gemm(
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).toPandas()  # bounded side by contract (broadcast-build-side bound)
-    qids = q_pdf["query_id"].to_numpy()
-    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, qnorm))
-
     id_ddl = corpus.schema[id_col].dataType.simpleString()
     qid_ddl = queries.schema[query_id_col].dataType.simpleString()
     out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, cosine double"
+    qids, qnorm = _gemm_query_side(queries, vec_col, query_id_col)
+    if qids is None:
+        return corpus.sparkSession.createDataFrame([], out_ddl + ", rank int")
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qnorm))
 
     def score(batches):
         b_qids, b_qnorm = bc.value
@@ -448,18 +463,13 @@ def range_search_gemm(
     import numpy as np
     import pandas as pd
 
-    q_pdf = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).toPandas()  # bounded side by contract (broadcast-build-side bound)
-    qids = q_pdf["query_id"].to_numpy()
-    qmat = np.stack(q_pdf["v"].to_numpy()).astype(np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, qnorm))
-
     id_ddl = corpus.schema[id_col].dataType.simpleString()
     qid_ddl = queries.schema[query_id_col].dataType.simpleString()
     out_ddl = f"query_id {qid_ddl}, neighbor_id {id_ddl}, cosine double"
+    qids, qnorm = _gemm_query_side(queries, vec_col, query_id_col)
+    if qids is None:
+        return corpus.sparkSession.createDataFrame([], out_ddl)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qnorm))
 
     def score(batches):
         b_qids, b_qnorm = bc.value

@@ -452,7 +452,7 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
       FROM winners WHERE rn = 1 GROUP BY doc_id
     )
     SELECT t.doc_id,
-           CAST(ceil(len(t.ts)/20.0) AS BIGINT) AS n_chunks,
+           coalesce(CAST(ceil(len(t.ts)/20.0) AS BIGINT), 0) AS n_chunks,
            coalesce(k.n_kept, 0) AS n_kept,
            coalesce(k.clean_text, '') AS clean_text
     FROM toks t LEFT JOIN kept k USING (doc_id)
@@ -548,14 +548,16 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
     stats AS (SELECT fp, count(*) AS n, min(doc_id) AS anchor FROM fp GROUP BY fp),
     fr AS (SELECT fp.*, n, anchor FROM fp JOIN stats USING (fp))
-    SELECT id_a, id_b, count(*) AS n_shared FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      WHERE a.n <= 64
-    ) GROUP BY id_a, id_b HAVING count(*) >= 2
-    UNION ALL
-    SELECT DISTINCT anchor AS id_a, doc_id AS id_b, 0 AS n_shared
-    FROM fr WHERE n > 64 AND doc_id != anchor
+    SELECT id_a, id_b, max(n_shared) AS n_shared FROM (
+      SELECT id_a, id_b, count(*) AS n_shared FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.n <= 64
+      ) GROUP BY id_a, id_b HAVING count(*) >= 2
+      UNION ALL
+      SELECT DISTINCT anchor AS id_a, doc_id AS id_b, 0 AS n_shared
+      FROM fr WHERE n > 64 AND doc_id != anchor
+    ) GROUP BY id_a, id_b
     """,
     doc="The MOSS match step (Schleimer et al. 2003) over winnowing "
     "fingerprints: pairs sharing >= 2 fingerprints with the shared "

@@ -739,13 +739,19 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t, count(*) AS cr, count(*) FILTER (WHERE tgt) AS ct
       FROM ex GROUP BY t
     ),
-    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm)
-    SELECT ex.doc_id,
-           count(*) AS n_tokens,
-           sum(ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
-               - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v))) AS log_weight
-    FROM ex JOIN lm USING (t) CROSS JOIN tot
-    GROUP BY ex.doc_id
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM lm),
+    scored AS (
+      SELECT ex.doc_id,
+             count(*) AS n_tokens,
+             sum(ln((lm.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+                 - ln((lm.cr + 1.0) / (tot.nr + 1.0 * tot.v))) AS log_weight
+      FROM ex JOIN lm USING (t) CROSS JOIN tot
+      GROUP BY ex.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.log_weight, 0.0) AS log_weight
+    FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
     doc="DSIR importance weighting (Xie et al. 2023, 'Data Selection "
     "for Language Models via Importance Resampling'): per-document "

@@ -461,10 +461,9 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm_score(d, "doc_id", "text", add_k=0.5)
 
 
-_HEX_BASE = " + ".join(
-    f"(strpos('0123456789abcdef', md5(t)[{i + 1}]) - 1) * {16 ** (6 - i)}"
-    for i in range(7)
-)
+from flink_1_8_sourcecode_spark.queries.dedup import _duck_gram_base
+
+_HEX_BASE = _duck_gram_base("t")
 
 
 @register(
@@ -546,16 +545,21 @@ def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     lm = tx.bigram_lm_score(d, "doc_id", "text", add_k=0.5).select("doc_id", "ppl")
+    # cutoffs stay IN the plan as a broadcast 1-row aggregate: one job,
+    # and AQE reuses the LM pipeline's exchanges across the two branches
+    # (a .first() here would run the whole LM pipeline twice)
     cuts = lm.agg(
-        F.percentile("ppl", 1.0 / 3).alias("c1"),
-        F.percentile("ppl", 2.0 / 3).alias("c2"),
-    ).first()  # two scalars off a bounded aggregate (bounded contract)
+        F.percentile("ppl", 1.0 / 3).alias("__c1"),
+        F.percentile("ppl", 2.0 / 3).alias("__c2"),
+    )
     bucket = (
-        F.when(F.col("ppl") <= float(cuts["c1"]), "head")
-        .when(F.col("ppl") <= float(cuts["c2"]), "middle")
+        F.when(F.col("ppl") <= F.col("__c1"), "head")
+        .when(F.col("ppl") <= F.col("__c2"), "middle")
         .otherwise("tail")
     )
-    return lm.select("doc_id", "ppl", bucket.alias("bucket"))
+    return lm.join(F.broadcast(cuts), F.lit(True)).select(
+        "doc_id", "ppl", bucket.alias("bucket")
+    )
 
 
 @register(

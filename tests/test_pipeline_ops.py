@@ -804,3 +804,61 @@ def test_ivf_range_search_consistent_with_ivf_topk(spark, sf_dir):
         if r["cosine"] >= t
     }
     assert rs == tk and rs
+
+
+def test_winnowing_pairs_one_row_per_pair(spark):
+    """Regression (round-8 self-review): a pair sharing BOTH a hot
+    fingerprint and >= min_shared small ones must yield ONE row with
+    the real count, not a (count, 0-sentinel) duplicate."""
+    from flink_1_8_sourcecode_spark.operators.dedup import winnowing_pairs
+
+    hot_run = "p q r s t u v w"       # shared by all 4 docs -> hot
+    small_run = "j k l m n o aa bb"   # shared by docs 1,2 only
+    docs = [
+        (1, hot_run + " " + small_run),
+        (2, hot_run + " cc dd ee ff " + small_run),
+        (3, hot_run + " gg hh ii kk ll mm nn oo"),
+        (4, hot_run + " qq rr ss tt uu vv ww xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnowing_pairs(
+        df, "doc_id", "text", k=4, window=5, min_shared=1, max_bucket_size=3
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), f"duplicate pair rows: {sorted(pairs)}"
+    by = {(r["id_a"], r["id_b"]): r["n_shared"] for r in rows}
+    assert by[(1, 2)] >= 1  # the real small-bucket count wins over the sentinel
+
+
+def test_gemm_kernels_empty_query_set(spark, sf_dir):
+    """Regression (round-8 self-review): an empty query side must return
+    an empty result, not crash np.stack at plan-build time."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        cosine_topk_gemm,
+        range_search_gemm,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    none = emb.filter(F.col("vec_id") < 0)
+    assert cosine_topk_gemm(emb, none, "vec_id", "embedding", "vec_id").count() == 0
+    assert (
+        range_search_gemm(
+            emb, none, "vec_id", "embedding", "vec_id", threshold=0.5
+        ).count()
+        == 0
+    )
+
+
+def test_dsir_keeps_zero_token_docs(spark):
+    from flink_1_8_sourcecode_spark.operators.sampling import dsir_importance
+
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "   ", False)], "doc_id long, text string, tgt boolean"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in dsir_importance(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[2] == (0, 0.0)
