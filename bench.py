@@ -36,6 +36,9 @@ SECONDARY = (
     "text_repeated_spans",
     "text_strip_repeated_spans",
     "pipeline_decontaminate_fuzzy",
+    "text_lm_perplexity",
+    "dedup_paragraphs_global",
+    "dedup_winnowing_fingerprints",
 )
 
 

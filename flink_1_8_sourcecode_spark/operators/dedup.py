@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_1_8_sourcecode_spark.operators.text import shingles, tokens
+from flink_1_8_sourcecode_spark.operators.text import md5_base28, shingles, tokens
 
 # Affine min-hash family over a single md5-derived base value (28-bit):
 # h_i(x) = (A[i] * base(x) + B[i]) mod P.  Deterministic, engine-portable.
@@ -94,7 +94,7 @@ def minhash_band_rows(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
     )
-    base = F.conv(F.substring(F.md5(F.col("__s")), 1, 7), 16, 10).cast("long")
+    base = md5_base28(F.col("__s"))
     hashed = exploded.select("__id", base.alias("__b"))
     sig = hashed.groupBy("__id").agg(
         *[
@@ -442,7 +442,7 @@ def minhash_jaccard_estimate(
         F.col(id_col).alias("__id"),
         F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
     )
-    base = F.conv(F.substring(F.md5(F.col("__s")), 1, 7), 16, 10).cast("long")
+    base = md5_base28(F.col("__s"))
     hashed = exploded.select("__id", base.alias("__b"))
     sig = hashed.groupBy("__id").agg(
         F.array(
@@ -926,16 +926,13 @@ def winnowing_fingerprints(
     """
     from flink_1_8_sourcecode_spark.operators.text import bind_once
 
-    def gram_hash(s):
-        return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
-
     def grams_of(t):
         n_grams = F.size(t) - (k - 1)
         return F.when(
             n_grams > 0,
             F.transform(
                 F.sequence(F.lit(1), n_grams),
-                lambda i: gram_hash(F.array_join(F.slice(t, i, k), " ")),
+                lambda i: md5_base28(F.array_join(F.slice(t, i, k), " ")),
             ),
         ).otherwise(F.array().cast("array<long>"))
 

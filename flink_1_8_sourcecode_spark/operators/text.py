@@ -20,6 +20,15 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
 
 
+def md5_base28(c: Column) -> Column:
+    """Repo-standard engine-portable hash base: the first 7 hex digits
+    of md5 as a 28-bit integer.  Every corpus-hashing operator (MinHash
+    family, winnowing grams, feature hashing) derives from this one
+    definition; the DuckDB mirror is ``queries/dedup._duck_gram_base``
+    — change them in lockstep or every hash oracle diverges."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -445,7 +454,7 @@ def feature_hash_embed(
     ex = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
     )
-    base = F.conv(F.substring(F.md5(F.col("__t")), 1, 7), 16, 10).cast("long")
+    base = md5_base28(F.col("__t"))
     f = ex.select(
         "__id",
         (base % dim).alias("dim"),
