@@ -862,3 +862,15 @@ def test_dsir_keeps_zero_token_docs(spark):
     }
     assert set(got) == {1, 2}
     assert got[2] == (0, 0.0)
+
+
+def test_ppl_buckets_single_plan_reuses_lm_exchange(spark, sf_dir):
+    """The cutoffs live IN the plan (broadcast 1-row aggregate), so the
+    LM pipeline's exchange is computed once and reused across the cuts
+    branch and the scoring branch — not run twice via a driver .first()."""
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    df = load_all()["text_ppl_buckets"].spark(spark, sf_dir)
+    df.collect()  # AQE: ReusedExchange only appears in the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
