@@ -386,3 +386,38 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_pop("l_extendedprice", "l_quantity").alias("price_qty_covar"),
         F.covar_samp("l_extendedprice", "l_quantity").alias("price_qty_covar_s"),
     )
+
+
+@register(
+    "agg_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix over the events stream: users grouped "
+    "by first-activity day, distinct active users counted at each day "
+    "offset — the canonical product-analytics rollup a unified "
+    "batch/stream engine serves.  Two partial-aggregated groupBys + "
+    "one distinct + a user-keyed join; at scale the (user, day) "
+    "distinct collapses map-side and the cohort table is "
+    "users-bounded.",
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
