@@ -937,3 +937,94 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def binary_sketch(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """1-bit-per-dimension binary sketch (the sign variant of Charikar
+    2002's SimHash cosine sketch — public paper; FAISS's
+    ``IndexBinaryFlat`` serving shape): bit j set iff component j > 0.
+    Emitted as TWO 32-bit words (``code_lo`` = dims 1-32, ``code_hi`` =
+    dims 33-64) so the codes stay exact int64 on every engine — one
+    64-bit word would need bit 63 and overflow signed BIGINT.
+
+    32 bytes of float32 per dimension compress to 1 bit: a 100 TB
+    embedding corpus serves its coarse pass from ~0.4 TB of codes.
+    Map-only Column math.
+    """
+    v = F.col(vec_col).cast("array<double>")
+
+    def word(lo: int) -> Column:  # dims lo+1 .. lo+32 -> bits 0..31
+        n_bits = F.least(F.greatest(F.size(v) - lo, F.lit(0)), F.lit(32))
+        # NB: guard n_bits > 0 — Spark's sequence(1, 0) is the DESCENDING
+        # [1, 0], not empty, and j = 0 would index out of bounds
+        return F.when(
+            n_bits > 0,
+            F.aggregate(
+                F.sequence(F.lit(1), n_bits),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.when(
+                    F.element_at(v, j + lo) > 0,
+                    # 2^(j-1) for j <= 32 is exact in double (< 2^53)
+                    F.pow(F.lit(2.0), j - 1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return df.select(
+        F.col(id_col),
+        word(0).alias("code_lo"),
+        word(32).alias("code_hi"),
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k by Hamming distance between binary sketches —
+    the 1-bit coarse pass (Charikar 2002: Hamming distance on sign
+    sketches estimates angular distance).  Broadcast the bounded query
+    codes, XOR + popcount per corpus row (map-only), two-phase exact
+    top-k on (hamming asc, neighbor id) like ``cosine_topk``.
+    """
+    c = binary_sketch(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("code_lo").alias("__clo"),
+        F.col("code_hi").alias("__chi"),
+    )
+    q = binary_sketch(queries, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("code_lo").alias("__qlo"),
+        F.col("code_hi").alias("__qhi"),
+    )
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    ham = (
+        F.bit_count(F.col("__clo").bitwiseXOR(F.col("__qlo")))
+        + F.bit_count(F.col("__chi").bitwiseXOR(F.col("__qhi")))
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", ham.alias("hamming"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    w1 = Window.partitionBy("query_id", "__pid").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    partial = (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

@@ -510,3 +510,46 @@ def sim_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", "vec_id",
         cluster_col="label", threshold=0.25, nprobe=3,
     )
+
+
+_BIN_CODE = """list_sum(list_transform(range(1, 33),
+                 j -> CASE WHEN e[j + {off}] > 0
+                           THEN (2**(j-1))::BIGINT ELSE 0 END))"""
+
+
+@register(
+    "sim_topk_hamming",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         sk AS (
+           SELECT vec_id,
+                  {_BIN_CODE.format(off=0)} AS lo,
+                  {_BIN_CODE.format(off=32)} AS hi
+           FROM v
+         ),
+         q AS (SELECT vec_id, lo, hi FROM sk WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                    AS hamming
+           FROM q JOIN sk c ON c.vec_id != q.vec_id
+         )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="1-bit binary-sketch top-10 by Hamming distance (Charikar 2002 "
+    "sign sketch; FAISS IndexBinaryFlat shape): 64 float dims compress "
+    "to two 32-bit words (exact int64 on both engines), XOR + popcount "
+    "per pair, two-phase exact top-k — the coarse pass that serves a "
+    "100 TB embedding corpus from ~0.4 TB of codes "
+    "(operators/similarity.py:binary_sketch, hamming_topk).",
+)
+def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import hamming_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return hamming_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)

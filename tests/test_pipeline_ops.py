@@ -874,3 +874,26 @@ def test_ppl_buckets_single_plan_reuses_lm_exchange(spark, sf_dir):
     df.collect()  # AQE: ReusedExchange only appears in the final plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_binary_sketch_and_hamming(spark):
+    """Hand-checkable sketch bits + Hamming ranking on tiny vectors."""
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        binary_sketch,
+        hamming_topk,
+    )
+
+    rows = [
+        (1, [1.0, -1.0, 2.0]),    # bits: 1,0,1 -> lo = 0b101 = 5
+        (2, [1.0, 1.0, 2.0]),     # 0b111 = 7  (hamming to 1: 1)
+        (3, [-1.0, -1.0, -2.0]),  # 0b000 = 0  (hamming to 1: 2)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sk = {r["vec_id"]: (r["code_lo"], r["code_hi"]) for r in
+          binary_sketch(df, "vec_id", "embedding").collect()}
+    assert sk == {1: (5, 0), 2: (7, 0), 3: (0, 0)}
+    q = df.filter(F.col("vec_id") == 1)
+    got = [(r["neighbor_id"], r["hamming"], r["rank"]) for r in
+           hamming_topk(df, q, "vec_id", "embedding", "vec_id", k=2)
+           .orderBy("rank").collect()]
+    assert got == [(2, 1, 1), (3, 2, 2)]
