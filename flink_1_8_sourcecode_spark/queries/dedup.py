@@ -522,9 +522,10 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, "doc_id", "text", k=4, window=5)
 
 
-@register(
-    "dedup_winnowing_pairs",
-    oracle=f"""
+def _winnowing_pairs_oracle() -> str:
+    """Winnowing candidate-pair SQL (shared by the pair query and the
+    cluster-resolution closure), mirroring winnowing_pairs exactly."""
+    return f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split(lower(trim(text)), ' '), s -> s != '') AS ts
@@ -558,7 +559,12 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT anchor AS id_a, doc_id AS id_b, 0 AS n_shared
       FROM fr WHERE n > 64 AND doc_id != anchor
     ) GROUP BY id_a, id_b
-    """,
+    """
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=_winnowing_pairs_oracle(),
     doc="The MOSS match step (Schleimer et al. 2003) over winnowing "
     "fingerprints: pairs sharing >= 2 fingerprints with the shared "
     "count (substring-level overlap, vs MinHash's whole-doc set "
@@ -571,3 +577,40 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return winnowing_pairs(d, "doc_id", "text", k=4, window=5, min_shared=2)
+
+
+@register(
+    "dedup_winnowing_resolution",
+    oracle=f"""
+    WITH RECURSIVE wpairs AS (
+      {_winnowing_pairs_oracle()}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM wpairs
+      UNION ALL
+      SELECT id_b, id_a FROM wpairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+    FROM reach GROUP BY id
+    """,
+    doc="The full MOSS dedup decision: winnowing pairs (substring-level "
+    "overlap witnesses) -> undirected transitive closure (alternating "
+    "large-star/small-star components) -> one keeper per cluster — the "
+    "same resolution machinery as the MinHash family over a "
+    "substring-overlap edge set (operators/dedup.py:winnowing_pairs + "
+    "dedup_clusters).",
+)
+def dedup_winnowing_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        dedup_clusters,
+        winnowing_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = winnowing_pairs(d, "doc_id", "text", k=4, window=5, min_shared=2).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    return dedup_clusters(d, pairs, id_col="doc_id")
