@@ -655,3 +655,49 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return tx.gopher_quality_flags(d, "doc_id", "text")
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                s -> s != '')) AS t
+      FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= 100)
+    SELECT count(*) AS n_ranks,
+           regr_slope(ln(c), ln(r)) AS zipf_slope,
+           regr_intercept(ln(c), ln(r)) AS zipf_intercept,
+           regr_r2(ln(c), ln(r)) AS r2
+    FROM top
+    """,
+    doc="Zipf rank-frequency fit over the corpus vocabulary: OLS slope/"
+    "intercept/R^2 of ln(freq) vs ln(rank) on the top-100 tokens — the "
+    "classic corpus-health diagnostic (a natural-language corpus fits "
+    "slope ~ -1; synthetic or template-heavy data deviates).  The "
+    "rank window runs over the VOCAB-bounded count table, never the "
+    "corpus; the fit is a closed-form aggregate.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t"))  # vocab-bounded window
+    top = counts.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 100)
+    lnc, lnr = F.log("c"), F.log("r")
+    return top.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.regr_slope(lnc, lnr).alias("zipf_slope"),
+        F.regr_intercept(lnc, lnr).alias("zipf_intercept"),
+        F.regr_r2(lnc, lnr).alias("r2"),
+    )
