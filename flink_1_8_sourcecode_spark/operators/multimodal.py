@@ -95,18 +95,14 @@ def _pil_decode(content: bytes) -> dict:
     }
 
 
-def _ppm_decode(content: bytes) -> dict:
-    """Real image decode for binary PPM (P6) — a pure-numpy parser of
-    the public Netpbm format, so the REAL codec path (parse header,
-    reshape the pixel buffer, compute channel statistics) executes even
-    where Pillow is absent.  Same feature definitions as ``_pil_decode``
-    (per-channel means in [0,1], red-histogram entropy / 8)."""
-    import math
-
+def _ppm_pixels(content: bytes):
+    """Parse a binary PPM (P6) payload into an (h, w, 3) float64 pixel
+    array — the shared front half of decode and resize.  Pure numpy, no
+    image library; '#' comment lines allowed between header tokens per
+    the Netpbm spec."""
     import numpy as np
 
     # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> raster
-    # ('#' comment lines allowed between tokens per the spec)
     if not content.startswith(b"P6"):
         raise ValueError("not a binary PPM (P6) payload")
     pos, tokens = 2, []
@@ -126,7 +122,19 @@ def _ppm_decode(content: bytes) -> dict:
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
-    px = px.reshape(h, w, 3).astype(np.float64)
+    return px.reshape(h, w, 3).astype(np.float64)
+
+
+def _ppm_decode(content: bytes) -> dict:
+    """Real image decode for binary PPM (P6) — a pure-numpy parser of
+    the public Netpbm format, so the REAL codec path (parse header,
+    reshape the pixel buffer, compute channel statistics) executes even
+    where Pillow is absent.  Same feature definitions as ``_pil_decode``
+    (per-channel means in [0,1], red-histogram entropy / 8)."""
+    import numpy as np
+
+    px = _ppm_pixels(content)
+    h, w = px.shape[0], px.shape[1]
     n = w * h
     hist = np.bincount(px[:, :, 0].astype(np.int64).ravel(), minlength=256)
     p = hist[hist > 0] / n
@@ -325,3 +333,52 @@ def audio_features(media: DataFrame) -> DataFrame:
         "media_id long, sample_rate int, n_channels int, n_samples long, "
         "duration_s double, rms double, peak double",
     )
+
+
+def resize_image_stats(media: DataFrame, target_side: int) -> DataFrame:
+    """REAL nearest-neighbor image resize over the built-in PPM codec:
+    parse each P6 payload to its (h, w, 3) pixel array, sample the
+    ``target_side`` x ``target_side`` nearest-neighbor grid
+    (``src = floor(dst * src_dim / target)`` — the standard NN rule),
+    and emit the RESIZED image's per-channel means — the thumbnail
+    stats a multimodal curation pipeline gates on.
+
+    This is the real pixel path (upgrade of ``resize_plan``'s
+    metadata-only arithmetic): the codec work is numpy over Arrow
+    batches via ``mapInPandas``, one Python stage, no shuffle.
+    Non-PPM payloads raise loudly (strict-codec gate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_ddl = (
+        "media_id long, src_width int, src_height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _ppm_pixels(bytes(content))
+                h, w = px.shape[0], px.shape[1]
+                sy = (np.arange(target_side) * h) // target_side
+                sx = (np.arange(target_side) * w) // target_side
+                small = px[np.ix_(sy, sx)]
+                rows.append(
+                    (
+                        mid, w, h,
+                        float(small[:, :, 0].mean() / 255.0),
+                        float(small[:, :, 1].mean() / 255.0),
+                        float(small[:, :, 2].mean() / 255.0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, out_ddl)

@@ -168,3 +168,61 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media).select(
         "media_id", "sample_rate", "n_samples", "duration_s", "rms", "peak"
     )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             16 + doc_id % 5 AS w, 16 + doc_id % 3 AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT media_id, w, h,
+             (ty * h) // 8 AS sy, (tx * w) // 8 AS sx
+      FROM m, UNNEST(range(0, 8)) AS gy(ty), UNNEST(range(0, 8)) AS gx(tx)
+    )
+    SELECT media_id, w::INT AS src_width, h::INT AS src_height,
+           avg(((media_id*7 + sy*3 + sx*5) % 256) / 255.0)      AS mean_r,
+           avg(((media_id*7 + sy*3 + sx*5 + 11) % 256) / 255.0) AS mean_g,
+           avg(((media_id*7 + sy*3 + sx*5 + 22) % 256) / 255.0) AS mean_b
+    FROM grid GROUP BY media_id, w, h
+    """,
+    doc="REAL nearest-neighbor image resize through the built-in PPM "
+    "codec (upgrade of resize_plan's metadata-only arithmetic): "
+    "deterministic formula-pixel P6 images are ENCODED to real PPM "
+    "bytes, parsed back by the numpy codec, NN-sampled to an 8x8 "
+    "thumbnail (src = floor(dst*src_dim/target)), and the resized "
+    "means emitted — the oracle recomputes the sampled-pixel means in "
+    "closed form, so header parse, raster reshape, and the NN index "
+    "rule are all value-checked "
+    "(operators/multimodal.py:resize_image_stats).",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        encode_ppm,
+        resize_image_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 16 + mid % 5, 16 + mid % 3
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                px = np.stack(
+                    [(mid * 7 + y * 3 + x * 5 + c * 11) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                out.append((mid, bytearray(encode_ppm(px))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return resize_image_stats(media, target_side=8)

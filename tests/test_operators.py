@@ -965,3 +965,25 @@ class TestRepeatedSpanIntervals:
                strip_repeated_spans(d, "doc_id", "text", n=10, min_count=2).collect()}
         # reconstruction happens downstream of tokens(), which lowercases
         assert got == {1: "keepa keepb", 2: "keepc", 3: "no repeats here at all"}
+
+
+def test_resize_image_stats_nn_rule(spark):
+    """NN resize picks src = floor(dst*src/target): identity at
+    target == src dims; known pixel subset at target = src/2."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        encode_ppm,
+        resize_image_stats,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px)))], "media_id long, content binary"
+    )
+    full = resize_image_stats(df, target_side=4).collect()[0]
+    assert full["src_width"] == 4 and full["src_height"] == 4
+    assert abs(full["mean_r"] - px[:, :, 0].mean() / 255.0) < 1e-12
+    half = resize_image_stats(df, target_side=2).collect()[0]
+    sub = px[np.ix_([0, 2], [0, 2])]
+    assert abs(half["mean_g"] - sub[:, :, 1].mean() / 255.0) < 1e-12
