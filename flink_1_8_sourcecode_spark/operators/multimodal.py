@@ -95,17 +95,16 @@ def _pil_decode(content: bytes) -> dict:
     }
 
 
-def _ppm_pixels(content: bytes):
-    """Parse a binary PPM (P6) payload into an (h, w, 3) float64 pixel
-    array — the shared front half of decode and resize.  Pure numpy, no
-    image library; '#' comment lines allowed between header tokens per
-    the Netpbm spec."""
+def _parse_p6(content: bytes, pos: int = 0):
+    """Parse one binary PPM (P6) image starting at ``pos``; return
+    ``(pixels, next_pos)`` — the primitive both the single-image parser
+    and the concatenated-P6 video stream walker build on."""
     import numpy as np
 
     # header: b"P6" <ws> width <ws> height <ws> maxval <single ws> raster
-    if not content.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    pos, tokens = 2, []
+    if content[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a binary PPM (P6) payload at offset {pos}")
+    pos, tokens = pos + 2, []
     while len(tokens) < 3:
         while pos < len(content) and content[pos : pos + 1].isspace():
             pos += 1
@@ -122,7 +121,16 @@ def _ppm_pixels(content: bytes):
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     px = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return px.reshape(h, w, 3).astype(np.float64)
+    return px.reshape(h, w, 3).astype(np.float64), pos + w * h * 3
+
+
+def _ppm_pixels(content: bytes):
+    """Parse a binary PPM (P6) payload into an (h, w, 3) float64 pixel
+    array — the shared front half of decode and resize.  Pure numpy, no
+    image library; '#' comment lines allowed between header tokens per
+    the Netpbm spec."""
+    px, _ = _parse_p6(content)
+    return px
 
 
 def _ppm_decode(content: bytes) -> dict:
@@ -377,6 +385,55 @@ def resize_image_stats(media: DataFrame, target_side: int) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "src_width", "src_height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, out_ddl)
+
+
+def video_frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """REAL video frame sampling over a concatenated-P6 stream (the
+    "video" container here is N back-to-back binary PPM frames — the
+    same stand-in trade the WAV/PPM codecs document: the CONTAINER WALK
+    is real byte-level parsing even though a production deployment
+    would swap in ffmpeg).  Walks the stream frame by frame, keeps
+    every ``every_nth`` frame (0, n, 2n, ... — ffmpeg
+    ``select=not(mod(n\\,k))`` semantics), and emits per-kept-frame
+    channel means — the shot-sampling front half of a video curation
+    pipeline.
+
+    One Arrow-batched ``mapInPandas`` stage, no shuffle; relational ops
+    never touch the raster (the 100 TB multimodal contract).
+    """
+    import pandas as pd
+
+    out_ddl = (
+        "media_id long, frame_idx int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content, pos, idx = bytes(content), 0, 0
+                while pos < len(content):
+                    px, pos = _parse_p6(content, pos)
+                    if idx % every_nth == 0:
+                        rows.append(
+                            (
+                                mid, idx, px.shape[1], px.shape[0],
+                                float(px[:, :, 0].mean() / 255.0),
+                                float(px[:, :, 1].mean() / 255.0),
+                                float(px[:, :, 2].mean() / 255.0),
+                            )
+                        )
+                    idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
                     "mean_r", "mean_g", "mean_b",
                 ],
             )

@@ -226,3 +226,65 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return resize_image_stats(media, target_side=8)
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS nf FROM documents),
+    fr AS (
+      SELECT media_id, f FROM m, UNNEST(range(0, nf)) AS u(f) WHERE f % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, f,
+             ((media_id*7 + f*13 + y*3 + x*5) % 256) / 255.0      AS r,
+             ((media_id*7 + f*13 + y*3 + x*5 + 11) % 256) / 255.0 AS g,
+             ((media_id*7 + f*13 + y*3 + x*5 + 22) % 256) / 255.0 AS b
+      FROM fr, UNNEST(range(0, 8)) AS gy(y), UNNEST(range(0, 8)) AS gx(x)
+    )
+    SELECT media_id, f::INT AS frame_idx, 8 AS width, 8 AS height,
+           avg(r) AS mean_r, avg(g) AS mean_g, avg(b) AS mean_b
+    FROM px GROUP BY media_id, f
+    """,
+    doc="REAL video frame sampling: per-doc 'videos' of 2-6 formula-"
+    "pixel 8x8 frames ENCODED as concatenated binary P6 and walked "
+    "back frame-by-frame by the byte-level stream parser; every 2nd "
+    "frame kept (ffmpeg select=not(mod(n,2)) semantics) with "
+    "per-frame channel means — container walk, per-frame raster "
+    "reshape, and the sampling rule all value-checked in closed form "
+    "(operators/multimodal.py:video_frame_stats).",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        encode_ppm,
+        video_frame_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                y, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+                frames = b"".join(
+                    encode_ppm(
+                        np.stack(
+                            [
+                                (mid * 7 + f * 13 + y * 3 + x * 5 + c * 11) % 256
+                                for c in range(3)
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    )
+                    for f in range(2 + mid % 5)
+                )
+                out.append((mid, bytearray(frames)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return video_frame_stats(media, every_nth=2)

@@ -987,3 +987,28 @@ def test_resize_image_stats_nn_rule(spark):
     half = resize_image_stats(df, target_side=2).collect()[0]
     sub = px[np.ix_([0, 2], [0, 2])]
     assert abs(half["mean_g"] - sub[:, :, 1].mean() / 255.0) < 1e-12
+
+
+def test_video_frame_stats_walk_and_sampling(spark):
+    """Container walk parses back exactly the encoded frames; every_nth
+    keeps frames 0, n, 2n with correct per-frame means."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        encode_ppm,
+        video_frame_stats,
+    )
+
+    frames = [np.full((2, 3, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40)]
+    content = b"".join(encode_ppm(f) for f in frames)
+    df = spark.createDataFrame(
+        [(7, bytearray(content))], "media_id long, content binary"
+    )
+    got = {
+        r["frame_idx"]: r
+        for r in video_frame_stats(df, every_nth=3).collect()
+    }
+    assert set(got) == {0, 3}
+    assert got[0]["width"] == 3 and got[0]["height"] == 2
+    assert abs(got[0]["mean_r"] - 10 / 255.0) < 1e-12
+    assert abs(got[3]["mean_b"] - 40 / 255.0) < 1e-12
