@@ -439,3 +439,44 @@ def video_frame_stats(media: DataFrame, every_nth: int = 2) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, out_ddl)
+
+
+def shot_boundaries(media: DataFrame, threshold: float) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over the concatenated-P6
+    stream: mean absolute per-pixel difference between CONSECUTIVE
+    frames, a cut flagged where the normalized difference exceeds
+    ``threshold`` — the classic histogram/pixel-difference detector
+    every video curation pipeline runs before per-shot sampling.
+
+    Emits one row per consecutive frame pair (media_id, frame_idx of
+    the LATER frame, diff in [0,1], is_cut).  Same single Arrow-batched
+    ``mapInPandas`` shape as ``video_frame_stats`` — the raster never
+    enters a relational op.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_ddl = "media_id long, frame_idx int, diff double, is_cut boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content, pos, idx, prev = bytes(content), 0, 0, None
+                while pos < len(content):
+                    px, pos = _parse_p6(content, pos)
+                    if prev is not None:
+                        if px.shape != prev.shape:
+                            raise ValueError(
+                                "shot_boundaries: frame size changed mid-"
+                                f"stream at frame {idx} (media {mid})"
+                            )
+                        d = float(np.abs(px - prev).mean() / 255.0)
+                        rows.append((mid, idx, d, d > threshold))
+                    prev = px
+                    idx += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "diff", "is_cut"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, out_ddl)

@@ -288,3 +288,71 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return video_frame_stats(media, every_nth=2)
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS nf FROM documents),
+    fr AS (SELECT media_id, f FROM m, UNNEST(range(0, nf)) AS u(f)),
+    px AS (
+      SELECT media_id, f, y, x, c,
+             (media_id*7 + f*13 + 100*(f//3) + y*3 + x*5 + c*11) % 256 AS v
+      FROM fr,
+           UNNEST(range(0, 8)) AS gy(y),
+           UNNEST(range(0, 8)) AS gx(x),
+           UNNEST(range(0, 3)) AS gc(c)
+    ),
+    d AS (
+      SELECT a.media_id, a.f AS frame_idx, avg(abs(a.v - b.v)) / 255.0 AS diff
+      FROM px a JOIN px b
+        ON a.media_id = b.media_id AND b.f = a.f - 1
+       AND a.y = b.y AND a.x = b.x AND a.c = b.c
+      GROUP BY a.media_id, a.f
+    )
+    SELECT media_id, frame_idx::INT AS frame_idx, diff, diff > 0.2 AS is_cut
+    FROM d
+    """,
+    doc="Shot-boundary (scene-cut) detection: consecutive-frame mean "
+    "absolute pixel difference over the real concatenated-P6 container "
+    "walk; frames get an extra +100 intensity shift every 3rd frame, "
+    "and the detector flags exactly those boundaries at threshold 0.2 "
+    "(smooth motion ~0.10, cuts ~0.50) — the classic pixel-difference "
+    "detector a video curation pipeline runs before per-shot sampling "
+    "(operators/multimodal.py:shot_boundaries).",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        encode_ppm,
+        shot_boundaries,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                y, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+                frames = b"".join(
+                    encode_ppm(
+                        np.stack(
+                            [
+                                (mid * 7 + f * 13 + 100 * (f // 3)
+                                 + y * 3 + x * 5 + c * 11) % 256
+                                for c in range(3)
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    )
+                    for f in range(2 + mid % 5)
+                )
+                out.append((mid, bytearray(frames)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return shot_boundaries(media, threshold=0.2)
