@@ -243,3 +243,45 @@ def test_stream_static_temporal_join_is_stateless(spark):
     out = temporal_join(probe, ttf, probe_time="pt", how="inner")
     s = out._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsWithState" not in s and "statestore" not in s.lower()
+
+
+def _final_plan(df):
+    df.collect()  # AQE: the final plan only materializes after execution
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "+- == Initial Plan =="
+    )[0]
+
+
+def test_paragraph_dedup_two_shuffles_plus_broadcast(spark, sf_dir):
+    """The CCNet paragraph dedup's 100 TB claim: exactly two hash
+    exchanges (md5-keeper groupBy + keeper-doc groupBy, both
+    partial-aggregated) and the keep-empty-docs join back broadcasts."""
+    import re
+
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["dedup_paragraphs_global"].spark(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_feature_hash_embed_two_shuffles(spark, sf_dir):
+    """Feature hashing: one partial-agg bucket-sum groupBy + the per-doc
+    norm window — two hash exchanges, nothing else."""
+    import re
+
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["text_feature_hash_embed"].spark(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:3000]
+
+
+def test_dsir_lm_joins_broadcast_at_small_scale(spark, sf_dir):
+    """DSIR: the vocab-bounded LM tables broadcast into the scoring
+    joins (two BroadcastHashJoins); the corpus-side token explode pays
+    two partial-agg exchanges, never a cartesian."""
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["sample_dsir"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
+    assert "CartesianProduct" not in plan
