@@ -1022,3 +1022,64 @@ def winnowing_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.max("n_shared").alias("n_shared"))
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Incremental ingestion dedup: classify each NEW-batch document
+    against an already-curated frozen corpus without re-deduplicating
+    the corpus — the steady-state operation of a continuously-fed
+    training corpus (the global passes like ``paragraph_dedup_global``
+    run once; this runs per ingest).
+
+    Decision per batch doc (first match wins):
+    - ``dup_corpus``: its fingerprint already exists in the corpus;
+    - ``dup_batch``:  an earlier (lower-id) batch doc shares it;
+    - ``kept``:       first sighting anywhere.
+
+    ``prefix_tokens`` switches the full-document fingerprint
+    (:func:`~flink_1_8_sourcecode_spark.operators.text.fingerprint`,
+    whitespace/case-normalized md5) to a head fingerprint over the
+    first N tokens — the news-wire/template idiom where re-syndicated
+    copies share the lede but diverge in the tail.
+
+    Returns ``(id, fp, decision)`` for every batch row.
+
+    Scale shape: the 100 TB corpus reduces to DISTINCT fingerprints
+    (column-pruned scan of one string column — or, in production, a
+    precomputed fp index table), partial-aggregated map-side; the join
+    shuffles fingerprints only, never document bodies; the batch-side
+    first-copy rule is a min() aggregate (map-side combinable), not a
+    window over the corpus.
+    """
+    from flink_1_8_sourcecode_spark.operators.text import fingerprint, tokens
+
+    def fp(c: Column) -> Column:
+        if prefix_tokens is None:
+            return fingerprint(c)
+        return F.md5(F.concat_ws(" ", F.slice(tokens(c), 1, prefix_tokens)))
+
+    corpus_fp = (
+        corpus.select(fp(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    b = batch.select(F.col(id_col), fp(F.col(text_col)).alias("fp"))
+    first = b.groupBy("fp").agg(F.min(id_col).alias("__first_id"))
+    return (
+        b.join(corpus_fp, "fp", "left")
+        .join(first, "fp")
+        .select(
+            id_col,
+            "fp",
+            F.when(F.col("__in_corpus"), F.lit("dup_corpus"))
+            .when(F.col(id_col) != F.col("__first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("decision"),
+        )
+    )

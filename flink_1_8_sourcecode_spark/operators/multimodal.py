@@ -240,13 +240,11 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     )
 
 
-def _wav_decode(content: bytes) -> dict:
-    """Real audio decode for PCM WAV (RIFF/WAVE) — a pure-numpy parser
-    of the public format (fmt + data chunks, 8/16/32-bit integer PCM),
-    so the REAL audio path (container walk, sample reshape, signal
-    stats) executes even though audio libraries are absent here.
-    Returns sample_rate, n_channels, n_samples, duration_s, rms, peak
-    (rms/peak over samples normalized to [-1, 1])."""
+def _wav_samples(content: bytes):
+    """Parse a PCM WAV (RIFF/WAVE) payload into ``(samples, sample_rate,
+    n_channels)`` with samples normalized to [-1, 1] float64 — the
+    sample-level primitive both the stats decode and the decimation
+    resampler build on."""
     import numpy as np
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -282,6 +280,19 @@ def _wav_decode(content: bytes) -> dict:
     if bits == 8:
         samples -= 128.0  # 8-bit WAV is unsigned
     samples /= scale
+    return samples, sample_rate, n_channels
+
+
+def _wav_decode(content: bytes) -> dict:
+    """Real audio decode for PCM WAV (RIFF/WAVE) — a pure-numpy parser
+    of the public format (fmt + data chunks, 8/16/32-bit integer PCM),
+    so the REAL audio path (container walk, sample reshape, signal
+    stats) executes even though audio libraries are absent here.
+    Returns sample_rate, n_channels, n_samples, duration_s, rms, peak
+    (rms/peak over samples normalized to [-1, 1])."""
+    import numpy as np
+
+    samples, sample_rate, n_channels = _wav_samples(content)
     n_frames = len(samples) // n_channels
     return {
         "sample_rate": sample_rate,
@@ -480,3 +491,150 @@ def shot_boundaries(media: DataFrame, threshold: float) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, out_ddl)
+
+
+def dhash64(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash, Krawetz 2013) over the RED
+    plane of each binary-PPM payload: NN-sample the image to a
+    ``grid x (grid+1)`` grid (src = floor(dst*src_dim/target), the same
+    index rule as ``resize_image_stats``), set bit (ty, tx) when the
+    pixel right of (ty, tx) is strictly brighter, and pack the
+    ``grid*grid`` bits into two exact int64 words (rows 0..grid/2-1 ->
+    ``w0``, rest -> ``w1``; bit index ty*grid+tx within each word).
+
+    Two 32-bit halves rather than one 64-bit word keeps every value
+    exactly representable across engines (same trick as
+    ``similarity.binary_sketch``).  Returns ``(media_id, w0, w1)``.
+
+    Scale: one Arrow-batched ``mapInPandas`` decode pass, map-only —
+    the hash is 16 bytes per image no matter the resolution, so the
+    downstream dedup never touches pixels again.
+    """
+    import numpy as np
+    import pandas as pd
+
+    half = (grid * grid) // 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _ppm_pixels(bytes(content))
+                h, w = px.shape[:2]
+                red = px[:, :, 0]
+                sy = (np.arange(grid) * h) // grid
+                sx = (np.arange(grid + 1) * w) // (grid + 1)
+                g = red[np.ix_(sy, sx)]
+                flat = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                w0 = int((flat[:half] << np.arange(half)).sum())
+                w1 = int((flat[half:] << np.arange(half)).sum())
+                out.append((int(mid), w0, w1))
+            yield pd.DataFrame(out, columns=["media_id", "w0", "w1"])
+
+    return media.select("media_id", "content").mapInPandas(
+        run, "media_id long, w0 long, w1 long"
+    )
+
+
+def dhash_near_pairs(sig: DataFrame, max_dist: int = 3) -> DataFrame:
+    """All image pairs within ``max_dist`` Hamming bits of each other —
+    EXACT near-duplicate detection via multi-index hashing (Norouzi et
+    al. 2012): the 64-bit signature splits into 4 disjoint 16-bit
+    bands; by pigeonhole, any pair within ``max_dist <= 3`` bits agrees
+    EXACTLY on at least one band, so candidates come from equi-joins on
+    (band index, band value) and the popcount filter only runs on
+    candidates — never all pairs.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, one row per
+    pair.  Raises when ``max_dist`` exceeds the pigeonhole guarantee.
+
+    Scale shape: explode to 4 rows per image, ONE shuffle on the fused
+    band key (idx*2^16 + value), per-bucket candidate pairs, exact
+    XOR+popcount filter, then a distinct on surviving pairs — the
+    image-dedup analogue of the MinHash-LSH banded self-join, but with
+    a completeness PROOF instead of a probability.
+    """
+    n_bands = 4
+    if max_dist >= n_bands:
+        raise ValueError(
+            f"dhash_near_pairs: max_dist={max_dist} breaks the pigeonhole "
+            f"guarantee with {n_bands} bands (need max_dist < {n_bands})"
+        )
+    mask = F.lit((1 << 16) - 1)
+    bands = F.array(
+        F.col("w0").bitwiseAND(mask),
+        F.shiftright("w0", 16).bitwiseAND(mask) + F.lit(1 << 16),
+        F.col("w1").bitwiseAND(mask) + F.lit(2 << 16),
+        F.shiftright("w1", 16).bitwiseAND(mask) + F.lit(3 << 16),
+    )
+    e = sig.select("media_id", "w0", "w1", F.explode(bands).alias("__band"))
+    a = e.select(
+        F.col("media_id").alias("id_a"),
+        F.col("w0").alias("__a0"),
+        F.col("w1").alias("__a1"),
+        "__band",
+    )
+    b = e.select(
+        F.col("media_id").alias("id_b"),
+        F.col("w0").alias("__b0"),
+        F.col("w1").alias("__b1"),
+        "__band",
+    )
+    dist = (
+        F.bit_count(F.col("__a0").bitwiseXOR(F.col("__b0")))
+        + F.bit_count(F.col("__a1").bitwiseXOR(F.col("__b1")))
+    ).cast("int")
+    return (
+        a.join(b, ["__band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )
+
+
+def audio_decimate(media: DataFrame, factor: int) -> DataFrame:
+    """Integer-factor audio decimation (ffmpeg ``aresample`` family,
+    nearest/drop mode): keep every ``factor``-th PCM frame, emitting the
+    decimated signal's stats — ``(media_id, sample_rate_out, n_out,
+    mean_amp, peak)`` with ``mean_amp`` the SIGNED mean so an oracle can
+    tell exactly which samples survived (an averaging resampler would
+    pass a mean-check too; a wrong stride will not).
+
+    Multi-channel payloads decimate whole frames (all channels of frame
+    i survive together).  No anti-alias filter — this is the drop
+    resampler; a production path would low-pass first.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass, map-only, numpy
+    strided view — no copy of the dropped samples.
+    """
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError(f"audio_decimate: factor must be >= 1, got {factor}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate, nch = _wav_samples(bytes(content))
+                frames = samples.reshape(-1, nch)[::factor]
+                kept = frames.ravel()
+                rows.append(
+                    (
+                        int(mid),
+                        rate // factor,
+                        len(frames),
+                        float(kept.mean()) if len(kept) else 0.0,
+                        float(np.abs(kept).max()) if len(kept) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate_out", "n_out", "mean_amp", "peak"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, sample_rate_out int, n_out long, mean_amp double, peak double",
+    )

@@ -628,3 +628,215 @@ def gopher_quality_flags(
         & (F.col("n_stopwords") >= min_stopwords)
     )
     return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+):
+    """BM25 keyword retrieval: score every document against a bag of
+    query terms (Robertson/Sparck Jones probabilistic IDF, Lucene's
+    always-positive ``ln(1 + (N-df+0.5)/(df+0.5))`` form) and return
+    the top-k ``(id, bm25)`` rows.
+
+    Reference parity: the reference's batch relational stack expresses
+    this as scan->filter->agg->join->topn (WordCount-family plans,
+    flink-examples WordCount.java); here it is the corpus-side half of
+    a search/training-data relevance pipeline.
+
+    Scale shape (100 TB discipline):
+    - The per-doc stage is MAP-ONLY: tokenization binds once
+      (``bind_once``), doc length and the per-term term frequencies are
+      computed inside the row via array ops, and non-matching docs are
+      dropped before anything shuffles — the exploded (doc, term, tf)
+      stream carries only |query_terms| rows per MATCHING doc, never
+      the corpus token stream (a posting-list read, not a full scan
+      shuffle).
+    - Corpus stats (N, avgdl) are one 1-row aggregate; document
+      frequencies are a <=|query_terms|-row aggregate — both broadcast
+      back, so the matching-docs stream joins without moving.
+    - The final per-doc sum partial-aggregates map-side and the top-k
+      is a TakeOrdered, not a global sort.
+    - Scores are rounded to 6 dp BEFORE ranking so the (score, id)
+      order is engine-stable; ties break by id ascending.
+    """
+    from pyspark.sql.functions import broadcast
+
+    terms = sorted(set(query_terms))
+    doc = F.col(id_col)
+
+    def eq(term):  # closure factory: a default-arg lambda would change arity
+        return lambda x: x == term
+
+    def per_doc(t):
+        tfs = F.array(
+            *[
+                F.struct(
+                    F.lit(term).alias("term"),
+                    F.size(F.filter(t, eq(term))).alias("tf"),
+                )
+                for term in terms
+            ]
+        )
+        return F.struct(F.size(t).alias("dl"), tfs.alias("tfs"))
+
+    stats = df.select(
+        doc.alias("__id"), bind_once(tokens(F.col(text_col)), per_doc).alias("__s")
+    ).select("__id", F.col("__s.dl").alias("__dl"), F.col("__s.tfs").alias("__tfs"))
+
+    corpus = stats.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    hits = (
+        stats.select("__id", "__dl", F.explode("__tfs").alias("__h"))
+        .select("__id", "__dl", F.col("__h.term").alias("__term"), F.col("__h.tf").alias("__tf"))
+        .filter(F.col("__tf") > 0)
+    )
+
+    dfreq = hits.groupBy("__term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_part = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    return (
+        hits.join(broadcast(dfreq), "__term")
+        .join(broadcast(corpus))
+        .select("__id", (idf * tf_part).alias("__s"))
+        .groupBy("__id")
+        .agg(F.round(F.sum("__s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def bloom_bit_positions(gram: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """The k deterministic Bloom bit positions of one n-gram: seed-
+    prefixed md5_base28 mod the filter width.  Engine-portable (md5
+    arithmetic only) so a SQL oracle reproduces every bit exactly."""
+    return [
+        (md5_base28(F.concat(F.lit(f"bloom{s}|"), gram)) % n_bits).cast("long")
+        for s in range(n_hashes)
+    ]
+
+
+def decontaminate_bloom(
+    df,
+    benchmark,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+):
+    """Bloom-filter benchmark decontamination (Bloom 1970): the holdout
+    corpus compresses to a deterministic bit-set (k seed-prefixed
+    md5-derived positions per distinct n-gram); a training document is
+    flagged when any of its n-grams has ALL k bits present.
+
+    Same contract as :func:`decontaminate` but the broadcast side is
+    the BIT SET, not the gram strings — at 100 TB the holdout's grams
+    can be far larger than an executor's broadcast budget while the bit
+    positions stay bounded by ``n_bits`` (here 2^18 bits => at most
+    ~256k distinct longs regardless of holdout size; a production
+    deployment packs them into an actual bitmap via
+    ``spark.util.sketch.BloomFilter`` — the deterministic long-set form
+    keeps the oracle exact).  False positives are possible BY DESIGN
+    and identical in both engines because the hash arithmetic mirrors.
+
+    Scale shape: the corpus side is map-only up to a chain of k
+    broadcast LEFT SEMI joins (no shuffle of the big side, the bloom
+    exchange is reused across the k probes), then one distinct on hit
+    doc ids.
+
+    Returns ``df`` + boolean ``bloom_contaminated``.
+    """
+    bench_text = bench_text_col or text_col
+    bloom = (
+        benchmark.select(F.explode(shingles(F.col(bench_text), n)).alias("__g"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*bloom_bit_positions(F.col("__g"), n_bits, n_hashes))
+            ).alias("__bloom_bit")
+        )
+        .distinct()
+    )
+    probe = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__g")
+    )
+    bits = bloom_bit_positions(F.col("__g"), n_bits, n_hashes)
+    for s, b in enumerate(bits):
+        probe = probe.join(
+            F.broadcast(bloom), b == F.col("__bloom_bit"), "left_semi"
+        )
+    hit_ids = (
+        probe.select(id_col).distinct().withColumn("__hit", F.lit(True))
+    )
+    return (
+        df.join(hit_ids, id_col, "left")
+        .withColumn("bloom_contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
+def build_vocab(df, text_col: str, vocab_size: int) -> "DataFrame":
+    """Frequency-ranked vocabulary: the ``vocab_size`` most frequent
+    tokens (ties broken lexicographically) with counts and 1-based
+    ranks — the vocabulary-construction half of tokenizer training
+    (a WordPiece/BPE trainer starts from exactly this table).
+
+    Scale: explode -> one partial-aggregated groupBy (hot tokens
+    collapse map-side) -> TakeOrdered top-V (never a global sort); the
+    result is bounded by ``vocab_size`` and broadcastable by
+    construction.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("token"))
+            ),
+        )
+    )
+
+
+def oov_stats(df, vocab, group_col: str, text_col: str) -> "DataFrame":
+    """Per-group out-of-vocabulary rate against a (small) vocabulary
+    table: ``(group, n_tokens, n_oov, oov_rate)`` — the coverage gate
+    run before committing to a tokenizer vocab, and a drift monitor
+    for incremental corpus ingests.
+
+    Scale: probe side explodes tokens map-only into a BROADCAST left
+    join (the vocab is bounded), then one partial-aggregated groupBy
+    on the group key — token occurrences never shuffle.
+    """
+    v = vocab.select(F.col("token"), F.lit(True).alias("__in_vocab"))
+    probe = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        probe.join(F.broadcast(v), "token", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.avg(F.col("__in_vocab").isNull().cast("double")).alias("oov_rate"),
+        )
+    )

@@ -421,3 +421,71 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "agg_sessionization",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+             CASE WHEN epoch_us(ts::TIMESTAMP)
+                       - lag(epoch_us(ts::TIMESTAMP))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 1800000000
+                       OR lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             max(t) - min(t) AS span_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           sum(n_events)::BIGINT AS n_events,
+           avg(n_events::DOUBLE) AS avg_events_per_session,
+           max(span_us)::BIGINT AS max_session_span_us
+    FROM per_session GROUP BY user_id
+    """,
+    doc="Batch sessionization (gaps-and-islands, 30-min inactivity "
+    "gap): per-user session count, event counts, and longest session "
+    "span — the batch twin of the streaming session window "
+    "(window_session).  ONE exchange on user_id feeds both windows "
+    "AND both aggregations (sort within partitions, no re-shuffle); "
+    "at 100 TB the only data movement is the initial user-keyed "
+    "repartition.",
+)
+def agg_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is NTZ; session TZ=UTC
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = (
+        ((t - F.lag(t).over(w)) > 1_800_000_000)
+        | F.lag("ts").over(w).isNull()
+    ).cast("int")
+    ws = Window.partitionBy("user_id").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = ev.select("user_id", t.alias("t"), is_new.alias("is_new")).select(
+        "user_id", "t", F.sum("is_new").over(ws).alias("session_id")
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("span_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.avg(F.col("n_events").cast("double")).alias("avg_events_per_session"),
+        F.max("span_us").alias("max_session_span_us"),
+    )

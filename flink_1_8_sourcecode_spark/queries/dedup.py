@@ -614,3 +614,38 @@ def dedup_winnowing_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
     return dedup_clusters(d, pairs, id_col="doc_id")
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t != '')[1:4], ' ')) AS fp
+      FROM documents
+    ),
+    b AS (SELECT doc_id, fp FROM f WHERE source = 'src0'),
+    c AS (SELECT DISTINCT fp FROM f WHERE source != 'src0'),
+    first AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY fp)
+    SELECT b.doc_id, b.fp,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+                WHEN b.doc_id != first.first_id THEN 'dup_batch'
+                ELSE 'kept' END AS decision
+    FROM b LEFT JOIN c USING (fp) JOIN first USING (fp)
+    """,
+    doc="Incremental ingestion dedup: classify each src0 (new-batch) "
+    "doc against the frozen rest-of-corpus by 4-token head fingerprint "
+    "— dup_corpus / dup_batch / kept, first-copy-wins within the batch. "
+    "The corpus side reduces to distinct fingerprints (column-pruned, "
+    "partial-aggregated); only fingerprints shuffle "
+    "(operators/dedup.py:incremental_dedup).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import incremental_dedup
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return incremental_dedup(batch, corpus, "doc_id", "text", prefix_tokens=4)

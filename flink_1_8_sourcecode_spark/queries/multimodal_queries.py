@@ -356,3 +356,125 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return shot_boundaries(media, threshold=0.2)
+
+
+@register(
+    "multimodal_dhash_pairs",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, 16 + doc_id % 5 AS w, 16 + doc_id % 3 AS h
+               FROM documents),
+    g AS (SELECT media_id, w, h, ty, tx, (ty * h) // 8 AS sy
+          FROM m, UNNEST(range(0, 8)) AS gy(ty), UNNEST(range(0, 8)) AS gx(tx)),
+    bits AS (
+      SELECT media_id, ty, tx,
+        CASE WHEN ((media_id*7 + 13*sy*sy + 29*(((tx+1)*w)//9)*(((tx+1)*w)//9)
+                    + 7*sy*(((tx+1)*w)//9)) % 256) >
+                  ((media_id*7 + 13*sy*sy + 29*((tx*w)//9)*((tx*w)//9)
+                    + 7*sy*((tx*w)//9)) % 256)
+             THEN 1 ELSE 0 END AS b
+      FROM g
+    ),
+    words AS (
+      SELECT media_id,
+        sum(CASE WHEN ty < 4 THEN b * (1::BIGINT << (ty*8+tx)::INT) ELSE 0 END)::BIGINT AS w0,
+        sum(CASE WHEN ty >= 4 THEN b * (1::BIGINT << ((ty-4)*8+tx)::INT) ELSE 0 END)::BIGINT AS w1
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::INT AS dist
+    FROM words a JOIN words b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+    """,
+    doc="Perceptual image near-dup detection: REAL PPM decode -> dHash "
+    "(difference hash over the NN-sampled 8x9 red plane, packed into "
+    "two exact int64 words) -> EXACT Hamming<=3 pairs via multi-index "
+    "hashing (Norouzi et al. 2012: 4 disjoint 16-bit bands; pigeonhole "
+    "makes the banded equi-join COMPLETE, unlike LSH's probabilistic "
+    "recall).  The oracle recomputes hash bits in closed form from the "
+    "formula pixels and brute-forces all pairs — candidate generation, "
+    "packing, and popcount all value-checked "
+    "(operators/multimodal.py:dhash64,dhash_near_pairs).",
+)
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        dhash64,
+        dhash_near_pairs,
+        encode_ppm,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = 16 + mid % 5, 16 + mid % 3
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                px = np.stack(
+                    [
+                        (mid * 7 + 13 * y * y + 29 * x * x + 7 * y * x + 11 * c) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                out.append((mid, bytearray(encode_ppm(px))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return dhash_near_pairs(dhash64(media), max_dist=3)
+
+
+@register(
+    "multimodal_audio_decimate",
+    oracle="""
+    WITH src AS (SELECT doc_id AS media_id, 64 + (doc_id % 5) * 16 AS n
+                 FROM documents),
+    samp AS (
+      SELECT media_id, i,
+             trunc((((media_id*31 + i*17) % 201 - 100) / 128.0) * 32767.0)
+               / 32768.0 AS v
+      FROM src, UNNEST(range(0, n)) AS u(i)
+      WHERE i % 4 = 0
+    )
+    SELECT media_id, 2000 AS sample_rate_out,
+           count(*)::BIGINT AS n_out,
+           avg(v) AS mean_amp,
+           max(abs(v)) AS peak
+    FROM samp GROUP BY media_id
+    """,
+    doc="REAL audio decimation through the RIFF/WAVE codec: per doc a "
+    "varying 16-bit PCM signal (closed-form sawtooth) is encoded, "
+    "parsed back, and decimated 4x (drop resampler, every 4th frame "
+    "kept); the oracle recomputes the SIGNED mean and peak of exactly "
+    "the kept samples — including the int16 truncate-encode / 32768-"
+    "normalize arithmetic — so a wrong stride or off-by-one start "
+    "index hash-mismatches (operators/multimodal.py:audio_decimate).",
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        audio_decimate,
+        encode_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                n = 64 + (mid % 5) * 16
+                i = np.arange(n)
+                sig = ((mid * 31 + i * 17) % 201 - 100) / 128.0
+                out.append((mid, encode_wav(sig, 8000)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    return audio_decimate(media, factor=4)

@@ -765,3 +765,79 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return smp.dsir_importance(d, "doc_id", "text", F.col("lang") == "en", add_k=1.0)
+
+
+def _bloom_decontam_oracle() -> str:
+    """Bloom-filter decontamination SQL: the seed-prefixed 28-bit md5
+    bit positions (mirror of operators/text.py:bloom_bit_positions)
+    computed over BOTH sides of the deterministic split; a train doc is
+    flagged when any of its 3-grams has all 3 bits in the holdout's
+    bit-set (false positives by design, identical in both engines)."""
+    from flink_1_8_sourcecode_spark.queries.dedup import _duck_gram_base
+
+    def bit(seed: int) -> str:
+        expr = f"'bloom{seed}|' || gram"
+        return f"({_duck_gram_base(expr)}) % 262144"
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{_T10}'
+                  THEN 'holdout' ELSE 'train' END AS split
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, source, split,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS t
+      FROM s
+    ), g AS (
+      SELECT doc_id, source, split,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1), i ->
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM tok WHERE len(t) >= 3
+    ), bits AS (
+      SELECT doc_id, source, split,
+             {bit(0)} AS b0, {bit(1)} AS b1, {bit(2)} AS b2
+      FROM g
+    ), bloom AS (
+      SELECT DISTINCT b FROM (
+        SELECT unnest([b0, b1, b2]) AS b FROM bits WHERE split = 'holdout')
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM bits
+      WHERE split = 'train'
+        AND b0 IN (SELECT b FROM bloom)
+        AND b1 IN (SELECT b FROM bloom)
+        AND b2 IN (SELECT b FROM bloom)
+    )
+    SELECT t.source, count(*) AS n_train,
+           sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_flagged
+    FROM (SELECT doc_id, source FROM s WHERE split = 'train') t
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    GROUP BY t.source
+    """
+
+
+@register(
+    "pipeline_decontaminate_bloom",
+    oracle=_bloom_decontam_oracle(),
+    doc="Bloom-filter decontamination (Bloom 1970): the holdout corpus "
+    "compresses to a deterministic <=2^18-long bit-set (3 seed-prefixed "
+    "md5 positions per distinct 3-gram) broadcast into a chain of 3 "
+    "LEFT SEMI probes over the exploded train grams — the broadcast "
+    "side is bounded by the filter width no matter how large the "
+    "holdout grows, unlike the exact gram-set filter "
+    "(operators/text.py:decontaminate_bloom over hash_split).",
+)
+def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import decontaminate_bloom
+
+    d = table(spark, sf_dir, "documents")
+    split = smp.hash_split(d, "doc_id", 0.1)
+    train = split.filter(F.col("split") == "train")
+    holdout = split.filter(F.col("split") == "holdout")
+    flagged = decontaminate_bloom(train, holdout, "doc_id", "text", n=3)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.col("bloom_contaminated").cast("long")).alias("n_flagged"),
+    )

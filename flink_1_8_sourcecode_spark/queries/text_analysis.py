@@ -701,3 +701,71 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_intercept(lnc, lnr).alias("zipf_intercept"),
         F.regr_r2(lnc, lnr).alias("r2"),
     )
+
+
+_BM25_TERMS = "'join', 'spark', 'vector', 'window'"  # sorted, matches the Spark call
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, len(toks) AS dl,
+             list_transform([{_BM25_TERMS}],
+                            term -> struct_pack(term := term,
+                                                tf := len(list_filter(toks, x -> x = term)))) AS tfs
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    corpus AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM stats),
+    hits AS (
+      SELECT doc_id, dl, h.term AS term, h.tf AS tf
+      FROM stats, UNNEST(tfs) AS u(h) WHERE h.tf > 0
+    ),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT h.doc_id,
+             ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * h.tf * (1.2 + 1) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * h.dl / c.avgdl)) AS s
+      FROM hits h JOIN dfreq d USING (term), corpus c
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    doc="BM25 keyword retrieval (Robertson/Sparck Jones IDF, Lucene "
+    "ln(1+...) form): score all documents against a 4-term query, "
+    "return the top 15.  Map-only per-doc tf/dl stage (posting-list "
+    "shaped: only matching docs survive to the shuffle), broadcast "
+    "1-row corpus stats + <=|terms|-row document frequencies, "
+    "TakeOrdered top-k.  Scores rounded to 6dp pre-rank for "
+    "engine-stable order (operators/text.py:bm25_topk).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.bm25_topk(
+        d, ["join", "spark", "vector", "window"], id_col="doc_id", text_col="text", k=15
+    )
+
+
+@register(
+    "text_vocab_oov",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 10)
+    SELECT source, count(*) AS n_tokens,
+           sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           avg(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+    doc="Tokenizer-vocabulary coverage gate: build the top-10 "
+    "frequency vocabulary (ties lexicographic), then per-source OOV "
+    "token rate via a broadcast probe — one token-level shuffle for "
+    "the counts, map-only probe, partial-aggregated per-source rollup "
+    "(operators/text.py:build_vocab,oov_stats).",
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = tx.build_vocab(d, "text", vocab_size=10)
+    return tx.oov_stats(d, vocab, "source", "text")

@@ -1012,3 +1012,142 @@ def test_video_frame_stats_walk_and_sampling(spark):
     assert got[0]["width"] == 3 and got[0]["height"] == 2
     assert abs(got[0]["mean_r"] - 10 / 255.0) < 1e-12
     assert abs(got[3]["mean_b"] - 40 / 255.0) < 1e-12
+
+
+def test_dhash_near_pairs_complete_vs_bruteforce(spark):
+    """Multi-index banding must find EXACTLY the brute-force Hamming<=3
+    pairs (pigeonhole completeness), and the pigeonhole gate must refuse
+    max_dist >= n_bands."""
+    import itertools
+    import random
+
+    import pytest as _pytest
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import dhash_near_pairs
+
+    rng = random.Random(7)
+    sigs = []
+    base0, base1 = rng.getrandbits(32), rng.getrandbits(32)
+    for i in range(40):
+        # half the fixtures are small perturbations of a shared base ->
+        # guaranteed near pairs; half are fresh random words
+        if i % 2 == 0:
+            w0, w1 = base0, base1
+            for _ in range(rng.randrange(0, 3)):
+                bit = rng.randrange(64)
+                if bit < 32:
+                    w0 ^= 1 << bit
+                else:
+                    w1 ^= 1 << (bit - 32)
+        else:
+            w0, w1 = rng.getrandbits(32), rng.getrandbits(32)
+        sigs.append((i, w0, w1))
+
+    want = set()
+    for (ia, a0, a1), (ib, b0, b1) in itertools.combinations(sigs, 2):
+        d = bin(a0 ^ b0).count("1") + bin(a1 ^ b1).count("1")
+        if d <= 3:
+            want.add((ia, ib, d))
+
+    df = spark.createDataFrame(sigs, "media_id long, w0 long, w1 long")
+    got = {
+        (r.id_a, r.id_b, r.dist) for r in dhash_near_pairs(df, max_dist=3).collect()
+    }
+    assert got == want and want  # complete, exact, and non-trivial
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_pairs(df, max_dist=4)
+
+
+def test_dhash64_known_image(spark):
+    """dHash bits of a hand-built 2x3 gradient image: brighter-to-the-
+    right rows set bits, darker rows don't."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import dhash64, encode_ppm
+
+    # 4x9 red plane: rows alternate ascending / descending brightness
+    h, w = 8, 9
+    red = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        ramp = np.arange(w, dtype=np.uint8) * 10
+        red[y] = ramp if y % 2 == 0 else ramp[::-1]
+    px = np.stack([red, red, red], axis=-1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(px)))], "media_id long, content binary"
+    )
+    row = dhash64(df).collect()[0]
+    # grid==src here (8 rows, 9 cols): even rows -> 8 bits set, odd -> 0
+    even = sum(1 << (ty * 8 + tx) for ty in (0, 2) for tx in range(8))
+    even_hi = sum(1 << (ty * 8 + tx) for ty in (0, 2) for tx in range(8))
+    assert row.w0 == even and row.w1 == even_hi
+
+
+def test_audio_decimate_stride_and_channels(spark):
+    """Decimation must keep frames 0, f, 2f... and keep channel frames
+    together; factor=1 is identity; factor<1 refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        audio_decimate,
+        encode_wav,
+    )
+
+    sig = np.array([0.1, -0.2, 0.3, -0.4, 0.5, -0.6, 0.7, -0.8])
+    df = spark.createDataFrame(
+        [(1, encode_wav(sig, 8000))], "media_id long, content binary"
+    )
+    r = audio_decimate(df, factor=3).collect()[0]
+    kept = np.trunc(np.array([0.1, -0.4, 0.7]) * 32767.0) / 32768.0
+    assert r.n_out == 3 and r.sample_rate_out == 8000 // 3
+    assert r.mean_amp == _pytest.approx(kept.mean())
+    assert r.peak == _pytest.approx(np.abs(kept).max())
+
+    # stereo: both channels of a surviving frame survive
+    stereo = np.array([0.1, 0.9, -0.2, -0.8, 0.3, 0.7, -0.4, -0.6])
+    df2 = spark.createDataFrame(
+        [(2, encode_wav(stereo.reshape(-1), 8000, n_channels=2))],
+        "media_id long, content binary",
+    )
+    r2 = audio_decimate(df2, factor=2).collect()[0]
+    kept2 = np.trunc(np.array([0.1, 0.9, 0.3, 0.7]) * 32767.0) / 32768.0
+    assert r2.n_out == 2 and r2.mean_amp == _pytest.approx(kept2.mean())
+
+    ident = audio_decimate(df, factor=1).collect()[0]
+    assert ident.n_out == 8
+
+    with _pytest.raises(ValueError, match="factor"):
+        audio_decimate(df, factor=0)
+
+
+def test_incremental_dedup_decisions_and_precedence(spark):
+    """All three decisions on a hand-built batch; a doc duplicated in
+    BOTH corpus and batch classifies dup_corpus (precedence); full-text
+    vs prefix fingerprints differ when tails diverge."""
+    from flink_1_8_sourcecode_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta one"), (101, "unrelated corpus doc here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta DIFFERENT TAIL"),  # dup_corpus @ prefix 4
+            (2, "fresh new content entirely distinct"),     # kept
+            (3, "fresh new content entirely UNLIKE two"),   # dup_batch of 2 @ prefix 4
+            (4, "alpha beta gamma delta ANOTHER tail"),     # also corpus dup -> dup_corpus
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.decision
+        for r in incremental_dedup(batch, corpus, prefix_tokens=4).collect()
+    }
+    assert got == {1: "dup_corpus", 2: "kept", 3: "dup_batch", 4: "dup_corpus"}
+
+    # full-text fingerprints: every tail differs -> everything kept
+    full = {
+        r.doc_id: r.decision for r in incremental_dedup(batch, corpus).collect()
+    }
+    assert full == {1: "kept", 2: "kept", 3: "kept", 4: "kept"}

@@ -897,3 +897,113 @@ def test_binary_sketch_and_hamming(spark):
            hamming_topk(df, q, "vec_id", "embedding", "vec_id", k=2)
            .orderBy("rank").collect()]
     assert got == [(2, 1, 1), (3, 2, 2)]
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 vs an independent pure-python computation on a tiny corpus."""
+    import math
+
+    from flink_1_8_sourcecode_spark.operators.text import bm25_topk
+
+    docs = {
+        1: "apple banana apple",
+        2: "banana cherry",
+        3: "durian durian",
+        4: "apple apple apple banana",
+    }
+    terms, k1, b = ["apple", "banana"], 1.2, 0.75
+    toks = {i: t.split() for i, t in docs.items()}
+    n, avgdl = len(docs), sum(len(v) for v in toks.values()) / len(docs)
+    dfreq = {t: sum(t in v for v in toks.values()) for t in terms}
+    want = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf:
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s:
+            want[i] = round(s, 6)
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, terms, k=10).collect()}
+    assert got == pytest.approx(want)
+    # non-matching doc 3 must not appear at all (posting-list shape)
+    assert 3 not in got
+    # top-k ordering: highest score first, ties by id
+    ordered = [r.doc_id for r in bm25_topk(df, terms, k=2).collect()]
+    assert ordered == sorted(want, key=lambda i: (-want[i], i))[:2]
+
+
+def test_decontaminate_bloom_superset_and_false_positives(spark):
+    """Bloom flags must be a SUPERSET of exact n-gram flags (a Bloom
+    filter has no false negatives); shrinking the filter to a few bits
+    must introduce false positives; and the probe side must use
+    broadcast semi joins (the corpus never shuffles to meet the bloom)."""
+    from flink_1_8_sourcecode_spark.operators.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rows = [(i, f"alpha beta w{i} gamma delta epsilon w{i+1} zeta", ) for i in range(20)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    holdout = spark.createDataFrame(
+        [(100, "alpha beta w3 gamma unique holdout phrase here")],
+        "doc_id long, text string",
+    )
+
+    exact = {
+        r.doc_id
+        for r in decontaminate(train, holdout, "doc_id", "text", n=3)
+        .filter("contaminated").collect()
+    }
+    bloom = {
+        r.doc_id
+        for r in decontaminate_bloom(train, holdout, "doc_id", "text", n=3)
+        .filter("bloom_contaminated").collect()
+    }
+    assert exact, "fixture must have a real contamination"
+    assert exact <= bloom  # no false negatives, ever
+
+    # 4-bit-wide filter: nearly every gram collides -> false positives
+    tiny = {
+        r.doc_id
+        for r in decontaminate_bloom(
+            train, holdout, "doc_id", "text", n=3, n_bits=4, n_hashes=2
+        ).filter("bloom_contaminated").collect()
+    }
+    assert len(tiny) > len(exact)
+
+    plan = (
+        decontaminate_bloom(train, holdout, "doc_id", "text", n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoop") >= 3
+
+
+def test_build_vocab_and_oov_stats(spark):
+    """Vocabulary rank order (count desc, token asc) and exact OOV
+    accounting on a hand-built corpus."""
+    from flink_1_8_sourcecode_spark.operators.text import build_vocab, oov_stats
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "aa bb aa cc"),
+            ("g1", "aa bb dd"),
+            ("g2", "cc dd ee ee ee"),
+        ],
+        "grp string, text string",
+    )
+    vocab = build_vocab(df, "text", vocab_size=3)
+    rows = [(r.token, r.cnt, r.rank) for r in vocab.collect()]
+    # counts: aa=3, ee=3, bb=2, cc=2, dd=2 -> top3 = aa, ee, bb
+    assert rows == [("aa", 3, 1), ("ee", 3, 2), ("bb", 2, 3)]
+
+    got = {r.grp: (r.n_tokens, r.n_oov, r.oov_rate) for r in
+           oov_stats(df, vocab, "grp", "text").collect()}
+    # g1 tokens: aa bb aa cc aa bb dd -> oov = cc, dd = 2/7
+    # g2 tokens: cc dd ee ee ee -> oov = cc, dd = 2/5
+    assert got["g1"][0] == 7 and got["g1"][1] == 2
+    assert got["g2"][0] == 5 and got["g2"][1] == 2
+    assert abs(got["g1"][2] - 2 / 7) < 1e-12 and abs(got["g2"][2] - 2 / 5) < 1e-12

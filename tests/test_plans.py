@@ -285,3 +285,16 @@ def test_dsir_lm_joins_broadcast_at_small_scale(spark, sf_dir):
     plan = _final_plan(load_all()["sample_dsir"].spark(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 2, plan[:3000]
     assert "CartesianProduct" not in plan
+
+
+def test_sessionization_single_user_exchange(spark, sf_dir):
+    """The gaps-and-islands sessionization's 100 TB claim: ONE hash
+    exchange on user_id feeds both windows and both aggregations
+    (hashpartitioning(user_id) satisfies the (user_id, session_id)
+    clustering), plus only AQE coalesce/single-partition reads."""
+    import re
+
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["agg_sessionization"].spark(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
