@@ -490,6 +490,54 @@ class Graph:
             "id", F.when(F.col("dist") != inf, F.col("dist")).alias("dist")
         )
 
+    def k_core(self, k: int, max_iterations: int = 20) -> DataFrame:
+        """k-core subgraph (Seidman 1983; the Gelly-adjacent pruning
+        primitive): iteratively peel vertices whose UNDIRECTED degree
+        within the surviving subgraph is < k, until fixpoint or
+        ``max_iterations``.  Returns the surviving vertex ids ``(id)``.
+
+        Iteration-by-join like the other library methods (the peel is a
+        degree aggregate + semi filter per round); the survivor set only
+        shrinks, so convergence is detected by a count (an aggregate,
+        not a join).  Scale: each round is one partial-aggregated
+        degree groupBy over the surviving edges; at 100 TB the
+        symmetric edge relation is the only large input and it is
+        filtered (never rewritten) each round.
+        """
+        if k < 1:
+            raise ValueError(f"k_core: k must be >= 1, got {k}")
+        sym = (
+            self.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .unionByName(
+                self.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist()
+        )
+        alive = self.vertices.select("id")
+
+        def step(cur: DataFrame, _i: int) -> DataFrame:
+            deg = (
+                sym.join(cur, sym.src == cur.id, "left_semi")
+                .join(cur, F.col("dst") == cur.id, "left_semi")
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).alias("__d"))
+            )
+            return (
+                deg.filter(F.col("__d") >= k)
+                .select(F.col("src").alias("id"))
+            )
+
+        def converged(prev: DataFrame, nxt: DataFrame) -> bool:
+            return prev.count() == nxt.count()
+
+        out = iterate(alive, step, max_iterations, has_converged=converged)
+        sym.unpersist()
+        return out
+
     def page_rank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         """Fixed-iteration PageRank (no dangling-mass redistribution —
         callers should ensure out_degree >= 1, as Gelly's simple PageRank

@@ -328,3 +328,39 @@ def dsir_importance(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
+
+
+def weighted_upsample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted up/down-sampling: each row is emitted
+    ``floor(w)`` times plus one more with probability ``frac(w)``
+    (a hash draw, not an RNG) — the epoch-mixing primitive
+    temperature_resample deliberately lacks (that one only
+    down-samples; domain mixtures like "2.7 epochs of wiki, 0.4 of
+    web" need fractional REPETITION, cf. the mixture tables of
+    Brown et al. 2020 / Rae et al. 2021).
+
+    Returns the surviving rows with a 1-based ``copy`` index (so
+    downstream shuffles can decorrelate copies by (id, copy)).
+    Expectation of emitted copies is exactly ``w``; the draw reuses the
+    md5-prefix scheme so the oracle reproduces it bit-for-bit.
+
+    Scale: map-only — a filter plus an explode over a per-row bounded
+    sequence; no shuffle, no aggregate, no RNG state.
+    """
+    draw = F.conv(F.substring(hash_key(F.col(id_col), salt), 1, 8), 16, 10).cast(
+        "double"
+    )
+    n_copies = (
+        F.floor(weight) + (draw < (weight - F.floor(weight)) * F.lit(float(16**8))).cast("long")
+    )
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .drop("__n_copies")
+    )

@@ -1028,3 +1028,61 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (FAISS METRIC_INNER_PRODUCT):
+    the retrieval metric for UNNORMALIZED embedding families (two-tower
+    recommenders, learned sparse retrieval) where vector magnitude
+    carries signal that cosine deliberately throws away.
+
+    Same two-phase exact top-k shape as :func:`cosine_topk` (partial
+    per-(query, partition) rank, then a P x k final rank — never a
+    per-query sort over |C|), scoring the raw dot product.  To serve
+    MIPS from a cosine-only ANN index, apply the norm-augmentation
+    reduction (Bachrach et al. 2014): append sqrt(M^2 - |x|^2) to each
+    corpus vector and 0 to queries — this operator is the exact
+    baseline those indexes are measured against.
+
+    Returns (query_id, neighbor_id, dot, rank), dot rounded to 6 dp
+    BEFORE ranking (engine-stable order), ties by neighbor_id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    joined = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("__qv"), F.col("__cv")), 6).alias("dot"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    w1 = Window.partitionBy("query_id", "__pid").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    partial = (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__pid")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )

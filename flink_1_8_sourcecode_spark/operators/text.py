@@ -840,3 +840,166 @@ def oov_stats(df, vocab, group_col: str, text_col: str) -> "DataFrame":
             F.avg(F.col("__in_vocab").isNull().cast("double")).alias("oov_rate"),
         )
     )
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+):
+    """Per-document keyword extraction: the ``top_n`` highest TF-IDF
+    terms of each document — tf normalized by document length, idf the
+    smoothed ``ln((1+N)/(1+df))`` — with scores rounded to 6 dp BEFORE
+    ranking and ties broken lexicographically, so the per-doc order is
+    engine-stable.  Returns ``(id, term, tfidf, rnk)``.
+
+    The retrieval complement of :func:`bm25_topk`: BM25 ranks documents
+    for a query; this ranks terms within each document (tagging /
+    faceting / near-dup explanation in a corpus pipeline).
+
+    Scale shape: one (doc, term) shuffle builds term frequencies
+    (partial-aggregated — repeated tokens collapse map-side); document
+    frequencies are a vocabulary-bounded aggregate joined back
+    broadcast; doc length and the final rank share ONE doc-keyed
+    exchange (two window functions over the same partitioning).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tfs = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    # the __tf > 0 filter is vacuous but keeps __tf referenced, so column
+    # pruning cannot specialize this branch's aggregate subtree — both
+    # consumers then share ONE (doc, term) exchange (AQE ReusedExchange)
+    # instead of re-running scan+tokenize+explode for the DF side
+    dfreq = (
+        tfs.filter(F.col("__tf") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
+    wdoc = Window.partitionBy("__id")
+    worder = Window.partitionBy("__id").orderBy(
+        F.desc("__score"), F.asc("term")
+    )
+    scored = (
+        tfs.join(broadcast(dfreq), "term")
+        .join(broadcast(n_docs))
+        .withColumn("__dl", F.sum("__tf").over(wdoc))
+        .withColumn(
+            "__score",
+            F.round(
+                (F.col("__tf") / F.col("__dl"))
+                * F.log((F.lit(1.0) + F.col("__n_docs")) / (F.lit(1.0) + F.col("__df"))),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(worder))
+        .filter(F.col("rnk") <= top_n)
+        .select(F.col("__id").alias(id_col), "term",
+                F.col("__score").alias("tfidf"), "rnk")
+    )
+
+
+def char_bigrams(text: Column) -> Column:
+    """Character bigrams of lower-cased trimmed text, in order
+    (duplicates kept) — the unit of classic n-gram language ID
+    (Cavnar & Trenkle 1994).  The normalized string binds ONCE
+    (bind_once — lower/trim would otherwise re-evaluate per element
+    inside the transform lambda, O(n^2) chars per row); texts shorter
+    than 2 chars yield an empty array (sequence(1, 0) would DESCEND)."""
+
+    def grams(s: Column) -> Column:
+        return F.when(
+            F.length(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 1),
+                lambda i: s.substr(i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(F.lower(F.trim(text)), grams)
+
+
+def langid_confusion(
+    df,
+    lang_col: str,
+    id_col: str,
+    text_col: str,
+    profile_size: int = 30,
+):
+    """Trained character-bigram language ID (Cavnar & Trenkle 1994),
+    upgraded from the stopword heuristic ``lang_id``: per-language
+    bigram-count profiles are TRAINED from the labeled corpus (top
+    ``profile_size`` bigrams per language, ties lexicographic), every
+    document is classified by the INTEGER dot product of its bigram
+    counts with each profile (exact in any engine — no float argmax
+    risk), and the (true, predicted) confusion matrix comes back:
+    ``(lang, predicted, n_docs)``.
+
+    Ties in the argmax break by language ascending; documents too short
+    for bigrams score 0 against every profile and land on the
+    lexicographically first language.
+
+    Scale shape: ONE (doc, bigram) shuffle is shared by training and
+    classification (the lang column rides along — it is functionally
+    dependent on the doc id); profiles are a languages x profile_size
+    bounded table broadcast into the scoring join; the per-doc argmax
+    is a window over |langs| candidate rows.
+    """
+    db = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(lang_col).alias("__lang"),
+            F.explode(char_bigrams(F.col(text_col))).alias("__bg"),
+        )
+        .groupBy("__id", "__lang", "__bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wtop = Window.partitionBy("__plang").orderBy(
+        F.desc("__pcnt"), F.asc("__bg")
+    )
+    profiles = (
+        db.groupBy(F.col("__lang").alias("__plang"), "__bg")
+        .agg(F.sum("__cnt").alias("__pcnt"))
+        .withColumn("__pr", F.row_number().over(wtop))
+        .filter(F.col("__pr") <= profile_size)
+        .select("__plang", "__bg", "__pcnt")
+    )
+    scores = (
+        db.join(F.broadcast(profiles), "__bg")
+        .groupBy("__id", "__lang", "__plang")
+        .agg(F.sum(F.col("__cnt") * F.col("__pcnt")).alias("__score"))
+    )
+    wbest = Window.partitionBy("__id").orderBy(
+        F.desc("__score"), F.asc("__plang")
+    )
+    predicted = (
+        scores.withColumn("__r", F.row_number().over(wbest))
+        .filter(F.col("__r") == 1)
+        .select("__id", "__lang", F.col("__plang").alias("predicted"))
+    )
+    # docs with no scoring rows (too short / no profile overlap) default
+    # to the lexicographically first trained language
+    first_lang = profiles.agg(F.min("__plang").alias("__default"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(lang_col).alias("__lang"))
+    full = (
+        base.join(predicted.select("__id", "predicted"), "__id", "left")
+        .join(F.broadcast(first_lang))
+        .select(
+            "__lang",
+            F.coalesce("predicted", F.col("__default")).alias("predicted"),
+        )
+    )
+    return (
+        full.groupBy(F.col("__lang").alias(lang_col), "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -489,3 +489,112 @@ def agg_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("n_events").cast("double")).alias("avg_events_per_session"),
         F.max("span_us").alias("max_session_span_us"),
     )
+
+
+@register(
+    "agg_zscore_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_pop(value) AS sigma,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             CASE WHEN s.sigma > 0
+                  THEN abs((e.value - s.mu) / s.sigma) ELSE 0.0 END AS az
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+           round(max(az), 6) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+    doc="Per-event-type z-score anomaly screen over the events stream "
+    "(|z| > 3 on value): the per-type moment table is a tiny broadcast "
+    "aggregate, the probe is map-only, and the rollup partial-"
+    "aggregates — two passes over events, zero large shuffles.  The "
+    "batch form of the streaming monitoring rule a unified engine "
+    "serves both ways.",
+)
+def agg_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sigma"),
+    )
+    az = F.when(
+        F.col("__sigma") > 0,
+        F.abs((F.col("value") - F.col("__mu")) / F.col("__sigma")),
+    ).otherwise(F.lit(0.0))
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_type", az.alias("__az"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("__az") > 3.0).cast("long")).alias("n_anomalies"),
+            F.round(F.max("__az"), 6).alias("max_abs_z"),
+        )
+    )
+
+
+@register(
+    "agg_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    hit AS (
+      SELECT s.user_id, s.s_ts,
+             max(CASE WHEN p.ts > s.s_ts
+                       AND p.ts <= s.s_ts + INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END) AS converted
+      FROM s LEFT JOIN (SELECT user_id, ts FROM events
+                        WHERE event_type = 'purchase') p
+        ON s.user_id = p.user_id
+      GROUP BY s.user_id, s.s_ts
+    )
+    SELECT CAST(s_ts AS DATE) AS signup_day,
+           count(*) AS n_signups,
+           sum(converted)::BIGINT AS n_converted,
+           round(avg(converted::DOUBLE), 6) AS conv_rate
+    FROM hit GROUP BY signup_day
+    """,
+    doc="Aggregate funnel conversion: users by first-signup day, "
+    "converted = any purchase within 1 hour of that signup — the "
+    "rollup twin of the row-level CEP funnel (cep_funnel_signup_"
+    "purchase reports WHO converted; this reports the rate curve). "
+    "Per-user first-signup aggregate, one user-keyed join (AQE), "
+    "per-day partial-agg rollup.",
+)
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    hit = (
+        s.join(p, "user_id", "left")
+        .withColumn(
+            "__c",
+            F.when(
+                (F.col("ts") > F.col("s_ts"))
+                & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.max("__c").alias("converted"))
+    )
+    return hit.groupBy(F.to_date("s_ts").alias("signup_day")).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.avg(F.col("converted").cast("double")), 6).alias("conv_rate"),
+    )

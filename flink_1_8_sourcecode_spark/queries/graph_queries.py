@@ -672,3 +672,55 @@ def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     skips = spark.range(8).select(F.col("id").alias("src"), (F.col("id") + 4).alias("dst"))
     return transitive_closure(chain.unionByName(skips), max_iterations=6)
+
+
+def _kcore_fixture_edges():
+    """Clique(0-5) + ring(6-15) + chain(16-25) with bridges 5-6 and
+    15-16: the 2-core is exactly {0..15} (the chain unravels from the
+    free end over ~10 peel rounds, then the bridge vertex follows)."""
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]          # clique
+    edges += [(i, i + 1) for i in range(6, 15)] + [(15, 6)]              # ring
+    edges += [(i, i + 1) for i in range(16, 25)]                         # chain
+    edges += [(5, 6), (15, 16)]                                          # bridges
+    return edges
+
+
+_KCORE_EDGES_DUCK = " UNION ALL ".join(
+    f"SELECT {s} AS src, {d} AS dst" for s, d in _kcore_fixture_edges()
+)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS ({_KCORE_EDGES_DUCK}),
+    edges AS (
+      SELECT src, dst FROM raw WHERE src != dst
+      UNION SELECT dst, src FROM raw WHERE src != dst
+    ),
+    core AS (
+      SELECT 0 AS g, (SELECT list(id) FROM range(26) t(id)) AS ids
+      UNION ALL
+      SELECT g + 1,
+             (SELECT coalesce(list(src), []) FROM (
+                SELECT src FROM edges
+                WHERE list_contains(c.ids, src) AND list_contains(c.ids, dst)
+                GROUP BY src HAVING count(*) >= 2))
+      FROM core c WHERE g < 20
+    )
+    SELECT unnest(ids)::BIGINT AS id FROM core WHERE g = 20
+    """,
+    doc="k-core subgraph (Seidman 1983) for k=2 on a clique+ring+chain "
+    "fixture: iterative peeling of degree<k vertices until fixpoint "
+    "(the chain unravels one vertex per round — a real ~11-round "
+    "iteration).  Oracle = generation-capped recursive CTE carrying "
+    "the survivor set as a list (idempotent after convergence, so the "
+    "capped generation equals the fixpoint) "
+    "(graph/graph.py:Graph.k_core).",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _kcore_fixture_edges()
+    v = spark.range(26).select("id")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return Graph(v, e).k_core(k=2, max_iterations=20)

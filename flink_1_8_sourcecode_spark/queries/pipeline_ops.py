@@ -841,3 +841,36 @@ def pipeline_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_train"),
         F.sum(F.col("bloom_contaminated").cast("long")).alias("n_flagged"),
     )
+
+
+@register(
+    "sample_weighted_upsample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 2.5 ELSE 0.8 END AS wt,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE AS draw
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             (floor(wt)::BIGINT
+              + CASE WHEN draw < (wt - floor(wt)) * 4294967296.0
+                     THEN 1 ELSE 0 END) AS n_copies
+      FROM w
+    )
+    SELECT doc_id, lang, u.copy
+    FROM n, UNNEST(range(1, n_copies + 1)) AS u(copy)
+    WHERE n_copies > 0
+    """,
+    doc="Deterministic weighted up/down-sampling (fractional epoch "
+    "mixing, Brown et al. 2020 Table 2.2 shape): English docs repeat "
+    "~2.5x, others survive at ~0.8 — floor(w) copies plus a "
+    "deterministic md5-draw for the fractional remainder; map-only, "
+    "no shuffle, no RNG (operators/sampling.py:weighted_upsample).",
+)
+def sample_weighted_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    wt = F.when(F.col("lang") == "en", F.lit(2.5)).otherwise(F.lit(0.8))
+    out = smp.weighted_upsample(d, "doc_id", wt)
+    return out.select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))

@@ -553,3 +553,34 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return hamming_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)
+
+
+@register(
+    "sim_topk_mips",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_dot_product(q.e, c.e), 6) AS dot
+           FROM q JOIN v c ON c.vec_id != q.vec_id
+         )
+    SELECT query_id, neighbor_id, dot, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="Exact maximum-inner-product top-10 for query vectors 0-4 "
+    "(FAISS METRIC_INNER_PRODUCT — the unnormalized-embedding metric "
+    "cosine deliberately discards; the exact baseline for norm-"
+    "augmented MIPS-on-cosine-ANN reductions, Bachrach et al. 2014). "
+    "Two-phase exact top-k, 6dp pre-rank rounding "
+    "(operators/similarity.py:mips_topk).",
+)
+def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import mips_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return mips_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)

@@ -769,3 +769,131 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     vocab = tx.build_vocab(d, "text", vocab_size=10)
     return tx.oov_stats(d, vocab, "source", "text")
+
+
+@register(
+    "text_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tfs AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round((t.tf::DOUBLE / sum(t.tf) OVER (PARTITION BY t.doc_id))
+                   * ln((1 + n.n_docs) / (1 + d.df)), 6) AS tfidf
+      FROM tfs t JOIN dfreq d USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="Per-document TF-IDF keyword extraction (top-3 terms, smoothed "
+    "ln((1+N)/(1+df)) idf, 6dp pre-rank rounding): one (doc, term) "
+    "partial-aggregated shuffle, vocabulary-bounded DF table broadcast "
+    "back, doc length + rank sharing one doc-keyed exchange "
+    "(operators/text.py:tfidf_top_terms).",
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, "doc_id", "text", top_n=3)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM counts
+    ),
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM counts)
+    SELECT rank, cnt,
+           round(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                 / tot.total, 6) AS coverage
+    FROM ranked, tot
+    WHERE rank <= 20
+    """,
+    doc="Vocabulary coverage curve: cumulative fraction of all token "
+    "occurrences covered by the top-k vocabulary, k = 1..20 — the "
+    "diagnostic that sizes a tokenizer vocab (where the curve flattens "
+    "is where vocab growth stops paying).  One partial-aggregated "
+    "token shuffle; the ranked relation is vocabulary-bounded so the "
+    "cumulative window runs over <=|vocab| rows "
+    "(operators/text.py:build_vocab's count table + one window).",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))).alias("rank"),
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    wcum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn("coverage", F.round(F.sum("cnt").over(wcum) / F.col("total"), 6))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "cnt", "coverage")
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, lower(trim(text)) AS s FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(s)), i -> s[i:i+1])) AS b
+      FROM t WHERE length(s) >= 2
+    ),
+    db AS (SELECT doc_id, lang, b, count(*) AS cnt FROM bg GROUP BY doc_id, lang, b),
+    prof AS (
+      SELECT plang, b, pcnt FROM (
+        SELECT lang AS plang, b, sum(cnt) AS pcnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY sum(cnt) DESC, b) AS pr
+        FROM db GROUP BY lang, b
+      ) WHERE pr <= 30
+    ),
+    scores AS (
+      SELECT d.doc_id, d.lang, p.plang, sum(d.cnt * p.pcnt) AS score
+      FROM db d JOIN prof p USING (b) GROUP BY d.doc_id, d.lang, p.plang
+    ),
+    pred AS (
+      SELECT doc_id, lang, plang AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, plang) AS r
+        FROM scores) WHERE r = 1
+    ),
+    dflt AS (SELECT min(plang) AS d FROM prof)
+    SELECT t.lang, coalesce(p.predicted, dflt.d) AS predicted,
+           count(*) AS n_docs
+    FROM t LEFT JOIN pred p USING (doc_id), dflt
+    GROUP BY t.lang, coalesce(p.predicted, dflt.d)
+    """,
+    doc="TRAINED language ID (Cavnar & Trenkle 1994 char-bigram "
+    "profiles, upgrade of the stopword heuristic text_lang_id): top-30 "
+    "bigram profiles per labeled language trained and applied in ONE "
+    "plan, INTEGER dot-product scoring (no float-argmax cross-engine "
+    "risk), ties lexicographic; output is the (true, predicted) "
+    "confusion matrix.  On this synthetic corpus the languages share "
+    "one vocabulary, so every doc collapses onto the dominant "
+    "profile — exactly the degenerate matrix that tells a corpus "
+    "owner the labels carry no signal "
+    "(operators/text.py:langid_confusion).",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.langid_confusion(d, "lang", "doc_id", "text", profile_size=30)

@@ -1151,3 +1151,77 @@ def test_incremental_dedup_decisions_and_precedence(spark):
         r.doc_id: r.decision for r in incremental_dedup(batch, corpus).collect()
     }
     assert full == {1: "kept", 2: "kept", 3: "kept", 4: "kept"}
+
+
+def test_k_core_vs_bruteforce_peeling(spark):
+    """Randomized graphs: Graph.k_core must equal pure-python iterative
+    peeling for several k; k<1 refuses."""
+    import random
+
+    import pytest as _pytest
+
+    from flink_1_8_sourcecode_spark.graph import Graph
+
+    rng = random.Random(11)
+    n = 18
+    edges = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                    for _ in range(30) if True})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    def brute(k):
+        alive = set(range(n))
+        while True:
+            deg = {u: 0 for u in alive}
+            for a, b in edges:
+                if a in alive and b in alive:
+                    deg[a] += 1
+                    deg[b] += 1
+            nxt = {u for u in alive if deg[u] >= k}
+            if nxt == alive:
+                return alive
+            alive = nxt
+
+    v = spark.range(n).select("id")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph(v, e)
+    for k in (1, 2, 3):
+        got = {r.id for r in g.k_core(k=k).collect()}
+        assert got == brute(k), f"k={k}"
+
+    with _pytest.raises(ValueError, match="k must be"):
+        g.k_core(k=0)
+
+
+def test_zscore_anomaly_oracle_shape(spark):
+    """Hand-built events: exactly the |z|>3 outlier is counted, a
+    zero-variance type reports zero anomalies."""
+    from flink_1_8_sourcecode_spark.queries import load_all  # noqa: F401
+    import math
+
+    rows = [("a", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+    rows += [("b", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    mu = sum(v for _, v in rows[:10]) / 10
+    sd = math.sqrt(sum((v - mu) ** 2 for _, v in rows[:10]) / 10)
+    z100 = abs((100 - mu) / sd)
+
+    s = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    az = F.when(
+        F.col("sigma") > 0, F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    ).otherwise(F.lit(0.0))
+    out = {
+        r.event_type: (r.n_anomalies, r.max_abs_z)
+        for r in df.join(F.broadcast(s), "event_type")
+        .select("event_type", az.alias("az"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("az") > 3.0).cast("long")).alias("n_anomalies"),
+            F.round(F.max("az"), 6).alias("max_abs_z"),
+        )
+        .collect()
+    }
+    assert out["a"][0] == (1 if z100 > 3 else 0)
+    assert abs(out["a"][1] - round(z100, 6)) < 1e-9
+    assert out["b"] == (0, 0.0)

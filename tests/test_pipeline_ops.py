@@ -1007,3 +1007,134 @@ def test_build_vocab_and_oov_stats(spark):
     assert got["g1"][0] == 7 and got["g1"][1] == 2
     assert got["g2"][0] == 5 and got["g2"][1] == 2
     assert abs(got["g1"][2] - 2 / 7) < 1e-12 and abs(got["g2"][2] - 2 / 5) < 1e-12
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """TF-IDF keywords vs independent pure-python computation."""
+    import math
+
+    from flink_1_8_sourcecode_spark.operators.text import tfidf_top_terms
+
+    docs = {
+        1: "apple apple banana",
+        2: "banana cherry cherry cherry",
+        3: "apple durian",
+    }
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    dfreq = {}
+    for v in toks.values():
+        for t in set(v):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, v in toks.items():
+        scores = {
+            t: round(v.count(t) / len(v) * math.log((1 + n) / (1 + dfreq[t])), 6)
+            for t in set(v)
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        want[i] = [(t, s, r + 1) for r, (t, s) in enumerate(ranked)]
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = tfidf_top_terms(df, top_n=2).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rnk)):
+        got.setdefault(r.doc_id, []).append((r.term, r.tfidf, r.rnk))
+    assert got == {k: [(t, pytest.approx(s), r) for t, s, r in v]
+                   for k, v in want.items()}
+
+
+def test_mips_topk_vs_bruteforce_and_cosine_divergence(spark):
+    """MIPS ranks by raw dot product: a long vector must outrank a
+    better-aligned short one (where cosine would flip the order);
+    parity vs a numpy brute force."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        cosine_topk,
+        mips_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(12, 8)).astype(float)
+    vecs[3] *= 10.0  # the big-norm vector MIPS must prefer
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 2")
+
+    got = mips_topk(df, q, "vec_id", "embedding", "vec_id", k=5).collect()
+    for qid in (0, 1):
+        dots = {j: round(float(vecs[qid] @ vecs[j]), 6) for j in range(12) if j != qid}
+        want = sorted(dots, key=lambda j: (-dots[j], j))[:5]
+        ranked = [r.neighbor_id for r in sorted(
+            (r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert ranked == want, qid
+
+    # divergence fixture: MIPS top-1 is the scaled vector for at least
+    # one query where cosine top-1 differs
+    cos = cosine_topk(df, q, "vec_id", "embedding", "vec_id", k=1).collect()
+    mip = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    cos1 = {r.query_id: r.neighbor_id for r in cos}
+    assert 3 in mip.values() and mip != cos1
+
+
+def test_weighted_upsample_counts(spark):
+    """Integer weights repeat exactly; fractional weights emit floor or
+    floor+1 with the expected overall rate; weight 0 drops the row."""
+    from flink_1_8_sourcecode_spark.operators.sampling import weighted_upsample
+
+    n = 400
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    exact = weighted_upsample(df, "doc_id", F.lit(3.0)).groupBy("doc_id").count()
+    assert exact.filter("count != 3").count() == 0 and exact.count() == n
+
+    dropped = weighted_upsample(df, "doc_id", F.lit(0.0))
+    assert dropped.count() == 0
+
+    frac = weighted_upsample(df, "doc_id", F.lit(1.5))
+    per = {r.doc_id: r["count"] for r in frac.groupBy("doc_id").count().collect()}
+    assert set(per.values()) <= {1, 2} and len(per) == n
+    total = sum(per.values())
+    assert abs(total / n - 1.5) < 0.1  # hash draw ~ uniform
+
+    # copy index is 1..n_copies
+    copies = weighted_upsample(df.limit(5), "doc_id", F.lit(2.0)).collect()
+    by_id = {}
+    for r in copies:
+        by_id.setdefault(r.doc_id, []).append(r.copy)
+    assert all(sorted(v) == [1, 2] for v in by_id.values())
+
+
+def test_langid_confusion_separable_corpus(spark):
+    """On a corpus with genuinely distinct character distributions the
+    trained bigram classifier must put every doc on the diagonal; a
+    too-short doc falls to the lexicographically first language."""
+    from flink_1_8_sourcecode_spark.operators.text import langid_confusion
+
+    rows = []
+    for i in range(4):
+        rows.append((100 + i, "aa", f"aaaa bbbb aabb baba abab {i}"))
+        rows.append((200 + i, "zz", f"zzzz yyyy zzyy yzyz zyzy {i}"))
+    rows.append((999, "zz", "q"))  # 1 char -> no bigrams -> default 'aa'
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.lang, r.predicted): r.n_docs
+        for r in langid_confusion(df, "lang", "doc_id", "text").collect()
+    }
+    assert got[("aa", "aa")] == 4
+    assert got[("zz", "zz")] == 4
+    assert got[("zz", "aa")] == 1  # the short doc
+    assert ("aa", "zz") not in got
+
+
+def test_char_bigrams_short_and_order(spark):
+    from flink_1_8_sourcecode_spark.operators.text import char_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "AbC"), (2, "x"), (3, ""), (4, " hi ")], "i long, t string"
+    )
+    got = {r.i: r.g for r in df.select("i", char_bigrams(F.col("t")).alias("g")).collect()}
+    assert got[1] == ["ab", "bc"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["hi"]  # trimmed first

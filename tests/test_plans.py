@@ -298,3 +298,22 @@ def test_sessionization_single_user_exchange(spark, sf_dir):
 
     plan = _final_plan(load_all()["agg_sessionization"].spark(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+
+
+def test_tfidf_reuses_tf_exchange_single_scan(spark, sf_dir):
+    """TF-IDF's 100 TB claim: the (doc, term) tf exchange is computed
+    once and REUSED by the document-frequency branch (no second
+    scan+tokenize+explode of the corpus); final plan = tf exchange +
+    vocab-bounded term exchange + one doc-keyed exchange."""
+    import re
+
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["text_tfidf_terms"].spark(spark, sf_dir))
+    assert "ReusedExchange" in plan, plan[:3000]
+    # count real exchange operators, not the ReusedExchange line's
+    # textual reference to the exchange it reuses
+    assert len(re.findall(r"\+- Exchange hashpartitioning", plan)) == 3, plan[:3000]
+    # exactly one scan reads the text column (the n_docs count scan is
+    # column-pruned to an empty schema)
+    assert plan.count("text:string") == 1, plan[:3000]
