@@ -598,3 +598,31 @@ def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").alias("n_converted"),
         F.round(F.avg(F.col("converted").cast("double")), 6).alias("conv_rate"),
     )
+
+
+@register(
+    "agg_pivot_langs",
+    oracle="""
+    SELECT source,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+           sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+           sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+           sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+           sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+    FROM documents GROUP BY source
+    """,
+    doc="PIVOT to a wide source x language count matrix via "
+    "DataFrame.pivot with an EXPLICIT value list — the explicit list "
+    "keeps the plan a single partial-aggregated groupBy (no "
+    "distinct-values pre-query, no second job) and fixes the output "
+    "schema for any engine.",
+)
+def agg_pivot_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    langs = ["en", "de", "es", "fr", "zh"]
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+    )
