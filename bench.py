@@ -118,20 +118,41 @@ def main() -> None:
             )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "value_min": round(sum(timings_min.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "secondary": secondary,
+        "secondary_min": secondary_min,
+        "scaling": scaling,
+        "sf": sf_val,
+    }
+    # Full record goes to a file; the driver's stdout capture keeps only
+    # the LAST ~2 KB, so the stream gets (a) the full JSON first, for a
+    # human tailing locally, then (b) a compact summary line LAST that is
+    # guaranteed to fit the capture window intact.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "value_min": round(sum(timings_min.values()), 4),
+                "value": full["value"],
+                "value_min": full["value_min"],
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": timings_min,
-                "secondary": secondary,
-                "secondary_min": secondary_min,
-                "scaling": scaling,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
+                "superlinear": scaling.get("superlinear") if scaling else None,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

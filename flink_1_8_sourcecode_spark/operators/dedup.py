@@ -808,6 +808,142 @@ def strip_repeated_spans(
     )
 
 
+def _char_window_sites(
+    docs: DataFrame, id_col: str, text_col: str, n: int, min_count: int
+) -> DataFrame:
+    """(``__id``, ``__pos``, ``__text``) sites whose length-``n`` CHARACTER
+    window occurs ``min_count``+ times corpus-wide (``__pos`` 1-based).
+
+    Same two-scan hash pre-pass as :func:`repeated_span_sites`, at char
+    granularity: the corpus-wide exchange carries ``xxhash64(substr)``
+    (24 B/window, never the substring), survivors semi-join back and the
+    caller recounts on actual text, so a 64-bit collision can only add a
+    candidate that the recount rejects.
+    """
+    txt = F.col(text_col)
+    hashes = F.when(
+        F.length(txt) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - (n - 1)),
+            lambda i: F.xxhash64(txt.substr(i, F.lit(n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sites = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos0", "__h")
+    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__h")
+    surviving = (
+        sites.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_count)
+        .select("__h")
+    )
+    matched = sites.join(surviving, "__h", "left_semi")
+    return docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).join(matched, "__id")
+
+
+def repeated_char_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication at CHARACTER granularity — Lee et al.
+    2021's actual criterion (repeated substrings of >= 50 *characters*,
+    not token windows; public paper).  Every length-``n`` char window is
+    a candidate; windows occurring ``min_count``+ times corpus-wide are
+    reported with total-occurrence and distinct-document counts.
+
+    Catches what :func:`repeated_ngram_spans` (the 10-token
+    approximation) misses: a 50+-char repeat made of FEWER than 10
+    tokens (long words, URLs, code identifiers) never forms a full
+    token window but always forms char windows.
+
+    Returns (span, occ, ndocs), occ >= min_count.
+
+    Scale: identical exchange discipline to the token variant — the
+    corpus-wide aggregate carries 64-bit hashes only; span strings
+    materialize at surviving sites and the final aggregate recounts on
+    text, re-applying ``min_count`` exactly.  Char windows are ~|text|
+    per doc (vs ~|tokens| for the token variant) but each exchanged row
+    is still 24 bytes; substring construction stays inside the JVM
+    transform lambda.  Parity: reference exposes no char-level dedup —
+    this extends the training-data north-star set (SURVEY §2.16).
+    """
+    with_text = _char_window_sites(docs, id_col, text_col, n, min_count)
+    span_rows = with_text.select(
+        "__id", F.col("__text").substr(F.col("__pos"), F.lit(n)).alias("span")
+    )
+    return (
+        span_rows.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.countDistinct("__id").alias("ndocs"),
+        )
+        .filter(F.col("occ") >= min_count)
+    )
+
+
+def repeated_char_span_intervals(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """MAXIMAL repeated CHARACTER intervals per document: overlapping
+    repeated ``n``-char windows merged gaps-and-islands style — the
+    distributed equivalent of Lee et al. 2021's suffix-array output (a
+    repeat of L >= n chars surfaces as L-n+1 overlapping windows; this
+    merges them back to one [start, end] char interval).
+
+    Returns ``(id, start_char, end_char, span)``, 1-based inclusive
+    char bounds.  Scale: survivor recount on actual window text BEFORE
+    the island merge (hash collisions cannot fuse unrelated intervals);
+    islands + interval aggregate share one doc-keyed exchange over the
+    tiny survivor relation; the final slice is computed from the
+    ``__text`` already carried with each site (no extra join against
+    the corpus).
+    """
+    with_text = _char_window_sites(docs, id_col, text_col, n, min_count)
+    span_rows = with_text.select(
+        "__id",
+        "__pos",
+        "__text",
+        F.col("__text").substr(F.col("__pos"), F.lit(n)).alias("__span"),
+    )
+    wspan = Window.partitionBy("__span")
+    sites = (
+        span_rows.withColumn("__occ", F.count(F.lit(1)).over(wspan))
+        .filter(F.col("__occ") >= min_count)
+        .select("__id", "__pos", "__text")
+    )
+    wdoc = Window.partitionBy("__id").orderBy("__pos")
+    isl = (
+        sites.withColumn("__prev", F.lag("__pos").over(wdoc))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("__pos") - F.col("__prev") >= n)).cast(
+                "int"
+            ),
+        )
+        .withColumn("__isl", F.sum("__new").over(wdoc))
+    )
+    return isl.groupBy("__id", "__isl", "__text").agg(
+        F.min("__pos").alias("start_char"),
+        (F.max("__pos") + (n - 1)).alias("end_char"),
+    ).select(
+        F.col("__id").alias(id_col),
+        "start_char",
+        "end_char",
+        F.col("__text")
+        .substr(F.col("start_char"), F.col("end_char") - F.col("start_char") + 1)
+        .alias("span"),
+    )
+
+
 def paragraph_dedup_global(
     docs: DataFrame,
     id_col: str,

@@ -27,7 +27,13 @@ _PR_DAMP = 0.85
     FROM range(100) t(id)
     """,
     doc="ConnectedComponents (flink-gelly/.../library/ConnectedComponents.java): "
-    "min-id label propagation by iterative join on a 10x10-chain graph.",
+    "min-id components on a 10x10-chain graph via POINTER JUMPING "
+    "(graph/graph.py:connected_components_jump) — O(log d) rounds vs "
+    "the delta iteration's O(d) supersteps, the right variant when "
+    "per-superstep fixed cost dominates (this graph, and the shrunken "
+    "tail rounds of a 100 TB run).  The Gelly-parity delta iteration "
+    "(connected_components) stays pinned by "
+    "tests/test_operators.py::test_workset_shrinks_on_chain_graph.",
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(100).select(F.col("id"))
@@ -36,9 +42,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id") % 10) != 9)
         .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     )
-    # iteration parallelism tracks the (tiny) workset — Flink
+    # iteration parallelism tracks the (tiny) per-round data — Flink
     # setParallelism parity; see connected_components' docstring
-    return Graph(v, e).connected_components(max_iterations=15, shuffle_partitions=4)
+    return Graph(v, e).connected_components_jump(shuffle_partitions=4)
 
 
 @register(

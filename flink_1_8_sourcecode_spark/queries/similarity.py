@@ -584,3 +584,71 @@ def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return mips_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)
+
+
+_KNN_GRAPH_EXPORT = "/tmp/spark_graft_knn_graph"
+
+
+@register(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH g AS (SELECT vec_id, neighbor_id
+               FROM read_parquet('{_KNN_GRAPH_EXPORT}/*.parquet')),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid, {_COS} AS cosine
+           FROM v q JOIN v c ON c.vec_id != q.vec_id
+         ),
+         exact AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+             FROM scored
+           ) WHERE rk <= 10
+         ),
+         h AS (
+           SELECT g.vec_id, count(*) AS hits
+           FROM g JOIN exact ON exact.qid = g.vec_id AND exact.nid = g.neighbor_id
+           GROUP BY g.vec_id
+         )
+    SELECT v.vec_id, coalesce(h.hits, 0) AS hits,
+           coalesce(h.hits, 0) / 10.0 AS recall
+    FROM v LEFT JOIN h USING (vec_id)
+    """,
+    doc="k-NN GRAPH construction via NN-Descent (Dong et al. 2011; "
+    "operators/similarity.py:nn_descent_knn_graph) — the graph-based "
+    "ANN substrate (HNSW/NSG build on it).  Deterministic modular-"
+    "stride seeding + hash-ordered candidate sampling make the graph "
+    "reproducible; the oracle is GRAPH-CONDITIONED: the query exports "
+    "the final edges to parquet, then BOTH engines independently "
+    "compute exact brute-force top-10 and the per-node hit count of "
+    "the exported edges against it — per-node recall is hash-checked "
+    "exactly (recall floor pinned by tests/test_operators.py::"
+    "TestNNDescent).",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        nn_descent_knn_graph,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    g = nn_descent_knn_graph(emb, "vec_id", "embedding", k=10, max_iterations=6)
+    g.write.mode("overwrite").parquet(_KNN_GRAPH_EXPORT)
+    gread = spark.read.parquet(_KNN_GRAPH_EXPORT).select("vec_id", "neighbor_id")
+    exact = cosine_topk(emb, emb, "vec_id", "embedding", "vec_id", k=10).select(
+        F.col("query_id").alias("vec_id"), "neighbor_id"
+    )
+    hits = (
+        gread.join(exact, ["vec_id", "neighbor_id"])
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / 10.0).alias("recall"),
+        )
+    )

@@ -110,3 +110,69 @@ _sql_query(
     "ORDER BY time DESC, keep rn = 1): latest event per user — the "
     "SQL form of dedup-by-key.",
 )
+
+
+@register(
+    "table_api_string_expr",
+    oracle="""
+    SELECT l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           avg(l_extendedprice) AS avg_price,
+           count(l_orderkey) AS cnt
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    doc="Flink 1.8 Table-API STRING-EXPRESSION facade (table.scala:162 "
+    "select / :318 filter / :375 groupBy string overloads; grammar from "
+    "ExpressionParser.scala re-implemented in table_api.py): "
+    "filter(\"l_quantity > 45 && l_returnflag === 'R'\").groupBy(...)."
+    "select(\"..., l_quantity.sum as sum_qty, ...\") — every parsed "
+    "expression lowers to a Catalyst Column, so pushdown/codegen apply "
+    "unchanged.",
+)
+def table_api_string_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    t = Table(table(spark, sf_dir, "lineitem"))
+    return (
+        t.filter("l_quantity > 45 && l_returnflag === 'R'")
+        .groupBy("l_linestatus")
+        .select(
+            "l_linestatus, l_quantity.sum as sum_qty, "
+            "l_extendedprice.avg as avg_price, l_orderkey.count as cnt"
+        )
+        .to_df()
+    )
+
+
+@register(
+    "table_api_string_expr_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           lower(l_returnflag) AS flag_lc
+    FROM lineitem
+    ORDER BY disc_price DESC, l_orderkey
+    LIMIT 5
+    """,
+    doc="String-expression projection + scalar suffix call + sort "
+    "markers (ExpressionParser suffixFunctionCall/suffixDesc): "
+    "select with arithmetic and upperCase(), orderBy(\"disc_price."
+    "desc, l_orderkey.asc\"), offset/fetch (table.scala:987,1009,1030).",
+)
+def table_api_string_expr_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    t = Table(table(spark, sf_dir, "lineitem"))
+    return (
+        t.select(
+            "l_orderkey, l_extendedprice * (1 - l_discount) as disc_price, "
+            "l_returnflag.lowerCase() as flag_lc"
+        )
+        .orderBy("disc_price.desc, l_orderkey.asc")
+        .fetch(5)
+        .to_df()
+    )

@@ -417,6 +417,72 @@ def text_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repeated_spans_char",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, substr(text, i, 50) AS span
+      FROM documents, UNNEST(range(1, length(text) - 48)) AS u(i)
+      WHERE length(text) >= 50
+    )
+    SELECT span, count(*) AS occ, count(DISTINCT doc_id) AS ndocs
+    FROM s GROUP BY span HAVING count(*) >= 2
+    """,
+    doc="CHARACTER-level exact-substring dedup detection — Lee et al. "
+    "2021's actual criterion (>= 50-char repeats, not token windows; "
+    "operators/dedup.py:repeated_char_spans).  Catches sub-10-token "
+    "repeats (long words, URLs, identifiers) the token-window variant "
+    "misses.  Hash pre-pass: the corpus-wide exchange carries "
+    "xxhash64(substr) only; survivors recount on text.",
+)
+def text_repeated_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import repeated_char_spans
+
+    d = table(spark, sf_dir, "documents")
+    return repeated_char_spans(d, "doc_id", "text", n=50, min_count=2)
+
+
+@register(
+    "text_repeated_char_intervals",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, i AS pos, text, substr(text, i, 50) AS span
+      FROM documents, UNNEST(range(1, length(text) - 48)) AS u(i)
+      WHERE length(text) >= 50
+    ), c AS (SELECT span FROM w GROUP BY span HAVING count(*) >= 2),
+    s AS (SELECT w.doc_id, w.pos, w.text FROM w JOIN c USING (span)),
+    b AS (
+      SELECT doc_id, pos, text,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 50
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    ), isl AS (
+      SELECT doc_id, pos, text,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM b
+    )
+    SELECT doc_id, min(pos) AS start_char, max(pos) + 49 AS end_char,
+           substr(text, min(pos)::INT, (max(pos) + 49 - min(pos) + 1)::INT) AS span
+    FROM isl GROUP BY doc_id, g, text
+    """,
+    doc="MAXIMAL repeated CHARACTER intervals (operators/dedup.py:"
+    "repeated_char_span_intervals): overlapping repeated 50-char windows "
+    "merged gaps-and-islands style to [start_char, end_char] per doc — "
+    "the suffix-array output shape of Lee et al. 2021 at char "
+    "granularity.  Survivor recount precedes the island merge, so hash "
+    "collisions cannot fuse unrelated intervals.",
+)
+def text_repeated_char_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        repeated_char_span_intervals,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return repeated_char_span_intervals(d, "doc_id", "text", n=50, min_count=2)
+
+
+@register(
     "text_lm_perplexity",
     oracle="""
     WITH toks AS (

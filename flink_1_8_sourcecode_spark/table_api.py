@@ -1,0 +1,603 @@
+"""Flink 1.8 Table-API STRING-EXPRESSION facade.
+
+Reference parity: the Java Table API's string-expression overloads —
+``table.select("a, b.count as cnt")`` / ``.filter("a > 5 && b === 'x'")``
+/ ``.groupBy("a")`` (flink-table/.../api/table.scala:162,318,375) — whose
+expression language is defined by ExpressionParser.scala (same module).
+This re-implements that grammar as a recursive-descent parser producing
+PySpark Columns, so the whole surface stays declarative: every parsed
+expression is a Catalyst expression, nothing executes in Python.
+
+Grammar (precedence low -> high, ExpressionParser.scala:430-560):
+
+    expression := logic ('as' ident)?
+    logic      := comparison (('&&' | '||') comparison)*
+    comparison := term (('===' '==' '=' '!==' '!=' '<>' '<=' '>=' '<' '>') term)?
+    term       := product (('+' | '-') product)*
+    product    := unary (('*' | '/' | '%') unary)*
+    unary      := ('!' | '-' | '+')? postfix
+    postfix    := atom ('.' suffixCall)*      -- a.count, a.upperCase(), a.cast(INT)
+    atom       := '(' expression ')' | literal | ident | '*'
+
+Unsupported 1.8 constructs (OVER windows in expressions, proctime/rowtime
+markers, time/row intervals like ``10.minutes``) raise with the offending
+text — they route through the dedicated operators instead
+(queries/over_windows.py, streaming/).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Table", "GroupedTable", "ExpressionParserException", "parse_expression"]
+
+
+class ExpressionParserException(ValueError):
+    """Parity with the reference's ExpressionParserException."""
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<str>'(?:[^'']|'')*')
+      | (?P<num>\d+\.\d+|\.\d+|\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<op>===|!==|==|!=|<>|<=|>=|&&|\|\||[-+*/%().,=<>!])
+    )""",
+    re.VERBOSE,
+)
+
+# suffix aggregates (ExpressionParser Call -> SQL agg) — sum0 is Flink's
+# null-as-zero sum
+_AGGS = {
+    "count": F.count,
+    "sum": F.sum,
+    "sum0": lambda c: F.coalesce(F.sum(c), F.lit(0)),
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddevpop": F.stddev_pop,
+    "stddevsamp": F.stddev_samp,
+    "varpop": F.var_pop,
+    "varsamp": F.var_samp,
+}
+
+# suffix scalar calls: Flink camelCase name (lowercased) -> builder
+_SCALARS = {
+    "uppercase": lambda c: F.upper(c),
+    "lowercase": lambda c: F.lower(c),
+    "charlength": lambda c: F.length(c),
+    "initcap": lambda c: F.initcap(c),
+    "trim": lambda c: F.trim(c),
+    "ltrim": lambda c: F.ltrim(c),
+    "rtrim": lambda c: F.rtrim(c),
+    "abs": lambda c: F.abs(c),
+    "exp": lambda c: F.exp(c),
+    "ln": lambda c: F.log(c),
+    "log10": lambda c: F.log10(c),
+    "log2": lambda c: F.log2(c),
+    "sqrt": lambda c: F.sqrt(c),
+    "floor": lambda c: F.floor(c),
+    "ceil": lambda c: F.ceil(c),
+    "sin": lambda c: F.sin(c),
+    "cos": lambda c: F.cos(c),
+    "tan": lambda c: F.tan(c),
+    "isnull": lambda c: c.isNull(),
+    "isnotnull": lambda c: c.isNotNull(),
+}
+
+_CAST_TYPES = {
+    "byte": "tinyint",
+    "tinyint": "tinyint",
+    "short": "smallint",
+    "smallint": "smallint",
+    "int": "int",
+    "integer": "int",
+    "long": "bigint",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "varchar": "string",
+    "decimal": "decimal(38,18)",
+    "date": "date",
+    "time": "string",  # Spark has no TIME type; closest printable form
+    "timestamp": "timestamp",
+}
+
+_UNSUPPORTED_SUFFIX = {
+    "over",
+    "proctime",
+    "rowtime",
+    "millis",
+    "milli",
+    "seconds",
+    "second",
+    "minutes",
+    "minute",
+    "hours",
+    "hour",
+    "days",
+    "day",
+    "weeks",
+    "week",
+    "months",
+    "month",
+    "quarters",
+    "quarter",
+    "years",
+    "year",
+    "rows",
+    "flatten",
+    "get",
+}
+
+
+def _is_int_lit(x) -> bool:
+    return isinstance(x, _Lit) and isinstance(x.value, int)
+
+
+def _as_py_int(x) -> int:
+    return x.value
+
+
+class _Lit:
+    """Wrapper so suffix calls can see literal python values before they
+    become Columns (e.g. round's scale must be a python int)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def col(self) -> Column:
+        return F.lit(self.value)
+
+
+class _Parsed:
+    """A parsed expression: the Column, aggregate usage, sort marker,
+    and the output name (explicit alias, or the bare field name)."""
+
+    def __init__(self, col, has_agg=False, sort=None, name=None, is_star=False):
+        self.col = col
+        self.has_agg = has_agg
+        self.sort = sort  # None | "asc" | "desc"
+        self.name = name
+        self.is_star = is_star
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks: list[tuple[str, str, int]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if m is None:
+                if text[pos:].strip() == "":
+                    break
+                raise ExpressionParserException(
+                    f"Could not parse expression at column {pos + 1}: "
+                    f"unexpected character {text[pos]!r} in {text!r}"
+                )
+            pos = m.end()
+            for kind in ("str", "num", "ident", "op"):
+                v = m.group(kind)
+                if v is not None:
+                    self.toks.append((kind, v, m.start()))
+                    break
+        self.i = 0
+        self.has_agg = False
+
+    # --- token helpers ----------------------------------------------
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None, len(self.text))
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def accept_op(self, *ops):
+        k, v, _ = self.peek()
+        if k == "op" and v in ops:
+            self.i += 1
+            return v
+        return None
+
+    def accept_kw(self, *kws):
+        k, v, _ = self.peek()
+        if k == "ident" and v.lower() in kws:
+            self.i += 1
+            return v.lower()
+        return None
+
+    def error(self, msg: str):
+        _, v, at = self.peek()
+        raise ExpressionParserException(
+            f"Could not parse expression at column {at + 1}: {msg} "
+            f"(near {v!r} in {self.text!r})"
+        )
+
+    # --- grammar ------------------------------------------------------
+    def parse_list(self) -> list[_Parsed]:
+        out = [self.parse_one()]
+        while self.accept_op(","):
+            out.append(self.parse_one())
+        if self.i < len(self.toks):
+            self.error("End of expression expected")
+        return out
+
+    def parse_one(self) -> _Parsed:
+        self.has_agg = False
+        col, name, sort, star = self.alias()
+        return _Parsed(col, has_agg=self.has_agg, sort=sort, name=name, is_star=star)
+
+    def alias(self):
+        col, name, sort, star = self.logic()
+        if self.accept_kw("as"):
+            k, v, _ = self.next()
+            if k != "ident":
+                self.error("alias name expected after 'as'")
+            return col.alias(v), v, sort, star
+        return col, name, sort, star
+
+    def logic(self):
+        col, name, sort, star = self.comparison()
+        while True:
+            op = self.accept_op("&&", "||")
+            if op is None:
+                return col, name, sort, star
+            rcol, _, _, _ = self.comparison()
+            col = (col & rcol) if op == "&&" else (col | rcol)
+            name, sort, star = None, None, False
+
+    def comparison(self):
+        col, name, sort, star = self.term()
+        op = self.accept_op("===", "==", "=", "!==", "!=", "<>", "<=", ">=", "<", ">")
+        if op is None:
+            return col, name, sort, star
+        rcol, _, _, _ = self.term()
+        if op in ("===", "==", "="):
+            return col == rcol, None, None, False
+        if op in ("!==", "!=", "<>"):
+            return col != rcol, None, None, False
+        return (
+            {"<": col < rcol, "<=": col <= rcol, ">": col > rcol, ">=": col >= rcol}[op],
+            None,
+            None,
+            False,
+        )
+
+    def term(self):
+        col, name, sort, star = self.product()
+        while True:
+            op = self.accept_op("+", "-")
+            if op is None:
+                return col, name, sort, star
+            rcol, _, _, _ = self.product()
+            col = col + rcol if op == "+" else col - rcol
+            name, sort, star = None, None, False
+
+    def product(self):
+        col, name, sort, star = self.unary()
+        while True:
+            op = self.accept_op("*", "/", "%")
+            if op is None:
+                return col, name, sort, star
+            rcol, _, _, _ = self.unary()
+            col = {"*": col * rcol, "/": col / rcol, "%": col % rcol}[op]
+            name, sort, star = None, None, False
+
+    def unary(self):
+        if self.accept_op("!"):
+            col, _, _, _ = self.postfix()
+            return ~col, None, None, False
+        if self.accept_op("-"):
+            col, _, _, _ = self.postfix()
+            return -col, None, None, False
+        self.accept_op("+")
+        return self.postfix()
+
+    def postfix(self):
+        node = self.atom()  # _Lit | (col, name, star)
+        sort = None
+        while self.accept_op("."):
+            k, fn, _ = self.next()
+            if k != "ident":
+                self.error("function name expected after '.'")
+            fnl = fn.lower()
+            if fnl in _UNSUPPORTED_SUFFIX:
+                raise NotImplementedError(
+                    f"string-expression construct .{fn} is not supported by the "
+                    "facade — use the dedicated operator module "
+                    "(over_windows/group_windows/streaming) instead"
+                )
+            node, sort = self._apply_suffix(node, fnl, fn)
+        if isinstance(node, _Lit):
+            return node.col(), None, sort, False
+        col, name, star = node
+        return col, name, sort, star
+
+    def _apply_suffix(self, node, fnl: str, fn: str):
+        """Apply one suffix call; returns (node, sort_marker)."""
+        base = node.col() if isinstance(node, _Lit) else node[0]
+        if fnl in ("asc", "desc"):
+            return (base.asc() if fnl == "asc" else base.desc(), None, False), fnl
+        if fnl == "cast":
+            if not self.accept_op("("):
+                self.error("'(' expected after cast")
+            k, ty, _ = self.next()
+            if k != "ident" or ty.lower() not in _CAST_TYPES:
+                self.error(f"unknown cast target {ty!r}")
+            if not self.accept_op(")"):
+                self.error("')' expected after cast type")
+            return (base.cast(_CAST_TYPES[ty.lower()]), None, False), None
+        if fnl == "as":
+            if not self.accept_op("("):
+                self.error("'(' expected after .as")
+            k, alias, _ = self.next()
+            if k != "ident":
+                self.error("alias name expected in .as()")
+            if not self.accept_op(")"):
+                self.error("')' expected after .as(name)")
+            return (base.alias(alias), alias, False), None
+        args = []
+        if self.accept_op("("):
+            if not self.accept_op(")"):
+                args.append(self._arg())
+                while self.accept_op(","):
+                    args.append(self._arg())
+                if not self.accept_op(")"):
+                    self.error("')' expected in call arguments")
+        if fnl in _AGGS:
+            if args:
+                self.error(f"aggregate .{fn} takes no arguments")
+            self.has_agg = True
+            return (_AGGS[fnl](base), None, False), None
+        if fnl in _SCALARS and not args:
+            return (_SCALARS[fnl](base), None, False), None
+        if fnl == "substring":
+            # Flink substring(start[, length]) is 1-based, same as Spark
+            cargs = [self._argcol(a) for a in args]
+            if len(cargs) == 1:
+                cargs.append(F.length(base))
+            return (base.substr(*cargs), None, False), None
+        if fnl == "power":
+            return (F.pow(base, self._argcol(args[0])), None, False), None
+        if fnl == "mod":
+            return (base % self._argcol(args[0]), None, False), None
+        if fnl == "round":
+            a0 = args[0]
+            if not _is_int_lit(a0):
+                self.error("round scale must be an integer literal")
+            return (F.round(base, a0.value), None, False), None
+        if fnl == "like":
+            a0 = args[0]
+            if not (isinstance(a0, _Lit) and isinstance(a0.value, str)):
+                self.error("like pattern must be a string literal")
+            return (base.like(a0.value), None, False), None
+        if fnl == "between":
+            return (
+                (base.between(self._argcol(args[0]), self._argcol(args[1])), None, False),
+                None,
+            )
+        if fnl == "in":
+            vals = [a.value if isinstance(a, _Lit) else a[0] for a in args]
+            return (base.isin(*vals), None, False), None
+        if fnl == "concat":
+            return (
+                (F.concat(base, *[self._argcol(a) for a in args]), None, False),
+                None,
+            )
+        raise ExpressionParserException(
+            f"Could not parse expression: unknown function .{fn} in {self.text!r}"
+        )
+
+    def _arg(self):
+        # a bare literal argument stays a _Lit so calls that need python
+        # values (round scale, like pattern) can see them
+        k, v, _ = self.peek()
+        nk, nv, _ = (
+            self.toks[self.i + 1] if self.i + 1 < len(self.toks) else (None, None, 0)
+        )
+        if k in ("num", "str") and (nk is None or (nk == "op" and nv in (",", ")"))):
+            self.i += 1
+            if k == "str":
+                return _Lit(v[1:-1].replace("''", "'"))
+            return _Lit(float(v) if "." in v else int(v))
+        col, name, sort, star = self.logic()
+        return (col, name, star)
+
+    def _argcol(self, a):
+        return a.col() if isinstance(a, _Lit) else a[0]
+
+    def atom(self):
+        if self.accept_op("("):
+            col, name, sort, star = self.logic()
+            if not self.accept_op(")"):
+                self.error("')' expected")
+            return (col, None, False)
+        k, v, at = self.peek()
+        if k == "str":
+            self.i += 1
+            return _Lit(v[1:-1].replace("''", "'"))
+        if k == "num":
+            self.i += 1
+            return _Lit(float(v) if "." in v else int(v))
+        if k == "ident":
+            self.i += 1
+            low = v.lower()
+            if low == "true":
+                return _Lit(True)
+            if low == "false":
+                return _Lit(False)
+            if low == "null":
+                if self.accept_op("("):
+                    kk, ty, _ = self.next()
+                    if kk != "ident" or ty.lower() not in _CAST_TYPES:
+                        self.error(f"unknown Null type {ty!r}")
+                    if not self.accept_op(")"):
+                        self.error("')' expected after Null(TYPE)")
+                    return (F.lit(None).cast(_CAST_TYPES[ty.lower()]), None, False)
+                return (F.lit(None), None, False)
+            return (F.col(v), v, False)
+        if k == "op" and v == "*":
+            self.i += 1
+            return (F.col("*"), "*", True)
+        self.error("Composite expression expected")
+
+
+def parse_expression(text: str) -> Column:
+    """Parse ONE Flink string expression to a PySpark Column."""
+    return _Parser(text).parse_one().col
+
+
+def _parse_list(text: str) -> list[_Parsed]:
+    return _Parser(text).parse_list()
+
+
+class Table:
+    """String-expression Table facade over a DataFrame — the reference's
+    ``Table`` with its String overloads (table.scala:162 select, :289 as,
+    :318 filter, :347 where, :375 groupBy, :422 join, :987 orderBy,
+    :1009 offset, :1030 fetch).  ``.df`` is always available: the facade
+    builds plain DataFrames, so every Catalyst optimization applies
+    unchanged."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # --- projection / filter -----------------------------------------
+    def select(self, fields: str) -> "Table":
+        parsed = _parse_list(fields)
+        if any(p.has_agg for p in parsed):
+            # ungrouped select with aggregates = global aggregate; mixing
+            # bare fields in is invalid (reference ProjectionTranslator
+            # rejects it the same way)
+            bare = [p for p in parsed if not p.has_agg]
+            if bare:
+                raise ExpressionParserException(
+                    "cannot mix aggregates and non-aggregated fields in an "
+                    "ungrouped select(); groupBy() first"
+                )
+            return Table(self.df.agg(*[p.col for p in parsed]))
+        return Table(self.df.select(*[p.col for p in parsed]))
+
+    def filter(self, predicate: str) -> "Table":
+        p = _Parser(predicate).parse_one()
+        if p.has_agg:
+            raise ExpressionParserException("aggregates are not allowed in filter()")
+        return Table(self.df.filter(p.col))
+
+    def where(self, predicate: str) -> "Table":
+        return self.filter(predicate)
+
+    def as_(self, fields: str) -> "Table":
+        names = [f.strip() for f in fields.split(",")]
+        if len(names) != len(self.df.columns) or not all(
+            re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", n) for n in names
+        ):
+            raise ExpressionParserException(
+                f"as() needs exactly {len(self.df.columns)} plain field names, "
+                f"got {fields!r}"
+            )
+        return Table(self.df.toDF(*names))
+
+    # --- grouping ------------------------------------------------------
+    def groupBy(self, fields: str) -> "GroupedTable":
+        parsed = _parse_list(fields)
+        if any(p.has_agg or p.sort for p in parsed):
+            raise ExpressionParserException("groupBy() takes plain grouping expressions")
+        return GroupedTable(self.df, parsed)
+
+    def distinct(self) -> "Table":
+        return Table(self.df.distinct())
+
+    # --- joins -----------------------------------------------------------
+    def join(self, right: "Table", predicate: str | None = None) -> "Table":
+        if predicate is None:
+            return Table(self.df.crossJoin(right.df))
+        return Table(self.df.join(right.df, parse_expression(predicate), "inner"))
+
+    def leftOuterJoin(self, right: "Table", predicate: str) -> "Table":
+        return Table(self.df.join(right.df, parse_expression(predicate), "left"))
+
+    def rightOuterJoin(self, right: "Table", predicate: str) -> "Table":
+        return Table(self.df.join(right.df, parse_expression(predicate), "right"))
+
+    def fullOuterJoin(self, right: "Table", predicate: str) -> "Table":
+        return Table(self.df.join(right.df, parse_expression(predicate), "full"))
+
+    # --- set ops ---------------------------------------------------------
+    def union(self, right: "Table") -> "Table":
+        return Table(self.df.unionByName(right.df).distinct())
+
+    def unionAll(self, right: "Table") -> "Table":
+        return Table(self.df.unionByName(right.df))
+
+    def minus(self, right: "Table") -> "Table":
+        return Table(self.df.exceptAll(right.df).distinct())
+
+    def minusAll(self, right: "Table") -> "Table":
+        return Table(self.df.exceptAll(right.df))
+
+    def intersect(self, right: "Table") -> "Table":
+        return Table(self.df.intersect(right.df))
+
+    def intersectAll(self, right: "Table") -> "Table":
+        return Table(self.df.intersectAll(right.df))
+
+    # --- sort / limit ------------------------------------------------------
+    def orderBy(self, fields: str) -> "Table":
+        parsed = _parse_list(fields)
+        return Table(self.df.orderBy(*[p.col for p in parsed]))
+
+    def offset(self, n: int) -> "Table":
+        return Table(self.df.offset(n))
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self.df.limit(n))
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+
+class GroupedTable:
+    """GroupedTable.select (table.scala:1285/1314): grouping keys pass
+    through, everything else must aggregate."""
+
+    def __init__(self, df: DataFrame, keys: list[_Parsed]):
+        self._df = df
+        self._keys = keys
+
+    def select(self, fields: str) -> Table:
+        parsed = _parse_list(fields)
+        key_names = {p.name for p in self._keys if p.name}
+        aggs = []
+        for p in parsed:
+            if p.has_agg:
+                aggs.append(p.col)
+            elif p.name in key_names:
+                continue  # grouping key passthrough — already in groupBy
+            else:
+                raise ExpressionParserException(
+                    f"expression {p.name or '<computed>'!r} is neither a "
+                    "grouping key nor an aggregate"
+                )
+        grouped = self._df.groupBy(*[p.col for p in self._keys])
+        out = grouped.agg(*aggs) if aggs else self._df.select(
+            *[p.col for p in self._keys]
+        ).distinct()
+        # project to the caller's field order / selection
+        names = []
+        agg_i = 0
+        out_agg_names = [c for c in out.columns if c not in {p.name for p in self._keys}]
+        for p in parsed:
+            if p.has_agg:
+                names.append(out_agg_names[agg_i])
+                agg_i += 1
+            else:
+                names.append(p.name)
+        return Table(out.select(*names))

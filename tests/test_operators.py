@@ -967,6 +967,167 @@ class TestRepeatedSpanIntervals:
         assert got == {1: "keepa keepb", 2: "keepc", 3: "no repeats here at all"}
 
 
+class TestRepeatedCharSpans:
+    """Character-granularity exact-substring dedup (Lee et al. 2021's
+    actual >= 50-char criterion) vs the 10-token-window approximation."""
+
+    def test_catches_sub_10_token_repeat_token_windows_miss(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            repeated_char_spans,
+            repeated_ngram_spans,
+        )
+
+        # 3 tokens, 110 chars: a >= 50-char repeat with FEWER than 10
+        # tokens — never forms a 10-token window, always forms 50-char
+        # windows.
+        rep = (
+            "supercalifragilisticexpialidocious"
+            " pneumonoultramicroscopicsilicovolcanoconiosis"
+            " floccinaucinihilipilification"
+        )
+        assert len(rep) >= 50 and len(rep.split()) < 10
+        d = spark.createDataFrame(
+            [(1, rep + " tail one"), (2, rep + " other tail"), (3, "unrelated")],
+            "doc_id long, text string",
+        )
+        token_hits = repeated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+        assert token_hits.count() == 0
+        char_hits = repeated_char_spans(d, "doc_id", "text", n=50, min_count=2)
+        rows = char_hits.collect()
+        assert len(rows) > 0
+        assert all(len(r["span"]) == 50 and r["occ"] >= 2 for r in rows)
+        assert any(r["ndocs"] == 2 for r in rows)
+
+    def test_short_and_unique_docs_produce_nothing(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import repeated_char_spans
+
+        d = spark.createDataFrame(
+            [(1, "short"), (2, "x" * 49), (3, "a" * 60), (4, "b" * 60)],
+            "doc_id long, text string",
+        )
+        # docs 3/4 are 60-char runs of DIFFERENT chars: no cross-doc
+        # repeat, but each has 11 identical windows WITHIN itself
+        out = {r["span"]: r["occ"] for r in
+               repeated_char_spans(d, "doc_id", "text", n=50, min_count=2).collect()}
+        assert out == {"a" * 50: 11, "b" * 50: 11}
+
+    def test_intervals_merge_to_maximal_char_repeat(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            repeated_char_span_intervals,
+        )
+
+        rep = "0123456789" * 7  # 70-char shared prefix
+        d = spark.createDataFrame(
+            [(1, rep + " then unique tail alpha"), (2, rep + " and another beta")],
+            "doc_id long, text string",
+        )
+        iv = repeated_char_span_intervals(d, "doc_id", "text", n=50, min_count=2)
+        rows = {(r["doc_id"], r["start_char"], r["end_char"]): r["span"]
+                for r in iv.collect()}
+        # the shared region extends past the literal prefix by the one
+        # following space both docs share (70+1 chars), then diverges
+        assert set(rows) == {(1, 1, 71), (2, 1, 71)}
+        assert all(v == rep + " " for v in rows.values())
+
+
+class TestConnectedComponentsJump:
+    """Pointer-jumping CC: same fixed point as the delta iteration in
+    O(log d) rounds."""
+
+    def test_matches_delta_on_random_graph(self, spark):
+        import random
+
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        rng = random.Random(11)
+        n = 140
+        v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        e = spark.createDataFrame(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(100)],
+            "src long, dst long",
+        )
+        g = Graph(v, e)
+        a = {r.id: r.component for r in g.connected_components(max_iterations=60).collect()}
+        b = {r.id: r.component for r in g.connected_components_jump().collect()}
+        assert a == b
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        n = 64  # diameter 63: delta needs 63 supersteps, jump must not
+        v = spark.range(n).select("id")
+        e = spark.range(n - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        out = Graph(v, e).connected_components_jump(max_iterations=10).collect()
+        assert {r.component for r in out} == {0} and len(out) == n
+
+    def test_isolated_vertices_keep_own_label(self, spark):
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        v = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        got = {r.id: r.component for r in Graph(v, e).connected_components_jump().collect()}
+        assert got == {1: 1, 2: 1, 9: 9}
+
+
+class TestNNDescent:
+    """NN-Descent k-NN graph (Dong et al. 2011): recall floor vs exact
+    brute force, determinism, degenerate inputs."""
+
+    def test_recall_floor_and_determinism(self, spark):
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            cosine_topk,
+            nn_descent_knn_graph,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # registry config (sim_knn_graph): k=10, default build_factor 2.0.
+        # Recall is k-sensitive — k=5 at the default over-build lands
+        # ~0.85 (raise build_factor to 3.0 for fine-k uses)
+        k = 10
+        g1 = nn_descent_knn_graph(
+            emb, "vec_id", "embedding", k=k, max_iterations=6
+        ).collect()
+        exact = cosine_topk(emb, emb, "vec_id", "embedding", "vec_id", k=k).collect()
+        approx = {(r["vec_id"], r["neighbor_id"]) for r in g1}
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        recall = len(approx & truth) / len(truth)
+        assert recall >= 0.9, f"recall {recall:.3f} below floor"
+        # every node has exactly k ranked neighbors, no self loops
+        assert len(g1) == emb.count() * k
+        assert all(r["vec_id"] != r["neighbor_id"] for r in g1)
+        g2 = nn_descent_knn_graph(
+            emb, "vec_id", "embedding", k=k, max_iterations=6
+        ).collect()
+        assert approx == {(r["vec_id"], r["neighbor_id"]) for r in g2}
+
+    def test_tiny_corpus_is_exact(self, spark):
+        """With cap >= N the candidate join covers every pair after one
+        round — the descent must land on the exact graph."""
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            cosine_topk,
+            nn_descent_knn_graph,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(12)
+        g = nn_descent_knn_graph(emb, "vec_id", "embedding", k=3, max_iterations=4)
+        exact = cosine_topk(emb, emb, "vec_id", "embedding", "vec_id", k=3)
+        assert {(r["vec_id"], r["neighbor_id"]) for r in g.collect()} == {
+            (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+        }
+
+    def test_single_point_empty_graph(self, spark):
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            nn_descent_knn_graph,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(1)
+        assert nn_descent_knn_graph(emb, "vec_id", "embedding", k=3).count() == 0
+
+
 def test_resize_image_stats_nn_rule(spark):
     """NN resize picks src = floor(dst*src/target): identity at
     target == src dims; known pixel subset at target = src/2."""

@@ -1,0 +1,217 @@
+"""Flink 1.8 Table-API string-expression facade (table_api.py).
+
+Reference parity: the String overloads of select/filter/groupBy/orderBy
+(flink-table/.../api/table.scala:162,318,375,987) and the expression
+grammar of ExpressionParser.scala.  Every test checks the facade against
+the equivalent hand-built DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.table_api import (
+    ExpressionParserException,
+    Table,
+    parse_expression,
+)
+
+
+@pytest.fixture()
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _same(a, b):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb, (ra[:3], rb[:3])
+
+
+class TestExpressionGrammar:
+    def test_precedence_product_over_term(self, spark, li):
+        _same(
+            Table(li).select("l_quantity + l_tax * 2 as v").df,
+            li.select((F.col("l_quantity") + F.col("l_tax") * 2).alias("v")),
+        )
+
+    def test_triple_equals_and_logic(self, spark, li):
+        _same(
+            Table(li).filter("l_returnflag === 'R' && l_quantity > 30").df,
+            li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)),
+        )
+
+    def test_all_equality_spellings_agree(self, spark, li):
+        base = Table(li).filter("l_linestatus = 'O'").df.count()
+        assert Table(li).filter("l_linestatus == 'O'").df.count() == base
+        assert Table(li).filter("l_linestatus === 'O'").df.count() == base
+        ne = Table(li).filter("l_linestatus <> 'O'").df.count()
+        assert Table(li).filter("l_linestatus != 'O'").df.count() == ne
+        assert Table(li).filter("l_linestatus !== 'O'").df.count() == ne
+
+    def test_unary_not_and_parens(self, spark, li):
+        _same(
+            Table(li).filter("!(l_quantity > 10 || l_tax > 0.05)").df,
+            li.filter(~((F.col("l_quantity") > 10) | (F.col("l_tax") > 0.05))),
+        )
+
+    def test_scalar_suffix_calls(self, spark, li):
+        _same(
+            Table(li)
+            .select("l_returnflag.lowerCase() as lc, l_extendedprice.sqrt() as sq")
+            .df,
+            li.select(
+                F.lower("l_returnflag").alias("lc"),
+                F.sqrt("l_extendedprice").alias("sq"),
+            ),
+        )
+
+    def test_cast_and_round_and_substring(self, spark, li):
+        _same(
+            Table(li)
+            .select(
+                "l_quantity.cast(INT) as qi, l_tax.round(1) as t1, "
+                "l_returnflag.substring(1, 1) as rf"
+            )
+            .df,
+            li.select(
+                F.col("l_quantity").cast("int").alias("qi"),
+                F.round("l_tax", 1).alias("t1"),
+                F.col("l_returnflag").substr(F.lit(1), F.lit(1)).alias("rf"),
+            ),
+        )
+
+    def test_null_literal_and_boolean(self, spark, li):
+        out = Table(li).select("Null(STRING) as s, true as t").df.limit(1).collect()
+        assert out[0]["s"] is None and out[0]["t"] is True
+
+    def test_between_in_like(self, spark, li):
+        _same(
+            Table(li).filter("l_quantity.between(10, 20)").df,
+            li.filter(F.col("l_quantity").between(10, 20)),
+        )
+        _same(
+            Table(li).filter("l_linestatus.in('O')").df,
+            li.filter(F.col("l_linestatus").isin("O")),
+        )
+        _same(
+            Table(li).filter("l_returnflag.like('R%')").df,
+            li.filter(F.col("l_returnflag").like("R%")),
+        )
+
+
+class TestTableOps:
+    def test_grouped_select_with_aggregates(self, spark, li):
+        got = (
+            Table(li)
+            .groupBy("l_returnflag, l_linestatus")
+            .select(
+                "l_returnflag, l_linestatus, l_quantity.sum as sum_qty, "
+                "l_extendedprice.avg as avg_price, l_orderkey.count as cnt"
+            )
+            .df
+        )
+        want = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("l_orderkey").alias("cnt"),
+        )
+        _same(got, want)
+
+    def test_ungrouped_global_aggregate(self, spark, li):
+        got = Table(li).select("l_quantity.sum as s, l_orderkey.count as c").df
+        want = li.agg(
+            F.sum("l_quantity").alias("s"), F.count("l_orderkey").alias("c")
+        )
+        _same(got, want)
+
+    def test_orderby_sort_markers_offset_fetch(self, spark, li):
+        got = (
+            Table(li)
+            .select("l_orderkey, l_extendedprice")
+            .orderBy("l_extendedprice.desc, l_orderkey.asc")
+            .offset(2)
+            .fetch(3)
+            .df.collect()
+        )
+        want = (
+            li.select("l_orderkey", "l_extendedprice")
+            .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"))
+            .offset(2)
+            .limit(3)
+            .collect()
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_join_with_string_predicate(self, spark, sf_dir):
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        got = (
+            Table(o)
+            .join(Table(c), "o_custkey === c_custkey")
+            .select("o_orderkey, c_name")
+            .df
+        )
+        want = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey", "c_name"
+        )
+        _same(got, want)
+
+    def test_as_renames_all_columns(self, spark, li):
+        t = Table(li.select("l_orderkey", "l_quantity")).as_("k, q")
+        assert t.df.columns == ["k", "q"]
+        with pytest.raises(ExpressionParserException):
+            Table(li.select("l_orderkey", "l_quantity")).as_("only_one")
+
+    def test_setops_match_dataframe(self, spark, li):
+        a = Table(li.select("l_returnflag"))
+        b = Table(li.filter("l_returnflag = 'R'").select("l_returnflag"))
+        _same(a.minus(b).df, li.select("l_returnflag").exceptAll(
+            li.filter(F.col("l_returnflag") == "R").select("l_returnflag")
+        ).distinct())
+        _same(a.intersect(b).df,
+              li.select("l_returnflag").intersect(
+                  li.filter(F.col("l_returnflag") == "R").select("l_returnflag")))
+
+
+class TestRejections:
+    """ExpressionParser parity: malformed input raises a parser error
+    naming the position, never an opaque Spark analysis error."""
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "a +",
+            "a .. b",
+            "a as 5",
+            "a ; b",
+            "x.cast(NOT_A_TYPE)",
+            "a.round(b)",  # non-literal scale
+            "",
+        ],
+    )
+    def test_malformed_expressions(self, spark, bad):
+        with pytest.raises(ExpressionParserException):
+            parse_expression(bad)
+
+    def test_unknown_function_named(self, spark):
+        with pytest.raises(ExpressionParserException, match="unknownFn"):
+            parse_expression("x.unknownFn()")
+
+    def test_unsupported_constructs_gate_loudly(self, spark):
+        for expr in ("a.over(w)", "ts.rowtime", "10.minutes"):
+            with pytest.raises(NotImplementedError):
+                parse_expression(expr)
+
+    def test_mixed_agg_and_field_ungrouped_rejected(self, spark, li):
+        with pytest.raises(ExpressionParserException, match="groupBy"):
+            Table(li).select("l_orderkey, l_quantity.sum")
+
+    def test_aggregate_in_filter_rejected(self, spark, li):
+        with pytest.raises(ExpressionParserException, match="aggregate"):
+            Table(li).filter("l_quantity.sum > 5")
+
+    def test_nonkey_nonagg_in_grouped_select_rejected(self, spark, li):
+        with pytest.raises(ExpressionParserException):
+            Table(li).groupBy("l_returnflag").select("l_orderkey")
