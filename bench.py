@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SECONDARY = (
     "window_delta_trigger",
     "graph_connected_components",
+    "graph_cc_logrounds",
     "graph_pagerank",
     "sim_topk_gemm",
     "pipeline_curate_corpus",
@@ -34,6 +35,7 @@ SECONDARY = (
     "sim_topk_ivfpq",
     "dedup_semantic",
     "text_repeated_spans",
+    "text_repeated_spans_char",
     "text_strip_repeated_spans",
     "pipeline_decontaminate_fuzzy",
     "text_lm_perplexity",

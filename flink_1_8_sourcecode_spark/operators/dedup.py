@@ -908,17 +908,20 @@ def repeated_char_span_intervals(
     the corpus).
     """
     with_text = _char_window_sites(docs, id_col, text_col, n, min_count)
+    # drop the full text BEFORE the survivor exchanges: the span window
+    # and island merge then carry (id, pos, 50-char span) / (id, pos)
+    # rows, never whole documents — same discipline as the token
+    # variant; the final interval slice joins docs exactly once
     span_rows = with_text.select(
         "__id",
         "__pos",
-        "__text",
         F.col("__text").substr(F.col("__pos"), F.lit(n)).alias("__span"),
     )
     wspan = Window.partitionBy("__span")
     sites = (
         span_rows.withColumn("__occ", F.count(F.lit(1)).over(wspan))
         .filter(F.col("__occ") >= min_count)
-        .select("__id", "__pos", "__text")
+        .select("__id", "__pos")
     )
     wdoc = Window.partitionBy("__id").orderBy("__pos")
     isl = (
@@ -931,16 +934,23 @@ def repeated_char_span_intervals(
         )
         .withColumn("__isl", F.sum("__new").over(wdoc))
     )
-    return isl.groupBy("__id", "__isl", "__text").agg(
+    groups = isl.groupBy("__id", "__isl").agg(
         F.min("__pos").alias("start_char"),
         (F.max("__pos") + (n - 1)).alias("end_char"),
-    ).select(
-        F.col("__id").alias(id_col),
-        "start_char",
-        "end_char",
-        F.col("__text")
-        .substr(F.col("start_char"), F.col("end_char") - F.col("start_char") + 1)
-        .alias("span"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .join(groups, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            "start_char",
+            "end_char",
+            F.col("__text")
+            .substr(
+                F.col("start_char"), F.col("end_char") - F.col("start_char") + 1
+            )
+            .alias("span"),
+        )
     )
 
 
@@ -1219,3 +1229,71 @@ def incremental_dedup(
             .alias("decision"),
         )
     )
+
+
+def strip_repeated_char_spans_keep_first(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_count: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Lee et al. 2021's dedup ACTION at char granularity, KEEP-ONE
+    variant (the paper keeps a single occurrence of each duplicated
+    substring): compute maximal repeated char intervals, elect one
+    keeper occurrence per distinct interval text (smallest (doc, start)
+    — deterministic), and cut every OTHER occurrence out of its
+    document; the keeper document keeps its text for that span.
+
+    Returns ``(id, out_col)`` for every input document.
+
+    Occurrences are grouped by EXACT maximal-interval text: when the
+    same underlying repeat extends differently in different documents
+    (a shared suffix with one subset, not another), each distinct
+    maximal extension elects its own keeper — a deterministic,
+    shuffle-friendly approximation of the paper's suffix-array
+    clustering that can retain one extra copy per extension variant.
+
+    Scale: intervals are the (tiny) survivor relation; keeper election
+    is one window over intervals grouped by span text; the cut is a
+    per-doc sorted-interval fold — a JVM `aggregate` HOF over the
+    collected removal list (maximal intervals within a doc are disjoint
+    by construction, so a single left-to-right fold reconstructs the
+    kept text in one pass, no Python, no extra exchange beyond one
+    doc-keyed groupBy of interval rows).
+    """
+    iv = repeated_char_span_intervals(
+        docs, id_col, text_col, n=n, min_count=min_count
+    )
+    wk = Window.partitionBy("span").orderBy(F.col(id_col).asc(), F.col("start_char").asc())
+    losers = (
+        iv.withColumn("__keep_rank", F.row_number().over(wk))
+        .filter(F.col("__keep_rank") > 1)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.struct(
+                F.col("start_char").alias("s"), F.col("end_char").alias("e")
+            ).alias("__iv"),
+        )
+    )
+    rm = losers.groupBy("__id").agg(F.sort_array(F.collect_list("__iv")).alias("__rm"))
+    base = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    joined = base.join(rm, "__id", "left")
+    txt = F.col("__text")
+    # fold: carry (next-uncut-position, accumulated-kept-text); each
+    # removal interval appends the gap before it and jumps past it
+    cut = F.aggregate(
+        F.coalesce(F.col("__rm"), F.array().cast("array<struct<s:bigint,e:bigint>>")),
+        F.struct(F.lit(1).cast("bigint").alias("pos"), F.lit("").alias("acc")),
+        lambda acc, i: F.struct(
+            (i["e"] + 1).alias("pos"),
+            F.concat(
+                acc["acc"], txt.substr(acc["pos"], i["s"] - acc["pos"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], txt.substr(acc["pos"], F.length(txt) - acc["pos"] + 1)
+        ),
+    )
+    return joined.select(F.col("__id").alias(id_col), cut.alias(out_col))

@@ -169,6 +169,7 @@ def pack_sequences(
     id_col: str,
     token_count_col: Column,
     seq_len: int,
+    order_by: list[Column] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in a
     deterministic (md5-hash, id) stream per source and chunked into
@@ -181,14 +182,19 @@ def pack_sequences(
     standard concat-and-chunk semantics; downstream tokenization splits
     it there).  Returns ``df`` + (seq_id, seq_offset, n_tokens).
 
+    ``order_by`` overrides the stream order (e.g. a quality score for
+    curriculum layouts); the default md5-hash order is the shuffled-
+    corpus layout.  The id column is always the final tiebreak.
+
     One shuffle on the source; the layout is a per-source cumulative
     sum (window), parallel across sources, reproducible across engines.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    order = list(order_by) if order_by is not None else [hash_key(F.col(id_col))]
     w = (
         Window.partitionBy(source_col)
-        .orderBy(hash_key(F.col(id_col)), F.col(id_col))
+        .orderBy(*order, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # compute the stream offset ONCE (a second window expression would
@@ -363,4 +369,34 @@ def weighted_upsample(
         .filter(F.col("__n_copies") > 0)
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
         .drop("__n_copies")
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-key CAP: keep at most ``k`` rows per key, the
+    k lowest salted-md5 ids — a distributed reservoir sample whose
+    "reservoir" is the hash order, so the same rows win on every run,
+    every engine, and every retry (a true random reservoir is
+    order-dependent and irreproducible under Spark task retries).
+
+    The standard over-represented-source guard in training-data mixing
+    (cap each domain / source / user at k documents).  One shuffle
+    (hash partition on the key) + a per-key window rank; rank stops
+    scanning at k per key under whole-stage codegen, and a skewed key
+    bounds one task only — for billions-per-key pathologies, pre-filter
+    with a coarse ``hash_split`` predicate first (map-only) and cap the
+    survivors.
+    """
+    h = hash_key(F.col(id_col), salt)
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -1139,11 +1139,13 @@ def nn_descent_knn_graph(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
     # dense 0..N-1 rank: makes the seed graph expressible as modular
-    # strides regardless of the id domain (one global window over ids —
-    # a one-time N-row sort, the same cost class as zipWithIndex)
-    idx = base.select(
-        "__id", (F.row_number().over(Window.orderBy("__id")) - 1).alias("__idx")
-    )
+    # strides regardless of the id domain.  zip_with_index is the
+    # DISTRIBUTED two-pass assignment (range-partition + broadcast
+    # offsets) — a global row_number window would funnel every row
+    # through one partition at cluster scale
+    from flink_1_8_sourcecode_spark.operators.partitioning import zip_with_index
+
+    idx = zip_with_index(base.select("__id"), ["__id"], id_col="__idx")
     n = idx.count()
     if n <= 1:
         return base.select(
@@ -1237,6 +1239,123 @@ def nn_descent_knn_graph(
     return final.filter(F.col("__rk") <= k).select(
         F.col("__id").alias(id_col),
         F.col("__nbr").alias("neighbor_id"),
+        F.col("__cos").alias("cosine"),
+        F.col("__rk").alias("rank"),
+    )
+
+
+def knn_graph_search(
+    graph: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 10,
+    beam_width: int = 20,
+    max_hops: int = 6,
+    entry_points: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Greedy BEAM SEARCH over a k-NN graph (the query path of
+    graph-based ANN — the HNSW/NSG search procedure on a flat graph;
+    public algorithm family): start every query at fixed entry nodes,
+    repeatedly expand the current beam's graph neighbors, keep the
+    ``beam_width`` best by cosine, stop when the beam stops improving
+    (or after ``max_hops``), return each query's top ``k``.
+
+    ``graph`` is an edge list (id_col, neighbor_id) — e.g. the output
+    of :func:`nn_descent_knn_graph`.  Fully deterministic: entry points
+    are the ``entry_points`` smallest corpus ids, expansion and ranking
+    tie-break on node id.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+
+    Scale: per hop, ONE shuffle — the beam (|Q| x beam_width rows of
+    16 bytes) joins the edge list on the frontier node; scoring joins
+    the (bounded) candidate set to the vector table and ranks inside a
+    per-query window of <= beam_width * k_graph rows.  The corpus is
+    never scanned per query — that is the whole point of graph ANN vs
+    brute force: I/O is proportional to beam x degree x hops, not |C|.
+    The beam is eagerly truncated every hop (tiny working set, same
+    lineage discipline as nn_descent).  Convergence is an aggregate
+    beam-signature comparison, one tiny job per hop.
+    """
+    from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+
+    edges = graph.select(
+        F.col(id_col).alias("__node"), F.col("neighbor_id").alias("__nbr")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    entries = (
+        corpus.select(F.col(id_col).alias("__cid"))
+        .orderBy("__cid")
+        .limit(entry_points)
+    )
+    # deliberate broadcast cartesian: |Q| x entry_points seed rows
+    beam = qvec.select("query_id").crossJoin(F.broadcast(entries))
+
+    def _score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(cvec, "__cid")
+            .join(qvec, "query_id")
+            .select(
+                "query_id",
+                "__cid",
+                cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            )
+        )
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("__cid"))
+    scored = truncate_lineage(
+        _score(beam).withColumn("__rk", F.row_number().over(wq)).filter(
+            F.col("__rk") <= beam_width
+        ),
+        eager=True,
+    )
+    prev_sig = None
+    for _hop in range(max_hops):
+        frontier = (
+            scored.select("query_id", F.col("__cid").alias("__node"))
+            .join(edges, "__node")
+            .select("query_id", F.col("__nbr").alias("__cid"))
+        )
+        cand = (
+            frontier.unionByName(scored.select("query_id", "__cid")).distinct()
+        )
+        known = scored.select("query_id", "__cid", "__cos")
+        fresh = _score(cand.join(known.select("query_id", "__cid"), ["query_id", "__cid"], "left_anti"))
+        nxt = (
+            known.unionByName(fresh)
+            .withColumn("__rk", F.row_number().over(wq))
+            .filter(F.col("__rk") <= beam_width)
+        )
+        scored = truncate_lineage(nxt, eager=True)
+        # beam signature: order-insensitive (count, xor of member hashes)
+        sig = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(query_id, __cid))").alias("h"),
+        ).first()
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    final = scored
+    if exclude_self:
+        # the query's own corpus row may ride the beam (it helps
+        # navigation); drop it from the ANSWER and re-rank
+        final = (
+            scored.filter(F.col("__cid") != F.col("query_id"))
+            .withColumn("__rk", F.row_number().over(wq))
+        )
+    return final.filter(F.col("__rk") <= k).select(
+        "query_id",
+        F.col("__cid").alias("neighbor_id"),
         F.col("__cos").alias("cosine"),
         F.col("__rk").alias("rank"),
     )

@@ -1003,3 +1003,113 @@ def langid_confusion(
         full.groupBy(F.col("__lang").alias(lang_col), "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# Default PII MASKS: ordered (pattern, replacement) pairs applied left
+# to right — the multi-mask, typed-sentinel counterpart of the single-
+# pattern ``scrub``/``PII_PATTERNS`` helpers above.  Patterns stay
+# inside the Java-regex / RE2 COMMON dialect (no lookaround, no
+# backrefs) so the same strings drive Spark and any RE2-based engine
+# identically.
+PII_MASKS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<CARDNUM>"),
+    (r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: "DataFrame",
+    text_col: str,
+    out_col: str = "scrubbed",
+    patterns: list[tuple[str, str]] | None = None,
+    count_col: str | None = "n_masked",
+) -> "DataFrame":
+    """Mask PII-shaped spans (emails, IPv4s, card-length digit runs,
+    phone-shaped digit groups) — the standard pre-training scrub pass.
+    Map-only: a chain of ``regexp_replace`` Columns, one scan, no
+    shuffle, whole-stage codegen; at 100 TB this runs at parquet-read
+    speed.  ``count_col`` (optional) reports how many masks landed per
+    row — the audit column a scrub job logs.
+
+    Pattern order matters (earlier masks eat their text before later
+    patterns see it); the defaults are ordered most-specific first.
+    Extends the reference-surface text functions (SURVEY §2.16 text
+    analysis) with the redaction step of a training-data pipeline.
+    """
+    pats = PII_MASKS if patterns is None else patterns
+    col = F.col(text_col)
+    for pat, repl in pats:
+        col = F.regexp_replace(col, pat, repl)
+    out = df.withColumn(out_col, col)
+    if count_col is not None:
+        n = F.lit(0)
+        for _pat, repl in pats:
+            # masks are literal sentinels, so counting them post-scrub is
+            # exact (size(split(s, lit)) - 1), still map-only
+            n = n + F.size(F.split(F.col(out_col), repl, -1)) - 1
+        out = out.withColumn(count_col, n.cast("int"))
+    return out
+
+
+def certified_heavy_hitters(
+    df: "DataFrame",
+    item_col: str,
+    k_capacity: int = 256,
+    count_col: str = "cnt",
+) -> "DataFrame":
+    """EXACT heavy hitters with bounded memory: every item whose global
+    frequency exceeds N / ``k_capacity``, with its exact count —
+    Misra-Gries candidate generation (public classic; summaries merged
+    per the mergeable-summaries result of Agarwal et al. 2012) followed
+    by an exact recount of the candidate set.
+
+    Why not a plain groupBy-count: at 100 TB an open-domain item column
+    (URLs, user ids, shingles) has a key space that makes the full
+    count exchange the dominant cost when only the heavy tail matters.
+    Here pass 1 is map-only: each partition keeps <= ``k_capacity``
+    decremented counters (per-Arrow-batch ``value_counts`` — vectorized,
+    no per-row Python — merged under the MG decrement rule), emitting
+    <= k_capacity candidate rows per partition.  The pigeonhole
+    guarantee makes the union COMPLETE: a global count > N/k implies a
+    local count > n_p/k in at least one partition, and MG never drops
+    such an item.  Pass 2 semi-joins the corpus against the broadcast
+    candidates and exactly recounts ONLY them — the exchange is bounded
+    by |candidates| x partitions, never the key space.  The final
+    filter re-applies the exact threshold, so false candidates are
+    harmless and the output is exactly { item : cnt > N/k }.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    col = df.select(F.col(item_col).alias("__item"))
+    cap = int(k_capacity)
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf["__item"].value_counts()  # vectorized per batch
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > cap:
+                # MG reduction: subtract the (cap+1)-th largest count
+                # from everyone, drop the non-positive — the mergeable-
+                # summary step (error stays <= n_p / cap)
+                kth = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        if counters is not None and len(counters):
+            yield pd.DataFrame({"__item": counters.index})
+
+    cands = col.mapInPandas(mg, f"__item {df.schema[item_col].dataType.simpleString()}")
+    cands = cands.distinct()
+    total = col.count()
+    exact = (
+        col.join(F.broadcast(cands), "__item", "left_semi")
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .filter(F.col(count_col) > total / cap)
+    )
+    return exact.select(F.col("__item").alias(item_col), count_col)

@@ -874,3 +874,84 @@ def sample_weighted_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = F.when(F.col("lang") == "en", F.lit(2.5)).otherwise(F.lit(0.8))
     out = smp.weighted_upsample(d, "doc_id", wt)
     return out.select("doc_id", "lang", F.col("copy").cast("long").alias("copy"))
+
+
+@register(
+    "sample_cap_per_key",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || 'cap'), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 25
+    """,
+    doc="Per-key cap / deterministic reservoir (operators/sampling.py:"
+    "cap_per_key): at most 25 docs per source, winners = lowest salted "
+    "md5(doc_id) — reproducible under retries and across engines.  One "
+    "key-hash shuffle + per-key window rank; the over-represented-"
+    "source guard in corpus mixing.",
+)
+def sample_cap_per_key(spark, sf_dir: str):
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.sampling import cap_per_key
+
+    d = table(spark, sf_dir, "documents")
+    return cap_per_key(d, "source", "doc_id", k=25, salt="cap").select(
+        "source", "doc_id"
+    )
+
+
+@register(
+    "pipeline_curriculum_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t != '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             {_SUBWORD_SQL} AS n_tokens,
+             ((CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0
+                    WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END)
+            + (CASE WHEN len(toks) > 0
+                    THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                    ELSE 0.0 END)
+            + (CASE WHEN len(toks) > 0
+                     AND len(list_filter(toks, t -> t IN
+                         ('the','a','of','and','to','in','is','it')))::DOUBLE
+                         / len(toks) BETWEEN 0.05 AND 0.6
+                    THEN 1.0 ELSE 0.5 END)) / 3.0 AS quality
+      FROM tok
+    ), w AS (
+      SELECT doc_id, source, quality, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              - n_tokens)::BIGINT AS st
+      FROM scored
+    )
+    SELECT doc_id, source, quality, n_tokens,
+           (st // 512) AS seq_id, (st % 512) AS seq_offset
+    FROM w
+    """,
+    doc="Curriculum packing: per-source docs laid out HIGH-quality-first "
+    "(quality_score desc, doc_id tiebreak) and concat-chunked into "
+    "512-token sequences — the curriculum-ordered variant of "
+    "pipeline_pack_sequences (operators/sampling.py:pack_sequences "
+    "with order_by).  Same single source-keyed exchange; the ordering "
+    "is one extra window sort key, no extra pass.",
+)
+def pipeline_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", tx.quality_score(F.col("text")))
+    return smp.pack_sequences(
+        scored,
+        "source",
+        "doc_id",
+        tx.subword_count(F.col("text")),
+        seq_len=512,
+        order_by=[F.col("quality").desc()],
+    ).select("doc_id", "source", "quality", "n_tokens", "seq_id", "seq_offset")

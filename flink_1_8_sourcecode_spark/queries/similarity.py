@@ -652,3 +652,74 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("hits"), F.lit(0)) / 10.0).alias("recall"),
         )
     )
+
+
+_KNN_SEARCH_EXPORT = "/tmp/spark_graft_knn_search"
+
+
+@register(
+    "sim_knn_graph_search",
+    oracle=f"""
+    WITH g AS (SELECT query_id, neighbor_id
+               FROM read_parquet('{_KNN_SEARCH_EXPORT}/*.parquet')),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid, {_COS} AS cosine
+           FROM q JOIN v c ON c.vec_id != q.vec_id
+         ),
+         exact AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+             FROM scored
+           ) WHERE rk <= 10
+         ),
+         h AS (
+           SELECT g.query_id, count(*) AS hits
+           FROM g JOIN exact ON exact.qid = g.query_id AND exact.nid = g.neighbor_id
+           GROUP BY g.query_id
+         )
+    SELECT q.vec_id AS query_id, coalesce(h.hits, 0) AS hits,
+           coalesce(h.hits, 0) / 10.0 AS recall
+    FROM q LEFT JOIN h ON h.query_id = q.vec_id
+    """,
+    doc="Graph-ANN QUERY path: greedy beam search over the NN-Descent "
+    "k-NN graph (operators/similarity.py:knn_graph_search — the "
+    "HNSW/NSG search procedure on a flat graph).  Deterministic entry "
+    "points + id tie-breaks; per hop the beam joins the edge list, "
+    "scores only fresh candidates, and re-ranks inside a per-query "
+    "window — I/O ~ beam x degree x hops, never |C|.  Oracle is "
+    "RESULT-CONDITIONED: the query exports the search answers, both "
+    "engines independently compute exact brute-force top-10 and the "
+    "per-query hit count of the exported answers is hash-checked.",
+)
+def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        knn_graph_search,
+        nn_descent_knn_graph,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    g = nn_descent_knn_graph(emb, "vec_id", "embedding", k=10, max_iterations=6)
+    q = emb.filter(F.col("vec_id") < 5)
+    res = knn_graph_search(g, emb, q, "vec_id", "embedding", "vec_id", k=10)
+    res.write.mode("overwrite").parquet(_KNN_SEARCH_EXPORT)
+    rread = spark.read.parquet(_KNN_SEARCH_EXPORT).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, q, "vec_id", "embedding", "vec_id", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        rread.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / 10.0).alias("recall"),
+        )
+    )

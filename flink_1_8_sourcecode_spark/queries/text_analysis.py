@@ -963,3 +963,166 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return tx.langid_confusion(d, "lang", "doc_id", "text", profile_size=30)
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH built AS (
+      SELECT c_custkey,
+             c_name || ' email user' || c_custkey::VARCHAR || '@example.com'
+             || ' ip 10.0.' || (c_nationkey % 256)::VARCHAR || '.'
+                            || (c_custkey % 256)::VARCHAR
+             || ' card ' || lpad((c_custkey * 7919)::VARCHAR, 16, '0')
+             || ' phone 555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+                   || '-' || lpad((c_custkey % 9999)::VARCHAR, 4, '0')
+             || ' segment ' || c_mktsegment AS t
+      FROM customer
+    ), scrubbed AS (
+      SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+            '\\b\\d{13,19}\\b', '<CARDNUM>', 'g'),
+          '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+      FROM built
+    )
+    SELECT c_custkey, scrubbed,
+           ((len(string_split(scrubbed, '<EMAIL>')) - 1)
+          + (len(string_split(scrubbed, '<IP>')) - 1)
+          + (len(string_split(scrubbed, '<CARDNUM>')) - 1)
+          + (len(string_split(scrubbed, '<PHONE>')) - 1))::INT AS n_masked
+    FROM scrubbed
+    """,
+    doc="PII scrubbing (operators/text.py:scrub_pii): mask emails, "
+    "IPv4s, card-length digit runs and phone-shaped digit groups with "
+    "literal sentinels + per-row mask audit count.  Map-only "
+    "regexp_replace chain (whole-stage codegen, zero shuffle — runs at "
+    "parquet-scan speed at 100 TB); patterns restricted to the "
+    "Java-regex/RE2 common dialect.  The PII-laden input is built "
+    "deterministically from customer columns IDENTICALLY in both "
+    "engines, so the oracle exercises the scrub on every row.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import scrub_pii
+
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    built = c.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" email user"), k.cast("string"), F.lit("@example.com"),
+            F.lit(" ip 10.0."), (F.col("c_nationkey") % 256).cast("string"),
+            F.lit("."), (k % 256).cast("string"),
+            F.lit(" card "), F.lpad((k * 7919).cast("string"), 16, "0"),
+            F.lit(" phone 555-"), F.lpad((k % 10000).cast("string"), 4, "0"),
+            F.lit("-"), F.lpad((k % 9999).cast("string"), 4, "0"),
+            F.lit(" segment "), F.col("c_mktsegment"),
+        ).alias("t"),
+    )
+    return scrub_pii(built, "t", out_col="scrubbed").select(
+        "c_custkey", "scrubbed", "n_masked"
+    )
+
+
+@register(
+    "text_strip_repeated_chars_keep_first",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, i AS pos, substr(text, i, 50) AS span
+      FROM documents, UNNEST(range(1, length(text) - 48)) AS u(i)
+      WHERE length(text) >= 50
+    ), c AS (SELECT span FROM w GROUP BY span HAVING count(*) >= 2),
+    s AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (span)),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) >= 50
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM b
+    ), iv AS (
+      SELECT isl.doc_id, min(pos) AS start_char, max(pos) + 49 AS end_char,
+             substr(d.text, min(pos)::INT, (max(pos) + 49 - min(pos) + 1)::INT)
+               AS span
+      FROM isl JOIN documents d USING (doc_id)
+      GROUP BY isl.doc_id, g, d.text
+    ), losers AS (
+      SELECT doc_id, start_char, end_char FROM (
+        SELECT doc_id, start_char, end_char,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, start_char) AS rk
+        FROM iv
+      ) WHERE rk > 1
+    ), cov AS (
+      SELECT DISTINCT doc_id, unnest(range(start_char, end_char + 1)) AS p
+      FROM losers
+    ), chars AS (
+      SELECT d.doc_id, i, substr(d.text, i::INT, 1) AS ch
+      FROM documents d, UNNEST(range(1, length(d.text) + 1)) AS u(i)
+    ), kept AS (
+      SELECT chars.doc_id, i, ch
+      FROM chars LEFT JOIN cov ON chars.doc_id = cov.doc_id AND chars.i = cov.p
+      WHERE cov.p IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(ch, '' ORDER BY i) AS ct FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.ct, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="Lee et al. 2021's dedup ACTION at char granularity, KEEP-ONE "
+    "variant (operators/dedup.py:strip_repeated_char_spans_keep_first): "
+    "one keeper occurrence per distinct maximal repeated span "
+    "(smallest (doc, start)), every other occurrence cut out; the cut "
+    "is a JVM aggregate-HOF fold over each doc's sorted disjoint "
+    "removal intervals — no Python, one doc-keyed exchange of the tiny "
+    "interval relation.",
+)
+def text_strip_repeated_chars_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        strip_repeated_char_spans_keep_first,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return strip_repeated_char_spans_keep_first(
+        d, "doc_id", "text", n=50, min_count=2
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+         n AS (SELECT count(*) AS total FROM tok)
+    SELECT tok, count(*) AS cnt
+    FROM tok, n
+    GROUP BY tok, n.total
+    HAVING count(*) > n.total / 64
+    """,
+    doc="Certified heavy hitters (operators/text.py:"
+    "certified_heavy_hitters): exactly the tokens with global count "
+    "> N/64, via per-partition Misra-Gries candidate summaries "
+    "(vectorized per-Arrow-batch value_counts, <= 64 counters, "
+    "mergeable-summaries reduction) + an exact recount of the "
+    "broadcast candidate set.  The exchange is bounded by "
+    "|candidates| x partitions, never the token key space — the "
+    "open-domain-column alternative to a full groupBy count at "
+    "100 TB.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import (
+        certified_heavy_hitters,
+        tokens,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return certified_heavy_hitters(toks, "tok", k_capacity=64)

@@ -530,6 +530,17 @@ class Table:
     def fullOuterJoin(self, right: "Table", predicate: str) -> "Table":
         return Table(self.df.join(right.df, parse_expression(predicate), "full"))
 
+    def joinLateral(self, table_function_call: str, predicate: str | None = None):
+        """table.scala:627 — string-form UDTF lateral join.  The string
+        expression DSL's function-call routing is not wired to the UDTF
+        registry; use the SQL path instead (Engine.sql with LATERAL
+        TABLE / LATERAL VIEW, queries/udf_queries.py), which covers the
+        same reference surface."""
+        raise NotImplementedError(
+            "joinLateral(string): use Engine.sql's LATERAL TABLE routing "
+            "(engine.py) or DataFrame explode/posexplode directly"
+        )
+
     # --- set ops ---------------------------------------------------------
     def union(self, right: "Table") -> "Table":
         return Table(self.df.unionByName(right.df).distinct())

@@ -1128,6 +1128,51 @@ class TestNNDescent:
         assert nn_descent_knn_graph(emb, "vec_id", "embedding", k=3).count() == 0
 
 
+class TestKnnGraphSearch:
+    """Beam search over the k-NN graph: the graph-ANN query path."""
+
+    @pytest.fixture(scope="class")
+    def graph_and_emb(self, spark):
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            nn_descent_knn_graph,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        g = nn_descent_knn_graph(emb, "vec_id", "embedding", k=10, max_iterations=6)
+        return g.localCheckpoint(eager=True), emb
+
+    def test_high_recall_and_no_self_matches(self, spark, graph_and_emb):
+        from pyspark.sql import functions as F
+
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            cosine_topk,
+            knn_graph_search,
+        )
+
+        g, emb = graph_and_emb
+        q = emb.filter(F.col("vec_id") < 8)
+        res = knn_graph_search(g, emb, q, "vec_id", "embedding", "vec_id", k=10).collect()
+        assert all(r["query_id"] != r["neighbor_id"] for r in res)
+        got = {(r["query_id"], r["neighbor_id"]) for r in res}
+        exact = cosine_topk(emb, q, "vec_id", "embedding", "vec_id", k=10).collect()
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.9, recall
+
+    def test_deterministic(self, spark, graph_and_emb):
+        from pyspark.sql import functions as F
+
+        from flink_1_8_sourcecode_spark.operators.similarity import knn_graph_search
+
+        g, emb = graph_and_emb
+        q = emb.filter(F.col("vec_id") < 3)
+        a = knn_graph_search(g, emb, q, "vec_id", "embedding", "vec_id", k=5).collect()
+        b = knn_graph_search(g, emb, q, "vec_id", "embedding", "vec_id", k=5).collect()
+        assert {tuple(r) for r in a} == {tuple(r) for r in b}
+        # exactly k ranked answers per query
+        assert len(a) == 3 * 5
+
+
 def test_resize_image_stats_nn_rule(spark):
     """NN resize picks src = floor(dst*src/target): identity at
     target == src dims; known pixel subset at target = src/2."""
@@ -1386,3 +1431,72 @@ def test_zscore_anomaly_oracle_shape(spark):
     assert out["a"][0] == (1 if z100 > 3 else 0)
     assert abs(out["a"][1] - round(z100, 6)) < 1e-9
     assert out["b"] == (0, 0.0)
+
+
+def test_strip_repeated_chars_keep_first(spark):
+    """Keeper occurrence (smallest (doc, start)) survives verbatim; every
+    other occurrence is cut; non-repeating docs pass through."""
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        strip_repeated_char_spans_keep_first,
+    )
+
+    rep = "0123456789" * 6
+    # fully distinct contexts at BOTH edges: every doc's maximal
+    # repeated interval is exactly `rep`, so all occurrences fall in
+    # one keeper group (differing edges would split span-text groups —
+    # the documented extension-variant approximation)
+    d = spark.createDataFrame(
+        [
+            (1, "AAA_" + rep + "_one"),
+            (2, "BBB-" + rep + "-two"),
+            (3, "CCC." + rep + ".three"),
+            (4, "untouched document with no long repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in
+           strip_repeated_char_spans_keep_first(d, "doc_id", "text").collect()}
+    assert got[1] == "AAA_" + rep + "_one"        # keeper intact
+    assert got[2] == "BBB--two" and got[3] == "CCC..three"
+    assert got[4] == "untouched document with no long repeats"
+
+
+class TestCertifiedHeavyHitters:
+    """Misra-Gries candidates + exact recount = exactly {cnt > N/k}."""
+
+    def test_matches_bruteforce_on_documents(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from flink_1_8_sourcecode_spark.operators.text import (
+            certified_heavy_hitters,
+            tokens,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        got = {(r["tok"], r["cnt"]) for r in
+               certified_heavy_hitters(toks, "tok", k_capacity=64).collect()}
+        exact = toks.groupBy("tok").count().collect()
+        n = sum(r["count"] for r in exact)
+        want = {(r["tok"], r["count"]) for r in exact if r["count"] > n / 64}
+        assert got == want
+
+    def test_planted_heavy_survives_uniform_noise(self, spark):
+        """Adversarial shape for MG: a sea of distinct singletons (every
+        one evicts counters) must not dislodge the planted heavy item."""
+        from pyspark.sql import functions as F
+
+        from flink_1_8_sourcecode_spark.operators.text import (
+            certified_heavy_hitters,
+        )
+
+        noise = spark.range(5000).select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("item")
+        )
+        heavy = spark.range(600).select(F.lit("HOT").alias("item"))
+        data = noise.unionByName(heavy).repartition(8)
+        # N = 5600, k=16 -> certify threshold 350 < 600 = HOT's count
+        out = certified_heavy_hitters(data, "item", k_capacity=16).collect()
+        assert {(r["item"], r["cnt"]) for r in out} == {("HOT", 600)}
+        # and with k=8 (threshold 700 > 600) the certified set is empty
+        assert certified_heavy_hitters(data, "item", k_capacity=8).count() == 0

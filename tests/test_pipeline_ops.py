@@ -1138,3 +1138,69 @@ def test_char_bigrams_short_and_order(spark):
     assert got[1] == ["ab", "bc"]
     assert got[2] == [] and got[3] == []
     assert got[4] == ["hi"]  # trimmed first
+
+
+class TestScrubPII:
+    """scrub_pii: each default mask lands, near-misses stay untouched,
+    the audit count is exact."""
+
+    def test_each_pattern_masks_and_counts(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import scrub_pii
+
+        rows = [
+            (1, "mail a.user+tag@sub.example.org end"),
+            (2, "host 192.168.1.254 up"),
+            (3, "pan 4111111111111111 ok"),
+            (4, "call 555-0123-4567 now"),
+            (5, "two bob@x.io and eve@y.io here"),
+        ]
+        d = spark.createDataFrame(rows, "id long, t string")
+        got = {r["id"]: (r["s"], r["n_masked"]) for r in
+               scrub_pii(d, "t", out_col="s").collect()}
+        assert got[1] == ("mail <EMAIL> end", 1)
+        assert got[2] == ("host <IP> up", 1)
+        assert got[3] == ("pan <CARDNUM> ok", 1)
+        assert got[4] == ("call <PHONE> now", 1)
+        assert got[5] == ("two <EMAIL> and <EMAIL> here", 2)
+
+    def test_near_misses_untouched(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import scrub_pii
+
+        rows = [
+            (1, "version 1.2.3 released"),        # 3 dotted groups, not 4
+            (2, "order 123456789012 shipped"),    # 12 digits < card floor
+            (3, "not-an-email @ example"),        # no local part
+            (4, "year 2024 and zip 90210"),       # short digit runs
+        ]
+        d = spark.createDataFrame(rows, "id long, t string")
+        out = scrub_pii(d, "t", out_col="s").collect()
+        for r in out:
+            src = dict(rows)[r["id"]]
+            assert r["s"] == src and r["n_masked"] == 0, (r["id"], r["s"])
+
+    def test_custom_patterns_and_order(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import scrub_pii
+
+        d = spark.createDataFrame([(1, "key=SECRET123 key=SECRET99")], "id long, t string")
+        out = scrub_pii(
+            d, "t", out_col="s", patterns=[(r"key=\w+", "<KEY>")]
+        ).collect()[0]
+        assert out["s"] == "<KEY> <KEY>" and out["n_masked"] == 2
+
+
+def test_cap_per_key_exact_and_deterministic(spark):
+    from flink_1_8_sourcecode_spark.operators.sampling import cap_per_key
+
+    rows = [(f"k{i % 3}", i) for i in range(30)] + [("rare", 99)]
+    d = spark.createDataFrame(rows, "key string, id long")
+    out = cap_per_key(d, "key", "id", k=4).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], set()).add(r["id"])
+    assert all(len(v) == 4 for k, v in by_key.items() if k != "rare")
+    assert by_key["rare"] == {99}  # under-cap keys keep everything
+    out2 = cap_per_key(d, "key", "id", k=4).collect()
+    assert {(r["key"], r["id"]) for r in out} == {(r["key"], r["id"]) for r in out2}
+    # a different salt draws a different (still size-4) winner set
+    alt = cap_per_key(d, "key", "id", k=4, salt="z").collect()
+    assert {(r["key"], r["id"]) for r in alt} != {(r["key"], r["id"]) for r in out}

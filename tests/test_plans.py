@@ -317,3 +317,63 @@ def test_tfidf_reuses_tf_exchange_single_scan(spark, sf_dir):
     # exactly one scan reads the text column (the n_docs count scan is
     # column-pruned to an empty schema)
     assert plan.count("text:string") == 1, plan[:3000]
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """scrub_pii's 100 TB claim: a regexp_replace chain is one map-only
+    stage — zero exchanges, runs at parquet-scan speed."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.text import scrub_pii
+
+    d = table(spark, sf_dir, "documents")
+    plan = _final_plan(scrub_pii(d, "text").select("doc_id", "scrubbed", "n_masked"))
+    assert "Exchange" not in plan, plan[:2000]
+    # codegen prints as "*(n)" stage markers in the executed-plan string
+    assert "*(1)" in plan, plan[:2000]
+
+
+def test_char_spans_exchange_carries_hashes_not_substrings(spark):
+    """repeated_char_spans: the corpus-wide count exchange carries
+    xxhash64(substr) values; real substrings materialize only at the
+    survivor-site recount — same discipline as the token family."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.dedup import repeated_char_spans
+
+    d = table(spark, SF_DIR, "documents")
+    plan = (
+        repeated_char_spans(d, "doc_id", "text", n=50, min_count=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan, plan[:1500]
+    # the span-text substr appears exactly once (survivor pass), not in
+    # the window-hash explode
+    assert plan.count("substr(__text") == 1, plan[:2500]
+
+
+def test_table_api_filter_reaches_parquet_pushdown(spark, sf_dir):
+    """The string-expression facade lowers to Catalyst Columns, so a
+    .filter() string lands in the parquet scan's PushedFilters like any
+    native DataFrame predicate."""
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    li = Table(table(spark, sf_dir, "lineitem"))
+    out = li.filter("l_quantity > 45").select("l_orderkey, l_quantity")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:2000]
+    # column pruning: only the two referenced columns are read
+    assert "ReadSchema" in plan and "l_extendedprice" not in plan.split(
+        "ReadSchema"
+    )[1][:300], plan[:2000]
+
+
+def test_cap_per_key_single_exchange(spark, sf_dir):
+    """cap_per_key: one key-hash exchange feeds the per-key rank."""
+    import re
+
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["sample_cap_per_key"].spark(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2500]
