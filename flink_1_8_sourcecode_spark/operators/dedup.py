@@ -821,23 +821,33 @@ def _char_window_sites(
     candidate that the recount rejects.
     """
     txt = F.col(text_col)
-    hashes = F.when(
-        F.length(txt) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(txt) - (n - 1)),
-            lambda i: F.xxhash64(txt.substr(i, F.lit(n))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    sites = docs.select(
-        F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos0", "__h")
-    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__h")
-    surviving = (
-        sites.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-        .filter(F.col("__occ") >= min_count)
-        .select("__h")
+    # row-explode the window positions and hash with ORDINARY (codegen)
+    # expressions: higher-order-function lambdas evaluate interpreted
+    # per element, and at ~|text| windows per doc that measured 9x
+    # slower than this whole-stage-codegen form at sf0.1
+    pos = F.explode(
+        F.when(
+            F.length(txt) >= n, F.sequence(F.lit(1), F.length(txt) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
     )
-    matched = sites.join(surviving, "__h", "left_semi")
+    sites = docs.select(
+        F.col(id_col).alias("__id"), txt.alias("__t"), pos.alias("__pos")
+    ).select(
+        "__id",
+        "__pos",
+        F.xxhash64(F.substring(F.col("__t"), F.col("__pos"), n)).alias("__h"),
+    )
+    # count + filter as ONE window over the hash partition key: the
+    # groupBy + semi-join form re-scans and re-explodes the corpus for
+    # the probe side (no exchange reuse across the aggregate/join
+    # branches — measured 5.4 s vs 3.0 s at sf0.1); the window form
+    # shuffles the 24-byte site rows exactly once
+    wh = Window.partitionBy("__h")
+    matched = (
+        sites.withColumn("__occ", F.count(F.lit(1)).over(wh))
+        .filter(F.col("__occ") >= min_count)
+        .select("__id", "__pos")
+    )
     return docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).join(matched, "__id")
