@@ -1113,3 +1113,15 @@ def certified_heavy_hitters(
         .filter(F.col(count_col) > total / cap)
     )
     return exact.select(F.col("__item").alias(item_col), count_col)
+
+
+def normalize_ccnet(text: Column) -> Column:
+    """CCNet-style hashing normalization (Wenzek et al. 2019, public):
+    lowercase, every digit mapped to 0, punctuation stripped,
+    whitespace collapsed — the canonical pre-fingerprint normalizer
+    that makes '3 Items for $5!' and '8 items for $9' collide.  Pure
+    Column regexp chain (map-only, codegen, RE2-common dialect)."""
+    t = F.lower(F.trim(text))
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, "[^a-z0-9\\s]", "")
+    return F.trim(F.regexp_replace(t, "\\s+", " "))

@@ -1126,3 +1126,33 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return certified_heavy_hitters(toks, "tok", k_capacity=64)
+
+
+@register(
+    "text_normalize_ccnet",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(trim(text)), '[0-9]', '0', 'g'),
+               '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')) AS normalized,
+           md5(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(trim(text)), '[0-9]', '0', 'g'),
+               '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_fp
+    FROM documents
+    """,
+    doc="CCNet hashing normalization (Wenzek et al. 2019; operators/"
+    "text.py:normalize_ccnet): lowercase, digits->0, punctuation "
+    "stripped, whitespace collapsed, plus the md5 fingerprint of the "
+    "normalized form — the paragraph-dedup pre-hash step as a "
+    "standalone map-only pass.",
+)
+def text_normalize_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import normalize_ccnet
+
+    d = table(spark, sf_dir, "documents")
+    norm = normalize_ccnet(F.col("text"))
+    return d.select("doc_id", norm.alias("normalized"), F.md5(norm).alias("norm_fp"))

@@ -1204,3 +1204,20 @@ def test_cap_per_key_exact_and_deterministic(spark):
     # a different salt draws a different (still size-4) winner set
     alt = cap_per_key(d, "key", "id", k=4, salt="z").collect()
     assert {(r["key"], r["id"]) for r in alt} != {(r["key"], r["id"]) for r in out}
+
+
+def test_normalize_ccnet_collides_digit_and_punct_variants(spark):
+    from flink_1_8_sourcecode_spark.operators.text import normalize_ccnet
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [
+            (1, "3 Items for $5!"),
+            (2, "8 items  for $9"),
+            (3, "something ENTIRELY different?"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["n"] for r in d.select("id", normalize_ccnet(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "0 items for 0"
+    assert out[3] == "something entirely different"
