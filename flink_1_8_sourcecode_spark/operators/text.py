@@ -1104,7 +1104,8 @@ def certified_heavy_hitters(
             yield pd.DataFrame({"__item": counters.index})
 
     cands = col.mapInPandas(mg, f"__item {df.schema[item_col].dataType.simpleString()}")
-    cands = cands.distinct()
+    # no distinct(): the left-semi build side dedups keys inherently,
+    # and a distinct here would add a shuffle of the candidate rows
     total = col.count()
     exact = (
         col.join(F.broadcast(cands), "__item", "left_semi")

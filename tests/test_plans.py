@@ -377,3 +377,16 @@ def test_cap_per_key_single_exchange(spark, sf_dir):
 
     plan = _final_plan(load_all()["sample_cap_per_key"].spark(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2500]
+
+
+def test_heavy_hitters_single_exchange_broadcast_candidates(spark, sf_dir):
+    """certified_heavy_hitters' 100 TB claim: the corpus is never
+    shuffled on the item key space — candidates broadcast into the
+    semi-join and the only hash exchange is the candidate recount."""
+    import re
+
+    from flink_1_8_sourcecode_spark.queries import load_all
+
+    plan = _final_plan(load_all()["text_heavy_hitters"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2500]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2500]
