@@ -400,3 +400,48 @@ def cap_per_key(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic round-robin interleave across sources: row i of the
+    output cycles source1, source2, ... so no window of the training
+    stream is dominated by one source — the order-mixing step that
+    follows budget mixing (a corpus written source-by-source trains
+    with catastrophic distribution shift between file boundaries).
+
+    Each row gets ``mix_rank``: its global position in the interleaved
+    order, computed as (per-source round, source, per-source draw) —
+    all rows of round r across all sources precede round r+1.  Within a
+    source the order is the salted-md5 draw (reproducible, retry-safe);
+    sources with fewer rows simply drop out of later rounds, exactly
+    like dealing cards.
+
+    One exchange (the per-source window); the global rank is
+    arithmetic, not a global sort — consumers write with
+    ``orderBy(mix_rank)`` (range partitioner) or bucket by
+    ``mix_rank % n_shards``.
+    """
+    h = hash_key(F.col(id_col), salt)
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    per_round = df.withColumn("__rnd", F.row_number().over(w) - 1)
+    # rank sources deterministically once (alphabetical), broadcast back
+    srcs = (
+        df.select(F.col(source_col).alias("__s")).distinct()
+    )
+    wsrc = Window.orderBy("__s")  # tiny: one row per source
+    srcs = srcs.withColumn("__sidx", F.row_number().over(wsrc) - 1)
+    n_sources = srcs.count()
+    return (
+        per_round.join(
+            F.broadcast(srcs), per_round[source_col] == srcs["__s"]
+        )
+        .withColumn(
+            "mix_rank", F.col("__rnd") * n_sources + F.col("__sidx")
+        )
+        .drop("__s", "__sidx", "__rnd")
+    )

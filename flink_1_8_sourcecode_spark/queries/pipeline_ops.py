@@ -955,3 +955,34 @@ def pipeline_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_len=512,
         order_by=[F.col("quality").desc()],
     ).select("doc_id", "source", "quality", "n_tokens", "seq_id", "seq_offset")
+
+
+@register(
+    "sample_interleave_sources",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+               AS rnd
+      FROM documents
+    ), s AS (
+      SELECT source AS s2,
+             row_number() OVER (ORDER BY source) - 1 AS sidx
+      FROM (SELECT DISTINCT source FROM documents)
+    ), n AS (SELECT count(*) AS ns FROM s)
+    SELECT doc_id, source, (rnd * n.ns + s.sidx)::BIGINT AS mix_rank
+    FROM r JOIN s ON r.source = s.s2 CROSS JOIN n
+    """,
+    doc="Round-robin source interleave (operators/sampling.py:"
+    "interleave_sources): deterministic training-order mixing — rows "
+    "cycle sources card-dealing style so no stream window is "
+    "single-source; per-source order is the salted-md5 draw.  One "
+    "source-keyed window exchange; the global rank is arithmetic "
+    "(round * n_sources + source_index), never a global sort.",
+)
+def sample_interleave_sources(spark, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    return smp.interleave_sources(d, "source", "doc_id").select(
+        "doc_id", "source", "mix_rank"
+    )

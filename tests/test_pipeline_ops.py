@@ -1221,3 +1221,21 @@ def test_normalize_ccnet_collides_digit_and_punct_variants(spark):
     out = {r["id"]: r["n"] for r in d.select("id", normalize_ccnet(F.col("t")).alias("n")).collect()}
     assert out[1] == out[2] == "0 items for 0"
     assert out[3] == "something entirely different"
+
+
+def test_interleave_sources_round_robin_semantics(spark):
+    from flink_1_8_sourcecode_spark.operators.sampling import interleave_sources
+
+    rows = [(f"s{i % 3}", i) for i in range(9)] + [("s0", 100), ("s0", 101)]
+    d = spark.createDataFrame(rows, "src string, id long")
+    out = sorted(
+        interleave_sources(d, "src", "id").collect(), key=lambda r: r["mix_rank"]
+    )
+    # ranks are unique and the first n_sources rows cover all sources
+    ranks = [r["mix_rank"] for r in out]
+    assert len(set(ranks)) == len(ranks)
+    assert {r["src"] for r in out[:3]} == {"s0", "s1", "s2"}
+    # within every complete round, each source appears exactly once
+    assert {r["src"] for r in out[3:6]} == {"s0", "s1", "s2"}
+    # s0 has 2 extra rows: they occupy the final rounds alone
+    assert [r["src"] for r in out[-2:]] == ["s0", "s0"]
