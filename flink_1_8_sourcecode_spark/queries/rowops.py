@@ -97,3 +97,42 @@ def rowop_map_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rowop_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return n.select(n.columns[1], n.columns[2])
+
+
+@register(
+    "source_avro_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="Avro format parity WITHOUT the spark-avro jar (sources/avro.py "
+    "— pure-Python Object Container File codec per the public Avro "
+    "spec; AvroRowDeserializationSchema.java:79): the nation table "
+    "round-trips driver-encode -> deflate-compressed .avro file -> "
+    "distributed read (binaryFile source, one task per file, "
+    "mapInPandas block decode).  The bounded 25-row collect is the "
+    "fixture WRITE only; the read path is fully distributed.",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from flink_1_8_sourcecode_spark.sources.avro import read_avro, write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"},
+        ],
+    }
+    rows = [
+        {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"],
+         "n_regionkey": r["n_regionkey"]}
+        for r in table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .toPandas()
+        .to_dict("records")
+    ]
+    out_dir = "/tmp/spark_graft_avro_roundtrip"
+    os.makedirs(out_dir, exist_ok=True)
+    write_avro_file(f"{out_dir}/nation.avro", schema, rows, codec="deflate")
+    return read_avro(spark, f"{out_dir}/nation.avro", schema)

@@ -165,3 +165,86 @@ def test_catalog_schema_probe(spark):
         "check _read_events in catalog.py against the current parquet dtype"
     )
     assert ev.filter(F.col("ts").isNull()).limit(1).count() == 0
+
+
+class TestPureAvro:
+    """Pure-Python Avro OCF (sources/avro.py) — format parity for
+    AvroRowDeserializationSchema without the spark-avro jar."""
+
+    SCHEMA = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "int"}},
+            {"name": "color",
+             "type": {"type": "enum", "name": "c", "symbols": ["RED", "BLUE"]}},
+            {"name": "raw", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+            {"name": "nested",
+             "type": {"type": "record", "name": "n",
+                      "fields": [{"name": "x", "type": "int"}]}},
+        ],
+    }
+    ROWS = [
+        {"id": 1, "name": "alice", "score": 1.5, "flag": True,
+         "tags": ["a", "b"], "props": {"k": 3}, "color": "RED",
+         "raw": b"xy", "fx": b"1234", "nested": {"x": 7}},
+        {"id": 2, "name": None, "score": -2.25, "flag": False,
+         "tags": [], "props": {}, "color": "BLUE",
+         "raw": b"", "fx": b"abcd", "nested": {"x": -1}},
+    ]
+
+    def test_roundtrip_all_types_both_codecs(self):
+        from flink_1_8_sourcecode_spark.sources.avro import (
+            decode_container,
+            encode_avro,
+        )
+
+        for codec in ("null", "deflate"):
+            ws, recs = decode_container(
+                encode_avro(self.SCHEMA, self.ROWS, codec=codec)
+            )
+            assert ws == self.SCHEMA and recs == self.ROWS, codec
+
+    def test_spark_distributed_read_multi_file(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.sources.avro import (
+            read_avro,
+            write_avro_file,
+        )
+
+        write_avro_file(str(tmp_path / "a.avro"), self.SCHEMA, self.ROWS,
+                        codec="deflate")
+        write_avro_file(str(tmp_path / "b.avro"), self.SCHEMA, [self.ROWS[0]])
+        df = read_avro(spark, str(tmp_path / "*.avro"), self.SCHEMA)
+        out = df.orderBy("id", "name").collect()
+        assert len(out) == 3
+        assert out[0]["name"] == "alice" and dict(out[0]["props"]) == {"k": 3}
+        assert out[0]["nested"]["x"] == 7 and out[0]["color"] == "RED"
+        assert out[2]["name"] is None and out[2]["flag"] is False
+
+    def test_corruption_and_mismatch_raise(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.sources.avro import (
+            decode_container,
+            encode_avro,
+            read_avro,
+            write_avro_file,
+        )
+
+        blob = encode_avro(self.SCHEMA, self.ROWS)
+        with _pytest.raises(ValueError, match="magic"):
+            decode_container(b"XXXX" + blob[4:])
+        with _pytest.raises((ValueError, EOFError)):
+            decode_container(blob[:-8])  # clipped sync -> corrupt
+        other = {"type": "record", "name": "o",
+                 "fields": [{"name": "id", "type": "long"}]}
+        write_avro_file(str(tmp_path / "x.avro"), other, [{"id": 1}])
+        df = read_avro(spark, str(tmp_path / "x.avro"), self.SCHEMA)
+        with _pytest.raises(Exception, match="writer schema mismatch"):
+            df.collect()
