@@ -131,7 +131,7 @@ def fake_kafka_records(
     df: DataFrame,
     topic: str,
     key: Column | str,
-    value_cols: list[str],
+    value_cols: list[str] | None,
     ts_col: str,
     n_partitions: int = 4,
 ) -> DataFrame:
@@ -139,18 +139,110 @@ def fake_kafka_records(
     layout the kafka source emits — the loopback test double for serde
     and downstream logic.  Partition = hash(key) % n; offset is a
     monotonically increasing surrogate (event-time micros on streaming
-    frames, where monotonically_increasing_id is unsupported)."""
+    frames, where monotonically_increasing_id is unsupported).
+
+    ``value_cols=None`` means the frame ALREADY carries a binary
+    ``value`` column (a non-JSON serde like encode_avro_value built
+    it); otherwise the listed columns JSON-encode into the value."""
     k = F.col(key) if isinstance(key, str) else key
     part = F.pmod(F.hash(k), F.lit(n_partitions)).cast("int")
     offset = (
         F.unix_micros(F.col(ts_col)) if df.isStreaming else F.monotonically_increasing_id()
     )
+    value = (
+        F.col("value").cast("binary")
+        if value_cols is None
+        else F.to_json(F.struct(*[F.col(c) for c in value_cols])).cast("binary")
+    )
     return df.select(
         k.cast("string").cast("binary").alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in value_cols])).cast("binary").alias("value"),
+        value.alias("value"),
         F.lit(topic).alias("topic"),
         part.alias("partition"),
         offset.alias("offset"),
         F.col(ts_col).alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )
+
+
+def encode_avro_value(
+    df: DataFrame, value_cols: list[str], avro_schema: dict
+) -> DataFrame:
+    """Producer-side Avro DATUM serde (AvroRowSerializationSchema
+    parity): each row's ``value_cols`` encode to raw Avro binary — the
+    per-message layout a Kafka topic carries (no container framing, no
+    sync markers; the schema travels out of band, registry-style).
+
+    Arrow-batched mapInPandas (the encoder is pure Python; Avro datum
+    bytes cannot be built from Spark SQL expressions) — the slow-path
+    cost is bounded by message count, and the output is the exact
+    ``value binary`` column ``fake_kafka_records`` / a real producer
+    expects.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.sources.avro import _encode_value
+
+    fields = [f["name"] for f in avro_schema["fields"]]
+    assert set(fields) == set(value_cols), (fields, value_cols)
+    passthrough = [c for c in df.columns if c not in value_cols]
+    ddl = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough]
+        + ["value binary"]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                _encode_value(avro_schema, dict(zip(fields, t)))
+                for t in zip(*[pdf[f] for f in fields])
+            ]
+            out = pdf[passthrough].copy()
+            out["value"] = vals
+            yield out
+
+    return df.mapInPandas(enc, ddl)
+
+
+def decode_avro_value(
+    df: DataFrame, avro_schema: dict, ts_from: str = "timestamp"
+) -> DataFrame:
+    """Consumer-side Avro DATUM serde — AvroRowDeserializationSchema
+    parity (flink-formats/flink-avro/.../AvroRowDeserializationSchema
+    .java:79): decode each kafka record's raw Avro ``value`` bytes into
+    typed columns using the known writer schema; the record's broker
+    ``timestamp`` rides along as ``event_time`` for watermarking
+    (same contract as :func:`decode_json_value`).
+
+    Works identically on batch and STREAMING DataFrames (mapInPandas is
+    streaming-capable), so the serde tested on the loopback runs
+    unchanged against a real topic.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.sources.avro import (
+        _Reader,
+        _decode_value,
+        spark_schema_ddl,
+    )
+
+    cols = [f["name"] for f in avro_schema["fields"]]
+    ddl = spark_schema_ddl(avro_schema) + ", event_time timestamp"
+    has_ts = ts_from in df.columns
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                _decode_value(_Reader(bytes(v)), avro_schema) for v in pdf["value"]
+            ]
+            out = pd.DataFrame.from_records(recs, columns=cols)
+            out["event_time"] = (
+                pdf[ts_from].values if has_ts else pd.NaT
+            )
+            yield out
+
+    return df.mapInPandas(dec, ddl)
