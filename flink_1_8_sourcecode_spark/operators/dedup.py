@@ -621,13 +621,17 @@ def repeated_ngram_spans(
     sites = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos", "__h")
     )
-    surviving = (
-        sites.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__occ"))
+    # count + filter as ONE window over the hash key: the groupBy +
+    # semi-join form re-executes the tokenize+hash explode for the
+    # probe branch (no cross-branch exchange reuse — the same measured
+    # lesson as the char family); the window shuffles the 24-byte site
+    # rows exactly once
+    wh = Window.partitionBy("__h")
+    matched = (
+        sites.withColumn("__occ", F.count(F.lit(1)).over(wh))
         .filter(F.col("__occ") >= min_count)
-        .select("__h")
+        .select("__id", "__pos")
     )
-    matched = sites.join(surviving, "__h", "left_semi")
     # survivor sites are few -> AQE broadcasts them against the text scan,
     # so the corpus itself is never repartitioned
     with_text = docs.select(
@@ -682,13 +686,14 @@ def repeated_span_sites(
     sites = docs.select(
         F.col(id_col).alias("__id"), F.posexplode(hashes).alias("__pos", "__h")
     )
-    surviving = (
-        sites.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__occ"))
+    # one window over the hash key (see repeated_ngram_spans): never
+    # re-explode the corpus for the probe branch
+    wh = Window.partitionBy("__h")
+    matched = (
+        sites.withColumn("__occ", F.count(F.lit(1)).over(wh))
         .filter(F.col("__occ") >= min_count)
-        .select("__h")
+        .select("__id", "__pos")
     )
-    matched = sites.join(surviving, "__h", "left_semi")
     with_text = docs.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).join(matched, "__id")
