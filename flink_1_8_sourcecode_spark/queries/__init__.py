@@ -60,6 +60,7 @@ _MODULES = (
     "multimodal_queries",
     "streaming_windows",
     "pipeline_ops",
+    "examples",
 )
 
 
