@@ -107,3 +107,73 @@ def example_pi_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
         inside.cast("bigint").alias("inside"),
         (F.lit(4.0) * inside / F.count(F.lit(1))).alias("pi_estimate"),
     )
+
+
+# session DFA over event types — StateMachineExample's shape (states +
+# transition function + absorbing invalid state) on the events table
+_DFA_CASE = """CASE
+      WHEN {acc} = 'invalid' OR {x} = 'error' THEN 'invalid'
+      WHEN {acc} = 'anon' AND {x} = 'signup' THEN 'active'
+      WHEN {acc} = 'anon' AND {x} IN ('view', 'click') THEN 'anon'
+      WHEN {acc} = 'active' AND {x} = 'purchase' THEN 'customer'
+      WHEN {acc} = 'active' AND {x} IN ('view', 'click') THEN 'active'
+      WHEN {acc} = 'customer' AND {x} IN ('view', 'click', 'purchase')
+        THEN 'customer'
+      ELSE 'invalid'
+    END"""
+
+
+@register(
+    "example_state_machine",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           list_reduce(['anon'] || evs,
+                       (acc, x) -> {_DFA_CASE.format(acc="acc", x="x")})
+             AS final_state,
+           len(evs) AS n_events
+    FROM seq
+    """,
+    doc="StateMachineExample (flink-examples-streaming/.../statemachine/"
+    "StateMachineExample.java) as a deterministic batch fold: each "
+    "user's event-time-ordered event types run through the session DFA "
+    "(anon -> active -> customer; 'error' or an out-of-order business "
+    "event absorbs into 'invalid') via a JVM aggregate HOF — one "
+    "user-keyed exchange, no Python.  The STREAMING form of the same "
+    "per-key automaton is the CEP engine (cep/streaming.py), which is "
+    "where the reference's DFA actually runs; this query pins the "
+    "transition semantics against an engine-independent oracle.",
+)
+def example_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("evs")
+    )
+    # same transition table as _DFA_CASE (the oracle's list_reduce
+    # lambda), expressed as Column when-chains — keep in lockstep
+    fold = F.aggregate(
+        F.col("evs"),
+        F.lit("anon"),
+        lambda acc, x: F.when(
+            (acc == "invalid") | (x == "error"), F.lit("invalid")
+        )
+        .when((acc == "anon") & (x == "signup"), F.lit("active"))
+        .when((acc == "anon") & x.isin("view", "click"), F.lit("anon"))
+        .when((acc == "active") & (x == "purchase"), F.lit("customer"))
+        .when((acc == "active") & x.isin("view", "click"), F.lit("active"))
+        .when(
+            (acc == "customer") & x.isin("view", "click", "purchase"),
+            F.lit("customer"),
+        )
+        .otherwise(F.lit("invalid")),
+    )
+    return seq.select(
+        "user_id", fold.alias("final_state"), F.size("evs").alias("n_events")
+    )
