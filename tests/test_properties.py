@@ -524,3 +524,60 @@ def test_ngram_novelty_hand_computed(spark):
     assert got[2] == (1, 0.0)
     assert got[3] == (2, 1.0)
     assert got[4] == (0, 0.0)
+
+
+# --- Table-API string-expression parser (table_api.py) -------------------
+
+# random expression ASTs rendered BOTH as a Flink expression string and
+# as a python lambda over a pandas frame — the parser must agree with
+# python semantics on every draw
+_expr_ast = st.deferred(
+    lambda: st.one_of(
+        st.sampled_from([("col", "a"), ("col", "b")]),
+        st.integers(min_value=-20, max_value=20).map(lambda v: ("lit", v)),
+        st.tuples(st.sampled_from(["+", "-", "*"]), _expr_ast, _expr_ast).map(
+            lambda t: ("bin", *t)
+        ),
+    )
+)
+
+
+def _render(ast):
+    kind = ast[0]
+    if kind == "col":
+        return ast[1], (lambda r, c=ast[1]: r[c])
+    if kind == "lit":
+        v = ast[1]
+        s = str(v) if v >= 0 else f"(0 - {abs(v)})"
+        return s, (lambda r, v=v: v)
+    _, op, l, r_ = ast
+    ls, lf = _render(l)
+    rs, rf = _render(r_)
+    py = {"+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b}[op]
+    return f"({ls} {op} {rs})", (lambda row, lf=lf, rf=rf, py=py: py(lf(row), rf(row)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(ast=_expr_ast, cmp=st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+def test_string_expression_parser_matches_python(spark, ast, cmp):
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    rows = [(1, 3), (-2, 7), (5, -5), (0, 0)]
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    df = spark.createDataFrame(rows, "a long, b long")
+    expr_s, expr_f = _render(ast)
+    got = [r["v"] for r in Table(df).select(f"{expr_s} as v").df.collect()]
+    want = [expr_f(row) for _, row in pdf.iterrows()]
+    assert got == want, (expr_s, got, want)
+    # and as a filter against a comparison with b
+    pred = f"{expr_s} {cmp} b"
+    pyc = {"<": "lt", "<=": "le", ">": "gt", ">=": "ge", "=": "eq", "<>": "ne"}[cmp]
+    got_ids = {(r["a"], r["b"]) for r in Table(df).filter(pred).df.collect()}
+    want_ids = {
+        (row["a"], row["b"])
+        for _, row in pdf.iterrows()
+        if getattr(pd.Series([expr_f(row)]), pyc)(row["b"]).iloc[0]
+    }
+    assert got_ids == want_ids, (pred, got_ids, want_ids)
