@@ -986,3 +986,43 @@ def sample_interleave_sources(spark, sf_dir: str):
     return smp.interleave_sources(d, "source", "doc_id").select(
         "doc_id", "source", "mix_rank"
     )
+
+
+@register(
+    "agg_copurchase_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (
+           SELECT a.l_partkey AS part_a, c.l_partkey AS part_b
+           FROM b a JOIN b c
+             ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+         )
+    SELECT part_a, part_b, count(*) AS n_orders
+    FROM p GROUP BY part_a, part_b HAVING count(*) >= 2
+    """,
+    doc="Market-basket co-occurrence (frequent pair mining, support "
+    ">= 2): parts bought together in the same order, via a basket "
+    "self-join on the order key.  Scale: the pair explode is bounded "
+    "by basket size squared PER ORDER (never corpus-wide); the "
+    "distinct pre-pass collapses duplicate (order, part) lines "
+    "map-side; the pair count partial-aggregates.  A support "
+    "threshold this low is the worst case — real mining raises it "
+    "and AQE prunes post-aggregate.",
+)
+def agg_copurchase_pairs(spark, sf_dir: str):
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("c.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -270,3 +270,77 @@ def event_time_sorted_emit(
     return grouped.applyInPandasWithState(
         fn, out_schema, "buf binary", "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k_capacity: int = 64,
+    key_buckets: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: every micro-batch folds its
+    items into a bounded per-bucket counter summary (<= ``k_capacity``
+    counters, the classic decrement rule) and emits the bucket's
+    CURRENT candidate snapshot — (item, lower_count, bucket_seen).
+
+    The per-item guarantee is the batch operator's, sharpened by
+    bucketing (an item lives in exactly ONE hash bucket, so a global
+    count > bucket_seen / k survives ITS bucket's summary): the true
+    count lies in [lower_count, lower_count + bucket_seen/k], and every
+    item above the certify threshold is present in the latest snapshot.
+    Downstream certifies exactly like the batch path — filter on
+    lower_count + slack, recount survivors.
+
+    State per bucket = the counter summary + a seen-count: O(k) — the
+    whole point vs a streaming groupBy count, whose state grows with
+    the open-domain key space.  ``key_buckets`` plays maxParallelism
+    (hash re-deal of items, same knob as temporal_join_stream).
+    Output mode "update": each batch replaces the bucket's snapshot.
+    """
+    import numpy as np
+
+    src = df.select(
+        F.col(item_col).cast("string").alias("__item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(key_buckets)).alias(
+            "__kg"
+        ),
+    )
+    cap = int(k_capacity)
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            items, counts, seen = state.get
+            counters = pd.Series(list(counts), index=list(items), dtype="float64")
+        else:
+            counters, seen = pd.Series(dtype="float64"), 0
+        for pdf in batches:
+            vc = pdf["__item"].value_counts()
+            seen += int(vc.sum())
+            counters = vc.astype("float64") if counters.empty else counters.add(
+                vc, fill_value=0
+            )
+            if len(counters) > cap:
+                kth = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters - kth
+                counters = counters[counters > 0]
+        state.update((
+            [str(i) for i in counters.index],
+            [int(c) for c in counters.to_numpy()],
+            int(seen),
+        ))
+        if len(counters):
+            yield pd.DataFrame(
+                {
+                    "item": counters.index.astype(str),
+                    "lower_count": counters.to_numpy().astype("int64"),
+                    "bucket_seen": np.int64(seen),
+                }
+            )
+
+    return src.groupBy("__kg").applyInPandasWithState(
+        fn,
+        "item string, lower_count long, bucket_seen long",
+        "items array<string>, counts array<long>, n_seen long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -317,3 +317,45 @@ def test_queryable_state_live_point_lookup(spark, chunk_dir):
     for k in want.index:
         assert got.loc[k, "cnt"] == want.loc[k, "cnt"]
         assert abs(got.loc[k, "total"] - want.loc[k, "total"]) < 1e-6
+
+
+def test_streaming_heavy_hitters_certifies_batch_set(spark, tmp_path):
+    """The streaming MG summary's completeness contract: after the
+    stream drains, every item whose TRUE count clears its bucket's
+    certify threshold appears in the final snapshot, and lower_count
+    never exceeds the true count (undercount bound <= bucket_seen/k)."""
+    chunks = str(tmp_path / "hhchunks")
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=3)
+    stream = sources.read_event_stream(spark, chunks)
+    out = stateful.streaming_heavy_hitters(stream, "user_id", k_capacity=16)
+    q = (out.writeStream.format("memory").queryName("t_hh")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import pandas as pd
+
+    snap = spark.table("t_hh").toPandas()
+    # update mode appends each batch's snapshot to the memory sink —
+    # keep the LAST row per item (largest bucket_seen, then lower_count)
+    snap = (snap.sort_values(["bucket_seen", "lower_count"])
+            .groupby("item", as_index=False).tail(1))
+    exact = (
+        table(spark, SF_SMALL, "events")
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .count()
+        .toPandas()
+    )
+    truth = dict(zip(exact["item"], exact["count"]))
+    got = dict(zip(snap["item"], snap["lower_count"]))
+    seen = dict(zip(snap["item"], snap["bucket_seen"]))
+    # lower bound never overshoots
+    for item, lc in got.items():
+        assert lc <= truth[item], (item, lc, truth[item])
+    # completeness: anything above its bucket threshold is present
+    for item, n in truth.items():
+        # conservative global threshold: total events / k (any bucket's
+        # local threshold is tighter)
+        if n > sum(truth.values()) / 16:
+            assert item in got, (item, n)
