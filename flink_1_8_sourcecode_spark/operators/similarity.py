@@ -1359,3 +1359,94 @@ def knn_graph_search(
         F.col("__cos").alias("cosine"),
         F.col("__rk").alias("rank"),
     )
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str,
+    n_components: int = 8,
+):
+    """Distributed PCA fit: per-partition Gram/sum partials (one numpy
+    GEMM per Arrow batch via mapInPandas), a driver-side reduce of the
+    bounded (d x d) statistics, and a deterministic eigendecomposition.
+
+    Returns ``(components, offsets, mean)`` as plain python lists:
+    ``components[j]`` is the j-th principal axis (length d, eigenvalue
+    descending), ``offsets[j] = mean . components[j]`` so a projection
+    is the pure-Column expression ``dot(x, w_j) - b_j`` — the JVM/
+    engine-portable form (no Python in the projection path).
+
+    Determinism: covariance is an exact sum reduce; numpy ``eigh`` on
+    the symmetric d x d matrix is deterministic; each eigenvector's
+    sign is fixed by making its largest-magnitude coefficient positive.
+    Scale: the only driver materialization is P partial rows of
+    1 + d + d^2 doubles (d = embedding width, bounded by schema) — the
+    classic distributed-PCA shape; the corpus itself is touched once,
+    map-only.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .toPandas()
+    )
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError(f"pca_train needs >= 2 vectors, got {n}")
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    offsets = []
+    for j in order:
+        w = evecs[:, j]
+        # sign convention: largest-|coef| coordinate positive
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        comps.append([float(v) for v in w])
+        offsets.append(float(np.dot(mean, w)))
+    return comps, offsets, [float(v) for v in mean]
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    components: list,
+    offsets: list,
+) -> DataFrame:
+    """Project vectors onto trained principal axes — PURE Column math
+    (``dot(x, w_j) - b_j`` per component, the mean folded into the
+    scalar offset), so the 100 TB projection pass is map-only JVM
+    whole-stage codegen with the axes inlined as literals.  Returns
+    (id_col, pc0, pc1, ...)."""
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col)]
+    for j, (w, b) in enumerate(zip(components, offsets)):
+        cols.append(
+            (_dot(v, F.array(*[F.lit(float(x)) for x in w])) - F.lit(b)).alias(
+                f"pc{j}"
+            )
+        )
+    return df.select(*cols)

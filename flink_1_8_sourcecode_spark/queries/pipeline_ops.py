@@ -1026,3 +1026,68 @@ def agg_copurchase_pairs(spark, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "agg_association_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+         item AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY l_partkey),
+         p AS (
+           SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, count(*) AS n_ab
+           FROM b a JOIN b c
+             ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2
+         )
+    SELECT p.part_a, p.part_b, p.n_ab,
+           p.n_ab::DOUBLE / ia.n_item AS confidence,
+           p.n_ab::DOUBLE * n.n_orders / (ia.n_item * ib.n_item) AS lift
+    FROM p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+    doc="Association rules over the co-purchase pairs (support >= 2): "
+    "confidence(A -> B) = n(AB)/n(A) and lift = n(AB)*N/(n(A)*n(B)).  "
+    "Scale: item supports partial-aggregate; the basket count is a "
+    "single-row broadcast; rule scoring joins the (already thresholded) "
+    "pair relation against the bounded item-support table.",
+)
+def agg_association_rules(spark, sf_dir: str):
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("c.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("__na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("__nb"))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.col("n_ab") / F.col("__na")).alias("confidence"),
+            (F.col("n_ab") * F.col("n_orders") / (F.col("__na") * F.col("__nb"))).alias(
+                "lift"
+            ),
+        )
+    )

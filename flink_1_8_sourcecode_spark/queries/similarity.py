@@ -723,3 +723,48 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("hits"), F.lit(0)) / 10.0).alias("recall"),
         )
     )
+
+
+_PCA_EXPORT = "/tmp/spark_graft_pca_components"
+
+
+@register(
+    "sim_pca_project",
+    oracle=f"""
+    WITH c AS (SELECT component, axis, b
+               FROM read_parquet('{_PCA_EXPORT}/*.parquet')),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT v.vec_id,
+           max(CASE WHEN c.component = 0
+                    THEN list_dot_product(v.e, c.axis) - c.b END) AS pc0,
+           max(CASE WHEN c.component = 1
+                    THEN list_dot_product(v.e, c.axis) - c.b END) AS pc1,
+           max(CASE WHEN c.component = 2
+                    THEN list_dot_product(v.e, c.axis) - c.b END) AS pc2,
+           max(CASE WHEN c.component = 3
+                    THEN list_dot_product(v.e, c.axis) - c.b END) AS pc3
+    FROM v CROSS JOIN c
+    GROUP BY v.vec_id
+    """,
+    doc="Distributed PCA (operators/similarity.py:pca_train/pca_project) "
+    "— per-partition Gram partials (one numpy GEMM per Arrow batch), "
+    "driver reduce of the bounded d x d statistics, deterministic "
+    "eigh (sign-fixed), then a PURE-Column projection "
+    "(dot(x, w_j) - b_j with the mean folded into the offset — the "
+    "100 TB pass is map-only whole-stage codegen).  The oracle is "
+    "COMPONENT-CONDITIONED: the query exports the trained axes and "
+    "DuckDB independently recomputes every vector's projection.",
+)
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    comps, offsets, _mean = pca_train(emb, "embedding", n_components=4)
+    spark.createDataFrame(
+        [(j, comps[j], offsets[j]) for j in range(4)],
+        "component int, axis array<double>, b double",
+    ).write.mode("overwrite").parquet(_PCA_EXPORT)
+    return pca_project(emb, "vec_id", "embedding", comps, offsets)

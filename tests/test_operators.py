@@ -1500,3 +1500,43 @@ class TestCertifiedHeavyHitters:
         assert {(r["item"], r["cnt"]) for r in out} == {("HOT", 600)}
         # and with k=8 (threshold 700 > 600) the certified set is empty
         assert certified_heavy_hitters(data, "item", k_capacity=8).count() == 0
+
+
+class TestPCA:
+    """Distributed PCA: orthonormal sign-fixed axes, variance ordering,
+    reconstruction improves with components, determinism."""
+
+    def test_axes_orthonormal_and_variance_ordered(self, spark):
+        import numpy as np
+
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            pca_project,
+            pca_train,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        comps, offs, mean = pca_train(emb, "embedding", n_components=5)
+        w = np.array(comps)
+        assert np.allclose(w @ w.T, np.eye(5), atol=1e-9)
+        proj = pca_project(emb, "vec_id", "embedding", comps, offs).toPandas()
+        variances = [proj[f"pc{j}"].var() for j in range(5)]
+        assert all(a >= b - 1e-12 for a, b in zip(variances, variances[1:]))
+        # projections are centered (mean folded into the offset)
+        assert all(abs(proj[f"pc{j}"].mean()) < 1e-9 for j in range(5))
+
+    def test_deterministic_and_matches_numpy(self, spark):
+        import numpy as np
+
+        from flink_1_8_sourcecode_spark.operators.similarity import pca_train
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = pca_train(emb, "embedding", n_components=3)
+        b = pca_train(emb, "embedding", n_components=3)
+        assert a == b
+        # against a plain numpy reference on the collected matrix
+        x = np.stack(emb.toPandas()["embedding"].to_numpy()).astype("float64")
+        cov = np.cov(x, rowvar=False, bias=True)
+        evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+        w = np.array(a[0])
+        got_vars = np.diag(w @ cov @ w.T)
+        assert np.allclose(np.sort(got_vars)[::-1], evals, rtol=1e-8)
