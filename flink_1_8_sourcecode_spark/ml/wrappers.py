@@ -176,3 +176,38 @@ def sos_outlier(
             "outlier_probability"
         )
     )
+
+
+def quantile_bucketizer(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    out_col: str = "bucket",
+):
+    """Equi-depth feature discretization (the QuantileDiscretizer /
+    Bucketizer pattern): bucket b = number of quantile cut points
+    strictly below the value, cuts at i/n_buckets percentiles (exact
+    interpolated percentile, not approxQuantile — deterministic and
+    engine-portable).  Returns ``(df + out_col, cuts)``.
+
+    Cuts are rounded to 6 dp BEFORE comparison — exact-percentile
+    interpolation formulas differ across engines by ULPs ((1-f)*lo+f*hi
+    vs lo+f*(hi-lo)), and an unrounded cut that lands ON a data value
+    would assign that row differently per engine.  Scale: one exact
+    percentile aggregate (driver materializes n_buckets-1 doubles),
+    then a map-only comparison chain.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        *[
+            F.round(F.percentile(value_col, F.lit(q)), 6).alias(f"__q{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    cuts = [row[f"__q{i}"] for i in range(len(qs))]
+    b = F.lit(0)
+    for c in cuts:
+        b = b + (F.col(value_col) > F.lit(c)).cast("int")
+    return df.withColumn(out_col, b), cuts

@@ -1370,11 +1370,12 @@ def pca_train(
     GEMM per Arrow batch via mapInPandas), a driver-side reduce of the
     bounded (d x d) statistics, and a deterministic eigendecomposition.
 
-    Returns ``(components, offsets, mean)`` as plain python lists:
-    ``components[j]`` is the j-th principal axis (length d, eigenvalue
-    descending), ``offsets[j] = mean . components[j]`` so a projection
-    is the pure-Column expression ``dot(x, w_j) - b_j`` — the JVM/
-    engine-portable form (no Python in the projection path).
+    Returns ``(components, offsets, mean, variances)`` as plain python
+    lists: ``components[j]`` is the j-th principal axis (length d,
+    eigenvalue descending), ``offsets[j] = mean . components[j]`` so a
+    projection is the pure-Column expression ``dot(x, w_j) - b_j`` —
+    the JVM/engine-portable form (no Python in the projection path);
+    ``variances[j]`` is the axis eigenvalue (for whitening).
 
     Determinism: covariance is an exact sum reduce; numpy ``eigh`` on
     the symmetric d x d matrix is deterministic; each eigenvector's
@@ -1419,6 +1420,7 @@ def pca_train(
     order = np.argsort(evals)[::-1][:n_components]
     comps = []
     offsets = []
+    variances = []
     for j in order:
         w = evecs[:, j]
         # sign convention: largest-|coef| coordinate positive
@@ -1426,7 +1428,8 @@ def pca_train(
             w = -w
         comps.append([float(v) for v in w])
         offsets.append(float(np.dot(mean, w)))
-    return comps, offsets, [float(v) for v in mean]
+        variances.append(float(max(evals[j], 0.0)))
+    return comps, offsets, [float(v) for v in mean], variances
 
 
 def pca_project(
@@ -1435,6 +1438,8 @@ def pca_project(
     vec_col: str,
     components: list,
     offsets: list,
+    whiten: bool = False,
+    variances: list | None = None,
 ) -> DataFrame:
     """Project vectors onto trained principal axes — PURE Column math
     (``dot(x, w_j) - b_j`` per component, the mean folded into the
@@ -1443,10 +1448,12 @@ def pca_project(
     (id_col, pc0, pc1, ...)."""
     v = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
+    scales = variances if whiten else None
     for j, (w, b) in enumerate(zip(components, offsets)):
-        cols.append(
-            (_dot(v, F.array(*[F.lit(float(x)) for x in w])) - F.lit(b)).alias(
-                f"pc{j}"
-            )
-        )
+        expr = _dot(v, F.array(*[F.lit(float(x)) for x in w])) - F.lit(b)
+        if scales is not None:
+            # whitening: unit variance per axis (PCA-whitening, the
+            # standard pre-conditioner before cosine/L2 retrieval)
+            expr = expr / F.lit(float(scales[j]) ** 0.5 + 1e-12)
+        cols.append(expr.alias(f"pc{j}"))
     return df.select(*cols)

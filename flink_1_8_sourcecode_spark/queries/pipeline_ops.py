@@ -1091,3 +1091,32 @@ def agg_association_rules(spark, sf_dir: str):
             ),
         )
     )
+
+
+@register(
+    "ml_quantile_bucketize",
+    oracle="""
+    WITH q AS (
+      SELECT round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
+             round(quantile_cont(c_acctbal, 0.50), 6) AS q2,
+             round(quantile_cont(c_acctbal, 0.75), 6) AS q3
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           ((c_acctbal > q.q1)::INT + (c_acctbal > q.q2)::INT
+            + (c_acctbal > q.q3)::INT) AS bucket
+    FROM customer CROSS JOIN q
+    """,
+    doc="Equi-depth feature discretization (ml/wrappers.py:"
+    "quantile_bucketizer — the QuantileDiscretizer pattern with EXACT "
+    "percentile cuts): customer balances into quartile buckets.  Cuts "
+    "rounded to 6 dp before comparison so cross-engine interpolation "
+    "ULPs cannot flip a boundary row; one percentile aggregate + a "
+    "map-only comparison chain.",
+)
+def ml_quantile_bucketize(spark, sf_dir: str):
+    from flink_1_8_sourcecode_spark.ml.wrappers import quantile_bucketizer
+
+    c = table(spark, sf_dir, "customer")
+    out, _cuts = quantile_bucketizer(c, "c_acctbal", n_buckets=4)
+    return out.select("c_custkey", "c_acctbal", "bucket")

@@ -762,7 +762,7 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    comps, offsets, _mean = pca_train(emb, "embedding", n_components=4)
+    comps, offsets, _mean, _vars = pca_train(emb, "embedding", n_components=4)
     spark.createDataFrame(
         [(j, comps[j], offsets[j]) for j in range(4)],
         "component int, axis array<double>, b double",

@@ -101,3 +101,19 @@ def test_fit_pipeline_chained_scaler_regression(spark):
     )
     pred = model.transform(df).toPandas()
     assert (abs(pred.prediction - pred.label) < 1e-6).all()
+
+
+def test_quantile_bucketizer_equi_depth(spark):
+    from flink_1_8_sourcecode_spark.ml.wrappers import quantile_bucketizer
+
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    out, cuts = quantile_bucketizer(c, "c_acctbal", n_buckets=4)
+    assert len(cuts) == 3 and cuts == sorted(cuts)
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    # equi-depth: every quartile within a few rows of n/4 (ties at cuts)
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(abs(v - n / 4) <= max(3, 0.02 * n) for v in counts.values()), counts
+    with __import__("pytest").raises(ValueError):
+        quantile_bucketizer(c, "c_acctbal", n_buckets=1)

@@ -1515,7 +1515,7 @@ class TestPCA:
         )
 
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-        comps, offs, mean = pca_train(emb, "embedding", n_components=5)
+        comps, offs, mean, variances = pca_train(emb, "embedding", n_components=5)
         w = np.array(comps)
         assert np.allclose(w @ w.T, np.eye(5), atol=1e-9)
         proj = pca_project(emb, "vec_id", "embedding", comps, offs).toPandas()
@@ -1540,3 +1540,22 @@ class TestPCA:
         w = np.array(a[0])
         got_vars = np.diag(w @ cov @ w.T)
         assert np.allclose(np.sort(got_vars)[::-1], evals, rtol=1e-8)
+
+
+def test_pca_whitening_unit_variance(spark):
+    """Whitened projections have ~unit variance per axis (population
+    convention)."""
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        pca_project,
+        pca_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps, offs, _mean, variances = pca_train(emb, "embedding", n_components=3)
+    proj = pca_project(
+        emb, "vec_id", "embedding", comps, offs, whiten=True, variances=variances
+    ).toPandas()
+    n = len(proj)
+    for j in range(3):
+        pop_var = proj[f"pc{j}"].var(ddof=0)
+        assert abs(pop_var - 1.0) < 1e-6, (j, pop_var)
