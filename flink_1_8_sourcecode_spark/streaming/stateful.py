@@ -344,3 +344,124 @@ def streaming_heavy_hitters(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    key_buckets: int = 16,
+) -> DataFrame:
+    """ONLINE near-duplicate detection for an ingestion stream: each
+    arriving document's MinHash LSH bands probe a stateful band store;
+    a document sharing >= 1 band with ANY earlier-arrived document is
+    flagged ``(doc id, dup_of)``.  A document's bands spread over
+    several key groups, so the APPEND output may carry one row per
+    (doc, key group); ``min(dup_of)`` per doc is the canonical earliest
+    owner — aggregate downstream (the tests do exactly that).  The streaming counterpart of
+    ``operators.dedup.incremental_dedup`` (frozen-corpus anti-join) —
+    here the corpus freezes CONTINUOUSLY as documents arrive.
+
+    Band signatures are the same pure-Column md5 MinHash family as the
+    batch LSH (map-only on the stream; no aggregation before the
+    stateful step, so no watermark is needed).  State is partitioned by
+    ``hash(band) % key_buckets`` — each bucket holds its slice of the
+    band -> first-owner map, so probe AND insert for one band touch
+    exactly one key group.  Within a micro-batch, ownership ties break
+    to the smallest document id (vectorized pandas groupby — no per-row
+    Python).  State grows with the number of DISTINCT bands ingested
+    (the inherent cost of exact online dedup — the band store IS the
+    corpus memory); cap it upstream with a corpus budget or rotate the
+    checkpoint per ingestion epoch.
+    """
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from flink_1_8_sourcecode_spark.operators.text import (
+        bind_once,
+        md5_base28,
+        shingles,
+    )
+
+    r = num_hashes // bands
+    # SAME affine family as the batch LSH (minhash_band_rows), computed
+    # per row (no groupBy -> no watermark needed on the stream): md5
+    # bases bound ONCE via bind_once, then one array_min per seed
+    bases = bind_once(
+        F.transform(shingles(F.col(text_col), shingle_k), md5_base28),
+        lambda bs: F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        bs,
+                        (lambda a, b: lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)(
+                            MINHASH_A[i], MINHASH_B[i]
+                        ),
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    band_arr = bind_once(
+        bases,
+        lambda s: F.array(
+            *[
+                F.concat_ws(
+                    "#",
+                    F.lit(str(j)),
+                    *[F.element_at(s, j * r + i + 1) for i in range(r)],
+                )
+                for j in range(bands)
+            ]
+        ),
+    )
+    rows = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.explode(band_arr).alias("__band")
+    ).withColumn("__kg", F.pmod(F.xxhash64("__band"), F.lit(key_buckets)))
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            keys, owners = state.get
+            store = dict(zip(keys, owners))
+        else:
+            store = {}
+        parts = [pdf[["__id", "__band"]] for pdf in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        # within-batch owner per band = smallest doc id (vectorized)
+        batch_min = pdf.groupby("__band")["__id"].min()
+        prior = pdf["__band"].map(store)
+        batch_owner = pdf["__band"].map(batch_min)
+        # the effective owner of each row's band: the stored owner if the
+        # band was seen in an earlier batch, else this batch's minimum
+        owner = prior.fillna(batch_owner)
+        dup = pdf.loc[owner < pdf["__id"], ["__id"]].assign(__owner=owner[owner < pdf["__id"]])
+        # persist: first owner wins forever
+        for band, own in batch_min.items():
+            if band not in store:
+                store[band] = int(own)
+        state.update((list(store.keys()), [int(v) for v in store.values()]))
+        if len(dup):
+            out = (
+                dup.groupby("__id", as_index=False)["__owner"]
+                .min()
+                .rename(columns={"__id": "doc_id", "__owner": "dup_of"})
+            )
+            out["dup_of"] = out["dup_of"].astype("int64")
+            yield out
+
+    matches = rows.groupBy("__kg").applyInPandasWithState(
+        fn,
+        "doc_id long, dup_of long",
+        "keys array<string>, owners array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return matches
