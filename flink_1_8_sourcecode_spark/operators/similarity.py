@@ -1457,3 +1457,63 @@ def pca_project(
             expr = expr / F.lit(float(scales[j]) ** 0.5 + 1e-12)
         cols.append(expr.alias(f"pc{j}"))
     return df.select(*cols)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval evaluation: per-query recall@k, MRR@k and nDCG@k of a
+    ranked ``results`` relation against a ``truth`` relation (binary
+    relevance: membership in truth) — the measurement half of the ANN
+    family; every approximate index in this module is graded by exactly
+    these numbers at 100 TB eval time.
+
+    Definitions (binary relevance, public IR standard):
+    - recall@k = |hits in top-k| / min(|truth(q)|, k)
+    - MRR@k    = 1 / rank of the first hit (0 when no hit in top-k)
+    - nDCG@k   = sum(1/log2(1+rank) over hits) normalized by the ideal
+                 DCG of min(|truth(q)|, k) relevant items up front.
+
+    Scale: one query-keyed join of two already-small relations (top-k
+    results and ground truth are |Q| x k shaped, never corpus-shaped);
+    metrics are partial-aggregated sums per query.  Every query in
+    ``truth`` appears in the output (queries the engine returned
+    nothing for score 0, not NULL — silent drops inflate averages).
+    """
+    res = results.select(
+        F.col(query_id_col).alias("__q"),
+        F.col(neighbor_id_col).alias("__n"),
+        F.col(rank_col).alias("__r"),
+    ).filter(F.col("__r") <= k)
+    tr = truth.select(
+        F.col(query_id_col).alias("__q"), F.col(neighbor_id_col).alias("__n")
+    ).distinct()
+    tsize = tr.groupBy("__q").agg(F.count(F.lit(1)).alias("__nt"))
+    hits = res.join(tr, ["__q", "__n"])
+    per_q = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__nh"),
+        (F.lit(1.0) / F.min("__r")).alias("__mrr"),
+        F.sum(F.lit(1.0) / F.log2(F.col("__r") + 1)).alias("__dcg"),
+    )
+    # ideal DCG for m = min(|truth|, k) relevant items ranked 1..m
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("__nt"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1),
+    )
+    return (
+        tsize.join(per_q, "__q", "left")
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.coalesce(
+                F.col("__nh") / F.least(F.col("__nt"), F.lit(k)), F.lit(0.0)
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("__mrr"), F.lit(0.0)).alias("mrr_at_k"),
+            F.coalesce(F.col("__dcg") / ideal, F.lit(0.0)).alias("ndcg_at_k"),
+        )
+    )

@@ -768,3 +768,91 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, axis array<double>, b double",
     ).write.mode("overwrite").parquet(_PCA_EXPORT)
     return pca_project(emb, "vec_id", "embedding", comps, offsets)
+
+
+@register(
+    "sim_eval_ivf_metrics",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id < 5),
+         exact AS (
+           SELECT qid, nid FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))) DESC, c.vec_id) AS rk
+             FROM q JOIN v c ON c.vec_id != q.vec_id
+           ) WHERE rk <= 10
+         ),
+         cent AS (
+           SELECT label AS cluster,
+                  list_transform(range(1, 65),
+                    i -> list_sum(list_transform(list(e), x -> x[i]))
+                         / count(*)) AS ce
+           FROM v GROUP BY label
+         ),
+         probes AS (
+           SELECT query_id, cluster FROM (
+             SELECT q.vec_id AS query_id, cent.cluster,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_dot_product(q.e, cent.ce)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                        cent.cluster) AS pr
+             FROM q CROSS JOIN cent
+           ) WHERE pr <= 3
+         ),
+         ivf AS (
+           SELECT query_id, neighbor_id, rank FROM (
+             SELECT p.query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY p.query_id
+                      ORDER BY list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))) DESC, c.vec_id) AS rank
+             FROM probes p
+             JOIN v c ON c.label = p.cluster
+             JOIN q ON q.vec_id = p.query_id
+             WHERE c.vec_id != p.query_id
+           ) WHERE rank <= 10
+         ),
+         tsize AS (SELECT qid, count(*) AS nt FROM exact GROUP BY qid),
+         hits AS (
+           SELECT i.query_id, i.rank
+           FROM ivf i JOIN exact e ON e.qid = i.query_id AND e.nid = i.neighbor_id
+         ),
+         perq AS (
+           SELECT query_id, count(*) AS nh, 1.0 / min(rank) AS mrr,
+                  sum(1.0 / log2(rank + 1)) AS dcg
+           FROM hits GROUP BY query_id
+         ),
+         ideal AS (
+           SELECT t.qid, sum(1.0 / log2(i + 1)) AS idcg
+           FROM tsize t, UNNEST(range(1, least(t.nt, 10) + 1)) AS u(i)
+           GROUP BY t.qid
+         )
+    SELECT t.qid AS query_id,
+           coalesce(p.nh::DOUBLE / least(t.nt, 10), 0.0) AS recall_at_k,
+           coalesce(p.mrr, 0.0) AS mrr_at_k,
+           coalesce(p.dcg / i.idcg, 0.0) AS ndcg_at_k
+    FROM tsize t
+    LEFT JOIN perq p ON p.query_id = t.qid
+    JOIN ideal i ON i.qid = t.qid
+    """,
+    doc="Retrieval evaluation (operators/similarity.py:retrieval_metrics "
+    "— the measurement half of the ANN family): per-query recall@10, "
+    "MRR@10 and nDCG@10 of the IVF index (nprobe=3) against exact "
+    "brute-force truth.  Both the index AND the metric math replicate "
+    "in the oracle; top-k-shaped joins only, partial-aggregated sums.",
+)
+def sim_eval_ivf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import retrieval_metrics
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", "vec_id",
+        cluster_col="label", k=10, nprobe=3,
+    )
+    return retrieval_metrics(approx, truth, k=10)

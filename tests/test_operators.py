@@ -1559,3 +1559,33 @@ def test_pca_whitening_unit_variance(spark):
     for j in range(3):
         pop_var = proj[f"pc{j}"].var(ddof=0)
         assert abs(pop_var - 1.0) < 1e-6, (j, pop_var)
+
+
+def test_retrieval_metrics_known_values(spark):
+    """Hand-checkable metric math: 2 queries, known hits/ranks."""
+    from flink_1_8_sourcecode_spark.operators.similarity import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)],
+        "query_id long, neighbor_id long",
+    )
+    results = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2), (1, 11, 3),   # q1: hits at rank 1 and 3
+            (2, 98, 1), (2, 97, 2),               # q2: no hits
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {r["query_id"]: r for r in retrieval_metrics(results, truth, k=3).collect()}
+    import math
+
+    # q1: |truth|=3, m=min(3,3)=3; hits=2 -> recall 2/3; MRR 1/1
+    assert abs(got[1]["recall_at_k"] - 2 / 3) < 1e-12
+    assert got[1]["mrr_at_k"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(got[1]["ndcg_at_k"] - dcg / idcg) < 1e-12
+    # q2: zero hits -> all zeros, and the row is PRESENT (not dropped)
+    assert (got[2]["recall_at_k"], got[2]["mrr_at_k"], got[2]["ndcg_at_k"]) == (
+        0.0, 0.0, 0.0,
+    )
