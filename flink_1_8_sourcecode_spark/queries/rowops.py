@@ -136,3 +136,42 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out_dir, exist_ok=True)
     write_avro_file(f"{out_dir}/nation.avro", schema, rows, codec="deflate")
     return read_avro(spark, f"{out_dir}/nation.avro", schema)
+
+
+@register(
+    "source_tar_shards_roundtrip",
+    oracle="SELECT doc_id, text FROM documents WHERE doc_id < 50",
+    doc="WebDataset-style tar-shard ingestion (sources/tar.py): 50 "
+    "bounded fixture docs written as {doc_id}.txt members across two "
+    "deterministic shards, read back DISTRIBUTED (binaryFile: one task "
+    "per shard; stdlib tarfile member walk in mapInPandas) and decoded "
+    "to (doc_id, text).  The blob-container half of the ingestion "
+    "story next to the Avro row container.",
+)
+def source_tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from flink_1_8_sourcecode_spark.sources.tar import (
+        read_tar_shards,
+        write_tar_shard,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .toPandas()  # bounded by the literal: <= 50 rows
+    )
+    out_dir = "/tmp/spark_graft_tar_shards"
+    os.makedirs(out_dir, exist_ok=True)
+    half = len(docs) // 2
+    for i, chunk in enumerate((docs.iloc[:half], docs.iloc[half:])):
+        write_tar_shard(
+            f"{out_dir}/shard-{i:03d}.tar",
+            {f"{int(r.doc_id):06d}.txt": r.text.encode("utf-8")
+             for r in chunk.itertuples()},
+        )
+    return read_tar_shards(spark, f"{out_dir}/shard-*.tar", suffixes=["txt"]).select(
+        F.col("sample_key").cast("long").alias("doc_id"),
+        F.col("content").cast("string").alias("text"),
+    )

@@ -248,3 +248,62 @@ class TestPureAvro:
         df = read_avro(spark, str(tmp_path / "x.avro"), self.SCHEMA)
         with _pytest.raises(Exception, match="writer schema mismatch"):
             df.collect()
+
+
+class TestTarShards:
+    """WebDataset-style tar shards (sources/tar.py): distributed member
+    walk, key/ext split, suffix pruning."""
+
+    def _shards(self, tmp_path):
+        from flink_1_8_sourcecode_spark.sources.tar import write_tar_shard
+
+        write_tar_shard(
+            str(tmp_path / "shard-000.tar"),
+            {
+                "000001.txt": b"caption one",
+                "000001.img": b"\x00\x01\x02",
+                "000001.json": b'{"w": 2}',
+                "000002.txt": b"caption two",
+                "000002.img": b"\xff\xfe",
+            },
+        )
+        write_tar_shard(
+            str(tmp_path / "shard-001.tar"),
+            {"sub/000003.seg.img": b"\x11", "sub/000003.txt": b"three"},
+        )
+        return str(tmp_path / "shard-*.tar")
+
+    def test_members_keys_and_grouping(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from flink_1_8_sourcecode_spark.sources.tar import read_tar_shards
+
+        df = read_tar_shards(spark, self._shards(tmp_path))
+        rows = df.collect()
+        assert len(rows) == 7
+        by_member = {r["member"]: r for r in rows}
+        assert by_member["000001.txt"]["sample_key"] == "000001"
+        assert bytes(by_member["000001.img"]["content"]) == b"\x00\x01\x02"
+        # multi-dot member: key keeps everything up to the LAST dot
+        assert by_member["sub/000003.seg.img"]["sample_key"] == "sub/000003.seg"
+        assert by_member["sub/000003.seg.img"]["ext"] == "img"
+        # modality grouping: sample 000001 has 3 members
+        g = {r["sample_key"]: r["n"] for r in
+             df.groupBy("sample_key").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert g["000001"] == 3 and g["000002"] == 2
+
+    def test_suffix_pruning(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.sources.tar import read_tar_shards
+
+        df = read_tar_shards(spark, self._shards(tmp_path), suffixes=["txt"])
+        rows = df.collect()
+        assert {r["ext"] for r in rows} == {"txt"}
+        assert len(rows) == 3
+
+    def test_deterministic_shard_bytes(self, tmp_path):
+        from flink_1_8_sourcecode_spark.sources.tar import write_tar_shard
+
+        a, b = str(tmp_path / "a.tar"), str(tmp_path / "b.tar")
+        for p in (a, b):
+            write_tar_shard(p, {"k.txt": b"v", "j.img": b"w"})
+        assert open(a, "rb").read() == open(b, "rb").read()
