@@ -142,3 +142,58 @@ def curate_corpus(
     return out.filter(
         is_hold | ((F.col("cum_tokens") - F.col("n_tokens")) < budget)
     ).select(id_col, source_col, "split", "n_tokens", "cum_tokens")
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Data-quality expectations in ONE aggregate pass (the Deequ-style
+    pre-ingestion gate): each rule is (name, boolean Column that must
+    hold per row); the report has one row per rule — (rule, checked,
+    violations, passed).  ``unique_cols`` adds a uniqueness expectation
+    per listed column (count == distinct count), evaluated inside the
+    SAME aggregate.
+
+    Scale: one scan, one partial-aggregated reduce — every rule is a
+    conditional count in the same HashAggregate, so adding rules costs
+    columns, not passes.  The row-rule violation count is exact;
+    uniqueness uses exact countDistinct (swap for approx_count_distinct
+    upstream if the column is corpus-scale-unique and a 2% error gate
+    suffices).  The report is a DataFrame, not an exception — gating
+    (fail the job, quarantine the batch) is the caller's policy.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules:
+        aggs.append(
+            F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)).alias(
+                f"__v_{name}"
+            )
+        )
+    for c in unique_cols or []:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
+    row = df.agg(*aggs)
+    # ONE plan: explode a struct per rule out of the single agg row —
+    # a union of per-rule selects would re-execute the aggregate (and
+    # the scan) once per rule
+    structs = []
+    for name, _ in rules:
+        structs.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("checked"),
+                F.col(f"__v_{name}").alias("violations"),
+                (F.col(f"__v_{name}") == 0).alias("passed"),
+            )
+        )
+    for c in unique_cols or []:
+        structs.append(
+            F.struct(
+                F.lit(f"unique({c})").alias("rule"),
+                F.col("__n").alias("checked"),
+                (F.col("__n") - F.col(f"__d_{c}")).alias("violations"),
+                (F.col("__n") == F.col(f"__d_{c}")).alias("passed"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")

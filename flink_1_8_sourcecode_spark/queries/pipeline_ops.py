@@ -1120,3 +1120,47 @@ def ml_quantile_bucketize(spark, sf_dir: str):
     c = table(spark, sf_dir, "customer")
     out, _cuts = quantile_bucketizer(c, "c_acctbal", n_buckets=4)
     return out.select("c_custkey", "c_acctbal", "bucket")
+
+
+@register(
+    "pipeline_data_quality",
+    oracle="""
+    WITH stats AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT coalesce(c_acctbal BETWEEN -1000 AND 10000, FALSE)
+                      THEN 1 ELSE 0 END) AS v_bal,
+             sum(CASE WHEN NOT coalesce(c_mktsegment IS NOT NULL, FALSE)
+                      THEN 1 ELSE 0 END) AS v_seg,
+             sum(CASE WHEN NOT coalesce(c_nationkey BETWEEN 0 AND 24, FALSE)
+                      THEN 1 ELSE 0 END) AS v_nat,
+             count(DISTINCT c_custkey) AS d_key
+      FROM customer
+    )
+    SELECT 'acctbal_range' AS rule, n AS checked, v_bal AS violations,
+           v_bal = 0 AS passed FROM stats
+    UNION ALL
+    SELECT 'segment_not_null', n, v_seg, v_seg = 0 FROM stats
+    UNION ALL
+    SELECT 'nationkey_range', n, v_nat, v_nat = 0 FROM stats
+    UNION ALL
+    SELECT 'unique(c_custkey)', n, n - d_key, n = d_key FROM stats
+    """,
+    doc="Data-quality expectations gate (operators/pipeline.py:"
+    "validate_expectations — the Deequ-style pre-ingestion check): "
+    "range / not-null / uniqueness rules over customer, ALL evaluated "
+    "in one partial-aggregated pass (adding rules adds agg columns, "
+    "not scans); the report is one row per rule.",
+)
+def pipeline_data_quality(spark, sf_dir: str):
+    from flink_1_8_sourcecode_spark.operators.pipeline import validate_expectations
+
+    c = table(spark, sf_dir, "customer")
+    return validate_expectations(
+        c,
+        rules=[
+            ("acctbal_range", F.col("c_acctbal").between(-1000, 10000)),
+            ("segment_not_null", F.col("c_mktsegment").isNotNull()),
+            ("nationkey_range", F.col("c_nationkey").between(0, 24)),
+        ],
+        unique_cols=["c_custkey"],
+    )

@@ -1239,3 +1239,28 @@ def test_interleave_sources_round_robin_semantics(spark):
     assert {r["src"] for r in out[3:6]} == {"s0", "s1", "s2"}
     # s0 has 2 extra rows: they occupy the final rounds alone
     assert [r["src"] for r in out[-2:]] == ["s0", "s0"]
+
+
+def test_validate_expectations_catches_planted_violations(spark):
+    from flink_1_8_sourcecode_spark.operators.pipeline import validate_expectations
+
+    d = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -99.0, None), (2, 3.0, "b"), (4, None, "c")],
+        "id long, x double, s string",
+    )
+    rep = {r["rule"]: (r["violations"], r["passed"]) for r in
+           validate_expectations(
+               d,
+               rules=[("x_positive", F.col("x") > 0),
+                      ("s_not_null", F.col("s").isNotNull())],
+               unique_cols=["id"],
+           ).collect()}
+    # x: -99 fails, NULL x fails via coalesce(False) -> 2 violations
+    assert rep["x_positive"] == (2, False)
+    assert rep["s_not_null"] == (1, False)
+    assert rep["unique(id)"] == (1, False)  # id=2 twice -> n - distinct = 1
+    # single-plan claim: exactly one aggregate pass feeds the report
+    plan = validate_expectations(
+        d, rules=[("x_positive", F.col("x") > 0)], unique_cols=["id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
