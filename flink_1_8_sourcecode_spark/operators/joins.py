@@ -1042,3 +1042,78 @@ def join_with_huge(
     Spark, broadcast the LEFT side instead (and a shuffle-hash/merge
     hint would be the full-repartition fallback)."""
     return F.broadcast(left).join(right, on, how)
+
+
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    version_col: str,
+    op_col: str = "op",
+    insert_ops: tuple = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize a RETRACT/UPSERT changelog onto a base snapshot —
+    the batch form of the reference's retract-stream -> table
+    materialization (upsert sinks, flink-table retraction rules): for
+    every key, the highest-``version_col`` changelog row wins; a
+    surviving delete removes the key, a surviving insert/update
+    replaces (or adds) the payload; untouched base rows pass through.
+
+    Deterministic: ties on version break by operation — delete beats
+    insert at the same version (retraction semantics: a retraction for
+    a version supersedes the accumulation it retracts).
+
+    Scale: one key-hash exchange over the CHANGELOG (usually a sliver
+    of the base) for the latest-wins window; the base joins the tiny
+    winner set with a broadcastable left-anti + union — the base table
+    itself is never windowed or repartitioned.
+    """
+    payload = [c for c in base.columns]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(),
+        # delete outranks insert/update at equal version
+        F.when(F.col(op_col) == delete_op, 0).otherwise(1).asc(),
+    )
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col).isin(*insert_ops)).select(*payload)
+    touched = latest.select(*keys)
+    untouched = base.join(touched, keys, "left_anti")
+    return untouched.unionByName(upserts)
+
+
+def snapshot_as_of(
+    history: DataFrame,
+    keys: list[str],
+    time_col: str,
+    as_of,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-time SNAPSHOT of a versioned table: the latest version
+    at-or-before ``as_of`` per key — the standalone form of the
+    temporal table function's lookup semantics
+    (Table.createTemporalTableFunction, table.scala; the probe-less
+    case of temporal_join).  Keys whose first version is later than
+    ``as_of`` do not exist in the snapshot.
+
+    ``tiebreak`` columns disambiguate versions carrying the SAME
+    timestamp (descending, after the time ordering) — without one, a
+    key with equal-time versions would pick an engine-dependent winner.
+
+    One key-hash exchange (latest-wins window over the time-filtered
+    history; the filter pushes to the scan, so only versions <= as_of
+    are read at all)."""
+    order = [F.col(time_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        history.filter(F.col(time_col) <= F.lit(as_of))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

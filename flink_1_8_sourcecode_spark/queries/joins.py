@@ -510,3 +510,93 @@ def join_temporal_sql_lateral_stream(spark: SparkSession, sf_dir: str) -> DataFr
     )
     name = _run_to_table(out, "q_lat_stream", state_partitions=4)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "join_apply_changelog",
+    oracle="""
+    WITH ch AS (
+      SELECT 'U' AS op, 1 AS version, c_custkey, c_name, c_nationkey,
+             c_acctbal + 1000 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT 'D', 2, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT 'I', 1, c_custkey + 100000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY c_custkey
+          ORDER BY version DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM latest WHERE op IN ('I', 'U')
+    """,
+    doc="Changelog materialization (operators/joins.py:apply_changelog) "
+    "— the batch form of the reference's retract/upsert stream-to-table "
+    "semantics: per key the highest-version change wins, delete beats "
+    "insert at equal version, surviving deletes remove, upserts "
+    "replace-or-add, untouched base rows stream through a left-anti + "
+    "union (the base is never windowed).  The changelog is built "
+    "deterministically from customer in BOTH engines (updates %7, "
+    "deletes %11 at a higher version, inserts %13 at shifted keys).",
+)
+def join_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.joins import apply_changelog
+
+    c = table(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .select(F.lit("U").alias("op"), F.lit(1).alias("version"), *cols)
+    )
+    dels = c.filter(F.col("c_custkey") % 11 == 0).select(
+        F.lit("D").alias("op"), F.lit(2).alias("version"), *cols
+    )
+    ins = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 100000)
+        .select(F.lit("I").alias("op"), F.lit(1).alias("version"), *cols)
+    )
+    changelog = upd.unionByName(dels).unionByName(ins)
+    return apply_changelog(
+        c.select(*cols), changelog, keys=["c_custkey"], version_col="version"
+    )
+
+
+@register(
+    "join_snapshot_as_of",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts::TIMESTAMP AS ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                                event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    """,
+    doc="Point-in-time snapshot (operators/joins.py:snapshot_as_of — "
+    "the temporal table function's lookup semantics standalone, "
+    "Table.createTemporalTableFunction): each user's latest event "
+    "at-or-before 2024-01-15, one latest-wins window over the "
+    "time-filtered history; the as-of filter pushes to the scan.",
+)
+def join_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.joins import snapshot_as_of
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return snapshot_as_of(
+        e, ["user_id"], "ts", "2024-01-15 00:00:00", tiebreak=["event_id"]
+    )

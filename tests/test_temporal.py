@@ -293,3 +293,43 @@ def test_temporal_join_batch_probe_streaming_history_raises(spark):
     ttf = create_temporal_table_function(hist_s, "vt", "k")
     with pytest.raises(NotImplementedError, match="STREAMING version"):
         temporal_join(probe, ttf, probe_time="pt")
+
+
+class TestChangelogAndSnapshot:
+    def test_apply_changelog_semantics(self, spark):
+        from flink_1_8_sourcecode_spark.operators.joins import apply_changelog
+
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        ch = spark.createDataFrame(
+            [
+                ("U", 1, 1, "a2"),   # update key 1
+                ("U", 2, 1, "a3"),   # later update wins
+                ("D", 1, 2, "b_x"),  # delete key 2
+                ("U", 1, 2, "b2"),   # same version as delete: delete wins
+                ("I", 1, 9, "new"),  # brand-new key
+            ],
+            "op string, version long, k long, v string",
+        )
+        got = {r["k"]: r["v"] for r in
+               apply_changelog(base, ch, ["k"], "version").collect()}
+        assert got == {1: "a3", 3: "c", 9: "new"}
+
+    def test_snapshot_as_of_tiebreak(self, spark):
+        from flink_1_8_sourcecode_spark.operators.joins import snapshot_as_of
+
+        h = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 10, "v1"),
+                (1, "2024-01-02 00:00:00", 11, "v2"),
+                (1, "2024-01-02 00:00:00", 12, "v2b"),  # equal ts: higher id wins
+                (1, "2024-01-09 00:00:00", 13, "future"),
+                (2, "2024-01-08 00:00:00", 14, "late"),  # after as_of: absent
+            ],
+            "k long, ts string, ver long, v string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["k"]: r["v"] for r in
+               snapshot_as_of(h, ["k"], "ts", "2024-01-05 00:00:00",
+                              tiebreak=["ver"]).collect()}
+        assert got == {1: "v2b"}
