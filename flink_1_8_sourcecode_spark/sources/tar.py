@@ -19,6 +19,7 @@ import io
 import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TAR_ROW_SCHEMA = (
     "shard string, member string, sample_key string, ext string, content binary"
@@ -90,3 +91,28 @@ def write_tar_shard(path: str, members: dict[str, bytes]) -> None:
             info.mtime = 0
             info.uid = info.gid = 0
             tf.addfile(info, io.BytesIO(data))
+
+
+def assemble_samples(
+    df: DataFrame, exts: list[str], require_all: bool = False
+) -> DataFrame:
+    """Pivot tar-member rows into one row PER SAMPLE with a binary
+    column per modality: (sample_key, <ext1>, <ext2>, ...) — the shape
+    the multimodal operators consume (operators/multimodal.py's opaque
+    binary + metadata contract).
+
+    ``require_all=True`` keeps only samples carrying every requested
+    modality (inner semantics — the WebDataset default of skipping
+    incomplete samples); otherwise missing modalities are NULL.
+
+    Scale: one sample-key exchange; since a sample's members live in
+    one shard by convention, partial aggregation collapses the pivot
+    map-side and the exchange carries one row per sample."""
+    cols = [
+        F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e) for e in exts
+    ]
+    out = df.filter(F.col("ext").isin(*exts)).groupBy("sample_key").agg(*cols)
+    if require_all:
+        for e in exts:
+            out = out.filter(F.col(e).isNotNull())
+    return out

@@ -307,3 +307,19 @@ class TestTarShards:
         for p in (a, b):
             write_tar_shard(p, {"k.txt": b"v", "j.img": b"w"})
         assert open(a, "rb").read() == open(b, "rb").read()
+
+    def test_assemble_samples_pivot(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.sources.tar import (
+            assemble_samples,
+            read_tar_shards,
+        )
+
+        df = read_tar_shards(spark, self._shards(tmp_path))
+        out = {r["sample_key"]: r for r in
+               assemble_samples(df, ["txt", "img"]).collect()}
+        assert bytes(out["000001"]["txt"]) == b"caption one"
+        assert bytes(out["000001"]["img"]) == b"\x00\x01\x02"
+        # incomplete sample keeps NULL modality unless require_all
+        assert out["sub/000003.seg"]["txt"] is None
+        strict = assemble_samples(df, ["txt", "img"], require_all=True)
+        assert {r["sample_key"] for r in strict.collect()} == {"000001", "000002"}
