@@ -1136,14 +1136,14 @@ def ml_quantile_bucketize(spark, sf_dir: str):
              count(DISTINCT c_custkey) AS d_key
       FROM customer
     )
-    SELECT 'acctbal_range' AS rule, n AS checked, v_bal AS violations,
+    SELECT 'acctbal_range' AS rule, n AS checked, v_bal::BIGINT AS violations,
            v_bal = 0 AS passed FROM stats
     UNION ALL
-    SELECT 'segment_not_null', n, v_seg, v_seg = 0 FROM stats
+    SELECT 'segment_not_null', n, v_seg::BIGINT, v_seg = 0 FROM stats
     UNION ALL
-    SELECT 'nationkey_range', n, v_nat, v_nat = 0 FROM stats
+    SELECT 'nationkey_range', n, v_nat::BIGINT, v_nat = 0 FROM stats
     UNION ALL
-    SELECT 'unique(c_custkey)', n, n - d_key, n = d_key FROM stats
+    SELECT 'unique(c_custkey)', n, (n - d_key)::BIGINT, n = d_key FROM stats
     """,
     doc="Data-quality expectations gate (operators/pipeline.py:"
     "validate_expectations — the Deequ-style pre-ingestion check): "
