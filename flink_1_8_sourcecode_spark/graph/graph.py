@@ -574,6 +574,66 @@ class Graph:
             "id", F.when(F.col("dist") != inf, F.col("dist")).alias("dist")
         )
 
+
+    def k_truss(self, k: int, max_iterations: int = 20) -> DataFrame:
+        """k-truss subgraph (Cohen 2008; public algorithm — the EDGE
+        analogue of :meth:`k_core`): iteratively peel every edge whose
+        triangle SUPPORT within the surviving subgraph is < k-2, until
+        fixpoint.  Returns the surviving undirected edges
+        ``(src, dst)``, canonical ``src < dst``.
+
+        Per round: triangles are enumerated ONCE each at their minimum
+        vertex (wedge join of the canonical a<b / a<c edge lists with
+        the b<c closing-edge probe — the same degree-ordered discipline
+        as :meth:`triangle_enumeration`), exploded to their three edges
+        and counted; edges under the support threshold drop.  The edge
+        set only shrinks, so convergence is an order-insensitive
+        (count, xor-of-hashes) signature — one tiny aggregate per round
+        over the eagerly truncated survivor set (lineage discipline of
+        every iterative op here)."""
+        need = k - 2
+        edges = (
+            self.get_undirected()
+            .edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = truncate_lineage(edges, eager=True)
+        prev_sig = None
+        for _ in range(max_iterations):
+            e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            e2 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+            wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+            tris = wedges.join(
+                edges,
+                (wedges.b == edges.u) & (wedges.c == edges.v),
+            ).select("a", "b", "c")
+            tri_edges = (
+                tris.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .unionAll(tris.select(F.col("a").alias("u"), F.col("c").alias("v")))
+                .unionAll(tris.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            )
+            support = tri_edges.groupBy("u", "v").agg(
+                F.count(F.lit(1)).alias("__sup")
+            )
+            nxt = (
+                edges.join(support, ["u", "v"], "left")
+                .filter(F.coalesce(F.col("__sup"), F.lit(0)) >= need)
+                .select("u", "v")
+            )
+            nxt = truncate_lineage(nxt, eager=True)
+            sig = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+            edges = nxt
+            if (sig["n"], sig["h"]) == prev_sig or sig["n"] == 0:
+                break
+            prev_sig = (sig["n"], sig["h"])
+        return edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
     def k_core(self, k: int, max_iterations: int = 20) -> DataFrame:
         """k-core subgraph (Seidman 1983; the Gelly-adjacent pruning
         primitive): iteratively peel vertices whose UNDIRECTED degree

@@ -730,3 +730,36 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(26).select("id")
     e = spark.createDataFrame(edges, "src long, dst long")
     return Graph(v, e).k_core(k=2, max_iterations=20)
+
+
+@register(
+    "graph_k_truss",
+    oracle="""
+    -- 3-truss of (two K4 cliques + bridge + pendant path) = the cliques
+    WITH a AS (SELECT unnest(range(0, 4)) AS i),
+         b AS (SELECT unnest(range(10, 14)) AS i)
+    SELECT x.i::BIGINT AS src, y.i::BIGINT AS dst
+    FROM a x JOIN a y ON x.i < y.i
+    UNION ALL
+    SELECT x.i::BIGINT, y.i::BIGINT FROM b x JOIN b y ON x.i < y.i
+    """,
+    doc="k-truss subgraph (Cohen 2008; graph/graph.py:k_truss — the "
+    "edge analogue of k-core): iterative triangle-support peeling, "
+    "each triangle enumerated once at its minimum vertex (degree-"
+    "ordered wedge join), eager per-round truncation, signature "
+    "convergence.  The bench graph is two K4 cliques joined by a "
+    "bridge plus a pendant path; the 3-truss is exactly the cliques "
+    "(closed-form oracle).",
+)
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    edges = (
+        list(itertools.combinations(range(4), 2))
+        + list(itertools.combinations(range(10, 14), 2))
+        + [(3, 10), (13, 20), (20, 21)]
+    )
+    vids = sorted({x for e in edges for x in e})
+    v = spark.createDataFrame([(i,) for i in vids], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return Graph(v, e).k_truss(3)

@@ -1589,3 +1589,37 @@ def test_retrieval_metrics_known_values(spark):
     assert (got[2]["recall_at_k"], got[2]["mrr_at_k"], got[2]["ndcg_at_k"]) == (
         0.0, 0.0, 0.0,
     )
+
+
+class TestKTruss:
+    def test_cliques_survive_bridge_and_path_drop(self, spark):
+        import itertools
+
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        k4a = list(itertools.combinations(range(4), 2))
+        k4b = list(itertools.combinations(range(10, 14), 2))
+        edges = k4a + k4b + [(3, 10), (13, 20), (20, 21)]
+        v = spark.createDataFrame(
+            [(i,) for i in {x for e in edges for x in e}], "id long"
+        )
+        g = Graph(v, spark.createDataFrame(edges, "src long, dst long"))
+        want = set(k4a) | set(k4b)
+        assert {(r.src, r.dst) for r in g.k_truss(3).collect()} == want
+        # K4 edges carry support 2 -> survive 4-truss, nothing survives 5
+        assert {(r.src, r.dst) for r in g.k_truss(4).collect()} == want
+        assert g.k_truss(5).count() == 0
+
+    def test_cascading_peel(self, spark):
+        """Removing one edge's support can cascade: a triangle chain
+        where each removal invalidates the next (needs > 1 round)."""
+        from flink_1_8_sourcecode_spark.graph.graph import Graph
+
+        # triangles sharing single edges: (0,1,2), (1,2,3): edge (1,2)
+        # supports 2, all others 1 -> 4-truss (need 2) peels the outer
+        # edges first, then (1,2) loses its triangles -> empty
+        edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+        v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+        g = Graph(v, spark.createDataFrame(edges, "src long, dst long"))
+        assert g.k_truss(4).count() == 0
+        assert {(r.src, r.dst) for r in g.k_truss(3).collect()} == set(edges)
