@@ -581,3 +581,69 @@ def test_string_expression_parser_matches_python(spark, ast, cmp):
         if getattr(pd.Series([expr_f(row)]), pyc)(row["b"]).iloc[0]
     }
     assert got_ids == want_ids, (pred, got_ids, want_ids)
+
+
+# --- Avro codec (sources/avro.py) round-trip fuzz ------------------------
+
+_avro_primitive = st.sampled_from(["boolean", "int", "long", "float", "double",
+                                   "bytes", "string"])
+
+
+def _value_for(schema, draw_ints):
+    if schema == "boolean":
+        return st.booleans()
+    if schema in ("int", "long"):
+        return draw_ints
+    if schema == "float":
+        # float32-representable values so the 4-byte round trip is exact
+        return st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 4.0)
+    if schema == "double":
+        return st.floats(allow_nan=False, allow_infinity=False, width=64)
+    if schema == "bytes":
+        return st.binary(max_size=16)
+    if schema == "string":
+        return st.text(max_size=16)
+    raise AssertionError(schema)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_avro_roundtrip_fuzz(data):
+    """Random flat record schemas (primitives + nullable unions + arrays
+    + maps) encode -> decode to the identical python values, both codecs."""
+    from flink_1_8_sourcecode_spark.sources.avro import (
+        decode_container,
+        encode_avro,
+    )
+
+    ints = st.integers(min_value=-(2**62), max_value=2**62)
+    n_fields = data.draw(st.integers(min_value=1, max_value=5))
+    fields, makers = [], []
+    for i in range(n_fields):
+        kind = data.draw(st.sampled_from(["plain", "nullable", "array", "map"]))
+        prim = data.draw(_avro_primitive)
+        vs = _value_for(prim, ints)
+        if kind == "plain":
+            fields.append({"name": f"f{i}", "type": prim})
+            makers.append(vs)
+        elif kind == "nullable":
+            fields.append({"name": f"f{i}", "type": ["null", prim]})
+            makers.append(st.one_of(st.none(), vs))
+        elif kind == "array":
+            fields.append({"name": f"f{i}",
+                           "type": {"type": "array", "items": prim}})
+            makers.append(st.lists(vs, max_size=4))
+        else:
+            fields.append({"name": f"f{i}",
+                           "type": {"type": "map", "values": prim}})
+            makers.append(st.dictionaries(st.text(max_size=6), vs, max_size=4))
+    schema = {"type": "record", "name": "fz", "fields": fields}
+    n_rows = data.draw(st.integers(min_value=0, max_value=5))
+    rows = [
+        {f["name"]: data.draw(m) for f, m in zip(fields, makers)}
+        for _ in range(n_rows)
+    ]
+    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    ws, recs = decode_container(encode_avro(schema, rows, codec=codec))
+    assert ws == schema
+    assert recs == rows
