@@ -638,3 +638,58 @@ def audio_decimate(media: DataFrame, factor: int) -> DataFrame:
         run,
         "media_id long, sample_rate_out int, n_out long, mean_amp double, peak double",
     )
+
+
+def phash64(media: DataFrame, size: int = 32, block: int = 8) -> DataFrame:
+    """Perceptual DCT hash (pHash, Krawetz 2013 / Zauner 2010 — public):
+    NN-sample the red plane to ``size x size`` float64, apply the
+    orthonormal 2-D DCT-II (explicit cosine matrix — deterministic, no
+    FFT library), keep the top-left ``block x block`` low-frequency
+    coefficients, and set bit (ty, tx) when the coefficient exceeds the
+    MEDIAN of the block (DC included in the block but excluded from the
+    median, the standard convention).  Bits pack into two exact int64
+    words exactly like :func:`dhash64`, so :func:`dhash_near_pairs`
+    serves both hash families unchanged.
+
+    dHash vs pHash trade (both kept deliberately): dHash is gradient-
+    based — cheap, crop-sensitive; pHash is frequency-based — robust to
+    brightness/contrast scaling (any monotonic intensity map preserves
+    coefficient ORDER against the median) and mild blur.  Returns
+    ``(media_id, w0, w1)``.
+
+    Scale: map-only Arrow-batched decode; the DCT is two ``size x size``
+    GEMMs per image (numpy, per batch), and the wire cost stays 16
+    bytes per image.
+    """
+    import numpy as np
+    import pandas as pd
+
+    half = (block * block) // 2
+    n = size
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    C = np.sqrt(2.0 / n) * np.cos(np.pi * (x + 0.5) * k / n)
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _ppm_pixels(bytes(content))
+                h, w = px.shape[:2]
+                red = px[:, :, 0].astype(np.float64)
+                sy = (np.arange(n) * h) // n
+                sx = (np.arange(n) * w) // n
+                g = red[np.ix_(sy, sx)]
+                d = C @ g @ C.T
+                lowf = d[:block, :block].ravel()
+                med = np.median(lowf[1:])  # DC excluded from the median
+                flat = (lowf > med).astype(np.int64)
+                w0 = int((flat[:half] << np.arange(half)).sum())
+                w1 = int((flat[half:] << np.arange(half)).sum())
+                out.append((int(mid), w0, w1))
+            yield pd.DataFrame(out, columns=["media_id", "w0", "w1"])
+
+    return media.select("media_id", "content").mapInPandas(
+        run, "media_id long, w0 long, w1 long"
+    )

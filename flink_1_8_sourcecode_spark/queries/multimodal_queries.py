@@ -478,3 +478,63 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
     return audio_decimate(media, factor=4)
+
+
+_PHASH_EXPORT = "/tmp/spark_graft_phash_sigs"
+
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=f"""
+    WITH s AS (SELECT media_id, w0, w1
+               FROM read_parquet('{_PHASH_EXPORT}/*.parquet'))
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::INT AS dist
+    FROM s a JOIN s b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+    """,
+    doc="DCT perceptual hash near-dup pairs (operators/multimodal.py:"
+    "phash64 — orthonormal 2-D DCT-II over the NN-sampled red plane, "
+    "median-thresholded 8x8 low-frequency block; robust to monotonic "
+    "brightness maps where dHash is gradient-bound) + the SAME "
+    "pigeonhole multi-index Hamming join as dhash_near_pairs.  Images "
+    "are synthesized in GROUPS of four sharing a base pattern (members "
+    "1-3 add a +/-1 ripple), so near-dup pairs exist by construction.  "
+    "The oracle is HASH-CONDITIONED: signatures export to parquet and "
+    "DuckDB brute-forces all pairs with bit_count(xor(...)) — the "
+    "banded candidate generation and popcount filter are value-checked "
+    "against an exhaustive independent pairing.",
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        dhash_near_pairs,
+        encode_ppm,
+        phash64,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                g = mid // 4  # four images share a base pattern
+                y, x = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+                base = (g * 37 + 19 * y * y + 23 * x * x + 5 * y * x) % 256
+                ripple = (mid % 4) * (((y + x + mid) % 2))  # +/-1-ish noise
+                px = np.stack(
+                    [(base + ripple + 11 * c) % 256 for c in range(3)], axis=-1
+                ).astype(np.uint8)
+                out.append((mid, bytearray(encode_ppm(px))))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    sig = phash64(media)
+    sig.write.mode("overwrite").parquet(_PHASH_EXPORT)
+    return dhash_near_pairs(spark.read.parquet(_PHASH_EXPORT), max_dist=3)

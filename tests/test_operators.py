@@ -1623,3 +1623,38 @@ class TestKTruss:
         g = Graph(v, spark.createDataFrame(edges, "src long, dst long"))
         assert g.k_truss(4).count() == 0
         assert {(r.src, r.dst) for r in g.k_truss(3).collect()} == set(edges)
+
+
+def test_phash_brightness_invariant_dhash_is_not_required(spark):
+    """pHash: a monotonic intensity remap preserves every coefficient's
+    order against the median -> identical hash; an unrelated image is
+    far.  Exact duplicates collide for both hash families."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.multimodal import (
+        encode_ppm,
+        phash64,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (20, 24, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(int) // 2 + 100, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, (20, 24, 3)).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, bytearray(encode_ppm(base))),
+             (1, bytearray(encode_ppm(bright))),
+             (2, bytearray(encode_ppm(base))),
+             (3, bytearray(encode_ppm(other)))],
+            columns=["media_id", "content"],
+        )
+    )
+    sig = {r["media_id"]: (r["w0"], r["w1"]) for r in phash64(media).collect()}
+
+    def dist(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert dist(sig[0], sig[2]) == 0          # exact dup
+    assert dist(sig[0], sig[1]) == 0          # monotonic brightness map
+    assert dist(sig[0], sig[3]) > 10          # unrelated content
