@@ -331,3 +331,121 @@ def dataset_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(h).alias("checksum"),
     )
+
+
+def prefix_sum_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[Column | str],
+    value_col: str | None = None,
+    out_col: str = "__prefix",
+    n_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-key EXCLUSIVE prefix sum (of ``value_col``, or of 1 — i.e. a
+    0-based dense rank) in ``order_cols`` order, at FULL cluster
+    parallelism even when there are only a handful of keys.
+
+    ``Window.partitionBy(key).orderBy(...)`` funnels every row of a key
+    through ONE task — a training corpus has 5-20 sources at 100 TB, so
+    "parallel across sources" is parallelism <= 20.  This is the same
+    two-pass scheme as ``zip_with_index`` (DataSetUtils.java:89's
+    count-then-label), generalized per key:
+
+    1. range-partition on (key, order...) and sort within partitions —
+       each key's rows occupy a CONTIGUOUS run of partitions, split
+       across as many partitions as its share of the data demands;
+    2. aggregate per (partition, key) value sums — a bounded table
+       (<= n_partitions + n_keys rows, since each key spans a
+       contiguous pid range);
+    3. per-key cumulative offsets over pid order (window over the
+       bounded table only);
+    4. Arrow-batched local exclusive prefix per (partition, key) run,
+       plus the broadcast offset.
+
+    Include a unique tiebreaker in ``order_cols`` for a deterministic
+    assignment.  NULL keys form their own group (null-safe join).
+    """
+    from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # order expressions (may be .desc() SortOrders — not materializable
+    # via withColumn) go straight to the range partitioner + local sort;
+    # that sort is their single evaluation site, so no cross-pass drift
+    ords = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    val = F.lit(1).cast("long") if value_col is None else F.col(value_col).cast("long")
+    work = df.withColumn("__psval", val)
+    part = (
+        work.repartitionByRange(n, F.col(key_col), *ords)
+        .sortWithinPartitions(F.col(key_col), *ords)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # pin partitioning across both passes (lineage truncation; reliable
+    # checkpoint when checkpoint_dir is given — an executor loss between
+    # passes must not re-randomize partition contents)
+    part = truncate_lineage(part, eager=False, checkpoint_dir=checkpoint_dir)
+
+    counts = part.groupBy("__pid", key_col).agg(F.sum("__psval").alias("__psn"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.col(key_col).alias("__psk"),
+        F.coalesce(F.sum("__psn").over(w), F.lit(0)).alias("__psoffset"),
+    )
+
+    def label(batches):
+        import numpy as np
+        import pandas as pd
+
+        prev_key = None
+        have_prev = False
+        acc = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__pslocal=pd.Series([], dtype="int64"))
+                continue
+            ks = pdf[key_col]
+            vs = pdf["__psval"].to_numpy(dtype="int64")
+            # key-change mask, NULL-run-safe (NaN != NaN under .eq)
+            same = ks.eq(ks.shift()) | (ks.isna() & ks.shift().isna())
+            new = ~same.to_numpy()
+            k0 = ks.iloc[0]
+            cont = have_prev and (
+                (pd.isna(k0) and pd.isna(prev_key))
+                or (not pd.isna(k0) and not pd.isna(prev_key) and k0 == prev_key)
+            )
+            new[0] = not cont
+            grp = np.cumsum(new)
+            # within-group exclusive prefix, vectorized
+            excl = (
+                pd.Series(vs).groupby(grp, sort=False).cumsum().to_numpy() - vs
+            )
+            if cont:
+                excl = np.where(grp == grp[0], excl + acc, excl)
+            out = pdf.copy()
+            out["__pslocal"] = excl
+            prev_key = ks.iloc[-1]
+            have_prev = True
+            acc = int(excl[-1] + vs[-1])
+            yield out
+
+    schema = T.StructType(
+        list(part.schema.fields) + [T.StructField("__pslocal", T.LongType())]
+    )
+    labeled = part.mapInPandas(label, schema)
+    return (
+        labeled.join(
+            F.broadcast(offsets),
+            (labeled["__pid"] == offsets["__pid"])
+            & labeled[key_col].eqNullSafe(offsets["__psk"]),
+        )
+        .drop(offsets["__pid"])
+        .withColumn(out_col, (F.col("__psoffset") + F.col("__pslocal")).cast("long"))
+        .drop("__pid", "__psk", "__psoffset", "__pslocal", "__psval")
+    )

@@ -120,26 +120,30 @@ def token_budget_mix(
     ``default_budget`` (0 = excluded).  The budget table is a literal
     map (broadcast-sized by construction: one entry per corpus source).
 
-    One shuffle on the source key; the running token sum is a window
-    cumulative sum over the hash order — per-source sequential by
-    definition (the cutoff depends on every prior doc), parallel across
-    sources.  Returns the kept rows plus ``cum_tokens``.
+    One range-shuffle on (source, hash order); the running token sum is
+    the two-pass distributed prefix sum of ``prefix_sum_per_key`` —
+    per-source SEQUENTIAL only in the bounded offsets table (the cutoff
+    depends on every prior doc), full cluster parallelism over the rows
+    themselves.  Returns the kept rows plus ``cum_tokens``.
     """
+    from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
+
     budget_map = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in (kv[0], int(kv[1]))]
     )
     h = hash_key(F.col(id_col))
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(h, F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     budget = F.coalesce(budget_map[F.col(source_col)], F.lit(int(default_budget)))
+    pref = prefix_sum_per_key(
+        df.withColumn("__tok", token_count_col),
+        source_col,
+        [h, F.col(id_col)],
+        value_col="__tok",
+        out_col="__pretok",
+    )
     return (
-        df.withColumn("__tok", token_count_col)
-        .withColumn("cum_tokens", F.sum("__tok").over(w))
-        .filter((F.col("cum_tokens") - F.col("__tok")) < budget)
-        .drop("__tok")
+        pref.withColumn("cum_tokens", F.col("__pretok") + F.col("__tok"))
+        .filter(F.col("__pretok") < budget)
+        .drop("__tok", "__pretok")
     )
 
 
@@ -186,24 +190,26 @@ def pack_sequences(
     curriculum layouts); the default md5-hash order is the shuffled-
     corpus layout.  The id column is always the final tiebreak.
 
-    One shuffle on the source; the layout is a per-source cumulative
-    sum (window), parallel across sources, reproducible across engines.
+    One range-shuffle on (source, order); the layout is the two-pass
+    distributed per-source prefix sum of ``prefix_sum_per_key`` — full
+    cluster parallelism even with a handful of sources (a
+    ``Window.partitionBy(source)`` cumsum would funnel every row of a
+    source through one task), reproducible across engines.
     """
+    from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
+
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     order = list(order_by) if order_by is not None else [hash_key(F.col(id_col))]
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(*order, F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = prefix_sum_per_key(
+        df.withColumn("n_tokens", token_count_col),
+        source_col,
+        [*order, F.col(id_col)],
+        value_col="n_tokens",
+        out_col="__start",
     )
-    # compute the stream offset ONCE (a second window expression would
-    # add a second Window node over the same sort — one extra pass)
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return (
-        df.withColumn("n_tokens", token_count_col)
-        .withColumn("__start", start)
-        .withColumn("seq_id", F.floor(F.col("__start") / seq_len))
+        pref.withColumn("seq_id", F.floor(F.col("__start") / seq_len))
         .withColumn("seq_offset", F.col("__start") % seq_len)
         .drop("__start")
     )
@@ -421,14 +427,18 @@ def interleave_sources(
     sources with fewer rows simply drop out of later rounds, exactly
     like dealing cards.
 
-    One exchange (the per-source window); the global rank is
-    arithmetic, not a global sort — consumers write with
-    ``orderBy(mix_rank)`` (range partitioner) or bucket by
+    One range-exchange (the two-pass distributed per-source rank of
+    ``prefix_sum_per_key`` — no single-task-per-source window sort);
+    the global rank is arithmetic, not a global sort — consumers write
+    with ``orderBy(mix_rank)`` (range partitioner) or bucket by
     ``mix_rank % n_shards``.
     """
+    from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
+
     h = hash_key(F.col(id_col), salt)
-    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
-    per_round = df.withColumn("__rnd", F.row_number().over(w) - 1)
+    per_round = prefix_sum_per_key(
+        df, source_col, [h, F.col(id_col)], out_col="__rnd"
+    )
     # rank sources deterministically once (alphabetical), broadcast back
     srcs = (
         df.select(F.col(source_col).alias("__s")).distinct()

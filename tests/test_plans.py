@@ -390,3 +390,34 @@ def test_heavy_hitters_single_exchange_broadcast_candidates(spark, sf_dir):
     plan = _final_plan(load_all()["text_heavy_hitters"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2500]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2500]
+
+
+def test_pack_interleave_no_per_source_window_funnel(spark):
+    """pack_sequences / interleave_sources / token_budget_mix must NOT
+    compute their per-source order with Window.partitionBy(source) —
+    that funnels every row of a source through ONE task (parallelism <=
+    #sources; a 100 TB corpus has 5-20 sources).  The two-pass
+    prefix_sum_per_key shape leaves a Window only over the bounded
+    per-(partition, key) counts table (partitioned by __pid sums)."""
+    import re
+
+    for name in (
+        "pipeline_pack_sequences",
+        "pipeline_curriculum_pack",
+        "sample_interleave_sources",
+        "mix_token_budget",
+    ):
+        plan = _plan(spark, name)
+        # every Window node in the plan must be the bounded-offsets one
+        # (operates on the __psn per-partition sums), never a full-row
+        # window keyed on the source column
+        for m in re.finditer(r"Window \[[^\]]*\]", plan):
+            frag = m.group(0)
+            # allowed: the bounded per-(partition,key) offsets window
+            # (__psn sums) and interleave's one-row-per-source index
+            # window (__s) — both operate on aggregate-bounded tables
+            assert "__psn" in frag or "__s#" in frag, (
+                f"{name}: full-row window funnel back in plan:\n{frag}"
+            )
+        # and the distributed labeler must be present
+        assert "MapInPandas" in plan or "mapInPandas" in plan, name
