@@ -582,15 +582,18 @@ class Graph:
         fixpoint.  Returns the surviving undirected edges
         ``(src, dst)``, canonical ``src < dst``.
 
-        Per round: triangles are enumerated ONCE each at their minimum
-        vertex (wedge join of the canonical a<b / a<c edge lists with
-        the b<c closing-edge probe — the same degree-ordered discipline
-        as :meth:`triangle_enumeration`), exploded to their three edges
-        and counted; edges under the support threshold drop.  The edge
-        set only shrinks, so convergence is an order-insensitive
-        (count, xor-of-hashes) signature — one tiny aggregate per round
-        over the eagerly truncated survivor set (lineage discipline of
-        every iterative op here)."""
+        Per round: triangles are enumerated ONCE each at their
+        lowest-(survivor-degree, id) vertex — degrees are RECOMPUTED
+        over the surviving edges each round and edges re-oriented from
+        the lower-(deg, id) endpoint, the same degree-ordered
+        discipline as :meth:`triangle_enumeration` (a min-ID hub of
+        degree d would otherwise contribute O(d^2) wedges EVERY peel
+        round) — then exploded to their three edges and counted; edges
+        under the support threshold drop.  The edge set only shrinks,
+        so convergence is an order-insensitive (count, xor-of-hashes)
+        signature — one tiny aggregate per round over the eagerly
+        truncated survivor set (lineage discipline of every iterative
+        op here)."""
         need = k - 2
         edges = (
             self.get_undirected()
@@ -603,17 +606,21 @@ class Graph:
         edges = truncate_lineage(edges, eager=True)
         prev_sig = None
         for _ in range(max_iterations):
-            e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-            e2 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
-            wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
-            tris = wedges.join(
-                edges,
-                (wedges.b == edges.u) & (wedges.c == edges.v),
-            ).select("a", "b", "c")
+            tris = _degree_oriented_triangles(edges)
             tri_edges = (
-                tris.select(F.col("a").alias("u"), F.col("b").alias("v"))
-                .unionAll(tris.select(F.col("a").alias("u"), F.col("c").alias("v")))
-                .unionAll(tris.select(F.col("b").alias("u"), F.col("c").alias("v")))
+                tris.select(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                )
+                .unionAll(
+                    tris.select(
+                        F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                    )
+                )
+                .unionAll(
+                    tris.select(
+                        F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                    )
+                )
             )
             support = tri_edges.groupBy("u", "v").agg(
                 F.count(F.lit(1)).alias("__sup")
@@ -867,3 +874,50 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
                    checkpoint_every=1).select(
         F.col("s").cast("long").alias("src"), F.col("t").cast("long").alias("dst")
     )
+
+
+def _degree_oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate each triangle of a canonical (u < v) undirected edge
+    list ONCE, at its lowest-(degree, id) vertex (the TriangleEnumerator
+    degree split, flink-gelly/.../library/TriangleEnumerator.java): every
+    edge is oriented from its lower-(deg, id) endpoint, wedges are built
+    only at oriented sources, and the closing edge is probed against the
+    canonical list.  A hub of degree d contributes 0 wedges instead of
+    O(d^2) — shared by triangle-based ops that re-enumerate per round
+    (k_truss) so the guarantee holds against the SURVIVOR degrees of
+    each round, not a stale orientation.
+
+    Returns (a, b, c): a is the wedge apex (lowest (deg, id)); b, c are
+    id-ordered (b < c).
+    """
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    keyed = (
+        edges.join(da, edges.u == F.col("da.id"))
+        .join(db, edges.v == F.col("db.id"))
+        .select(
+            "u", "v",
+            F.struct(F.col("da.d"), F.col("u")).alias("ku"),
+            F.struct(F.col("db.d"), F.col("v")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t"))
+    ).select(
+        F.col("o1.s").alias("a"), F.col("o1.t").alias("b"), F.col("o2.t").alias("c")
+    )
+    return wedges.join(
+        edges,
+        (F.least(wedges.b, wedges.c) == edges.u)
+        & (F.greatest(wedges.b, wedges.c) == edges.v),
+    ).select("a", "b", "c")

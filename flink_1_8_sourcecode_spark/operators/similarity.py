@@ -1155,14 +1155,27 @@ def nn_descent_knn_graph(
             F.lit(None).cast("int").alias("rank"),
         ).filter(F.lit(False))
     # k distinct deterministic strides in [1, n-1]: affine probe over a
-    # fixed prime, dedup-preserving-order, never 0 (no self loops)
+    # fixed prime, dedup-preserving-order, never 0 (no self loops).
+    # The affine family is DEGENERATE when gcd(1000003, n-1) > 1 — it
+    # then cycles through only (n-1)/gcd residues (n-1 a multiple of
+    # 1000003 yields ONE), so the probe is bounded and topped up with
+    # sequential strides instead of spinning forever
+    want = min(k_build, n - 1)
     strides: list[int] = []
-    i = 0
-    while len(strides) < min(k_build, n - 1):
+    seen: set[int] = set()
+    for i in range(4 * want):
+        if len(strides) >= want:
+            break
         s = (i * 1000003 + 12289) % (n - 1) + 1
-        if s not in strides:
+        if s not in seen:
+            seen.add(s)
             strides.append(s)
-        i += 1
+    s = 1
+    while len(strides) < want:
+        if s not in seen:
+            seen.add(s)
+            strides.append(s)
+        s += 1
     off = base.sparkSession.createDataFrame([(s,) for s in strides], "__off long")
     rev = idx.select(F.col("__id").alias("__nbr"), F.col("__idx").alias("__nidx"))
     # deliberate k-row broadcast cartesian: every node x k seed strides
@@ -1361,14 +1374,98 @@ def knn_graph_search(
     )
 
 
+_MOMENT_SCHEMA = "n long, s array<double>, g array<double>"
+
+
+def _pca_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """One (n, sum[d], gram[d^2]) row PER PARTITION (not per Arrow
+    batch): batches are GEMM-accumulated locally so the partial count
+    is bounded by parallelism, not data volume."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            n += x.shape[0]
+            if s is None:
+                s = x.sum(axis=0)
+                g = x.T @ x
+            else:
+                s += x.sum(axis=0)
+                g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    return df.select(
+        F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInPandas(partials, _MOMENT_SCHEMA)
+
+
+def _reduce_moments(moments: DataFrame, fanin: int = 64) -> DataFrame:
+    """Tree-reduce (n, s, g) moment rows engine-side to EXACTLY one
+    row: repeated fan-in-``fanin`` applyInPandas merges keyed on
+    partition-id blocks — log_fanin(P) tiny exchanges, so the driver
+    never sees more than one d^2-sized row regardless of partition
+    count.  (The grouping key only affects float association order —
+    the sums themselves are assignment-insensitive.)"""
+    import numpy as np
+    import pandas as pd
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": [int(pdf["n"].sum())],
+                "s": [np.sum(np.stack(pdf["s"].to_numpy()), axis=0).tolist()],
+                "g": [np.sum(np.stack(pdf["g"].to_numpy()), axis=0).tolist()],
+            }
+        )
+
+    from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+
+    # pin the corpus-scan output (bounded: one row per partition) so the
+    # per-round counts below never re-execute the corpus pass
+    cur = truncate_lineage(moments, eager=True)
+    # each round cuts the row count by ``fanin``; the loop bound only
+    # caps pathological partition counts (64^5 partitions)
+    for _ in range(5):
+        cnt = cur.count()
+        if cnt <= 1:
+            break
+        if cnt <= fanin:
+            grouped = cur.withColumn("__grp", F.lit(0))
+        else:
+            grouped = cur.withColumn(
+                "__grp", (F.spark_partition_id() / fanin).cast("long")
+            )
+        cur = truncate_lineage(
+            grouped.groupBy("__grp").applyInPandas(
+                lambda pdf: merge(pdf.drop(columns="__grp")), _MOMENT_SCHEMA
+            ),
+            eager=True,
+        )
+    return cur
+
+
 def pca_train(
     df: DataFrame,
     vec_col: str,
     n_components: int = 8,
 ):
-    """Distributed PCA fit: per-partition Gram/sum partials (one numpy
-    GEMM per Arrow batch via mapInPandas), a driver-side reduce of the
-    bounded (d x d) statistics, and a deterministic eigendecomposition.
+    """Distributed PCA fit: per-PARTITION Gram/sum partials (one numpy
+    GEMM per Arrow batch, accumulated across a partition's batches via
+    mapInPandas), an IN-ENGINE tree reduce of the bounded (d x d)
+    statistics down to a single row, and a deterministic
+    eigendecomposition.
 
     Returns ``(components, offsets, mean, variances)`` as plain python
     lists: ``components[j]`` is the j-th principal axis (length d,
@@ -1377,42 +1474,27 @@ def pca_train(
     the JVM/engine-portable form (no Python in the projection path);
     ``variances[j]`` is the axis eigenvalue (for whitening).
 
-    Determinism: covariance is an exact sum reduce; numpy ``eigh`` on
-    the symmetric d x d matrix is deterministic; each eigenvector's
-    sign is fixed by making its largest-magnitude coefficient positive.
-    Scale: the only driver materialization is P partial rows of
-    1 + d + d^2 doubles (d = embedding width, bounded by schema) — the
-    classic distributed-PCA shape; the corpus itself is touched once,
-    map-only.
+    Determinism: covariance is an exact sum reduce (float association
+    order varies with partition placement — sub-ULP on the d x d
+    moments); numpy ``eigh`` on the symmetric matrix is deterministic;
+    each eigenvector's sign is fixed by making its largest-magnitude
+    coefficient positive.  Scale: the driver materializes EXACTLY ONE
+    row of 1 + d + d^2 doubles — partials are merged engine-side in
+    fan-in-64 applyInPandas rounds (log_64(P) exchanges of
+    P/64 x d^2 each), never collected per batch (10^9 rows / d=1024
+    would be ~100k x 8 MB rows at the driver otherwise).
     """
-    from collections.abc import Iterator
-
+    moments = _pca_moments(df, vec_col)
+    reduced = _reduce_moments(moments)
+    parts = reduced.toPandas()
+    assert len(parts) == 1, f"moment reduce must yield 1 row, got {len(parts)}"
     import numpy as np
-    import pandas as pd
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["__v"].to_numpy()).astype("float64")
-            yield pd.DataFrame(
-                {
-                    "n": [x.shape[0]],
-                    "s": [x.sum(axis=0).tolist()],
-                    "g": [(x.T @ x).ravel().tolist()],
-                }
-            )
-
-    parts = (
-        df.select(F.col(vec_col).cast("array<double>").alias("__v"))
-        .mapInPandas(partials, "n long, s array<double>, g array<double>")
-        .toPandas()
-    )
-    n = int(parts["n"].sum())
+    n = int(parts["n"].iloc[0])
     if n < 2:
         raise ValueError(f"pca_train needs >= 2 vectors, got {n}")
-    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
-    g = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
+    s = np.asarray(parts["s"].iloc[0], dtype="float64")
+    g = np.asarray(parts["g"].iloc[0], dtype="float64")
     d = s.shape[0]
     mean = s / n
     cov = g.reshape(d, d) / n - np.outer(mean, mean)

@@ -1610,6 +1610,40 @@ class TestKTruss:
         assert {(r.src, r.dst) for r in g.k_truss(4).collect()} == want
         assert g.k_truss(5).count() == 0
 
+    def test_star_hub_contributes_no_wedges(self, spark):
+        """A min-ID hub (id 0) with a big star must contribute O(1)
+        wedges under degree orientation — the id-canonical orientation
+        the r10 code used built C(d, 2) wedges at the hub EVERY peel
+        round.  Planted star + K4: truss result exact AND the wedge
+        join stays bounded by the clique."""
+        import itertools
+
+        from flink_1_8_sourcecode_spark.graph.graph import (
+            Graph,
+            _degree_oriented_triangles,
+        )
+        from pyspark.sql import functions as F
+
+        leaves = list(range(100, 300))
+        star = [(0, leaf) for leaf in leaves]
+        k4 = list(itertools.combinations([0, 1, 2, 3], 2))
+        edges = star + k4
+        ids = sorted({x for e in edges for x in e})
+        v = spark.createDataFrame([(i,) for i in ids], "id long")
+        g = Graph(v, spark.createDataFrame(edges, "src long, dst long"))
+        # correctness: K4 survives the 4-truss, the star peels away
+        assert {(r.src, r.dst) for r in g.k_truss(4).collect()} == set(k4)
+        # bound: triangles enumerated over the full canonical edge list
+        # are exactly the K4's 4 — the 200-leaf hub adds ZERO wedges
+        # (each star edge orients leaf->hub; leaves have out-degree 1)
+        ce = (
+            g.edges.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+            ).distinct()
+        )
+        tris = _degree_oriented_triangles(ce)
+        assert tris.count() == 4
+
     def test_cascading_peel(self, spark):
         """Removing one edge's support can cascade: a triangle chain
         where each removal invalidates the next (needs > 1 round)."""
@@ -1658,3 +1692,35 @@ def test_phash_brightness_invariant_dhash_is_not_required(spark):
     assert dist(sig[0], sig[2]) == 0          # exact dup
     assert dist(sig[0], sig[1]) == 0          # monotonic brightness map
     assert dist(sig[0], sig[3]) > 10          # unrelated content
+
+
+def test_pca_moment_reduce_yields_single_row_engine_side(spark):
+    """The (n, sum, gram) partial merge must happen IN-ENGINE: with
+    partitions >> 1 the reduced moments frame holds exactly ONE row
+    (the r10 code collected one row per Arrow batch to the driver —
+    O(batches x d^2) transfer at corpus scale)."""
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        _pca_moments,
+        _reduce_moments,
+        pca_train,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=6).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v array<double>").repartition(37)
+    moments = _pca_moments(df, "v")
+    assert moments.count() > 1  # many partials before the reduce
+    reduced = _reduce_moments(moments, fanin=4)  # force multi-round tree
+    assert reduced.count() == 1
+    # and the statistics survive the tree intact (vs direct numpy)
+    row = reduced.first()
+    x = np.array([r[1] for r in rows])
+    assert row["n"] == 400
+    np.testing.assert_allclose(np.array(row["s"]), x.sum(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.array(row["g"]).reshape(6, 6), x.T @ x, rtol=1e-9
+    )
+    comps, offs, mean, vars_ = pca_train(df, "v", n_components=2)
+    assert len(comps) == 2 and len(mean) == 6
