@@ -24,6 +24,25 @@ _MR_TOKEN = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_$.]*\Z")
 
 
+class TableSink:
+    """A registered write target (TableEnvironment.registerTableSink
+    parity) — just the DataFrameWriter spec; no driver-side writer."""
+
+    def __init__(
+        self,
+        fmt: str,
+        path: str,
+        write_options: dict | None = None,
+        read_options: dict | None = None,
+        schema: str | None = None,
+    ):
+        self.fmt = fmt
+        self.path = path
+        self.write_options = dict(write_options or {})
+        self.read_options = dict(read_options or {})
+        self.schema = schema
+
+
 class Engine:
     """The engine's ExecutionEnvironment + TableEnvironment in one."""
 
@@ -39,6 +58,10 @@ class Engine:
         # registered via registerFunction, TableEnvironment.scala) — the
         # LATERAL TABLE SQL routing resolves names here
         self._ttfs: dict = {}
+        # registered table sinks (TableEnvironment.registerTableSink,
+        # TableEnvironment.scala:586) — INSERT INTO / insert_into route
+        # writes here
+        self._sinks: dict[str, "TableSink"] = {}
 
     # --- catalog -----------------------------------------------------
     def register_testdata(self, sf_dir: str) -> None:
@@ -51,6 +74,109 @@ class Engine:
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+    # --- sinks -------------------------------------------------------
+    def register_sink(
+        self,
+        name: str,
+        fmt: str,
+        path: str,
+        write_options: dict | None = None,
+        read_options: dict | None = None,
+        schema: str | None = None,
+    ) -> None:
+        """registerTableSink (TableEnvironment.scala:586; CsvTableSink
+        in flink-table/.../sinks/CsvTableSink.scala): bind ``name`` to a
+        (format, path) write target for :meth:`insert_into` and
+        ``sql("INSERT INTO name ...")``.
+
+        Spark-first: the sink is a ``DataFrameWriter`` spec, so every
+        format Spark writes distributes for free (parquet/csv/json/orc
+        here; no driver-side writer).  ``write_options`` /
+        ``read_options`` pass through (e.g. ``{"delimiter": "|"}`` for
+        the CsvTableSink fieldDelim); ``schema`` (DDL string) makes
+        text formats round-trippable via :meth:`read_sink` without
+        inference.
+        """
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise NotImplementedError(
+                f"register_sink: format {fmt!r} not supported "
+                "(parquet/csv/json/orc; Kafka/JDBC sinks live in "
+                "streaming/kafka.py and sources/jdbc.py)"
+            )
+        self._sinks[name] = TableSink(fmt, path, write_options, read_options, schema)
+
+    def insert_into(
+        self, df: DataFrame, sink_name: str, overwrite: bool = False
+    ) -> None:
+        """Table.insertInto (flink-table/.../table.scala:1052): write a
+        result into a registered sink.  ``overwrite=False`` appends
+        (Flink 1.8 CsvTableSink overwrite mode maps to True).  A
+        STREAMING DataFrame must go through streaming/sinks.py (the
+        exactly-once StreamingFileSink path), loudly."""
+        sink = self._sinks.get(sink_name)
+        if sink is None:
+            raise NotImplementedError(
+                f"insert_into: no sink {sink_name!r} registered "
+                f"(Engine.register_sink; have {sorted(self._sinks)})"
+            )
+        if df.isStreaming:
+            raise NotImplementedError(
+                "insert_into: streaming writes go through "
+                "streaming/sinks.py (StreamingFileSink parity), not the "
+                "batch sink registry"
+            )
+        w = df.write.format(sink.fmt).mode("overwrite" if overwrite else "append")
+        for k, v in (sink.write_options or {}).items():
+            w = w.option(k, v)
+        w.save(sink.path)
+
+    def read_sink(self, sink_name: str) -> DataFrame:
+        """Read a registered sink back as a table (the reference's
+        round-trip: a CsvTableSink re-registered as a CsvTableSource)."""
+        sink = self._sinks.get(sink_name)
+        if sink is None:
+            raise NotImplementedError(
+                f"read_sink: no sink {sink_name!r} registered "
+                f"(have {sorted(self._sinks)})"
+            )
+        r = self.spark.read.format(sink.fmt)
+        for k, v in (sink.read_options or {}).items():
+            r = r.option(k, v)
+        if sink.schema is not None:
+            r = r.schema(sink.schema)
+        return r.load(sink.path)
+
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"(?P<sink>\w+)\s+(?P<body>SELECT\b.*|VALUES\b.*|\(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def sql_update(self, stmt: str) -> None:
+        """sqlUpdate (TableEnvironment.scala:756): execute an
+        ``INSERT INTO <registered sink> <query>`` statement — the way
+        every reference job ends.  ``INSERT OVERWRITE`` (Spark/Hive
+        spelling) maps to an overwriting write; the query body goes
+        through :meth:`sql`, so TUMBLE/MATCH_RECOGNIZE/LATERAL inputs
+        all work in the INSERT position."""
+        m = self._INSERT_RE.match(stmt)
+        if m is None:
+            raise NotImplementedError(
+                "sql_update: only INSERT INTO/OVERWRITE <sink> <query> "
+                f"statements are supported, got {stmt!r} (DDL belongs to "
+                "register/register_sink; queries to sql())"
+            )
+        body = m.group("body").strip()
+        if body.startswith("("):
+            body = body.strip()
+            if body.endswith(")"):
+                body = body[1:-1]
+        self.insert_into(
+            self.sql(body),
+            m.group("sink"),
+            overwrite=m.group("mode").upper() == "OVERWRITE",
+        )
 
     # --- SQL ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
@@ -74,7 +200,15 @@ class Engine:
         streaming result.  The ``__mr_*`` splice views are dropped once
         the statement is resolved — the returned DataFrame captured its
         plan at creation, so the views are pure parse-time scaffolding
-        and must not accumulate in the session catalog."""
+        and must not accumulate in the session catalog.
+
+        An ``INSERT INTO/OVERWRITE <registered sink>`` statement
+        delegates to :meth:`sql_update` (the reference splits these
+        across sqlQuery/sqlUpdate; one entry point is kinder) and
+        returns the sink read back — so a round-trip is one call."""
+        if self._INSERT_RE.match(query):
+            self.sql_update(query)
+            return self.read_sink(self._INSERT_RE.match(query).group("sink"))
         created: list[str] = []
         try:
             query = self._route_lateral_temporal(query, created)

@@ -176,3 +176,38 @@ def table_api_string_expr_project(spark: SparkSession, sf_dir: str) -> DataFrame
         .fetch(5)
         .to_df()
     )
+
+
+@register(
+    "sink_insert_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*)::BIGINT AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="INSERT INTO a registered sink + read-back "
+    "(TableEnvironment.registerTableSink TableEnvironment.scala:586, "
+    "sqlUpdate :756, Table.insertInto table.scala:1052, "
+    "CsvTableSink.scala): the write-side facade every reference job "
+    "ends with.  The sink is a distributed parquet write (overwrite "
+    "mode so the query is rerun-stable); the oracle recomputes the "
+    "SELECT directly.",
+)
+def sink_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    eng = Engine(spark)
+    eng.register_testdata(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = str(Path(tempfile.gettempdir()) / f"spark_graft_sink_{tag}" / "nation_agg")
+    eng.register_sink("nation_agg_sink", "parquet", path)
+    return eng.sql(
+        """
+        INSERT OVERWRITE nation_agg_sink
+        SELECT n_regionkey, count(*) AS n_nations,
+               min(n_name) AS first_nation
+        FROM nation GROUP BY n_regionkey
+        """
+    )

@@ -194,3 +194,79 @@ def test_driver_verified_requires_hash_match(tmp_path):
     }))
     green = entrymod._driver_verified(str(tmp_path))
     assert green == {"good", "rows_only"}
+
+
+class TestSinkRegistry:
+    """TableEnvironment.registerTableSink / Table.insertInto /
+    sqlUpdate("INSERT INTO ...") parity (TableEnvironment.scala:586,756;
+    table.scala:1052; CsvTableSink.scala)."""
+
+    def _engine(self, spark):
+        from flink_1_8_sourcecode_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.register(
+            "src_t",
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "a")], "k int, s string"
+            ),
+        )
+        return eng
+
+    def test_insert_append_and_overwrite(self, spark, tmp_path):
+        eng = self._engine(spark)
+        eng.register_sink("out", "parquet", str(tmp_path / "out"))
+        eng.sql_update("INSERT INTO out SELECT k, s FROM src_t WHERE k > 1")
+        assert eng.read_sink("out").count() == 2
+        # append semantics: a second INSERT INTO doubles the rows
+        eng.sql_update("INSERT INTO out SELECT k, s FROM src_t WHERE k > 1")
+        assert eng.read_sink("out").count() == 4
+        # INSERT OVERWRITE replaces
+        eng.sql_update("INSERT OVERWRITE out SELECT k, s FROM src_t")
+        assert eng.read_sink("out").count() == 3
+
+    def test_sql_entry_routes_insert_and_returns_readback(self, spark, tmp_path):
+        eng = self._engine(spark)
+        eng.register_sink("out2", "parquet", str(tmp_path / "out2"))
+        got = eng.sql("INSERT OVERWRITE out2 SELECT k, upper(s) AS u FROM src_t")
+        assert sorted((r.k, r.u) for r in got.collect()) == [
+            (1, "A"), (2, "B"), (3, "A"),
+        ]
+
+    def test_csv_sink_round_trip_with_delimiter(self, spark, tmp_path):
+        eng = self._engine(spark)
+        eng.register_sink(
+            "csv_out",
+            "csv",
+            str(tmp_path / "csv_out"),
+            write_options={"delimiter": "|"},
+            read_options={"delimiter": "|"},
+            schema="k int, s string",
+        )
+        eng.insert_into(eng.sql("SELECT k, s FROM src_t"), "csv_out", overwrite=True)
+        back = eng.read_sink("csv_out")
+        assert sorted((r.k, r.s) for r in back.collect()) == [
+            (1, "a"), (2, "b"), (3, "a"),
+        ]
+
+    def test_unknown_sink_and_format_raise_readably(self, spark, tmp_path):
+        import pytest
+
+        eng = self._engine(spark)
+        with pytest.raises(NotImplementedError, match="no sink 'nope'"):
+            eng.insert_into(eng.table("src_t"), "nope")
+        with pytest.raises(NotImplementedError, match="format 'avro'"):
+            eng.register_sink("x", "avro", str(tmp_path / "x"))
+        with pytest.raises(NotImplementedError, match="INSERT INTO"):
+            eng.sql_update("DELETE FROM src_t")
+
+    def test_streaming_df_refused(self, spark, tmp_path):
+        import pytest
+
+        eng = self._engine(spark)
+        eng.register_sink("s_out", "parquet", str(tmp_path / "s_out"))
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        )
+        with pytest.raises(NotImplementedError, match="streaming"):
+            eng.insert_into(stream, "s_out")
