@@ -230,3 +230,66 @@ def join_temporal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "click_id", F.col("ts").alias("click_ts"), "purch_value"
         )
     )
+
+
+@register(
+    "over_stream_bounded_rows",
+    oracle="""
+    SELECT user_id, event_id, sum(value) OVER w AS w_sum,
+           count(*) OVER w AS w_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Streaming bounded ROWS OVER (RowTimeBoundedRowsOver.scala:44) "
+    "through the replayed micro-batch path: per-event 3-row frame "
+    "sum/count per user, finalized behind the watermark "
+    "(streaming/stateful.py:event_time_bounded_agg).  The oracle is "
+    "the batch ROWS window.",
+)
+def over_stream_bounded_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming import stateful
+
+    stream = _replayed_stream(spark, sf_dir, "brows_")
+    out = stateful.event_time_bounded_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        watermark_delay="30 minutes", preceding_rows=2, tiebreak="event_id",
+    )
+    name = _run_to_table(out, "q_brows", state_partitions=4)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "event_id", "w_sum", "w_cnt")
+    )
+
+
+@register(
+    "over_stream_bounded_range",
+    oracle="""
+    SELECT user_id, event_id, sum(value) OVER w AS w_sum,
+           count(*) OVER w AS w_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="Streaming bounded RANGE OVER (RowTimeBoundedRangeOver.scala) "
+    "through the replayed micro-batch path: per-event 6-hour "
+    "event-time frame per user, peer-inclusive at the current "
+    "timestamp (SQL RANGE semantics), finalized behind the watermark "
+    "(streaming/stateful.py:event_time_bounded_agg).",
+)
+def over_stream_bounded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming import stateful
+
+    stream = _replayed_stream(spark, sf_dir, "brange_")
+    out = stateful.event_time_bounded_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        watermark_delay="30 minutes", preceding_seconds=6 * 3600.0,
+        tiebreak="event_id",
+    )
+    name = _run_to_table(out, "q_brange", state_partitions=4)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "event_id", "w_sum", "w_cnt")
+    )

@@ -206,6 +206,164 @@ def count_window_agg(
     )
 
 
+def event_time_bounded_agg(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    watermark_delay: str,
+    preceding_rows: int | None = None,
+    preceding_seconds: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming BOUNDED event-time OVER — Flink's
+    RowTimeBoundedRowsOver.scala:44 (``ROWS BETWEEN n PRECEDING AND
+    CURRENT ROW``) and RowTimeBoundedRangeOver.scala (``RANGE BETWEEN
+    INTERVAL ... PRECEDING AND CURRENT ROW``): one output row per input
+    row carrying sum/count of ``value_col`` over the bounded frame, in
+    event-time order per key, finalized once the watermark passes
+    (append mode — no retractions needed, exactly the reference's
+    emit-on-cleanup discipline).
+
+    Exactly one of ``preceding_rows`` (ROWS frame: the n PRECEDING
+    bound — frame size n+1 rows) / ``preceding_seconds`` (RANGE frame,
+    peer-inclusive at the current timestamp, matching SQL RANGE
+    semantics) must be given.
+
+    State per key = two Arrow-IPC blobs: the pending buffer (rows the
+    watermark hasn't passed) and the RETAINED HISTORY — the reference's
+    expiring-state trick: only the last ``preceding_rows`` rows (ROWS)
+    or rows within ``preceding_seconds`` of the watermark (RANGE) stay,
+    so state is frame-bounded, never stream-bounded.  Per batch the
+    work is a stable sort, a boolean watermark split, and one
+    vectorized rolling-sum (ROWS) or prefix-sum + searchsorted (RANGE)
+    — no per-row Python.
+    """
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.streaming import arrow_state
+
+    if (preceding_rows is None) == (preceding_seconds is None):
+        raise ValueError(
+            "event_time_bounded_agg: exactly one of preceding_rows / "
+            "preceding_seconds must be set"
+        )
+    if preceding_rows is not None and preceding_rows < 0:
+        raise ValueError(f"preceding_rows must be >= 0, got {preceding_rows}")
+    if preceding_seconds is not None and preceding_seconds < 0:
+        raise ValueError(f"preceding_seconds must be >= 0, got {preceding_seconds}")
+
+    src = df.withWatermark(time_col, watermark_delay)
+    key_t = src.schema[key].dataType.simpleString()
+    tb = [tiebreak] if tiebreak else []
+    tb_schema = (
+        f", {tiebreak} {src.schema[tiebreak].dataType.simpleString()}" if tiebreak else ""
+    )
+    out_schema = (
+        f"{key} {key_t}, {time_col} timestamp{tb_schema}, "
+        f"{value_col} double, w_sum double, w_cnt long"
+    )
+    buf_cols = [time_col, *tb, value_col]
+
+    def fn(key_tuple, batches, state: GroupState):
+        if state.exists:
+            hist_blob, pend_blob, emitted = state.get
+            hist = arrow_state.de(bytes(hist_blob), buf_cols)
+            parts = [arrow_state.de(bytes(pend_blob), buf_cols)]
+        else:
+            hist, parts, emitted = arrow_state.concat([], buf_cols), [], 0
+        parts += [pdf[buf_cols] for pdf in batches]
+        pend = arrow_state.concat(parts, buf_cols)
+        wm = state.getCurrentWatermarkMs() / 1000.0
+
+        keep = pend
+        out = None
+        if len(pend):
+            pend = pend.sort_values([time_col, *tb], kind="stable", ignore_index=True)
+            tsec = (
+                pend[time_col].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+            )
+            ready_mask = tsec <= wm
+            ready, keep = pend[ready_mask], pend[~ready_mask]
+            if len(ready):
+                # history rows all precede ready rows in event time
+                # (they were emitted behind an earlier watermark) —
+                # plain concat preserves the per-key event-time order
+                comb = arrow_state.concat(
+                    [hist, ready.reset_index(drop=True)], buf_cols
+                )
+                vals = comb[value_col].astype(float).to_numpy()
+                nh = len(hist)
+                nr = len(ready)
+                if preceding_rows is not None:
+                    n = preceding_rows + 1  # frame size incl. current
+                    roll = (
+                        pd.Series(vals).rolling(n, min_periods=1).sum().to_numpy()
+                    )
+                    w_sum = roll[nh:]
+                    # logical position counts rows PRUNED from history
+                    pos = emitted + np.arange(1, nr + 1, dtype="int64")
+                    w_cnt = np.minimum(pos, n)
+                else:
+                    ts_all = (
+                        comb[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+                    )
+                    cs = np.concatenate([[0.0], np.cumsum(vals)])
+                    t_ready = ts_all[nh:]
+                    lo = np.searchsorted(
+                        ts_all, t_ready - int(preceding_seconds * 1e6), side="left"
+                    )
+                    # peer-inclusive upper bound (SQL RANGE CURRENT ROW)
+                    hi = np.searchsorted(ts_all, t_ready, side="right")
+                    w_sum = cs[hi] - cs[lo]
+                    w_cnt = (hi - lo).astype("int64")
+                out = pd.DataFrame(
+                    {
+                        key: key_tuple[0],
+                        time_col: ready[time_col].to_numpy(),
+                        **{t: ready[t].to_numpy() for t in tb},
+                        value_col: ready[value_col].astype(float).to_numpy(),
+                        "w_sum": w_sum,
+                        "w_cnt": w_cnt,
+                    }
+                )
+                emitted += nr
+                # retain exactly the frame-reachable tail
+                if preceding_rows is not None:
+                    hist = comb.iloc[len(comb) - min(len(comb), preceding_rows):]
+                else:
+                    ts_all_us = (
+                        comb[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+                    )
+                    cut = int((wm - preceding_seconds) * 1e6)
+                    hist = comb[ts_all_us > cut]
+
+        state.update(
+            (
+                arrow_state.ser(hist.reset_index(drop=True)),
+                arrow_state.ser(keep.reset_index(drop=True)),
+                int(emitted),
+            )
+        )
+        if len(keep):
+            earliest = (
+                keep[time_col].astype("datetime64[us]").astype("int64").min() / 1e3
+            )
+            state.setTimeoutTimestamp(
+                max(int(earliest) + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out is not None:
+            yield out
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        out_schema,
+        "hist binary, pend binary, emitted long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def event_time_sorted_emit(
     df: DataFrame,
     time_col: str,

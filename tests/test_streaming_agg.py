@@ -151,3 +151,88 @@ def test_keyed_process_running_sum(spark, tmp_path):
     merged = got.merge(expected, on="user_id", suffixes=("_got", "_exp"))
     assert len(merged) == len(expected)
     assert (abs(merged.running_total_got - merged.running_total_exp) < 1e-6).all()
+
+
+def _sentineled_chunks(spark, tmp_path, name, n_chunks=4):
+    import datetime as dt
+
+    chunks = str(tmp_path / name)
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=n_chunks)
+    ev = table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sentinel.write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+    return chunks, ev
+
+
+def test_event_time_bounded_rows_over_equals_batch(spark, tmp_path):
+    """Streaming bounded ROWS OVER (RowTimeBoundedRowsOver.scala:44) ==
+    batch Window.rowsBetween(-n, 0): per-event frame sums/counts agree
+    for every event behind the watermark."""
+    from pyspark.sql import Window
+
+    chunks, ev = _sentineled_chunks(spark, tmp_path, "chunks_brows")
+    stream = sources.read_event_stream(spark, chunks)
+    out = stateful.event_time_bounded_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        watermark_delay="30 minutes", preceding_rows=2, tiebreak="event_id",
+    )
+    q = out.writeStream.format("memory").queryName("t_brows").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_brows").toPandas()
+    got = got[got.user_id >= 0][["user_id", "event_id", "w_sum", "w_cnt"]]
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    expected = ev.select(
+        "user_id", "event_id",
+        F.sum("value").over(w).alias("w_sum"),
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+    ).toPandas()
+    assert len(got) == len(expected)
+    assert_frames_match(got, expected, name="bounded_rows_over")
+
+
+def test_event_time_bounded_range_over_equals_batch(spark, tmp_path):
+    """Streaming bounded RANGE OVER (RowTimeBoundedRangeOver.scala) ==
+    batch Window.rangeBetween over epoch seconds (peer-inclusive)."""
+    from pyspark.sql import Window
+
+    RANGE_S = 6 * 3600
+    chunks, ev = _sentineled_chunks(spark, tmp_path, "chunks_brange")
+    stream = sources.read_event_stream(spark, chunks)
+    out = stateful.event_time_bounded_agg(
+        stream, key="user_id", time_col="ts", value_col="value",
+        watermark_delay="30 minutes", preceding_seconds=float(RANGE_S),
+        tiebreak="event_id",
+    )
+    q = out.writeStream.format("memory").queryName("t_brange").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_brange").toPandas()
+    got = got[got.user_id >= 0][["user_id", "event_id", "w_sum", "w_cnt"]]
+
+    w = (
+        Window.partitionBy("user_id")
+        # events.ts is TIMESTAMP_NTZ: route via LTZ for the epoch cast
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-RANGE_S, 0)
+    )
+    expected = ev.select(
+        "user_id", "event_id",
+        F.sum("value").over(w).alias("w_sum"),
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+    ).toPandas()
+    assert len(got) == len(expected)
+    assert_frames_match(got, expected, name="bounded_range_over")
