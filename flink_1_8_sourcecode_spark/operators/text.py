@@ -1040,15 +1040,17 @@ def scrub_pii(
     """
     pats = PII_MASKS if patterns is None else patterns
     col = F.col(text_col)
+    n = F.lit(0)
     for pat, repl in pats:
+        # audit count = matches of the pattern on the text the pattern
+        # actually saw (after earlier masks), counted PRE-replacement —
+        # counting sentinels post-scrub overcounts when the input
+        # already contains the literal sentinel, and breaks outright
+        # for replacements holding regex metacharacters
+        n = n + F.regexp_count(col, F.lit(pat))
         col = F.regexp_replace(col, pat, repl)
     out = df.withColumn(out_col, col)
     if count_col is not None:
-        n = F.lit(0)
-        for _pat, repl in pats:
-            # masks are literal sentinels, so counting them post-scrub is
-            # exact (size(split(s, lit)) - 1), still map-only
-            n = n + F.size(F.split(F.col(out_col), repl, -1)) - 1
         out = out.withColumn(count_col, n.cast("int"))
     return out
 

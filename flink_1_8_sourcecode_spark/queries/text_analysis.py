@@ -978,24 +978,28 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                    || '-' || lpad((c_custkey % 9999)::VARCHAR, 4, '0')
              || ' segment ' || c_mktsegment AS t
       FROM customer
-    ), scrubbed AS (
-      SELECT c_custkey,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(t,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-            '\\b\\d{13,19}\\b', '<CARDNUM>', 'g'),
-          '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+    ), stages AS (
+      SELECT c_custkey, t AS s0,
+        regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
       FROM built
+    ), stages2 AS (
+      SELECT *, regexp_replace(s1,
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS s2
+      FROM stages
+    ), stages3 AS (
+      SELECT *, regexp_replace(s2, '\\b\\d{13,19}\\b', '<CARDNUM>', 'g') AS s3
+      FROM stages2
     )
-    SELECT c_custkey, scrubbed,
-           ((len(string_split(scrubbed, '<EMAIL>')) - 1)
-          + (len(string_split(scrubbed, '<IP>')) - 1)
-          + (len(string_split(scrubbed, '<CARDNUM>')) - 1)
-          + (len(string_split(scrubbed, '<PHONE>')) - 1))::INT AS n_masked
-    FROM scrubbed
+    SELECT c_custkey,
+      regexp_replace(s3,
+        '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g') AS scrubbed,
+      (len(regexp_extract_all(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(s1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+     + len(regexp_extract_all(s2, '\\b\\d{13,19}\\b'))
+     + len(regexp_extract_all(s3, '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b')))::INT
+        AS n_masked
+    FROM stages3
     """,
     doc="PII scrubbing (operators/text.py:scrub_pii): mask emails, "
     "IPv4s, card-length digit runs and phone-shaped digit groups with "

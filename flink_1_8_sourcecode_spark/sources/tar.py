@@ -27,17 +27,23 @@ TAR_ROW_SCHEMA = (
 
 
 def read_tar_shards(
-    spark: SparkSession, path: str, suffixes: list[str] | None = None
+    spark: SparkSession, path: str, suffixes: list[str] | None = None,
+    split: str = "first",
 ) -> DataFrame:
     """Read every member of every tar shard under ``path`` as
     ``(shard, member, sample_key, ext, content)`` rows.
 
-    ``sample_key``/``ext`` split the member name at the FIRST dot from
-    the right of the basename (WebDataset convention: the key groups a
-    sample's modalities; ``a/b/000123.seg.png`` -> key ``a/b/000123.seg``,
-    ext ``png``).  ``suffixes`` filters members by extension BEFORE the
-    bytes leave the decode task (column-pruning for blobs: a text-only
-    consumer never materializes the image payloads downstream).
+    ``sample_key``/``ext`` split the member name at the FIRST dot of
+    the BASENAME (the WebDataset convention: everything after the first
+    dot is the extension, so multi-dot modalities group with their
+    siblings — ``a/b/000123.seg.png`` -> key ``a/b/000123``, ext
+    ``seg.png``, grouping with ``a/b/000123.jpg``).  ``split="last"``
+    selects the plain-filename rule (key up to the last dot) for
+    non-WebDataset archives.  ``suffixes`` filters members by extension
+    BEFORE the bytes leave the decode task (column-pruning for blobs: a
+    text-only consumer never materializes the image payloads
+    downstream); each suffix matches the full WebDataset extension OR
+    its final dot-component (``"png"`` admits ``seg.png``).
 
     Scale: one task per shard; member iteration is streaming (tarfile
     reads headers sequentially, extracting only requested payloads).
@@ -46,6 +52,8 @@ def read_tar_shards(
     groupBy's exchange only moves rows within what a shard-local
     combine already reduced.
     """
+    if split not in ("first", "last"):
+        raise ValueError(f"split must be 'first' or 'last', got {split!r}")
     want = None if suffixes is None else {s.lstrip(".").lower() for s in suffixes}
 
     def walk(batches):
@@ -60,10 +68,19 @@ def read_tar_shards(
                         if not m.isfile():
                             continue
                         name = m.name
-                        base, dot, ext = name.rpartition(".")
+                        if split == "first":
+                            dirname, _, basename = name.rpartition("/")
+                            stem, dot, ext = basename.partition(".")
+                            base = f"{dirname}/{stem}" if dirname else stem
+                        else:
+                            base, dot, ext = name.rpartition(".")
                         if not dot:
                             base, ext = name, ""
-                        if want is not None and ext.lower() not in want:
+                        lext = ext.lower()
+                        if want is not None and (
+                            lext not in want
+                            and lext.rpartition(".")[2] not in want
+                        ):
                             continue
                         f = tf.extractfile(m)
                         rows["shard"].append(shard_path)

@@ -584,31 +584,33 @@ class GroupedTable:
         self._keys = keys
 
     def select(self, fields: str) -> Table:
+        from pyspark.errors import AnalysisException
+
         parsed = _parse_list(fields)
-        key_names = {p.name for p in self._keys if p.name}
+        # every aggregate gets a UNIQUE generated alias before agg() and
+        # is projected back by exactly that name — positional matching
+        # against "non-key output columns" misaligns the moment an
+        # aggregate is aliased to a grouping key's name
         aggs = []
-        for p in parsed:
+        final_cols = []
+        for i, p in enumerate(parsed):
             if p.has_agg:
-                aggs.append(p.col)
-            elif p.name in key_names:
-                continue  # grouping key passthrough — already in groupBy
+                gen = f"__agg_{i}"
+                aggs.append(p.col.alias(gen))
+                final_cols.append(F.col(gen).alias(p.name) if p.name else F.col(gen))
             else:
-                raise ExpressionParserException(
-                    f"expression {p.name or '<computed>'!r} is neither a "
-                    "grouping key nor an aggregate"
-                )
+                # key passthrough — possibly aliased or computed over
+                # keys; resolution against the aggregated frame is the
+                # arbiter (only keys + __agg_* exist there)
+                final_cols.append(p.col)
         grouped = self._df.groupBy(*[p.col for p in self._keys])
         out = grouped.agg(*aggs) if aggs else self._df.select(
             *[p.col for p in self._keys]
         ).distinct()
-        # project to the caller's field order / selection
-        names = []
-        agg_i = 0
-        out_agg_names = [c for c in out.columns if c not in {p.name for p in self._keys}]
-        for p in parsed:
-            if p.has_agg:
-                names.append(out_agg_names[agg_i])
-                agg_i += 1
-            else:
-                names.append(p.name)
-        return Table(out.select(*names))
+        try:
+            return Table(out.select(*final_cols))
+        except AnalysisException as e:
+            raise ExpressionParserException(
+                "GroupedTable.select: a non-aggregate expression must "
+                f"reference only grouping keys ({fields!r}): {e}"
+            ) from e

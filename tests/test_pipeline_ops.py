@@ -1163,6 +1163,28 @@ class TestScrubPII:
         assert got[4] == ("call <PHONE> now", 1)
         assert got[5] == ("two <EMAIL> and <EMAIL> here", 2)
 
+    def test_audit_counts_matches_not_sentinels(self, spark):
+        """The audit column counts pattern MATCHES pre-replacement:
+        a pre-existing literal '<EMAIL>' in the input must not inflate
+        the count, and a custom replacement full of regex
+        metacharacters must not break the counting."""
+        from flink_1_8_sourcecode_spark.operators.text import scrub_pii
+
+        d = spark.createDataFrame(
+            [(1, "already says <EMAIL> and real bob@x.io")], "id long, t string"
+        )
+        r = scrub_pii(d, "t", out_col="s").first()
+        assert r["s"] == "already says <EMAIL> and real <EMAIL>"
+        assert r["n_masked"] == 1  # one real match, not two sentinels
+
+        d2 = spark.createDataFrame([(1, "id ab12 and cd34")], "id long, t string")
+        r2 = scrub_pii(
+            d2, "t", out_col="s",
+            patterns=[(r"[a-z]{2}\d{2}", r"(**)")],
+        ).first()
+        assert r2["s"] == "id (**) and (**)"
+        assert r2["n_masked"] == 2
+
     def test_near_misses_untouched(self, spark):
         from flink_1_8_sourcecode_spark.operators.text import scrub_pii
 

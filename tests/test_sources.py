@@ -284,13 +284,21 @@ class TestTarShards:
         by_member = {r["member"]: r for r in rows}
         assert by_member["000001.txt"]["sample_key"] == "000001"
         assert bytes(by_member["000001.img"]["content"]) == b"\x00\x01\x02"
-        # multi-dot member: key keeps everything up to the LAST dot
-        assert by_member["sub/000003.seg.img"]["sample_key"] == "sub/000003.seg"
-        assert by_member["sub/000003.seg.img"]["ext"] == "img"
-        # modality grouping: sample 000001 has 3 members
+        # multi-dot member, WebDataset FIRST-dot rule: everything after
+        # the first dot of the basename is the extension, so the member
+        # groups with its sample siblings
+        assert by_member["sub/000003.seg.img"]["sample_key"] == "sub/000003"
+        assert by_member["sub/000003.seg.img"]["ext"] == "seg.img"
+        # modality grouping: sample 000001 has 3 members; the multi-dot
+        # seg mask groups WITH its sibling txt under sub/000003
         g = {r["sample_key"]: r["n"] for r in
              df.groupBy("sample_key").agg(F.count(F.lit(1)).alias("n")).collect()}
-        assert g["000001"] == 3 and g["000002"] == 2
+        assert g["000001"] == 3 and g["000002"] == 2 and g["sub/000003"] == 2
+        # split="last" restores the plain-filename rule
+        df2 = read_tar_shards(spark, self._shards(tmp_path), split="last")
+        by2 = {r["member"]: r for r in df2.collect()}
+        assert by2["sub/000003.seg.img"]["sample_key"] == "sub/000003.seg"
+        assert by2["sub/000003.seg.img"]["ext"] == "img"
 
     def test_suffix_pruning(self, spark, tmp_path):
         from flink_1_8_sourcecode_spark.sources.tar import read_tar_shards
@@ -299,6 +307,10 @@ class TestTarShards:
         rows = df.collect()
         assert {r["ext"] for r in rows} == {"txt"}
         assert len(rows) == 3
+        # a suffix matches the final dot-component of a multi-dot
+        # WebDataset extension too ("img" admits "seg.img")
+        imgs = read_tar_shards(spark, self._shards(tmp_path), suffixes=["img"])
+        assert {r["ext"] for r in imgs.collect()} == {"img", "seg.img"}
 
     def test_deterministic_shard_bytes(self, tmp_path):
         from flink_1_8_sourcecode_spark.sources.tar import write_tar_shard
@@ -320,6 +332,7 @@ class TestTarShards:
         assert bytes(out["000001"]["txt"]) == b"caption one"
         assert bytes(out["000001"]["img"]) == b"\x00\x01\x02"
         # incomplete sample keeps NULL modality unless require_all
-        assert out["sub/000003.seg"]["txt"] is None
+        # (sub/000003 groups txt + seg.img; no plain "img" modality)
+        assert out["sub/000003"]["img"] is None
         strict = assemble_samples(df, ["txt", "img"], require_all=True)
         assert {r["sample_key"] for r in strict.collect()} == {"000001", "000002"}

@@ -215,3 +215,45 @@ class TestRejections:
     def test_nonkey_nonagg_in_grouped_select_rejected(self, spark, li):
         with pytest.raises(ExpressionParserException):
             Table(li).groupBy("l_returnflag").select("l_orderkey")
+
+
+def test_grouped_select_agg_aliased_to_key_name(spark):
+    """An aggregate aliased to a grouping key's name must not misalign
+    the projection (the positional out_agg_names matching excluded any
+    agg output whose name collided with a key)."""
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 5)], "a string, b int"
+    )
+    out = Table(df).groupBy("a").select("a as grp, b.sum as a").to_df()
+    got = sorted((r["grp"], r["a"]) for r in out.collect())
+    assert got == [("x", 3), ("y", 5)]
+
+
+def test_grouped_select_aliased_key_accepted(spark):
+    """A grouping key referenced WITH an alias in select() is a legal
+    key passthrough, not 'neither key nor aggregate'."""
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 5)], "a string, b int"
+    )
+    out = Table(df).groupBy("a").select("a as k, b.sum as total").to_df()
+    assert sorted((r["k"], r["total"]) for r in out.collect()) == [
+        ("x", 3), ("y", 5),
+    ]
+
+
+def test_grouped_select_non_key_still_rejected(spark):
+    """A bare non-key, non-aggregate column still raises readably."""
+    import pytest
+
+    from flink_1_8_sourcecode_spark.table_api import (
+        ExpressionParserException,
+        Table,
+    )
+
+    df = spark.createDataFrame([("x", 1, 2.0)], "a string, b int, c double")
+    with pytest.raises(ExpressionParserException, match="grouping keys"):
+        Table(df).groupBy("a").select("a, b, c.sum as s").to_df()
