@@ -988,6 +988,20 @@ def sample_interleave_sources(spark, sf_dir: str):
     )
 
 
+def _capped_baskets(li, max_basket: int = 64):
+    """Distinct (order, part) basket lines with a deterministic per-
+    basket CAP (operators/sampling.py:cap_per_key): the pair self-join
+    below is quadratic PER ORDER, so one degenerate 100k-item basket
+    would contribute 5e9 pairs at 100 TB — the cap bounds any order's
+    contribution at C(max_basket, 2).  TPC-H baskets hold <= 7 lines,
+    so at bench scale the cap drops nothing and the oracles stay
+    exact; the guard exists for open-domain basket data."""
+    from flink_1_8_sourcecode_spark.operators.sampling import cap_per_key
+
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    return cap_per_key(b, "l_orderkey", "l_partkey", k=max_basket)
+
+
 @register(
     "agg_copurchase_pairs",
     oracle="""
@@ -1011,7 +1025,7 @@ def sample_interleave_sources(spark, sf_dir: str):
 )
 def agg_copurchase_pairs(spark, sf_dir: str):
     li = table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    b = _capped_baskets(li)
     a = b.alias("a")
     c = b.alias("c")
     pairs = a.join(
@@ -1056,7 +1070,7 @@ def agg_copurchase_pairs(spark, sf_dir: str):
 )
 def agg_association_rules(spark, sf_dir: str):
     li = table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    b = _capped_baskets(li)
     n_orders = b.select(F.countDistinct("l_orderkey").alias("n_orders"))
     item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a = b.alias("a")

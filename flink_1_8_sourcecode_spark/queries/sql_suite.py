@@ -211,3 +211,43 @@ def sink_insert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "table_api_over_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER w AS running_spend,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS recent_cnt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Table-API OVER windows through the string-expression facade "
+    "(Over builder parity with api/java/windows.scala; infix 'over' "
+    "from ExpressionParser.scala:225; table.scala:1118 window()): an "
+    "unbounded-range running sum and a bounded 2-preceding ROWS count "
+    "per customer, both lowered to Catalyst window specs so the plan "
+    "is the same WindowExec as the native DataFrame form.",
+)
+def table_api_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Over, Table
+
+    t = Table(table(spark, sf_dir, "orders"))
+    w1 = Over.partitionBy("o_custkey").order_by("o_orderkey").alias("w1")
+    w2 = (
+        Over.partitionBy("o_custkey").order_by("o_orderkey")
+        .preceding(2).alias("w2")
+    )
+    return (
+        t.window(w1, w2)
+        .select(
+            "o_custkey, o_orderkey, "
+            "o_totalprice.sum over w1 as running_spend, "
+            "o_orderkey.count over w2 as recent_cnt"
+        )
+        .to_df()
+    )

@@ -19,10 +19,16 @@ Grammar (precedence low -> high, ExpressionParser.scala:430-560):
     postfix    := atom ('.' suffixCall)*      -- a.count, a.upperCase(), a.cast(INT)
     atom       := '(' expression ')' | literal | ident | '*'
 
-Unsupported 1.8 constructs (OVER windows in expressions, proctime/rowtime
-markers, time/row intervals like ``10.minutes``) raise with the offending
-text — they route through the dedicated operators instead
-(queries/over_windows.py, streaming/).
+OVER windows follow the reference's two-part surface: ``Over.partitionBy
+("a").orderBy("t").preceding("unbounded_range").alias("w")`` builds the
+window (api/java/windows.scala Over builder), ``table.window(over)``
+scopes it, and expressions apply it with the infix form ``"b.avg over
+w"`` (ExpressionParser.scala:225) or the suffix ``"b.avg.over(w)"``.
+
+Remaining unsupported 1.8 constructs (proctime/rowtime markers, time/row
+intervals like ``10.minutes``) raise with the offending text — they
+route through the dedicated operators instead (queries/over_windows.py,
+group_windows, streaming/).
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["Table", "GroupedTable", "ExpressionParserException", "parse_expression"]
+__all__ = ["Table", "GroupedTable", "Over", "OverWindowedTable", "ExpressionParserException", "parse_expression"]
 
 
 class ExpressionParserException(ValueError):
@@ -109,7 +115,6 @@ _CAST_TYPES = {
 }
 
 _UNSUPPORTED_SUFFIX = {
-    "over",
     "proctime",
     "rowtime",
     "millis",
@@ -168,8 +173,9 @@ class _Parsed:
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, windows: dict | None = None):
         self.text = text
+        self.windows = windows  # alias -> pyspark WindowSpec (OVER scope)
         self.toks: list[tuple[str, str, int]] = []
         pos = 0
         while pos < len(text):
@@ -318,7 +324,32 @@ class _Parser:
         if isinstance(node, _Lit):
             return node.col(), None, sort, False
         col, name, star = node
+        # infix OVER (ExpressionParser.scala:225: composite ~ OVER ~
+        # fieldReference): "b.avg over w" applies the aliased window
+        if self.accept_kw("over"):
+            k, wname, _ = self.next()
+            if k != "ident":
+                self.error("window alias expected after 'over'")
+            col = self._apply_over(col, wname)
+            name, star = None, False
         return col, name, sort, star
+
+    def _apply_over(self, col, wname: str):
+        if self.windows is None:
+            raise ExpressionParserException(
+                f"'over {wname}': no OVER windows in scope — call "
+                "Table.window(Over.partitionBy(...).orderBy(...)"
+                f".preceding(...).alias({wname!r})).select(...)"
+            )
+        spec = self.windows.get(wname)
+        if spec is None:
+            raise ExpressionParserException(
+                f"'over {wname}': unknown window alias "
+                f"(in scope: {sorted(self.windows)})"
+            )
+        # a windowed aggregate is a ROW-level expression again
+        self.has_agg = False
+        return col.over(spec)
 
     def _apply_suffix(self, node, fnl: str, fn: str):
         """Apply one suffix call; returns (node, sort_marker)."""
@@ -351,6 +382,12 @@ class _Parser:
                     args.append(self._arg())
                 if not self.accept_op(")"):
                     self.error("')' expected in call arguments")
+        if fnl == "over":
+            if len(args) != 1 or not (
+                isinstance(args[0], tuple) and args[0][1] is not None
+            ):
+                self.error(".over takes exactly one window alias")
+            return (self._apply_over(base, args[0][1]), None, False), None
         if fnl in _AGGS:
             if args:
                 self.error(f"aggregate .{fn} takes no arguments")
@@ -614,3 +651,111 @@ class GroupedTable:
                 "GroupedTable.select: a non-aggregate expression must "
                 f"reference only grouping keys ({fields!r}): {e}"
             ) from e
+
+
+class Over:
+    """OVER-window builder — parity with the reference's ``Over``
+    (flink-table/.../api/java/windows.scala / OverWindow): chain
+    ``Over.partitionBy("a").orderBy("t").preceding(...).alias("w")``
+    and scope it with :meth:`Table.window`.
+
+    ``preceding`` accepts ``"unbounded_range"`` (default; RANGE frame to
+    current row incl. peers), ``"unbounded_row"`` (ROWS frame), or an
+    int n (ROWS: n preceding .. current).  Time-interval ranges route
+    through queries/over_windows.py's dedicated RANGE operator."""
+
+    def __init__(self):
+        self._partition: str | None = None
+        self._order: str | None = None
+        self._preceding: str | int = "unbounded_range"
+        self._alias: str | None = None
+
+    @classmethod
+    def partitionBy(cls, fields: str) -> "Over":
+        o = cls()
+        o._partition = fields
+        return o
+
+    @classmethod
+    def orderBy(cls, fields: str) -> "Over":
+        # Over.orderBy without partitionBy is legal in the reference
+        # (global window — single-task at scale, like streaming ORDER BY)
+        o = cls()
+        o._order = fields
+        return o
+
+    def order_by(self, fields: str) -> "Over":
+        self._order = fields
+        return self
+
+    def preceding(self, bound: str | int) -> "Over":
+        if not (bound in ("unbounded_range", "unbounded_row")
+                or (isinstance(bound, int) and not isinstance(bound, bool)
+                    and bound >= 0)):
+            raise ExpressionParserException(
+                f"Over.preceding: expected 'unbounded_range', "
+                f"'unbounded_row' or a non-negative int, got {bound!r} "
+                "(time-interval RANGE frames: queries/over_windows.py)"
+            )
+        self._preceding = bound
+        return self
+
+    def alias(self, name: str) -> "Over":
+        self._alias = name
+        return self
+
+    as_ = alias
+
+    def _spec(self):
+        from pyspark.sql import Window as W
+
+        if self._order is None:
+            raise ExpressionParserException("Over window needs orderBy(...)")
+        order = [p.col for p in _parse_list(self._order)]
+        w = (
+            W.partitionBy(*[p.col for p in _parse_list(self._partition)])
+            if self._partition is not None
+            else W.partitionBy()
+        )
+        w = w.orderBy(*order)
+        if self._preceding == "unbounded_range":
+            return w.rangeBetween(W.unboundedPreceding, W.currentRow)
+        if self._preceding == "unbounded_row":
+            return w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        return w.rowsBetween(-int(self._preceding), W.currentRow)
+
+
+class OverWindowedTable:
+    """table.window(Over...) result (table.scala OverWindowedTable):
+    only ``select`` is legal, with the window aliases in scope."""
+
+    def __init__(self, df: DataFrame, windows: dict):
+        self._df = df
+        self._windows = windows
+
+    def select(self, fields: str) -> Table:
+        parsed = _Parser(fields, windows=self._windows).parse_list()
+        for p in parsed:
+            if p.has_agg:
+                raise ExpressionParserException(
+                    "OverWindowedTable.select: aggregates must apply a "
+                    "window ('b.avg over w'), bare aggregates need "
+                    "groupBy()"
+                )
+        return Table(self._df.select(*[p.col for p in parsed]))
+
+
+def _table_window(self, *overs: Over) -> OverWindowedTable:
+    """table.scala:1118 window(overWindows: OverWindow*): scope OVER
+    windows for the next select."""
+    windows = {}
+    for o in overs:
+        if o._alias is None:
+            raise ExpressionParserException(
+                "Over window needs .alias(name) to be referenced in select"
+            )
+        windows[o._alias] = o._spec()
+    return OverWindowedTable(self.df, windows)
+
+
+Table.window = _table_window

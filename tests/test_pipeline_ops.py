@@ -1286,3 +1286,30 @@ def test_validate_expectations_catches_planted_violations(spark):
         d, rules=[("x_positive", F.col("x") > 0)], unique_cols=["id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_copurchase_hot_basket_capped(spark):
+    """A planted degenerate basket (1 order x 500 items) must not go
+    quadratic: the cap bounds its pair contribution at C(cap, 2) while
+    normal baskets are untouched."""
+    from flink_1_8_sourcecode_spark.queries.pipeline_ops import _capped_baskets
+
+    from pyspark.sql import functions as F
+
+    hot = [(1, i) for i in range(500)]
+    normal = [(2, 10), (2, 11), (3, 10), (3, 11)]
+    li = spark.createDataFrame(hot + normal, "l_orderkey long, l_partkey long")
+    b = _capped_baskets(li, max_basket=16)
+    per_basket = {r["l_orderkey"]: r["n"] for r in
+                  b.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_basket[1] == 16          # hot basket capped
+    assert per_basket[2] == 2 and per_basket[3] == 2  # untouched
+    # and the cap is deterministic across evaluations
+    again = {r["l_orderkey"]: r["n"] for r in
+             _capped_baskets(li, max_basket=16)
+             .groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == per_basket
+    kept = sorted(r["l_partkey"] for r in b.filter("l_orderkey = 1").collect())
+    kept2 = sorted(r["l_partkey"] for r in
+                   _capped_baskets(li, max_basket=16).filter("l_orderkey = 1").collect())
+    assert kept == kept2

@@ -200,9 +200,13 @@ class TestRejections:
             parse_expression("x.unknownFn()")
 
     def test_unsupported_constructs_gate_loudly(self, spark):
-        for expr in ("a.over(w)", "ts.rowtime", "10.minutes"):
+        for expr in ("ts.rowtime", "10.minutes"):
             with pytest.raises(NotImplementedError):
                 parse_expression(expr)
+        # .over is wired now, but outside a window() scope it must
+        # still fail readably
+        with pytest.raises(ExpressionParserException, match="no OVER windows"):
+            parse_expression("a.sum.over(w)")
 
     def test_mixed_agg_and_field_ungrouped_rejected(self, spark, li):
         with pytest.raises(ExpressionParserException, match="groupBy"):
@@ -257,3 +261,64 @@ def test_grouped_select_non_key_still_rejected(spark):
     df = spark.createDataFrame([("x", 1, 2.0)], "a string, b int, c double")
     with pytest.raises(ExpressionParserException, match="grouping keys"):
         Table(df).groupBy("a").select("a, b, c.sum as s").to_df()
+
+
+class TestOverWindows:
+    """Table-API OVER windows (Over builder + table.window + infix
+    'over' from ExpressionParser.scala:225)."""
+
+    def _t(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        return Table(spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+             ("b", 1, 5.0), ("b", 2, 7.0)],
+            "k string, seq int, v double",
+        ))
+
+    def test_unbounded_range_running_agg(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Over
+
+        t = self._t(spark)
+        w = Over.partitionBy("k").order_by("seq").alias("w")
+        out = t.window(w).select("k, seq, v.sum over w as running").to_df()
+        got = {(r.k, r.seq): r.running for r in out.collect()}
+        assert got[("a", 3)] == 60.0 and got[("a", 2)] == 30.0
+        assert got[("b", 2)] == 12.0
+
+    def test_bounded_rows_preceding(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Over
+
+        t = self._t(spark)
+        w = Over.partitionBy("k").order_by("seq").preceding(1).alias("w")
+        out = t.window(w).select("k, seq, v.avg over w as m, v.count over w as c")
+        got = {(r.k, r.seq): (r.m, r.c) for r in out.to_df().collect()}
+        assert got[("a", 3)] == (25.0, 2)   # rows 2..3
+        assert got[("a", 1)] == (10.0, 1)
+
+    def test_suffix_spelling_and_multiple_windows(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Over
+
+        t = self._t(spark)
+        w1 = Over.partitionBy("k").order_by("seq").alias("w1")
+        w2 = Over.partitionBy("k").order_by("seq").preceding(0).alias("w2")
+        out = t.window(w1, w2).select(
+            "k, seq, v.sum.over(w1) as run, v.sum over w2 as self_only"
+        ).to_df()
+        got = {(r.k, r.seq): (r.run, r.self_only) for r in out.collect()}
+        assert got[("a", 2)] == (30.0, 20.0)
+
+    def test_unknown_alias_and_missing_scope_raise(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+            Over,
+        )
+
+        t = self._t(spark)
+        w = Over.partitionBy("k").order_by("seq").alias("w")
+        with pytest.raises(ExpressionParserException, match="unknown window"):
+            t.window(w).select("v.sum over nope")
+        with pytest.raises(ExpressionParserException, match="needs orderBy"):
+            t.window(Over.partitionBy("k").alias("x")).select("v.sum over x")
+        with pytest.raises(ExpressionParserException, match="alias"):
+            t.window(Over.partitionBy("k").order_by("seq")).select("k")
