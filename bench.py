@@ -24,13 +24,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Heavy non-headline operators tracked separately so the headline total
 # stays comparable against the r1/r3 anchors.
+# graph_connected_components and pipeline_curate_corpus were PROMOTED
+# to the headline set in r11 (bench=True on their registrations) so the
+# driver's regression gate sees the r10 pointer-jump/curate wins.
 SECONDARY = (
     "window_delta_trigger",
-    "graph_connected_components",
     "graph_cc_logrounds",
     "graph_pagerank",
     "sim_topk_gemm",
-    "pipeline_curate_corpus",
     "pipeline_curate_corpus_fuzzy",
     "sim_topk_ivfpq",
     "dedup_semantic",

@@ -22,6 +22,7 @@ _PR_DAMP = 0.85
 
 @register(
     "graph_connected_components",
+    bench=True,
     oracle="""
     SELECT id::BIGINT AS id, ((id // 10) * 10)::BIGINT AS component
     FROM range(100) t(id)

@@ -184,6 +184,7 @@ _STOP = """CASE WHEN len(toks) > 0
 
 @register(
     "pipeline_curate_corpus",
+    bench=True,
     oracle=f"""
     WITH scrubbed AS (
       SELECT doc_id, source,

@@ -251,3 +251,34 @@ def table_api_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "table_api_tumble_window",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w_start,
+           count(*) AS cnt, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Table-API GROUP window through the string facade "
+    "(Tumble.over('1.days').on('ts').alias('w'), windows.scala parity; "
+    "table.scala:1070 window(groupWindow)): daily tumble per event "
+    "type with w.start projection — lowers to Spark's window() struct "
+    "grouping, so the plan is the same partial-aggregated "
+    "HashAggregate as the native form.",
+)
+def table_api_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table, Tumble
+
+    t = Table(table(spark, sf_dir, "events"))
+    return (
+        t.window(Tumble.over("1.days").on("ts").alias("w"))
+        .groupBy("w, event_type")
+        .select(
+            "event_type, w.start as w_start, "
+            "event_id.count as cnt, value.sum.round(4) as total"
+        )
+        .to_df()
+    )

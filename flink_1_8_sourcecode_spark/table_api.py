@@ -38,7 +38,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["Table", "GroupedTable", "Over", "OverWindowedTable", "ExpressionParserException", "parse_expression"]
+__all__ = ["Table", "GroupedTable", "Over", "OverWindowedTable", "Tumble", "Slide", "Session", "GroupWindowedTable", "ExpressionParserException", "parse_expression"]
 
 
 class ExpressionParserException(ValueError):
@@ -382,6 +382,10 @@ class _Parser:
                     args.append(self._arg())
                 if not self.accept_op(")"):
                     self.error("')' expected in call arguments")
+        if fnl in ("start", "end") and not args:
+            # group-window attribute access (w.start / w.end on the
+            # window struct produced by Tumble/Slide/Session grouping)
+            return (base.getField(fnl), None, False), None
         if fnl == "over":
             if len(args) != 1 or not (
                 isinstance(args[0], tuple) and args[0][1] is not None
@@ -745,9 +749,18 @@ class OverWindowedTable:
         return Table(self._df.select(*[p.col for p in parsed]))
 
 
-def _table_window(self, *overs: Over) -> OverWindowedTable:
-    """table.scala:1118 window(overWindows: OverWindow*): scope OVER
-    windows for the next select."""
+def _table_window(self, *overs):
+    """table.scala:1118 window(overWindows: OverWindow*) and :1070
+    window(groupWindow: GroupWindow): OVER windows scope aliases for
+    the next select; a single group window yields a
+    GroupWindowedTable."""
+    if len(overs) == 1 and isinstance(overs[0], GroupWindow):
+        return GroupWindowedTable(self.df, overs[0])
+    if any(isinstance(o, GroupWindow) for o in overs):
+        raise ExpressionParserException(
+            "window(): exactly one group window, or any number of Over "
+            "windows — not a mix"
+        )
     windows = {}
     for o in overs:
         if o._alias is None:
@@ -759,3 +772,151 @@ def _table_window(self, *overs: Over) -> OverWindowedTable:
 
 
 Table.window = _table_window
+
+
+_INTERVAL_UNITS = {
+    "millis": "milliseconds", "milli": "milliseconds",
+    "seconds": "seconds", "second": "seconds",
+    "minutes": "minutes", "minute": "minutes",
+    "hours": "hours", "hour": "hours",
+    "days": "days", "day": "days",
+}
+
+
+def _parse_interval(text) -> str:
+    """Flink interval literal ("10.minutes") -> Spark duration string
+    ("10 minutes").  Row intervals ("10.rows") route to the dedicated
+    count-window operator (streaming/stateful.py:count_window_agg)."""
+    if isinstance(text, str):
+        m = re.fullmatch(r"\s*(\d+)\.(\w+)\s*", text)
+        if m and m.group(2).lower() in _INTERVAL_UNITS:
+            return f"{m.group(1)} {_INTERVAL_UNITS[m.group(2).lower()]}"
+        if m and m.group(2).lower() == "rows":
+            raise ExpressionParserException(
+                "row-count windows: use count_window_agg "
+                "(streaming/stateful.py) — SQL/Table group windows are "
+                "time-based"
+            )
+    raise ExpressionParserException(
+        f"expected a time interval like '10.minutes', got {text!r}"
+    )
+
+
+class GroupWindow:
+    """Base for Tumble/Slide/Session (api/java/windows.scala /
+    flink-table/.../api/windows.scala): holds the time attribute, the
+    window spec and the alias; lowers to Spark's window()/
+    session_window() grouping struct."""
+
+    def __init__(self):
+        self._on: str | None = None
+        self._alias: str | None = None
+
+    def on(self, field: str) -> "GroupWindow":
+        self._on = field
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self._alias = name
+        return self
+
+    as_ = alias
+
+    def _require(self):
+        if self._on is None:
+            raise ExpressionParserException(
+                f"{type(self).__name__} window needs .on(<time attribute>)"
+            )
+        if self._alias is None:
+            raise ExpressionParserException(
+                f"{type(self).__name__} window needs .alias(name)"
+            )
+
+    def _col(self) -> Column:
+        raise NotImplementedError
+
+
+class Tumble(GroupWindow):
+    """Tumble.over("10.minutes").on("ts").alias("w")."""
+
+    def __init__(self, size: str):
+        super().__init__()
+        self._size = _parse_interval(size)
+
+    @classmethod
+    def over(cls, size: str) -> "Tumble":
+        return cls(size)
+
+    def _col(self) -> Column:
+        self._require()
+        return F.window(F.col(self._on), self._size)
+
+
+class Slide(GroupWindow):
+    """Slide.over("10.minutes").every("5.minutes").on("ts").alias("w")."""
+
+    def __init__(self, size: str):
+        super().__init__()
+        self._size = _parse_interval(size)
+        self._every: str | None = None
+
+    @classmethod
+    def over(cls, size: str) -> "Slide":
+        return cls(size)
+
+    def every(self, slide: str) -> "Slide":
+        self._every = _parse_interval(slide)
+        return self
+
+    def _col(self) -> Column:
+        self._require()
+        if self._every is None:
+            raise ExpressionParserException("Slide window needs .every(...)")
+        return F.window(F.col(self._on), self._size, self._every)
+
+
+class Session(GroupWindow):
+    """Session.withGap("10.minutes").on("ts").alias("w")."""
+
+    def __init__(self, gap: str):
+        super().__init__()
+        self._gap = _parse_interval(gap)
+
+    @classmethod
+    def withGap(cls, gap: str) -> "Session":
+        return cls(gap)
+
+    def _col(self) -> Column:
+        self._require()
+        return F.session_window(F.col(self._on), self._gap)
+
+
+class GroupWindowedTable:
+    """table.window(Tumble...) result (table.scala GroupWindowedTable):
+    groupBy must reference the window alias; select may use w.start /
+    w.end plus aggregates."""
+
+    def __init__(self, df: DataFrame, gw: GroupWindow):
+        gw._require()
+        self._df = df
+        self._gw = gw
+
+    def groupBy(self, fields: str) -> "GroupedTable":
+        parsed = _parse_list(fields)
+        keys: list[_Parsed] = []
+        saw = False
+        for p in parsed:
+            if p.name == self._gw._alias:
+                keys.append(
+                    _Parsed(self._gw._col().alias(self._gw._alias),
+                            name=self._gw._alias)
+                )
+                saw = True
+            else:
+                keys.append(p)
+        if not saw:
+            raise ExpressionParserException(
+                f"GroupWindowedTable.groupBy must include the window "
+                f"alias {self._gw._alias!r} (got {fields!r})"
+            )
+        return GroupedTable(self._df, keys)

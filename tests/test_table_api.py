@@ -322,3 +322,91 @@ class TestOverWindows:
             t.window(Over.partitionBy("k").alias("x")).select("v.sum over x")
         with pytest.raises(ExpressionParserException, match="alias"):
             t.window(Over.partitionBy("k").order_by("seq")).select("k")
+
+
+class TestGroupWindows:
+    """Table-API group windows (Tumble/Slide/Session builders,
+    windows.scala parity) lowering to F.window / F.session_window."""
+
+    def _ev(self, spark):
+        import datetime as dt
+
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u1", base + dt.timedelta(minutes=m), float(v))
+            for m, v in [(0, 1), (4, 2), (11, 3), (12, 4), (40, 5)]
+        ]
+        return Table(spark.createDataFrame(rows, "k string, ts timestamp, v double"))
+
+    def test_tumble_matches_dataframe_window(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Tumble
+
+        t = self._ev(spark)
+        out = (
+            t.window(Tumble.over("10.minutes").on("ts").alias("w"))
+            .groupBy("w, k")
+            .select("k, w.start as w_start, v.sum as total, v.count as cnt")
+            .to_df()
+        )
+        want = (
+            t.df.groupBy(F.window("ts", "10 minutes").alias("w"), "k")
+            .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("cnt"))
+            .select("k", F.col("w.start").alias("w_start"), "total", "cnt")
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_slide_every(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Slide
+
+        t = self._ev(spark)
+        out = (
+            t.window(Slide.over("10.minutes").every("5.minutes").on("ts").alias("w"))
+            .groupBy("w, k")
+            .select("k, w.start as ws, w.end as we, v.count as cnt")
+            .to_df()
+        )
+        want = (
+            t.df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("k", F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "cnt")
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_session_gap(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Session
+
+        t = self._ev(spark)
+        out = (
+            t.window(Session.withGap("10.minutes").on("ts").alias("w"))
+            .groupBy("w, k")
+            .select("k, v.count as cnt")
+            .to_df()
+        )
+        # events at 0,4,11,12 chain into one session (gaps < 10 min);
+        # 40 is its own session
+        assert sorted(r.cnt for r in out.collect()) == [1, 4]
+
+    def test_builder_validation(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+            Slide,
+            Tumble,
+        )
+
+        t = self._ev(spark)
+        with _pytest.raises(ExpressionParserException, match="time interval"):
+            Tumble.over("banana")
+        with _pytest.raises(ExpressionParserException, match="count_window_agg"):
+            Tumble.over("10.rows")
+        with _pytest.raises(ExpressionParserException, match="on\\("):
+            t.window(Tumble.over("10.minutes").alias("w"))
+        with _pytest.raises(ExpressionParserException, match="every"):
+            t.window(Slide.over("10.minutes").on("ts").alias("w")).groupBy(
+                "w, k"
+            ).select("k, v.count as c").to_df().collect()
+        with _pytest.raises(ExpressionParserException, match="window alias"):
+            t.window(Tumble.over("10.minutes").on("ts").alias("w")).groupBy("k")
