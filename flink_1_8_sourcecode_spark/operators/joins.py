@@ -1117,3 +1117,35 @@ def snapshot_as_of(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def build_scd2(
+    history: DataFrame,
+    keys: list[str],
+    time_col: str,
+    tiebreak: list[str] | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 intervals from a version
+    history: every version row gains ``valid_from`` (its own time) and
+    ``valid_to`` (the NEXT version's time per key; NULL for the current
+    version) — the interval form that makes ``snapshot_as_of`` a plain
+    BETWEEN filter and temporal joins range predicates, i.e. the
+    materialized twin of the temporal table function's version chain
+    (Table.createTemporalTableFunction, table.scala; the reference
+    keeps the chain in state, this writes it as a table).
+
+    ``tiebreak`` orders equal-time versions (ascending, after time) so
+    the chain is deterministic.  Half-open semantics: a version is
+    valid for ``valid_from <= t < valid_to``.
+
+    Scale: exactly one key-hash exchange + a per-key LEAD window — the
+    standard SCD2 build; at 100 TB the window partitions by the entity
+    key (bounded per-key history), never a global sort.
+    """
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return history.withColumn(
+        valid_from_col, F.col(time_col)
+    ).withColumn(valid_to_col, F.lead(time_col).over(w))

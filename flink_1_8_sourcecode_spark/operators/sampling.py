@@ -455,3 +455,42 @@ def interleave_sources(
         )
         .drop("__s", "__sidx", "__rnd")
     )
+
+
+def rate_limit(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    id_col: str,
+    k: int,
+    window_seconds: int,
+) -> DataFrame:
+    """Deterministic per-key RATE LIMIT: keep at most ``k`` rows per
+    (key, tumbling ``window_seconds`` bucket), the earliest by
+    (time, id) — the ingestion throttle of a crawl/event pipeline (cap
+    each user/domain at k events per hour) in its batch/backfill form.
+
+    Unlike ``cap_per_key`` (one global cap per key, hash order), the
+    cap here renews per time bucket and keeps FIRST-arrived rows, so
+    replaying a backfill reproduces exactly what a compliant online
+    throttle would have admitted.
+
+    One shuffle on (key, bucket) + a per-bucket rank — a skewed key
+    bounds one task per bucket, not its whole history.  Returns the
+    admitted rows plus the bucket start epoch ``window_start``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    epoch = F.col(time_col).cast("timestamp_ltz").cast("long")
+    bucket = (F.floor(epoch / window_seconds) * window_seconds).cast("long")
+    w = Window.partitionBy(F.col(key_col), bucket).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("window_start", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -600,3 +600,30 @@ def join_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_as_of(
         e, ["user_id"], "ts", "2024-01-15 00:00:00", tiebreak=["event_id"]
     )
+
+
+@register(
+    "join_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           ts::TIMESTAMP AS valid_from,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id))::TIMESTAMP AS valid_to
+    FROM events
+    """,
+    doc="SCD type-2 interval build (operators/joins.py:build_scd2 — the "
+    "materialized twin of the temporal table function's version chain, "
+    "Table.createTemporalTableFunction): every event version gains "
+    "valid_from/valid_to via one per-key LEAD window (half-open "
+    "intervals, NULL = current).  Exactly one key-hash exchange; makes "
+    "snapshot_as_of a plain BETWEEN filter downstream.",
+)
+def join_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.joins import build_scd2
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return build_scd2(
+        e, ["user_id"], "ts", tiebreak=["event_id"]
+    ).select("user_id", "event_id", "event_type", "valid_from", "valid_to")

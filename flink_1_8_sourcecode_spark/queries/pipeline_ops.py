@@ -1179,3 +1179,32 @@ def pipeline_data_quality(spark, sf_dir: str):
         ],
         unique_cols=["c_custkey"],
     )
+
+
+@register(
+    "sample_rate_limit",
+    oracle="""
+    SELECT user_id, event_id, window_start FROM (
+      SELECT user_id, event_id,
+             ((epoch(ts::TIMESTAMP)::BIGINT // 86400) * 86400) AS window_start,
+             row_number() OVER (
+               PARTITION BY user_id, epoch(ts::TIMESTAMP)::BIGINT // 86400
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    doc="Deterministic per-key rate limit (operators/sampling.py:"
+    "rate_limit): at most 3 events per user per DAY, earliest-first — "
+    "the batch/backfill form of an ingestion throttle, reproducing "
+    "exactly what a compliant online throttle admits.  One shuffle on "
+    "(key, bucket) + a per-bucket rank; a skewed key bounds one task "
+    "per bucket, never its whole history.",
+)
+def sample_rate_limit(spark, sf_dir: str):
+    from flink_1_8_sourcecode_spark.operators.sampling import rate_limit
+
+    e = table(spark, sf_dir, "events")
+    return rate_limit(
+        e, key_col="user_id", time_col="ts", id_col="event_id",
+        k=3, window_seconds=86400,
+    ).select("user_id", "event_id", "window_start")

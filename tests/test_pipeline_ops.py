@@ -1313,3 +1313,54 @@ def test_copurchase_hot_basket_capped(spark):
     kept2 = sorted(r["l_partkey"] for r in
                    _capped_baskets(li, max_basket=16).filter("l_orderkey = 1").collect())
     assert kept == kept2
+
+
+def test_rate_limit_per_bucket_semantics(spark):
+    """rate_limit renews the cap per tumbling bucket and keeps the
+    EARLIEST rows (vs cap_per_key's one global hash-ordered cap)."""
+    import datetime as dt
+
+    from flink_1_8_sourcecode_spark.operators.sampling import rate_limit
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # 4 events in hour bucket 0, 2 in bucket 1 for key "a"
+        ("a", 1, base + dt.timedelta(minutes=1)),
+        ("a", 2, base + dt.timedelta(minutes=2)),
+        ("a", 3, base + dt.timedelta(minutes=3)),
+        ("a", 4, base + dt.timedelta(minutes=4)),
+        ("a", 5, base + dt.timedelta(minutes=61)),
+        ("a", 6, base + dt.timedelta(minutes=62)),
+        ("b", 7, base + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp")
+    out = rate_limit(df, "k", "ts", "id", k=2, window_seconds=3600)
+    got = sorted((r.k, r.id) for r in out.collect())
+    # earliest 2 of bucket 0, both of bucket 1, b untouched
+    assert got == [("a", 1), ("a", 2), ("a", 5), ("a", 6), ("b", 7)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        rate_limit(df, "k", "ts", "id", k=0, window_seconds=3600)
+
+
+def test_build_scd2_half_open_chain(spark):
+    """build_scd2: per-key lead chain, NULL valid_to for the current
+    version, deterministic tiebreak on equal times."""
+    import datetime as dt
+
+    from flink_1_8_sourcecode_spark.operators.joins import build_scd2
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k1", 1, t0), ("k1", 2, t0 + dt.timedelta(days=1)),
+        ("k1", 3, t0 + dt.timedelta(days=1)),  # equal-time tie
+        ("k2", 4, t0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ver long, ts timestamp")
+    out = {r.ver: (r.valid_from, r.valid_to) for r in
+           build_scd2(df, ["k"], "ts", tiebreak=["ver"]).collect()}
+    assert out[1] == (t0, t0 + dt.timedelta(days=1))
+    assert out[2] == (t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=1))
+    assert out[3] == (t0 + dt.timedelta(days=1), None)  # current
+    assert out[4] == (t0, None)
