@@ -35,12 +35,14 @@ class TableSink:
         write_options: dict | None = None,
         read_options: dict | None = None,
         schema: str | None = None,
+        partition_by: list[str] | None = None,
     ):
         self.fmt = fmt
         self.path = path
         self.write_options = dict(write_options or {})
         self.read_options = dict(read_options or {})
         self.schema = schema
+        self.partition_by = list(partition_by or [])
 
 
 class Engine:
@@ -84,6 +86,7 @@ class Engine:
         write_options: dict | None = None,
         read_options: dict | None = None,
         schema: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> None:
         """registerTableSink (TableEnvironment.scala:586; CsvTableSink
         in flink-table/.../sinks/CsvTableSink.scala): bind ``name`` to a
@@ -96,7 +99,8 @@ class Engine:
         ``read_options`` pass through (e.g. ``{"delimiter": "|"}`` for
         the CsvTableSink fieldDelim); ``schema`` (DDL string) makes
         text formats round-trippable via :meth:`read_sink` without
-        inference.
+        inference; ``partition_by`` writes a hive-partitioned layout so
+        downstream scans partition-prune.
         """
         if fmt not in ("parquet", "csv", "json", "orc"):
             raise NotImplementedError(
@@ -104,7 +108,9 @@ class Engine:
                 "(parquet/csv/json/orc; Kafka/JDBC sinks live in "
                 "streaming/kafka.py and sources/jdbc.py)"
             )
-        self._sinks[name] = TableSink(fmt, path, write_options, read_options, schema)
+        self._sinks[name] = TableSink(
+            fmt, path, write_options, read_options, schema, partition_by
+        )
 
     def insert_into(
         self, df: DataFrame, sink_name: str, overwrite: bool = False
@@ -129,6 +135,10 @@ class Engine:
         w = df.write.format(sink.fmt).mode("overwrite" if overwrite else "append")
         for k, v in (sink.write_options or {}).items():
             w = w.option(k, v)
+        if sink.partition_by:
+            # hive-style layout: downstream reads partition-prune on
+            # these columns for free (the 100 TB sink layout decision)
+            w = w.partitionBy(*sink.partition_by)
         w.save(sink.path)
 
     def read_sink(self, sink_name: str) -> DataFrame:

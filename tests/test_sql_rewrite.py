@@ -270,3 +270,22 @@ class TestSinkRegistry:
         )
         with pytest.raises(NotImplementedError, match="streaming"):
             eng.insert_into(stream, "s_out")
+
+    def test_partitioned_sink_layout_and_pruning(self, spark, tmp_path):
+        eng = self._engine(spark)
+        eng.register_sink(
+            "part_out", "parquet", str(tmp_path / "part_out"),
+            partition_by=["s"],
+        )
+        eng.sql_update("INSERT OVERWRITE part_out SELECT k, s FROM src_t")
+        import os
+
+        dirs = sorted(
+            d for d in os.listdir(tmp_path / "part_out") if d.startswith("s=")
+        )
+        assert dirs == ["s=a", "s=b"]  # hive layout on disk
+        back = eng.read_sink("part_out")
+        assert back.filter("s = 'a'").count() == 2
+        # partition filter reaches the scan as a partition predicate
+        plan = back.filter("s = 'a'")._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(s" in plan or "s#" in plan
