@@ -86,20 +86,31 @@ def stratified_sample_exact(
     """Exact stratified sample: ceil(fraction * n_s) rows from every
     stratum s, chosen deterministically as the lowest md5-hash ids.
 
-    One shuffle (hash partition on the stratum) + a per-stratum window
-    rank over the hash order.  The rank sort is per-stratum, so a skewed
-    stratum bounds the task — for approximate fractions at extreme
-    scale, prefer the map-only ``hash_split`` predicate.  Exact counts
-    are what eval-set construction and class-balanced subsampling need.
+    One range-shuffle on (stratum, hash order) via the two-pass
+    distributed rank of ``prefix_sum_per_key`` — full cluster
+    parallelism even with FEW strata (a two-class 100 TB corpus under
+    ``Window.partitionBy(stratum)`` would rank everything in 2 tasks);
+    the per-stratum total joins back from a broadcast-sized aggregate.
+    For approximate fractions at extreme scale, the map-only
+    ``hash_split`` predicate is still cheaper.  Exact counts are what
+    eval-set construction and class-balanced subsampling need.
     """
+    from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
+
     h = hash_key(F.col(id_col), salt)
-    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
-    n = Window.partitionBy(stratum_col)
+    ranked = prefix_sum_per_key(
+        df, stratum_col, [h, F.col(id_col)], out_col="__rn0"
+    )
+    totals = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n")).select(
+        F.col(stratum_col).alias("__strk"), "__n"
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(n))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
-        .drop("__rn", "__n")
+        ranked.join(
+            F.broadcast(totals),
+            F.col(stratum_col).eqNullSafe(F.col("__strk")),
+        )
+        .filter(F.col("__rn0") + 1 <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn0", "__n", "__strk")
     )
 
 

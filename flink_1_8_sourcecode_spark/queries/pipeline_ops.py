@@ -55,9 +55,10 @@ def sample_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= ceil(n * 0.2)
     """,
     doc="Exact 20% stratified sample per source: ceil(0.2*n_s) rows per "
-    "stratum, chosen as the lowest md5-hash doc ids (one shuffle on the "
-    "stratum + per-stratum window rank; "
-    "operators/sampling.py:stratified_sample_exact).",
+    "stratum, chosen as the lowest md5-hash doc ids (two-pass "
+    "distributed per-stratum rank via prefix_sum_per_key — full "
+    "parallelism even with few strata — joined to broadcast stratum "
+    "totals; operators/sampling.py:stratified_sample_exact).",
 )
 def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
