@@ -647,3 +647,55 @@ def test_avro_roundtrip_fuzz(data):
     ws, recs = decode_container(encode_avro(schema, rows, codec=codec))
     assert ws == schema
     assert recs == rows
+
+
+def test_prefix_sum_per_key_matches_pandas_reference(spark):
+    """prefix_sum_per_key (the two-pass distributed per-key exclusive
+    prefix) must equal the single-machine pandas groupby-cumsum on
+    randomized inputs: many/few keys, NULL keys, duplicate order
+    values, values > 1, and partition counts that force key runs to
+    span multiple range partitions."""
+    import random
+
+    import pandas as pd
+
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        prefix_sum_per_key,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    for trial, (n_rows, keys, n_parts) in enumerate(
+        [(300, ["a", "b"], 16), (200, ["a", None], 7),
+         (120, ["k1", "k2", "k3", "k4"], 3), (50, ["only"], 11)]
+    ):
+        rows = [
+            (rng.choice(keys), i, rng.randint(0, 9))
+            for i in range(n_rows)
+        ]
+        pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+        df = spark.createDataFrame(rows, "k string, i long, v long")
+        got = (
+            prefix_sum_per_key(
+                df, "k", [F.col("i")], value_col="v", out_col="p",
+                n_partitions=n_parts,
+            )
+            .toPandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        ref = pdf.sort_values(["k", "i"], na_position="first").copy()
+        ref["p"] = ref.groupby("k", dropna=False)["v"].cumsum() - ref["v"]
+        ref = ref.sort_values("i").reset_index(drop=True)
+        assert list(got["p"]) == list(ref["p"]), f"trial {trial}"
+        # rank form (value_col=None) = 0-based dense rank per key
+        got_rank = (
+            prefix_sum_per_key(df, "k", [F.col("i")], out_col="r",
+                               n_partitions=n_parts)
+            .toPandas().sort_values("i").reset_index(drop=True)
+        )
+        ref["r"] = ref.sort_values(["k", "i"], na_position="first").groupby(
+            "k", dropna=False
+        ).cumcount()
+        ref2 = ref.sort_values("i").reset_index(drop=True)
+        assert list(got_rank["r"]) == list(ref2["r"]), f"trial {trial} rank"
