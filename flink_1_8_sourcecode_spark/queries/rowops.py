@@ -175,3 +175,34 @@ def source_tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_key").cast("long").alias("doc_id"),
         F.col("content").cast("string").alias("text"),
     )
+
+
+@register(
+    "dataset_api_wordcount",
+    oracle="""
+    SELECT w, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS w
+      FROM documents WHERE doc_id < 200
+    ) WHERE w <> '' GROUP BY w HAVING count(*) >= 10
+    """,
+    doc="The reference's canonical WordCount THROUGH the fluent "
+    "DataSet-API facade (dataset_api.py: ExecutionEnvironment/DataSet "
+    "— DataSet.java:210 map, :260 flatMap, :710 groupBy; the "
+    "flink-examples WordCount shape): flat_map(split) -> group_by -> "
+    "count -> filter.  Every fluent call lowers straight to DataFrame "
+    "ops, so the plan is the same partial-aggregated word count as the "
+    "native form.",
+)
+def dataset_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        DataSet(d)
+        .flat_map(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .group_by("w")
+        .count()
+        .df.withColumnRenamed("count", "cnt")
+        .filter(F.col("cnt") >= 10)
+    )
