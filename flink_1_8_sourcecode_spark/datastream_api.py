@@ -1,0 +1,207 @@
+"""Fluent DataStream-API facade — the reference's primary STREAMING
+entry point (flink-streaming-java/.../api/datastream/).
+
+Reference parity:
+- StreamExecutionEnvironment.java: getExecutionEnvironment :1542,
+  fromElements :789, socketTextStream :1085, readFile :1027,
+  addSource :1413
+- DataStream.java: map :578, flatMap :600, filter :645, union :218,
+  keyBy :285, assignTimestampsAndWatermarks :738
+- KeyedStream.java: timeWindow/window :390, countWindow :642,
+  reduce :730 (running agg), process :360
+- WindowedStream.java: aggregate/reduce/sum
+- DataStream.addSink :1235 / writeAsText
+
+Spark-first: everything lowers to Structured Streaming DataFrames —
+`readStream` sources, `withWatermark` for the watermark assigner,
+`F.window`/`F.session_window` grouping for windows, and the repo's
+applyInPandasWithState operators for the custom stateful tail
+(keyed_process, count_window_agg, running/bounded OVER).  ``.df`` is
+always exposed; nothing hides from the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.session import get_spark
+from flink_1_8_sourcecode_spark.streaming import sinks as _sinks
+from flink_1_8_sourcecode_spark.streaming import sources as _sources
+from flink_1_8_sourcecode_spark.streaming import windows as _windows
+
+
+class StreamExecutionEnvironment:
+    """StreamExecutionEnvironment.java:1542."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+
+    @classmethod
+    def get_execution_environment(
+        cls, spark: SparkSession | None = None
+    ) -> "StreamExecutionEnvironment":
+        return cls(spark)
+
+    def socket_text_stream(self, host: str, port: int) -> "DataStream":
+        """socketTextStream :1085."""
+        return DataStream(_sources.socket_stream(self.spark, host, port))
+
+    def rate_stream(self, rows_per_second: int = 100) -> "DataStream":
+        """The rate source (the fromElements/generateSequence stand-in
+        for an unbounded test stream)."""
+        return DataStream(_sources.rate_stream(self.spark, rows_per_second))
+
+    def read_file_stream(self, path: str, fmt: str, schema: str) -> "DataStream":
+        """readFile with FileProcessingMode.PROCESS_CONTINUOUSLY :1027
+        — the file-monitoring source."""
+        return DataStream(
+            self.spark.readStream.format(fmt).schema(schema).load(path)
+        )
+
+    def add_source(self, df: DataFrame) -> "DataStream":
+        """addSource :1413 — wrap any readStream DataFrame (custom
+        SourceFunction parity: build the frame, hand it in)."""
+        return DataStream(df)
+
+
+class DataStream:
+    """Fluent wrapper over a (usually streaming) DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # --- row-level (same fast-path stance as the DataSet facade) -----
+    def map(self, *cols: Column) -> "DataStream":
+        """map :578 — JVM-side select expressions."""
+        return DataStream(self.df.select(*cols))
+
+    def flat_map(self, *cols) -> "DataStream":
+        """flatMap :600 — pass-throughs plus one exploded Column."""
+        return DataStream(self.df.select(*cols))
+
+    def filter(self, predicate) -> "DataStream":
+        """filter :645."""
+        return DataStream(self.df.filter(predicate))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        """union :218 (UNION ALL of same-schema streams)."""
+        out = self.df
+        for o in others:
+            out = out.unionByName(o.df)
+        return DataStream(out)
+
+    def assign_timestamps_and_watermarks(
+        self, ts_col: str, delay: str
+    ) -> "DataStream":
+        """assignTimestampsAndWatermarks :738 with a
+        BoundedOutOfOrdernessTimestampExtractor(delay)."""
+        return DataStream(self.df.withWatermark(ts_col, delay))
+
+    def key_by(self, *keys) -> "KeyedStream":
+        """keyBy :285."""
+        return KeyedStream(self.df, [k if isinstance(k, str) else k for k in keys])
+
+    # --- sinks (DataStream.addSink :1235) ----------------------------
+    # each returns a STARTED StreamingQuery (execute() is implicit in
+    # Structured Streaming's start) — callers processAllAvailable/stop
+    def add_sink_file(self, path: str, checkpoint: str, fmt: str = "parquet"):
+        """StreamingFileSink parity — exactly-once file sink."""
+        return _sinks.file_sink(self.df, path, checkpoint, fmt).start()
+
+    def add_sink_memory(self, name: str, mode: str = "append"):
+        return _sinks.memory_sink(self.df, name, mode).start()
+
+    def print(self, mode: str = "append"):
+        """DataStream.print — console sink."""
+        return _sinks.console_sink(self.df, mode).start()
+
+
+class KeyedStream:
+    """KeyedStream.java surface: windows, running reduce, process."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self.df = df
+        self.keys = keys
+
+    def time_window(
+        self, ts_col: str, size: str, slide: str | None = None,
+        watermark: str | None = None,
+    ) -> "WindowedStream":
+        """timeWindow :390 — tumbling (no slide) or sliding."""
+        return WindowedStream(self, ts_col, "hop" if slide else "tumble",
+                              size=size, slide=slide, watermark=watermark)
+
+    def session_window(
+        self, ts_col: str, gap: str, watermark: str | None = None
+    ) -> "WindowedStream":
+        """EventTimeSessionWindows.withGap."""
+        return WindowedStream(self, ts_col, "session", gap=gap, watermark=watermark)
+
+    def count_window(self, value_col: str, size: int) -> DataFrame:
+        """countWindow :642 — per-key tumbling count window (the
+        custom stateful operator; no SQL form exists in either
+        engine)."""
+        from flink_1_8_sourcecode_spark.streaming.stateful import count_window_agg
+
+        if len(self.keys) != 1:
+            raise NotImplementedError("count_window: exactly one key column")
+        return count_window_agg(self.df, self.keys[0], value_col, size)
+
+    def reduce_running_sum(
+        self, ts_col: str, value_col: str, watermark_delay: str,
+        tiebreak: str | None = None,
+    ) -> DataFrame:
+        """reduce :730 in its running-aggregate reading — the
+        event-time unbounded OVER (RowTimeUnboundedOver parity)."""
+        from flink_1_8_sourcecode_spark.streaming.stateful import (
+            event_time_running_agg,
+        )
+
+        if len(self.keys) != 1:
+            raise NotImplementedError("reduce_running_sum: exactly one key")
+        return event_time_running_agg(
+            self.df, self.keys[0], ts_col, value_col, watermark_delay, tiebreak
+        )
+
+    def process(self, fn, output_schema: str, state_schema: str,
+                timeout: str = "NoTimeout") -> DataFrame:
+        """KeyedProcessFunction :360 — the full escape hatch
+        (streaming/stateful.py:keyed_process)."""
+        from flink_1_8_sourcecode_spark.streaming.stateful import keyed_process
+
+        return keyed_process(
+            self.df, self.keys, fn, output_schema, state_schema, timeout
+        )
+
+
+class WindowedStream:
+    """WindowedStream.java: terminal aggregate over the window spec."""
+
+    def __init__(self, keyed: KeyedStream, ts_col: str, kind: str,
+                 size: str | None = None, slide: str | None = None,
+                 gap: str | None = None, watermark: str | None = None):
+        self._keyed = keyed
+        self._ts = ts_col
+        self._kind = kind
+        self._size = size
+        self._slide = slide
+        self._gap = gap
+        self._wm = watermark
+
+    def aggregate(self, **aggs: Column) -> DataStream:
+        """aggregate/reduce/sum — named aggregate Columns; emits
+        (w_start, w_end, keys..., aggs...)."""
+        k = self._keyed
+        if self._kind == "tumble":
+            out = _windows.tumble(k.df, self._ts, self._size, k.keys, aggs, self._wm)
+        elif self._kind == "hop":
+            out = _windows.hop(
+                k.df, self._ts, self._size, self._slide, k.keys, aggs, self._wm
+            )
+        else:
+            out = _windows.session(k.df, self._ts, self._gap, k.keys, aggs, self._wm)
+        return DataStream(out)
+
+    def sum(self, value_col: str) -> DataStream:
+        return self.aggregate(**{value_col: F.sum(value_col)})

@@ -1,0 +1,115 @@
+"""Fluent DataStream-API facade (datastream_api.py) — DataStream.java
+surface lowering to Structured Streaming.  Streams are driven through
+the chunked-parquet replay fixture and checked against batch twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.catalog import table
+from flink_1_8_sourcecode_spark.datastream_api import (
+    DataStream,
+    StreamExecutionEnvironment,
+)
+from flink_1_8_sourcecode_spark.streaming import sources
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+def _event_stream(spark, tmp_path, name, sentinel=False):
+    import datetime as dt
+
+    chunks = str(tmp_path / name)
+    sources.write_event_chunks(spark, SF_SMALL, chunks, n_chunks=3)
+    if sentinel:
+        max_ts = table(spark, SF_SMALL, "events").agg(F.max("ts")).first()[0]
+        spark.createDataFrame(
+            [(10**9, max_ts + dt.timedelta(days=30), -1, "noop", 0.0, "{}")],
+            sources.EVENTS_SCHEMA,
+        ).write.mode("append").parquet(chunks + "/__chunk=zz_sentinel")
+    return sources.read_event_stream(spark, chunks)
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_map_filter_window_aggregate_matches_batch(spark, env, tmp_path):
+    stream = env.add_source(_event_stream(spark, tmp_path, "ds_api", sentinel=True))
+    out = (
+        # the far-future sentinel (user -1) must SURVIVE the filter or
+        # the watermark never closes the final windows
+        stream.filter((F.col("user_id") % 2 == 0) | (F.col("user_id") < 0))
+        .map(F.col("user_id"), F.col("ts"), (F.col("value") * 2).alias("v2"))
+        .assign_timestamps_and_watermarks("ts", "10 minutes")
+        .key_by("user_id")
+        .time_window("ts", "1 day")
+        .aggregate(total=F.sum("v2"), cnt=F.count(F.lit(1)))
+    )
+    q = out.add_sink_memory("t_ds_api", mode="append")
+    _drain(q)
+    got = spark.table("t_ds_api").toPandas()
+    got = got[got.user_id >= 0]
+
+    ev = table(spark, SF_SMALL, "events").filter(F.col("user_id") % 2 == 0)
+    want = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.sum(F.col("value") * 2).alias("total"), F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+                "user_id", "total", "cnt")
+        .toPandas()
+    )
+    key = ["w_start", "user_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s["cnt"].to_numpy() == want_s["cnt"].to_numpy()).all()
+    assert abs(got_s["total"].to_numpy() - want_s["total"].to_numpy()).max() < 1e-6
+
+
+def test_union_and_flat_map(spark, env, tmp_path):
+    s1 = env.add_source(_event_stream(spark, tmp_path, "ds_u1"))
+    s2 = env.add_source(_event_stream(spark, tmp_path, "ds_u2"))
+    both = s1.union(s2).flat_map(
+        F.col("event_id"),
+        F.explode(F.array(F.lit("x"), F.lit("y"))).alias("tag"),
+    )
+    q = both.add_sink_memory("t_ds_union", mode="append")
+    _drain(q)
+    n_events = table(spark, SF_SMALL, "events").count()
+    assert spark.table("t_ds_union").count() == 2 * 2 * n_events
+
+
+def test_count_window_and_process_delegate(spark, env, tmp_path):
+    stream = env.add_source(_event_stream(spark, tmp_path, "ds_cw"))
+    out = stream.key_by("user_id").count_window("value", 5)
+    q = out.writeStream.format("memory").queryName("t_ds_cw").outputMode("append").start()
+    _drain(q)
+    got = spark.table("t_ds_cw")
+    assert got.filter("cnt != 5").count() == 0  # only FULL windows emit
+    with pytest.raises(NotImplementedError, match="one key"):
+        stream.key_by("user_id", "event_type").count_window("value", 5)
+
+
+def test_session_window_and_rate_source(spark, env, tmp_path):
+    stream = env.add_source(_event_stream(spark, tmp_path, "ds_sess"))
+    out = (
+        stream.key_by("user_id")
+        .session_window("ts", "2 hours", watermark="10 minutes")
+        .sum("value")
+    )
+    q = out.add_sink_memory("t_ds_sess", mode="append")
+    _drain(q)
+    assert spark.table("t_ds_sess").count() > 0
+    # rate source wires a streaming frame
+    rs = env.rate_stream(5)
+    assert rs.df.isStreaming
