@@ -293,3 +293,42 @@ def over_stream_bounded_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "event_id", "w_sum", "w_cnt")
     )
+
+
+@register(
+    "datastream_api_tumble",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w_start,
+           count(*) AS cnt, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Daily per-user tumble THROUGH the fluent DataStream facade "
+    "(datastream_api.py: StreamExecutionEnvironment.add_source -> "
+    "assign_timestamps_and_watermarks -> key_by -> time_window -> "
+    "aggregate; DataStream.java:285 keyBy, KeyedStream.java:390 "
+    "timeWindow), run over the replayed micro-batch stream and "
+    "finalized by the far-future sentinel.  The facade lowers to the "
+    "same watermark+window aggregate as the native form.",
+)
+def datastream_api_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.datastream_api import (
+        StreamExecutionEnvironment,
+    )
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    stream = env.add_source(_replayed_stream(spark, sf_dir, "dsapi_"))
+    out = (
+        stream.assign_timestamps_and_watermarks("ts", "30 minutes")
+        .key_by("user_id")
+        .time_window("ts", "1 day")
+        .aggregate(
+            cnt=F.count(F.lit(1)), total=F.round(F.sum("value"), 4)
+        )
+    )
+    name = _run_to_table(out.df, "q_dsapi", state_partitions=4)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "w_start", "cnt", "total")
+    )
