@@ -206,3 +206,64 @@ def dataset_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .df.withColumnRenamed("count", "cnt")
         .filter(F.col("cnt") >= 10)
     )
+
+
+@register(
+    "dataset_api_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1993-10-01'
+      AND o.o_orderdate < DATE '1994-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="flink-examples TPCHQuery10 (flink-examples/.../relational/"
+    "TPCHQuery10.java) THROUGH the fluent DataSet facade: the same "
+    "filter -> map -> join(...).where(...).equal_to(...) -> group_by "
+    "-> sum chain the reference example writes, lowered to the "
+    "identical broadcast-dim + partial-agg plan as the native tpch_q10.",
+)
+def dataset_api_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+    cust = DataSet(table(spark, sf_dir, "customer")).project(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        DataSet(table(spark, sf_dir, "orders"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1993-10-01"))
+            & (F.col("o_orderdate") < F.lit("1994-01-01"))
+        )
+        .project("o_orderkey", "o_custkey")
+    )
+    li = (
+        DataSet(table(spark, sf_dir, "lineitem"))
+        .filter(F.col("l_returnflag") == "R")
+        .map(
+            F.col("l_orderkey"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    nation = DataSet(table(spark, sf_dir, "nation")).project(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        orders.join(li).where("o_orderkey").equal_to("l_orderkey")
+        .join(cust).where("o_custkey").equal_to("c_custkey")
+        .join(nation, hint="tiny").where("c_nationkey").equal_to("n_nationkey")
+    )
+    return (
+        joined.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
+        .sum("rev")
+        .map(
+            F.col("c_custkey"), F.col("c_name"), F.col("c_acctbal"),
+            F.col("n_name"), F.round("rev", 2).alias("revenue"),
+        )
+        .df
+    )
