@@ -164,6 +164,27 @@ class KeyedStream:
             self.df, self.keys[0], ts_col, value_col, watermark_delay, tiebreak
         )
 
+    def reduce_bounded(
+        self, ts_col: str, value_col: str, watermark_delay: str,
+        preceding_rows: int | None = None,
+        preceding_seconds: float | None = None,
+        tiebreak: str | None = None,
+    ) -> DataFrame:
+        """The bounded OVER twin (RowTimeBoundedRowsOver.scala:44 /
+        RowTimeBoundedRangeOver.scala): per-row frame sum/count over
+        the last n rows or trailing interval
+        (streaming/stateful.py:event_time_bounded_agg)."""
+        from flink_1_8_sourcecode_spark.streaming.stateful import (
+            event_time_bounded_agg,
+        )
+
+        if len(self.keys) != 1:
+            raise NotImplementedError("reduce_bounded: exactly one key")
+        return event_time_bounded_agg(
+            self.df, self.keys[0], ts_col, value_col, watermark_delay,
+            preceding_rows, preceding_seconds, tiebreak,
+        )
+
     def process(self, fn, output_schema: str, state_schema: str,
                 timeout: str = "NoTimeout") -> DataFrame:
         """KeyedProcessFunction :360 — the full escape hatch

@@ -113,3 +113,21 @@ def test_session_window_and_rate_source(spark, env, tmp_path):
     # rate source wires a streaming frame
     rs = env.rate_stream(5)
     assert rs.df.isStreaming
+
+
+def test_reduce_running_and_bounded_delegates(spark, env, tmp_path):
+    stream = env.add_source(_event_stream(spark, tmp_path, "ds_red", sentinel=True))
+    out = stream.key_by("user_id").reduce_bounded(
+        "ts", "value", "30 minutes", preceding_rows=1, tiebreak="event_id",
+    )
+    q = out.writeStream.format("memory").queryName("t_ds_red").outputMode("append").start()
+    _drain(q)
+    got = spark.table("t_ds_red").filter("user_id >= 0")
+    # 2-row frame: w_cnt is 1 for each user's first event, else 2
+    assert got.filter("w_cnt > 2").count() == 0
+    firsts = got.filter("w_cnt = 1").count()
+    assert firsts == got.select("user_id").distinct().count()
+    with pytest.raises(NotImplementedError, match="one key"):
+        stream.key_by("user_id", "event_type").reduce_bounded(
+            "ts", "value", "30 minutes", preceding_rows=1
+        )
