@@ -102,6 +102,32 @@ class DataStream:
         """keyBy :285."""
         return KeyedStream(self.df, [k if isinstance(k, str) else k for k in keys])
 
+    def split(self, outputs: dict[str, Column]) -> dict[str, "DataStream"]:
+        """split/side outputs (DataStream.split / OutputTag side
+        outputs — streaming/side_outputs.py:split): named predicate
+        channels over one pass; a row lands in every channel whose
+        predicate holds."""
+        from flink_1_8_sourcecode_spark.streaming.side_outputs import split
+
+        return {k: DataStream(v) for k, v in split(self.df, outputs).items()}
+
+    def connect(
+        self,
+        other: "DataStream",
+        key: str,
+        payload_cols: dict[str, tuple[str | None, str | None]],
+    ) -> "DataStream":
+        """connect :247 (ConnectedStreams) — the two streams keyed,
+        tagged ``__input`` (1/2) and unioned on a unified NULL-padded
+        schema (streaming/side_outputs.py:connect_tagged); feed the
+        result to key_by(...).process for CoProcessFunction
+        semantics."""
+        from flink_1_8_sourcecode_spark.streaming.side_outputs import (
+            connect_tagged,
+        )
+
+        return DataStream(connect_tagged(self.df, other.df, key, payload_cols))
+
     # --- sinks (DataStream.addSink :1235) ----------------------------
     # each returns a STARTED StreamingQuery (execute() is implicit in
     # Structured Streaming's start) — callers processAllAvailable/stop

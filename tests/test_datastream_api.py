@@ -131,3 +131,32 @@ def test_reduce_running_and_bounded_delegates(spark, env, tmp_path):
         stream.key_by("user_id", "event_type").reduce_bounded(
             "ts", "value", "30 minutes", preceding_rows=1
         )
+
+
+def test_split_and_connect(spark, env, tmp_path):
+    stream = env.add_source(_event_stream(spark, tmp_path, "ds_split"))
+    channels = stream.split({
+        "big": F.col("value") > 50,
+        "small": F.col("value") <= 50,
+    })
+    qb = channels["big"].add_sink_memory("t_ds_big", mode="append")
+    _drain(qb)
+    qs = channels["small"].add_sink_memory("t_ds_small", mode="append")
+    _drain(qs)
+    total = table(spark, SF_SMALL, "events").count()
+    nb = spark.table("t_ds_big").count()
+    ns = spark.table("t_ds_small").count()
+    assert nb + ns == total and nb > 0 and ns > 0
+    assert spark.table("t_ds_big").filter("value <= 50").count() == 0
+
+    s2 = env.add_source(_event_stream(spark, tmp_path, "ds_conn"))
+    merged = stream.connect(
+        s2, "user_id", {"v": ("value", None), "t": (None, "event_type")}
+    )
+    qm = merged.add_sink_memory("t_ds_conn", mode="append")
+    _drain(qm)
+    got = spark.table("t_ds_conn")
+    assert set(got.columns) == {"user_id", "__input", "v", "t"}
+    assert got.filter("__input = 1 AND t IS NOT NULL").count() == 0
+    assert got.filter("__input = 2 AND v IS NOT NULL").count() == 0
+    assert got.count() == 2 * total
