@@ -178,9 +178,17 @@ class Engine:
                 "register/register_sink; queries to sql())"
             )
         body = m.group("body").strip()
-        if body.startswith("("):
-            body = body.strip()
-            if body.endswith(")"):
+        if body.startswith("(") and body.endswith(")"):
+            # strip the outer parens ONLY if they are one matching pair
+            # ("(A) UNION (B)" must stay intact)
+            depth = 0
+            wraps = True
+            for i, ch in enumerate(body):
+                depth += 1 if ch == "(" else (-1 if ch == ")" else 0)
+                if depth == 0 and i < len(body) - 1:
+                    wraps = False
+                    break
+            if wraps:
                 body = body[1:-1]
         self.insert_into(
             self.sql(body),

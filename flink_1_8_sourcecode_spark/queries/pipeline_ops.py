@@ -1187,9 +1187,10 @@ def pipeline_data_quality(spark, sf_dir: str):
     oracle="""
     SELECT user_id, event_id, window_start FROM (
       SELECT user_id, event_id,
-             ((epoch(ts::TIMESTAMP)::BIGINT // 86400) * 86400) AS window_start,
+             ((floor(epoch(ts::TIMESTAMP))::BIGINT // 86400) * 86400)
+               AS window_start,
              row_number() OVER (
-               PARTITION BY user_id, epoch(ts::TIMESTAMP)::BIGINT // 86400
+               PARTITION BY user_id, floor(epoch(ts::TIMESTAMP))::BIGINT // 86400
                ORDER BY ts, event_id) AS rn
       FROM events
     ) WHERE rn <= 3

@@ -289,3 +289,17 @@ class TestSinkRegistry:
         # partition filter reaches the scan as a partition predicate
         plan = back.filter("s = 'a'")._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(s" in plan or "s#" in plan
+
+    def test_insert_parenthesized_and_union_bodies(self, spark, tmp_path):
+        eng = self._engine(spark)
+        eng.register_sink("u_out", "parquet", str(tmp_path / "u_out"))
+        # single wrapping pair strips
+        eng.sql_update("INSERT OVERWRITE u_out (SELECT k, s FROM src_t WHERE k = 1)")
+        assert eng.read_sink("u_out").count() == 1
+        # "(A) UNION ALL (B)" must stay balanced, not get mangled
+        eng.sql_update(
+            "INSERT OVERWRITE u_out "
+            "(SELECT k, s FROM src_t WHERE k = 1) UNION ALL "
+            "(SELECT k, s FROM src_t WHERE k = 2)"
+        )
+        assert eng.read_sink("u_out").count() == 2
