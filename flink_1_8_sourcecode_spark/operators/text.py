@@ -1128,3 +1128,45 @@ def normalize_ccnet(text: Column) -> Column:
     t = F.regexp_replace(t, "[0-9]", "0")
     t = F.regexp_replace(t, "[^a-z0-9\\s]", "")
     return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+def canonicalize_url(url: "Column") -> "Column":
+    """Canonical URL form for dedup / domain mixing — the standard
+    crawl-curation normalization (cf. the URL-dedup step of CommonCrawl
+    pipelines): lowercase scheme+authority, strip the default :80
+    port, drop the fragment, remove utm_* tracking params, and tidy
+    the separators the removals leave behind.
+
+    Pure Column regex chain — map-only, whole-stage codegen.  The
+    PATTERNS are engine-portable (Java regex == RE2 here) and shared
+    verbatim with the DuckDB oracle; the one rule needing a
+    replacement backreference (utm removal keeps its separator) spells
+    it ``$1`` here and ``\\1`` in the oracle — replacement syntax is
+    the engines' only divergence.
+    """
+    u = url
+    # 1. drop the fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme + authority (everything before the first
+    #    path slash), keep the rest as-is — concat(extract, strip)
+    #    instead of a backref replacement
+    auth = F.lower(F.regexp_extract(u, r"^([^/]*//[^/?]+)", 1))
+    rest = F.regexp_replace(u, r"^[^/]*//[^/?]+", "")
+    u = F.when(auth == "", u).otherwise(F.concat(auth, rest))
+    # 3. strip the default port (authority is lowercased already)
+    u = F.regexp_replace(u, r":80/", "/")
+    u = F.regexp_replace(u, r":80\?", "?")
+    u = F.regexp_replace(u, r":80$", "")
+    # 4. drop utm_* tracking params KEEPING the separator (so a
+    #    following param inherits it), then tidy what's left over
+    u = F.regexp_replace(u, r"([?&])utm_[^&#]*", "$1")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return u
+
+
+def url_domain(url: "Column") -> "Column":
+    """Registered-host extraction from a canonical URL (the grouping
+    key of domain mixing / blocklist joins)."""
+    return F.regexp_extract(url, r"^[^/]*//([^/:?]+)", 1)

@@ -1160,3 +1160,66 @@ def text_normalize_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     norm = normalize_ccnet(F.col("text"))
     return d.select("doc_id", norm.alias("normalized"), F.md5(norm).alias("norm_fp"))
+
+
+@register(
+    "text_url_canonicalize",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             'HTTP://WWW.' || upper(source) || '.Example.COM:80/doc/'
+               || doc_id::VARCHAR || '?utm_source=feed&id='
+               || (doc_id % 7)::VARCHAR || '&utm_campaign=x#frag'
+               || doc_id::VARCHAR AS u
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM built
+    ), s2 AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(u, '^([^/]*//[^/?]+)', 1) = '' THEN u
+                  ELSE lower(regexp_extract(u, '^([^/]*//[^/?]+)', 1))
+                       || regexp_replace(u, '^[^/]*//[^/?]+', '', 'g')
+             END AS u
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(u,
+               ':80/', '/', 'g'), ':80\\?', '?', 'g'), ':80$', '', 'g') AS u
+      FROM s2
+    ), s4 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+               '([?&])utm_[^&#]*', '\\1', 'g'), '\\?&', '?', 'g'),
+               '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u
+      FROM s3
+    )
+    SELECT doc_id, u AS url_canon,
+           regexp_extract(u, '^[^/]*//([^/:?]+)', 1) AS domain
+    FROM s4
+    """,
+    doc="URL canonicalization (operators/text.py:canonicalize_url + "
+    "url_domain): lowercase scheme+authority, strip :80, drop "
+    "fragment, remove utm_* tracking params — the crawl-curation "
+    "normalization before URL dedup / domain mixing.  Map-only "
+    "backreference-free regex chain (whole-stage codegen, zero "
+    "exchanges); the messy input URL is built deterministically from "
+    "document columns IDENTICALLY in both engines, so every row "
+    "exercises every rule.",
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://WWW."), F.upper("source"), F.lit(".Example.COM:80/doc/"),
+        k.cast("string"), F.lit("?utm_source=feed&id="),
+        (k % 7).cast("string"), F.lit("&utm_campaign=x#frag"), k.cast("string"),
+    )
+    canon = canonicalize_url(messy)
+    return d.select(
+        "doc_id", canon.alias("url_canon"), url_domain(canon).alias("domain")
+    )

@@ -1364,3 +1364,34 @@ def test_build_scd2_half_open_chain(spark):
     assert out[2] == (t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=1))
     assert out[3] == (t0 + dt.timedelta(days=1), None)  # current
     assert out[4] == (t0, None)
+
+
+def test_canonicalize_url_rules(spark):
+    """canonicalize_url: each rule individually + no-op on already-
+    canonical and non-URL strings."""
+    from flink_1_8_sourcecode_spark.operators.text import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        (1, "HTTP://Example.COM/A", "http://example.com/A"),          # host lower, path kept
+        (2, "http://example.com:80/x", "http://example.com/x"),       # default port
+        (3, "http://example.com/x#frag", "http://example.com/x"),     # fragment
+        (4, "http://e.com/x?utm_source=a&q=1", "http://e.com/x?q=1"), # utm first
+        (5, "http://e.com/x?q=1&utm_medium=b", "http://e.com/x?q=1"), # utm last
+        (6, "http://e.com/x?utm_a=1&utm_b=2", "http://e.com/x"),      # only utm
+        (7, "https://ok.org/path?q=2", "https://ok.org/path?q=2"),    # no-op
+        (8, "no url here", "no url here"),                            # non-URL no-op
+        (9, "HTTPS://A.B:80", "https://a.b"),                         # bare authority + port
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, u string")
+    got = {r.id: r.c for r in
+           df.select("id", canonicalize_url(F.col("u")).alias("c")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    dom = df.select("id", url_domain(canonicalize_url(F.col("u"))).alias("d")).collect()
+    doms = {r.id: r.d for r in dom}
+    assert doms[1] == "example.com" and doms[9] == "a.b" and doms[8] == ""
