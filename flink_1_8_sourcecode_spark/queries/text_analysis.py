@@ -1223,3 +1223,34 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", canon.alias("url_canon"), url_domain(canon).alias("domain")
     )
+
+
+@register(
+    "dedup_by_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'http://www.' || lower(source) || '.example.com/doc/'
+               || (doc_id % 50)::VARCHAR AS url_canon
+      FROM documents
+    )
+    SELECT url_canon, min(doc_id) AS keep_doc, count(*) AS n_dups
+    FROM u GROUP BY url_canon
+    """,
+    doc="URL-level exact dedup (the step after canonicalize_url in a "
+    "crawl pipeline): group by canonical URL, keep the lowest doc id, "
+    "report the duplicate count.  Collisions planted via doc_id % 50 "
+    "so every group is a real multi-doc cluster.  One hash exchange "
+    "with map-side partial aggregation (min/count combine).",
+)
+def dedup_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://www."), F.lower("source"), F.lit(".example.com/doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    return (
+        d.select(url.alias("url_canon"), "doc_id")
+        .groupBy("url_canon")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dups"))
+    )
