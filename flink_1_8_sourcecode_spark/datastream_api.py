@@ -211,6 +211,25 @@ class KeyedStream:
             preceding_rows, preceding_seconds, tiebreak,
         )
 
+    def rate_limit(
+        self, time_col: str, id_col: str, k: int, window_seconds: int,
+        watermark_delay: str,
+    ) -> DataFrame:
+        """Online per-key rate limit (streaming/stateful.py:
+        streaming_rate_limit): admit the first k events per key per
+        tumbling bucket, event-time order — equals the batch
+        rate_limit on the same data."""
+        from flink_1_8_sourcecode_spark.streaming.stateful import (
+            streaming_rate_limit,
+        )
+
+        if len(self.keys) != 1:
+            raise NotImplementedError("rate_limit: exactly one key")
+        return streaming_rate_limit(
+            self.df, self.keys[0], time_col, id_col, k, window_seconds,
+            watermark_delay,
+        )
+
     def process(self, fn, output_schema: str, state_schema: str,
                 timeout: str = "NoTimeout") -> DataFrame:
         """KeyedProcessFunction :360 — the full escape hatch

@@ -460,3 +460,21 @@ class Engine:
     def register_function(self, name: str, fn, return_type=None) -> None:
         """registerFunction (ScalarFunction.java:49 parity)."""
         self.spark.udf.register(name, fn, return_type)
+
+    # --- plans ---------------------------------------------------------
+    def explain(self, df_or_sql, extended: bool = False) -> str:
+        """TableEnvironment.explain (TableEnvironment.scala:684): the
+        plan of a Table/DataFrame or a SQL string as TEXT — the
+        reference returns abstract syntax tree + optimized logical +
+        physical; here Spark's formatted physical plan (plus the
+        analyzed/optimized logical plans when ``extended``), which is
+        the same three-stage story under Catalyst naming."""
+        df = self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
+        qe = df._jdf.queryExecution()
+        if extended:
+            return qe.toString()
+        return qe.explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )

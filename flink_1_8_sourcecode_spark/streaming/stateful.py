@@ -623,3 +623,113 @@ def streaming_lsh_dedup(
         GroupStateTimeout.NoTimeout,
     )
     return matches
+
+
+def streaming_rate_limit(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    id_col: str,
+    k: int,
+    window_seconds: int,
+    watermark_delay: str,
+) -> DataFrame:
+    """ONLINE per-key rate limit — the streaming twin of
+    ``operators/sampling.py:rate_limit`` (admit the first ``k`` events
+    per key per tumbling ``window_seconds`` bucket, event-time order):
+    out-of-order arrivals buffer in state and are admitted in event-time
+    order once the watermark passes, so the admitted set equals the
+    batch operator's on the same data — the property that makes
+    backfills reproduce the online throttle.
+
+    State per key = the pending buffer (Arrow blob) plus one
+    (bucket, admitted) counter row per OPEN bucket — buckets the
+    watermark has closed are pruned, so state is bounded by
+    disorder/window, never the stream.  Per batch: one stable sort, a
+    watermark split, and a vectorized per-bucket cumcount.
+
+    Emits the admitted rows with ``window_start`` (bucket epoch).
+    """
+    import numpy as np
+
+    from flink_1_8_sourcecode_spark.streaming import arrow_state
+
+    if k <= 0 or window_seconds <= 0:
+        raise ValueError("k and window_seconds must be positive")
+    src = df.withWatermark(time_col, watermark_delay)
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{c} {src.schema[c].dataType.simpleString()}" for c in cols
+    ) + ", window_start long"
+
+    def fn(key_tuple, batches, state: GroupState):
+        if state.exists:
+            pend_blob, cnt_blob = state.get
+            pend_parts = [arrow_state.de(bytes(pend_blob), cols)]
+            cnts = arrow_state.unpack_f64(bytes(cnt_blob), 2)
+        else:
+            pend_parts, cnts = [], np.zeros((0, 2))
+        pend_parts += [pdf[cols] for pdf in batches]
+        pend = arrow_state.concat(pend_parts, cols)
+        wm = state.getCurrentWatermarkMs() / 1000.0
+
+        keep = pend
+        out = None
+        counts = {int(b): int(c) for b, c in cnts}
+        if len(pend):
+            pend = pend.sort_values([time_col, id_col], kind="stable",
+                                    ignore_index=True)
+            tsec = (
+                pend[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+                / 1e6
+            )
+            ready_mask = tsec <= wm
+            ready, keep = pend[ready_mask], pend[~ready_mask]
+            if len(ready):
+                bkt = (
+                    (tsec[ready_mask] // window_seconds).astype("int64")
+                    * window_seconds
+                )
+                prior = np.array([counts.get(int(b), 0) for b in bkt])
+                within = pd.Series(1, index=range(len(bkt))).groupby(
+                    bkt, sort=False
+                ).cumsum().to_numpy() - 1
+                rank = prior + within
+                admit = rank < k
+                if admit.any():
+                    out = ready[admit].copy()
+                    out["window_start"] = bkt[admit]
+                # roll the admitted totals into the bucket counters
+                for b in np.unique(bkt):
+                    m = bkt == b
+                    counts[int(b)] = min(
+                        k, counts.get(int(b), 0) + int(m.sum())
+                    )
+        # prune buckets the watermark has closed (no row of that bucket
+        # can still arrive: its latest time < bucket end <= wm)
+        counts = {
+            b: c for b, c in counts.items() if b + window_seconds > wm
+        }
+        cnt_arr = np.array(
+            [[float(b), float(c)] for b, c in sorted(counts.items())]
+        ) if counts else np.zeros((0, 2))
+        state.update(
+            (
+                arrow_state.ser(keep.reset_index(drop=True)),
+                arrow_state.pack_f64(cnt_arr),
+            )
+        )
+        if len(keep):
+            earliest = (
+                keep[time_col].astype("datetime64[us]").astype("int64").min() / 1e3
+            )
+            state.setTimeoutTimestamp(
+                max(int(earliest) + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        if out is not None and len(out):
+            yield out
+
+    return src.groupBy(key).applyInPandasWithState(
+        fn, out_schema, "pend binary, cnts binary", "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -303,3 +303,16 @@ class TestSinkRegistry:
             "(SELECT k, s FROM src_t WHERE k = 2)"
         )
         assert eng.read_sink("u_out").count() == 2
+
+
+def test_engine_explain_text_plans(spark):
+    """TableEnvironment.explain parity: formatted physical plan text
+    for SQL strings and DataFrames; extended adds the logical stages."""
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register("exp_t", spark.createDataFrame([(1, "a")], "k int, s string"))
+    plan = eng.explain("SELECT k, upper(s) AS u FROM exp_t WHERE k > 0")
+    assert "Physical Plan" in plan and "upper" in plan
+    ext = eng.explain(eng.table("exp_t"), extended=True)
+    assert "Analyzed Logical Plan" in ext and "Optimized Logical Plan" in ext

@@ -236,3 +236,38 @@ def test_event_time_bounded_range_over_equals_batch(spark, tmp_path):
     ).toPandas()
     assert len(got) == len(expected)
     assert_frames_match(got, expected, name="bounded_range_over")
+
+
+def test_streaming_rate_limit_equals_batch(spark, tmp_path):
+    """Online rate limit == batch rate_limit on the same replayed data:
+    the admitted set is identical (backfill reproducibility)."""
+    from flink_1_8_sourcecode_spark.operators.sampling import rate_limit
+    from flink_1_8_sourcecode_spark.streaming.stateful import (
+        streaming_rate_limit,
+    )
+
+    chunks, ev = _sentineled_chunks(spark, tmp_path, "chunks_rl")
+    stream = sources.read_event_stream(spark, chunks)
+    out = streaming_rate_limit(
+        stream, key="user_id", time_col="ts", id_col="event_id",
+        k=2, window_seconds=86400, watermark_delay="30 minutes",
+    )
+    q = out.writeStream.format("memory").queryName("t_srl").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_srl").filter("user_id >= 0").select(
+        "user_id", "event_id", "window_start"
+    ).toPandas()
+
+    want = rate_limit(
+        ev, key_col="user_id", time_col="ts", id_col="event_id",
+        k=2, window_seconds=86400,
+    ).select("user_id", "event_id", "window_start").toPandas()
+    key = ["user_id", "event_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s[key + ["window_start"]].to_numpy()
+            == want_s[key + ["window_start"]].to_numpy()).all()
