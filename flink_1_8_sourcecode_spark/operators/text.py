@@ -1151,17 +1151,20 @@ def canonicalize_url(url: "Column") -> "Column":
     #    path slash), keep the rest as-is — concat(extract, strip)
     #    instead of a backref replacement
     auth = F.lower(F.regexp_extract(u, r"^([^/]*//[^/?]+)", 1))
+    # 3. strip the default port INSIDE the extracted authority only
+    #    (never query-param values) and only for http, whose default
+    #    is 80 — https:443 stays untouched
+    auth = F.regexp_replace(auth, r"^(http://[^/:?]+):80$", "$1")
     rest = F.regexp_replace(u, r"^[^/]*//[^/?]+", "")
     u = F.when(auth == "", u).otherwise(F.concat(auth, rest))
-    # 3. strip the default port (authority is lowercased already)
-    u = F.regexp_replace(u, r":80/", "/")
-    u = F.regexp_replace(u, r":80\?", "?")
-    u = F.regexp_replace(u, r":80$", "")
     # 4. drop utm_* tracking params KEEPING the separator (so a
-    #    following param inherits it), then tidy what's left over
+    #    following param inherits it), then tidy: collapse runs of
+    #    '&' FIRST (consecutive removed params leave '&&'), and only
+    #    then fold the leading '?&' — the reverse order leaves a
+    #    stray '?&' when >=2 utm params precede a kept one
     u = F.regexp_replace(u, r"([?&])utm_[^&#]*", "$1")
-    u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]+$", "")
     return u
 

@@ -1177,29 +1177,27 @@ def text_normalize_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s2 AS (
       SELECT doc_id,
              CASE WHEN regexp_extract(u, '^([^/]*//[^/?]+)', 1) = '' THEN u
-                  ELSE lower(regexp_extract(u, '^([^/]*//[^/?]+)', 1))
+                  ELSE regexp_replace(
+                         lower(regexp_extract(u, '^([^/]*//[^/?]+)', 1)),
+                         '^(http://[^/:?]+):80$', '\\1', 'g')
                        || regexp_replace(u, '^[^/]*//[^/?]+', '', 'g')
              END AS u
       FROM s1
-    ), s3 AS (
-      SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(u,
-               ':80/', '/', 'g'), ':80\\?', '?', 'g'), ':80$', '', 'g') AS u
-      FROM s2
     ), s4 AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-               '([?&])utm_[^&#]*', '\\1', 'g'), '\\?&', '?', 'g'),
-               '&&+', '&', 'g'), '[?&]+$', '', 'g') AS u
-      FROM s3
+               '([?&])utm_[^&#]*', '\\1', 'g'), '&&+', '&', 'g'),
+               '\\?&', '?', 'g'), '[?&]+$', '', 'g') AS u
+      FROM s2
     )
     SELECT doc_id, u AS url_canon,
            regexp_extract(u, '^[^/]*//([^/:?]+)', 1) AS domain
     FROM s4
     """,
     doc="URL canonicalization (operators/text.py:canonicalize_url + "
-    "url_domain): lowercase scheme+authority, strip :80, drop "
-    "fragment, remove utm_* tracking params — the crawl-curation "
+    "url_domain): lowercase scheme+authority, strip http's default "
+    ":80 (authority-scoped), drop fragment, remove utm_* tracking "
+    "params — the crawl-curation "
     "normalization before URL dedup / domain mixing.  Map-only "
     "backreference-free regex chain (whole-stage codegen, zero "
     "exchanges); the messy input URL is built deterministically from "

@@ -215,6 +215,7 @@ def event_time_bounded_agg(
     preceding_rows: int | None = None,
     preceding_seconds: float | None = None,
     tiebreak: str | None = None,
+    idle_retention_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming BOUNDED event-time OVER — Flink's
     RowTimeBoundedRowsOver.scala:44 (``ROWS BETWEEN n PRECEDING AND
@@ -238,6 +239,16 @@ def event_time_bounded_agg(
     work is a stable sort, a boolean watermark split, and one
     vectorized rolling-sum (ROWS) or prefix-sum + searchsorted (RANGE)
     — no per-row Python.
+
+    Idle keys don't leak state (the reference's cleanup-timer
+    discipline, ProcessFunctionWithCleanupState): RANGE history is
+    provably dead once the watermark passes ``hist_max +
+    preceding_seconds`` — a cleanup timer removes it then, exactly
+    (no semantic change).  ROWS history can reach any future row, so
+    it is only dropped when ``idle_retention_seconds`` is set (Flink's
+    ``minIdleStateRetentionTime``; default None = retain, the
+    reference's own default) — after removal a resumed key restarts
+    its frame, the reference's documented TTL semantics.
     """
     import numpy as np
 
@@ -275,6 +286,10 @@ def event_time_bounded_agg(
         parts += [pdf[buf_cols] for pdf in batches]
         pend = arrow_state.concat(parts, buf_cols)
         wm = state.getCurrentWatermarkMs() / 1000.0
+        # nothing buffered and nothing arrived => this firing can only
+        # be an idle-cleanup timer (the emit timer is armed only when
+        # pending rows exist)
+        pure_cleanup = state.hasTimedOut and not len(pend)
 
         keep = pend
         out = None
@@ -338,6 +353,25 @@ def event_time_bounded_agg(
                     cut = int((wm - preceding_seconds) * 1e6)
                     hist = comb[ts_all_us > cut]
 
+        # idle-state cleanup: RANGE history older than wm - preceding
+        # can never reach a future frame (future rows have ts > wm) —
+        # prune it even on timeout-only firings with no ready rows
+        if preceding_seconds is not None and len(hist):
+            ts_h = (
+                hist[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            hist = hist[ts_h > int((wm - preceding_seconds) * 1e6)]
+        rows_idle_drop = (
+            preceding_rows is not None
+            and idle_retention_seconds is not None
+            and pure_cleanup
+        )
+        if (not len(keep) and not len(hist)) or rows_idle_drop:
+            if state.exists:
+                state.remove()
+            if out is not None:
+                yield out
+            return
         state.update(
             (
                 arrow_state.ser(hist.reset_index(drop=True)),
@@ -345,12 +379,24 @@ def event_time_bounded_agg(
                 int(emitted),
             )
         )
+        wm_ms = state.getCurrentWatermarkMs()
         if len(keep):
             earliest = (
                 keep[time_col].astype("datetime64[us]").astype("int64").min() / 1e3
             )
+            state.setTimeoutTimestamp(max(int(earliest) + 1, wm_ms + 1))
+        elif preceding_seconds is not None:
+            # RANGE: fire exactly when the retained tail goes dead
+            hmax_ms = (
+                hist[time_col].astype("datetime64[us]").astype("int64").max() / 1e3
+            )
             state.setTimeoutTimestamp(
-                max(int(earliest) + 1, state.getCurrentWatermarkMs() + 1)
+                max(int(hmax_ms + preceding_seconds * 1e3) + 1, wm_ms + 1)
+            )
+        elif idle_retention_seconds is not None:
+            # ROWS + configured retention: drop the key after idling
+            state.setTimeoutTimestamp(
+                wm_ms + int(idle_retention_seconds * 1e3) + 1
             )
         if out is not None:
             yield out
@@ -710,6 +756,17 @@ def streaming_rate_limit(
         counts = {
             b: c for b, c in counts.items() if b + window_seconds > wm
         }
+        # idle-key cleanup (reference: cleanup timers on keyed state):
+        # with nothing pending and no open bucket, the key holds no
+        # information — drop it; with open buckets but no pending rows,
+        # fire exactly when the last open bucket closes so the counters
+        # get pruned and the state removed, instead of living forever
+        if not len(keep) and not counts:
+            if state.exists:
+                state.remove()
+            if out is not None and len(out):
+                yield out
+            return
         cnt_arr = np.array(
             [[float(b), float(c)] for b, c in sorted(counts.items())]
         ) if counts else np.zeros((0, 2))
@@ -719,13 +776,15 @@ def streaming_rate_limit(
                 arrow_state.pack_f64(cnt_arr),
             )
         )
+        wm_ms = state.getCurrentWatermarkMs()
         if len(keep):
             earliest = (
                 keep[time_col].astype("datetime64[us]").astype("int64").min() / 1e3
             )
-            state.setTimeoutTimestamp(
-                max(int(earliest) + 1, state.getCurrentWatermarkMs() + 1)
-            )
+            state.setTimeoutTimestamp(max(int(earliest) + 1, wm_ms + 1))
+        else:
+            last_close = max(b + window_seconds for b in counts)
+            state.setTimeoutTimestamp(max(int(last_close * 1e3) + 1, wm_ms + 1))
         if out is not None and len(out):
             yield out
 

@@ -657,6 +657,28 @@ class GroupedTable:
             ) from e
 
 
+class _chainable:
+    """Descriptor backing the reference's dual-form builder methods:
+    ``Over.orderBy("t")`` (class form — fresh builder, windows.scala
+    companion-object entry points) and
+    ``Over.partitionBy("a").orderBy("t")`` (instance form — chained,
+    mutates and returns the same builder).  A plain ``@classmethod``
+    silently drops prior chain state when called on an instance."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        self.__doc__ = fn.__doc__
+
+    def __get__(self, obj, cls):
+        fn = self._fn
+
+        def bound(*args, **kwargs):
+            return fn(obj if obj is not None else cls(), *args, **kwargs)
+
+        bound.__doc__ = fn.__doc__
+        return bound
+
+
 class Over:
     """OVER-window builder — parity with the reference's ``Over``
     (flink-table/.../api/java/windows.scala / OverWindow): chain
@@ -674,23 +696,20 @@ class Over:
         self._preceding: str | int = "unbounded_range"
         self._alias: str | None = None
 
-    @classmethod
-    def partitionBy(cls, fields: str) -> "Over":
-        o = cls()
-        o._partition = fields
-        return o
+    @_chainable
+    def partitionBy(self, fields: str) -> "Over":
+        self._partition = fields
+        return self
 
-    @classmethod
-    def orderBy(cls, fields: str) -> "Over":
+    @_chainable
+    def orderBy(self, fields: str) -> "Over":
         # Over.orderBy without partitionBy is legal in the reference
         # (global window — single-task at scale, like streaming ORDER BY)
-        o = cls()
-        o._order = fields
-        return o
-
-    def order_by(self, fields: str) -> "Over":
         self._order = fields
         return self
+
+    partition_by = partitionBy
+    order_by = orderBy
 
     def preceding(self, bound: str | int) -> "Over":
         if not (bound in ("unbounded_range", "unbounded_row")

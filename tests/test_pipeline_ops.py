@@ -1385,7 +1385,15 @@ def test_canonicalize_url_rules(spark):
         (6, "http://e.com/x?utm_a=1&utm_b=2", "http://e.com/x"),      # only utm
         (7, "https://ok.org/path?q=2", "https://ok.org/path?q=2"),    # no-op
         (8, "no url here", "no url here"),                            # non-URL no-op
-        (9, "HTTPS://A.B:80", "https://a.b"),                         # bare authority + port
+        (9, "HTTP://A.B:80", "http://a.b"),                           # bare authority + port
+        # ADVICE r11 #2: >=2 consecutive utm params before a kept one
+        (10, "http://e.com/x?utm_a=1&utm_b=2&x=3", "http://e.com/x?x=3"),
+        (11, "http://e.com/x?utm_a=1&utm_b=2&utm_c=3&x=4&utm_d=5",
+         "http://e.com/x?x=4"),
+        # ADVICE r11 #3: :80 inside a query-param value must survive;
+        # https default port is 443, so its :80 is real and kept
+        (12, "http://a.com/r?next=http://b:80/x", "http://a.com/r?next=http://b:80/x"),
+        (13, "HTTPS://A.B:80/p", "https://a.b:80/p"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, u string")
     got = {r.id: r.c for r in

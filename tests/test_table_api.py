@@ -308,6 +308,26 @@ class TestOverWindows:
         got = {(r.k, r.seq): (r.run, r.self_only) for r in out.collect()}
         assert got[("a", 2)] == (30.0, 20.0)
 
+    def test_camelcase_chain_keeps_partition(self, spark):
+        """ADVICE r11 #1: Over.partitionBy('k').orderBy('t') — the
+        reference's camelCase chain — must keep the partition (a plain
+        classmethod orderBy silently reset it to a global window)."""
+        from flink_1_8_sourcecode_spark.table_api import Over
+
+        w = Over.partitionBy("k").orderBy("seq")
+        assert w._partition == "k" and w._order == "seq"
+        # class-form entry points still work (fresh builders)
+        assert Over.orderBy("seq")._partition is None
+        assert Over.partitionBy("k")._order is None
+        # end-to-end: per-key running sum, not a global one
+        t = self._t(spark)
+        out = t.window(
+            Over.partitionBy("k").orderBy("seq").alias("w")
+        ).select("k, seq, v.sum over w as running").to_df()
+        got = {(r.k, r.seq): r.running for r in out.collect()}
+        assert got[("b", 2)] == 12.0          # global window would give 42.0
+        assert got[("a", 3)] == 60.0
+
     def test_unknown_alias_and_missing_scope_raise(self, spark):
         from flink_1_8_sourcecode_spark.table_api import (
             ExpressionParserException,
