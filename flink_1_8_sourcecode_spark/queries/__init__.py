@@ -25,16 +25,31 @@ class Query:
     oracle: str | None = None  # DuckDB SQL; None => rows-only check
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    # a 0-row oracle "passes" while checking nothing (r11 verdict found
+    # dataset_api_tpch_q10 vacuous this way) — conftest.check_query
+    # fails 0-row oracles at sf>=0.01 unless the query declares
+    # emptiness is the point (e.g. join_anti: every order has a
+    # customer, so the anti side is PROVABLY empty)
+    expect_empty: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    bench: bool = False,
+    expect_empty: bool = False,
+):
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc, bench=bench)
+        REGISTRY[name] = Query(
+            name=name, spark=fn, oracle=oracle, doc=doc, bench=bench,
+            expect_empty=expect_empty,
+        )
         return fn
 
     return deco

@@ -242,13 +242,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-          >= 0.8
+          >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs, blocked by label (threshold 0.8).",
+    doc="Embedding-cosine near-dup pairs, blocked by label.  Threshold "
+    "0.4: the synthetic embeddings' max within-label cosine is "
+    "~0.45-0.51, so the old 0.8 threshold matched nothing at any SF "
+    "(vacuous oracle, r11 audit); 0.4 yields 5/5/86 real pairs.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, "vec_id", "embedding", block_col="label", threshold=0.8)
+    return embedding_neardup_pairs(e, "vec_id", "embedding", block_col="label", threshold=0.4)
 
 
 @register(

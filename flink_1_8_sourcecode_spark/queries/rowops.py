@@ -212,13 +212,13 @@ def dataset_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dataset_api_tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= DATE '1993-10-01'
-      AND o.o_orderdate < DATE '1994-01-01'
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
       AND l.l_returnflag = 'R'
     GROUP BY 1, 2, 3, 4
     """,
@@ -226,7 +226,12 @@ def dataset_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TPCHQuery10.java) THROUGH the fluent DataSet facade: the same "
     "filter -> map -> join(...).where(...).equal_to(...) -> group_by "
     "-> sum chain the reference example writes, lowered to the "
-    "identical broadcast-dim + partial-agg plan as the native tpch_q10.",
+    "identical broadcast-dim + partial-agg plan as the native tpch_q10.  "
+    "The reference example's literal 1993 quarter misses the synthetic "
+    "1995-2001 order dates (r11 verdict: vacuous 0-row oracle) -- the "
+    "window is shifted to a 1996 quarter, the native suite's idiom "
+    "(tpch.py), so the 3-join+group+sum chain is value-checked on real "
+    "rows.",
 )
 def dataset_api_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.dataset_api import DataSet
@@ -237,8 +242,8 @@ def dataset_api_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         DataSet(table(spark, sf_dir, "orders"))
         .filter(
-            (F.col("o_orderdate") >= F.lit("1993-10-01"))
-            & (F.col("o_orderdate") < F.lit("1994-01-01"))
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
         )
         .project("o_orderkey", "o_custkey")
     )
@@ -262,8 +267,12 @@ def dataset_api_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.group_by("c_custkey", "c_name", "c_acctbal", "n_name")
         .sum("rev")
         .map(
+            # raw float sum, no round(...,2): an explicit half-cent
+            # round amplifies engine float-order jitter to 0.01 — the
+            # comparator's tolerance handles the raw sums (native
+            # tpch_q10 idiom)
             F.col("c_custkey"), F.col("c_name"), F.col("c_acctbal"),
-            F.col("n_name"), F.round("rev", 2).alias("revenue"),
+            F.col("n_name"), F.col("rev").alias("revenue"),
         )
         .df
     )

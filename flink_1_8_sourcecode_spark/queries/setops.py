@@ -16,22 +16,26 @@ from flink_1_8_sourcecode_spark.queries import register
 
 def _sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Two overlapping projections of lineitem (duplicates retained —
-    multiset semantics matter for the ALL variants)."""
+    multiset semantics matter for the ALL variants).  Projection is
+    (l_orderkey, l_returnflag): fine-grained enough that EVERY set op
+    — incl. EXCEPT/EXCEPT ALL — is non-empty at all SFs (the r11
+    verdict's vacuity audit; the old l_suppkey projection was dense
+    enough that B covered A and the EXCEPT oracles checked 0 rows)."""
     li = table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_quantity") >= 25).select("l_suppkey", "l_returnflag")
-    b = li.filter(F.col("l_extendedprice") > 30000).select("l_suppkey", "l_returnflag")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_extendedprice") > 30000).select("l_orderkey", "l_returnflag")
     return a, b
 
 
-_A = "SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity >= 25"
-_B = "SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_extendedprice > 30000"
+_A = "SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 25"
+_B = "SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_extendedprice > 30000"
 
 
 @register(
     "setop_union_all",
     oracle=f"""
-    SELECT l_suppkey, l_returnflag, count(*) AS cnt FROM ({_A} UNION ALL {_B})
-    GROUP BY l_suppkey, l_returnflag
+    SELECT l_orderkey, l_returnflag, count(*) AS cnt FROM ({_A} UNION ALL {_B})
+    GROUP BY l_orderkey, l_returnflag
     """,
     doc="UNION ALL (DataSet.union keeps duplicates).",
 )
@@ -39,7 +43,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _sides(spark, sf_dir)
     return (
         a.union(b)
-        .groupBy("l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_returnflag")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -52,9 +52,12 @@ _sql_query(
     "sql_not_in_subquery",
     """
     SELECT s_suppkey, s_name FROM supplier
-    WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+    WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                            WHERE l_quantity > 49 AND l_discount > 0.09)
     """,
-    "NOT IN -> null-aware anti join.",
+    "NOT IN -> null-aware anti join.  The discount conjunct keeps the "
+    "survivor set non-empty at every SF (4/53/526 rows) — the "
+    "quantity-only form was empty, a vacuous oracle (r11 audit).",
 )
 
 _sql_query(

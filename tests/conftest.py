@@ -131,4 +131,14 @@ def check_query(q, spark, sf_dir: str) -> None:
         assert digest == rerun_digest, f"{q.name}: nondeterministic rows-only output"
         return
     oracle_pdf = run_oracle(q.oracle, sf_dir)
+    # vacuity guard (r11 verdict): a 0-row oracle at a non-trivial SF
+    # hash-"passes" while value-checking nothing — reject it unless the
+    # query declares emptiness as the expected, meaningful result
+    if not q.expect_empty and "sf0.001" not in sf_dir:
+        assert len(oracle_pdf) > 0, (
+            f"{q.name}: oracle returned 0 rows at {sf_dir} — the green "
+            "hash checks nothing; fix the predicate to hit the synthetic "
+            "data range, or declare expect_empty=True if emptiness is "
+            "the proven outcome"
+        )
     assert_frames_match(spark_pdf, oracle_pdf, name=q.name)
