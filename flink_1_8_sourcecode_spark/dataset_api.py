@@ -207,6 +207,30 @@ class DataSet:
         """first :567."""
         return DataSet(self.df.limit(n))
 
+    # --- iterations ---------------------------------------------------
+    def iterate(self, max_iterations: int) -> "IterativeDataSet":
+        """Bulk BSP iteration — DataSet.iterate (DataSet.java:1156).
+        The reference returns an IterativeDataSet handle that the body
+        transforms and ``closeWith(result[, termination])`` closes; here
+        the body is a callable (the driver loop re-executes it each
+        superstep): ``ds.iterate(10).close_with(lambda d: step(d))``.
+        Lowers to operators/iterations.py:iterate — each superstep is a
+        full distributed Catalyst plan, lineage truncated periodically."""
+        return IterativeDataSet(self.df, max_iterations)
+
+    def iterate_delta(
+        self, workset: "DataSet", max_iterations: int, *key_fields
+    ) -> "DeltaIteration":
+        """Delta/workset iteration — DataSet.iterateDelta
+        (DataSet.java:1206): ``self`` is the initial solution set,
+        ``workset`` the initial workset, ``key_fields`` the solution-set
+        keys (Flink's keyPositions — ints or names).  Close with
+        ``close_with(lambda solution, workset: (delta, next_workset))``.
+        Only CHANGED elements flow through the per-superstep shuffle
+        (operators/iterations.py:iterate_delta)."""
+        keys = [_name(self.df, k) for k in (key_fields or ("id",))]
+        return DeltaIteration(self.df, workset.df, max_iterations, keys)
+
     def zip_with_index(self, order_by: list[str] | None = None) -> "DataSet":
         """DataSetUtils.zipWithIndex :89 — consecutive 0..n-1 via the
         two-pass distributed assignment (never a global window)."""
@@ -232,6 +256,96 @@ class DataSet:
 
     def write_as_csv(self, path: str, mode: str = "overwrite", **options) -> None:
         _io.write_csv(self.df, path, mode, **options)
+
+
+class IterativeDataSet:
+    """DataSet.iterate handle (IterativeDataSet.java): close_with runs
+    the superstep loop and returns the converged DataSet."""
+
+    def __init__(self, df: DataFrame, max_iterations: int):
+        if max_iterations <= 0:
+            raise ValueError(f"max_iterations must be positive, got {max_iterations}")
+        self._df = df
+        self._max = max_iterations
+
+    def close_with(
+        self,
+        step,
+        termination=None,
+        checkpoint_every: int = 3,
+        checkpoint_dir: str | None = None,
+    ) -> DataSet:
+        """IterativeDataSet.closeWith(result[, terminationCriterion])
+        (IterativeDataSet.java:98): ``step(DataSet) -> DataSet`` is the
+        loop body; optional ``termination(prev, cur) -> bool`` (both
+        DataSets) ends early — the reference's convention of a
+        termination-criterion set that, when EMPTY, stops the loop, is
+        expressed directly as the predicate (aggregate-based, never a
+        collect)."""
+        from flink_1_8_sourcecode_spark.operators.iterations import iterate
+
+        conv = None
+        if termination is not None:
+            conv = lambda prev, cur: termination(DataSet(prev), DataSet(cur))  # noqa: E731
+        return DataSet(
+            iterate(
+                self._df,
+                lambda df, _i: step(DataSet(df)).df,
+                self._max,
+                has_converged=conv,
+                checkpoint_every=checkpoint_every,
+                checkpoint_dir=checkpoint_dir,
+            )
+        )
+
+    closeWith = close_with
+
+
+class DeltaIteration:
+    """DataSet.iterateDelta handle (DeltaIteration.java): close_with
+    runs the workset loop and returns the final solution set."""
+
+    def __init__(
+        self, solution: DataFrame, workset: DataFrame, max_iterations: int,
+        keys: list[str],
+    ):
+        if max_iterations <= 0:
+            raise ValueError(f"max_iterations must be positive, got {max_iterations}")
+        self._solution = solution
+        self._workset = workset
+        self._max = max_iterations
+        self._keys = keys
+
+    def close_with(
+        self,
+        step,
+        checkpoint_every: int = 3,
+        checkpoint_dir: str | None = None,
+    ) -> DataSet:
+        """DeltaIteration.closeWith(solutionSetDelta, newWorkset)
+        (DeltaIteration.java:117): ``step(solution, workset) ->
+        (delta, next_workset)`` over DataSets; the delta upserts into
+        the solution set on the iteration keys, the loop ends when the
+        workset empties or max_iterations hit."""
+        from flink_1_8_sourcecode_spark.operators.iterations import iterate_delta
+
+        def _step(sol: DataFrame, ws: DataFrame, _i: int):
+            delta, nxt = step(DataSet(sol), DataSet(ws))
+            return delta.df, nxt.df
+
+        return DataSet(
+            iterate_delta(
+                self._solution,
+                self._workset,
+                _step,
+                self._max,
+                key=self._keys,
+                checkpoint_every=checkpoint_every,
+                checkpoint_dir=checkpoint_dir,
+            )
+        )
+
+    closeWith = close_with
 
 
 _AGGS = {"SUM": F.sum, "MIN": F.min, "MAX": F.max}

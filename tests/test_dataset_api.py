@@ -171,3 +171,69 @@ class TestPartitioningAndUtils:
         assert words.rebalance(4).df.rdd.getNumPartitions() == 4
         # sort_partition keeps rows, sorts locally
         assert words.sort_partition("n", "DESC").count() == 5
+
+
+class TestIterations:
+    """DataSet.iterate / iterateDelta through the facade
+    (DataSet.java:1156,1206)."""
+
+    def test_bulk_iterate_converges_early(self, env):
+        # doubling with a cap: converges (fixpoint) after 3 supersteps
+        # of the 10 allowed; termination is an aggregate, not a collect
+        ds = env.from_collection([(1,), (3,)], "x int")
+        out = ds.iterate(10).close_with(
+            lambda d: d.map(F.least(F.col("x") * 2, F.lit(8)).alias("x")),
+            termination=lambda prev, cur: (
+                prev.df.exceptAll(cur.df).isEmpty()
+                and cur.df.exceptAll(prev.df).isEmpty()
+            ),
+        )
+        assert sorted(r.x for r in out.collect()) == [8, 8]
+
+    def test_delta_iterate_cc_chain(self, spark):
+        from flink_1_8_sourcecode_spark.queries.rowops import (
+            dataset_api_delta_cc,
+        )
+
+        rows = dataset_api_delta_cc(spark, "").collect()
+        assert len(rows) == 100
+        assert all(r.component == (r.id // 10) * 10 for r in rows)
+
+    def test_delta_workset_shrinks_then_empties(self, env):
+        # 1-chain of 5: the workset must strictly shrink and the loop
+        # must stop on empty workset well before max_iterations
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        v = env.spark.range(5).select("id", F.col("id").alias("component"))
+        fwd = env.spark.range(4).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        edges = DataSet(
+            fwd.unionByName(
+                fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        )
+        vertices = DataSet(v)
+
+        def step(solution, workset):
+            ch = (
+                workset.join(edges).where("id").equal_to("src")
+                .map(F.col("dst").alias("cid"), F.col("component").alias("cand"))
+                .group_by("cid").min("cand")
+                .join(solution).where("cid").equal_to("id")
+                .filter(F.col("cand") < F.col("component"))
+                .map(F.col("cid").alias("id"), F.col("cand").alias("component"))
+            )
+            return ch, ch
+
+        out = vertices.iterate_delta(vertices, 50, "id").close_with(step)
+        rows = out.collect()
+        assert sorted((r.id, r.component) for r in rows) == [
+            (i, 0) for i in range(5)
+        ]
+
+    def test_iteration_validation(self, env, words):
+        with pytest.raises(ValueError, match="positive"):
+            words.iterate(0)
+        with pytest.raises(ValueError, match="positive"):
+            words.iterate_delta(words, -1, "w")
