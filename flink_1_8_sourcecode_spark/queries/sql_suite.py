@@ -285,3 +285,35 @@ def table_api_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "table_api_interval_arithmetic",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 30 MINUTE AS deadline,
+           ts + INTERVAL 1 DAY AS next_day,
+           ts + INTERVAL 2 HOUR + INTERVAL 15 SECOND AS composite
+    FROM events WHERE event_id < 2000
+    """,
+    doc="In-expression interval literals through the string facade "
+    "(expressionDsl.scala LiteralLongExpression: 10.minutes / 1.day / "
+    "chained 2.hours + 15.seconds) plus the .rowtime event-time marker "
+    "(RelTimeIndicatorConverter.scala -> plain TimestampType column): "
+    "each literal lowers to a Catalyst INTERVAL expression, so the "
+    "whole projection is map-only WholeStageCodegen — zero exchanges, "
+    "zero Python.",
+)
+def table_api_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    t = Table(table(spark, sf_dir, "events"))
+    return (
+        t.filter("event_id < 2000")
+        .select(
+            "event_id, ts.rowtime + 30.minutes as deadline, "
+            "ts + 1.day as next_day, ts + 2.hours + 15.seconds as composite"
+        )
+        .to_df()
+    )

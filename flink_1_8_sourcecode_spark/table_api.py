@@ -25,10 +25,18 @@ window (api/java/windows.scala Over builder), ``table.window(over)``
 scopes it, and expressions apply it with the infix form ``"b.avg over
 w"`` (ExpressionParser.scala:225) or the suffix ``"b.avg.over(w)"``.
 
-Remaining unsupported 1.8 constructs (proctime/rowtime markers, time/row
-intervals like ``10.minutes``) raise with the offending text — they
-route through the dedicated operators instead (queries/over_windows.py,
-group_windows, streaming/).
+Time attributes and interval literals (expressionDsl.scala): in-
+expression interval literals (``10.minutes``, ``2.hours + 30.minutes``)
+lower to Spark INTERVAL expressions; ``.rowtime`` is the event-time
+marker (RelTimeIndicatorConverter.scala) and maps to the plain
+TimestampType column (SURVEY §time: watermarks live on the stream side
+via withWatermark); ``.proctime`` maps to ``current_timestamp()`` with a
+documented semantic gap (Spark stamps once per plan evaluation, not per
+operator).  ``.get(name|index)`` / ``.flatten()`` are the composite-type
+accessors.  The single remaining unsupported construct is
+``joinLateral(string)`` — it routes to Engine.sql's LATERAL TABLE path;
+row-count intervals (``10.rows``) route to count_window_agg
+(streaming/stateful.py) like the window builders do.
 """
 
 from __future__ import annotations
@@ -114,30 +122,24 @@ _CAST_TYPES = {
     "timestamp": "timestamp",
 }
 
+# In-expression interval literals (expressionDsl.scala
+# LiteralLongExpression: 10.minutes, 3.days ...) -> Spark INTERVAL unit
+# + multiplier; quarters/weeks lower to their month/day multiples
+# (Spark's interval grammar has no QUARTER/WEEK year-month units).
+_EXPR_INTERVAL_UNITS = {
+    "years": ("YEAR", 1), "year": ("YEAR", 1),
+    "quarters": ("MONTH", 3), "quarter": ("MONTH", 3),
+    "months": ("MONTH", 1), "month": ("MONTH", 1),
+    "weeks": ("DAY", 7), "week": ("DAY", 7),
+    "days": ("DAY", 1), "day": ("DAY", 1),
+    "hours": ("HOUR", 1), "hour": ("HOUR", 1),
+    "minutes": ("MINUTE", 1), "minute": ("MINUTE", 1),
+    "seconds": ("SECOND", 1), "second": ("SECOND", 1),
+    "millis": ("MILLISECOND", 1), "milli": ("MILLISECOND", 1),
+}
+
 _UNSUPPORTED_SUFFIX = {
-    "proctime",
-    "rowtime",
-    "millis",
-    "milli",
-    "seconds",
-    "second",
-    "minutes",
-    "minute",
-    "hours",
-    "hour",
-    "days",
-    "day",
-    "weeks",
-    "week",
-    "months",
-    "month",
-    "quarters",
-    "quarter",
-    "years",
-    "year",
-    "rows",
-    "flatten",
-    "get",
+    "rows",  # row-count interval: count_window_agg (streaming/stateful.py)
 }
 
 
@@ -317,8 +319,8 @@ class _Parser:
             if fnl in _UNSUPPORTED_SUFFIX:
                 raise NotImplementedError(
                     f"string-expression construct .{fn} is not supported by the "
-                    "facade — use the dedicated operator module "
-                    "(over_windows/group_windows/streaming) instead"
+                    "facade — row-count windows route to count_window_agg "
+                    "(streaming/stateful.py); SQL/Table windows are time-based"
                 )
             node, sort = self._apply_suffix(node, fnl, fn)
         if isinstance(node, _Lit):
@@ -353,7 +355,40 @@ class _Parser:
 
     def _apply_suffix(self, node, fnl: str, fn: str):
         """Apply one suffix call; returns (node, sort_marker)."""
+        if fnl in _EXPR_INTERVAL_UNITS:
+            # 10.minutes — expressionDsl.scala interval literal
+            if not _is_int_lit(node):
+                self.error(
+                    f"interval literal .{fn} needs an integer base "
+                    f"(e.g. 10.{fn})"
+                )
+            unit, mult = _EXPR_INTERVAL_UNITS[fnl]
+            return (
+                (F.expr(f"INTERVAL {node.value * mult} {unit}"), None, False),
+                None,
+            )
         base = node.col() if isinstance(node, _Lit) else node[0]
+        if fnl == "rowtime":
+            # event-time marker (RelTimeIndicatorConverter.scala): the
+            # attribute IS the TimestampType column; watermarks attach
+            # on the stream side (streaming/watermarks.py)
+            return (base.cast("timestamp"), None, False), None
+        if fnl == "proctime":
+            # processing-time marker ~= current_timestamp(); semantic
+            # gap documented in SURVEY (stamped once per plan
+            # evaluation, not per operator traversal)
+            return (F.current_timestamp(), None, False), None
+        if fnl == "flatten":
+            # composite flatten ('s.flatten() -> one column per struct
+            # field, expressionDsl.scala Flattening) — needs a NAMED
+            # field reference so the star expansion can resolve
+            name = None if isinstance(node, _Lit) else node[1]
+            if name is None:
+                self.error(".flatten() applies to a named struct field")
+            if self.accept_op("("):
+                if not self.accept_op(")"):
+                    self.error(".flatten() takes no arguments")
+            return (F.col(f"{name}.*"), None, True), None
         if fnl in ("asc", "desc"):
             return (base.asc() if fnl == "asc" else base.desc(), None, False), fnl
         if fnl == "cast":
@@ -382,6 +417,17 @@ class _Parser:
                     args.append(self._arg())
                 if not self.accept_op(")"):
                     self.error("')' expected in call arguments")
+        if fnl == "get":
+            # composite accessor ('s.get("a"), 't.get(0) —
+            # expressionDsl.scala get): field name or 0-based index
+            if len(args) != 1 or not isinstance(args[0], _Lit):
+                self.error('.get takes one literal: a field name or index')
+            v = args[0].value
+            if isinstance(v, str):
+                return (base.getField(v), None, False), None
+            if isinstance(v, int):
+                return (base.getItem(v), None, False), None
+            self.error(f".get: expected a string or int literal, got {v!r}")
         if fnl in ("start", "end") and not args:
             # group-window attribute access (w.start / w.end on the
             # window struct produced by Tumble/Slide/Session grouping)

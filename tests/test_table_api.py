@@ -200,13 +200,56 @@ class TestRejections:
             parse_expression("x.unknownFn()")
 
     def test_unsupported_constructs_gate_loudly(self, spark):
-        for expr in ("ts.rowtime", "10.minutes"):
-            with pytest.raises(NotImplementedError):
-                parse_expression(expr)
+        # the only remaining rejected suffix: row-count intervals
+        with pytest.raises(NotImplementedError, match="count_window_agg"):
+            parse_expression("10.rows")
         # .over is wired now, but outside a window() scope it must
         # still fail readably
         with pytest.raises(ExpressionParserException, match="no OVER windows"):
             parse_expression("a.sum.over(w)")
+
+    def test_interval_literals_and_time_markers(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("2020-01-01 00:00:00",)], "ts string"
+        ).select(F.col("ts").cast("timestamp").alias("ts"))
+        out = Table(df).select(
+            "ts + 10.minutes as m, ts + 2.hours + 30.seconds as h, "
+            "ts + 3.days as d, ts + 1.month as mo, ts + 2.quarters as q, "
+            "ts + 1.week as w, ts + 1.year as y, ts.rowtime as rt"
+        ).df.first()
+        base = dt.datetime(2020, 1, 1)
+        assert out.m == base + dt.timedelta(minutes=10)
+        assert out.h == base + dt.timedelta(hours=2, seconds=30)
+        assert out.d == base + dt.timedelta(days=3)
+        assert out.mo == dt.datetime(2020, 2, 1)
+        assert out.q == dt.datetime(2020, 7, 1)
+        assert out.w == base + dt.timedelta(days=7)
+        assert out.y == dt.datetime(2021, 1, 1)
+        assert out.rt == base
+        # interval literal needs an integer base
+        with pytest.raises(ExpressionParserException, match="integer base"):
+            parse_expression("x.minutes")
+        # proctime parses to a current-timestamp column
+        assert "current_timestamp" in str(
+            parse_expression("p.proctime")
+        ).lower()
+
+    def test_composite_get_and_flatten(self, spark):
+        df = spark.createDataFrame([(1,)], "x int").select(
+            F.struct(
+                F.lit(7).alias("a"), F.lit("z").alias("b")
+            ).alias("s"),
+            F.array(F.lit(10), F.lit(20)).alias("arr"),
+        )
+        row = Table(df).select("s.get('a') as ga, arr.get(1) as g1").df.first()
+        assert row.ga == 7 and row.g1 == 20
+        flat = Table(df).select("s.flatten()").df
+        assert flat.columns == ["a", "b"]
+        assert flat.first() == (7, "z")
+        with pytest.raises(ExpressionParserException, match="named struct"):
+            Table(df).select("(s).flatten()")
 
     def test_mixed_agg_and_field_ungrouped_rejected(self, spark, li):
         with pytest.raises(ExpressionParserException, match="groupBy"):
