@@ -128,6 +128,33 @@ class DataStream:
 
         return DataStream(connect_tagged(self.df, other.df, key, payload_cols))
 
+    def join(self, other: "DataStream") -> "JoinedStreams":
+        """DataStream.join :427 (JoinedStreams.java:128) — windowed
+        stream-stream join: chain ``.where(keys).equal_to(keys)
+        .window(lts, rts, size).apply()``."""
+        return JoinedStreams(self, other)
+
+    def connect_broadcast(
+        self,
+        snapshot_fn,
+        on: str | list[str],
+        how: str = "left",
+        checkpoint: str | None = None,
+        sink_fn=None,
+    ):
+        """connect(BroadcastStream) :427 + KeyedBroadcastProcessFunction
+        — the broadcast state pattern (streaming/side_outputs.py:
+        broadcast_state_join): each micro-batch joins against a FRESH
+        broadcast snapshot of the slowly-changing side.  Returns the
+        writeStream builder (call .start())."""
+        from flink_1_8_sourcecode_spark.streaming.side_outputs import (
+            broadcast_state_join,
+        )
+
+        return broadcast_state_join(
+            self.df, snapshot_fn, on, how, checkpoint, sink_fn
+        )
+
     # --- sinks (DataStream.addSink :1235) ----------------------------
     # each returns a STARTED StreamingQuery (execute() is implicit in
     # Structured Streaming's start) — callers processAllAvailable/stop
@@ -230,6 +257,20 @@ class KeyedStream:
             watermark_delay,
         )
 
+    def interval_join(
+        self, other: "KeyedStream", left_time: str, right_time: str
+    ) -> "IntervalJoined":
+        """KeyedStream.intervalJoin :414 — chain ``.between(lower,
+        upper)`` to finish (IntervalJoin.java between/process).  The two
+        streams' key columns pair positionally; the result carries the
+        LEFT side's key names (operators/joins.py:interval_join)."""
+        if len(self.keys) != len(other.keys):
+            raise ValueError(
+                f"interval_join: key arity mismatch "
+                f"({self.keys} vs {other.keys})"
+            )
+        return IntervalJoined(self, other, left_time, right_time)
+
     def process(self, fn, output_schema: str, state_schema: str,
                 timeout: str = "NoTimeout") -> DataFrame:
         """KeyedProcessFunction :360 — the full escape hatch
@@ -271,3 +312,102 @@ class WindowedStream:
 
     def sum(self, value_col: str) -> DataStream:
         return self.aggregate(**{value_col: F.sum(value_col)})
+
+
+class IntervalJoined:
+    """KeyedStream.intervalJoin(...).between(lower, upper) handle
+    (flink-streaming-java/.../api/datastream/KeyedStream.java:414,
+    IntervalJoined.java): ``between`` closes the chain and returns the
+    joined DataStream.  ``lower``/``upper`` are SQL interval strings
+    relative to the LEFT time (negative via '-10 minutes'); bounds are
+    inclusive, matching the reference's default (no lowerBoundExclusive
+    surface — Spark's range condition is closed)."""
+
+    def __init__(self, left: KeyedStream, right: KeyedStream,
+                 left_time: str, right_time: str):
+        self._l = left
+        self._r = right
+        self._lt = left_time
+        self._rt = right_time
+
+    def between(self, lower: str, upper: str, how: str = "inner") -> DataStream:
+        from flink_1_8_sourcecode_spark.operators.joins import interval_join
+
+        rdf = self._r.df
+        # pair the key columns positionally, carrying the LEFT names
+        for lk, rk in zip(self._l.keys, self._r.keys):
+            if rk != lk:
+                if lk in rdf.columns:
+                    raise ValueError(
+                        f"interval_join: right side already has a column "
+                        f"named {lk!r}; alias it before joining"
+                    )
+                rdf = rdf.withColumnRenamed(rk, lk)
+        return DataStream(
+            interval_join(
+                self._l.df, rdf, on=self._l.keys,
+                left_time=self._lt, right_time=self._rt,
+                lower=lower, upper=upper, how=how,
+            )
+        )
+
+
+class JoinedStreams:
+    """DataStream.join(other).where(k).equal_to(k).window(...).apply()
+    (JoinedStreams.java:128): same key, same tumbling event-time window.
+    Lowers to the Spark idiom for windowed stream-stream joins — both
+    sides bucketed with F.window + watermarked, equi-joined on
+    (keys..., window bucket).  State stays bounded: the watermark
+    evicts buckets older than size + delay on both sides, exactly the
+    reference's window-state eviction."""
+
+    def __init__(self, left: DataStream, right: DataStream):
+        self._l = left
+        self._r = right
+        self._where: list[str] | None = None
+        self._equal: list[str] | None = None
+
+    def where(self, *keys: str) -> "JoinedStreams":
+        self._where = list(keys)
+        return self
+
+    def equal_to(self, *keys: str) -> "JoinedStreams":
+        self._equal = list(keys)
+        return self
+
+    equalTo = equal_to
+
+    def window(
+        self,
+        left_time: str,
+        right_time: str,
+        size: str,
+        watermark_delay: str | None = None,
+    ) -> DataStream:
+        """TumblingEventTimeWindows.of(size); ``apply`` is implicit —
+        the joined rows carry both sides' payload columns (the
+        JoinFunction is a downstream .map).  ``watermark_delay``
+        (default: the window size) bounds out-of-orderness AND state."""
+        if not self._where or not self._equal or len(self._where) != len(self._equal):
+            raise ValueError(
+                "join: .where(k...).equal_to(k...) with matching key "
+                "counts must precede .window"
+            )
+        delay = watermark_delay or size
+        ldf, rdf = self._l.df, self._r.df
+        overlap = set(ldf.columns) & set(rdf.columns)
+        if overlap:
+            raise ValueError(
+                f"windowed join: column names must be disjoint, both "
+                f"sides have {sorted(overlap)}; alias before joining"
+            )
+        lw = ldf.withColumn("__wl", F.window(left_time, size))
+        rw = rdf.withColumn("__wr", F.window(right_time, size))
+        if ldf.isStreaming:
+            lw = lw.withWatermark(left_time, delay)
+        if rdf.isStreaming:
+            rw = rw.withWatermark(right_time, delay)
+        cond = lw["__wl"] == rw["__wr"]
+        for lk, rk in zip(self._where, self._equal):
+            cond = cond & (lw[lk] == rw[rk])
+        return DataStream(lw.join(rw, cond, "inner").drop("__wl", "__wr"))

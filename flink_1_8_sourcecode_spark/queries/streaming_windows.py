@@ -332,3 +332,56 @@ def datastream_api_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "w_start", "cnt", "total")
     )
+
+
+@register(
+    "datastream_api_interval_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    """,
+    doc="Stream-stream interval join THROUGH the fluent DataStream "
+    "facade (KeyedStream.intervalJoin :414 -> between(0s, 30min); "
+    "IntervalJoined lowers to operators/joins.py:interval_join): "
+    "purchases within 30 minutes after a signup by the same user, run "
+    "over the replayed micro-batch stream.  Both sides watermarked, so "
+    "Spark's stream-stream join state is range-pruned — the same "
+    "state-eviction contract as the reference's interval-join buffers.  "
+    "Inner-join emission is watermark-independent (append mode), so "
+    "the result equals the batch twin (= this oracle).",
+)
+def datastream_api_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.datastream_api import DataStream
+
+    src = _replayed_stream(spark, sf_dir, "dsij_")
+    s = (
+        DataStream(src)
+        .filter(F.col("event_type") == "signup")
+        .map(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .assign_timestamps_and_watermarks("s_ts", "1 hour")
+        .key_by("user_id")
+    )
+    p = (
+        DataStream(src)
+        .filter(F.col("event_type") == "purchase")
+        .map(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("p_ts"),
+        )
+        .assign_timestamps_and_watermarks("p_ts", "1 hour")
+        .key_by("u2")
+    )
+    joined = s.interval_join(p, "s_ts", "p_ts").between("0 seconds", "30 minutes")
+    name = _run_to_table(
+        joined.map("signup_id", "purchase_id", F.col("user_id")).df,
+        "q_dsij", state_partitions=4,
+    )
+    return spark.table(name).filter(F.col("user_id") >= 0)

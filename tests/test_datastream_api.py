@@ -160,3 +160,92 @@ def test_split_and_connect(spark, env, tmp_path):
     assert got.filter("__input = 1 AND t IS NOT NULL").count() == 0
     assert got.filter("__input = 2 AND v IS NOT NULL").count() == 0
     assert got.count() == 2 * total
+
+
+def test_windowed_join_matches_batch(spark, env, tmp_path):
+    """DataStream.join(...).where(...).equal_to(...).window(...) ==
+    the batch (key, window-bucket) equi-join (JoinedStreams.java:128)."""
+    src = _event_stream(spark, tmp_path, "wjoin")
+    s = DataStream(src).filter(F.col("event_type") == "signup").map(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("u"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = DataStream(src).filter(F.col("event_type") == "view").map(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = (
+        s.join(p).where("u").equal_to("u2")
+        .window("s_ts", "p_ts", "1 hour")
+        .map("signup_id", "view_id")
+    )
+    q = joined.add_sink_memory("t_ds_wjoin")
+    _drain(q)
+    got = spark.table("t_ds_wjoin").toPandas()
+
+    bev = table(spark, SF_SMALL, "events")
+    bs = bev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("u"),
+        F.window("ts", "1 hour").alias("w"),
+    )
+    bp = bev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("u2"),
+        F.window("ts", "1 hour").alias("w2"),
+    )
+    expected = bs.join(bp, (bs.u == bp.u2) & (bs.w == bp.w2)).select(
+        "signup_id", "view_id"
+    ).toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, expected.values.tolist())
+    )
+
+
+def test_windowed_join_validation(spark, env, tmp_path):
+    src = _event_stream(spark, tmp_path, "wjoin_bad")
+    a, b = DataStream(src), DataStream(src)
+    with pytest.raises(ValueError, match="where"):
+        a.join(b).window("ts", "ts", "1 hour")
+    with pytest.raises(ValueError, match="disjoint"):
+        a.join(b).where("user_id").equal_to("user_id").window("ts", "ts", "1 hour")
+
+
+def test_interval_join_key_rename_and_validation(spark, env, tmp_path):
+    # batch frames through the facade: positional key pairing renames
+    # the right key to the left name
+    import datetime as dt
+    base = dt.datetime(2020, 1, 1)
+    l = DataStream(spark.createDataFrame(
+        [(1, base), (2, base)], "k int, lt timestamp"))
+    r = DataStream(spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=3)),
+         (1, base + dt.timedelta(seconds=50)),
+         (2, base + dt.timedelta(seconds=4))], "k2 int, rt timestamp"))
+    out = (
+        l.key_by("k").interval_join(r.key_by("k2"), "lt", "rt")
+        .between("0 seconds", "5 seconds")
+    )
+    rows = sorted((x.k, x.rt) for x in out.df.collect())
+    assert rows == [
+        (1, base + dt.timedelta(seconds=3)),
+        (2, base + dt.timedelta(seconds=4)),
+    ]
+    with pytest.raises(ValueError, match="arity"):
+        l.key_by("k").interval_join(r.key_by("k2", "rt"), "lt", "rt")
+
+
+def test_connect_broadcast_smoke(spark, env, tmp_path):
+    """Broadcast state pattern through the facade: each micro-batch
+    joins a fresh snapshot (side_outputs.broadcast_state_join)."""
+    src = _event_stream(spark, tmp_path, "bcast")
+    snap = spark.createDataFrame(
+        [("signup", 1), ("view", 2), ("click", 3), ("purchase", 4),
+         ("error", 5), ("noop", 0)],
+        "event_type string, code int",
+    )
+    seen = []
+    q = DataStream(src).connect_broadcast(
+        lambda: snap, on="event_type", how="left",
+        sink_fn=lambda df, bid: seen.append(df.filter("code IS NULL").count()),
+    ).start()
+    _drain(q)
+    assert seen and sum(seen) == 0  # every event type resolved
