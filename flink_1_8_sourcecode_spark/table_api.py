@@ -758,13 +758,34 @@ class Over:
     order_by = orderBy
 
     def preceding(self, bound: str | int) -> "Over":
+        if isinstance(bound, str) and bound not in (
+            "unbounded_range", "unbounded_row"
+        ):
+            # time-interval RANGE frame ('1.seconds' — OverWindowITCase
+            # testRowTimeBoundedPartitionedRangeOver): stored as millis,
+            # lowered in _spec to rangeBetween on the order column's
+            # epoch millis
+            ms_per = {
+                "milliseconds": 1, "seconds": 1000, "minutes": 60_000,
+                "hours": 3_600_000, "days": 86_400_000,
+            }
+            m = re.fullmatch(r"\s*(\d+)\.(\w+)\s*", bound)
+            if m and m.group(2).lower() in _INTERVAL_UNITS:
+                unit = _INTERVAL_UNITS[m.group(2).lower()]
+                self._preceding = ("range_ms", int(m.group(1)) * ms_per[unit])
+                return self
+            raise ExpressionParserException(
+                f"Over.preceding: expected 'unbounded_range', "
+                f"'unbounded_row', a non-negative int (ROWS) or a time "
+                f"interval like '1.seconds' (RANGE), got {bound!r}"
+            )
         if not (bound in ("unbounded_range", "unbounded_row")
                 or (isinstance(bound, int) and not isinstance(bound, bool)
                     and bound >= 0)):
             raise ExpressionParserException(
                 f"Over.preceding: expected 'unbounded_range', "
-                f"'unbounded_row' or a non-negative int, got {bound!r} "
-                "(time-interval RANGE frames: queries/over_windows.py)"
+                f"'unbounded_row', a non-negative int (ROWS) or a time "
+                f"interval like '1.seconds' (RANGE), got {bound!r}"
             )
         self._preceding = bound
         return self
@@ -786,6 +807,19 @@ class Over:
             if self._partition is not None
             else W.partitionBy()
         )
+        if isinstance(self._preceding, tuple):
+            # time-interval RANGE: order on the time attribute's epoch
+            # millis (NTZ cannot cast straight to long in Spark 4 — go
+            # via timestamp; session tz is UTC so epochs agree), frame
+            # = [t - interval, t] inclusive of peers, exactly
+            # RowTimeBoundedRangeOver.scala's frame
+            if len(order) != 1:
+                raise ExpressionParserException(
+                    "Over.preceding(time interval) needs exactly one "
+                    "orderBy time attribute"
+                )
+            w = w.orderBy(F.unix_millis(order[0].cast("timestamp")))
+            return w.rangeBetween(-self._preceding[1], W.currentRow)
         w = w.orderBy(*order)
         if self._preceding == "unbounded_range":
             return w.rangeBetween(W.unboundedPreceding, W.currentRow)

@@ -128,3 +128,191 @@ def test_first_n_semantics(t3):
     )
     rows = {r.b: (r.n, r.first_a) for r in got.collect()}
     assert rows == {1: (1, 1), 2: (2, 2), 3: (2, 4), 4: (2, 7), 5: (2, 11), 6: (2, 16)}
+
+
+class TestWindowITCases:
+    """Reference GroupWindowITCase / OverWindowITCase expected-row sets
+    (flink-table/flink-table-planner/src/test/scala/org/apache/flink/
+    table/runtime/stream/table/{GroupWindowITCase,OverWindowITCase}
+    .scala) replayed through the table_api.py window builders.  Only
+    the aggregate columns our string DSL covers are projected from the
+    reference's published expected strings (WeightedAvg/CountDistinct
+    are UDAGG-specific there); .avg is floor-cast to int to match
+    Flink's integer average."""
+
+    # GroupWindowITCase.data — rowtime millis, int, string
+    DATA = [(1, 1, "Hi"), (2, 2, "Hello"), (4, 2, "Hello"),
+            (8, 3, "Hello world"), (16, 3, "Hello world")]
+
+    @pytest.fixture()
+    def gw_table(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame(
+            self.DATA, "long long, int int, string string"
+        ).withColumn("rowtime", F.timestamp_millis(F.col("long")))
+        return Table(df)
+
+    def test_event_time_tumbling_window(self, gw_table):
+        """testEventTimeTumblingWindow — Tumble over 5.milli on
+        'rowtime, groupBy('w, 'string): expected rows (count/avg/min/
+        max/sum/w.start/w.end projection of the published strings)."""
+        from flink_1_8_sourcecode_spark.table_api import Tumble
+
+        out = (
+            gw_table.window(Tumble.over("5.millis").on("rowtime").alias("w"))
+            .groupBy("w, string")
+            .select(
+                "string, string.count as cnt, int.avg.cast(INT) as a, "
+                "int.min as mn, int.max as mx, int.sum as sm, "
+                "w.start as ws, w.end as we"
+            )
+            .df
+        )
+        got = sorted(
+            (r.string, r.cnt, r.a, r.mn, r.mx, r.sm,
+             r.ws.microsecond // 1000, r.we.microsecond // 1000)
+            for r in out.collect()
+        )
+        expected = sorted([
+            ("Hello world", 1, 3, 3, 3, 3, 5, 10),
+            ("Hello world", 1, 3, 3, 3, 3, 15, 20),
+            ("Hello", 2, 2, 2, 2, 4, 0, 5),
+            ("Hi", 1, 1, 1, 1, 1, 0, 5),
+        ])
+        assert got == expected
+
+    def test_event_time_session_group_window(self, spark):
+        """testEventTimeSessionGroupWindowOverTime — Session withGap
+        5.milli: the out-of-order 6-row fixture merges to 3 sessions."""
+        from flink_1_8_sourcecode_spark.table_api import Session, Table
+
+        data = [(1, 1, "Hello"), (2, 2, "Hello"), (8, 8, "Hello"),
+                (9, 9, "Hello World"), (4, 4, "Hello"), (16, 16, "Hello")]
+        t = Table(
+            spark.createDataFrame(data, "long long, int int, string string")
+            .withColumn("rowtime", F.timestamp_millis(F.col("long")))
+        )
+        out = (
+            t.window(Session.withGap("5.millis").on("rowtime").alias("w"))
+            .groupBy("w, string")
+            .select("string, int.count as cnt, int.avg.cast(INT) as a")
+            .df
+        )
+        got = sorted((r.string, r.cnt, r.a) for r in out.collect())
+        # published: "Hello World,1,9", "Hello,1,16", "Hello,4,3"
+        assert got == sorted(
+            [("Hello World", 1, 9), ("Hello", 1, 16), ("Hello", 4, 3)]
+        )
+
+    def test_all_event_time_sliding_window(self, spark):
+        """testAllEventTimeSlidingGroupWindowOverTime — Slide over
+        5.milli every 2.milli, global groupBy('w): 12 published
+        windows incl. the epoch-negative 23:59:59.998 start."""
+        from flink_1_8_sourcecode_spark.table_api import Slide, Table
+
+        data2 = [(1, 1), (2, 2), (3, 2), (4, 5), (7, 3), (8, 3),
+                 (16, 4), (32, 4)]
+        t = Table(
+            spark.createDataFrame(data2, "long long, int int")
+            .withColumn("rowtime", F.timestamp_millis(F.col("long")))
+        )
+        out = (
+            t.window(
+                Slide.over("5.millis").every("2.millis")
+                .on("rowtime").alias("w")
+            )
+            .groupBy("w")
+            .select("int.count as cnt, w.start as ws, w.end as we")
+            .df
+        )
+
+        def ms(ts):  # signed millis from epoch
+            import datetime as dt
+            return int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
+
+        got = sorted((r.cnt, ms(r.ws), ms(r.we)) for r in out.collect())
+        expected = sorted([
+            (1, 8, 13), (1, 12, 17), (1, 14, 19), (1, 16, 21),
+            (2, -2, 3), (2, 6, 11), (3, 2, 7), (3, 4, 9), (4, 0, 5),
+            (1, 28, 33), (1, 30, 35), (1, 32, 37),
+        ])
+        assert got == expected
+
+    def test_rowtime_bounded_partitioned_rows_over(self, spark):
+        """OverWindowITCase.testRowTimeBoundedPartitionedRowOver —
+        Over partitionBy 'c orderBy 'rowtime preceding 2.rows:
+        (c, a, count, sum) projection of the published rows."""
+        from flink_1_8_sourcecode_spark.table_api import Over, Table
+
+        rows = [  # (rowtime ms, a, c) — every Left(...) entry
+            (1, 1, "Hello"), (2, 2, "Hello"), (1, 1, "Hello"),
+            (2, 2, "Hello"), (2, 2, "Hello"), (1, 1, "Hello"),
+            (3, 7, "Hello World"), (1, 7, "Hello World"),
+            (1, 7, "Hello World"),
+            (3, 3, "Hello"), (4, 4, "Hello"), (5, 5, "Hello"),
+            (6, 6, "Hello"), (20, 20, "Hello World"),
+            (8, 8, "Hello World"), (7, 7, "Hello World"),
+        ]
+        t = Table(
+            spark.createDataFrame(rows, "ms long, a long, c string")
+            .withColumn("rowtime", F.timestamp_millis(F.col("ms")))
+        )
+        w = Over.partitionBy("c").order_by("rowtime, a").preceding(2).alias("w")
+        out = t.window(w).select(
+            "c, a, a.count over w as cnt, a.sum over w as sm"
+        ).df
+        got = sorted((r.c, r.a, r.cnt, r.sm) for r in out.collect())
+        expected = sorted([
+            ("Hello", 1, 1, 1), ("Hello", 1, 2, 2), ("Hello", 1, 3, 3),
+            ("Hello", 2, 3, 4), ("Hello", 2, 3, 5), ("Hello", 2, 3, 6),
+            ("Hello", 3, 3, 7), ("Hello", 4, 3, 9), ("Hello", 5, 3, 12),
+            ("Hello", 6, 3, 15),
+            ("Hello World", 7, 1, 7), ("Hello World", 7, 2, 14),
+            ("Hello World", 7, 3, 21), ("Hello World", 7, 3, 21),
+            ("Hello World", 8, 3, 22), ("Hello World", 20, 3, 35),
+        ])
+        assert got == expected
+
+    def test_rowtime_bounded_partitioned_range_over(self, spark):
+        """OverWindowITCase.testRowTimeBoundedPartitionedRangeOver —
+        Over ... preceding 1.seconds (time-interval RANGE frame,
+        peer-inclusive): (c, b, count, sum) projection of the
+        published rows, all 20 on-time Left(...) entries."""
+        from flink_1_8_sourcecode_spark.table_api import Over, Table
+
+        rows = [  # (rowtime ms, a, b, c)
+            (1500, 1, 15, "Hello"), (1600, 1, 16, "Hello"),
+            (1000, 1, 1, "Hello"), (2000, 2, 2, "Hello"),
+            (2000, 2, 2, "Hello"), (2000, 2, 3, "Hello"),
+            (3000, 3, 3, "Hello"), (4000, 4, 4, "Hello"),
+            (5000, 5, 5, "Hello"), (6000, 6, 6, "Hello"),
+            (6500, 6, 65, "Hello"), (9000, 6, 9, "Hello"),
+            (9500, 6, 18, "Hello"), (9000, 6, 9, "Hello"),
+            (10000, 7, 7, "Hello World"), (11000, 7, 17, "Hello World"),
+            (11000, 7, 77, "Hello World"), (14000, 7, 18, "Hello World"),
+            (15000, 8, 8, "Hello World"), (20000, 20, 20, "Hello World"),
+        ]
+        t = Table(
+            spark.createDataFrame(rows, "ms long, a long, b int, c string")
+            .withColumn("rowtime", F.timestamp_millis(F.col("ms")))
+        )
+        w = (
+            Over.partitionBy("c").order_by("rowtime")
+            .preceding("1.seconds").alias("w")
+        )
+        out = t.window(w).select(
+            "c, b, a.count over w as cnt, a.sum over w as sm"
+        ).df
+        got = sorted((r.c, r.b, r.cnt, r.sm) for r in out.collect())
+        expected = sorted([
+            ("Hello", 1, 1, 1), ("Hello", 15, 2, 2), ("Hello", 16, 3, 3),
+            ("Hello", 2, 6, 9), ("Hello", 3, 6, 9), ("Hello", 2, 6, 9),
+            ("Hello", 3, 4, 9), ("Hello", 4, 2, 7), ("Hello", 5, 2, 9),
+            ("Hello", 6, 2, 11), ("Hello", 65, 2, 12),
+            ("Hello", 9, 2, 12), ("Hello", 9, 2, 12), ("Hello", 18, 3, 18),
+            ("Hello World", 7, 1, 7), ("Hello World", 17, 3, 21),
+            ("Hello World", 77, 3, 21), ("Hello World", 18, 1, 7),
+            ("Hello World", 8, 2, 15), ("Hello World", 20, 1, 20),
+        ])
+        assert got == expected
