@@ -11,6 +11,7 @@ the check is pure engine-vs-engine semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.engine import Engine
 from flink_1_8_sourcecode_spark.queries import register
@@ -315,5 +316,46 @@ def table_api_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_id, ts.rowtime + 30.minutes as deadline, "
             "ts + 1.day as next_day, ts + 2.hours + 15.seconds as composite"
         )
+        .to_df()
+    )
+
+
+@register(
+    "table_api_join_lateral",
+    oracle="""
+    SELECT doc_id, t.pos - 1 AS pos, t.tok FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != ''),
+               (x, i) -> {'pos': i, 'tok': x})) AS t
+      FROM documents WHERE doc_id < 20
+    )
+    """,
+    doc="String-form joinLateral THROUGH the Table facade "
+    "(table.scala:627; TableFunction.java:85): a registered 'tokenize' "
+    "table function returning array<struct<pos, tok>> exploded by "
+    "t.joinLateral(\"tokenize(text) as (pos, tok)\") — same CROSS "
+    "APPLY semantics and same plan (Generate over the scan) as the "
+    "native posexplode form in udtf_lateral_explode.",
+)
+def table_api_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.text import tokens
+    from flink_1_8_sourcecode_spark.table_api import (
+        Table,
+        register_table_function,
+    )
+
+    register_table_function(
+        "tokenize",
+        lambda c: F.transform(
+            tokens(c), lambda x, i: F.struct(i.alias("pos"), x.alias("tok"))
+        ),
+    )
+    t = Table(table(spark, sf_dir, "documents")).filter("doc_id < 20")
+    return (
+        t.joinLateral("tokenize(text) as (pos, tok)")
+        .select("doc_id, pos, tok")
         .to_df()
     )

@@ -33,10 +33,11 @@ TimestampType column (SURVEY §time: watermarks live on the stream side
 via withWatermark); ``.proctime`` maps to ``current_timestamp()`` with a
 documented semantic gap (Spark stamps once per plan evaluation, not per
 operator).  ``.get(name|index)`` / ``.flatten()`` are the composite-type
-accessors.  The single remaining unsupported construct is
-``joinLateral(string)`` — it routes to Engine.sql's LATERAL TABLE path;
-row-count intervals (``10.rows``) route to count_window_agg
-(streaming/stateful.py) like the window builders do.
+accessors.  ``joinLateral(string)`` / ``leftOuterJoinLateral`` resolve
+table functions registered with :func:`register_table_function`
+(TableFunction.java:85) and lower to explode / explode_outer.  The one
+remaining rejection: row-count intervals (``10.rows``) route to
+count_window_agg (streaming/stateful.py) like the window builders do.
 """
 
 from __future__ import annotations
@@ -541,6 +542,57 @@ def parse_expression(text: str) -> Column:
     return _Parser(text).parse_one().col
 
 
+# --- table functions (TableFunction.java:85) -------------------------
+# registerFunction(name, TableFunction) parity: the python callable
+# takes the call's argument Columns and returns an ARRAY Column — of
+# scalars for a one-field function, of structs for several.  joinLateral
+# explodes it (CROSS/OUTER APPLY).
+_TABLE_FUNCTIONS: dict = {}
+
+
+def register_table_function(name: str, fn) -> None:
+    """TableEnvironment.registerFunction(name, TableFunction) —
+    makes ``name(args) as (fields)`` resolvable in joinLateral."""
+    _TABLE_FUNCTIONS[name.lower()] = fn
+
+
+def _parse_table_function_call(call: str):
+    """``name(arg, ...) as (a[, b ...])`` -> (name, [arg Columns],
+    [alias names]) — the joinLateral string form (table.scala:627)."""
+    p = _Parser(call)
+    k, name, _ = p.next()
+    if k != "ident":
+        p.error("table function name expected")
+    if not p.accept_op("("):
+        p.error("'(' expected after table function name")
+    args: list[Column] = []
+    if not p.accept_op(")"):
+        args.append(p.logic()[0])
+        while p.accept_op(","):
+            args.append(p.logic()[0])
+        if not p.accept_op(")"):
+            p.error("')' expected after table function arguments")
+    if p.accept_kw("as") is None:
+        p.error("'as (fields...)' expected after table function call")
+    if not p.accept_op("("):
+        p.error("'(' expected after as")
+    aliases: list[str] = []
+    k, a, _ = p.next()
+    if k != "ident":
+        p.error("field alias expected")
+    aliases.append(a)
+    while p.accept_op(","):
+        k, a, _ = p.next()
+        if k != "ident":
+            p.error("field alias expected")
+        aliases.append(a)
+    if not p.accept_op(")"):
+        p.error("')' expected after field aliases")
+    if p.i < len(p.toks):
+        p.error("End of expression expected")
+    return name, args, aliases
+
+
 def _parse_list(text: str) -> list[_Parsed]:
     return _Parser(text).parse_list()
 
@@ -617,16 +669,61 @@ class Table:
     def fullOuterJoin(self, right: "Table", predicate: str) -> "Table":
         return Table(self.df.join(right.df, parse_expression(predicate), "full"))
 
-    def joinLateral(self, table_function_call: str, predicate: str | None = None):
-        """table.scala:627 — string-form UDTF lateral join.  The string
-        expression DSL's function-call routing is not wired to the UDTF
-        registry; use the SQL path instead (Engine.sql with LATERAL
-        TABLE / LATERAL VIEW, queries/udf_queries.py), which covers the
-        same reference surface."""
-        raise NotImplementedError(
-            "joinLateral(string): use Engine.sql's LATERAL TABLE routing "
-            "(engine.py) or DataFrame explode/posexplode directly"
-        )
+    def joinLateral(
+        self, table_function_call: str, predicate: str | None = None
+    ) -> "Table":
+        """table.scala:627 — string-form UDTF lateral join (CROSS APPLY):
+        ``t.joinLateral("split(c) as (word)")`` against a table function
+        registered with :func:`register_table_function` (the reference's
+        ``tEnv.registerFunction("split", new Split())``).  The function
+        returns an ARRAY column (of scalars for one output field,
+        structs for several); the join lowers to ``explode`` — rows with
+        empty output drop, the inner-join semantics of the reference.
+        ``predicate`` filters the joined rows (ON clause)."""
+        return self._lateral(table_function_call, predicate, outer=False)
+
+    join_lateral = joinLateral
+
+    def leftOuterJoinLateral(
+        self, table_function_call: str, predicate: str | None = None
+    ) -> "Table":
+        """table.scala:662 — OUTER APPLY: rows with empty table-function
+        output survive with NULL-padded fields (``explode_outer``)."""
+        return self._lateral(table_function_call, predicate, outer=True)
+
+    left_outer_join_lateral = leftOuterJoinLateral
+
+    def _lateral(self, call: str, predicate: str | None, outer: bool) -> "Table":
+        name, args, aliases = _parse_table_function_call(call)
+        fn = _TABLE_FUNCTIONS.get(name.lower())
+        if fn is None:
+            raise ExpressionParserException(
+                f"joinLateral: unknown table function {name!r} — register "
+                f"it with register_table_function(name, fn) "
+                f"(in scope: {sorted(_TABLE_FUNCTIONS)})"
+            )
+        arr = fn(*args)
+        tmp = "__lateral"
+        ex = F.explode_outer(arr) if outer else F.explode(arr)
+        out = self.df.withColumn(tmp, ex)
+        if len(aliases) == 1:
+            out = out.withColumn(aliases[0], F.col(tmp)).drop(tmp)
+        else:
+            # 'as (a, b)' renames the function's output fields
+            # POSITIONALLY (ProjectionTranslator aliasing semantics)
+            dt = out.schema[tmp].dataType
+            names = getattr(dt, "names", None)
+            if not names or len(names) != len(aliases):
+                raise ExpressionParserException(
+                    f"joinLateral: {name!r} yields "
+                    f"{names or dt.simpleString()} but the alias list "
+                    f"names {len(aliases)} fields"
+                )
+            for a, f in zip(aliases, names):
+                out = out.withColumn(a, F.col(tmp).getField(f))
+            out = out.drop(tmp)
+        t = Table(out)
+        return t.filter(predicate) if predicate else t
 
     # --- set ops ---------------------------------------------------------
     def union(self, right: "Table") -> "Table":

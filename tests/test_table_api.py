@@ -473,3 +473,62 @@ class TestGroupWindows:
             ).select("k, v.count as c").to_df().collect()
         with _pytest.raises(ExpressionParserException, match="window alias"):
             t.window(Tumble.over("10.minutes").on("ts").alias("w")).groupBy("k")
+
+
+class TestJoinLateral:
+    """String-form joinLateral (table.scala:627/:662) against the
+    table-function registry (TableFunction.java:85)."""
+
+    @pytest.fixture()
+    def t(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import (
+            Table,
+            register_table_function,
+        )
+
+        register_table_function(
+            "split_ws",
+            lambda c: F.filter(F.split(c, " "), lambda x: x != F.lit("")),
+        )
+        register_table_function(
+            "tok_pos",
+            lambda c: F.transform(
+                F.filter(F.split(c, " "), lambda x: x != F.lit("")),
+                lambda x, i: F.struct(i.alias("p"), x.alias("t")),
+            ),
+        )
+        return Table(
+            spark.createDataFrame([(1, "a b"), (2, "")], "id int, c string")
+        )
+
+    def test_inner_drops_empty(self, t):
+        got = sorted(
+            (r.id, r.word)
+            for r in t.joinLateral("split_ws(c) as (word)").df.collect()
+        )
+        assert got == [(1, "a"), (1, "b")]
+
+    def test_left_outer_pads(self, t):
+        got = sorted(
+            (r.id, r.word)
+            for r in t.leftOuterJoinLateral("split_ws(c) as (word)").df.collect()
+        )
+        assert got == [(1, "a"), (1, "b"), (2, None)]
+
+    def test_multi_field_positional_rename_and_predicate(self, t):
+        out = t.joinLateral("tok_pos(c) as (pos, tok)", predicate="pos = 0")
+        assert sorted(
+            (r.id, r.pos, r.tok) for r in out.df.collect()
+        ) == [(1, 0, "a")]
+
+    def test_errors(self, t):
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with pytest.raises(ExpressionParserException, match="unknown table function"):
+            t.joinLateral("nope(c) as (x)")
+        with pytest.raises(ExpressionParserException, match="alias list"):
+            t.joinLateral("tok_pos(c) as (a, b, c)")
+        with pytest.raises(ExpressionParserException, match="as"):
+            t.joinLateral("split_ws(c)")
