@@ -330,3 +330,98 @@ def dataset_api_delta_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .close_with(step, checkpoint_every=4)
         .df
     )
+
+
+_KMEANS_CENTROID_EXPORT = "/tmp/spark_graft_facade_kmeans_centroids"
+
+
+@register(
+    "dataset_api_kmeans",
+    oracle=f"""
+    WITH c AS (SELECT cid, x, y
+               FROM read_parquet('{_KMEANS_CENTROID_EXPORT}/*.parquet')),
+         p AS (SELECT vec_id, embedding[1]::DOUBLE AS px,
+                      embedding[2]::DOUBLE AS py
+               FROM embeddings),
+         d AS (SELECT p.vec_id, c.cid,
+                      (px - x) * (px - x) + (py - y) * (py - y) AS d2
+               FROM p CROSS JOIN c)
+    SELECT vec_id, cid AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+    doc="flink-examples KMeans (flink-examples/.../clustering/"
+    "KMeans.java) ported 1:1 THROUGH the fluent DataSet facade's BULK "
+    "iteration (dataset_api.py:iterate / IterativeDataSet.close_with — "
+    "DataSet.java:1156): 8 Lloyd supersteps on the embeddings' first "
+    "two dims, each superstep = broadcast-cross SelectNearestCenter "
+    "(min_by with lowest-cid tiebreak) -> CentroidAccumulator (sums + "
+    "count via SUM of a ones column, the example's exact shape) -> "
+    "CentroidAverager map.  Oracle is CENTROID-CONDITIONED "
+    "(sim_ivf_train_assign pattern): the query exports the final "
+    "centroids, DuckDB independently recomputes every point's "
+    "nearest-centroid assignment.  Scale: per-superstep plan is a "
+    "broadcast cross + one groupBy(k rows out); lineage truncated "
+    "every 3 supersteps.",
+)
+def dataset_api_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+    emb = table(spark, sf_dir, "embeddings")
+    points = DataSet(
+        emb.select(
+            F.col("vec_id").alias("pid"),
+            F.col("embedding")[0].cast("double").alias("px"),
+            F.col("embedding")[1].cast("double").alias("py"),
+        )
+    )
+    cent0 = DataSet(
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding")[0].cast("double").alias("x"),
+            F.col("embedding")[1].cast("double").alias("y"),
+        )
+    )
+
+    def nearest(cent: "DataSet") -> "DataSet":
+        # SelectNearestCenter: broadcast the k centroids, argmin L2;
+        # column order (pid, cid, ...) makes min_by's full-row struct
+        # tiebreak pick the LOWEST cid on distance ties — the oracle's
+        # ORDER BY d2, cid
+        return (
+            points.cross_with_tiny(cent)
+            .map(
+                F.col("pid"), F.col("cid"), F.col("px"), F.col("py"),
+                (
+                    (F.col("px") - F.col("x")) * (F.col("px") - F.col("x"))
+                    + (F.col("py") - F.col("y")) * (F.col("py") - F.col("y"))
+                ).alias("d2"),
+            )
+            .group_by("pid")
+            .min_by("d2")
+        )
+
+    def step(cent: "DataSet") -> "DataSet":
+        return (
+            nearest(cent)
+            # CentroidAccumulator: (sum x, sum y, count) per centroid
+            .map(F.col("cid"), F.col("px"), F.col("py"), F.lit(1).alias("n"))
+            .group_by("cid")
+            .agg_fields(("SUM", "px"), ("SUM", "py"), ("SUM", "n"))
+            # CentroidAverager
+            .map(
+                F.col("cid"),
+                (F.col("px") / F.col("n")).alias("x"),
+                (F.col("py") / F.col("n")).alias("y"),
+            )
+        )
+
+    final = cent0.iterate(8).close_with(step, checkpoint_every=3)
+    final.df.select("cid", "x", "y").write.mode("overwrite").parquet(
+        _KMEANS_CENTROID_EXPORT
+    )
+    return nearest(final).map(
+        F.col("pid").alias("vec_id"), F.col("cid").alias("cluster")
+    ).df
