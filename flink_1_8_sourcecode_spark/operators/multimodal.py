@@ -693,3 +693,23 @@ def phash64(media: DataFrame, size: int = 32, block: int = 8) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, "media_id long, w0 long, w1 long"
     )
+
+
+def exact_dedup(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Exact content-hash dedup for binary media columns — the first
+    stage of every multimodal curation pipeline (byte-identical images/
+    audio collapse before the expensive perceptual pass, dhash/phash).
+
+    One groupBy on ``sha2(content, 256)``: the 32-byte digest is the
+    shuffle key (never the payload bytes — at 100 TB the exchange moves
+    hashes, not media), each group keeps its lowest id and the copy
+    count.  Same survivor convention as operators/dedup.py:exact_dedup.
+    """
+    return media.groupBy(
+        F.sha2(F.col(content_col), 256).alias("content_sha256")
+    ).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -538,3 +538,30 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = phash64(media)
     sig.write.mode("overwrite").parquet(_PHASH_EXPORT)
     return dhash_near_pairs(spark.read.parquet(_PHASH_EXPORT), max_dist=3)
+
+
+@register(
+    "multimodal_exact_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    )
+    SELECT sha256(text) AS content_sha256, min(media_id) AS keep_id,
+           count(*) AS n_copies
+    FROM m GROUP BY 1
+    """,
+    doc="Exact byte-identical media dedup (operators/multimodal.py:"
+    "exact_dedup): 50 planted duplicate payloads collapse onto their "
+    "originals via one groupBy on sha2(content, 256) — the shuffle "
+    "moves 32-byte digests, never media bytes.  The digest itself is "
+    "in the output, so the oracle cross-checks Spark's sha2 against "
+    "DuckDB's sha256 byte-for-byte.",
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir).select("media_id", "content")
+    dup = m.filter(F.col("media_id") < 50).withColumn(
+        "media_id", F.col("media_id") + 1000000
+    )
+    return multimodal.exact_dedup(m.unionByName(dup))
