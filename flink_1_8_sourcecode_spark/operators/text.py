@@ -1173,3 +1173,39 @@ def url_domain(url: "Column") -> "Column":
     """Registered-host extraction from a canonical URL (the grouping
     key of domain mixing / blocklist joins)."""
     return F.regexp_extract(url, r"^[^/]*//([^/:?]+)", 1)
+
+
+def blocklist_gate(
+    df: "DataFrame",
+    url_col: str,
+    text_col: str,
+    blocked_domains: "DataFrame",
+    badwords: list[str],
+    max_badword_ratio: float = 0.1,
+) -> "DataFrame":
+    """FineWeb/CCNet-style source gate: drop documents whose URL domain
+    is on a blocklist or whose bad-word token ratio exceeds the cap.
+
+    Scale shape: the blocklist (thousands of domains vs billions of
+    docs) joins as a BROADCAST left-anti on the extracted domain — the
+    corpus is never reshuffled; the bad-word ratio is a map-only
+    array_intersect over the token array (bad-word lists are small
+    enough to live in the plan as a literal array).  Survivors carry
+    (domain, badword_ratio) so downstream mixing can stratify on them.
+    """
+    dom = url_domain(F.col(url_col))
+    toks = tokens(F.col(text_col))
+    bad = F.array(*[F.lit(w) for w in badwords])
+    # occurrence count (not distinct membership): repeated bad tokens
+    # raise the ratio, matching the CCNet/Gopher convention
+    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(bad, t)))
+    # 0 tokens => ratio 0 (kept)
+    n_tok = F.size(toks)
+    ratio = F.when(n_tok > 0, n_bad / n_tok).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("domain", dom)
+        .withColumn("badword_ratio", ratio)
+        .join(F.broadcast(blocked_domains), on="domain", how="left_anti")
+        .filter(F.col("badword_ratio") <= max_badword_ratio)
+    )
+    return out

@@ -1252,3 +1252,59 @@ def dedup_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url_canon")
         .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dups"))
     )
+
+
+@register(
+    "text_blocklist_gate",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id, source, text,
+             'http://' || source || '.example.com/doc/' || doc_id::VARCHAR
+               AS url
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             regexp_extract(url, '^[^/]*//([^/:?]+)', 1) AS domain,
+             CASE WHEN len(list_filter(string_split_regex(lower(trim(text)),
+                        '\\s+'), x -> x != '')) > 0
+                  THEN len(list_filter(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != ''),
+                       x -> list_contains(['slow', 'big'], x)))
+                       / len(list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != ''))::DOUBLE
+                  ELSE 0.0 END AS badword_ratio
+      FROM built
+    )
+    SELECT doc_id, domain, round(badword_ratio, 4) AS badword_ratio
+    FROM scored
+    WHERE domain NOT IN ('src0.example.com', 'src7.example.com')
+      AND badword_ratio <= 0.07
+    """,
+    doc="FineWeb/CCNet-style source gate (operators/text.py:"
+    "blocklist_gate): synthesized per-source URLs, a 2-domain "
+    "blocklist joined BROADCAST LEFT-ANTI on the extracted domain "
+    "(corpus never reshuffles), and a bad-word occurrence-ratio cap — "
+    "a map-only token filter.  Survivors carry (domain, "
+    "badword_ratio) for downstream stratified mixing.",
+)
+def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import blocklist_gate
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    blocked = spark.createDataFrame(
+        [("src0.example.com",), ("src7.example.com",)], "domain string"
+    )
+    out = blocklist_gate(
+        d, "url", "text", blocked, badwords=["slow", "big"],
+        max_badword_ratio=0.07,
+    )
+    return out.select(
+        "doc_id", "domain", F.round("badword_ratio", 4).alias("badword_ratio")
+    )
