@@ -176,9 +176,11 @@ class _Parsed:
 
 
 class _Parser:
-    def __init__(self, text: str, windows: dict | None = None):
+    def __init__(self, text: str, windows: dict | None = None,
+                 group_window: str | None = None):
         self.text = text
         self.windows = windows  # alias -> pyspark WindowSpec (OVER scope)
+        self.group_window = group_window  # group-window alias in scope
         self.toks: list[tuple[str, str, int]] = []
         pos = 0
         while pos < len(text):
@@ -369,6 +371,20 @@ class _Parser:
                 None,
             )
         base = node.col() if isinstance(node, _Lit) else node[0]
+        if (
+            fnl == "rowtime"
+            and not isinstance(node, _Lit)
+            and node[1] is not None
+            and node[1] == self.group_window
+        ):
+            # group-window rowtime attribute ('w.rowtime — the emitted
+            # record's event time, window end - 1ms; windows.scala /
+            # WindowProperties rowtime)
+            return (
+                (base.getField("end") - F.expr("INTERVAL 1 MILLISECOND"),
+                 None, False),
+                None,
+            )
         if fnl == "rowtime":
             # event-time marker (RelTimeIndicatorConverter.scala): the
             # attribute IS the TimestampType column; watermarks attach
@@ -593,8 +609,8 @@ def _parse_table_function_call(call: str):
     return name, args, aliases
 
 
-def _parse_list(text: str) -> list[_Parsed]:
-    return _Parser(text).parse_list()
+def _parse_list(text: str, group_window: str | None = None) -> list[_Parsed]:
+    return _Parser(text, group_window=group_window).parse_list()
 
 
 class Table:
@@ -763,14 +779,16 @@ class GroupedTable:
     """GroupedTable.select (table.scala:1285/1314): grouping keys pass
     through, everything else must aggregate."""
 
-    def __init__(self, df: DataFrame, keys: list[_Parsed]):
+    def __init__(self, df: DataFrame, keys: list[_Parsed],
+                 group_window: str | None = None):
         self._df = df
         self._keys = keys
+        self._group_window = group_window
 
     def select(self, fields: str) -> Table:
         from pyspark.errors import AnalysisException
 
-        parsed = _parse_list(fields)
+        parsed = _parse_list(fields, group_window=self._group_window)
         # every aggregate gets a UNIQUE generated alias before agg() and
         # is projected back by exactly that name — positional matching
         # against "non-key output columns" misaligns the moment an
@@ -867,6 +885,9 @@ class Over:
                 "hours": 3_600_000, "days": 86_400_000,
             }
             m = re.fullmatch(r"\s*(\d+)\.(\w+)\s*", bound)
+            if m and m.group(2).lower() == "rows":
+                self._preceding = int(m.group(1))
+                return self
             if m and m.group(2).lower() in _INTERVAL_UNITS:
                 unit = _INTERVAL_UNITS[m.group(2).lower()]
                 self._preceding = ("range_ms", int(m.group(1)) * ms_per[unit])
@@ -1115,4 +1136,4 @@ class GroupWindowedTable:
                 f"GroupWindowedTable.groupBy must include the window "
                 f"alias {self._gw._alias!r} (got {fields!r})"
             )
-        return GroupedTable(self._df, keys)
+        return GroupedTable(self._df, keys, group_window=self._gw._alias)

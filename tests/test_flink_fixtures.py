@@ -223,7 +223,10 @@ class TestWindowITCases:
                 .on("rowtime").alias("w")
             )
             .groupBy("w")
-            .select("int.count as cnt, w.start as ws, w.end as we")
+            .select(
+                "int.count as cnt, w.start as ws, w.end as we, "
+                "w.rowtime as rt"
+            )
             .df
         )
 
@@ -231,11 +234,14 @@ class TestWindowITCases:
             import datetime as dt
             return int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
 
-        got = sorted((r.cnt, ms(r.ws), ms(r.we)) for r in out.collect())
+        # published rows carry 'w.rowtime = end - 1ms (the emitted
+        # record's event-time attribute)
+        got = sorted((r.cnt, ms(r.ws), ms(r.we), ms(r.rt)) for r in out.collect())
         expected = sorted([
-            (1, 8, 13), (1, 12, 17), (1, 14, 19), (1, 16, 21),
-            (2, -2, 3), (2, 6, 11), (3, 2, 7), (3, 4, 9), (4, 0, 5),
-            (1, 28, 33), (1, 30, 35), (1, 32, 37),
+            (1, 8, 13, 12), (1, 12, 17, 16), (1, 14, 19, 18),
+            (1, 16, 21, 20), (2, -2, 3, 2), (2, 6, 11, 10),
+            (3, 2, 7, 6), (3, 4, 9, 8), (4, 0, 5, 4),
+            (1, 28, 33, 32), (1, 30, 35, 34), (1, 32, 37, 36),
         ])
         assert got == expected
 

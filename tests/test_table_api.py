@@ -532,3 +532,23 @@ class TestJoinLateral:
             t.joinLateral("tok_pos(c) as (a, b, c)")
         with pytest.raises(ExpressionParserException, match="as"):
             t.joinLateral("split_ws(c)")
+
+
+def test_over_preceding_rows_string_and_interval_validation(spark):
+    from flink_1_8_sourcecode_spark.table_api import (
+        ExpressionParserException,
+        Over,
+        Table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0)], "k int, seq int, v double"
+    )
+    # '2.rows' string spelling == preceding(2)
+    w = Over.partitionBy("k").order_by("seq").preceding("2.rows").alias("w")
+    got = sorted(
+        r.s for r in Table(df).window(w).select("v.sum over w as s").df.collect()
+    )
+    assert got == [1.0, 3.0, 7.0]
+    with pytest.raises(ExpressionParserException, match="preceding"):
+        Over.partitionBy("k").order_by("seq").preceding("garbage")
