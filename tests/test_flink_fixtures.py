@@ -322,3 +322,64 @@ class TestWindowITCases:
             ("Hello World", 8, 2, 15), ("Hello World", 20, 1, 20),
         ])
         assert got == expected
+
+
+class TestCorrelateITCase:
+    """CorrelateITCase (flink-table/flink-table-planner/src/test/scala/
+    .../runtime/stream/table/CorrelateITCase.scala) — the reference's
+    joinLateral/leftOuterJoinLateral expected rows through the facade's
+    table-function registry.  TableFunc0 splits 'name#age' and emits
+    nothing for separator-less input."""
+
+    @pytest.fixture()
+    def t(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import (
+            Table,
+            register_table_function,
+        )
+
+        def func0(c):
+            # F.get tolerates the separator-less row (ANSI [] throws)
+            s = F.split(c, "#")
+            row = F.struct(
+                F.get(s, 0).alias("d"),
+                F.get(s, 1).cast("int").alias("e"),
+            )
+            return F.filter(F.array(row), lambda _: c.contains("#"))
+
+        register_table_function("func0", func0)
+        register_table_function(
+            "pojofunc0",
+            lambda c: F.filter(
+                F.array(F.struct(
+                    F.get(F.split(c, "#"), 1).cast("int").alias("age"),
+                    F.get(F.split(c, "#"), 0).alias("name"),
+                )),
+                lambda _: c.contains("#"),
+            ),
+        )
+        rows = [(1, 1, "Jack#22"), (2, 2, "John#19"),
+                (3, 3, "Anna#44"), (4, 4, "nosharp")]
+        return Table(spark.createDataFrame(rows, "a int, b long, c string"))
+
+    def test_cross_join(self, t):
+        out = (
+            t.joinLateral("func0(c) as (d, e)")
+            .select("c, d, e")
+            .joinLateral("pojofunc0(c) as (age, name)")
+            .where("age > 20")
+            .select("c, name, age")
+            .df
+        )
+        got = sorted(f"{r.c},{r.name},{r.age}" for r in out.collect())
+        assert got == sorted(["Jack#22,Jack,22", "Anna#44,Anna,44"])
+
+    def test_left_outer_join_without_predicates(self, t):
+        out = t.leftOuterJoinLateral("func0(c) as (d, e)").select("c, d, e").df
+        got = sorted(
+            f"{r.c},{r.d},{r.e}" for r in out.collect()
+        )
+        assert got == sorted([
+            "nosharp,None,None", "Jack#22,Jack,22",
+            "John#19,John,19", "Anna#44,Anna,44",
+        ])
