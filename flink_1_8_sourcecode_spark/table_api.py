@@ -143,6 +143,15 @@ _UNSUPPORTED_SUFFIX = {
     "rows",  # row-count interval: count_window_agg (streaming/stateful.py)
 }
 
+# DISTINCT aggregate modifier ('a.count.distinct) — min/max are
+# distinct-invariant; avg(DISTINCT) has no Column-API form and errors
+_DISTINCT_AGGS = {
+    "count": F.count_distinct,
+    "sum": F.sum_distinct,
+    "min": F.min,
+    "max": F.max,
+}
+
 
 def _is_int_lit(x) -> bool:
     return isinstance(x, _Lit) and isinstance(x.value, int)
@@ -314,6 +323,7 @@ class _Parser:
     def postfix(self):
         node = self.atom()  # _Lit | (col, name, star)
         sort = None
+        last_agg = None  # (agg name, base Column) for '.distinct'
         while self.accept_op("."):
             k, fn, _ = self.next()
             if k != "ident":
@@ -325,7 +335,22 @@ class _Parser:
                     "facade — row-count windows route to count_window_agg "
                     "(streaming/stateful.py); SQL/Table windows are time-based"
                 )
+            if fnl == "distinct":
+                # DISTINCT aggregate modifier ('a.count.distinct —
+                # AggregateITCase testDistinctAggregate)
+                if last_agg is None:
+                    self.error(".distinct must follow an aggregate")
+                agg, base = last_agg
+                if agg not in _DISTINCT_AGGS:
+                    self.error(
+                        f".{agg}.distinct is not supported (supported: "
+                        f"{sorted(_DISTINCT_AGGS)})"
+                    )
+                node, sort, last_agg = (_DISTINCT_AGGS[agg](base), None, False), None, None
+                continue
+            base = node.col() if isinstance(node, _Lit) else node[0]
             node, sort = self._apply_suffix(node, fnl, fn)
+            last_agg = (fnl, base) if fnl in _AGGS else None
         if isinstance(node, _Lit):
             return node.col(), None, sort, False
         col, name, star = node

@@ -383,3 +383,50 @@ class TestCorrelateITCase:
             "nosharp,None,None", "Jack#22,Jack,22",
             "John#19,John,19", "Anna#44,Anna,44",
         ])
+
+
+class TestAggregateITCase:
+    """AggregateITCase (stream/table) expected rows through the
+    facade: distinct-aggregate modifiers and distinct-after-aggregate
+    (flink-table-planner/.../stream/table/AggregateITCase.scala)."""
+
+    def test_distinct_aggregate(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        data = [(1, 1, "A"), (2, 2, "B"), (2, 2, "B"), (4, 3, "C"),
+                (5, 3, "C"), (4, 3, "C"), (7, 3, "B"), (1, 4, "A"),
+                (9, 4, "D"), (4, 1, "A"), (3, 2, "B")]
+        t = Table(spark.createDataFrame(data, "a int, b int, c string"))
+        out = t.groupBy("c").select(
+            "c, a.count.distinct as cd, a.sum.distinct as sd"
+        ).df
+        got = sorted((r.c, r.cd, r.sd) for r in out.collect())
+        # published "A,2,5,...", "B,3,12,...", "C,2,9,...", "D,1,9,..."
+        assert got == [("A", 2, 5), ("B", 3, 12), ("C", 2, 9), ("D", 1, 9)]
+
+    def test_distinct_mixed_with_non_distinct(self, t5):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        out = Table(t5).groupBy("e").select(
+            "e, a.count.distinct as cd, b.count as cnt"
+        ).df
+        got = sorted((r.e, r.cd, r.cnt) for r in out.collect())
+        assert got == [(1, 4, 5), (2, 4, 7), (3, 2, 3)]
+
+    def test_distinct_after_aggregate(self, t5):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        out = Table(t5).groupBy("e").select("e, a.count as cnt").distinct().df
+        got = sorted((r.e, r.cnt) for r in out.collect())
+        assert got == [(1, 5), (2, 7), (3, 3)]
+
+    def test_distinct_errors(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+            parse_expression,
+        )
+
+        with pytest.raises(ExpressionParserException, match="follow an aggregate"):
+            parse_expression("a.distinct")
+        with pytest.raises(ExpressionParserException, match="not supported"):
+            parse_expression("a.avg.distinct")
