@@ -11,7 +11,8 @@ expression is a Catalyst expression, nothing executes in Python.
 Grammar (precedence low -> high, ExpressionParser.scala:430-560):
 
     expression := logic ('as' ident)?
-    logic      := comparison (('&&' | '||') comparison)*
+    logic      := or ('?' '(' logic ',' logic ')')?   -- ternary ifThenElse
+    or         := comparison (('&&' | '||') comparison)*
     comparison := term (('===' '==' '=' '!==' '!=' '<>' '<=' '>=' '<' '>') term)?
     term       := product (('+' | '-') product)*
     product    := unary (('*' | '/' | '%') unary)*
@@ -59,7 +60,7 @@ _TOKEN_RE = re.compile(
         (?P<str>'(?:[^'']|'')*')
       | (?P<num>\d+\.\d+|\.\d+|\d+)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op>===|!==|==|!=|<>|<=|>=|&&|\|\||[-+*/%().,=<>!])
+      | (?P<op>===|!==|==|!=|<>|<=|>=|&&|\|\||[-+*/%().,=<>!?])
     )""",
     re.VERBOSE,
 )
@@ -268,10 +269,23 @@ class _Parser:
         while True:
             op = self.accept_op("&&", "||")
             if op is None:
-                return col, name, sort, star
+                break
             rcol, _, _, _ = self.comparison()
             col = (col & rcol) if op == "&&" else (col | rcol)
             name, sort, star = None, None, False
+        # ternary 'cond ? (then, else)' (ExpressionParser.scala
+        # ifThenElse infix form — JoinITCase testLeftJoinWithMultipleKeys)
+        if self.accept_op("?"):
+            if not self.accept_op("("):
+                self.error("'(' expected after '?'")
+            tcol, _, _, _ = self.logic()
+            if not self.accept_op(","):
+                self.error("',' expected between ternary branches")
+            fcol, _, _, _ = self.logic()
+            if not self.accept_op(")"):
+                self.error("')' expected after ternary branches")
+            return F.when(col, tcol).otherwise(fcol), None, None, False
+        return col, name, sort, star
 
     def comparison(self):
         col, name, sort, star = self.term()

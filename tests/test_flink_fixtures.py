@@ -430,3 +430,60 @@ class TestAggregateITCase:
             parse_expression("a.distinct")
         with pytest.raises(ExpressionParserException, match="not supported"):
             parse_expression("a.avg.distinct")
+
+
+class TestJoinITCase:
+    """JoinITCase (stream/table) expected rows through the facade
+    (flink-table-planner/.../stream/table/JoinITCase.scala): outer
+    joins with null-injected keys (ternary), non-equi and local
+    predicates, on the canonical T3/T5 fixtures."""
+
+    _NULL_TAIL = [
+        "Hello world, how are you?,None", "Luke Skywalker,None",
+    ] + [f"Comment#{i},None" for i in range(1, 16)]
+
+    def _strs(self, df):
+        return sorted(f"{r.c},{r.g}" for r in df.collect())
+
+    def test_left_join_with_multiple_keys(self, t3, t5):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        # null-inject a=21 on the left, d where e=15 on the right (the
+        # reference's ternary form), join on a===d && b===h
+        ds1 = Table(t3).select("(a === 21) ? (Null(INT), a) as a, b, c")
+        ds2 = Table(t5.toDF("d", "e", "f", "g", "h")).select(
+            "(e === 15) ? (Null(INT), d) as d, e, f, g, h"
+        )
+        out = ds1.leftOuterJoin(ds2, "a === d && b === h").select("c, g").df
+        expected = sorted([
+            "Hi,Hallo", "Hello,Hallo Welt",
+            "Hello world,Hallo Welt wie gehts?", "Hello world,ABC",
+            "I am fine.,HIJ", "I am fine.,IJK",
+        ] + self._NULL_TAIL)
+        assert self._strs(out) == expected
+
+    def test_left_join_with_non_equi_pred(self, t3, t5):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        ds1 = Table(t3)
+        ds2 = Table(t5.toDF("d", "e", "f", "g", "h"))
+        out = ds1.leftOuterJoin(ds2, "a === d && b <= h").select("c, g").df
+        expected = sorted([
+            "Hi,Hallo", "Hello,Hallo Welt",
+            "Hello world,Hallo Welt wie gehts?", "Hello world,ABC",
+            "Hello world,BCD", "I am fine.,HIJ", "I am fine.,IJK",
+        ] + self._NULL_TAIL)
+        assert self._strs(out) == expected
+
+    def test_left_join_with_left_local_pred(self, t3, t5):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        ds1 = Table(t3)
+        ds2 = Table(t5.toDF("d", "e", "f", "g", "h"))
+        out = ds1.leftOuterJoin(ds2, "a === d && b === 2").select("c, g").df
+        expected = sorted([
+            "Hello,Hallo Welt", "Hello,Hallo Welt wie",
+            "Hello world,Hallo Welt wie gehts?", "Hello world,ABC",
+            "Hello world,BCD", "Hi,None", "I am fine.,None",
+        ] + self._NULL_TAIL)
+        assert self._strs(out) == expected
