@@ -385,3 +385,43 @@ def datastream_api_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_dsij", state_partitions=4,
     )
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "datastream_api_window_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS view_id, s.user_id
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'view'
+     AND time_bucket(INTERVAL '1 hour', s.ts::TIMESTAMP)
+         = time_bucket(INTERVAL '1 hour', p.ts::TIMESTAMP)
+    """,
+    doc="Windowed stream-stream join THROUGH the fluent DataStream "
+    "facade (DataStream.join :427 / JoinedStreams.java:128: same key, "
+    "same 1-hour tumbling window): signups joined to views of the same "
+    "user in the same bucket over the replayed stream.  Both sides "
+    "watermarked at the window size, so bucket state evicts after one "
+    "window of lateness — the reference's window-state eviction.",
+)
+def datastream_api_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.datastream_api import DataStream
+
+    src = _replayed_stream(spark, sf_dir, "dswj_")
+    s = DataStream(src).filter(F.col("event_type") == "signup").map(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("s_ts"),
+    )
+    p = DataStream(src).filter(F.col("event_type") == "view").map(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = (
+        s.join(p).where("u").equal_to("u2")
+        .window("s_ts", "p_ts", "1 hour")
+        .map("signup_id", "view_id", F.col("u").alias("user_id"))
+    )
+    name = _run_to_table(joined.df, "q_dswj", state_partitions=4)
+    return spark.table(name).filter(F.col("user_id") >= 0)
