@@ -85,6 +85,9 @@ _MEASURE_RE = re.compile(
     r"(?:(?P<sem>RUNNING|FINAL)\s+)?"
     r"(?:(?P<noarg>MATCH_NUMBER|CLASSIFIER|MATCH_ROWTIME)\s*\(\s*\)"
     r"|(?P<nav>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<sym1>\w+)\.(?P<col1>\w+|\*)\s*\)"
+    # universal (symbol-less) form: FIRST(id) / LAST(id) / SUM(col) —
+    # over ALL rows of the match (SQL standard unprefixed semantics)
+    r"|(?P<nav3>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<col3>\w+)\s*\)"
     r"|(?P<sym2>\w+)\.(?P<col2>\w+))\s+AS\s+(?P<alias>\w+)",
     re.IGNORECASE,
 )
@@ -457,6 +460,93 @@ def _tokenize_define(cond: str):
     return toks
 
 
+_NAVAGG_CALL_RE = re.compile(
+    r"\b(FIRST|LAST|SUM|AVG|MIN|MAX|COUNT)\s*\(([^()]+)\)", re.IGNORECASE
+)
+
+
+def _lower_expr_args(text: str, symbols: set, default_sym, synth: dict) -> str:
+    """Rewrite FIRST/LAST/aggregate calls whose argument is an
+    EXPRESSION (``SUM(B.price * B.rate)``) or an implied-symbol column
+    (``SUM(weight)`` inside B's DEFINE) into plain ``SYM.col`` calls
+    over synthetic row-local columns collected in ``synth``
+    (name -> SQL expr over the input row).  Plain ``SYM.col[, n]`` /
+    ``SYM.*`` arguments pass through untouched; ``default_sym`` is the
+    defining symbol for DEFINE items (None for MEASURES, where a bare
+    argument stays universal — all rows of the match)."""
+    if text is None:
+        return text
+
+    def lower(m: re.Match) -> str:
+        fn, arg = m.group(1), m.group(2).strip()
+        # optional trailing ', n' navigation offset
+        om = re.fullmatch(r"(.*?)(,\s*\d+\s*)?$", arg, re.DOTALL)
+        expr, off = om.group(1).strip(), (om.group(2) or "").strip()
+        if re.fullmatch(r"\w+\.(?:\w+|\*)", expr):
+            return m.group(0)  # already SYM.col / SYM.*
+        if re.fullmatch(r"\w+", expr):
+            if default_sym is not None:
+                return f"{fn}({default_sym}.{expr}{off and ', ' + off.lstrip(', ')})"
+            return m.group(0)  # MEASURES: universal bare column
+        syms = {s for s in re.findall(r"(\w+)\s*\.", expr) if s in symbols}
+        if len(syms) > 1:
+            raise NotImplementedError(
+                f"MATCH_RECOGNIZE: {fn}({arg}) mixes pattern variables "
+                f"{sorted(syms)} in one argument expression"
+            )
+        sym = next(iter(syms), default_sym)
+        row_expr = re.sub(
+            r"\b(\w+)\s*\.\s*(\w+)",
+            lambda mm: mm.group(2) if mm.group(1) in symbols else mm.group(0),
+            expr,
+        )
+        name = None
+        for k, v in synth.items():
+            if v == row_expr:
+                name = k
+                break
+        if name is None:
+            name = f"__mx{len(synth)}"
+            synth[name] = row_expr
+        ref = f"{sym}.{name}" if sym is not None else name
+        tail = f", {off.lstrip(', ')}" if off else ""
+        return f"{fn}({ref}{tail})"
+
+    return _NAVAGG_CALL_RE.sub(lower, text)
+
+
+def _lower_bare_expr_measures(measures_txt: str, symbols: set, synth: dict) -> str:
+    """Rewrite bare single-variable expression measures
+    (``UP.price + UP.tax AS end_total``) into ``LAST(SYM.__mx) AS
+    alias`` over a synthetic row-local column — SQL's FINAL semantics
+    for an unwrapped variable reference (the variable's last row)."""
+    out = []
+    for item in _split_top_level(measures_txt):
+        it = item.strip()
+        m = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", it, re.IGNORECASE | re.DOTALL)
+        if m and not _MEASURE_RE.fullmatch(it):
+            expr, alias = m.group(1).strip(), m.group(2)
+            syms = {s for s in re.findall(r"(\w+)\s*\.", expr) if s in symbols}
+            if len(syms) == 1 and not _NAVAGG_CALL_RE.search(expr):
+                sym = next(iter(syms))
+                row_expr = re.sub(
+                    r"\b(\w+)\s*\.\s*(\w+)",
+                    lambda mm: mm.group(2) if mm.group(1) in symbols
+                    else mm.group(0),
+                    expr,
+                )
+                name = next(
+                    (k for k, v in synth.items() if v == row_expr), None
+                )
+                if name is None:
+                    name = f"__mx{len(synth)}"
+                    synth[name] = row_expr
+                out.append(f"LAST({sym}.{name}) AS {alias}")
+                continue
+        out.append(it)
+    return ", ".join(out)
+
+
 def _compile_define_python(
     cond: str, sym: str, symbols: set[str], columns=None, subsets=None
 ):
@@ -714,7 +804,16 @@ def match_recognize(
     state, the same constraint Flink's CEP enforces) and supports ONE
     ROW PER MATCH only.
     """
-    partition = _parse_clause(clause, r"PARTITION\s+BY")
+    # PARTITION BY is optional in the reference (non-keyed CEP —
+    # MatchRecognizeITCase orders globally); a global pattern runs as
+    # one synthetic partition.  Scale note: like the reference's
+    # non-keyed CEP operator, a global pattern is inherently
+    # single-task — partition when the data allows it.
+    partition = _parse_clause(clause, r"PARTITION\s+BY", required=False)
+    _global = partition is None
+    if _global:
+        partition = "__mr_part"
+        df = df.withColumn(partition, F.lit(0))
     order = _parse_clause(clause, r"ORDER\s+BY")
     measures_txt = _parse_clause(clause, "MEASURES")
     # the lookaheads keep keyword-shaped aliases (e.g. "AS pattern")
@@ -776,6 +875,24 @@ def match_recognize(
                 )
             subsets[name] = frozenset(comps)
 
+    # -- expression pre-lowering --------------------------------------
+    # Navigation/aggregates over EXPRESSIONS — FIRST(DOWN.price +
+    # DOWN.tax + 1), SUM(B.price * B.rate), SUM(price * weight) with
+    # the defining symbol implied (MatchRecognizeITCase
+    # testLogicalOffsets/testAggregates) — lower to synthetic ROW-LOCAL
+    # columns computed once on the input (plain Catalyst projection,
+    # WSCG) and plain SYM.col references, so the NFA/measure machinery
+    # only ever sees column arguments.
+    synth: dict[str, str] = {}
+    raw_defines = {
+        sym: _lower_expr_args(cond, symbols, sym, synth)
+        for sym, cond in raw_defines.items()
+    }
+    measures_txt = _lower_expr_args(measures_txt, symbols, None, synth)
+    measures_txt = _lower_bare_expr_measures(measures_txt, symbols, synth)
+    for cname, expr_s in synth.items():
+        df = df.withColumn(cname, F.expr(expr_s))
+
     # row-local conditions evaluate JVM-side as boolean columns (one
     # F.expr each — whole-stage codegen); conditions that NAVIGATE
     # (FIRST/LAST or a cross-symbol reference) or AGGREGATE over a
@@ -817,9 +934,13 @@ def match_recognize(
                     f"unsupported MEASURES item: {item!r} — only COUNT "
                     "takes the .* argument"
                 )
+        elif m.group("nav3"):
+            # universal: navigate/aggregate over ALL rows of the match
+            kind, sym, col = m.group("nav3").lower(), None, m.group("col3")
         else:
             kind, sym, col = "first", m.group("sym2"), m.group("col2")
-        if sym is not None and sym not in symbols and sym not in subsets:
+        if kind not in ("match_number", "classifier", "match_rowtime") \
+                and sym is not None and sym not in symbols and sym not in subsets:
             raise ValueError(
                 f"MEASURES item {item!r} references unknown symbol {sym!r}"
             )
@@ -1027,7 +1148,8 @@ def match_recognize(
             # MATCH_ROWTIME(), the event-time attribute the planner
             # carries downstream for subsequent time-based operators)
             return F.element_at(arr, -1)[order].alias(ms.alias)
-        sub = F.filter(arr, stage_filter(ms.symbol))
+        # symbol None = universal (all rows of the match)
+        sub = arr if ms.symbol is None else F.filter(arr, stage_filter(ms.symbol))
         if ms.kind == "count":
             if ms.col is None:
                 return F.size(sub).alias(ms.alias)
@@ -1074,14 +1196,16 @@ def match_recognize(
                 for ms in measures
             ]
 
-        return matches.select(
+        out_all = matches.select(
             partition,
             *needed,
             F.col("stage").alias("classifier"),
             *per_measure(),
         )
-    return (
+        return out_all.drop(partition) if _global else out_all
+    out_one = (
         matches.groupBy(F.col(partition), F.col("match_id"))
         .agg(*measure_exprs(F.array_sort(arr_of)))
         .drop("match_id")
     )
+    return out_one.drop(partition) if _global else out_one
