@@ -707,3 +707,56 @@ def cep_funnel_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("event_id").alias("signup_id"))
     )
+
+
+@register(
+    "cep_mr_expression_measures",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value,
+             lead(event_type) OVER w AS next_type,
+             lead(event_id) OVER w AS next_id,
+             lead(value) OVER w AS next_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS signup_id, next_id AS purchase_id,
+           round(value * 2 + 1, 4) AS s_score,
+           round(next_value / 2, 4) AS p_half
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'purchase'
+      AND next_value * 2 > value
+    """,
+    doc="MATCH_RECOGNIZE with EXPRESSION arguments in MEASURES and "
+    "DEFINE (cep/match_recognize.py:_lower_expr_args — the reference's "
+    "MatchRecognizeITCase testLogicalOffsets/testAggregates surface): "
+    "FIRST(S.value * 2 + 1), LAST(P.value / 2) and a cross-symbol "
+    "DEFINE 'P.value * 2 > FIRST(S.value)'.  Expressions pre-lower to "
+    "one synthetic row-local projection (WSCG) before the NFA, so the "
+    "match machinery only ever shuffles plain columns.",
+)
+def cep_mr_expression_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+
+    ev = table(spark, sf_dir, "events")
+    out = match_recognize(
+        ev,
+        """
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES S.event_id AS signup_id, P.event_id AS purchase_id,
+                 FIRST(S.value * 2 + 1) AS s_score,
+                 LAST(P.value / 2) AS p_half
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S P)
+        DEFINE S AS S.event_type = 'signup',
+               P AS P.event_type = 'purchase'
+                    AND P.value * 2 > FIRST(S.value)
+        """,
+    )
+    return out.select(
+        "user_id", "signup_id", "purchase_id",
+        F.round("s_score", 4).alias("s_score"),
+        F.round("p_half", 4).alias("p_half"),
+    )
