@@ -538,6 +538,11 @@ _expr_ast = st.deferred(
         st.tuples(st.sampled_from(["+", "-", "*"]), _expr_ast, _expr_ast).map(
             lambda t: ("bin", *t)
         ),
+        # ternary 'cond ? (then, else)' — round-12 ifThenElse surface
+        st.tuples(
+            st.sampled_from(["<", ">", "="]), _expr_ast, _expr_ast,
+            _expr_ast, _expr_ast,
+        ).map(lambda t: ("ter", *t)),
     )
 )
 
@@ -550,6 +555,19 @@ def _render(ast):
         v = ast[1]
         s = str(v) if v >= 0 else f"(0 - {abs(v)})"
         return s, (lambda r, v=v: v)
+    if kind == "ter":
+        _, cmp_op, cl, cr, tast, east = ast
+        cls_, clf = _render(cl)
+        crs, crf = _render(cr)
+        ts, tf = _render(tast)
+        es, ef = _render(east)
+        pyc = {"<": lambda a, b: a < b, ">": lambda a, b: a > b,
+               "=": lambda a, b: a == b}[cmp_op]
+        return (
+            f"(({cls_} {cmp_op} {crs}) ? ({ts}, {es}))",
+            (lambda row, clf=clf, crf=crf, tf=tf, ef=ef, pyc=pyc:
+             tf(row) if pyc(clf(row), crf(row)) else ef(row)),
+        )
     _, op, l, r_ = ast
     ls, lf = _render(l)
     rs, rf = _render(r_)
