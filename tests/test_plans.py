@@ -421,3 +421,50 @@ def test_pack_interleave_no_per_source_window_funnel(spark):
             )
         # and the distributed labeler must be present
         assert "MapInPandas" in plan or "mapInPandas" in plan, name
+
+
+def test_blocklist_gate_broadcast_anti_no_corpus_shuffle(spark, sf_dir):
+    """text_blocklist_gate: the blocklist joins as a BROADCAST left-anti
+    on the domain — the corpus side must show NO Exchange
+    hashpartitioning (a shuffled anti-join on billions of docs would be
+    the bottleneck at 100 TB)."""
+    plan = _plan(spark, "text_blocklist_gate")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_multimodal_exact_dedup_hashes_not_payloads(spark, sf_dir):
+    """multimodal_exact_dedup: one partial-aggregated exchange keyed on
+    the sha256 digest — the shuffle carries 32-byte hashes, never media
+    payload bytes (the 'content' column must not survive into the
+    exchange)."""
+    import re
+
+    plan = _plan(spark, "multimodal_exact_dedup")
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1, plan
+    # the key is the computed digest (_groupingexpression), never the
+    # payload column
+    assert "content#" not in exchanges[0], exchanges[0]
+    assert "sha2(" in plan, plan
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_table_api_interval_arithmetic_map_only(spark, sf_dir):
+    """Interval-literal projection: zero exchanges, single WSCG span
+    over the scan."""
+    plan = _plan(spark, "table_api_interval_arithmetic")
+    assert "Exchange" not in plan, plan
+    # '*(1)' is the WholeStageCodegen stage marker in executedPlan text
+    assert "*(1)" in plan, plan
+
+
+def test_join_lateral_is_generate_over_scan(spark, sf_dir):
+    """table_api_join_lateral lowers to the same Generate (explode)
+    plan as the native posexplode form — no Python in the hot path,
+    no exchange."""
+    plan = _plan(spark, "table_api_join_lateral")
+    assert "Generate" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
