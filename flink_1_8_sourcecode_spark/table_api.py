@@ -780,6 +780,15 @@ class Table:
         t = Table(out)
         return t.filter(predicate) if predicate else t
 
+    def insertInto(self, engine, sink_name: str, overwrite: bool = False) -> None:
+        """table.scala:1052 Table.insertInto(tableName) — writes this
+        table into a sink registered on the engine
+        (Engine.register_sink); the reference resolves the name against
+        its TableEnvironment the same way."""
+        engine.insert_into(self.df, sink_name, overwrite=overwrite)
+
+    insert_into = insertInto
+
     # --- set ops ---------------------------------------------------------
     def union(self, right: "Table") -> "Table":
         return Table(self.df.unionByName(right.df).distinct())

@@ -552,3 +552,14 @@ def test_over_preceding_rows_string_and_interval_validation(spark):
     assert got == [1.0, 3.0, 7.0]
     with pytest.raises(ExpressionParserException, match="preceding"):
         Over.partitionBy("k").order_by("seq").preceding("garbage")
+
+
+def test_table_insert_into_sink(spark, tmp_path):
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    eng = Engine(spark)
+    eng.register_sink("t_out", "parquet", str(tmp_path / "t_out"))
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    Table(df).filter("k > 1").insertInto(eng, "t_out")
+    assert [tuple(r) for r in eng.read_sink("t_out").collect()] == [(2, "y")]
