@@ -780,6 +780,26 @@ class Table:
         t = Table(out)
         return t.filter(predicate) if predicate else t
 
+    def where_in(self, fields: str, other: "Table") -> "Table":
+        """``'a.in(tableB.select('x))`` — IN with an uncorrelated
+        sub-table (expressionDsl In; SetOperatorsITCase
+        testInUncorrelated): pairs ``fields`` positionally with the
+        other table's output columns and lowers to a LEFT SEMI join
+        (the same plan the reference's planner produces).  Chain calls
+        for conjunctions ('a.in(B) && 'b.in(C))."""
+        names = [f.strip() for f in fields.split(",") if f.strip()]
+        ocols = other.df.columns
+        if len(names) != len(ocols):
+            raise ExpressionParserException(
+                f"where_in: {len(names)} field(s) vs {len(ocols)} "
+                f"sub-table column(s) ({names} / {ocols})"
+            )
+        cond = None
+        for n, o in zip(names, ocols):
+            c = self.df[n] == other.df[o]
+            cond = c if cond is None else (cond & c)
+        return Table(self.df.join(other.df, cond, "left_semi"))
+
     def insertInto(self, engine, sink_name: str, overwrite: bool = False) -> None:
         """table.scala:1052 Table.insertInto(tableName) — writes this
         table into a sink registered on the engine

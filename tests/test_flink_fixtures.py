@@ -614,3 +614,73 @@ class TestMatchRecognizeITCase:
         # (sumA=5, avgB=3, sumExprB=3.4 — the running-aggregate DEFINE
         # machinery the fixture exists to pin).
         assert got == [(1, 5.0, 1, 1.0, 3.0, 3.4, 9)]
+
+
+class TestSetOperatorsITCase:
+    """SetOperatorsITCase (stream/table) expected rows: unionAll and
+    IN-with-subtable (flink-table-planner/.../stream/table/
+    SetOperatorsITCase.scala)."""
+
+    DATA_A = [(1, 1, "Hello"), (2, 2, "Hello"),
+              (3, 3, "Hello World"), (4, 4, "Hello")]
+
+    def test_union_with_filter(self, spark, t5):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        small3 = [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")]
+        ds1 = Table(spark.createDataFrame(small3, "a int, b long, c string"))
+        ds2 = Table(t5.toDF("a", "b", "d", "c", "e"))
+        out = (
+            ds1.unionAll(ds2.select("a, b, c"))
+            .filter("b < 2").select("c").df
+        )
+        assert sorted(r.c for r in out.collect()) == ["Hallo", "Hi"]
+
+    def test_in_uncorrelated(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        a = Table(spark.createDataFrame(
+            self.DATA_A, "a int, b long, c string"))
+        b = Table(spark.createDataFrame(
+            [(1, "hello"), (2, "co-hello"), (4, "hello")], "x int, y string"))
+        out = a.where_in("a", b.select("x")).df
+        got = sorted(f"{r.a},{r.b},{r.c}" for r in out.collect())
+        assert got == sorted(["1,1,Hello", "2,2,Hello", "4,4,Hello"])
+
+    def test_in_uncorrelated_with_condition_and_agg(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        a = Table(spark.createDataFrame(
+            self.DATA_A, "a int, b long, c string"))
+        b = Table(spark.createDataFrame(
+            [(1, "hello"), (1, "Hanoi"), (1, "Hanoi"), (2, "Hanoi-1"),
+             (2, "Hanoi-1"), (-1, "Hanoi-1")], "x int, y string"))
+        out = a.where_in(
+            "a", b.where("y.like('%Hanoi%')").groupBy("y").select("x.sum as s")
+            .select("s")
+        ).df
+        got = sorted(f"{r.a},{r.b},{r.c}" for r in out.collect())
+        assert got == sorted(["2,2,Hello", "3,3,Hello World"])
+
+    def test_in_with_multi_uncorrelated_condition(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        a = Table(spark.createDataFrame(
+            self.DATA_A, "a int, b long, c string"))
+        b = Table(spark.createDataFrame(
+            [(1, "hello"), (2, "co-hello"), (4, "hello")], "x int, y string"))
+        c = Table(spark.createDataFrame(
+            [(1, "Joker"), (1, "Sanity"), (2, "Cool")], "w long, z string"))
+        out = a.where_in("a", b.select("x")).where_in("b", c.select("w")).df
+        got = sorted(f"{r.a},{r.b},{r.c}" for r in out.collect())
+        assert got == sorted(["1,1,Hello", "2,2,Hello"])
+
+    def test_where_in_arity_error(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+            Table,
+        )
+
+        a = Table(spark.createDataFrame(self.DATA_A, "a int, b long, c string"))
+        with pytest.raises(ExpressionParserException, match="where_in"):
+            a.where_in("a, b", a.select("a"))
