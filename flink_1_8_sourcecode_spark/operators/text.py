@@ -1209,3 +1209,49 @@ def blocklist_gate(
         .filter(F.col("badword_ratio") <= max_badword_ratio)
     )
     return out
+
+
+def quality_classifier_score(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> "DataFrame":
+    """FastText-style hashed LINEAR quality classifier (the shape of
+    FineWeb-Edu / CCNet LM filtering): tokens hash into ``n_buckets``
+    feature buckets, each bucket carries a fixed weight, and the doc
+    score is the logistic of the mean token weight.
+
+    The weights here are a deterministic hash-derived stand-in (swap
+    ``bucket -> weight`` for trained coefficients in deployment); the
+    PLUMBING is the deliverable — per-token hashing and weight lookup
+    as pure codegen expressions, explode + partial-aggregated groupBy
+    (the scale-proof path: HOF lambdas evaluate interpreted per
+    element, measured 9x slower on exactly this shape), one exchange
+    carrying (id, partial sums) only.
+
+    Output: (id, n_tokens, score, keep).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    bucket = md5_base28(F.col("__tok")) % n_buckets
+    # deterministic weight in [-1, 1): Knuth multiplicative hash of the
+    # bucket id, exact in 64-bit integer arithmetic in both engines
+    w = ((bucket * F.lit(2654435761)) % F.lit(2147483648)) / 2147483648.0 * 2 - 1
+    scored = (
+        tok.select(F.col(id_col), w.alias("__w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__w").alias("__sw"),
+        )
+    )
+    score = 1.0 / (1.0 + F.exp(-4.0 * F.col("__sw") / F.col("n_tokens")))
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(score, 6).alias("score"),
+        (score > threshold).alias("keep"),
+    )

@@ -1308,3 +1308,42 @@ def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "domain", F.round("badword_ratio", 4).alias("badword_ratio")
     )
+
+
+@register(
+    "text_quality_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             ((((""" + _HEX_BASE + """) % 4096) * 2654435761)
+              % 2147483648) / 2147483648.0 * 2 - 1 AS wt
+      FROM tok
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(wt) AS sw FROM w GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-4.0 * sw / n_tokens)), 6) AS score,
+           (1.0 / (1.0 + exp(-4.0 * sw / n_tokens))) > 0.5 AS keep
+    FROM agg
+    """,
+    doc="FastText-style hashed linear quality classifier "
+    "(operators/text.py:quality_classifier_score — the FineWeb-Edu / "
+    "CCNet filter shape): per-token bucket hash + fixed weight lookup "
+    "as codegen expressions, explode + partial-aggregated groupBy (one "
+    "exchange of (doc, partial sums)), logistic of the mean weight, "
+    "keep flag at 0.5.  Deterministic hash-derived weights stand in "
+    "for trained coefficients; the distributed scoring path is the "
+    "deliverable.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return quality_classifier_score(d, "doc_id", "text")
