@@ -482,8 +482,10 @@ def _lower_expr_args(text: str, symbols: set, default_sym, synth: dict) -> str:
         # optional trailing ', n' navigation offset
         om = re.fullmatch(r"(.*?)(,\s*\d+\s*)?$", arg, re.DOTALL)
         expr, off = om.group(1).strip(), (om.group(2) or "").strip()
-        if re.fullmatch(r"\w+\.(?:\w+|\*)", expr):
-            return m.group(0)  # already SYM.col / SYM.*
+        if expr == "*" or re.fullmatch(r"\w+\.(?:\w+|\*)", expr):
+            # already SYM.col / SYM.* (or bare COUNT(*) — let the
+            # measure/DEFINE layer apply its documented rule)
+            return m.group(0)
         if re.fullmatch(r"\w+", expr):
             if default_sym is not None:
                 return f"{fn}({default_sym}.{expr}{off and ', ' + off.lstrip(', ')})"
