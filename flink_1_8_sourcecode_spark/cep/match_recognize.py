@@ -529,7 +529,10 @@ def _lower_bare_expr_measures(measures_txt: str, symbols: set, synth: dict) -> s
         if m and not _MEASURE_RE.fullmatch(it):
             expr, alias = m.group(1).strip(), m.group(2)
             syms = {s for s in re.findall(r"(\w+)\s*\.", expr) if s in symbols}
-            if len(syms) == 1 and not _NAVAGG_CALL_RE.search(expr):
+            # only CALL-FREE arithmetic over one variable's columns —
+            # an unknown function (STDDEV(A.price)) must fall through
+            # to the measure grammar's NotImplementedError
+            if len(syms) == 1 and not re.search(r"\w+\s*\(", expr):
                 sym = next(iter(syms))
                 row_expr = re.sub(
                     r"\b(\w+)\s*\.\s*(\w+)",
