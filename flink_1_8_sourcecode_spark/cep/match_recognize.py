@@ -482,11 +482,13 @@ def _lower_expr_args(text: str, symbols: set, default_sym, synth: dict) -> str:
         # optional trailing ', n' navigation offset
         om = re.fullmatch(r"(.*?)(,\s*\d+\s*)?$", arg, re.DOTALL)
         expr, off = om.group(1).strip(), (om.group(2) or "").strip()
-        if expr == "*" or re.fullmatch(r"\w+\.(?:\w+|\*)", expr):
+        if expr == "*" or re.fullmatch(r"[A-Za-z_]\w*\.(?:\w+|\*)", expr):
             # already SYM.col / SYM.* (or bare COUNT(*) — let the
-            # measure/DEFINE layer apply its documented rule)
+            # measure/DEFINE layer apply its documented rule); numeric
+            # literals ('1.5' would false-match a \w+\.\w+ form) fall
+            # through to the synthetic-column lowering below
             return m.group(0)
-        if re.fullmatch(r"\w+", expr):
+        if re.fullmatch(r"[A-Za-z_]\w*", expr):
             if default_sym is not None:
                 return f"{fn}({default_sym}.{expr}{off and ', ' + off.lstrip(', ')})"
             return m.group(0)  # MEASURES: universal bare column
@@ -943,7 +945,11 @@ def match_recognize(
             # universal: navigate/aggregate over ALL rows of the match
             kind, sym, col = m.group("nav3").lower(), None, m.group("col3")
         else:
-            kind, sym, col = "first", m.group("sym2"), m.group("col2")
+            # bare `SYM.col` resolves as the variable's LAST row (SQL
+            # FINAL semantics; MatchCodeGenerator.scala defaults
+            # first=false) — consistent with the bare-expression
+            # lowering in _lower_bare_expr_measures
+            kind, sym, col = "last", m.group("sym2"), m.group("col2")
         if kind not in ("match_number", "classifier", "match_rowtime") \
                 and sym is not None and sym not in symbols and sym not in subsets:
             raise ValueError(
@@ -1080,8 +1086,13 @@ def match_recognize(
                 if ms.kind == "match_rowtime":
                     rec[ms.alias] = mrows[-1][order] if mrows else None
                     continue
-                comps = subsets.get(ms.symbol, (ms.symbol,))
-                sub = [r for r in mrows if r["__stage"] in comps]
+                if ms.symbol is None:
+                    # universal (symbol-less) measure: all rows of the
+                    # match — mirrors the batch path at measure_expr
+                    sub = mrows
+                else:
+                    comps = subsets.get(ms.symbol, (ms.symbol,))
+                    sub = [r for r in mrows if r["__stage"] in comps]
                 if ms.kind == "count" and ms.col is None:
                     rec[ms.alias] = len(sub)
                 elif ms.kind == "first":
@@ -1102,7 +1113,7 @@ def match_recognize(
                         rec[ms.alias] = min(vals) if ms.kind == "min" else max(vals)
             return rec
 
-        return match_pattern_stream(
+        out_stream = match_pattern_stream(
             work,
             pattern,
             key=partition,
@@ -1113,6 +1124,9 @@ def match_recognize(
             match_reducer=reduce_match,
             reduced_schema=reduced_schema,
         )
+        # a synthetic global-pattern partition key must not leak to
+        # callers (the batch branches drop it the same way below)
+        return out_stream.drop(partition) if _global else out_stream
 
     matches = match_pattern(
         work, pattern, key=partition, time_col=order, select_cols=needed,

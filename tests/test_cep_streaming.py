@@ -276,6 +276,93 @@ def test_streaming_match_recognize_sql_equals_batch(spark, chunk_dir):
     assert key(got) == key(want)
 
 
+MR_UNIVERSAL_CLAUSE = """
+SELECT user_id, first_id, last_id, n_ids, total_v
+FROM (SELECT user_id, event_id, ts, event_type, value FROM {src}
+      WHERE event_type IN ('signup', 'purchase', 'noop')) MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES FIRST(event_id) AS first_id, LAST(event_id) AS last_id,
+           COUNT(event_id) AS n_ids, SUM(value) AS total_v
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (S P) WITHIN INTERVAL '1' DAY
+  DEFINE S AS S.event_type = 'signup',
+         P AS P.event_type = 'purchase'
+)
+"""
+
+
+def test_streaming_mr_universal_measures_equals_batch(spark, chunk_dir):
+    """Symbol-less (universal) measures — FIRST(id)/LAST(id)/COUNT(col)/
+    SUM(col) over ALL rows of the match — through the STREAMING
+    reduce_match path (regression: symbol=None used to filter the match
+    rows to empty and silently emit NULL/0)."""
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    eng = Engine(spark)
+    stream = sources.read_event_stream(spark, chunk_dir)
+    eng.register("ev_stream_u", stream)
+    out = eng.sql(MR_UNIVERSAL_CLAUSE.format(src="ev_stream_u"))
+    q = (
+        out.writeStream.format("memory").queryName("t_mr_stream_u")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_mr_stream_u").toPandas()
+    got = got[got.user_id >= 0]
+
+    eng.register("ev_batch_u", table(spark, SF_SMALL, "events"))
+    want = eng.sql(MR_UNIVERSAL_CLAUSE.format(src="ev_batch_u")).toPandas()
+
+    key = lambda pdf: sorted(  # noqa: E731
+        (r.user_id, r.first_id, r.last_id, r.n_ids, round(r.total_v, 6))
+        for r in pdf.itertuples()
+    )
+    assert len(got) > 0
+    assert got.total_v.notna().all() and (got.n_ids > 0).all()
+    assert key(got) == key(want)
+
+
+def test_streaming_mr_global_pattern_drops_synthetic_partition(spark, chunk_dir):
+    """MATCH_RECOGNIZE without PARTITION BY on a STREAM: the synthetic
+    __mr_part key must not leak into the output schema (the batch
+    branches already drop it), and finals equal the batch answer."""
+    from flink_1_8_sourcecode_spark.cep.match_recognize import match_recognize
+
+    clause = """
+      ORDER BY ts, event_id
+      MEASURES S.event_id AS signup_id, P.event_id AS purchase_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S P) WITHIN INTERVAL '1' DAY
+      DEFINE S AS S.event_type = 'signup',
+             P AS P.event_type = 'purchase'
+    """
+    stream = sources.read_event_stream(spark, chunk_dir)
+    out = match_recognize(stream, clause)
+    assert out.isStreaming
+    assert "__mr_part" not in out.columns
+    q = (
+        out.writeStream.format("memory").queryName("t_mr_stream_g")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_mr_stream_g").toPandas()
+
+    batch = match_recognize(table(spark, SF_SMALL, "events"), clause).toPandas()
+    assert "__mr_part" not in batch.columns
+    key = lambda pdf: sorted(zip(pdf.signup_id, pdf.purchase_id))  # noqa: E731
+    assert len(got) > 0
+    assert key(got) == key(batch)
+
+
 def test_streaming_match_recognize_requires_within(spark, chunk_dir):
     from flink_1_8_sourcecode_spark.engine import Engine
 

@@ -106,6 +106,53 @@ def test_undefined_symbol_matches_any(spark, auth_df):
     assert got == [(1, 0, 1), (2, 0, 1)]
 
 
+def test_bare_symbol_column_measure_is_last_row(spark, auth_df):
+    """Bare ``SYM.col`` in MEASURES resolves as the variable's LAST row
+    (SQL FINAL semantics; MatchCodeGenerator.scala defaults first=false)
+    — consistent with the bare-expression lowering (``SYM.col + 0``)."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES A.event_id AS bare_id,
+                 LAST(A.event_id) AS last_id,
+                 A.event_id + 0 AS expr_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{3})
+        DEFINE A AS A.etype = 'fail'
+        """,
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # u1 fails at event_id 1,2,3 — bare/expr forms must agree with LAST
+    assert (r.bare_id, r.last_id, r.expr_id) == (3, 3, 3)
+
+
+def test_define_literal_aggregate_argument(spark, auth_df):
+    """``COUNT(1)`` / ``SUM(1)`` inside DEFINE: digit-only arguments are
+    NOT implied-symbol columns (the old rewrite produced the invalid
+    reference ``SYM.1``); they lower to a synthetic constant column and
+    aggregate per defining symbol — here capping the A-run at 2 rows."""
+    out = match_recognize(
+        auth_df,
+        """
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES FIRST(A.event_id) AS start_id, COUNT(A.*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A+)
+        DEFINE A AS A.etype = 'fail' AND COUNT(1) <= 2
+        """,
+    ).toPandas()
+    got = sorted(zip(out.user_id, out.start_id, out.n))
+    # u1 has fails 1,2,3: run capped at 2 -> match (1,2) then (3);
+    # u2 has an isolated fail at 1 and a run (3,4)
+    assert got == [(1, 1, 2), (1, 3, 1), (2, 1, 1), (2, 3, 2)]
+
+
 def test_decimal_literal_and_quoted_dot_survive_define_rewrite(spark):
     """Regression: the old blanket prefix rewrite mangled '1.5' -> '5'
     and dotted string literals ('a.fail' -> 'fail')."""
