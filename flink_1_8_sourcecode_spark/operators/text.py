@@ -1211,25 +1211,119 @@ def blocklist_gate(
     return out
 
 
+def quality_classifier_train(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 4096,
+    n_iters: int = 16,
+    lr_w: float = 800.0,
+    lr_b: float = 4.0,
+) -> tuple[list[float], float]:
+    """Fit the hashed linear quality classifier IN-ENGINE: logistic
+    regression over L1-normalized token-bucket frequencies (x_b =
+    count_b / n_tokens), full-batch gradient ascent on the
+    log-likelihood — the training half of the FastText-style filter
+    whose scoring half is ``quality_classifier_score``.
+
+    Distributed shape (the kmeans broadcast-coefficient pattern,
+    queries/rowops.py:dataset_api_kmeans): the featurized seed set
+    (doc, bucket, x, label) is built once — explode + one
+    groupBy(doc, bucket) — pre-partitioned by doc and persisted; each
+    superstep is ONE pass over it: the current coefficient vector
+    (n_buckets rows) broadcast-joins in, per-doc margins come from a
+    window sum on the persisted partitioning (no extra exchange), and
+    one groupBy(bucket) emits n_buckets gradient rows collected to the
+    driver for the update.  Plans stay superstep-local (weights are
+    re-literalized each round), so lineage never grows.
+
+    Scale: training runs on a bounded labeled SEED SET (thousands to
+    millions of docs — sample upstream), never the full corpus; the
+    full-corpus pass is the scoring half.  Separate weight/bias rates
+    because the bias feature (1.0) is ~2 orders larger than the
+    normalized bucket features.
+
+    Returns ``(weights, bias)`` — weights[b] is bucket b's coefficient.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    bucket = (md5_base28(F.col("__tok")) % n_buckets).alias("bucket")
+    cnt = tok.groupBy("__id", "__y", bucket).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_doc = Window.partitionBy("__id")
+    feat = (
+        cnt.withColumn("__x", F.col("__cnt") / F.sum("__cnt").over(w_doc))
+        .drop("__cnt")
+        .repartition("__id")
+        .persist()
+    )
+    n_docs = feat.select("__id").distinct().count()  # materializes the cache
+    if n_docs == 0:
+        feat.unpersist()
+        return [0.0] * n_buckets, 0.0
+
+    weights = [0.0] * n_buckets
+    bias = 0.0
+    w_rn = Window.partitionBy("__id").orderBy("bucket")
+    for _ in range(n_iters):
+        wdf = spark.createDataFrame(
+            list(enumerate(weights)), "bucket int, __w double"
+        )
+        j = feat.join(F.broadcast(wdf), "bucket", "left")
+        margin = F.sum(F.col("__x") * F.col("__w")).over(w_doc)
+        resid = F.col("__y") - 1.0 / (1.0 + F.exp(-(margin + F.lit(bias))))
+        # per-bucket gradient + (via the doc's first row only) the bias
+        # gradient, in ONE aggregation pass
+        grads = (
+            j.select(
+                "bucket",
+                (resid * F.col("__x")).alias("__g"),
+                F.when(F.row_number().over(w_rn) == 1, resid)
+                .otherwise(F.lit(0.0))
+                .alias("__gb"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("__g").alias("g"), F.sum("__gb").alias("gb"))
+            .collect()
+        )
+        gb_total = 0.0
+        for r in grads:
+            weights[r["bucket"]] += lr_w / n_docs * r["g"]
+            gb_total += r["gb"]
+        bias += lr_b / n_docs * gb_total
+    feat.unpersist()
+    return weights, bias
+
+
 def quality_classifier_score(
     df: "DataFrame",
     id_col: str,
     text_col: str,
     n_buckets: int = 4096,
     threshold: float = 0.5,
+    weights: "list[float] | None" = None,
+    bias: float = 0.0,
 ) -> "DataFrame":
     """FastText-style hashed LINEAR quality classifier (the shape of
     FineWeb-Edu / CCNet LM filtering): tokens hash into ``n_buckets``
     feature buckets, each bucket carries a fixed weight, and the doc
     score is the logistic of the mean token weight.
 
-    The weights here are a deterministic hash-derived stand-in (swap
-    ``bucket -> weight`` for trained coefficients in deployment); the
-    PLUMBING is the deliverable — per-token hashing and weight lookup
-    as pure codegen expressions, explode + partial-aggregated groupBy
-    (the scale-proof path: HOF lambdas evaluate interpreted per
-    element, measured 9x slower on exactly this shape), one exchange
-    carrying (id, partial sums) only.
+    With ``weights`` (a ``quality_classifier_train`` fit) the bucket
+    coefficients broadcast-join in and the doc score is the logistic of
+    the model margin ``mean-token-weight + bias``.  Without, a
+    deterministic hash-derived stand-in weighs each bucket — the
+    untrained but fully-plumbed default.  Either way the hot path is
+    the same: per-token hashing and weight lookup JVM-side, explode +
+    partial-aggregated groupBy (the scale-proof path: HOF lambdas
+    evaluate interpreted per element, measured 9x slower on exactly
+    this shape), one exchange carrying (id, partial sums) only.
 
     Output: (id, n_tokens, score, keep).
     """
@@ -1237,18 +1331,28 @@ def quality_classifier_score(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
     )
     bucket = md5_base28(F.col("__tok")) % n_buckets
-    # deterministic weight in [-1, 1): Knuth multiplicative hash of the
-    # bucket id, exact in 64-bit integer arithmetic in both engines
-    w = ((bucket * F.lit(2654435761)) % F.lit(2147483648)) / 2147483648.0 * 2 - 1
-    scored = (
-        tok.select(F.col(id_col), w.alias("__w"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("__w").alias("__sw"),
+    if weights is not None:
+        wdf = df.sparkSession.createDataFrame(
+            list(enumerate(weights)), "bucket int, __w double"
         )
+        per_tok = tok.select(F.col(id_col), bucket.alias("bucket")).join(
+            F.broadcast(wdf), "bucket", "left"
+        )
+        scale = 1.0  # margin is already model-calibrated
+    else:
+        # deterministic weight in [-1, 1): Knuth multiplicative hash of
+        # the bucket id, exact in 64-bit integer arithmetic in both
+        # engines
+        w = ((bucket * F.lit(2654435761)) % F.lit(2147483648)) / 2147483648.0 * 2 - 1
+        per_tok = tok.select(F.col(id_col), w.alias("__w"))
+        scale = 4.0  # spreads the stand-in's mean weight over the logistic
+    scored = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__sw"),
     )
-    score = 1.0 / (1.0 + F.exp(-4.0 * F.col("__sw") / F.col("n_tokens")))
+    score = 1.0 / (
+        1.0 + F.exp(-(scale * F.col("__sw") / F.col("n_tokens") + F.lit(bias)))
+    )
     return scored.select(
         F.col(id_col),
         F.col("n_tokens"),

@@ -1347,3 +1347,72 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return quality_classifier_score(d, "doc_id", "text")
+
+
+_QC_WEIGHTS_EXPORT = "/tmp/spark_graft_quality_classifier_weights"
+
+
+@register(
+    "text_quality_classifier_trained",
+    oracle=f"""
+    WITH wt AS (
+      SELECT bucket, weight
+      FROM read_parquet('{_QC_WEIGHTS_EXPORT}/*.parquet') WHERE bucket >= 0
+    ), bias AS (
+      SELECT weight
+      FROM read_parquet('{_QC_WEIGHTS_EXPORT}/*.parquet') WHERE bucket = -1
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id, ({_HEX_BASE}) % 4096 AS bucket FROM tok
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(coalesce(wt.weight, 0.0)) AS sw
+      FROM b LEFT JOIN wt USING (bucket) GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(sw / n_tokens
+                 + (SELECT weight FROM bias)))), 6) AS score,
+           (1.0 / (1.0 + exp(-(sw / n_tokens
+                 + (SELECT weight FROM bias))))) > 0.5 AS keep
+    FROM agg
+    """,
+    doc="TRAINED hashed linear quality classifier (operators/text.py:"
+    "quality_classifier_train): logistic regression fit IN-ENGINE over "
+    "L1-normalized token-bucket frequencies, weak supervision from the "
+    "Gopher stopword-density rule (Rae et al. 2021 stopword signal at "
+    "a 0.02 occurrence-ratio threshold), 16 full-batch gradient "
+    "supersteps via the kmeans broadcast-coefficient pattern — each "
+    "superstep ONE pass over the persisted doc-partitioned feature "
+    "set, gradients folded per bucket and collected (n_buckets rows). "
+    "Scoring reuses the explode + partial-agg plumbing with the fitted "
+    "coefficients broadcast in.  Oracle is WEIGHTS-CONDITIONED "
+    "(dataset_api_kmeans pattern): the query exports (bucket, weight) "
+    "+ bias, DuckDB independently re-scores every document.",
+)
+def text_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        quality_classifier_score,
+        quality_classifier_train,
+        tokens,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # weak supervision: Gopher stopword-density rule (occurrence count,
+    # not distinct membership — the CCNet/Gopher ratio convention)
+    t = tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    label = (F.size(t) > 0) & ((n_stop / F.size(t)) >= 0.02)
+    labeled = d.select("doc_id", "text", label.cast("int").alias("label"))
+    weights, bias = quality_classifier_train(labeled, "doc_id", "text", "label")
+    spark.createDataFrame(
+        list(enumerate(weights)) + [(-1, bias)], "bucket int, weight double"
+    ).coalesce(1).write.mode("overwrite").parquet(_QC_WEIGHTS_EXPORT)
+    return quality_classifier_score(
+        d, "doc_id", "text", weights=weights, bias=bias
+    )
