@@ -519,11 +519,26 @@ def _lower_expr_args(text: str, symbols: set, default_sym, synth: dict) -> str:
     return _NAVAGG_CALL_RE.sub(lower, text)
 
 
+# Scalar functions allowed inside a bare expression measure
+# (ROUND(UP.price, 2) AS total): row-local, deterministic, identical
+# semantics in Spark SQL — the reference's MatchCodeGenerator compiles
+# arbitrary RexCalls in measures (MatchCodeGenerator.scala:42-69).
+# Aggregates/navigation and anything NOT listed (STDDEV, user calls)
+# must keep falling through to the measure grammar's loud
+# NotImplementedError rather than silently mis-evaluating.
+_BARE_MEASURE_SCALAR_FNS = frozenset(
+    """round abs sqrt ceil ceiling floor power pow mod ln log log10 exp
+    sign greatest least coalesce nullif upper lower length char_length
+    trim ltrim rtrim substring substr concat replace""".split()
+)
+
+
 def _lower_bare_expr_measures(measures_txt: str, symbols: set, synth: dict) -> str:
     """Rewrite bare single-variable expression measures
-    (``UP.price + UP.tax AS end_total``) into ``LAST(SYM.__mx) AS
-    alias`` over a synthetic row-local column — SQL's FINAL semantics
-    for an unwrapped variable reference (the variable's last row)."""
+    (``UP.price + UP.tax AS end_total``, ``ROUND(UP.price, 2) AS r``)
+    into ``LAST(SYM.__mx) AS alias`` over a synthetic row-local column
+    — SQL's FINAL semantics for an unwrapped variable reference (the
+    variable's last row)."""
     out = []
     for item in _split_top_level(measures_txt):
         it = item.strip()
@@ -531,10 +546,14 @@ def _lower_bare_expr_measures(measures_txt: str, symbols: set, synth: dict) -> s
         if m and not _MEASURE_RE.fullmatch(it):
             expr, alias = m.group(1).strip(), m.group(2)
             syms = {s for s in re.findall(r"(\w+)\s*\.", expr) if s in symbols}
-            # only CALL-FREE arithmetic over one variable's columns —
-            # an unknown function (STDDEV(A.price)) must fall through
-            # to the measure grammar's NotImplementedError
-            if len(syms) == 1 and not re.search(r"\w+\s*\(", expr):
+            # arithmetic over one variable's columns, calls restricted
+            # to the whitelisted row-local scalars — an unknown
+            # function (STDDEV(A.price)) must fall through to the
+            # measure grammar's NotImplementedError
+            calls = {
+                c.lower() for c in re.findall(r"\b([A-Za-z_]\w*)\s*\(", expr)
+            }
+            if len(syms) == 1 and calls <= _BARE_MEASURE_SCALAR_FNS:
                 sym = next(iter(syms))
                 row_expr = re.sub(
                     r"\b(\w+)\s*\.\s*(\w+)",

@@ -722,7 +722,8 @@ def cep_funnel_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id AS signup_id, next_id AS purchase_id,
            round(value * 2 + 1, 4) AS s_score,
-           round(next_value / 2, 4) AS p_half
+           round(next_value / 2, 4) AS p_half,
+           round(next_value, 2) AS p_round
     FROM seq
     WHERE event_type = 'signup' AND next_type = 'purchase'
       AND next_value * 2 > value
@@ -730,9 +731,12 @@ def cep_funnel_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MATCH_RECOGNIZE with EXPRESSION arguments in MEASURES and "
     "DEFINE (cep/match_recognize.py:_lower_expr_args — the reference's "
     "MatchRecognizeITCase testLogicalOffsets/testAggregates surface): "
-    "FIRST(S.value * 2 + 1), LAST(P.value / 2) and a cross-symbol "
-    "DEFINE 'P.value * 2 > FIRST(S.value)'.  Expressions pre-lower to "
-    "one synthetic row-local projection (WSCG) before the NFA, so the "
+    "FIRST(S.value * 2 + 1), LAST(P.value / 2), a whitelisted scalar "
+    "call in a BARE measure ROUND(P.value, 2) (LAST/FINAL semantics; "
+    "the reference compiles arbitrary RexCalls in measures, "
+    "MatchCodeGenerator.scala:42-69) and a cross-symbol DEFINE "
+    "'P.value * 2 > FIRST(S.value)'.  Expressions pre-lower to one "
+    "synthetic row-local projection (WSCG) before the NFA, so the "
     "match machinery only ever shuffles plain columns.",
 )
 def cep_mr_expression_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -746,7 +750,8 @@ def cep_mr_expression_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ts, event_id
         MEASURES S.event_id AS signup_id, P.event_id AS purchase_id,
                  FIRST(S.value * 2 + 1) AS s_score,
-                 LAST(P.value / 2) AS p_half
+                 LAST(P.value / 2) AS p_half,
+                 ROUND(P.value, 2) AS p_round
         ONE ROW PER MATCH
         AFTER MATCH SKIP PAST LAST ROW
         PATTERN (S P)
@@ -759,4 +764,5 @@ def cep_mr_expression_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "signup_id", "purchase_id",
         F.round("s_score", 4).alias("s_score"),
         F.round("p_half", 4).alias("p_half"),
+        "p_round",
     )

@@ -743,3 +743,43 @@ def test_all_rows_with_sql_pattern_group(spark, auth_df):
     # both users: login@0 fail@1
     assert list(out.classifier) == ["L", "FA", "L", "FA"]
     assert list(out.n_fa) == [1, 1, 1, 1]
+
+
+def test_bare_measure_whitelisted_scalar_call(spark, price_df):
+    """ROUND/ABS/… in a BARE expression measure lower through the
+    synthetic-column path with LAST/FINAL semantics (the reference
+    compiles arbitrary RexCalls in measures,
+    MatchCodeGenerator.scala:42-69); unknown calls keep raising."""
+    out = match_recognize(
+        price_df,
+        """
+        PARTITION BY k
+        ORDER BY ts
+        MEASURES ROUND(A.price / 3, 2) AS r,
+                 ABS(A.price - 100) + 1 AS d
+        ONE ROW PER MATCH
+        PATTERN (A+)
+        DEFINE A AS A.price > 0
+        """,
+    ).toPandas()
+    # A+ greedily takes the whole partition; bare measures = LAST row
+    last = {1: 9.5, 2: 9.0, 3: 12.0}
+    got = {int(r.k): (float(r.r), float(r.d)) for r in out.itertuples()}
+    assert got == {
+        k: (round(v / 3, 2), abs(v - 100) + 1) for k, v in last.items()
+    }
+
+
+def test_bare_measure_unknown_call_still_raises(spark, price_df):
+    with pytest.raises(NotImplementedError, match="supported"):
+        match_recognize(
+            price_df,
+            """
+            PARTITION BY k
+            ORDER BY ts
+            MEASURES STDDEV(A.price) + 1 AS sd
+            ONE ROW PER MATCH
+            PATTERN (A+)
+            DEFINE A AS A.price > 0
+            """,
+        )
