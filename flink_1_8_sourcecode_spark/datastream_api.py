@@ -134,6 +134,15 @@ class DataStream:
         .window(lts, rts, size).apply()``."""
         return JoinedStreams(self, other)
 
+    def co_group(self, other: "DataStream") -> "CoGroupedStreams":
+        """DataStream.coGroup :457 (CoGroupedStreams.java:75) — windowed
+        stream-stream coGroup: chain ``.where(keys).equal_to(keys)
+        .window(lts, rts, size).apply(fn, schema)``.  Unlike join, the
+        CoGroupFunction also sees one-sided (key, window) groups."""
+        return CoGroupedStreams(self, other)
+
+    coGroup = co_group
+
     def connect_broadcast(
         self,
         snapshot_fn,
@@ -411,3 +420,136 @@ class JoinedStreams:
         for lk, rk in zip(self._where, self._equal):
             cond = cond & (lw[lk] == rw[rk])
         return DataStream(lw.join(rw, cond, "inner").drop("__wl", "__wr"))
+
+
+class CoGroupedStreams:
+    """DataStream.coGroup(other).where(k).equal_to(k).window(...)
+    .apply(fn, schema) (CoGroupedStreams.java:75): same keys, same
+    tumbling event-time window, but the user function is invoked once
+    per (key, window) group with BOTH sides' rows — including groups
+    where one side is empty, which a join would drop.
+
+    Spark-first lowering (WindowedCoGroup.apply):
+    - batch inputs: ``groupBy(keys, bucket).cogroup(...).applyInPandas``
+      — the native Spark coGroup, one co-partitioned shuffle per side.
+    - streaming inputs: per-side windowed ``collect_list(struct(*))``
+      aggregation (watermark-finalized, exactly the reference's window
+      state buffering WindowOperator.java keeps for a CoGroupFunction),
+      then a FULL OUTER stream-stream join of the two finalized
+      aggregates on (keys, window) — Spark's chained-stateful-operator
+      path — and the CoGroupFunction applied per joined row via
+      ``mapInPandas``.  Each group is delivered to ``fn`` exactly once
+      across micro-batches (a naive streaming ``cogroup`` would fire
+      per-batch and split groups).
+
+    State stays bounded at 100 TB the same way the reference's window
+    state does: the watermark evicts (key, window) buffers once
+    ``size + delay`` has passed, and the buffered payload is exactly
+    one window of rows per key — the contract of a CoGroupFunction.
+    """
+
+    def __init__(self, left: DataStream, right: DataStream):
+        self._l = left
+        self._r = right
+        self._where: list[str] | None = None
+        self._equal: list[str] | None = None
+
+    def where(self, *keys: str) -> "CoGroupedStreams":
+        self._where = list(keys)
+        return self
+
+    def equal_to(self, *keys: str) -> "CoGroupedStreams":
+        self._equal = list(keys)
+        return self
+
+    equalTo = equal_to
+
+    def window(
+        self,
+        left_time: str,
+        right_time: str,
+        size: str,
+        watermark_delay: str | None = None,
+    ) -> "WindowedCoGroup":
+        """TumblingEventTimeWindows.of(size)."""
+        if not self._where or not self._equal or len(self._where) != len(self._equal):
+            raise ValueError(
+                "co_group: .where(k...).equal_to(k...) with matching key "
+                "counts must precede .window"
+            )
+        return WindowedCoGroup(
+            self._l, self._r, self._where, self._equal,
+            left_time, right_time, size, watermark_delay or size,
+        )
+
+
+class WindowedCoGroup:
+    """The ``.apply(fn, schema)`` tail of the coGroup chain.
+
+    ``fn(left_pdf, right_pdf) -> pdf`` — the same signature as the
+    batch DataSet facade's CoGroupBuilder (dataset_api.py:480), with
+    each side's ORIGINAL columns (helper bucket columns are stripped).
+    One side's pdf is empty for one-sided groups; empty pdfs carry the
+    correct column names but object dtypes — guard reductions with
+    ``len(pdf)`` checks as any CoGroupFunction does for empty iterables.
+    """
+
+    def __init__(self, left, right, where, equal, lt, rt, size, delay):
+        self._l, self._r = left, right
+        self._where, self._equal = where, equal
+        self._lt, self._rt = lt, rt
+        self._size, self._delay = size, delay
+
+    def apply(self, fn, schema) -> DataStream:
+        ldf, rdf = self._l.df, self._r.df
+        lt, rt, size = self._lt, self._rt, self._size
+        lcols, rcols = list(ldf.columns), list(rdf.columns)
+
+        if not ldf.isStreaming and not rdf.isStreaming:
+            # native batch coGroup: bucket, co-partition, applyInPandas
+            lb = ldf.withColumn("__w", F.window(lt, size).start)
+            rb = rdf.withColumn("__w", F.window(rt, size).start)
+
+            def strip(l_pdf, r_pdf):
+                return fn(l_pdf[lcols], r_pdf[rcols])
+
+            lg = lb.groupBy(*self._where, "__w")
+            rg = rb.groupBy(*self._equal, "__w")
+            return DataStream(lg.cogroup(rg).applyInPandas(strip, schema))
+
+        # streaming: finalized per-side window buffers + full outer join
+        import pandas as pd
+
+        lw = ldf.withWatermark(lt, self._delay)
+        rw = rdf.withWatermark(rt, self._delay)
+        la = lw.groupBy(
+            *[F.col(k) for k in self._where],
+            F.window(lt, size).alias("__wl"),
+        ).agg(F.collect_list(F.struct(*lcols)).alias("__lrows"))
+        ra = rw.groupBy(
+            *[F.col(k).alias(f"__rk_{i}") for i, k in enumerate(self._equal)],
+            F.window(rt, size).alias("__wr"),
+        ).agg(F.collect_list(F.struct(*rcols)).alias("__rrows"))
+        cond = la["__wl"] == ra["__wr"]
+        for i, lk in enumerate(self._where):
+            cond = cond & (la[lk] == ra[f"__rk_{i}"])
+        joined = la.join(ra, cond, "full_outer").select("__lrows", "__rrows")
+
+        def run(batches):
+            for pdf in batches:
+                for lrows, rrows in zip(pdf["__lrows"], pdf["__rrows"]):
+                    l_pdf = (
+                        pd.DataFrame(list(lrows), columns=lcols)
+                        if lrows is not None and len(lrows)
+                        else pd.DataFrame(columns=lcols)
+                    )
+                    r_pdf = (
+                        pd.DataFrame(list(rrows), columns=rcols)
+                        if rrows is not None and len(rrows)
+                        else pd.DataFrame(columns=rcols)
+                    )
+                    out = fn(l_pdf, r_pdf)
+                    if out is not None and len(out):
+                        yield out
+
+        return DataStream(joined.mapInPandas(run, schema))

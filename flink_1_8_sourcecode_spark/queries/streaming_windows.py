@@ -425,3 +425,73 @@ def datastream_api_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(joined.df, "q_dswj", state_partitions=4)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "datastream_api_cogroup",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w,
+             count(*) AS sc
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ), v AS (
+      SELECT user_id, time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w,
+             count(*) AS vc
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT COALESCE(s.user_id, v.user_id) AS user_id,
+           COALESCE(s.w, v.w) AS w_start,
+           COALESCE(sc, 0) AS signup_cnt,
+           COALESCE(vc, 0) AS view_cnt
+    FROM s FULL OUTER JOIN v ON s.user_id = v.user_id AND s.w = v.w
+    """,
+    doc="Windowed stream-stream coGroup THROUGH the fluent DataStream "
+    "facade (DataStream.coGroup :457 / CoGroupedStreams.java:75): "
+    "signups and views of the same user in the same daily bucket, the "
+    "CoGroupFunction emitting one row per (user, day) group INCLUDING "
+    "one-sided groups — the semantics a join cannot express.  Lowering: "
+    "per-side watermark-finalized collect_list window buffers, full "
+    "outer stream-stream join on (key, window), mapInPandas applies "
+    "the function exactly once per group across micro-batches.  The "
+    "far-future sentinel (user_id = -1) rides through both side "
+    "filters to advance both watermarks, then is dropped from the "
+    "result — the bounded-input end-of-stream convention.",
+)
+def datastream_api_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.datastream_api import DataStream
+
+    src = _replayed_stream(spark, sf_dir, "dscg_")
+    keep = F.col("user_id") < 0  # sentinel rides along to advance watermarks
+    s = DataStream(src).filter((F.col("event_type") == "signup") | keep).map(
+        F.col("user_id").alias("u"), F.col("ts").alias("s_ts")
+    )
+    v = DataStream(src).filter((F.col("event_type") == "view") | keep).map(
+        F.col("user_id").alias("u2"), F.col("ts").alias("p_ts")
+    )
+
+    def cogroup_fn(l_pdf, r_pdf):
+        import pandas as pd
+
+        ts = l_pdf["s_ts"].iloc[0] if len(l_pdf) else r_pdf["p_ts"].iloc[0]
+        uid = int(l_pdf["u"].iloc[0]) if len(l_pdf) else int(r_pdf["u2"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "w_start": [pd.Timestamp(ts).floor("D")],
+                "signup_cnt": [len(l_pdf)],
+                "view_cnt": [len(r_pdf)],
+            }
+        )
+
+    out = (
+        s.co_group(v)
+        .where("u")
+        .equal_to("u2")
+        .window("s_ts", "p_ts", "1 day")
+        .apply(
+            cogroup_fn,
+            "user_id long, w_start timestamp, signup_cnt long, view_cnt long",
+        )
+    )
+    name = _run_to_table(out.df, "q_dscg", state_partitions=4)
+    return spark.table(name).filter(F.col("user_id") >= 0)

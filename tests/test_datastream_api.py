@@ -249,3 +249,86 @@ def test_connect_broadcast_smoke(spark, env, tmp_path):
     ).start()
     _drain(q)
     assert seen and sum(seen) == 0  # every event type resolved
+
+
+def test_cogroup_batch_path_one_sided_groups(spark, env, tmp_path):
+    """CoGroupedStreams (CoGroupedStreams.java:75) over batch inputs:
+    native cogroup(applyInPandas), one-sided groups included."""
+    import datetime as dt
+    import pandas as pd
+
+    base = dt.datetime(2020, 1, 1)
+    l = DataStream(spark.createDataFrame(
+        [(1, base, 10.0), (1, base, 20.0), (3, base, 5.0)],
+        "k int, lt timestamp, lv double"))
+    r = DataStream(spark.createDataFrame(
+        [(1, base, 100.0), (2, base, 7.0)],
+        "k2 int, rt timestamp, rv double"))
+
+    def fn(lp, rp):
+        k = int(lp["k"].iloc[0]) if len(lp) else int(rp["k2"].iloc[0])
+        return pd.DataFrame({
+            "k": [k],
+            "lsum": [float(lp["lv"].sum()) if len(lp) else 0.0],
+            "rsum": [float(rp["rv"].sum()) if len(rp) else 0.0],
+        })
+
+    out = (
+        l.co_group(r).where("k").equal_to("k2")
+        .window("lt", "rt", "1 day")
+        .apply(fn, "k int, lsum double, rsum double")
+    )
+    assert not out.df.isStreaming
+    rows = sorted((x.k, x.lsum, x.rsum) for x in out.df.collect())
+    # k=1 both sides, k=2 right-only, k=3 left-only
+    assert rows == [(1, 30.0, 100.0), (2, 0.0, 7.0), (3, 5.0, 0.0)]
+
+
+def test_cogroup_stream_matches_batch(spark, env, tmp_path):
+    """Streaming coGroup == the batch facade path on the same inputs,
+    across multiple micro-batches (each group delivered exactly once)."""
+    import pandas as pd
+
+    def fn(lp, rp):
+        ts = lp["s_ts"].iloc[0] if len(lp) else rp["p_ts"].iloc[0]
+        uid = int(lp["u"].iloc[0]) if len(lp) else int(rp["u2"].iloc[0])
+        return pd.DataFrame({
+            "user_id": [uid],
+            "w_start": [pd.Timestamp(ts).floor("D")],
+            "sc": [len(lp)],
+            "vc": [len(rp)],
+        })
+
+    schema = "user_id long, w_start timestamp, sc long, vc long"
+
+    def build(src_ds):
+        keep = F.col("user_id") < 0
+        s = src_ds.filter((F.col("event_type") == "signup") | keep).map(
+            F.col("user_id").alias("u"), F.col("ts").alias("s_ts"))
+        v = src_ds.filter((F.col("event_type") == "view") | keep).map(
+            F.col("user_id").alias("u2"), F.col("ts").alias("p_ts"))
+        return (
+            s.co_group(v).where("u").equal_to("u2")
+            .window("s_ts", "p_ts", "1 day")
+            .apply(fn, schema)
+        )
+
+    stream = build(DataStream(
+        _event_stream(spark, tmp_path, "cg_sb", sentinel=True)))
+    q = stream.add_sink_memory("t_ds_cg")
+    _drain(q)
+    got = spark.table("t_ds_cg").filter("user_id >= 0").toPandas()
+
+    batch = build(DataStream(table(spark, SF_SMALL, "events"))).df
+    expected = batch.filter("user_id >= 0").toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, expected.values.tolist())
+    )
+
+
+def test_cogroup_validation(spark, env, tmp_path):
+    a = DataStream(spark.range(3).withColumn("ts", F.current_timestamp()))
+    with pytest.raises(ValueError, match="where"):
+        a.co_group(a).window("ts", "ts", "1 hour")
+    with pytest.raises(ValueError, match="where"):
+        a.co_group(a).where("id").window("ts", "ts", "1 hour")
