@@ -197,3 +197,79 @@ def validate_expectations(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def curate_gate(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    blocked_domains: DataFrame,
+    badwords: list[str],
+    max_badword_ratio: float = 0.1,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    n_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """STREAMING-SAFE corpus curation gate: blocklist + bad-word ratio +
+    quality-classifier score in one fully STATELESS pass — the
+    ingestion-time twin of running ``text.blocklist_gate`` then
+    ``text.quality_classifier_score`` over a batch corpus.
+
+    Every step is map-only or a stream-static broadcast join, so the
+    identical plan runs on a batch frame AND on a live ingestion stream
+    (no stateful operator, no watermark, append mode):
+
+    - blocklist: broadcast LEFT-ANTI on the extracted domain
+      (``text.blocklist_gate`` — the corpus never reshuffles);
+    - bad-word ratio: map-only array filter over the token array;
+    - classifier margin: per-row array HOFs with the coefficient
+      vector as a PLAN LITERAL — ``transform`` maps each token to its
+      bucket weight, ``aggregate`` folds the sum.  This trades the
+      batch path's explode + partial-agg shuffle (which a stream would
+      pay for with per-doc state) for interpreted per-element eval:
+      the right trade at ingestion, where statelessness is the point;
+      re-score the landed corpus with ``quality_classifier_score`` if
+      you need the vectorized path.
+
+    Scoring matches ``quality_classifier_score`` exactly: trained
+    ``weights`` give ``sigmoid(mean_token_weight + bias)``; without
+    them the deterministic hash stand-in (x4 spread) applies.  Docs
+    with zero tokens score 0.0 and are dropped by any threshold > 0 —
+    the same outcome as the batch scorer, where they never survive
+    ``keep``.
+
+    Output: survivors with (domain, badword_ratio, n_tokens, score).
+    """
+    gated = tx.blocklist_gate(
+        df, url_col, text_col, blocked_domains, badwords, max_badword_ratio
+    )
+    toks = tx.tokens(F.col(text_col))
+    bucket_of = lambda t: tx.md5_base28(t) % n_buckets  # noqa: E731
+    if weights is not None:
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        tw = F.transform(
+            toks,
+            lambda t: F.element_at(warr, (bucket_of(t) + 1).cast("int")),
+        )
+        scale = 1.0
+    else:
+        tw = F.transform(
+            toks,
+            lambda t: (
+                (bucket_of(t) * F.lit(2654435761)) % F.lit(2147483648)
+            )
+            / 2147483648.0
+            * 2
+            - 1,
+        )
+        scale = 4.0
+    n_tok = F.size(toks)
+    sw = F.aggregate(tw, F.lit(0.0), lambda acc, x: acc + x)
+    score = 1.0 / (1.0 + F.exp(-(F.lit(scale) * sw / n_tok + F.lit(bias))))
+    score = F.when(n_tok > 0, score).otherwise(F.lit(0.0))
+    return (
+        gated.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("score", F.round(score, 6))
+        .filter(F.col("score") > threshold)
+    )

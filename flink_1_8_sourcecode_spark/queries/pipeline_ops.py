@@ -1210,3 +1210,136 @@ def sample_rate_limit(spark, sf_dir: str):
         e, key_col="user_id", time_col="ts", id_col="event_id",
         k=3, window_seconds=86400,
     ).select("user_id", "event_id", "window_start")
+
+
+_SCG_WEIGHTS_EXPORT = "/tmp/spark_graft_streaming_gate_weights"
+_DOC_CHUNK_CACHE: dict[str, str] = {}
+
+from flink_1_8_sourcecode_spark.queries.dedup import _duck_gram_base  # noqa: E402
+
+_HEX_T = _duck_gram_base("t")
+
+
+@register(
+    "streaming_curate_gate",
+    oracle=f"""
+    WITH wt AS (
+      SELECT bucket, weight
+      FROM read_parquet('{_SCG_WEIGHTS_EXPORT}/*.parquet') WHERE bucket >= 0
+    ), bias AS (
+      SELECT weight
+      FROM read_parquet('{_SCG_WEIGHTS_EXPORT}/*.parquet') WHERE bucket = -1
+    ), built AS (
+      SELECT doc_id, text,
+             'http://' || source || '.example.com/doc/' || doc_id::VARCHAR
+               AS url
+      FROM documents
+    ), flt AS (
+      SELECT doc_id, text,
+             regexp_extract(url, '^[^/]*//([^/:?]+)', 1) AS domain,
+             CASE WHEN len(list_filter(string_split_regex(lower(trim(text)),
+                        '\\s+'), x -> x != '')) > 0
+                  THEN len(list_filter(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != ''),
+                       x -> list_contains(['slow', 'big'], x)))
+                       / len(list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != ''))::DOUBLE
+                  ELSE 0.0 END AS badword_ratio
+      FROM built
+    ), gated AS (
+      SELECT * FROM flt
+      WHERE domain NOT IN ('src0.example.com', 'src7.example.com')
+        AND badword_ratio <= 0.07
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS t
+      FROM gated
+    ), b AS (
+      SELECT doc_id, ({_HEX_T}) % 4096 AS bucket FROM tok
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(coalesce(wt.weight, 0.0)) AS sw
+      FROM b LEFT JOIN wt USING (bucket) GROUP BY 1
+    )
+    SELECT g.doc_id, g.domain, round(g.badword_ratio, 4) AS badword_ratio,
+           a.n_tokens,
+           round(1.0 / (1.0 + exp(-(a.sw / a.n_tokens
+                 + (SELECT weight FROM bias)))), 6) AS score
+    FROM gated g JOIN agg a USING (doc_id)
+    WHERE round(1.0 / (1.0 + exp(-(a.sw / a.n_tokens
+          + (SELECT weight FROM bias)))), 6) > 0.5
+    """,
+    doc="End-to-end LLM-corpus curation ON LIVE INGESTION "
+    "(operators/pipeline.py:curate_gate): the blocklist gate and the "
+    "in-engine-TRAINED quality classifier run inside the streaming "
+    "path — documents replayed as micro-batches, every gate stage "
+    "stateless (broadcast anti-join + map-only array HOFs, the "
+    "coefficient vector a plan literal), append-mode memory sink.  "
+    "Weights come from a quality_classifier_train fit on the batch "
+    "corpus (the historical-corpus -> live-ingestion deployment "
+    "shape); the oracle is WEIGHTS-CONDITIONED — DuckDB independently "
+    "re-runs blocklist + ratio + logistic scoring from the exported "
+    "(bucket, weight) table.  Stream == batch because no stage keeps "
+    "state across micro-batches.",
+)
+def streaming_curate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_gate
+    from flink_1_8_sourcecode_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        quality_classifier_train,
+        tokens,
+    )
+    from flink_1_8_sourcecode_spark.streaming import sources
+
+    # 1. train on the batch corpus (Gopher stopword-density weak labels
+    #    — same supervision as text_quality_classifier_trained)
+    d = table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+    label = (F.size(t) > 0) & ((n_stop / F.size(t)) >= 0.02)
+    weights, bias = quality_classifier_train(
+        d.select("doc_id", "text", label.cast("int").alias("label")),
+        "doc_id", "text", "label", n_iters=8,
+    )
+    spark.createDataFrame(
+        list(enumerate(weights)) + [(-1, bias)], "bucket int, weight double"
+    ).coalesce(1).write.mode("overwrite").parquet(_SCG_WEIGHTS_EXPORT)
+
+    # 2. gate the live replay with the fitted coefficients
+    import os
+    import tempfile
+
+    chunks = _DOC_CHUNK_CACHE.get(sf_dir)
+    if chunks is None or not os.path.isdir(chunks):
+        chunks = tempfile.mkdtemp(prefix="scg_docs_")
+        sources.write_document_chunks(spark, sf_dir, chunks, n_chunks=4)
+        _DOC_CHUNK_CACHE[sf_dir] = chunks
+    src = sources.read_document_stream(spark, chunks).withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    blocked = spark.createDataFrame(
+        [("src0.example.com",), ("src7.example.com",)], "domain string"
+    )
+    out = curate_gate(
+        src, "url", "text", blocked, badwords=["slow", "big"],
+        max_badword_ratio=0.07, weights=weights, bias=bias,
+    ).select(
+        "doc_id", "domain", F.round("badword_ratio", 4).alias("badword_ratio"),
+        "n_tokens", "score",
+    )
+    name = f"q_scg_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -59,6 +59,39 @@ def read_event_stream(
     )
 
 
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def write_document_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> str:
+    """Materialize the documents table as n id-ordered parquet chunk
+    files so a file source replays corpus INGESTION as micro-batches —
+    the fixture for the streaming curation-gate queries."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    chunk = F.ntile(n_chunks).over(Window.orderBy("doc_id")) - 1
+    docs.withColumn("__chunk", chunk).write.mode("overwrite").partitionBy(
+        "__chunk"
+    ).parquet(out_dir)
+    return out_dir
+
+
+def read_document_stream(
+    spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Monitored-directory file source over the document replay chunks."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunk_dir)
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """generateSequence analogue (StreamExecutionEnvironment.java:677)."""
     return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()

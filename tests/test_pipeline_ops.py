@@ -1492,3 +1492,72 @@ class TestQualityClassifierTraining:
         df = spark.createDataFrame([], "doc_id long, text string, label int")
         w, b = tx.quality_classifier_train(df, "doc_id", "text", "label", n_iters=1)
         assert w == [0.0] * 4096 and b == 0.0
+
+
+class TestCurateGate:
+    """operators/pipeline.py:curate_gate — the stateless streaming
+    curation gate (blocklist + bad-word ratio + classifier score)."""
+
+    def _inputs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "http://good.example.com/a", "the fast result and the fine answer"),
+                (2, "http://blocked.example.com/b", "the fast result and the fine answer"),
+                (3, "http://good.example.com/c", "slow slow slow slow pad"),
+                (4, "http://good.example.com/d", ""),  # zero tokens
+            ],
+            "doc_id long, url string, text string",
+        )
+        blocked = spark.createDataFrame([("blocked.example.com",)], "domain string")
+        return docs, blocked
+
+    def test_gate_stages_batch(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import curate_gate
+
+        docs, blocked = self._inputs(spark)
+        # generous weights so every surviving doc passes the threshold:
+        # isolate the blocklist/ratio/zero-token behavior
+        out = curate_gate(
+            docs, "url", "text", blocked, badwords=["slow"],
+            max_badword_ratio=0.5, weights=[5.0] * 4096, bias=0.0,
+        )
+        kept = sorted(r.doc_id for r in out.collect())
+        # doc 2 blocked by domain, doc 3 by ratio (4/5 > 0.5),
+        # doc 4 scores 0.0 (zero tokens) — only doc 1 survives
+        assert kept == [1]
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.operators.pipeline import curate_gate
+
+        docs, blocked = self._inputs(spark)
+        weights = [((b * 2654435761) % 2**31) / 2**31 * 8 - 4 for b in range(64)]
+
+        def gate(frame):
+            return curate_gate(
+                frame, "url", "text", blocked, badwords=["slow"],
+                max_badword_ratio=0.5, weights=weights, bias=0.1,
+                n_buckets=64,
+            ).select("doc_id", "n_tokens", "score")
+
+        expected = sorted(map(tuple, gate(docs).toPandas().values.tolist()))
+
+        # replay the same docs as 2 micro-batches
+        d = str(tmp_path / "cg_docs")
+        docs.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(d)
+        docs.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(d)
+        src = (
+            spark.readStream.schema("doc_id long, url string, text string")
+            .option("maxFilesPerTrigger", "1").parquet(d)
+        )
+        q = (
+            gate(src).writeStream.format("memory").queryName("t_curate_gate")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(
+            tuple, spark.table("t_curate_gate").toPandas().values.tolist()
+        ))
+        assert got == expected
