@@ -231,11 +231,15 @@ class KeyedStream:
         preceding_rows: int | None = None,
         preceding_seconds: float | None = None,
         tiebreak: str | None = None,
+        idle_retention_seconds: "float | str | None" = "auto",
     ) -> DataFrame:
         """The bounded OVER twin (RowTimeBoundedRowsOver.scala:44 /
         RowTimeBoundedRangeOver.scala): per-row frame sum/count over
         the last n rows or trailing interval
-        (streaming/stateful.py:event_time_bounded_agg)."""
+        (streaming/stateful.py:event_time_bounded_agg).
+        ``idle_retention_seconds``: "auto" (default) drops an idle
+        ROWS key after max(30 days, 100x delay) of event time; None
+        retains forever (exact frames across any gap); float = TTL."""
         from flink_1_8_sourcecode_spark.streaming.stateful import (
             event_time_bounded_agg,
         )
@@ -245,6 +249,7 @@ class KeyedStream:
         return event_time_bounded_agg(
             self.df, self.keys[0], ts_col, value_col, watermark_delay,
             preceding_rows, preceding_seconds, tiebreak,
+            idle_retention_seconds=idle_retention_seconds,
         )
 
     def rate_limit(

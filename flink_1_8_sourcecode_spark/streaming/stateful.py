@@ -206,6 +206,32 @@ def count_window_agg(
     )
 
 
+_INTERVAL_UNIT_S = {
+    "millisecond": 1e-3, "second": 1.0, "minute": 60.0, "hour": 3600.0,
+    "day": 86400.0, "week": 604800.0,
+}
+
+# "auto" ROWS idle retention: 30 event-time days, floored at 100x the
+# declared disorder bound — two orders of magnitude beyond the contract
+AUTO_IDLE_RETENTION_MIN_S = 30 * 86400.0
+AUTO_IDLE_RETENTION_DELAY_FACTOR = 100.0
+
+
+def _interval_seconds(delay: str) -> float:
+    """Seconds in a Spark watermark-delay interval string
+    (``"30 minutes"``, ``"1 day"``, ``"500 milliseconds"``)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+(?:\.\d+)?)\s*"
+        r"(millisecond|second|minute|hour|day|week)s?\s*",
+        delay.lower(),
+    )
+    if not m:
+        raise ValueError(f"unparseable interval string: {delay!r}")
+    return float(m.group(1)) * _INTERVAL_UNIT_S[m.group(2)]
+
+
 def event_time_bounded_agg(
     df: DataFrame,
     key: str,
@@ -215,7 +241,7 @@ def event_time_bounded_agg(
     preceding_rows: int | None = None,
     preceding_seconds: float | None = None,
     tiebreak: str | None = None,
-    idle_retention_seconds: float | None = None,
+    idle_retention_seconds: "float | str | None" = "auto",
 ) -> DataFrame:
     """Streaming BOUNDED event-time OVER — Flink's
     RowTimeBoundedRowsOver.scala:44 (``ROWS BETWEEN n PRECEDING AND
@@ -244,11 +270,22 @@ def event_time_bounded_agg(
     discipline, ProcessFunctionWithCleanupState): RANGE history is
     provably dead once the watermark passes ``hist_max +
     preceding_seconds`` — a cleanup timer removes it then, exactly
-    (no semantic change).  ROWS history can reach any future row, so
-    it is only dropped when ``idle_retention_seconds`` is set (Flink's
-    ``minIdleStateRetentionTime``; default None = retain, the
-    reference's own default) — after removal a resumed key restarts
-    its frame, the reference's documented TTL semantics.
+    (no semantic change).  ROWS history can in principle reach ANY
+    future row, so a finite TTL is always a semantic trade (Flink's
+    ``minIdleStateRetentionTime``: after removal a resumed key
+    restarts its frame — the reference's documented TTL semantics).
+    ``idle_retention_seconds`` picks the trade:
+
+    - ``"auto"`` (DEFAULT) — drop a key's ROWS history after
+      ``max(30 event-time days, 100 x the watermark delay)`` of
+      idleness: state is bounded at 100 TB even with unbounded key
+      churn, and a key silent for two orders of magnitude beyond the
+      stream's own declared disorder bound (and a month of event
+      time) is treated as departed.
+    - a float — explicit TTL in event-time seconds.
+    - ``None`` — retain forever: exact frame semantics across any
+      idle gap (the reference's out-of-the-box default, state growth
+      O(active ∪ departed keys)).
     """
     import numpy as np
 
@@ -263,6 +300,16 @@ def event_time_bounded_agg(
         raise ValueError(f"preceding_rows must be >= 0, got {preceding_rows}")
     if preceding_seconds is not None and preceding_seconds < 0:
         raise ValueError(f"preceding_seconds must be >= 0, got {preceding_seconds}")
+    if idle_retention_seconds == "auto":
+        idle_retention_seconds = max(
+            AUTO_IDLE_RETENTION_MIN_S,
+            AUTO_IDLE_RETENTION_DELAY_FACTOR * _interval_seconds(watermark_delay),
+        )
+    elif isinstance(idle_retention_seconds, str):
+        raise ValueError(
+            f"idle_retention_seconds: expected 'auto', a float, or None; "
+            f"got {idle_retention_seconds!r}"
+        )
 
     src = df.withWatermark(time_col, watermark_delay)
     key_t = src.schema[key].dataType.simpleString()

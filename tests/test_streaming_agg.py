@@ -271,3 +271,79 @@ def test_streaming_rate_limit_equals_batch(spark, tmp_path):
     assert len(got_s) == len(want_s)
     assert (got_s[key + ["window_start"]].to_numpy()
             == want_s[key + ["window_start"]].to_numpy()).all()
+
+
+def test_interval_seconds_parser():
+    assert stateful._interval_seconds("30 minutes") == 1800.0
+    assert stateful._interval_seconds("1 day") == 86400.0
+    assert stateful._interval_seconds("500 milliseconds") == 0.5
+    assert stateful._interval_seconds("2 weeks") == 2 * 604800.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unparseable"):
+        stateful._interval_seconds("3 fortnights")
+
+
+def test_bounded_rows_idle_state_retention(spark, tmp_path):
+    """State-size regression for the ROWS-frame idle-key TTL
+    (ProcessFunctionWithCleanupState parity): with a finite
+    idle_retention_seconds a long keyed stream's state store SHRINKS
+    once keys go idle; with retention=None the departed keys stay.
+    Asserted on the state store's own numRowsTotal metric, not the
+    output."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write_chunks(d):
+        # chunk 0: keys 0..9 (3 rows each, minutes apart) + key 100
+        rows0 = [
+            (k * 10 + i, base + dt.timedelta(minutes=k * 3 + i), k, "e", 1.0, "{}")
+            for k in range(10)
+            for i in range(3)
+        ] + [(1000, base + dt.timedelta(hours=1), 100, "e", 1.0, "{}")]
+        spark.createDataFrame(rows0, sources.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(d + "/__chunk=0")
+        # chunks 1..5: ONLY key 100, marching 2 days per chunk — the
+        # watermark advances while keys 0..9 idle
+        for j in range(1, 6):
+            spark.createDataFrame(
+                [(1000 + j, base + dt.timedelta(days=2 * j), 100, "e", 1.0, "{}")],
+                sources.EVENTS_SCHEMA,
+            ).coalesce(1).write.mode("append").parquet(d + f"/__chunk={j}")
+
+    def run(retention, name):
+        d = str(tmp_path / name)
+        write_chunks(d)
+        stream = sources.read_event_stream(spark, d)
+        out = stateful.event_time_bounded_agg(
+            stream, key="user_id", time_col="ts", value_col="value",
+            watermark_delay="1 hour", preceding_rows=2, tiebreak="event_id",
+            idle_retention_seconds=retention,
+        )
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            state_rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ]
+        finally:
+            q.stop()
+        return state_rows
+
+    # 3-day TTL: keys 0..9 (last active day 0) are dropped once the
+    # watermark passes day 3 — the store ends at exactly the one
+    # still-active key
+    ttl_rows = run(3 * 86400.0, "t_idle_ttl")
+    assert max(ttl_rows) == 11, ttl_rows  # all keys were live at peak
+    assert ttl_rows[-1] == 1, ttl_rows
+
+    # retention=None (reference default): departed keys retained
+    keep_rows = run(None, "t_idle_keep")
+    assert keep_rows[-1] == 11, keep_rows
