@@ -684,3 +684,142 @@ class TestSetOperatorsITCase:
         a = Table(spark.createDataFrame(self.DATA_A, "a int, b long, c string"))
         with pytest.raises(ExpressionParserException, match="where_in"):
             a.where_in("a, b", a.select("a"))
+
+
+class TestCalcITCase:
+    """CalcITCase (flink-table/flink-table-planner/src/test/scala/.../
+    runtime/batch/table/CalcITCase.scala) — the reference's published
+    expected rows for the Calc family (select/as/filter/cast chains)
+    through the facade's string-expression DSL."""
+
+    def _t3(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        return Table(spark.createDataFrame(T3, "a int, b long, c string"))
+
+    def test_simple_select_all_with_as(self, spark):
+        # testSimpleSelectAllWithAs :68
+        out = self._t3(spark).select("a, b, c").df
+        got = sorted((r.a, r.b, r.c) for r in out.collect())
+        assert got == sorted(T3)
+
+    def test_simple_select_rename_all(self, spark):
+        # testSimpleSelectRenameAll :101 — rename then project a subset
+        out = self._t3(spark).select("a as x, b as y, c as z").select("x, y").df
+        got = sorted((r.x, r.y) for r in out.collect())
+        assert got == sorted((a, b) for a, b, _ in T3)
+
+    def test_all_rejecting_and_all_passing_filter(self, spark):
+        # testAllRejectingFilter :130 / testAllPassingFilter :144
+        t = self._t3(spark)
+        assert t.filter("false").df.count() == 0
+        assert t.filter("true").df.count() == len(T3)
+
+    def test_filter_on_string_tuple_field(self, spark):
+        # testFilterOnStringTupleField :162 — 'c.like("%world%")
+        out = self._t3(spark).filter("c.like('%world%')").df
+        got = sorted((r.a, r.b, r.c) for r in out.collect())
+        assert got == [(3, 2, "Hello world"), (4, 3, "Hello world, how are you?")]
+
+    def test_filter_on_integer_tuple_field_and_not_equals(self, spark):
+        # testFilterOnIntegerTupleField :175 / testNotEquals :192
+        t = self._t3(spark)
+        evens = sorted(r.a for r in t.filter("a % 2 === 0").df.collect())
+        assert evens == [2, 4, 6, 8, 10, 12, 14, 16, 18, 20]
+        odds = sorted(r.a for r in t.filter("a % 2 !== 0").df.collect())
+        assert odds == [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21]
+
+    def test_disjunctive_predicate(self, spark):
+        # testDisjunctivePredicate :208 — 'a < 2 || 'a > 20
+        out = self._t3(spark).filter("a < 2 || a > 20").df
+        got = sorted((r.a, r.b, r.c) for r in out.collect())
+        assert got == [(1, 1, "Hi"), (21, 6, "Comment#15")]
+
+    def test_consecutive_filters(self, spark):
+        # testConsecutiveFilters :221
+        out = self._t3(spark).filter("a % 2 !== 0").filter("b % 2 === 0").df
+        got = sorted(r.a for r in out.collect())
+        assert got == [3, 7, 9, 17, 19, 21]
+
+    def test_simple_calc(self, spark):
+        # testSimpleCalc :264 — select/where/select Calc fusion
+        out = self._t3(spark).select("a, b, c").where("a < 7").select("a, c").df
+        got = sorted((r.a, r.c) for r in out.collect())
+        assert got == [
+            (1, "Hi"), (2, "Hello"), (3, "Hello world"),
+            (4, "Hello world, how are you?"), (5, "I am fine."),
+            (6, "Luke Skywalker"),
+        ]
+
+    def test_calc_with_two_filters(self, spark):
+        # testCalcWithTwoFilters :280
+        out = (
+            self._t3(spark).select("a, b, c").where("a < 7 && b === 3")
+            .select("a, c").where("a === 4").select("a").df
+        )
+        assert [r.a for r in out.collect()] == [4]
+
+    def test_calc_with_aggregation(self, spark):
+        # testCalcWithAggregation :297 — published "7,4\n11,4"
+        out = (
+            self._t3(spark).select("a, b, c").where("a < 15")
+            .groupBy("b").select("a.min as mn, b.count as cnt")
+            .where("cnt > 3").df
+        )
+        got = sorted((r.mn, r.cnt) for r in out.collect())
+        assert got == [(7, 4), (11, 4)]
+
+    def test_calc_join(self, spark):
+        # testCalcJoin :314 — published "2,2\n3,2"
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        ds1 = Table(spark.createDataFrame(T3[:3], "a int, b long, c string"))
+        ds2 = Table(
+            spark.createDataFrame(T5, "d int, e long, f int, g string, h long")
+        )
+        out = (
+            ds1.select("a, b").join(ds2).where("b === e")
+            .select("a, b, d, e, f").where("b > 1").select("a, d")
+            .where("d === 2").df
+        )
+        got = sorted((r.a, r.d) for r in out.collect())
+        assert got == [(2, 2), (3, 2)]
+
+    def test_casting(self, spark):
+        # testCasting :400 — published "1,0.0,1,true,true,false,true,
+        # 1.0,0,1,1.0,1,0.0,1,true"
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        t = Table(spark.createDataFrame(
+            [(1, 0.0, 1, True)], "a int, b double, c long, d boolean"))
+        out = t.select(
+            "a.cast(STRING) as s1, b.cast(STRING) as s2, "
+            "c.cast(STRING) as s3, d.cast(STRING) as s4, "
+            "a.cast(BOOLEAN) as b1, b.cast(BOOLEAN) as b2, "
+            "c.cast(BOOLEAN) as b3, "
+            "a.cast(DOUBLE) as n1, b.cast(INT) as n2, c.cast(SHORT) as n3, "
+            "d.cast(DOUBLE) as x1, "
+            "a.cast(INT) as i1, b.cast(DOUBLE) as i2, c.cast(LONG) as i3, "
+            "d.cast(BOOLEAN) as i4"
+        ).df
+        r = out.collect()[0]
+        assert (r.s1, r.s2, r.s3, r.s4) == ("1", "0.0", "1", "true")
+        assert (r.b1, r.b2, r.b3) == (True, False, True)
+        assert (r.n1, r.n2, r.n3) == (1.0, 0, 1)
+        assert r.x1 == 1.0
+        assert (r.i1, r.i2, r.i3, r.i4) == (1, 0.0, 1, True)
+
+    def test_cast_from_string(self, spark):
+        # testCastFromString :423 — published "1,1,1,1,2.0,2.0,true"
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        t = Table(spark.createDataFrame(
+            [("1", "true", "2.0")], "a string, b string, c string"))
+        out = t.select(
+            "a.cast(BYTE) as v1, a.cast(SHORT) as v2, a.cast(INT) as v3, "
+            "a.cast(LONG) as v4, c.cast(DOUBLE) as v5, c.cast(FLOAT) as v6, "
+            "b.cast(BOOLEAN) as v7"
+        ).df
+        r = out.collect()[0]
+        assert (r.v1, r.v2, r.v3, r.v4) == (1, 1, 1, 1)
+        assert (r.v5, r.v6, r.v7) == (2.0, 2.0, True)
