@@ -27,6 +27,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # graph_connected_components and pipeline_curate_corpus were PROMOTED
 # to the headline set in r11 (bench=True on their registrations) so the
 # driver's regression gate sees the r10 pointer-jump/curate wins.
+# text_quality_classifier was PROMOTED in r13 (19-query headline set)
+# so the gate watches the LLM-pipeline token-scoring path too; compare
+# against r12 on the 18-query subtotal excluding it.
 SECONDARY = (
     "window_delta_trigger",
     "graph_cc_logrounds",

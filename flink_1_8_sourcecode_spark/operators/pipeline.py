@@ -247,6 +247,13 @@ def curate_gate(
     toks = tx.tokens(F.col(text_col))
     bucket_of = lambda t: tx.md5_base28(t) % n_buckets  # noqa: E731
     if weights is not None:
+        if len(weights) != n_buckets:
+            # element_at past the array end would null the token weight
+            # and silently zero every score — refuse loudly instead
+            raise ValueError(
+                f"curate_gate: len(weights)={len(weights)} must equal "
+                f"n_buckets={n_buckets}"
+            )
         warr = F.array(*[F.lit(float(w)) for w in weights])
         tw = F.transform(
             toks,

@@ -1312,6 +1312,12 @@ def text_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_classifier",
+    # PROMOTED to the bench headline set in r13: the north-star
+    # LLM-pipeline scoring path (explode + partial-agg over every token
+    # of the corpus) under the driver's 2x regression gate — the same
+    # rationale as the r11 graph/pipeline promotions.  The untrained
+    # variant benches: deterministic weights, no training variance.
+    bench=True,
     oracle="""
     WITH tok AS (
       SELECT doc_id,

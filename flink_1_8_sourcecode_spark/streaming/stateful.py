@@ -218,18 +218,18 @@ AUTO_IDLE_RETENTION_DELAY_FACTOR = 100.0
 
 
 def _interval_seconds(delay: str) -> float:
-    """Seconds in a Spark watermark-delay interval string
-    (``"30 minutes"``, ``"1 day"``, ``"500 milliseconds"``)."""
+    """Seconds in a Spark watermark-delay interval string — single
+    (``"30 minutes"``) or compound (``"1 hour 30 minutes"``), the same
+    forms ``withWatermark`` accepts."""
     import re
 
-    m = re.fullmatch(
-        r"\s*(\d+(?:\.\d+)?)\s*"
-        r"(millisecond|second|minute|hour|day|week)s?\s*",
-        delay.lower(),
-    )
-    if not m:
+    unit_re = r"(\d+(?:\.\d+)?)\s*(millisecond|second|minute|hour|day|week)s?"
+    parts = re.findall(unit_re, delay.lower())
+    # strict: every token must belong to a (number, unit) pair — reject
+    # "3 fortnights" loudly instead of silently dropping it
+    if not parts or re.sub(unit_re, "", delay.lower()).strip():
         raise ValueError(f"unparseable interval string: {delay!r}")
-    return float(m.group(1)) * _INTERVAL_UNIT_S[m.group(2)]
+    return sum(float(n) * _INTERVAL_UNIT_S[u] for n, u in parts)
 
 
 def event_time_bounded_agg(
