@@ -537,7 +537,9 @@ class WindowedCoGroup:
         ).agg(F.collect_list(F.struct(*rcols)).alias("__rrows"))
         cond = la["__wl"] == ra["__wr"]
         for i, lk in enumerate(self._where):
-            cond = cond & (la[lk] == ra[f"__rk_{i}"])
+            # null-safe: batch cogroup pairs NULL-key groups together,
+            # so the streaming lowering must too
+            cond = cond & la[lk].eqNullSafe(ra[f"__rk_{i}"])
         joined = la.join(ra, cond, "full_outer").select("__lrows", "__rrows")
 
         def run(batches):

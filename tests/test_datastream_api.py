@@ -326,6 +326,53 @@ def test_cogroup_stream_matches_batch(spark, env, tmp_path):
     )
 
 
+def test_cogroup_null_key_groups_pair(spark, env, tmp_path):
+    """NULL grouping keys: batch cogroup pairs the two NULL-key groups
+    into ONE fn call, so the streaming lowering must too (null-safe
+    join equality) — pinned stream==batch on a null-key input."""
+    import datetime as dt
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    far = base + dt.timedelta(days=40)
+    lrows = [(None, base, 1.0), (1, base, 2.0), (-9, far, 0.0)]
+    rrows = [(None, base, 10.0), (2, base, 20.0), (-9, far, 0.0)]
+    d = str(tmp_path / "nk")
+    spark.createDataFrame(lrows, "k int, lt timestamp, lv double").coalesce(
+        1).write.parquet(d + "/l")
+    spark.createDataFrame(rrows, "k2 int, rt timestamp, rv double").coalesce(
+        1).write.parquet(d + "/r")
+
+    def fn(lp, rp):
+        k = lp["k"].iloc[0] if len(lp) else rp["k2"].iloc[0]
+        return pd.DataFrame({
+            "k": [None if pd.isna(k) else int(k)],
+            "ln": [len(lp)], "rn": [len(rp)],
+        })
+
+    def build(l, r):
+        return (
+            l.co_group(r).where("k").equal_to("k2")
+            .window("lt", "rt", "1 day").apply(fn, "k int, ln long, rn long")
+        )
+
+    ls = spark.readStream.schema("k int, lt timestamp, lv double").parquet(d + "/l")
+    rs = spark.readStream.schema("k2 int, rt timestamp, rv double").parquet(d + "/r")
+    q = build(DataStream(ls), DataStream(rs)).add_sink_memory("t_cg_nk")
+    _drain(q)
+    got = sorted(
+        ((r.k, r.ln, r.rn) for r in spark.table("t_cg_nk").collect()
+         if r.k != -9),
+        key=str,
+    )
+    lb = DataStream(spark.createDataFrame(lrows[:2], "k int, lt timestamp, lv double"))
+    rb = DataStream(spark.createDataFrame(rrows[:2], "k2 int, rt timestamp, rv double"))
+    expected = sorted(
+        ((r.k, r.ln, r.rn) for r in build(lb, rb).df.collect()), key=str
+    )
+    assert got == expected == [(1, 1, 0), (2, 0, 1), (None, 1, 1)]
+
+
 def test_cogroup_validation(spark, env, tmp_path):
     a = DataStream(spark.range(3).withColumn("ts", F.current_timestamp()))
     with pytest.raises(ValueError, match="where"):
