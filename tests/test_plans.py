@@ -468,3 +468,78 @@ def test_join_lateral_is_generate_over_scan(spark, sf_dir):
     assert "Generate" in plan, plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_curate_gate_stateless_broadcast_anti(spark, sf_dir):
+    """curate_gate (the streaming ingestion gate): the ENTIRE gate —
+    blocklist + bad-word ratio + classifier margin — must be map-only
+    plus one broadcast LEFT-ANTI: zero hash exchanges on the corpus,
+    which is what makes it safe to run stateless on a live stream."""
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_gate
+
+    d = table(spark, SF_DIR, "documents").withColumn(
+        "url", F.concat(F.lit("http://"), F.col("source"), F.lit(".x.com/d"))
+    )
+    blocked = spark.createDataFrame([("src0.x.com",)], "domain string")
+    out = curate_gate(
+        d, "url", "text", blocked, badwords=["slow"],
+        weights=[0.1] * 4096, bias=0.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # the coefficient vector rides in the plan, not as a join
+    assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_cogroup_batch_two_copartition_exchanges(spark, sf_dir):
+    """DataStream facade windowed coGroup, batch path: native
+    cogroup(applyInPandas) — exactly one co-partitioning exchange per
+    side feeding FlatMapCoGroupsInPandas, nothing else."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.datastream_api import DataStream
+
+    ev = table(spark, SF_DIR, "events")
+    l = DataStream(ev.select(F.col("user_id").alias("u"),
+                             F.col("ts").alias("lt")))
+    r = DataStream(ev.select(F.col("user_id").alias("u2"),
+                             F.col("ts").alias("rt")))
+    out = (
+        l.co_group(r).where("u").equal_to("u2").window("lt", "rt", "1 day")
+        .apply(lambda lp, rp: pd.DataFrame({"n": [len(lp) + len(rp)]}),
+               "n long")
+    )
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(exchanges) == 2, plan
+
+
+def test_trained_classifier_broadcasts_coefficients(spark, sf_dir):
+    """quality_classifier_score with a trained fit: the coefficient
+    table joins BROADCAST (n_buckets rows vs a corpus of tokens) and
+    the only hash exchange is the per-doc partial aggregation."""
+    import re
+
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    d = table(spark, SF_DIR, "documents")
+    out = quality_classifier_score(
+        d, "doc_id", "text", weights=[0.1] * 4096, bias=0.2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
+    assert len(exchanges) == 1 and "doc_id" in exchanges[0], plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side combine
