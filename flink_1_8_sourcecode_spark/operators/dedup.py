@@ -1312,3 +1312,157 @@ def strip_repeated_char_spans_keep_first(
         ),
     )
     return joined.select(F.col("__id").alias(id_col), cut.alias(out_col))
+
+
+def embedding_ingest_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+    nprobe: int = 1,
+) -> DataFrame:
+    """STREAMING-SAFE embedding near-dup ingestion gate: drop incoming
+    vectors that sit within ``threshold`` cosine of the FROZEN,
+    already-curated corpus — the embedding-space twin of
+    :func:`incremental_dedup` (text fingerprints) and the similarity
+    leg of the live-ingestion pipeline next to ``curate_gate`` and the
+    online LSH dedup.
+
+    With ``nprobe=1`` (the default and the ingestion trade) every step
+    is stateless, so the identical plan runs on a batch frame and a
+    live stream (no stateful operator, no watermark); ``nprobe > 1``
+    needs a per-id collapse aggregation and is batch-only (streaming
+    callers get a loud NotImplementedError):
+
+    1. the corpus's per-``cluster_col`` centroids (k x d doubles —
+       k-means cells or any partition of the index) are computed ONCE,
+       collected, and folded into the plan as literals;
+    2. each incoming vector is assigned its ``nprobe`` nearest cells by
+       centroid cosine — a per-row sort of k scores, map-only (the IVF
+       probe step; ties break to the smaller cluster id);
+    3. ONE stream-static LEFT ANTI join against the corpus on the cell
+       with the cosine threshold as join predicate — survivors are
+       rows with NO corpus vector at >= threshold in any probed cell.
+
+    Scale shape: the candidate join is equi on the cell, so the corpus
+    side prunes to nprobe/k of the index per row (the IVF contract) and
+    the static side can be bucketed by cell for a shuffle-free probe;
+    nothing aggregates per incoming row, so state at ingestion is zero.
+    The per-row probe arithmetic is interpreted HOF eval over k x d
+    literals — the statelessness trade, same stance as
+    ``pipeline.curate_gate``; batch re-indexing uses the vectorized
+    GEMM kernels in operators/similarity.py.
+
+    Returns the surviving incoming rows (original columns) plus
+    ``__probe_cells`` dropped — output schema == input schema.
+    """
+    cent_rows = (
+        corpus.select(
+            F.col(cluster_col).alias("__cl"),
+            F.posexplode(F.col(vec_col)).alias("__i", "__x"),
+        )
+        .groupBy("__cl", "__i")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy("__cl")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__s")
+        )
+        .select("__cl", F.transform("__s", lambda s: s["__m"]).alias("__c"))
+        .collect()
+    )
+    if not cent_rows:
+        return incoming  # empty index: nothing can be a duplicate
+    import math
+
+    cents = [
+        (r["__cl"], list(r["__c"]), math.sqrt(sum(x * x for x in r["__c"])))
+        for r in cent_rows
+    ]
+
+    # double-precision arithmetic regardless of the stored element type
+    # (array<float> corpora): keeps the scores engine-portable
+    vec = F.col(vec_col).cast("array<double>")
+    vnorm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+
+    def dot_lit(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    # (-(cosine), cluster) ascending == cosine desc, cluster asc on ties
+    scores = F.array(
+        *[
+            F.struct(
+                (-(dot_lit(c) / (vnorm * F.lit(n)))).alias("ns"),
+                F.lit(cl).alias("c"),
+            )
+            for cl, c, n in cents
+        ]
+    )
+    n_cells = min(nprobe, len(cents))
+    cor = corpus.select(
+        F.col(cluster_col).alias("__cor_cl"),
+        F.col(vec_col).cast("array<double>").alias("__cor_v"),
+    )
+    cv = F.col("__cor_v")
+    pair_cos = F.aggregate(
+        F.zip_with(vec, cv, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    ) / (
+        vnorm
+        * F.sqrt(F.aggregate(cv, F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+    if n_cells == 1:
+        # the streaming path: one cell per row (argmax centroid — no
+        # explode), one equi anti-join.  Zero state, zero aggregation.
+        probed = incoming.withColumn(
+            "__probe_cell", F.element_at(F.array_sort(scores), 1)["c"]
+        )
+        return probed.join(
+            cor,
+            (probed["__probe_cell"] == cor["__cor_cl"])
+            & (pair_cos >= F.lit(threshold)),
+            "left_anti",
+        ).drop("__probe_cell")
+
+    if incoming.isStreaming:
+        # the multi-cell collapse below needs a per-id aggregation —
+        # stateful on a stream.  Probing more cells buys recall the
+        # batch re-index pass can supply; refuse loudly.
+        raise NotImplementedError(
+            "embedding_ingest_dedup: nprobe > 1 on a streaming frame "
+            "needs a per-id aggregation (stateful); use nprobe=1 at "
+            "ingestion and run the batch pass for higher recall"
+        )
+    # batch nprobe > 1: explode into probe cells, anti-join, then keep
+    # only ids whose EVERY exploded copy survived (a dup matches in at
+    # least one probed cell, dropping that copy)
+    probed = incoming.withColumn(
+        "__probe_cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scores), 1, n_cells), lambda s: s["c"]
+            )
+        ),
+    )
+    survivors = probed.join(
+        cor,
+        (probed["__probe_cell"] == cor["__cor_cl"])
+        & (pair_cos >= F.lit(threshold)),
+        "left_anti",
+    ).drop("__probe_cell")
+    keep_ids = (
+        survivors.groupBy(F.col(id_col).alias("__kid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == n_cells)
+        .select("__kid")
+    )
+    return incoming.join(
+        F.broadcast(keep_ids),
+        incoming[id_col] == keep_ids["__kid"],
+        "left_semi",
+    )

@@ -856,3 +856,92 @@ def sim_eval_ivf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="label", k=10, nprobe=3,
     )
     return retrieval_metrics(approx, truth, k=10)
+
+
+_EMB_CHUNK_CACHE: dict[str, str] = {}
+
+
+@register(
+    "streaming_embedding_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    inc AS (SELECT * FROM v WHERE vec_id < 50),
+    cor AS (SELECT * FROM v WHERE vec_id >= 50),
+    cent AS (
+      SELECT label AS cl,
+             list_transform(range(1, 65),
+               i -> list_sum(list_transform(list(e), x -> x[i]))
+                    / count(*)) AS ce
+      FROM cor GROUP BY label
+    ),
+    probe AS (
+      SELECT vec_id, cl FROM (
+        SELECT i.vec_id, cent.cl,
+               row_number() OVER (PARTITION BY i.vec_id
+                 ORDER BY list_dot_product(i.e, cent.ce)
+                   / (sqrt(list_dot_product(i.e, i.e))
+                      * sqrt(list_dot_product(cent.ce, cent.ce))) DESC,
+                   cent.cl) AS rn
+        FROM inc i CROSS JOIN cent) WHERE rn = 1
+    )
+    SELECT i.vec_id FROM inc i JOIN probe p USING (vec_id)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cor c WHERE c.label = p.cl
+        AND list_dot_product(i.e, c.e)
+            / (sqrt(list_dot_product(i.e, i.e))
+               * sqrt(list_dot_product(c.e, c.e))) >= 0.30)
+    """,
+    doc="Embedding near-dup gate ON LIVE INGESTION "
+    "(operators/dedup.py:embedding_ingest_dedup): incoming vectors "
+    "(vec_id < 50, replayed as micro-batches) are dropped when any "
+    "vector of the FROZEN curated index (vec_id >= 50) sits within "
+    "0.30 cosine in their IVF probe cell.  Fully stateless: the "
+    "index's per-cell centroids fold into the plan as literals, the "
+    "probe is a per-row argmax (map-only), and the candidate check is "
+    "ONE stream-static LEFT ANTI equi-join on the cell — the corpus "
+    "prunes to 1/k of the index per row and ingestion holds zero "
+    "state.  Completes the live-ingestion pipeline next to the "
+    "curation gates and the online LSH text dedup; stream == batch "
+    "because no stage keeps state across micro-batches.",
+)
+def streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        embedding_ingest_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+
+    chunks = _EMB_CHUNK_CACHE.get(sf_dir)
+    if chunks is None or not os.path.isdir(chunks):
+        chunks = tempfile.mkdtemp(prefix="sed_emb_")
+        inc = emb.filter(F.col("vec_id") < 50)
+        for lo, hi, part in ((0, 25, "a"), (25, 50, "b")):
+            inc.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{chunks}/__chunk={part}"
+            )
+        _EMB_CHUNK_CACHE[sf_dir] = chunks
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks)
+    )
+    out = embedding_ingest_dedup(
+        src, corpus, "vec_id", "embedding", "label",
+        threshold=0.30, nprobe=1,
+    ).select("vec_id")
+    name = f"q_sed_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1724,3 +1724,155 @@ def test_pca_moment_reduce_yields_single_row_engine_side(spark):
     )
     comps, offs, mean, vars_ = pca_train(df, "v", n_components=2)
     assert len(comps) == 2 and len(mean) == 6
+
+
+class TestEmbeddingIngestDedup:
+    """operators/dedup.py:embedding_ingest_dedup — the stateless
+    IVF-probed embedding near-dup gate for live ingestion."""
+
+    def _frames(self, spark):
+        # two well-separated cells: cluster 0 near (1,0), cluster 1
+        # near (0,1); incoming 100 ~ cluster-0 dup, 101 ~ cluster-0
+        # novel (orthogonal-ish), 102 ~ cluster-1 dup
+        cor = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+                (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        inc = spark.createDataFrame(
+            [
+                (100, [0.95, 0.05], 0),   # cosine ~1 vs cluster 0 -> dup
+                (101, [0.6, -0.8], 0),    # probes cell 0, far -> kept
+                (102, [0.05, 0.95], 1),   # dup vs cluster 1
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        return inc, cor
+
+    def test_batch_gate(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            embedding_ingest_dedup,
+        )
+
+        inc, cor = self._frames(spark)
+        out = embedding_ingest_dedup(
+            inc, cor, "vec_id", "embedding", "label", threshold=0.8
+        )
+        assert sorted(r.vec_id for r in out.collect()) == [101]
+        assert out.columns == inc.columns  # schema-preserving
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            embedding_ingest_dedup,
+        )
+
+        inc, cor = self._frames(spark)
+        d = str(tmp_path / "emb")
+        # two micro-batches
+        inc.filter("vec_id <= 100").coalesce(1).write.parquet(d + "/a")
+        inc.filter("vec_id > 100").coalesce(1).write.parquet(d + "/b")
+        src = (
+            spark.readStream
+            .schema("vec_id long, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true").parquet(d)
+        )
+        out = embedding_ingest_dedup(
+            src, cor, "vec_id", "embedding", "label", threshold=0.8
+        ).select("vec_id")
+        q = (
+            out.writeStream.format("memory").queryName("t_emb_gate")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(r.vec_id for r in spark.table("t_emb_gate").collect())
+        assert got == [101]
+
+    def test_nprobe2_matches_bruteforce_definition(self, spark, tmp_path):
+        """nprobe=2 semantics vs a literal numpy recomputation: a row
+        survives iff NO corpus vector in its two nearest centroid
+        cells reaches the threshold; streaming + nprobe>1 refuses."""
+        import numpy as np
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            embedding_ingest_dedup,
+        )
+
+        rng_vecs = [
+            [0.9, 0.1, 0.2], [0.8, 0.3, 0.1], [0.1, 0.9, 0.3],
+            [0.2, 0.8, 0.1], [0.3, 0.2, 0.9], [0.1, 0.1, 0.8],
+        ]
+        cor = spark.createDataFrame(
+            [(i, v, i // 2) for i, v in enumerate(rng_vecs)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        inc_vecs = [
+            [0.85, 0.2, 0.15], [0.15, 0.85, 0.2], [0.2, 0.15, 0.85],
+            [0.6, 0.6, 0.6], [-0.9, 0.1, 0.1],
+        ]
+        inc = spark.createDataFrame(
+            [(100 + i, v, 0) for i, v in enumerate(inc_vecs)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        tau = 0.97
+        out = embedding_ingest_dedup(
+            inc, cor, "vec_id", "embedding", "label",
+            threshold=tau, nprobe=2,
+        )
+        got = sorted(r.vec_id for r in out.collect())
+
+        C = np.array(rng_vecs, dtype=np.float64)
+        cells = np.array([0, 0, 1, 1, 2, 2])
+        cents = np.stack([C[cells == c].mean(axis=0) for c in (0, 1, 2)])
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        expected = []
+        for i, v in enumerate(inc_vecs):
+            v = np.array(v, dtype=np.float64)
+            order = sorted(
+                range(3), key=lambda c: (-cos(v, cents[c]), c)
+            )[:2]
+            dup = any(
+                cos(v, C[j]) >= tau
+                for c in order
+                for j in range(len(C))
+                if cells[j] == c
+            )
+            if not dup:
+                expected.append(100 + i)
+        assert got == expected
+        assert expected  # the case is non-vacuous both ways
+        assert len(expected) < len(inc_vecs)
+
+        d = str(tmp_path / "emb_np")
+        inc.coalesce(1).write.parquet(d)
+        src = (
+            spark.readStream
+            .schema("vec_id long, embedding array<float>, label int")
+            .parquet(d)
+        )
+        with _pytest.raises(NotImplementedError, match="nprobe"):
+            embedding_ingest_dedup(
+                src, cor, "vec_id", "embedding", "label",
+                threshold=0.8, nprobe=2,
+            )
+
+    def test_empty_index_keeps_everything(self, spark):
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            embedding_ingest_dedup,
+        )
+
+        inc, cor = self._frames(spark)
+        out = embedding_ingest_dedup(
+            inc, cor.filter("vec_id < 0"), "vec_id", "embedding", "label",
+            threshold=0.1,
+        )
+        assert out.count() == 3
