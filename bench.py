@@ -45,6 +45,9 @@ SECONDARY = (
     "text_lm_perplexity",
     "dedup_paragraphs_global",
     "dedup_winnowing_fingerprints",
+    # r13: the stateless ingestion ANN gate (IVF-probed anti-join) —
+    # tracked secondary so the streaming-dedup path has a perf trail
+    "streaming_embedding_dedup",
 )
 
 
