@@ -544,6 +544,7 @@ class WindowedCoGroup:
 
         def run(batches):
             for pdf in batches:
+                outs = []
                 for lrows, rrows in zip(pdf["__lrows"], pdf["__rrows"]):
                     l_pdf = (
                         pd.DataFrame(list(lrows), columns=lcols)
@@ -557,6 +558,10 @@ class WindowedCoGroup:
                     )
                     out = fn(l_pdf, r_pdf)
                     if out is not None and len(out):
-                        yield out
+                        outs.append(out)
+                # one Arrow batch per input batch, not one per group —
+                # per-group yields cost a serializer round-trip each
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
 
         return DataStream(joined.mapInPandas(run, schema))
