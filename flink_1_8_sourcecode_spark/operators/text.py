@@ -1359,3 +1359,135 @@ def quality_classifier_score(
         F.round(score, 6).alias("score"),
         (score > threshold).alias("keep"),
     )
+
+
+def _apply_bpe_merge(sym: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> a+b to a symbol array, left-to-
+    right non-overlapping — the classic merge-application semantics
+    (Sennrich et al. 2016): a left fold that joins the current symbol
+    into the previous one when they form the pair."""
+    merged = a + b
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: "DataFrame",
+    text_col: str,
+    num_merges: int,
+    min_freq: int = 2,
+) -> "tuple[list[tuple[str, str, int]], DataFrame]":
+    """Train a byte-pair-encoding tokenizer IN-ENGINE (Sennrich et al.
+    2016 — the word-level BPE of GPT-2-family pre-tokenizers): learn
+    ``num_merges`` merge rules by repeatedly fusing the most frequent
+    adjacent symbol pair, weighted by corpus word frequency.
+
+    Distributed shape — the one that works at 100 TB:
+
+    1. ONE corpus-sized pass: explode tokens, groupBy word -> the
+       distinct-word frequency table (map-side combined; this is the
+       only exchange whose size scales with the corpus).  Every real
+       BPE trainer reduces to this table first — merges depend only on
+       word frequencies, never on document structure.
+    2. The merge loop runs over that vocab-bounded table (persisted,
+       re-symbolized in place): each round is one pair-count shuffle
+       of vocab rows (explode adjacent pairs, groupBy(a, b) weighted
+       sum) + a top-1 to the driver, then a map-only fold applying the
+       chosen merge.  Lineage is truncated every few rounds (the
+       kmeans/classifier superstep pattern) so plans stay round-local.
+
+    Ties break deterministically: highest frequency, then (a, b)
+    lexicographic — pinned against the independent Python reference in
+    tests.  Training stops early when the best pair's frequency drops
+    below ``min_freq``.
+
+    Returns ``(merges, vocab)``: merges as ``(a, b, freq)`` in learned
+    order, and the symbolized vocab frame ``(__w, __n, __sym)`` — the
+    word -> BPE-tokens table that :func:`bpe_tokenize` joins against
+    (the tokenizer's application cache; tokenization never re-runs the
+    merge loop).
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # NB Spark's split keeps a trailing empty element — drop it or the
+    # empty string becomes a phantom symbol in every word
+    chars = F.filter(F.split(F.col("__w"), "(?!^)"), lambda x: x != "")
+    cur = words.withColumn("__sym", chars).persist()
+    cur.count()  # materialize before the loop
+    merges: list[tuple[str, str, int]] = []
+    for r in range(num_merges):
+        pair = F.explode(
+            F.zip_with(
+                F.slice(F.col("__sym"), 1, F.size("__sym") - 1),
+                F.slice(F.col("__sym"), 2, F.size("__sym") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("__p")
+        top = (
+            cur.select(F.col("__n"), pair)
+            .groupBy(F.col("__p")["a"].alias("a"), F.col("__p")["b"].alias("b"))
+            .agg(F.sum("__n").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("a"), F.col("b"))
+            .first()
+        )
+        if top is None or top["freq"] < min_freq:
+            break
+        merges.append((top["a"], top["b"], int(top["freq"])))
+        nxt = cur.withColumn(
+            "__sym", _apply_bpe_merge(F.col("__sym"), top["a"], top["b"])
+        )
+        # truncate lineage every few rounds; otherwise each round's
+        # fold nests inside the previous plan
+        if (r + 1) % 4 == 0:
+            nxt = nxt.persist()
+            nxt.count()
+            cur.unpersist()
+        cur = nxt
+    final = cur.persist()
+    final.count()
+    return merges, final
+
+
+def bpe_tokenize(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    vocab: "DataFrame",
+) -> "DataFrame":
+    """Tokenize documents with a trained BPE vocab
+    (:func:`bpe_train`'s word -> symbols table): per-doc word and
+    BPE-token counts.
+
+    Scale shape: tokenization is a JOIN against the vocab table on the
+    word — never a re-run of the merge loop — so the corpus-side plan
+    is explode + one equi-join (broadcast when the vocab fits, shuffle
+    hash otherwise) + partial-aggregated groupBy(doc).  Out-of-vocab
+    words fall back to character splitting (the untrained base
+    alphabet), so the operator is total over any input corpus.
+
+    Output: ``(id, n_words, n_bpe_tokens)``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    j = toks.join(vocab.select("__w", "__sym"), "__w", "left")
+    per_tok = F.when(
+        F.col("__sym").isNotNull(), F.size("__sym")
+    ).otherwise(F.length(F.col("__w")))  # OOV: base-alphabet chars
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(per_tok).cast("long").alias("n_bpe_tokens"),
+    )

@@ -1422,3 +1422,74 @@ def text_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFra
     return quality_classifier_score(
         d, "doc_id", "text", weights=weights, bias=bias
     )
+
+
+@register(
+    "text_bpe_train",
+    # no SQL oracle: the merge loop is an iterative argmax-and-rewrite
+    # algorithm (genuinely non-SQL-expressible); correctness is pinned
+    # against an independent Python BPE reference in
+    # tests/test_operators.py::TestBPE and the driver records the
+    # rows-only check
+    doc="IN-ENGINE BPE tokenizer training (operators/text.py:"
+    "bpe_train — Sennrich et al. 2016): ONE corpus-sized pass builds "
+    "the distinct-word frequency table, then each merge round is one "
+    "pair-count shuffle of VOCAB rows (never the corpus) + a top-1 to "
+    "the driver + a map-only fold applying the merge.  Deterministic "
+    "tie-breaks (freq desc, pair lexicographic).  Returns the learned "
+    "merge table in order.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(d, "text", num_merges=12, min_freq=2)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        [(i, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "rank int, left string, right string, freq long",
+    )
+
+
+_BPE_VOCAB_EXPORT = "/tmp/spark_graft_bpe_vocab"
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=f"""
+    WITH voc AS (
+      SELECT word, n_sym FROM read_parquet('{_BPE_VOCAB_EXPORT}/*.parquet')
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS w
+      FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           sum(coalesce(v.n_sym, len(w)))::BIGINT AS n_bpe_tokens
+    FROM tok LEFT JOIN voc v ON v.word = tok.w
+    GROUP BY doc_id
+    """,
+    doc="Tokenize the corpus with the in-engine-trained BPE vocab "
+    "(operators/text.py:bpe_tokenize): tokenization is a JOIN against "
+    "the word -> symbols table (explode + equi-join + partial-agg "
+    "groupBy(doc)), never a re-run of the merge loop; OOV words fall "
+    "back to the character base alphabet.  VOCAB-CONDITIONED oracle "
+    "(the kmeans/classifier pattern): the query exports "
+    "(word, n_sym), DuckDB independently recomputes every document's "
+    "BPE token count from it.",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import (
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(d, "text", num_merges=12, min_freq=2)
+    vocab.select(
+        F.col("__w").alias("word"), F.size("__sym").alias("n_sym")
+    ).coalesce(1).write.mode("overwrite").parquet(_BPE_VOCAB_EXPORT)
+    out = bpe_tokenize(d, "doc_id", "text", vocab)
+    vocab.unpersist()
+    return out

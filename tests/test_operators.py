@@ -1876,3 +1876,112 @@ class TestEmbeddingIngestDedup:
             threshold=0.1,
         )
         assert out.count() == 3
+
+
+class TestBPE:
+    """operators/text.py:bpe_train / bpe_tokenize vs an INDEPENDENT
+    Python reimplementation of Sennrich-style BPE (word-frequency
+    table, freq-desc/lexicographic tie-break, left-to-right
+    non-overlapping merge application)."""
+
+    @staticmethod
+    def _ref_bpe(docs, num_merges, min_freq=2):
+        from collections import Counter
+
+        wc = Counter(w for t in docs for w in t.lower().split())
+        syms = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for w, n in wc.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += n
+            if not pc:
+                break
+            (a, b), f = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if f < min_freq:
+                break
+            merges.append((a, b, f))
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges, syms
+
+    DOCS = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low new",
+        "aaa aaa baa ab",
+    ]
+
+    def test_train_matches_reference(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.DOCS)], "doc_id long, text string"
+        )
+        merges, vocab = bpe_train(df, "text", num_merges=10, min_freq=2)
+        ref_merges, ref_syms = self._ref_bpe(self.DOCS, 10)
+        assert merges == ref_merges
+        got_syms = {r["__w"]: list(r["__sym"]) for r in vocab.collect()}
+        assert got_syms == ref_syms
+        vocab.unpersist()
+
+    def test_overlapping_pair_application(self, spark):
+        # "aaa" + merge (a, a): left-to-right non-overlapping -> [aa, a]
+        from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([(1, "aaa aaa")], "doc_id long, text string")
+        merges, vocab = bpe_train(df, "text", num_merges=1, min_freq=2)
+        assert merges == [("a", "a", 4)]
+        assert list(vocab.first()["__sym"]) == ["aa", "a"]
+        vocab.unpersist()
+
+    def test_min_freq_stops_early(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+        # every pair unique -> nothing reaches min_freq=2
+        df = spark.createDataFrame([(1, "abc def")], "doc_id long, text string")
+        merges, vocab = bpe_train(df, "text", num_merges=5, min_freq=2)
+        assert merges == []
+        vocab.unpersist()
+
+    def test_tokenize_matches_reference_and_oov_fallback(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import (
+            bpe_tokenize,
+            bpe_train,
+        )
+
+        train = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.DOCS)], "doc_id long, text string"
+        )
+        _, vocab = bpe_train(train, "text", num_merges=10, min_freq=2)
+        _, ref_syms = self._ref_bpe(self.DOCS, 10)
+        apply_docs = self.DOCS + ["unseen zzz low"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(apply_docs)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_tokenize(df, "doc_id", "text", vocab).collect()
+        }
+        exp = {}
+        for i, t in enumerate(apply_docs):
+            ws = t.lower().split()
+            # OOV words fall back to their character count
+            exp[i] = (
+                len(ws),
+                sum(len(ref_syms[w]) if w in ref_syms else len(w) for w in ws),
+            )
+        assert got == exp
+        vocab.unpersist()
