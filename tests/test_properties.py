@@ -717,3 +717,67 @@ def test_prefix_sum_per_key_matches_pandas_reference(spark):
         ).cumcount()
         ref2 = ref.sort_values("i").reset_index(drop=True)
         assert list(got_rank["r"]) == list(ref2["r"]), f"trial {trial} rank"
+
+
+# ---------------------------------------------------------------------------
+# CEP NFA vs Python-regex differential fuzz
+# ---------------------------------------------------------------------------
+
+_CEP_TEMPLATES = (
+    "AB", "AB+C", "A+B", "AB*C", "AB?C", "A+B+", "AB+", "A?B", "AB*",
+    "A+B?C", "AB?C+",
+)
+
+
+def _cep_build(template):
+    """Template -> Pattern with strict contiguity (next + consecutive)
+    and greedy quantifiers — SQL MATCH_RECOGNIZE semantics, which are
+    also exactly Python re's leftmost-greedy semantics."""
+    from flink_1_8_sourcecode_spark.cep.pattern import Pattern
+
+    p, i, k = None, 0, 0
+    while i < len(template):
+        sym = template[i]
+        i += 1
+        quant = template[i] if i < len(template) and template[i] in "+*?" else None
+        if quant:
+            i += 1
+        name = f"s{k}_{sym}"
+        k += 1
+        p = Pattern.begin(name) if p is None else p.next(name)
+        p = p.where(lambda r, s=sym: r["sym"] == s)
+        if quant == "+":
+            p = p.one_or_more().consecutive().greedy()
+        elif quant == "*":
+            p = p.one_or_more().optional().consecutive().greedy()
+        elif quant == "?":
+            p = p.optional().greedy()
+    return p.with_skip("skip_past_last").validate()
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    s=st.text(alphabet="ABC", min_size=0, max_size=24),
+    template=st.sampled_from(_CEP_TEMPLATES),
+)
+def test_cep_nfa_matches_regex_reference(s, template):
+    """Differential fuzz: the hand-written NFA (cep/matcher.py:
+    _find_matches) against Python's regex engine on row-local
+    symbol predicates.  With strict contiguity, greedy quantifiers and
+    SKIP PAST LAST ROW, SQL MATCH_RECOGNIZE match selection IS
+    leftmost-greedy non-overlapping scanning — re.finditer's contract
+    — so every (start, end) span must agree exactly."""
+    import re as _re
+
+    from flink_1_8_sourcecode_spark.cep.matcher import _find_matches
+
+    rows = [{"sym": c} for c in s]
+    times = [float(i) for i in range(len(s))]
+    found = list(_find_matches(rows, times, _cep_build(template)))
+    got = [(m[0][1], m[-1][1] + 1) for m in found]
+    expected = [
+        (m.start(), m.end())
+        for m in _re.finditer(template, s)
+        if m.end() > m.start()
+    ]
+    assert got == expected, (s, template, got, expected)
