@@ -67,11 +67,12 @@ _SHINGLE_DUCK = """
 """
 
 
-def _minhash_oracle(doc_rel: str = "documents") -> str:
-    """The MinHash+LSH pair SQL, bit-for-bit portable (affine family over
-    an exact int64 base).  ``doc_rel`` names the (doc_id, text) relation
-    to pair over — "documents" for the standalone query, or an outer CTE
-    (e.g. the curated corpus) when composed into a pipeline oracle."""
+def _minhash_bands_cte(doc_rel: str = "documents") -> str:
+    """The shared MinHash band CTE chain (tok -> sh -> srow -> basev ->
+    sig -> bands) over ``doc_rel``'s (doc_id, text) — bit-for-bit
+    portable (affine family over an exact int64 base).  Callers append
+    their own final SELECT against ``bands``; compose after a WITH
+    (the string starts mid-CTE-list, without the WITH keyword)."""
     from flink_1_8_sourcecode_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     base = " + ".join(
@@ -87,8 +88,7 @@ def _minhash_oracle(doc_rel: str = "documents") -> str:
         f"h{2 * j}::VARCHAR || '#' || h{2 * j + 1}::VARCHAR AS band_hash FROM sig"
         for j in range(8)
     )
-    return f"""
-    WITH tok AS (
+    return f"""tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          t -> t != '') AS toks
@@ -103,7 +103,14 @@ def _minhash_oracle(doc_rel: str = "documents") -> str:
       SELECT doc_id, {sig_cols} FROM basev GROUP BY doc_id
     ), bands AS (
       {band_rows}
-    ), stats AS (
+    )"""
+
+
+def _minhash_oracle(doc_rel: str = "documents") -> str:
+    """The MinHash+LSH candidate-PAIR SQL over ``doc_rel`` — the band
+    CTEs plus the hot-bucket-guarded self-join."""
+    return f"""
+    WITH {_minhash_bands_cte(doc_rel)}, stats AS (
       SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS anchor
       FROM bands GROUP BY band_id, band_hash
     ), br AS (

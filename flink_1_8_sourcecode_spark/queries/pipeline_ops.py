@@ -1215,7 +1215,10 @@ def sample_rate_limit(spark, sf_dir: str):
 _SCG_WEIGHTS_EXPORT = "/tmp/spark_graft_streaming_gate_weights"
 _DOC_CHUNK_CACHE: dict[str, str] = {}
 
-from flink_1_8_sourcecode_spark.queries.dedup import _duck_gram_base  # noqa: E402
+from flink_1_8_sourcecode_spark.queries.dedup import (  # noqa: E402
+    _duck_gram_base,
+    _minhash_bands_cte,
+)
 
 _HEX_T = _duck_gram_base("t")
 
@@ -1343,3 +1346,117 @@ def streaming_curate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "streaming_ingest_pipeline",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id, text,
+             'http://' || source || '.example.com/doc/' || doc_id::VARCHAR
+               AS url
+      FROM documents
+    ), flt AS (
+      SELECT doc_id, text,
+             regexp_extract(url, '^[^/]*//([^/:?]+)', 1) AS domain,
+             CASE WHEN len(list_filter(string_split_regex(lower(trim(text)),
+                        '\\s+'), x -> x != '')) > 0
+                  THEN len(list_filter(list_filter(
+                         string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != ''),
+                       x -> list_contains(['slow', 'big'], x)))
+                       / len(list_filter(string_split_regex(lower(trim(text)),
+                             '\\s+'), x -> x != ''))::DOUBLE
+                  ELSE 0.0 END AS badword_ratio
+      FROM built
+    ), g1 AS (
+      SELECT doc_id, text FROM flt
+      WHERE domain NOT IN ('src0.example.com', 'src7.example.com')
+        AND badword_ratio <= 0.07
+    ), tokq AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x != '')) AS t
+      FROM g1
+    ), wq AS (
+      SELECT doc_id,
+             ((((({_HEX_T}) % 4096) * 2654435761)
+               % 2147483648) / 2147483648.0) * 2 - 1 AS wt
+      FROM tokq
+    ), scq AS (
+      SELECT doc_id, count(*) AS n, sum(wt) AS sw FROM wq GROUP BY 1
+    ), gated AS (
+      SELECT g1.doc_id, g1.text FROM g1 JOIN scq USING (doc_id)
+      WHERE round(1.0 / (1.0 + exp(-4.0 * sw / n)), 6) > 0.5
+    ), {_minhash_bands_cte('gated')}, owners AS (
+      SELECT band_id, band_hash, min(doc_id) AS owner
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT b.doc_id, min(o.owner) AS dup_of
+    FROM bands b JOIN owners o USING (band_id, band_hash)
+    WHERE o.owner < b.doc_id
+    GROUP BY 1
+    """,
+    doc="END-TO-END LLM-corpus ingestion in ONE streaming query: the "
+    "curation gates (blocklist broadcast-anti + bad-word ratio + "
+    "hash-stand-in quality classifier, all stateless — "
+    "operators/pipeline.py:curate_gate) feed the ONLINE MinHash-LSH "
+    "near-dup detector (streaming/stateful.py:streaming_lsh_dedup, "
+    "the one stateful operator) over documents replayed in id order.  "
+    "Output: each gated-surviving document flagged as a near-dup of "
+    "an earlier gated survivor, with its earliest owner.  The oracle "
+    "recomputes the whole pipeline in SQL — gates, band signatures, "
+    "min-owner rule — with no conditioning; arrival order == id order "
+    "makes the online first-owner equal the batch min-owner.",
+)
+def streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_1_8_sourcecode_spark.operators.pipeline import curate_gate
+    from flink_1_8_sourcecode_spark.streaming import sources
+    from flink_1_8_sourcecode_spark.streaming.stateful import (
+        streaming_lsh_dedup,
+    )
+
+    import os
+    import tempfile
+
+    chunks = _DOC_CHUNK_CACHE.get(sf_dir)
+    if chunks is None or not os.path.isdir(chunks):
+        chunks = tempfile.mkdtemp(prefix="scg_docs_")
+        sources.write_document_chunks(spark, sf_dir, chunks, n_chunks=4)
+        _DOC_CHUNK_CACHE[sf_dir] = chunks
+    src = sources.read_document_stream(spark, chunks).withColumn(
+        "url",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    blocked = spark.createDataFrame(
+        [("src0.example.com",), ("src7.example.com",)], "domain string"
+    )
+    gated = curate_gate(
+        src, "url", "text", blocked, badwords=["slow", "big"],
+        max_badword_ratio=0.07,  # stand-in classifier: weights=None
+    )
+    flagged = streaming_lsh_dedup(gated, "doc_id", "text")
+    name = f"q_sip_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            flagged.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
