@@ -543,3 +543,25 @@ def test_trained_classifier_broadcasts_coefficients(spark, sf_dir):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]*)", plan)
     assert len(exchanges) == 1 and "doc_id" in exchanges[0], plan
     assert plan.count("HashAggregate") >= 2, plan  # map-side combine
+
+
+def test_embedding_ingest_dedup_no_incoming_shuffle(spark, sf_dir):
+    """embedding_ingest_dedup (nprobe=1): the incoming side must show
+    NO hash exchange — centroid probe is map-only and the candidate
+    check joins the frozen index without reshuffling the stream side
+    (the property that makes it stateless at ingestion)."""
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.operators.dedup import (
+        embedding_ingest_dedup,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    out = embedding_ingest_dedup(
+        emb.filter(F.col("vec_id") < 50), emb.filter(F.col("vec_id") >= 50),
+        "vec_id", "embedding", "label", threshold=0.3,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
