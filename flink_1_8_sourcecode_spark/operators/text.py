@@ -1492,47 +1492,3 @@ def bpe_tokenize(
         F.sum(per_tok).cast("long").alias("n_bpe_tokens"),
     )
 
-
-def chunk_documents(
-    df: "DataFrame",
-    id_col: str,
-    text_col: str,
-    window: int,
-    stride: int,
-) -> "DataFrame":
-    """Sliding-window document chunking — the long-document -> training/
-    embedding-sample step of an LLM pipeline: token windows of
-    ``window`` tokens every ``stride`` tokens, plus one final window
-    ending exactly at the last token when the stride does not land
-    there (full-coverage convention, no token dropped).  Documents at
-    or under ``window`` tokens yield one chunk.
-
-    Map-only: tokenize, build the start-position array with
-    ``sequence`` (+ conditional tail), explode, slice — zero shuffles,
-    rows scale as ~n_tokens/stride per document.
-
-    Output: ``(id, chunk_id, start_tok, n_tokens, chunk_hash)`` —
-    chunk text is emitted as its md5 (downstream embedding/packing
-    reads the tokens again; the hash keeps this relation narrow).
-    """
-    if window <= 0 or stride <= 0:
-        raise ValueError("chunk_documents: window and stride must be positive")
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    last = F.greatest(n - window + 1, F.lit(1))
-    seq = F.sequence(F.lit(1), last, F.lit(stride))
-    tail_needed = (n > window) & (((n - window) % stride) != 0)
-    starts = F.when(tail_needed, F.concat(seq, F.array(last))).otherwise(seq)
-    rows = df.filter(n > 0).select(
-        F.col(id_col),
-        toks.alias("__toks"),
-        F.posexplode(starts).alias("chunk_id", "__start"),
-    )
-    chunk = F.slice(F.col("__toks"), F.col("__start"), window)
-    return rows.select(
-        id_col,
-        "chunk_id",
-        F.col("__start").alias("start_tok"),
-        F.size(chunk).alias("n_tokens"),
-        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-    )

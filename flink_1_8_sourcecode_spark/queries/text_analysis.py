@@ -1493,55 +1493,3 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bpe_tokenize(d, "doc_id", "text", vocab)
     vocab.unpersist()
     return out
-
-
-@register(
-    "text_chunk_sliding",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         x -> x != '') AS toks
-      FROM documents
-    ), p AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             greatest(len(toks) - 16 + 1, 1) AS last
-      FROM tok WHERE len(toks) > 0
-    ), s AS (
-      SELECT doc_id, toks,
-             CASE WHEN n > 16 AND ((n - 16) % 8) != 0
-                  THEN list_append(range(1, last + 1, 8), last)
-                  ELSE range(1, last + 1, 8) END AS starts
-      FROM p
-    ), e AS (
-      SELECT doc_id, toks,
-             unnest(starts) AS start_tok,
-             generate_subscripts(starts, 1) - 1 AS chunk_id
-      FROM s
-    )
-    SELECT doc_id, chunk_id, start_tok,
-           len(toks[start_tok:start_tok + 15])::BIGINT AS n_tokens,
-           md5(array_to_string(toks[start_tok:start_tok + 15], ' '))
-             AS chunk_hash
-    FROM e
-    """,
-    doc="Sliding-window document chunking (operators/text.py:"
-    "chunk_documents — the long-doc -> training/embedding-sample step): "
-    "16-token windows every 8 tokens plus a final tail-aligned window "
-    "so no token is dropped; docs at or under one window yield one "
-    "chunk.  Map-only (tokenize + sequence + posexplode + slice, zero "
-    "shuffles); the chunk surfaces as its md5 so the relation stays "
-    "narrow.",
-)
-def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_1_8_sourcecode_spark.operators.text import chunk_documents
-
-    d = table(spark, sf_dir, "documents")
-    out = chunk_documents(d, "doc_id", "text", window=16, stride=8)
-    return out.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.col("start_tok").cast("long").alias("start_tok"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "chunk_hash",
-    )

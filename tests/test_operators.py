@@ -1986,35 +1986,3 @@ class TestBPE:
         assert got == exp
         vocab.unpersist()
 
-
-def test_chunk_documents_coverage_and_edges(spark):
-    """chunk_documents: full-window starts every stride, one
-    tail-aligned final window when the stride misses the end (no token
-    dropped), single chunk for short docs, empty docs filtered,
-    positive-parameter validation."""
-    import pytest as _pytest
-
-    from flink_1_8_sourcecode_spark.operators.text import chunk_documents
-
-    df = spark.createDataFrame(
-        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, "p q r s")],
-        "doc_id long, text string",
-    )
-    out = sorted(
-        (r.doc_id, r.chunk_id, r.start_tok, r.n_tokens)
-        for r in chunk_documents(df, "doc_id", "text", window=4, stride=2).collect()
-    )
-    assert out == [
-        (1, 0, 1, 4), (1, 1, 3, 4), (1, 2, 4, 4),  # tail window at 4..7
-        (2, 0, 1, 2),                               # short doc: one chunk
-        (4, 0, 1, 4),                               # exact fit: one chunk
-    ]
-    # aligned stride: no duplicate tail ("a b c d e f" W=4 S=2)
-    df2 = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
-    out2 = sorted(
-        (r.chunk_id, r.start_tok)
-        for r in chunk_documents(df2, "doc_id", "text", window=4, stride=2).collect()
-    )
-    assert out2 == [(0, 1), (1, 3)]
-    with _pytest.raises(ValueError, match="positive"):
-        chunk_documents(df, "doc_id", "text", window=0, stride=2)
