@@ -1,0 +1,167 @@
+"""KMV (k-minimum-values) distinct-count sketches.
+
+The one corpus-statistics shape the engine lacked next to the
+Misra-Gries heavy hitters (``operators/text.certified_heavy_hitters``):
+estimating per-group distinct cardinality — and set overlap between two
+groups — without ever shuffling the key space.  At 100 TB a
+``COUNT(DISTINCT url)`` per domain moves every (domain, url) pair
+through the exchange; a KMV sketch moves at most ``partitions x groups
+x k`` 12-byte rows and answers within ~1/sqrt(k) relative error
+(Bar-Yossef et al. 2002; the union/intersection estimators follow
+Beyer et al. 2007, both public).
+
+Engine-portable by construction: values hash through the repo-standard
+28-bit md5 prefix (``operators/text.md5_base28``), so the k minimum
+hash values — and therefore every estimate — are bit-identical between
+Spark and the DuckDB oracle.  No RNG, no engine hash functions.
+
+Reference parity target: Flink ships no sketch library; this extends
+the reference's aggregation surface (flink-java
+``AggregateOperator.java:60``) with the mergeable-summary shape its
+users build by hand, the same stance as ``certified_heavy_hitters``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators.text import md5_base28
+
+#: hash domain size: md5_base28 yields values in [0, 2**28)
+_HASH_SPACE = float(1 << 28)
+
+
+def _check_k(k: int) -> None:
+    if k < 2:
+        raise ValueError(f"kmv sketch needs k >= 2, got {k}")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: Column | str,
+    k: int = 64,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 28-bit hash
+    values of ``value_col``, as a sorted ascending array.
+
+    Scale shape: pass 1 is map-only — every input partition keeps at
+    most ``k`` smallest distinct hashes per group (vectorized pandas
+    ``drop_duplicates + nsmallest`` per Arrow batch stream), so the one
+    exchange carries <= partitions x groups x k rows regardless of the
+    value-column key space.  Pass 2 merges the per-partition candidate
+    sets with a single groupBy (collect_list is bounded by the same
+    product).  A plain ``groupBy(group).agg(countDistinct(value))``
+    would shuffle every distinct (group, value) pair instead.
+    """
+    _check_k(k)
+    import pandas as pd
+
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    pairs = df.select(
+        F.col(group_col).alias("__g"),
+        md5_base28(value.cast("string")).alias("__hv"),
+    )
+    gtype = pairs.schema["__g"].dataType.simpleString()
+
+    def local_kmv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition running k-minimum set per group; merging the
+        # per-batch candidates keeps the frame <= 2k rows per group
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            cand = pdf.drop_duplicates()
+            acc = cand if acc is None else pd.concat([acc, cand]).drop_duplicates()
+            acc = (
+                acc.sort_values(["__g", "__hv"])
+                .groupby("__g", sort=False, dropna=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    cands = pairs.mapInPandas(local_kmv, f"__g {gtype}, __hv long")
+    merged = cands.groupBy("__g").agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list("__hv"))), 1, k).alias(
+            sketch_col
+        )
+    )
+    return merged.withColumnRenamed("__g", group_col)
+
+
+def _estimate_expr(sketch: Column, k: int) -> Column:
+    """(k-1)/u_k with u_k = h_k / 2**28; exact size when the sketch
+    holds fewer than k hashes (the whole value set fit)."""
+    size = F.size(sketch)
+    hk = F.element_at(sketch, k).cast("double")
+    return F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / hk
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame,
+    k: int,
+    sketch_col: str = "kmv",
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Distinct-cardinality estimate per sketch row: adds
+    (kmv_size, ``out_col``) and drops the hash array.  Pure Column
+    math over the bounded sketch arrays — map-only."""
+    _check_k(k)
+    return sketches.select(
+        *[c for c in sketches.columns if c != sketch_col],
+        F.size(F.col(sketch_col)).alias("kmv_size"),
+        F.round(_estimate_expr(F.col(sketch_col), k), 6).alias(out_col),
+    )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    left_key,
+    right_key,
+    k: int,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Union / Jaccard / intersection estimates between two groups'
+    sketches (Beyer et al. 2007): pool the two hash arrays, keep the k
+    smallest of the union as the combined sketch S, then
+
+        est_union    = (k-1)/u_k(S)        (exact size if |S| < k)
+        est_jaccard  = |S ∩ A ∩ B| / |S|
+        est_intersection = est_union * est_jaccard
+
+    Returns one row (left_key, right_key, est_union, est_jaccard,
+    est_intersection).  The two sketch rows are collected into a
+    2-row cross of bounded arrays — driver-free, map-only after the
+    self-join of two single rows.
+    """
+    _check_k(k)
+    a = sketches.filter(F.col(group_col) == F.lit(left_key)).select(
+        F.col(sketch_col).alias("__a")
+    )
+    b = sketches.filter(F.col(group_col) == F.lit(right_key)).select(
+        F.col(sketch_col).alias("__b")
+    )
+    both = a.crossJoin(F.broadcast(b))
+    pooled = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))), 1, k
+    )
+    both = both.withColumn("__s", pooled)
+    in_both = F.size(
+        F.array_intersect(F.array_intersect(F.col("__s"), F.col("__a")), F.col("__b"))
+    )
+    est_union = _estimate_expr(F.col("__s"), k)
+    jac = in_both.cast("double") / F.size(F.col("__s")).cast("double")
+    return both.select(
+        F.lit(left_key).alias("left_key"),
+        F.lit(right_key).alias("right_key"),
+        F.round(est_union, 6).alias("est_union"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(est_union * jac, 6).alias("est_intersection"),
+    )

@@ -1460,3 +1460,95 @@ def streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("dup_of").alias("dup_of"))
     )
+
+
+# 28-bit md5-prefix hash of a SQL expression — the DuckDB mirror of
+# operators/text.md5_base28 (same convention as queries/dedup's
+# MinHash base; change in lockstep with md5_base28).
+def _duck_b28(e: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', md5({e})[{i + 1}]) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, ({_duck_b28('user_id::VARCHAR')}) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           count(*)::INT AS kmv_size,
+           round(CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+                      ELSE 63.0 * 268435456.0 / max(hv) END, 6) AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+    doc="Per-event-type distinct-user estimate via a k=64 KMV sketch "
+    "(Bar-Yossef et al. 2002): pass 1 keeps the k smallest distinct "
+    "28-bit md5 hashes PER PARTITION (map-only), so the single "
+    "exchange moves <= partitions x groups x k 12-byte rows instead "
+    "of the full (group, user) key space a COUNT(DISTINCT) shuffles "
+    "at 100 TB (operators/sketches.py:kmv_sketch).  Exact when a "
+    "group has fewer than k distinct values.",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators import sketches as sk
+
+    ev = table(spark, sf_dir, "events")
+    s = sk.kmv_sketch(ev, "event_type", "user_id", k=64)
+    return sk.kmv_estimate(s, 64).select("event_type", "kmv_size", "est_distinct")
+
+
+@register(
+    "sketch_kmv_overlap",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, ({_duck_b28('user_id::VARCHAR')}) AS hv
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), a AS (SELECT hv FROM r WHERE event_type = 'click' AND rn <= 64),
+    b AS (SELECT hv FROM r WHERE event_type = 'purchase' AND rn <= 64),
+    u AS (
+      SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+      ORDER BY hv LIMIT 64
+    ), s AS (SELECT count(*) AS ks, max(hv) AS hk FROM u),
+    i AS (
+      SELECT count(*) AS ki FROM u
+      WHERE hv IN (SELECT hv FROM a) AND hv IN (SELECT hv FROM b)
+    )
+    SELECT 'click' AS left_key, 'purchase' AS right_key,
+           round(CASE WHEN ks < 64 THEN ks::DOUBLE
+                      ELSE 63.0 * 268435456.0 / hk END, 6) AS est_union,
+           round(ki::DOUBLE / ks, 6) AS est_jaccard,
+           round((CASE WHEN ks < 64 THEN ks::DOUBLE
+                       ELSE 63.0 * 268435456.0 / hk END)
+                 * (ki::DOUBLE / ks), 6) AS est_intersection
+    FROM s, i
+    """,
+    doc="Set-overlap estimate between two groups' user populations "
+    "from their KMV sketches (Beyer et al. 2007): pool the two "
+    "k-minimum hash sets, keep the k smallest as the union sketch S, "
+    "then est_jaccard = |S∩A∩B|/|S| and est_intersection = "
+    "est_union * est_jaccard — audience overlap without a distinct "
+    "self-join (operators/sketches.py:kmv_overlap).  The combine is "
+    "Column array math over two bounded sketch rows.",
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators import sketches as sk
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = sk.kmv_sketch(ev, "event_type", "user_id", k=64)
+    return sk.kmv_overlap(s, "event_type", "click", "purchase", k=64)

@@ -1,0 +1,62 @@
+"""KMV distinct-count sketch: accuracy, merge invariance, overlap.
+
+Property target: the sketch is a deterministic function of the VALUE
+SET — independent of row order, duplication, and partitioning (the
+mergeable-summary contract that makes the map-side truncation safe).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators import sketches as sk
+
+
+def _ids(spark, n, tag=""):
+    return spark.range(n).select(
+        F.lit("g").alias("g"), F.concat(F.lit(tag), F.col("id")).alias("v")
+    )
+
+
+def test_exact_below_k(spark):
+    df = _ids(spark, 37)
+    out = sk.kmv_estimate(sk.kmv_sketch(df, "g", "v", k=64), 64).collect()
+    assert len(out) == 1
+    assert out[0]["kmv_size"] == 37
+    assert out[0]["est_distinct"] == 37.0
+
+
+def test_estimate_within_error_bound(spark):
+    # 5000 distinct values, k=256 -> ~1/sqrt(k) ≈ 6% std error; assert 20%
+    df = _ids(spark, 5000)
+    out = sk.kmv_estimate(sk.kmv_sketch(df, "g", "v", k=256), 256).collect()[0]
+    assert out["kmv_size"] == 256
+    assert abs(out["est_distinct"] - 5000) / 5000 < 0.20
+
+
+def test_partitioning_and_duplication_invariance(spark):
+    base = _ids(spark, 500)
+    noisy = base.union(base).union(base.limit(100)).repartition(13)
+    a = sk.kmv_sketch(base.coalesce(1), "g", "v", k=64).collect()[0]["kmv"]
+    b = sk.kmv_sketch(noisy, "g", "v", k=64).collect()[0]["kmv"]
+    assert a == b
+    assert len(a) == 64 and a == sorted(a)
+
+
+def test_overlap_identical_and_disjoint(spark):
+    left = _ids(spark, 300).select(F.lit("a").alias("g"), "v")
+    same = _ids(spark, 300).select(F.lit("b").alias("g"), "v")
+    other = _ids(spark, 300, tag="x").select(F.lit("c").alias("g"), "v")
+    s = sk.kmv_sketch(left.union(same).union(other), "g", "v", k=64)
+    ident = sk.kmv_overlap(s, "g", "a", "b", k=64).collect()[0]
+    assert ident["est_jaccard"] == 1.0
+    assert ident["est_union"] == ident["est_intersection"]
+    disj = sk.kmv_overlap(s, "g", "a", "c", k=64).collect()[0]
+    assert disj["est_jaccard"] == 0.0
+    assert disj["est_intersection"] == 0.0
+
+
+def test_k_guard():
+    with pytest.raises(ValueError, match="k >= 2"):
+        sk.kmv_sketch(None, "g", "v", k=1)
