@@ -505,3 +505,61 @@ def rate_limit(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample_no_replacement(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: Column,
+    k: int,
+    salt: str = "",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Exact probability-proportional-to-size sampling WITHOUT
+    replacement: ``k`` rows per group, each successive pick taken with
+    probability weight/(remaining total weight) — the quality-weighted
+    subset selection of corpus curation (pick the best k docs per
+    source, high-quality docs favoured but not guaranteed).
+
+    Deterministic successive-sampling construction (the integer-only
+    equivalent of the Efraimidis-Spirakis exponential race, public):
+    a row of integer weight w gets w iid md5-prefix draws
+    ``md5(id || '#' || c || salt)[:8]`` for c in 1..w and keeps the
+    MINIMUM; ordering rows by that min ascending yields exact
+    w-proportional picks (conditioned on any prefix of picks, each of
+    the remaining draws is equally likely to be the smallest, so a row
+    holding w of them wins with w / remaining-total).  No floats, no
+    pow() — the same hex strings sort identically on every engine.
+
+    Scale shape: the min-of-w key is ONE pure-Column expression
+    (``array_min(transform(sequence(1, w), ...))`` — map-only, no
+    explode, no pre-shuffle); the per-group top-k is the two-pass
+    distributed rank of ``prefix_sum_per_key`` (full parallelism with
+    few groups).  ``weight_col`` must be integral and >= 1; it is
+    capped at ``max_weight`` (the per-row key costs w md5 calls).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
+
+    w = F.least(weight_col.cast("int"), F.lit(int(max_weight)))
+    w = F.when(
+        w < 1, F.raise_error(F.lit("weighted_sample_no_replacement: weight < 1"))
+    ).otherwise(w)
+    idc = F.col(id_col).cast("string")
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda c: F.substring(
+                F.md5(F.concat(idc, F.lit("#"), c.cast("string"), F.lit(salt))), 1, 8
+            ),
+        )
+    )
+    ranked = prefix_sum_per_key(
+        df.withColumn("__wk", key), group_col, [F.col("__wk"), F.col(id_col)],
+        out_col="__rn0",
+    )
+    return ranked.filter(F.col("__rn0") < k).drop("__wk", "__rn0")

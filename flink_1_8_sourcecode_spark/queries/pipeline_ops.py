@@ -1552,3 +1552,36 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = sk.kmv_sketch(ev, "event_type", "user_id", k=64)
     return sk.kmv_overlap(s, "event_type", "click", "purchase", k=64)
+
+
+@register(
+    "sample_weighted_noreplace",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY mh, doc_id) AS rn
+      FROM (
+        SELECT source, doc_id,
+               list_min(list_transform(
+                 range(1, least(greatest(floor(n_chars / 250)::INT, 1), 8) + 1),
+                 c -> substr(md5(doc_id::VARCHAR || '#' || c::VARCHAR), 1, 8)
+               )) AS mh
+        FROM documents
+      )
+    ) WHERE rn <= 5
+    """,
+    doc="Exact PPS-without-replacement: 5 docs per source, picked with "
+    "probability proportional to a length-derived integer weight "
+    "(successive sampling) — the quality-weighted subset step of "
+    "corpus curation.  Integer-only Efraimidis-Spirakis equivalent: "
+    "each row keeps the MIN of w iid md5-prefix draws (one map-only "
+    "Column expression, no explode), then the per-group top-k is the "
+    "two-pass distributed rank — no floats, no pow(), bit-portable "
+    "(operators/sampling.py:weighted_sample_no_replacement).",
+)
+def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    wt = F.greatest(F.floor(F.col("n_chars") / F.lit(250)).cast("int"), F.lit(1))
+    return smp.weighted_sample_no_replacement(
+        d, "source", "doc_id", wt, k=5, max_weight=8
+    ).select("source", "doc_id")

@@ -1,0 +1,90 @@
+"""weighted_sample_no_replacement: differential vs an independent pure-
+Python implementation, plus the w-proportional distribution property
+(checked in Python over many salts — the hash scheme is engine-free, so
+the statistical property of the CONSTRUCTION transfers to the Spark
+lowering once the differential proves they compute the same thing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_1_8_sourcecode_spark.operators.sampling import (
+    weighted_sample_no_replacement,
+)
+
+
+def _py_key(doc_id, w, salt=""):
+    return min(
+        hashlib.md5(f"{doc_id}#{c}{salt}".encode()).hexdigest()[:8]
+        for c in range(1, w + 1)
+    )
+
+
+def _py_sample(rows, k, salt=""):
+    """rows: [(group, id, w)] -> {group: [ids]} (min-key order)."""
+    out: dict = {}
+    for g, i, w in rows:
+        out.setdefault(g, []).append((_py_key(i, w, salt), i))
+    return {g: [i for _, i in sorted(v)[:k]] for g, v in out.items()}
+
+
+ROWS = [("a", f"d{i}", (i % 7) + 1) for i in range(40)] + [
+    ("b", f"e{i}", (i % 3) + 1) for i in range(9)
+]
+
+
+@pytest.mark.parametrize("salt", ["", "s1"])
+def test_matches_independent_python(spark, salt):
+    df = spark.createDataFrame(ROWS, "g string, id string, w int")
+    got = weighted_sample_no_replacement(
+        df, "g", "id", F.col("w"), k=6, salt=salt
+    ).collect()
+    by_g: dict = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    want = _py_sample(ROWS, 6, salt)
+    assert {g: sorted(v) for g, v in by_g.items()} == {
+        g: sorted(v) for g, v in want.items()
+    }
+    # group b has 9 rows > k=6 -> exactly k; and every picked row kept
+    # its original columns
+    assert len(by_g["a"]) == 6 and len(by_g["b"]) == 6
+
+
+def test_k_at_least_group_size_returns_all(spark):
+    df = spark.createDataFrame(ROWS[:5], "g string, id string, w int")
+    assert weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=99).count() == 5
+
+
+def test_first_pick_proportional_to_weight():
+    # pure-Python distribution check of the construction: first pick
+    # (k=1) over 600 salts on weights 1/2/4 -> frequencies ~ w/7
+    rows = [("g", "x", 1), ("g", "y", 2), ("g", "z", 4)]
+    wins = {"x": 0, "y": 0, "z": 0}
+    n = 600
+    for s in range(n):
+        pick = _py_sample(rows, 1, salt=f"t{s}")["g"][0]
+        wins[pick] += 1
+    for doc, w in [("x", 1), ("y", 2), ("z", 4)]:
+        exp = n * w / 7
+        # ~3.5 sigma band on a binomial(n, w/7)
+        sd = (n * (w / 7) * (1 - w / 7)) ** 0.5
+        assert abs(wins[doc] - exp) < 3.5 * sd, (doc, wins)
+
+
+def test_weight_below_one_raises(spark):
+    df = spark.createDataFrame([("g", "x", 0)], "g string, id string, w int")
+    with pytest.raises(Exception, match="weight < 1"):
+        weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=1).collect()
+
+
+def test_param_guards(spark):
+    df = spark.createDataFrame([("g", "x", 1)], "g string, id string, w int")
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=0)
+    with pytest.raises(ValueError, match="max_weight"):
+        weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=1, max_weight=0)
