@@ -1322,6 +1322,7 @@ def embedding_ingest_dedup(
     cluster_col: str,
     threshold: float,
     nprobe: int = 1,
+    broadcast_survivors: bool = True,
 ) -> DataFrame:
     """STREAMING-SAFE embedding near-dup ingestion gate: drop incoming
     vectors that sit within ``threshold`` cosine of the FROZEN,
@@ -1350,6 +1351,11 @@ def embedding_ingest_dedup(
     side prunes to nprobe/k of the index per row (the IVF contract) and
     the static side can be bucketed by cell for a shuffle-free probe;
     nothing aggregates per incoming row, so state at ingestion is zero.
+    The ``nprobe > 1`` finale semi-joins the incoming batch against its
+    surviving ids — broadcast by default (right for bounded ingestion
+    batches); a whole-corpus re-dedup whose survivor set exceeds the
+    broadcast budget should pass ``broadcast_survivors=False`` to keep
+    that join a plain shuffle semi on the id.
     The per-row probe arithmetic is interpreted HOF eval over k x d
     literals — the statelessness trade, same stance as
     ``pipeline.curate_gate``; batch re-indexing uses the vectorized
@@ -1461,8 +1467,7 @@ def embedding_ingest_dedup(
         .filter(F.col("__n") == n_cells)
         .select("__kid")
     )
+    build = F.broadcast(keep_ids) if broadcast_survivors else keep_ids
     return incoming.join(
-        F.broadcast(keep_ids),
-        incoming[id_col] == keep_ids["__kid"],
-        "left_semi",
+        build, incoming[id_col] == keep_ids["__kid"], "left_semi"
     )

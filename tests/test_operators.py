@@ -1877,6 +1877,34 @@ class TestEmbeddingIngestDedup:
         )
         assert out.count() == 3
 
+    def test_shuffle_semi_fallback_matches_broadcast(self, spark):
+        """broadcast_survivors=False (the whole-corpus re-dedup size
+        escape hatch) must give the identical survivor set while the
+        final semi-join drops the broadcast hint."""
+        from flink_1_8_sourcecode_spark.operators.dedup import (
+            embedding_ingest_dedup,
+        )
+
+        inc, cor = self._frames(spark)
+        kw = dict(threshold=0.8, nprobe=2)
+        bc = embedding_ingest_dedup(
+            inc, cor, "vec_id", "embedding", "label", **kw
+        )
+        sh = embedding_ingest_dedup(
+            inc, cor, "vec_id", "embedding", "label",
+            broadcast_survivors=False, **kw,
+        )
+        got_bc = sorted(r.vec_id for r in bc.collect())
+        got_sh = sorted(r.vec_id for r in sh.collect())
+        assert got_bc == got_sh and got_bc  # identical, non-vacuous
+        # the hinted plan broadcasts twice (probe join + survivor
+        # semi); the fallback keeps only the probe-join broadcast
+        def n_bc(df):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return p.count("BroadcastExchange")
+
+        assert n_bc(sh) < n_bc(bc)
+
 
 class TestBPE:
     """operators/text.py:bpe_train / bpe_tokenize vs an INDEPENDENT
