@@ -57,7 +57,12 @@ def _replayed_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame
     return sources.read_event_stream(spark, chunks)
 
 
-def _run_to_table(out: DataFrame, prefix: str, state_partitions: int | None = None) -> str:
+def _run_to_table(
+    out: DataFrame,
+    prefix: str,
+    state_partitions: int | None = None,
+    output_mode: str = "append",
+) -> str:
     """Run a bounded streaming query to a memory sink.
 
     ``state_partitions`` sizes the stateful shuffle for the query — the
@@ -75,7 +80,10 @@ def _run_to_table(out: DataFrame, prefix: str, state_partitions: int | None = No
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).start()
+        )
         try:
             q.processAllAvailable()
         finally:
@@ -495,3 +503,53 @@ def datastream_api_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_table(out.df, "q_dscg", state_partitions=4)
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "streaming_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ((strpos('0123456789abcdef', md5(user_id::VARCHAR)[1]) - 1) * 16777216
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR)[2]) - 1) * 1048576
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR)[3]) - 1) * 65536
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR)[4]) - 1) * 4096
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR)[5]) - 1) * 256
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR)[6]) - 1) * 16
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR)[7]) - 1)) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    )
+    SELECT event_type,
+           count(*)::INT AS kmv_size,
+           round(CASE WHEN max(nd) < 64 THEN max(nd)::DOUBLE
+                      ELSE 63.0 * 268435456.0 / max(hv) END, 6) AS est_distinct
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+    doc="ONLINE distinct-user estimate: the KMV k-minimum set folded "
+    "per micro-batch with O(k) state per group "
+    "(streaming/stateful.py:streaming_kmv_sketch); the final snapshot "
+    "equals the batch sketch bit-for-bit in any arrival order "
+    "(k-min sets are mergeable summaries), so the oracle is the BATCH "
+    "sketch SQL — the stream==batch property is the whole check.  "
+    "State never grows with the user-id key space, unlike a streaming "
+    "COUNT(DISTINCT).",
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming.stateful import streaming_kmv_sketch
+
+    src = _replayed_stream(spark, sf_dir, "scg_kmv_").filter(F.col("user_id") >= 0)
+    out = streaming_kmv_sketch(src, "event_type", "user_id", k=64)
+    name = _run_to_table(out, "q_kmv", state_partitions=4, output_mode="update")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max_by(F.struct("kmv_size", "est_distinct"), "n_seen").alias("__f"))
+        .select("event_type", F.col("__f.kmv_size").alias("kmv_size"),
+                F.col("__f.est_distinct").alias("est_distinct"))
+    )

@@ -839,3 +839,68 @@ def streaming_rate_limit(
         fn, out_schema, "pend binary, cnts binary", "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    k: int = 64,
+) -> DataFrame:
+    """Online KMV distinct-count sketch: each micro-batch folds its
+    values' 28-bit md5 hashes into the per-group k-minimum set and
+    emits the group's CURRENT estimate — the streaming face of
+    ``operators/sketches.kmv_sketch`` (same hash, same estimator, so
+    the final snapshot equals the batch sketch bit-for-bit, in ANY
+    arrival order: k-min sets are mergeable summaries).
+
+    Output per update: (group, n_seen, kmv_size, est_distinct) where
+    ``n_seen`` counts rows folded so far (monotone — downstream takes
+    the max-n_seen row per group for the final answer).  State per
+    group = the sorted k-min list + a counter: O(k), the point vs a
+    streaming COUNT(DISTINCT) whose state grows with the key space.
+    The hash itself is computed BEFORE the stateful exchange as a
+    map-only Column, so the shuffle carries (group, 12-byte hash) and
+    the pandas side only merges sorted ints.
+    """
+    from flink_1_8_sourcecode_spark.operators.sketches import _check_k
+    from flink_1_8_sourcecode_spark.operators.text import md5_base28
+
+    _check_k(k)
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    src = df.select(
+        F.col(group_col).alias("__g"),
+        md5_base28(value.cast("string")).alias("__hv"),
+    )
+    gtype = src.schema["__g"].dataType.simpleString()
+    space = float(1 << 28)
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            mins, seen = list(state.get[0]), int(state.get[1])
+        else:
+            mins, seen = [], 0
+        s = set(mins)
+        for pdf in batches:
+            seen += len(pdf)
+            s.update(int(h) for h in pdf["__hv"].unique())
+        mins = sorted(s)[:k]
+        state.update((mins, seen))
+        est = float(len(mins)) if len(mins) < k else (k - 1) * space / mins[k - 1]
+        yield pd.DataFrame(
+            {
+                "__g": [key_tuple[0]],
+                "n_seen": [seen],
+                "kmv_size": [len(mins)],
+                "est_distinct": [round(est, 6)],
+            }
+        )
+
+    out = src.groupBy("__g").applyInPandasWithState(
+        fn,
+        f"__g {gtype}, n_seen long, kmv_size int, est_distinct double",
+        "mins array<long>, n_seen long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumnRenamed("__g", group_col)

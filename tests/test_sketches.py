@@ -60,3 +60,41 @@ def test_overlap_identical_and_disjoint(spark):
 def test_k_guard():
     with pytest.raises(ValueError, match="k >= 2"):
         sk.kmv_sketch(None, "g", "v", k=1)
+
+
+def test_streaming_final_equals_batch_any_order(spark, tmp_path):
+    """Mergeability on the wire: replaying the rows as hash-split
+    chunks (arbitrary value order, one chunk per micro-batch) yields
+    the same final k-min set / estimate as the batch sketch."""
+    import uuid
+
+    from flink_1_8_sourcecode_spark.streaming.stateful import streaming_kmv_sketch
+
+    df = _ids(spark, 900).withColumn("r", F.conv(F.substring(F.md5("v"), 1, 4), 16, 10))
+    d = str(tmp_path / "kmv")
+    # 3 chunks in hash order -> replayed a, b, c = arbitrary value order
+    df.withColumn("c", F.pmod(F.col("r").cast("int"), F.lit(3))).drop("r") \
+      .write.partitionBy("c").parquet(d)
+    src = (
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = streaming_kmv_sketch(src, "g", "v", k=64)
+    name = f"t_kmv_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fin = (
+        spark.table(name).orderBy(F.col("n_seen").desc()).limit(1).collect()[0]
+    )
+    batch = sk.kmv_estimate(sk.kmv_sketch(df.drop("r"), "g", "v", k=64), 64).collect()[0]
+    assert fin["n_seen"] == 900
+    assert (fin["kmv_size"], fin["est_distinct"]) == (
+        batch["kmv_size"], batch["est_distinct"]
+    )
