@@ -13,7 +13,7 @@ over the full corpus is 2 shuffle stages, not a chain of 6 jobs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.operators import sampling as smp
@@ -279,4 +279,53 @@ def curate_gate(
         gated.withColumn("n_tokens", n_tok.cast("long"))
         .withColumn("score", F.round(score, 6))
         .filter(F.col("score") > threshold)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """Corpus snapshot delta: classify every id across two crawl/corpus
+    snapshots as ``added`` (only in new), ``removed`` (only in old),
+    ``changed`` (present in both, any content column differs) or
+    ``unchanged`` — the incremental-ingestion planning step (re-process
+    only added+changed; retire removed).
+
+    Content comparison goes through ONE md5 over the concatenated
+    content columns per side (length-prefixed fields, so ("ab","c") /
+    ("a","bc") cannot collide), computed map-side BEFORE the join —
+    the exchange carries (id, 32-byte digest), never document payloads,
+    and the join itself is a single id-equi full outer (co-partitioned
+    and shuffle-free when both snapshots are bucketed by id, the
+    recommended layout for repeated diffs).  Returns
+    (id, ``status_col``, old_digest, new_digest).
+    """
+    if not content_cols:
+        raise ValueError("snapshot_diff needs at least one content column")
+
+    def digest(df: DataFrame) -> Column:
+        parts = []
+        for c in content_cols:
+            s = F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            parts += [F.length(s).cast("string"), F.lit(":"), s]
+        return F.md5(F.concat(*parts))
+
+    o = old.select(F.col(id_col).alias("__id"), digest(old).alias("old_digest"))
+    n = new.select(F.col(id_col).alias("__id"), digest(new).alias("new_digest"))
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("__id").alias(id_col),
+        status.alias(status_col),
+        "old_digest",
+        "new_digest",
     )

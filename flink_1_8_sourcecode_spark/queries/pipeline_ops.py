@@ -1585,3 +1585,47 @@ def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.weighted_sample_no_replacement(
         d, "source", "doc_id", wt, k=5, max_weight=8
     ).select("source", "doc_id")
+
+
+@register(
+    "pipeline_snapshot_diff",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id,
+             md5(len(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)::VARCHAR
+                 || ':' || CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
+                 || len(lang)::VARCHAR || ':' || lang) AS old_digest
+      FROM documents WHERE doc_id % 7 != 0
+    ), n AS (
+      SELECT doc_id,
+             md5(len(text)::VARCHAR || ':' || text
+                 || len(lang)::VARCHAR || ':' || lang) AS new_digest
+      FROM documents
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_digest IS NULL THEN 'added'
+                WHEN n.new_digest IS NULL THEN 'removed'
+                WHEN o.old_digest = n.new_digest THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_digest, n.new_digest
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    """,
+    doc="Crawl-to-crawl corpus delta (operators/pipeline.py:"
+    "snapshot_diff): the old snapshot drops every 7th doc and "
+    "uppercases every 5th (a simulated recrawl), the diff classifies "
+    "each id added/removed/changed/unchanged.  Content compares via "
+    "ONE map-side md5 of length-prefixed columns, so the full-outer "
+    "exchange carries (id, 32-byte digest) — never payload — and "
+    "bucketed-by-id snapshots diff shuffle-free.",
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.pipeline import snapshot_diff
+
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, d, "doc_id", ["text", "lang"])

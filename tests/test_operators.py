@@ -2014,3 +2014,42 @@ class TestBPE:
         assert got == exp
         vocab.unpersist()
 
+
+
+class TestSnapshotDiff:
+    def test_statuses_and_null_content(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", None), (3, "c", "de"), (4, "d", "fr")],
+            "id long, text string, lang string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "xx"), (3, "CC", "de"), (5, "e", "it")],
+            "id long, text string, lang string",
+        )
+        got = {
+            r["id"]: r["status"]
+            for r in snapshot_diff(old, new, "id", ["text", "lang"]).collect()
+        }
+        # id 2: NULL -> 'xx' must read as changed (null-sentinel digest)
+        assert got == {
+            1: "unchanged", 2: "changed", 3: "changed",
+            4: "removed", 5: "added",
+        }
+
+    def test_length_prefix_blocks_concat_collision(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import snapshot_diff
+
+        old = spark.createDataFrame([(1, "ab", "c")], "id long, a string, b string")
+        new = spark.createDataFrame([(1, "a", "bc")], "id long, a string, b string")
+        [r] = snapshot_diff(old, new, "id", ["a", "b"]).collect()
+        assert r["status"] == "changed"
+
+    def test_empty_content_cols_raise(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.operators.pipeline import snapshot_diff
+
+        with _pytest.raises(ValueError, match="content column"):
+            snapshot_diff(None, None, "id", [])

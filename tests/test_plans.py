@@ -565,3 +565,16 @@ def test_embedding_ingest_dedup_no_incoming_shuffle(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_snapshot_diff_exchanges_digests_not_payload(spark, sf_dir):
+    """pipeline_snapshot_diff: the full-outer join must exchange
+    (id, md5 digest) rows — the text payload column is projected away
+    before every exchange."""
+    import re
+
+    plan = _plan(spark, "pipeline_snapshot_diff")
+    for ex in re.findall(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text#" not in ex, ex
+    assert "md5(" in plan, plan
+    assert "FullOuter" in plan or "full_outer" in plan, plan
