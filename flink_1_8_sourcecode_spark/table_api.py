@@ -104,6 +104,10 @@ _SCALARS = {
     "isnotnull": lambda c: c.isNotNull(),
 }
 
+# suffix scalars whose result is string-typed (drives the polymorphic
+# '+' — see _Parser._mark_str / term())
+_STRING_SCALARS = {"uppercase", "lowercase", "initcap", "trim", "ltrim", "rtrim"}
+
 _CAST_TYPES = {
     "byte": "tinyint",
     "tinyint": "tinyint",
@@ -187,10 +191,18 @@ class _Parsed:
 
 class _Parser:
     def __init__(self, text: str, windows: dict | None = None,
-                 group_window: str | None = None):
+                 group_window: str | None = None,
+                 string_cols: "set[str] | frozenset[str] | None" = None):
         self.text = text
         self.windows = windows  # alias -> pyspark WindowSpec (OVER scope)
         self.group_window = group_window  # group-window alias in scope
+        # names of string-typed columns in scope: drives Flink's
+        # polymorphic '+' (arithmetic.scala Plus — string operand means
+        # concatenation).  Callers with a DataFrame in hand thread the
+        # schema in; the bare parse_expression() path has no scope and
+        # keeps numeric '+' for column-only operands.
+        self.string_cols = frozenset(string_cols or ())
+        self._strs: set[int] = set()  # id()s of string-typed Columns
         self.toks: list[tuple[str, str, int]] = []
         pos = 0
         while pos < len(text):
@@ -287,6 +299,13 @@ class _Parser:
             return F.when(col, tcol).otherwise(fcol), None, None, False
         return col, name, sort, star
 
+    def _mark_str(self, col):
+        self._strs.add(id(col))
+        return col
+
+    def _is_str(self, col) -> bool:
+        return id(col) in self._strs
+
     def comparison(self):
         col, name, sort, star = self.term()
         op = self.accept_op("===", "==", "=", "!==", "!=", "<>", "<=", ">=", "<", ">")
@@ -311,7 +330,15 @@ class _Parser:
             if op is None:
                 return col, name, sort, star
             rcol, _, _, _ = self.product()
-            col = col + rcol if op == "+" else col - rcol
+            if op == "+" and (self._is_str(col) or self._is_str(rcol)):
+                # Flink Plus on a string operand = concatenation with
+                # the other side implicitly cast (arithmetic.scala
+                # Plus.validateInput); Spark's '+' would fail analysis
+                col = self._mark_str(
+                    F.concat(col.cast("string"), rcol.cast("string"))
+                )
+            else:
+                col = col + rcol if op == "+" else col - rcol
             name, sort, star = None, None, False
 
     def product(self):
@@ -366,7 +393,10 @@ class _Parser:
             node, sort = self._apply_suffix(node, fnl, fn)
             last_agg = (fnl, base) if fnl in _AGGS else None
         if isinstance(node, _Lit):
-            return node.col(), None, sort, False
+            c = node.col()
+            if isinstance(node.value, str):
+                self._mark_str(c)
+            return c, None, sort, False
         col, name, star = node
         # infix OVER (ExpressionParser.scala:225: composite ~ OVER ~
         # fieldReference): "b.avg over w" applies the aliased window
@@ -455,7 +485,10 @@ class _Parser:
                 self.error(f"unknown cast target {ty!r}")
             if not self.accept_op(")"):
                 self.error("')' expected after cast type")
-            return (base.cast(_CAST_TYPES[ty.lower()]), None, False), None
+            out = base.cast(_CAST_TYPES[ty.lower()])
+            if _CAST_TYPES[ty.lower()] == "string":
+                self._mark_str(out)
+            return (out, None, False), None
         if fnl == "as":
             if not self.accept_op("("):
                 self.error("'(' expected after .as")
@@ -464,7 +497,10 @@ class _Parser:
                 self.error("alias name expected in .as()")
             if not self.accept_op(")"):
                 self.error("')' expected after .as(name)")
-            return (base.alias(alias), alias, False), None
+            out = base.alias(alias)
+            if self._is_str(base):
+                self._mark_str(out)
+            return (out, alias, False), None
         args = []
         if self.accept_op("("):
             if not self.accept_op(")"):
@@ -498,15 +534,21 @@ class _Parser:
             if args:
                 self.error(f"aggregate .{fn} takes no arguments")
             self.has_agg = True
-            return (_AGGS[fnl](base), None, False), None
+            out = _AGGS[fnl](base)
+            if fnl in ("min", "max") and self._is_str(base):
+                self._mark_str(out)  # type-preserving aggregates
+            return (out, None, False), None
         if fnl in _SCALARS and not args:
-            return (_SCALARS[fnl](base), None, False), None
+            out = _SCALARS[fnl](base)
+            if fnl in _STRING_SCALARS:
+                self._mark_str(out)
+            return (out, None, False), None
         if fnl == "substring":
             # Flink substring(start[, length]) is 1-based, same as Spark
             cargs = [self._argcol(a) for a in args]
             if len(cargs) == 1:
                 cargs.append(F.length(base))
-            return (base.substr(*cargs), None, False), None
+            return (self._mark_str(base.substr(*cargs)), None, False), None
         if fnl == "power":
             return (F.pow(base, self._argcol(args[0])), None, False), None
         if fnl == "mod":
@@ -531,7 +573,8 @@ class _Parser:
             return (base.isin(*vals), None, False), None
         if fnl == "concat":
             return (
-                (F.concat(base, *[self._argcol(a) for a in args]), None, False),
+                (self._mark_str(F.concat(base, *[self._argcol(a) for a in args])),
+                 None, False),
                 None,
             )
         raise ExpressionParserException(
@@ -585,7 +628,10 @@ class _Parser:
                         self.error("')' expected after Null(TYPE)")
                     return (F.lit(None).cast(_CAST_TYPES[ty.lower()]), None, False)
                 return (F.lit(None), None, False)
-            return (F.col(v), v, False)
+            c = F.col(v)
+            if v in self.string_cols:
+                self._mark_str(c)
+            return (c, v, False)
         if k == "op" and v == "*":
             self.i += 1
             return (F.col("*"), "*", True)
@@ -648,8 +694,23 @@ def _parse_table_function_call(call: str):
     return name, args, aliases
 
 
-def _parse_list(text: str, group_window: str | None = None) -> list[_Parsed]:
-    return _Parser(text, group_window=group_window).parse_list()
+def _parse_list(
+    text: str,
+    group_window: str | None = None,
+    string_cols: "set[str] | None" = None,
+) -> list[_Parsed]:
+    return _Parser(
+        text, group_window=group_window, string_cols=string_cols
+    ).parse_list()
+
+
+def _string_cols(df: DataFrame) -> set[str]:
+    """Names of the frame's string-typed columns — parser scope for the
+    polymorphic '+' (Flink arithmetic.scala Plus concatenates when an
+    operand is a string)."""
+    from pyspark.sql.types import StringType
+
+    return {f.name for f in df.schema.fields if isinstance(f.dataType, StringType)}
 
 
 class Table:
@@ -665,7 +726,7 @@ class Table:
 
     # --- projection / filter -----------------------------------------
     def select(self, fields: str) -> "Table":
-        parsed = _parse_list(fields)
+        parsed = _parse_list(fields, string_cols=_string_cols(self.df))
         if any(p.has_agg for p in parsed):
             # ungrouped select with aggregates = global aggregate; mixing
             # bare fields in is invalid (reference ProjectionTranslator
@@ -680,7 +741,7 @@ class Table:
         return Table(self.df.select(*[p.col for p in parsed]))
 
     def filter(self, predicate: str) -> "Table":
-        p = _Parser(predicate).parse_one()
+        p = _Parser(predicate, string_cols=_string_cols(self.df)).parse_one()
         if p.has_agg:
             raise ExpressionParserException("aggregates are not allowed in filter()")
         return Table(self.df.filter(p.col))
@@ -856,7 +917,11 @@ class GroupedTable:
     def select(self, fields: str) -> Table:
         from pyspark.errors import AnalysisException
 
-        parsed = _parse_list(fields, group_window=self._group_window)
+        parsed = _parse_list(
+            fields,
+            group_window=self._group_window,
+            string_cols=_string_cols(self._df),
+        )
         # every aggregate gets a UNIQUE generated alias before agg() and
         # is projected back by exactly that name — positional matching
         # against "non-key output columns" misaligns the moment an

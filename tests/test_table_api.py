@@ -563,3 +563,49 @@ def test_table_insert_into_sink(spark, tmp_path):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
     Table(df).filter("k > 1").insertInto(eng, "t_out")
     assert [tuple(r) for r in eng.read_sink("t_out").collect()] == [(2, "y")]
+
+
+class TestPolymorphicPlus:
+    """Flink's '+' concatenates when an operand is a string
+    (flink-table/.../expressions/arithmetic.scala Plus.validateInput);
+    numeric '+' must stay arithmetic."""
+
+    def _t(self, spark):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        return Table(
+            spark.createDataFrame(
+                [(" Ab ", "cd", 3), ("x", "y", 4)],
+                "s1 string, s2 string, n long",
+            )
+        )
+
+    def test_string_string_concat(self, spark):
+        got = self._t(spark).select("(s1 + s2) as v").df.collect()
+        assert [r["v"] for r in got] == [" Ab cd", "xy"]
+
+    def test_string_numeric_concat_casts(self, spark):
+        got = self._t(spark).select("(s1.trim + n) as v").df.collect()
+        assert [r["v"] for r in got] == ["Ab3", "x4"]
+
+    def test_literal_left_concat(self, spark):
+        got = self._t(spark).select("('p:' + n) as v").df.collect()
+        assert [r["v"] for r in got] == ["p:3", "p:4"]
+
+    def test_numeric_plus_still_adds(self, spark):
+        got = self._t(spark).select("(n + n) as v").df.collect()
+        assert [r["v"] for r in got] == [6, 8]
+
+    def test_cast_string_concat(self, spark):
+        got = self._t(spark).select("(n.cast(STRING) + s2) as v").df.collect()
+        assert [r["v"] for r in got] == ["3cd", "4y"]
+
+    def test_filter_and_grouped_agg(self, spark):
+        t = self._t(spark)
+        assert t.filter("s1.trim + s2 = 'Abcd'").df.count() == 1
+        got = t.groupBy("s2").select("s2, (s1.max + '!') as m").df.collect()
+        assert {(r["s2"], r["m"]) for r in got} == {("cd", " Ab !"), ("y", "x!")}
+
+    def test_parenthesized_concat_chain(self, spark):
+        got = self._t(spark).select("((s1.trim + '-') + s2.upperCase) as v").df.collect()
+        assert [r["v"] for r in got] == ["Ab-CD", "x-Y"]
