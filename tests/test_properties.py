@@ -781,3 +781,44 @@ def test_cep_nfa_matches_regex_reference(s, template):
         if m.end() > m.start()
     ]
     assert got == expected, (s, template, got, expected)
+
+
+# --- polymorphic '+' (table_api term()) ----------------------------------
+
+_plus_operand = st.sampled_from(
+    [("col", "sa"), ("col", "sb"), ("col", "n"), ("slit", "Z_"), ("ilit", 7)]
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=st.lists(_plus_operand, min_size=2, max_size=5))
+def test_polymorphic_plus_matches_python(spark, ops):
+    """Left-fold of '+' over string/int operands: Flink semantics say
+    the fold concatenates from the first step whose accumulated or
+    incoming operand is a string, and adds before that.  At least one
+    string operand is forced so every example exercises the concat
+    path at some position."""
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    if not any(k == "slit" or (k == "col" and v in ("sa", "sb")) for k, v in ops):
+        ops = ops + [("slit", "Z_")]
+    row = {"sa": "x1", "sb": "y", "n": 3}
+    df = spark.createDataFrame([("x1", "y", 3)], "sa string, sb string, n long")
+
+    def render(k, v):
+        if k == "col":
+            return v, row[v]
+        if k == "slit":
+            return f"'{v}'", v
+        return str(v), v
+
+    exprs, vals = zip(*[render(k, v) for k, v in ops])
+    acc = vals[0]
+    for v in vals[1:]:
+        if isinstance(acc, str) or isinstance(v, str):
+            acc = f"{acc}{v}"
+        else:
+            acc = acc + v
+    expr = " + ".join(exprs)
+    got = Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+    assert str(got) == str(acc), (expr, got, acc)
