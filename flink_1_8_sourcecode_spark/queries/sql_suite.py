@@ -359,3 +359,34 @@ def table_api_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id, pos, tok")
         .to_df()
     )
+
+
+@register(
+    "table_api_string_concat",
+    oracle="""
+    SELECT doc_id,
+           lang || '#' || source AS tag,
+           'doc:' || doc_id::VARCHAR AS label,
+           upper(lang) || n_chars::VARCHAR AS sized
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    doc="Flink's polymorphic '+' through the string facade "
+    "(arithmetic.scala Plus: a string operand means concatenation, "
+    "the other side implicitly cast): string+string, string+numeric "
+    "and a chained fold all lower to Catalyst concat() — map-only "
+    "WholeStageCodegen, zero Python (table_api.py:_Parser.term).",
+)
+def table_api_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    t = Table(table(spark, sf_dir, "documents"))
+    return (
+        t.filter("doc_id % 3 = 0")
+        .select(
+            "doc_id, lang + '#' + source as tag, "
+            "'doc:' + doc_id as label, "
+            "lang.upperCase + n_chars as sized"
+        )
+        .to_df()
+    )
