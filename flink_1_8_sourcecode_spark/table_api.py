@@ -577,6 +577,65 @@ class _Parser:
                  None, False),
                 None,
             )
+        # string-function tail of expressionDsl.scala (:545-646, :893-914)
+        if fnl == "position":
+            # needle.position(haystack) — 1-based, 0 when absent
+            # (ScalarFunctions.scala position == Spark's POSITION)
+            return (
+                (F.call_function("position", base, self._argcol(args[0])),
+                 None, False),
+                None,
+            )
+        if fnl in ("lpad", "rpad"):
+            out = F.call_function(
+                fnl, base, self._argcol(args[0]), self._argcol(args[1])
+            )
+            return (self._mark_str(out), None, False), None
+        if fnl == "overlay":
+            # base.overlay(newString, starting[, length]) — SQL-standard
+            # OVERLAY, identical operand order in Spark
+            out = F.call_function(
+                "overlay", base, *[self._argcol(a) for a in args]
+            )
+            return (self._mark_str(out), None, False), None
+        if fnl == "repeat":
+            out = F.call_function("repeat", base, self._argcol(args[0]))
+            return (self._mark_str(out), None, False), None
+        if fnl in ("regexpreplace", "regexpextract", "similar"):
+            a0 = args[0]
+            if not (isinstance(a0, _Lit) and isinstance(a0.value, str)):
+                self.error(f"{fn} regex must be a string literal")
+            if fnl == "regexpreplace":
+                out = F.regexp_replace(base, a0.value, self._argcol(args[1]))
+                return (self._mark_str(out), None, False), None
+            if fnl == "similar":
+                from flink_1_8_sourcecode_spark.functions.scalar import similar_to
+
+                return (similar_to(base, a0.value), None, False), None
+            # regexpExtract: group index defaults to 0 (the whole
+            # match) and no-match yields NULL, not Spark's '' —
+            # ScalarFunctions.scala:244-264
+            if len(args) > 1:
+                a1 = args[1]
+                if not _is_int_lit(a1):
+                    self.error("regexpExtract group index must be an integer literal")
+                idx = a1.value
+            else:
+                idx = 0
+            out = F.when(
+                base.rlike(a0.value), F.regexp_extract(base, a0.value, idx)
+            )
+            return (self._mark_str(out), None, False), None
+        if fnl == "frombase64":
+            return (self._mark_str(F.unbase64(base).cast("string")), None, False), None
+        if fnl == "tobase64":
+            return (self._mark_str(F.base64(base.cast("binary"))), None, False), None
+        if fnl == "md5":
+            return (self._mark_str(F.md5(base.cast("binary"))), None, False), None
+        if fnl == "sha1":
+            return (self._mark_str(F.sha1(base.cast("binary"))), None, False), None
+        if fnl == "sha256":
+            return (self._mark_str(F.sha2(base.cast("binary"), 256)), None, False), None
         raise ExpressionParserException(
             f"Could not parse expression: unknown function .{fn} in {self.text!r}"
         )

@@ -823,3 +823,78 @@ class TestCalcITCase:
         r = out.collect()[0]
         assert (r.v1, r.v2, r.v3, r.v4) == (1, 1, 1, 1)
         assert (r.v5, r.v6, r.v7) == (2.0, 2.0, True)
+
+
+class TestScalarFunctionsStringTail:
+    """ScalarFunctionsTest (flink-table/flink-table-planner/src/test/
+    scala/.../expressions/ScalarFunctionsTest.scala) — the published
+    expected values for the string-function DSL tail (overlay :33,
+    position :48, regexpExtract :656, fromBase64 :710, toBase64 :738,
+    repeat :861, lpad doc example expressionDsl.scala:561) replayed
+    through the string facade."""
+
+    def _one(self, spark, expr):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame(
+            [("This is a test String.",)], "f0 string"
+        )
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_overlay(self, spark):
+        assert self._one(spark, "'xxxxxtest'.overlay('xxxx', 6)") == "xxxxxxxxx"
+        assert self._one(spark, "'xxxxxtest'.overlay('xxxx', 6, 2)") == "xxxxxxxxxst"
+
+    def test_position(self, spark):
+        assert self._one(spark, "'test'.position('xxxtest')") == 4
+        assert self._one(spark, "'testx'.position('xxxtest')") == 0
+
+    def test_regexp_extract(self, spark):
+        assert self._one(spark, "'foothebar'.regexpExtract('foo(.*?)(bar)', 2)") == "bar"
+        assert (
+            self._one(spark, "'foothebar'.regexpExtract('foo(.*?)(bar)', 0)")
+            == "foothebar"
+        )
+        assert self._one(spark, "'foothebar'.regexpExtract('foo(.*?)(bar)', 1)") == "the"
+        assert (
+            self._one(spark, "'foothebar'.regexpExtract('foo([\\w]+)', 1)") == "thebar"
+        )
+        # no match -> NULL (Flink ScalarFunctions.scala:244), not ''
+        assert self._one(spark, "'foothebar'.regexpExtract('foo([\\d]+)', 1)") is None
+        # 2-arg form extracts the WHOLE match (group 0)
+        assert (
+            self._one(spark, "'foothebar'.regexpExtract('foo(.*?)(bar)')")
+            == "foothebar"
+        )
+
+    def test_base64(self, spark):
+        assert self._one(spark, "'5L2g5aW9'.fromBase64") == "你好"
+        assert self._one(spark, "f0.toBase64") == "VGhpcyBpcyBhIHRlc3QgU3RyaW5nLg=="
+        assert self._one(spark, "''.toBase64") == ""
+
+    def test_repeat(self, spark):
+        assert self._one(spark, "f0.repeat(1)") == "This is a test String."
+        assert (
+            self._one(spark, "f0.repeat(2)")
+            == "This is a test String.This is a test String."
+        )
+
+    def test_lpad_rpad(self, spark):
+        # expressionDsl.scala:561 doc examples
+        assert self._one(spark, "'hi'.lpad(4, '??')") == "??hi"
+        assert self._one(spark, "'hi'.lpad(1, '??')") == "h"
+        assert self._one(spark, "'hi'.rpad(4, '??')") == "hi??"
+
+    def test_hashes(self, spark):
+        import hashlib
+
+        s = "This is a test String."
+        assert self._one(spark, "f0.md5") == hashlib.md5(s.encode()).hexdigest()
+        assert self._one(spark, "f0.sha1") == hashlib.sha1(s.encode()).hexdigest()
+        assert self._one(spark, "f0.sha256") == hashlib.sha256(s.encode()).hexdigest()
+
+    def test_results_are_string_typed_for_plus(self, spark):
+        # the new suffixes participate in the polymorphic '+'
+        assert (
+            self._one(spark, "'hi'.lpad(4, '?') + 1") == "??hi1"
+        )
