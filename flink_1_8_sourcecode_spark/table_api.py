@@ -108,6 +108,19 @@ _SCALARS = {
 # '+' — see _Parser._mark_str / term())
 _STRING_SCALARS = {"uppercase", "lowercase", "initcap", "trim", "ltrim", "rtrim"}
 
+# TimeIntervalUnit forms accepted by .extract/.floor/.ceil
+# (expressionDsl.scala:670-684): unit -> (date_trunc name, ceil step)
+_TEMPORAL_UNITS = {
+    "year": ("year", "1 YEAR"),
+    "quarter": ("quarter", "3 MONTH"),
+    "month": ("month", "1 MONTH"),
+    "week": ("week", "7 DAY"),
+    "day": ("day", "1 DAY"),
+    "hour": ("hour", "1 HOUR"),
+    "minute": ("minute", "1 MINUTE"),
+    "second": ("second", "1 SECOND"),
+}
+
 _CAST_TYPES = {
     "byte": "tinyint",
     "tinyint": "tinyint",
@@ -577,6 +590,38 @@ class _Parser:
                  None, False),
                 None,
             )
+        # temporal tail of expressionDsl.scala (:653-684): cast
+        # shorthands + EXTRACT / FLOOR-TO / CEIL-TO unit forms
+        if fnl == "todate":
+            return (base.cast("date"), None, False), None
+        if fnl == "totimestamp":
+            return (base.cast("timestamp"), None, False), None
+        if fnl == "totime":
+            # Spark has no TIME type (see _CAST_TYPES note) — render
+            # the canonical HH:mm:ss form
+            out = F.date_format(base.cast("timestamp"), "HH:mm:ss")
+            return (self._mark_str(out), None, False), None
+        if fnl in ("extract", "floor", "ceil") and args:
+            a0 = args[0]
+            unit = (a0[1] or "").lower() if isinstance(a0, tuple) else None
+            if unit not in _TEMPORAL_UNITS:
+                self.error(
+                    f".{fn} unit must be one of "
+                    f"{sorted(u.upper() for u in _TEMPORAL_UNITS)}"
+                )
+            if fnl == "extract":
+                # EXTRACT returns LONG (Flink Extract); date_part's
+                # fractional SECOND floors to the integer part
+                out = F.floor(F.date_part(F.lit(unit.upper()), base)).cast("long")
+                return (out, None, False), None
+            trunc_name, step = _TEMPORAL_UNITS[unit]
+            ts = base.cast("timestamp")
+            t = F.date_trunc(trunc_name, ts)
+            if fnl == "ceil":
+                # CEIL TO unit: identity on an exact boundary,
+                # else the next one (reference FLOOR/CEIL TO codegen)
+                t = F.when(ts == t, t).otherwise(t + F.expr(f"INTERVAL {step}"))
+            return (t, None, False), None
         # string-function tail of expressionDsl.scala (:545-646, :893-914)
         if fnl == "position":
             # needle.position(haystack) — 1-based, 0 when absent

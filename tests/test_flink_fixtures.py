@@ -898,3 +898,73 @@ class TestScalarFunctionsStringTail:
         assert (
             self._one(spark, "'hi'.lpad(4, '?') + 1") == "??hi1"
         )
+
+
+class TestTemporalFunctions:
+    """ScalarFunctionsTest temporal section (testExtract :2069,
+    testTemporalFloor :2337) — f16 = DATE '1996-11-10', f18 =
+    TIMESTAMP '1996-11-10 06:55:44.333' per the fixture schema; the
+    published expected values replayed through the string facade.
+    (Flink floors a DATE to a DATE; Spark's date_trunc yields the
+    midnight TIMESTAMP — same instant, pinned on timestamp inputs.)"""
+
+    def _one(self, spark, expr):
+        import datetime as dt
+
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame(
+            [(dt.date(1996, 11, 10), dt.datetime(1996, 11, 10, 6, 55, 44, 333000))],
+            "f16 date, f18 timestamp",
+        )
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_extract(self, spark):
+        assert self._one(spark, "f16.extract(YEAR)") == 1996
+        assert self._one(spark, "f16.extract(QUARTER)") == 4
+        assert self._one(spark, "f16.extract(MONTH)") == 11
+        assert self._one(spark, "f16.extract(WEEK)") == 45
+        assert self._one(spark, "f16.extract(DAY)") == 10
+        assert self._one(spark, "f18.extract(HOUR)") == 6
+        assert self._one(spark, "f18.extract(MINUTE)") == 55
+        assert self._one(spark, "f18.extract(SECOND)") == 44
+
+    def test_temporal_floor(self, spark):
+        import datetime as dt
+
+        assert self._one(spark, "f18.floor(YEAR)") == dt.datetime(1996, 1, 1)
+        assert self._one(spark, "f18.floor(MONTH)") == dt.datetime(1996, 11, 1)
+        assert self._one(spark, "f18.floor(DAY)") == dt.datetime(1996, 11, 10)
+        assert self._one(spark, "f18.floor(MINUTE)") == dt.datetime(
+            1996, 11, 10, 6, 55
+        )
+        assert self._one(spark, "f18.floor(SECOND)") == dt.datetime(
+            1996, 11, 10, 6, 55, 44
+        )
+
+    def test_temporal_ceil(self, spark):
+        import datetime as dt
+
+        assert self._one(spark, "f18.ceil(YEAR)") == dt.datetime(1997, 1, 1)
+        assert self._one(spark, "f18.ceil(MONTH)") == dt.datetime(1996, 12, 1)
+        # exact boundary -> identity
+        assert self._one(spark, "f18.floor(DAY).ceil(DAY)") == dt.datetime(
+            1996, 11, 10
+        )
+
+    def test_cast_shorthands(self, spark):
+        import datetime as dt
+
+        assert self._one(spark, "f18.toDate") == dt.date(1996, 11, 10)
+        assert self._one(spark, "f16.toTimestamp") == dt.datetime(1996, 11, 10)
+        assert self._one(spark, "f18.toTime") == "06:55:44"
+
+    def test_unknown_unit_raises(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with _pytest.raises(ExpressionParserException, match="unit"):
+            self._one(spark, "f18.floor(FORTNIGHT)")
