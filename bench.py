@@ -48,6 +48,10 @@ SECONDARY = (
     # r13: the stateless ingestion ANN gate (IVF-probed anti-join) —
     # tracked secondary so the streaming-dedup path has a perf trail
     "streaming_embedding_dedup",
+    # r13: map-side-truncated distinct sketch + digest-keyed snapshot
+    # delta — the new corpus-statistics / incremental-pipeline paths
+    "sketch_kmv_distinct",
+    "pipeline_snapshot_diff",
 )
 
 
