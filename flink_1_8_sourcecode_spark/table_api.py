@@ -100,6 +100,18 @@ _SCALARS = {
     "sin": lambda c: F.sin(c),
     "cos": lambda c: F.cos(c),
     "tan": lambda c: F.tan(c),
+    # math tail (expressionDsl.scala:328-443)
+    "log": lambda c: F.log(c),  # natural log, same as .ln (Log(null, e))
+    "sinh": lambda c: F.sinh(c),
+    "cosh": lambda c: F.cosh(c),
+    "tanh": lambda c: F.tanh(c),
+    "asin": lambda c: F.asin(c),
+    "acos": lambda c: F.acos(c),
+    "atan": lambda c: F.atan(c),
+    "cot": lambda c: F.cot(c),
+    "degrees": lambda c: F.degrees(c),
+    "radians": lambda c: F.radians(c),
+    "sign": lambda c: F.signum(c),
     "isnull": lambda c: c.isNull(),
     "isnotnull": lambda c: c.isNotNull(),
 }
@@ -590,6 +602,25 @@ class _Parser:
                  None, False),
                 None,
             )
+        # math tail with arguments (expressionDsl.scala:328-457)
+        if fnl == "log" and args:
+            # x.log(b) = Log(base, x) — log base b of x
+            return (
+                (F.call_function("log", self._argcol(args[0]), base), None, False),
+                None,
+            )
+        if fnl == "bin":
+            return (self._mark_str(F.bin(base)), None, False), None
+        if fnl == "hex":
+            return (self._mark_str(F.hex(base)), None, False), None
+        if fnl == "truncate":
+            from flink_1_8_sourcecode_spark.functions.scalar import truncate
+
+            if args:
+                if not _is_int_lit(args[0]):
+                    self.error("truncate scale must be an integer literal")
+                return (truncate(base, args[0].value), None, False), None
+            return (truncate(base), None, False), None
         # temporal tail of expressionDsl.scala (:653-684): cast
         # shorthands + EXTRACT / FLOOR-TO / CEIL-TO unit forms
         if fnl == "todate":

@@ -968,3 +968,50 @@ class TestTemporalFunctions:
 
         with _pytest.raises(ExpressionParserException, match="unit"):
             self._one(spark, "f18.floor(FORTNIGHT)")
+
+
+class TestMathFunctionsTail:
+    """ScalarFunctionsTest math section (testHex :429, testBin :529,
+    testLog :1927, testSign :1830) — published expected values through
+    the string facade; truncate literal forms match the operator
+    already differential-tested in test_properties.test_truncate."""
+
+    def _one(self, spark, expr):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame([(42, 2.4)], "f2 int, f6 double")
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_hex_bin(self, spark):
+        assert self._one(spark, "100.hex") == "64"
+        assert self._one(spark, "f2.hex") == "2A"
+        assert self._one(spark, "f2.bin") == "101010"
+
+    def test_log(self, spark):
+        assert self._one(spark, "10.log") == 2.302585092994046
+        assert self._one(spark, "100.log(10)") == 2.0
+        assert self._one(spark, "f6.log") == 0.8754687373538999
+
+    def test_sign_degrees_radians(self, spark):
+        import math
+
+        assert self._one(spark, "f6.sign") == 1.0
+        assert self._one(spark, "(0 - f6).sign") == -1.0
+        assert self._one(spark, "f2.degrees") == math.degrees(42)
+        assert self._one(spark, "f2.radians") == math.radians(42)
+
+    def test_hyperbolic_and_inverse(self, spark):
+        import math
+
+        assert self._one(spark, "f6.sinh") == math.sinh(2.4)
+        assert self._one(spark, "f6.cosh") == math.cosh(2.4)
+        assert self._one(spark, "f6.tanh") == math.tanh(2.4)
+        assert self._one(spark, "0.5.asin") == math.asin(0.5)
+        assert self._one(spark, "0.5.acos") == math.acos(0.5)
+        assert self._one(spark, "0.5.atan") == math.atan(0.5)
+        assert abs(self._one(spark, "f6.cot") - 1 / math.tan(2.4)) < 1e-12
+
+    def test_truncate_literal_forms(self, spark):
+        assert self._one(spark, "0.45.truncate(1)") == 0.4
+        assert self._one(spark, "(0 - 0.123).truncate(2)") == -0.12
+        assert self._one(spark, "40.56.truncate") == 40.0
