@@ -328,6 +328,50 @@ class _Parser:
         self._strs.add(id(col))
         return col
 
+    def _prefix_call(self, fn: str):
+        """Prefix function-call form of the reference grammar
+        (ExpressionParser.scala:376 prefixFunctionCall, :370 prefixIf,
+        :394 prefixExtract/Floor/Ceil): ``fn(receiver, args...)`` maps
+        to the suffix builder ``receiver.fn(args...)`` — receiver
+        first, matching every special prefix rule; LOG keeps its SQL
+        signature ``log([base,] x)`` (receiver LAST, Log(base, expr)).
+        Composes with suffix chains: ``trim(s).upperCase`` parses."""
+        fnl = fn.lower()
+        self.accept_op("(")
+        if fnl == "if":
+            # prefixIf: if(cond, ifTrue, ifFalse) — If(c, a, b)
+            cond = self.logic()[0]
+            if not self.accept_op(","):
+                self.error("if(cond, ifTrue, ifFalse) expects 3 arguments")
+            a = self.logic()[0]
+            if not self.accept_op(","):
+                self.error("if(cond, ifTrue, ifFalse) expects 3 arguments")
+            b = self.logic()[0]
+            if not self.accept_op(")"):
+                self.error("')' expected after if(...)")
+            return (F.when(cond, a).otherwise(b), None, False)
+        args = []
+        if not self.accept_op(")"):
+            args.append(self._arg())
+            while self.accept_op(","):
+                args.append(self._arg())
+            if not self.accept_op(")"):
+                self.error("')' expected in call arguments")
+        if not args:
+            self.error(f"prefix call {fn}() needs at least one argument")
+        if (
+            fnl in ("cast", "as", "get", "over", "distinct")
+            or fnl in _EXPR_INTERVAL_UNITS
+            or fnl in _UNSUPPORTED_SUFFIX
+        ):
+            self.error(f"{fn} is not callable in prefix form")
+        if fnl == "log" and len(args) == 2:
+            recv, rest = args[1], [args[0]]
+        else:
+            recv, rest = args[0], args[1:]
+        (out, name, star), _sort = self._apply_suffix(recv, fnl, fn, pre_args=rest)
+        return (out, name, star)
+
     def _is_str(self, col) -> bool:
         return id(col) in self._strs
 
@@ -450,7 +494,7 @@ class _Parser:
         self.has_agg = False
         return col.over(spec)
 
-    def _apply_suffix(self, node, fnl: str, fn: str):
+    def _apply_suffix(self, node, fnl: str, fn: str, pre_args=None):
         """Apply one suffix call; returns (node, sort_marker)."""
         if fnl in _EXPR_INTERVAL_UNITS:
             # 10.minutes — expressionDsl.scala interval literal
@@ -526,14 +570,18 @@ class _Parser:
             if self._is_str(base):
                 self._mark_str(out)
             return (out, alias, False), None
-        args = []
-        if self.accept_op("("):
-            if not self.accept_op(")"):
-                args.append(self._arg())
-                while self.accept_op(","):
-                    args.append(self._arg())
+        if pre_args is not None:
+            # prefix-call path (_prefix_call): arguments already parsed
+            args = list(pre_args)
+        else:
+            args = []
+            if self.accept_op("("):
                 if not self.accept_op(")"):
-                    self.error("')' expected in call arguments")
+                    args.append(self._arg())
+                    while self.accept_op(","):
+                        args.append(self._arg())
+                    if not self.accept_op(")"):
+                        self.error("')' expected in call arguments")
         if fnl == "get":
             # composite accessor ('s.get("a"), 't.get(0) —
             # expressionDsl.scala get): field name or 0-based index
@@ -763,6 +811,9 @@ class _Parser:
                         self.error("')' expected after Null(TYPE)")
                     return (F.lit(None).cast(_CAST_TYPES[ty.lower()]), None, False)
                 return (F.lit(None), None, False)
+            nk, nv, _ = self.peek()
+            if nk == "op" and nv == "(":
+                return self._prefix_call(v)
             c = F.col(v)
             if v in self.string_cols:
                 self._mark_str(c)

@@ -609,3 +609,69 @@ class TestPolymorphicPlus:
     def test_parenthesized_concat_chain(self, spark):
         got = self._t(spark).select("((s1.trim + '-') + s2.upperCase) as v").df.collect()
         assert [r["v"] for r in got] == ["Ab-CD", "x-Y"]
+
+
+class TestPrefixCalls:
+    """Prefix function-call grammar (ExpressionParser.scala:376
+    prefixFunctionCall, :370 prefixIf, :394-410 prefixExtract/Floor/
+    Ceil, :425 prefixToDate): fn(receiver, args...) == receiver.fn(...)
+    with LOG keeping its SQL log([base,] x) signature — the spellings
+    ScalarFunctionsTest uses interchangeably with the suffix forms."""
+
+    def _t(self, spark):
+        import datetime as dt
+
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        return Table(
+            spark.createDataFrame(
+                [(" Ab ", "cd", 3, dt.datetime(1996, 11, 10, 6, 55, 44))],
+                "s1 string, s2 string, n long, ts timestamp",
+            )
+        )
+
+    def _one(self, spark, expr):
+        return self._t(spark).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_scalar_prefix_forms(self, spark):
+        assert self._one(spark, "concat(s1, s2)") == " Ab cd"
+        assert self._one(spark, "trim(s1)") == "Ab"
+        assert self._one(spark, "upperCase(s2)") == "CD"
+        assert self._one(spark, "mod(n, 2)") == 1
+
+    def test_temporal_prefix_forms(self, spark):
+        import datetime as dt
+
+        # "extract(f16, MONTH)" spelling — ScalarFunctionsTest:2085
+        assert self._one(spark, "extract(ts, MONTH)") == 11
+        assert self._one(spark, "floor(ts, DAY)") == dt.datetime(1996, 11, 10)
+        assert self._one(spark, "ceil(ts, YEAR)") == dt.datetime(1997, 1, 1)
+        assert self._one(spark, "toDate(ts)") == dt.date(1996, 11, 10)
+
+    def test_log_keeps_sql_signature(self, spark):
+        # "log(10, 100)" -> 2.0 — ScalarFunctionsTest testLog
+        assert self._one(spark, "log(10, 100)") == 2.0
+        import math
+
+        # last-ulp libm divergence between JVM log and CPython log
+        assert abs(self._one(spark, "log(n)") - math.log(3)) < 1e-15
+
+    def test_prefix_if(self, spark):
+        assert self._one(spark, "if(n > 2, 'big', 'small')") == "big"
+        assert self._one(spark, "if(n > 9, 'big', 'small')") == "small"
+
+    def test_composes_with_suffix_chain_and_plus(self, spark):
+        assert self._one(spark, "trim(s1).upperCase") == "AB"
+        assert self._one(spark, "trim(s1) + s2") == "Abcd"
+
+    def test_rejections(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with _pytest.raises(ExpressionParserException, match="prefix"):
+            self._one(spark, "cast(n, INT)")
+        with _pytest.raises(ExpressionParserException, match="argument"):
+            self._one(spark, "trim()")
