@@ -350,6 +350,29 @@ class _Parser:
             if not self.accept_op(")"):
                 self.error("')' expected after if(...)")
             return (F.when(cond, a).otherwise(b), None, False)
+        if fnl == "timestampdiff":
+            # prefixTimestampDiff (ExpressionParser.scala:399):
+            # timestampDiff(UNIT, t1, t2) — intervals of UNIT from t1
+            # to t2, truncated toward zero; Spark's TIMESTAMPDIFF
+            # matches all of ScalarFunctionsTest's published rows
+            k, unit, _ = self.next()
+            if k != "ident" or unit.lower() not in _TEMPORAL_UNITS:
+                self.error(
+                    "timestampDiff unit must be one of "
+                    f"{sorted(u.upper() for u in _TEMPORAL_UNITS)}"
+                )
+            if not self.accept_op(","):
+                self.error("timestampDiff(UNIT, t1, t2) expects 3 arguments")
+            t1 = self.logic()[0]
+            if not self.accept_op(","):
+                self.error("timestampDiff(UNIT, t1, t2) expects 3 arguments")
+            t2 = self.logic()[0]
+            if not self.accept_op(")"):
+                self.error("')' expected after timestampDiff(...)")
+            out = F.timestamp_diff(
+                unit.upper(), t1.cast("timestamp"), t2.cast("timestamp")
+            )
+            return (out.cast("int"), None, False)
         args = []
         if not self.accept_op(")"):
             args.append(self._arg())

@@ -675,3 +675,52 @@ class TestPrefixCalls:
             self._one(spark, "cast(n, INT)")
         with _pytest.raises(ExpressionParserException, match="argument"):
             self._one(spark, "trim()")
+
+
+class TestTimestampDiff:
+    """prefixTimestampDiff (ExpressionParser.scala:399) — the
+    published rows of ScalarFunctionsTest.testTimestampDiff :2550."""
+
+    def _one(self, spark, expr):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame([(1,)], "x int")
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_published_rows(self, spark):
+        cases = [
+            ("DAY", "2018-07-03 11:11:11", "2018-07-05 11:11:11", 2),
+            ("DAY", "2016-06-15 11:00:00", "2016-06-19 00:00:00", 3),
+            ("HOUR", "2018-07-03 11:11:11", "2018-07-04 12:12:11", 25),
+            ("HOUR", "2016-06-15 00:00:00", "2016-06-12 00:00:00", -72),
+            ("MINUTE", "2018-07-03 11:11:11", "2018-07-03 12:10:11", 59),
+            ("SECOND", "2018-07-03 11:11:11", "2018-07-03 11:12:12", 61),
+            ("WEEK", "2018-05-03 11:11:11", "2018-07-03 11:12:12", 8),
+            ("MONTH", "2016-06-15 11:00:00", "2018-05-19 00:00:00", 23),
+            ("QUARTER", "2016-06-15 11:00:00", "2018-05-19 00:00:00", 7),
+        ]
+        for unit, a, b, exp in cases:
+            expr = (
+                f"timestampDiff({unit}, '{a}'.toTimestamp, '{b}'.toTimestamp)"
+            )
+            assert self._one(spark, expr) == exp, (unit, a, b)
+
+    def test_date_operands(self, spark):
+        # date, date -> "2016-06-15" .. "2016-06-18" = 3 DAY
+        assert (
+            self._one(
+                spark,
+                "timestampDiff(DAY, '2016-06-15'.toDate, '2016-06-18'.toDate)",
+            )
+            == 3
+        )
+
+    def test_bad_unit_raises(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with _pytest.raises(ExpressionParserException, match="unit"):
+            self._one(spark, "timestampDiff(EON, x, x)")
