@@ -390,6 +390,15 @@ class _Parser:
             self.error(f"{fn} is not callable in prefix form")
         if fnl == "log" and len(args) == 2:
             recv, rest = args[1], [args[0]]
+        elif (
+            fnl == "trim"
+            and len(args) == 3
+            and isinstance(args[0], tuple)
+            and (args[0][1] or "").upper() in ("BOTH", "LEADING", "TRAILING")
+        ):
+            # prefixTrim (ExpressionParser.scala:385):
+            # trim(MODE, char, operand) — operand is the receiver
+            recv, rest = args[2], list(args[:2])
         else:
             recv, rest = args[0], args[1:]
         (out, name, star), _sort = self._apply_suffix(recv, fnl, fn, pre_args=rest)
@@ -673,6 +682,26 @@ class _Parser:
                  None, False),
                 None,
             )
+        if fnl == "trim" and args:
+            # suffixTrim (ExpressionParser.scala:242): trim(MODE, char)
+            # — Trim(mode, trimCharacter, operand)
+            mode = (args[0][1] or "").upper() if isinstance(args[0], tuple) else ""
+            if mode not in ("BOTH", "LEADING", "TRAILING"):
+                self.error("trim mode must be BOTH, LEADING or TRAILING")
+            ch = self._argcol(args[1]) if len(args) > 1 else F.lit(" ")
+            sql_fn = {"BOTH": "btrim", "LEADING": "ltrim", "TRAILING": "rtrim"}[mode]
+            # SQL btrim is (str, trimStr); 2-arg ltrim/rtrim are
+            # (trimStr, str) — probed against Spark's FunctionRegistry
+            fargs = (base, ch) if mode == "BOTH" else (ch, base)
+            return (self._mark_str(F.call_function(sql_fn, *fargs)), None, False), None
+        if fnl == "if":
+            # suffixIf (ExpressionParser.scala:252): cond.if(a, b)
+            if len(args) != 2:
+                self.error(".if(ifTrue, ifFalse) expects exactly 2 arguments")
+            out = F.when(base, self._argcol(args[0])).otherwise(
+                self._argcol(args[1])
+            )
+            return (out, None, False), None
         # math tail with arguments (expressionDsl.scala:328-457)
         if fnl == "log" and args:
             # x.log(b) = Log(base, x) — log base b of x

@@ -1015,3 +1015,40 @@ class TestMathFunctionsTail:
         assert self._one(spark, "0.45.truncate(1)") == 0.4
         assert self._one(spark, "(0 - 0.123).truncate(2)") == -0.12
         assert self._one(spark, "40.56.truncate") == 40.0
+
+
+class TestTrimModes:
+    """ScalarFunctionsTest.testTrim :131 — f0 = "This is a test
+    String.", f8 = " This is a test String. "; both suffix
+    (suffixTrim :242) and prefix (prefixTrim :385) spellings."""
+
+    def _one(self, spark, expr):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame(
+            [("This is a test String.", " This is a test String. ")],
+            "f0 string, f8 string",
+        )
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_published_rows(self, spark):
+        assert self._one(spark, "f8.trim()") == "This is a test String."
+        assert self._one(spark, "trim(f8)") == "This is a test String."
+        assert self._one(spark, "f8.trim(TRAILING, ' ')") == " This is a test String."
+        assert self._one(spark, "trim(BOTH, '.', f0)") == "This is a test String"
+
+    def test_leading_and_cond_if_suffix(self, spark):
+        assert self._one(spark, "f8.trim(LEADING, ' ')") == "This is a test String. "
+        # suffixIf (ExpressionParser.scala:252)
+        assert self._one(spark, "(1 > 0).if('a', 'b')") == "a"
+        assert self._one(spark, "(1 < 0).if('a', 'b')") == "b"
+
+    def test_bad_mode_raises(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with _pytest.raises(ExpressionParserException, match="mode"):
+            self._one(spark, "f8.trim(SIDEWAYS, ' ')")
