@@ -165,3 +165,77 @@ def kmv_overlap(
         F.round(jac, 6).alias("est_jaccard"),
         F.round(est_union * jac, 6).alias("est_intersection"),
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """EXACT per-group discrete quantiles at full cluster parallelism —
+    the companion to the sketch family for when the answer must be
+    exact: (group, q, value at 1-based rank ``max(1, ceil(q*n))`` in
+    ascending value order — the SQL ``percentile_disc`` convention,
+    verified identical to DuckDB's ``quantile_disc``).
+
+    Why not ``Window.partitionBy(group).orderBy(value)``: a two-class
+    corpus funnels everything through 2 tasks.  Why not
+    ``F.percentile``: exact but one aggregation buffer per group holds
+    ALL values.  Here the rank comes from the two-pass distributed rank
+    of ``prefix_sum_per_key`` (range-shuffle on (group, value), bounded
+    offsets table), the per-group totals broadcast back, and each row
+    checks whether its rank hits any requested quantile's target —
+    map-only after the one range exchange.
+    """
+    from fractions import Fraction
+
+    fracs = []
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+        fracs.append((float(q), Fraction(q).limit_denominator(1_000_000)))
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        prefix_sum_per_key,
+    )
+
+    src = df.select(F.col(group_col).alias("__g"), F.col(value_col).alias("__v"))
+    ranked = prefix_sum_per_key(src, "__g", [F.col("__v")], out_col="__rn0")
+    totals = src.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).select(
+        F.col("__g").alias("__gt"), "__n"
+    )
+    j = ranked.join(
+        F.broadcast(totals), F.col("__g").eqNullSafe(F.col("__gt"))
+    )
+    # target rank ceil(q*n) in exact integer arithmetic (q as a
+    # num/den fraction) — a float q*n can land a hair above an exact
+    # multiple and ceil() to the wrong rank
+    targets = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.floor(
+                            (
+                                F.lit(int(fr.numerator)) * F.col("__n")
+                                + F.lit(int(fr.denominator) - 1)
+                            )
+                            / F.lit(int(fr.denominator))
+                        ),
+                    ).alias("r"),
+                )
+                for q, fr in fracs
+            ]
+        ),
+        lambda t: t["r"] == F.col("__rn0") + 1,
+    )
+    return (
+        j.select("__g", "__v", F.explode(targets).alias("__t"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t.q").alias("q"),
+            F.col("__v").alias(value_col),
+        )
+    )

@@ -1629,3 +1629,35 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, d, "doc_id", ["text", "lang"])
+
+
+@register(
+    "sketch_exact_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ), qs AS (
+      SELECT * FROM (VALUES (0.1, 1, 10), (0.25, 1, 4), (0.5, 1, 2),
+                            (0.75, 3, 4), (0.9, 9, 10)) t(q, num, den)
+    )
+    SELECT r.lang, qs.q AS q, r.n_chars AS n_chars
+    FROM r JOIN qs
+      ON r.rn = greatest(1, (qs.num * r.n + qs.den - 1) // qs.den)
+    """,
+    doc="EXACT doc-length quantiles per language at full parallelism "
+    "(operators/sketches.py:exact_group_quantiles): value at 1-based "
+    "rank ceil(q*n) — the percentile_disc convention — via the "
+    "two-pass distributed rank (a Window.partitionBy(lang) would "
+    "funnel each language through one task; F.percentile buffers "
+    "every value per group).  Target ranks in exact integer num/den "
+    "arithmetic, identical in the SQL.",
+)
+def sketch_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sketches import exact_group_quantiles
+
+    d = table(spark, sf_dir, "documents")
+    return exact_group_quantiles(d, "lang", "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9])

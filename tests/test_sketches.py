@@ -98,3 +98,34 @@ def test_streaming_final_equals_batch_any_order(spark, tmp_path):
     assert (fin["kmv_size"], fin["est_distinct"]) == (
         batch["kmv_size"], batch["est_distinct"]
     )
+
+
+class TestExactGroupQuantiles:
+    def test_ceil_rank_convention(self, spark):
+        import math
+
+        rows = [("g", v) for v in [5, 1, 4, 2, 3, 9, 7]]
+        df = spark.createDataFrame(rows, "g string, v int")
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        got = {
+            (r["g"], r["q"]): r["v"]
+            for r in sk.exact_group_quantiles(df, "g", "v", qs).collect()
+        }
+        vals = sorted(v for _, v in rows)
+        for q in qs:
+            want = vals[max(1, math.ceil(q * len(vals))) - 1]
+            assert got[("g", q)] == want, (q, got)
+
+    def test_ties_singletons_and_null_group(self, spark):
+        rows = [("a", 2), ("a", 2), ("a", 2), ("b", 7), (None, 1), (None, 3)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        got = sk.exact_group_quantiles(df, "g", "v", [0.5]).collect()
+        by_g = {r["g"]: r["v"] for r in got}
+        assert by_g == {"a": 2, "b": 7, None: 1}
+        assert len(got) == 3  # exactly one row per (group, q)
+
+    def test_invalid_q_raises(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="quantiles"):
+            sk.exact_group_quantiles(None, "g", "v", [0.0])
