@@ -239,3 +239,90 @@ def exact_group_quantiles(
             F.col("__v").alias(value_col),
         )
     )
+
+
+def _cms_bucket(item: Column, d: int, width: int) -> Column:
+    """Row-``d`` CMS bucket of an item: the repo-standard 28-bit md5
+    hash of ``item + '#' + d``, mod ``width`` — independent rows come
+    from the salt, portability from md5_base28."""
+    return md5_base28(F.concat(item, F.lit(f"#{d}"))) % width
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: Column | str,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public) over an
+    item column: ``depth`` independent hash rows of ``width`` counters
+    each; returns the counter table (d, bucket, cnt).
+
+    The frequency-estimation companion to the KMV distinct sketch and
+    the Misra-Gries heavy hitters: point-frequency queries over an
+    open-domain column with a FIXED-size summary.  The exchange is
+    bounded by ``depth x width`` counter rows after map-side combine —
+    a plain groupBy-count on the item would shuffle the key space.
+    Estimates are upper bounds: true_count <= est <= true_count +
+    eps*N with eps = e/width at the usual guarantees.  Deterministic
+    (md5-salted rows), so two engines build identical tables.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"cms needs width, depth >= 1, got {width}, {depth}")
+    item = (F.col(item_col) if isinstance(item_col, str) else item_col).cast(
+        "string"
+    )
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(item, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__e")
+    )
+    return rows.groupBy(
+        F.col("__e.d").alias("d"), F.col("__e.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_query(
+    counters: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 3,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[item_col]`` against a
+    ``cms_build`` counter table: est = min over rows of the item's
+    bucket counter (0 when a bucket was never touched).  The counter
+    table is depth x width rows — broadcast, so probing any number of
+    items is one map-side join + a (item, depth-rows) min."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"cms needs width, depth >= 1, got {width}, {depth}")
+    item = F.col(item_col).cast("string")
+    ph = probes.select(
+        F.col(item_col).alias("__item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(item, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__item", F.col("__e.d").alias("d"), F.col("__e.bucket").alias("bucket"))
+    j = ph.join(F.broadcast(counters), ["d", "bucket"], "left")
+    return (
+        j.groupBy("__item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+        .withColumnRenamed("__item", item_col)
+    )

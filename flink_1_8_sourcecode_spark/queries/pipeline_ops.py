@@ -1661,3 +1661,48 @@ def sketch_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return exact_group_quantiles(d, "lang", "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+_CMS_PROBES = ("join", "hash", "batch", "no_such_token")
+
+
+@register(
+    "sketch_cms_frequency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ), ds AS (SELECT unnest([0, 1, 2]) AS d),
+    h AS (
+      SELECT d, ({_duck_b28("tok || '#' || d::VARCHAR")}) % 1024 AS bucket
+      FROM toks, ds
+    ), counters AS (
+      SELECT d, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
+    ), probes AS (
+      SELECT unnest(['join', 'hash', 'batch', 'no_such_token']) AS item
+    ), ph AS (
+      SELECT item, d,
+             ({_duck_b28("item || '#' || d::VARCHAR")}) % 1024 AS bucket
+      FROM probes, ds
+    )
+    SELECT item, min(coalesce(cnt, 0))::BIGINT AS est_count
+    FROM ph LEFT JOIN counters USING (d, bucket)
+    GROUP BY item
+    """,
+    doc="Count-Min point-frequency estimates (Cormode & Muthukrishnan "
+    "2005) for probe tokens over the whole corpus token stream "
+    "(operators/sketches.py:cms_build/cms_query): 3 md5-salted hash "
+    "rows x 1024 counters — the exchange is bounded by depth x width "
+    "after map-side combine, never the token key space; the probe "
+    "join broadcasts the 3072-row counter table.  Deterministic "
+    "hashing makes the whole sketch bit-identical to the SQL rebuild.",
+)
+def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sketches import cms_build, cms_query
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    counters = cms_build(toks, "tok", width=1024, depth=3)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    return cms_query(counters, probes, "item", width=1024, depth=3)

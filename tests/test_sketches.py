@@ -129,3 +129,50 @@ class TestExactGroupQuantiles:
 
         with _pytest.raises(ValueError, match="quantiles"):
             sk.exact_group_quantiles(None, "g", "v", [0.0])
+
+
+class TestCountMin:
+    def test_overestimates_and_exact_when_sparse(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sketches import (
+            cms_build,
+            cms_query,
+        )
+
+        rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "item string")
+        counters = cms_build(df, "item", width=4096, depth=3)
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("zzz",)], "item string"
+        )
+        got = {
+            r["item"]: r["est_count"]
+            for r in cms_query(counters, probes, "item", width=4096, depth=3).collect()
+        }
+        # 3 items in 4096 buckets: no collisions -> exact; absent -> 0
+        assert got == {"a": 10, "b": 3, "c": 1, "zzz": 0}
+
+    def test_never_underestimates_under_collisions(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sketches import (
+            cms_build,
+            cms_query,
+        )
+
+        rows = [(f"t{i}",) for i in range(200) for _ in (0, 1)]  # each twice
+        df = spark.createDataFrame(rows, "item string")
+        counters = cms_build(df, "item", width=16, depth=2)  # heavy collisions
+        probes = df.distinct()
+        got = cms_query(counters, probes, "item", width=16, depth=2).collect()
+        assert all(r["est_count"] >= 2 for r in got)
+
+    def test_param_guards(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.operators.sketches import (
+            cms_build,
+            cms_query,
+        )
+
+        with _pytest.raises(ValueError, match="width"):
+            cms_build(None, "x", width=0)
+        with _pytest.raises(ValueError, match="width"):
+            cms_query(None, None, "x", depth=0)
