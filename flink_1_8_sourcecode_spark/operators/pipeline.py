@@ -308,10 +308,17 @@ def snapshot_diff(
         raise ValueError("snapshot_diff needs at least one content column")
 
     def digest(df: DataFrame) -> Column:
+        # per-field framing: N for NULL, V<len>:<value> otherwise — a
+        # sentinel VALUE (e.g. a literal "\\x00null" string) can never
+        # collide with NULL, and length prefixes block concat smearing
         parts = []
         for c in content_cols:
-            s = F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            parts += [F.length(s).cast("string"), F.lit(":"), s]
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("N;")).otherwise(
+                    F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
         return F.md5(F.concat(*parts))
 
     o = old.select(F.col(id_col).alias("__id"), digest(old).alias("old_digest"))

@@ -1592,14 +1592,14 @@ def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT doc_id,
-             md5(len(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)::VARCHAR
+             md5('V' || len(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)::VARCHAR
                  || ':' || CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
-                 || len(lang)::VARCHAR || ':' || lang) AS old_digest
+                 || 'V' || len(lang)::VARCHAR || ':' || lang) AS old_digest
       FROM documents WHERE doc_id % 7 != 0
     ), n AS (
       SELECT doc_id,
-             md5(len(text)::VARCHAR || ':' || text
-                 || len(lang)::VARCHAR || ':' || lang) AS new_digest
+             md5('V' || len(text)::VARCHAR || ':' || text
+                 || 'V' || len(lang)::VARCHAR || ':' || lang) AS new_digest
       FROM documents
     )
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,

@@ -228,6 +228,10 @@ class _Parser:
         # keeps numeric '+' for column-only operands.
         self.string_cols = frozenset(string_cols or ())
         self._strs: set[int] = set()  # id()s of string-typed Columns
+        # strong refs to every marked Column: without them CPython may
+        # collect an intermediate Column mid-parse and RE-USE its id()
+        # for a fresh numeric Column, falsely marking it string-typed
+        self._strs_refs: list = []
         self.toks: list[tuple[str, str, int]] = []
         pos = 0
         while pos < len(text):
@@ -326,6 +330,7 @@ class _Parser:
 
     def _mark_str(self, col):
         self._strs.add(id(col))
+        self._strs_refs.append(col)
         return col
 
     def _prefix_call(self, fn: str):

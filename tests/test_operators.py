@@ -2038,6 +2038,14 @@ class TestSnapshotDiff:
             4: "removed", 5: "added",
         }
 
+    def test_null_never_collides_with_sentinel_like_value(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "id long, text string")
+        new = spark.createDataFrame([(1, "\x00null")], "id long, text string")
+        [r] = snapshot_diff(old, new, "id", ["text"]).collect()
+        assert r["status"] == "changed"
+
     def test_length_prefix_blocks_concat_collision(self, spark):
         from flink_1_8_sourcecode_spark.operators.pipeline import snapshot_diff
 
