@@ -62,10 +62,12 @@ def kmv_sketch(
     import pandas as pd
 
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    # NULL values don't count as a distinct value (COUNT(DISTINCT)
+    # convention) — and a NaN hash must never occupy a k-min slot
     pairs = df.select(
         F.col(group_col).alias("__g"),
         md5_base28(value.cast("string")).alias("__hv"),
-    )
+    ).filter(F.col("__hv").isNotNull())
     gtype = pairs.schema["__g"].dataType.simpleString()
 
     def local_kmv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -868,10 +868,12 @@ def streaming_kmv_sketch(
 
     _check_k(k)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    # NULL values don't count (COUNT(DISTINCT) convention, same filter
+    # as the batch sketch — keeps stream == batch exactly)
     src = df.select(
         F.col(group_col).alias("__g"),
         md5_base28(value.cast("string")).alias("__hv"),
-    )
+    ).filter(F.col("__hv").isNotNull())
     gtype = src.schema["__g"].dataType.simpleString()
     space = float(1 << 28)
 

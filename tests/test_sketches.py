@@ -176,3 +176,13 @@ class TestCountMin:
             cms_build(None, "x", width=0)
         with _pytest.raises(ValueError, match="width"):
             cms_query(None, None, "x", depth=0)
+
+
+def test_null_values_do_not_occupy_kmin_slots(spark):
+    # COUNT(DISTINCT) convention: NULLs don't count, and must not
+    # displace real hashes from the k-min set
+    rows = [("g", f"v{i}") for i in range(10)] + [("g", None)] * 100
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = sk.kmv_estimate(sk.kmv_sketch(df, "g", "v", k=8), 8).collect()[0]
+    assert out["kmv_size"] == 8  # all 8 slots hold real value hashes
+    assert out["est_distinct"] > 0
