@@ -390,3 +390,38 @@ def table_api_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "table_api_temporal_functions",
+    oracle="""
+    SELECT event_id,
+           extract(hour FROM ts)::BIGINT AS h,
+           date_trunc('day', ts) AS day_start,
+           date_diff('minute', date_trunc('day', ts), ts)::INT AS mins_into_day,
+           sign(value)::DOUBLE AS sgn,
+           (CASE WHEN value * 100 >= 0 THEN floor(value * 100)
+                 ELSE ceil(value * 100) END / 100)::DOUBLE AS v2
+    FROM events WHERE event_id < 1000
+    """,
+    doc="The temporal/math grammar tail through the string facade with "
+    "a full oracle: .extract(HOUR), .floor(DAY), "
+    "timestampDiff(MINUTE, ...) (aligned origin, so boundary-crossing "
+    "and complete-interval semantics coincide), .sign and "
+    ".truncate(2) — all lower to Catalyst expressions, map-only "
+    "WholeStageCodegen, zero Python (table_api.py:_apply_suffix).",
+)
+def table_api_temporal_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    t = Table(table(spark, sf_dir, "events"))
+    return (
+        t.filter("event_id < 1000")
+        .select(
+            "event_id, ts.extract(HOUR) as h, ts.floor(DAY) as day_start, "
+            "timestampDiff(MINUTE, ts.floor(DAY), ts) as mins_into_day, "
+            "value.sign as sgn, value.truncate(2) as v2"
+        )
+        .to_df()
+    )
