@@ -425,3 +425,37 @@ def table_api_temporal_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
     )
+
+
+@register(
+    "table_api_string_functions",
+    oracle="""
+    SELECT doc_id,
+           lpad(lang, 4, '*') AS padded,
+           regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           to_base64(encode(substring(lang, 1, 2))) AS b64,
+           repeat(lang, 2) AS rep,
+           md5(lang) AS h
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+    doc="The string-function grammar tail with a full oracle: "
+    ".lpad, .regexpExtract(group), .substring.toBase64, .repeat and "
+    ".md5 through the string facade — every call lowers to a "
+    "Catalyst expression (map-only WholeStageCodegen, zero Python; "
+    "table_api.py:_apply_suffix string tail).",
+)
+def table_api_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.table_api import Table
+
+    t = Table(table(spark, sf_dir, "documents"))
+    return (
+        t.filter("doc_id % 4 = 0")
+        .select(
+            "doc_id, lang.lpad(4, '*') as padded, "
+            "source.regexpExtract('src([0-9]+)', 1) as src_num, "
+            "lang.substring(1, 2).toBase64 as b64, "
+            "lang.repeat(2) as rep, lang.md5 as h"
+        )
+        .to_df()
+    )
