@@ -578,3 +578,45 @@ def test_snapshot_diff_exchanges_digests_not_payload(spark, sf_dir):
         assert "text#" not in ex, ex
     assert "md5(" in plan, plan
     assert "FullOuter" in plan or "full_outer" in plan, plan
+
+
+def test_grammar_tail_queries_are_map_only(spark, sf_dir):
+    """The temporal/math and string grammar-tail queries must lower to
+    pure Catalyst projections: zero exchanges, zero Python evals."""
+    for name in ("table_api_temporal_functions", "table_api_string_functions",
+                 "table_api_string_concat"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+        assert "EvalPython" not in plan, (name, plan)
+
+
+def test_kmv_sketch_single_truncated_exchange(spark, sf_dir):
+    """sketch_kmv_distinct: exactly ONE exchange, fed by the map-side
+    k-truncation (mapInPandas) — and the scan reads only the two
+    needed columns."""
+    import re
+
+    plan = _plan(spark, "sketch_kmv_distinct")
+    assert len(re.findall(r"Exchange ", plan)) == 1, plan
+    assert "MapInPandas" in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {
+        "event_type", "user_id"
+    }, m and m.group(1)
+
+
+def test_cms_probe_join_broadcasts_counters(spark, sf_dir):
+    """sketch_cms_frequency: the probe join must broadcast the bounded
+    depth x width counter table, never shuffle the token stream into
+    the join."""
+    plan = _plan(spark, "sketch_cms_frequency")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_sample_no_single_partition_funnel(spark, sf_dir):
+    """sample_weighted_noreplace: the per-group rank comes from the
+    two-pass machinery — no global SinglePartition exchange, no
+    partition-by-group Window funnel over the corpus."""
+    plan = _plan(spark, "sample_weighted_noreplace")
+    assert "Exchange SinglePartition" not in plan, plan
