@@ -553,3 +553,80 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("__f.kmv_size").alias("kmv_size"),
                 F.col("__f.est_distinct").alias("est_distinct"))
     )
+
+
+@register(
+    "streaming_cms_frequency",
+    oracle="""
+    WITH ds AS (SELECT unnest([0, 1]) AS d),
+    h AS (
+      SELECT d,
+             ((strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[1]) - 1) * 16777216
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[2]) - 1) * 1048576
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[3]) - 1) * 65536
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[4]) - 1) * 4096
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[5]) - 1) * 256
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[6]) - 1) * 16
+            + (strpos('0123456789abcdef', md5(user_id::VARCHAR || '#' || d::VARCHAR)[7]) - 1)) % 512 AS bucket
+      FROM events, ds
+    ), counters AS (
+      SELECT d, bucket, count(*) AS cnt FROM h GROUP BY 1, 2
+    ), probes AS (SELECT unnest([1, 7, 42, 987654321]) AS item),
+    ph AS (
+      SELECT item, d,
+             ((strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[1]) - 1) * 16777216
+            + (strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[2]) - 1) * 1048576
+            + (strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[3]) - 1) * 65536
+            + (strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[4]) - 1) * 4096
+            + (strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[5]) - 1) * 256
+            + (strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[6]) - 1) * 16
+            + (strpos('0123456789abcdef', md5(item::VARCHAR || '#' || d::VARCHAR)[7]) - 1)) % 512 AS bucket
+      FROM probes, ds
+    )
+    SELECT item, min(coalesce(cnt, 0))::BIGINT AS est_count
+    FROM ph LEFT JOIN counters USING (d, bucket)
+    GROUP BY item
+    """,
+    doc="ONLINE Count-Min: the counter table builds as a NATIVE "
+    "streaming aggregation over the replayed event stream — state is "
+    "exactly the depth x width counter grid (bounded regardless of "
+    "the user-id key space), each micro-batch emits updated counters "
+    "(update mode), and the final snapshot equals the batch sketch "
+    "(counts are monotone, so max-per-cell of the update stream IS "
+    "the final count).  Probing then reuses the batch cms_query "
+    "broadcast join.  The oracle rebuilds the whole sketch in SQL.",
+)
+def streaming_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sketches import (
+        _cms_bucket,
+        cms_query,
+    )
+
+    width, depth = 512, 2
+    src = _replayed_stream(spark, sf_dir, "scg_cms_").filter(F.col("user_id") >= 0)
+    item = F.col("user_id").cast("string")
+    rows = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(item, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__e")
+    ).select(F.col("__e.d").alias("d"), F.col("__e.bucket").alias("bucket"))
+    counters_stream = rows.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    name = _run_to_table(counters_stream, "q_cms", state_partitions=4,
+                         output_mode="update")
+    counters = (
+        spark.table(name).groupBy("d", "bucket").agg(F.max("cnt").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(1,), (7,), (42,), (987654321,)], "item long"
+    )
+    return cms_query(counters, probes, "item", width=width, depth=depth)
