@@ -724,3 +724,43 @@ class TestTimestampDiff:
 
         with _pytest.raises(ExpressionParserException, match="unit"):
             self._one(spark, "timestampDiff(EON, x, x)")
+
+
+class TestPrefixSuffixEquivalence:
+    """Property: every prefix spelling fn(recv, args...) must produce
+    the same rows as the suffix spelling recv.fn(args...) — the
+    reference grammar treats them as one Call."""
+
+    CASES = [
+        ("s.upperCase", "upperCase(s)"),
+        ("s.trim", "trim(s)"),
+        ("s.charLength", "charLength(s)"),
+        ("s.lpad(6, '*')", "lpad(s, 6, '*')"),
+        ("s.substring(2, 3)", "substring(s, 2, 3)"),
+        ("s.position('xAbcd')", "position(s, 'xAbcd')"),
+        ("n.mod(3)", "mod(n, 3)"),
+        ("n.power(2)", "power(n, 2)"),
+        ("v.round(1)", "round(v, 1)"),
+        ("v.truncate(1)", "truncate(v, 1)"),
+        ("v.sign", "sign(v)"),
+        ("ts.extract(DAY)", "extract(ts, DAY)"),
+        ("ts.floor(HOUR)", "floor(ts, HOUR)"),
+        ("ts.ceil(MINUTE)", "ceil(ts, MINUTE)"),
+        ("ts.toDate", "toDate(ts)"),
+        ("s.md5", "md5(s)"),
+    ]
+
+    def test_all_pairs_agree(self, spark):
+        import datetime as dt
+
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame(
+            [("Abcd", 7, 1.26, dt.datetime(2001, 2, 3, 4, 5, 6))],
+            "s string, n long, v double, ts timestamp",
+        )
+        t = Table(df)
+        for suf, pre in self.CASES:
+            a = t.select(f"({suf}) as x").df.collect()[0]["x"]
+            b = t.select(f"({pre}) as x").df.collect()[0]["x"]
+            assert a == b, (suf, pre, a, b)
