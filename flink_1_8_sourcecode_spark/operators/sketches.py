@@ -328,3 +328,45 @@ def cms_query(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
         .withColumnRenamed("__item", item_col)
     )
+
+
+def kmv_overlap_matrix(
+    sketches: DataFrame,
+    group_col: str,
+    k: int,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """Pairwise overlap estimates between EVERY pair of groups — the
+    source-similarity matrix of corpus curation (which domains /
+    event types share an audience or document population).  Same
+    estimators as :func:`kmv_overlap`, applied to the upper triangle
+    of the sketch self-join: with G groups the join is G^2/2 rows of
+    bounded k-arrays (the sketches, never the raw populations — the
+    exact computation is a G^2 distinct self-join of the full key
+    space).  Returns (left_key, right_key, est_union, est_jaccard,
+    est_intersection), left_key < right_key.
+    """
+    _check_k(k)
+    a = sketches.select(
+        F.col(group_col).alias("left_key"), F.col(sketch_col).alias("__a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("right_key"), F.col(sketch_col).alias("__b")
+    )
+    both = a.join(F.broadcast(b), F.col("left_key") < F.col("right_key"))
+    pooled = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))), 1, k
+    )
+    both = both.withColumn("__s", pooled)
+    in_both = F.size(
+        F.array_intersect(F.array_intersect(F.col("__s"), F.col("__a")), F.col("__b"))
+    )
+    est_union = _estimate_expr(F.col("__s"), k)
+    jac = in_both.cast("double") / F.size(F.col("__s")).cast("double")
+    return both.select(
+        "left_key",
+        "right_key",
+        F.round(est_union, 6).alias("est_union"),
+        F.round(jac, 6).alias("est_jaccard"),
+        F.round(est_union * jac, 6).alias("est_intersection"),
+    )

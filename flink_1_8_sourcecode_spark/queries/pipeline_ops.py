@@ -1706,3 +1706,48 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = cms_build(toks, "tok", width=1024, depth=3)
     probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
     return cms_query(counters, probes, "item", width=1024, depth=3)
+
+
+@register(
+    "sketch_kmv_overlap_matrix",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, ({_duck_b28('user_id::VARCHAR')}) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type, list_sort(list(hv)) AS kmv
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS left_key, b.event_type AS right_key,
+             list_sort(list_distinct(a.kmv || b.kmv))[:64] AS s,
+             len(list_intersect(list_intersect(
+               list_sort(list_distinct(a.kmv || b.kmv))[:64], a.kmv), b.kmv))
+               AS ki
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    )
+    SELECT left_key, right_key,
+           round(CASE WHEN len(s) < 64 THEN len(s)::DOUBLE
+                      ELSE 63.0 * 268435456.0 / s[64] END, 6) AS est_union,
+           round(ki::DOUBLE / len(s), 6) AS est_jaccard,
+           round((CASE WHEN len(s) < 64 THEN len(s)::DOUBLE
+                       ELSE 63.0 * 268435456.0 / s[64] END)
+                 * (ki::DOUBLE / len(s)), 6) AS est_intersection
+    FROM pairs
+    """,
+    doc="The full pairwise audience-overlap matrix between event "
+    "types from their KMV sketches (operators/sketches.py:"
+    "kmv_overlap_matrix): G^2/2 pairs of bounded 64-hash arrays — "
+    "source-similarity analysis without a distinct self-join of the "
+    "raw key space.  The oracle rebuilds every pair's union sketch "
+    "and estimators in SQL list functions.",
+)
+def sketch_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators import sketches as sk
+
+    ev = table(spark, sf_dir, "events")
+    s = sk.kmv_sketch(ev, "event_type", "user_id", k=64)
+    return sk.kmv_overlap_matrix(s, "event_type", k=64)

@@ -186,3 +186,29 @@ def test_null_values_do_not_occupy_kmin_slots(spark):
     out = sk.kmv_estimate(sk.kmv_sketch(df, "g", "v", k=8), 8).collect()[0]
     assert out["kmv_size"] == 8  # all 8 slots hold real value hashes
     assert out["est_distinct"] > 0
+
+
+def test_overlap_matrix_upper_triangle_matches_pairwise(spark):
+    # matrix rows must equal the one-pair operator on every pair
+    rows = (
+        [("a", f"v{i}") for i in range(300)]
+        + [("b", f"v{i}") for i in range(150, 450)]
+        + [("c", f"x{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    s = sk.kmv_sketch(df, "g", "v", k=64)
+    mat = {
+        (r["left_key"], r["right_key"]): (
+            r["est_union"], r["est_jaccard"], r["est_intersection"]
+        )
+        for r in sk.kmv_overlap_matrix(s, "g", k=64).collect()
+    }
+    assert set(mat) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for lk, rk in mat:
+        [p] = sk.kmv_overlap(s, "g", lk, rk, k=64).collect()
+        assert mat[(lk, rk)] == (
+            p["est_union"], p["est_jaccard"], p["est_intersection"]
+        )
+    # disjoint pairs estimate zero overlap; overlapping pair doesn't
+    assert mat[("a", "c")][1] == 0.0 and mat[("b", "c")][1] == 0.0
+    assert mat[("a", "b")][1] > 0.0
