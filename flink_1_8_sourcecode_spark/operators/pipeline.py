@@ -282,6 +282,59 @@ def curate_gate(
     )
 
 
+def content_digest(content_cols: list[str]) -> Column:
+    """One md5 over the listed columns with per-field framing: ``N;``
+    for NULL, ``V<len>:<value>`` otherwise — NULL can never collide
+    with a sentinel-looking VALUE, and length prefixes block concat
+    smearing across fields.  The shared digest of the snapshot-diff
+    family (batch ``snapshot_diff`` and the streaming status gate)."""
+    parts = []
+    for c in content_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N;")).otherwise(
+                F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.md5(F.concat(*parts))
+
+
+def snapshot_status_stream(
+    incoming: DataFrame,
+    baseline: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """STREAMING snapshot status: classify each arriving row against a
+    FROZEN baseline snapshot as ``added`` (id unseen), ``changed``
+    (content digest differs) or ``unchanged`` — the live-ingestion
+    face of :func:`snapshot_diff` (``removed`` is unobservable online;
+    the batch diff covers it).  Drives the reprocess/skip decision at
+    ingestion: only added+changed rows continue down the pipeline.
+
+    Stateless by construction — one stream-static LEFT join on the id
+    against the baseline's (id, digest) projection (digests computed
+    map-side on both sides, so the static build side is 40 B/row
+    however large the documents are), plus a map-only CASE.  The same
+    plan runs on a batch frame (stream == batch).
+    """
+    if not content_cols:
+        raise ValueError("snapshot_status_stream needs at least one content column")
+    base = baseline.select(
+        F.col(id_col).alias("__bid"),
+        content_digest(content_cols).alias("__bdig"),
+    )
+    inc = incoming.withColumn("__dig", content_digest(content_cols))
+    j = inc.join(base, inc[id_col] == base["__bid"], "left")
+    status = (
+        F.when(F.col("__bdig").isNull(), F.lit("added"))
+        .when(F.col("__dig") == F.col("__bdig"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias(status_col))
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -307,22 +360,14 @@ def snapshot_diff(
     if not content_cols:
         raise ValueError("snapshot_diff needs at least one content column")
 
-    def digest(df: DataFrame) -> Column:
-        # per-field framing: N for NULL, V<len>:<value> otherwise — a
-        # sentinel VALUE (e.g. a literal "\\x00null" string) can never
-        # collide with NULL, and length prefixes block concat smearing
-        parts = []
-        for c in content_cols:
-            s = F.col(c).cast("string")
-            parts.append(
-                F.when(s.isNull(), F.lit("N;")).otherwise(
-                    F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
-                )
-            )
-        return F.md5(F.concat(*parts))
-
-    o = old.select(F.col(id_col).alias("__id"), digest(old).alias("old_digest"))
-    n = new.select(F.col(id_col).alias("__id"), digest(new).alias("new_digest"))
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        content_digest(content_cols).alias("old_digest"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        content_digest(content_cols).alias("new_digest"),
+    )
     j = o.join(n, "__id", "full_outer")
     status = (
         F.when(F.col("old_digest").isNull(), F.lit("added"))

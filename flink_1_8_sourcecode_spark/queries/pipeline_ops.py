@@ -1751,3 +1751,68 @@ def sketch_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     s = sk.kmv_sketch(ev, "event_type", "user_id", k=64)
     return sk.kmv_overlap_matrix(s, "event_type", k=64)
+
+
+@register(
+    "streaming_snapshot_status",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id,
+             md5('V' || len(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)::VARCHAR
+                 || ':' || CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END
+                 || 'V' || len(lang)::VARCHAR || ':' || lang) AS bdig
+      FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN o.bdig IS NULL THEN 'added'
+                WHEN o.bdig = md5('V' || len(d.text)::VARCHAR || ':' || d.text
+                                  || 'V' || len(d.lang)::VARCHAR || ':' || d.lang)
+                     THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM documents d LEFT JOIN o USING (doc_id)
+    """,
+    doc="LIVE snapshot status gating: documents replayed as "
+    "micro-batches are classified added/changed/unchanged against the "
+    "frozen baseline (the pipeline_snapshot_diff fixture) by ONE "
+    "stateless stream-static LEFT join on (id, 32-byte digest) — the "
+    "reprocess/skip decision at ingestion with zero state "
+    "(operators/pipeline.py:snapshot_status_stream); removed ids are "
+    "the batch diff's job.  stream == batch by construction.",
+)
+def streaming_snapshot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from flink_1_8_sourcecode_spark.operators.pipeline import (
+        snapshot_status_stream,
+    )
+    from flink_1_8_sourcecode_spark.streaming import sources
+
+    chunks = _DOC_CHUNK_CACHE.get(sf_dir)
+    if chunks is None or not os.path.isdir(chunks):
+        chunks = tempfile.mkdtemp(prefix="scg_docs_")
+        sources.write_document_chunks(spark, sf_dir, chunks, n_chunks=4)
+        _DOC_CHUNK_CACHE[sf_dir] = chunks
+    src = sources.read_document_stream(spark, chunks)
+    baseline = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    out = snapshot_status_stream(src, baseline, "doc_id", ["text", "lang"])
+    name = f"q_sss_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
