@@ -212,3 +212,40 @@ def test_overlap_matrix_upper_triangle_matches_pairwise(spark):
     # disjoint pairs estimate zero overlap; overlapping pair doesn't
     assert mat[("a", "c")][1] == 0.0 and mat[("b", "c")][1] == 0.0
     assert mat[("a", "b")][1] > 0.0
+
+
+def test_streaming_kmv_state_is_one_row_per_group(spark, tmp_path):
+    """Scale pin: the online KMV's state store holds exactly ONE row
+    per group (the k-min list + counter) no matter how many values
+    stream through — asserted on the store's own numRowsTotal."""
+    import uuid
+
+    from flink_1_8_sourcecode_spark.streaming.stateful import streaming_kmv_sketch
+
+    d = str(tmp_path / "kmv_state")
+    for c in range(3):
+        rows = [("g1" if i % 2 else "g2", f"c{c}v{i}") for i in range(400)]
+        spark.createDataFrame(rows, "g string, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(d + f"/c={c}")
+    src = (
+        spark.readStream.schema("g string, v string")
+        .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = streaming_kmv_sketch(src, "g", "v", k=32)
+    name = f"t_kmvst_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+    assert state_rows and max(state_rows) == 2, state_rows  # one per group
