@@ -387,6 +387,16 @@ class _Parser:
                 self.error("')' expected in call arguments")
         if not args:
             self.error(f"prefix call {fn}() needs at least one argument")
+        # collection constructors (expressionDsl.scala:1249 array,
+        # :1275 map; RowTypeTest row): value literals, not receivers
+        if fnl == "array":
+            return (F.array(*[self._argcol(a) for a in args]), None, False)
+        if fnl == "map":
+            if len(args) % 2 != 0:
+                self.error("map(...) needs an even number of key/value arguments")
+            return (F.create_map(*[self._argcol(a) for a in args]), None, False)
+        if fnl == "row":
+            return (F.struct(*[self._argcol(a) for a in args]), None, False)
         if (
             fnl in ("cast", "as", "get", "over", "distinct")
             or fnl in _EXPR_INTERVAL_UNITS
@@ -687,6 +697,25 @@ class _Parser:
                  None, False),
                 None,
             )
+        # collection accessors (expressionDsl.scala:855 at, :862
+        # cardinality, :870 element)
+        if fnl == "at":
+            # 1-based array index / map key access (ItemAt) — Spark's
+            # element_at has identical semantics for both
+            return (F.element_at(base, self._argcol(args[0])), None, False), None
+        if fnl == "cardinality":
+            return (F.size(base), None, False), None
+        if fnl == "element":
+            # sole element of a 1-element array; NULL when empty,
+            # error when larger (ArrayElement contract)
+            out = (
+                F.when(F.size(base) == 1, F.element_at(base, 1))
+                .when(F.size(base) == 0, F.lit(None))
+                .otherwise(
+                    F.raise_error(F.lit(".element() on an array with more than one element"))
+                )
+            )
+            return (out, None, False), None
         if fnl == "trim" and args:
             # suffixTrim (ExpressionParser.scala:242): trim(MODE, char)
             # — Trim(mode, trimCharacter, operand)

@@ -1052,3 +1052,50 @@ class TestTrimModes:
 
         with _pytest.raises(ExpressionParserException, match="mode"):
             self._one(spark, "f8.trim(SIDEWAYS, ' ')")
+
+
+class TestCollectionTypes:
+    """ArrayTypeTest :33 / MapTypeTest :33 / RowTypeTest — the
+    published expected values for the collection constructors and
+    accessors (array/map/row, .at, .cardinality, .element) through
+    the string facade."""
+
+    def _one(self, spark, expr):
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame([(1,)], "x int")
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_array_literals(self, spark):
+        assert self._one(spark, "array(1, 2, 3)") == [1, 2, 3]
+        assert self._one(spark, "array(true, true, true)") == [True, True, True]
+        assert self._one(spark, "array(1 + 1, 3 * 3)") == [2, 9]
+        assert self._one(spark, "array(array(array(1), array(1)))") == [[[1], [1]]]
+        assert self._one(spark, "array(Null(INT), 1)") == [None, 1]
+
+    def test_map_literals(self, spark):
+        assert self._one(spark, "map(1, 1)") == {1: 1}
+        assert self._one(spark, "map(true, true)") == {True: True}
+        assert self._one(spark, "map(1 + 2, 3 * 3, 6 / 3, 4 - 2)") == {3: 9, 2: 2}
+
+    def test_at_cardinality_element(self, spark):
+        assert self._one(spark, "array(7, 8, 9).at(1)") == 7
+        assert self._one(spark, "array(7, 8, 9).at(3)") == 9
+        assert self._one(spark, "map('a', 12, 'b', 13).at('b')") == 13
+        assert self._one(spark, "array(7, 8, 9).cardinality") == 3
+        assert self._one(spark, "array(42).element") == 42
+        assert self._one(spark, "array(array(1, 2), array(3, 4)).at(2).at(2)") == 4
+
+    def test_row_constructor(self, spark):
+        got = self._one(spark, "row(1, 'x')")
+        assert tuple(got) == (1, "x")
+
+    def test_map_odd_args_rejected(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with _pytest.raises(ExpressionParserException, match="even number"):
+            self._one(spark, "map(1, 2, 3)")
