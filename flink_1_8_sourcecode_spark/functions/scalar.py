@@ -99,3 +99,52 @@ def overlaps(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
     lo1, hi1 = F.least(s1, e1), F.greatest(s1, e1)
     lo2, hi2 = F.least(s2, e2), F.greatest(s2, e2)
     return (lo1 <= hi2) & (lo2 <= hi1)
+
+
+_MYSQL_FMT = {
+    # MySQL %-code -> Spark datetime pattern
+    # (reference runtime DateTimeFunctions.scala:36-100 enumerates the
+    # joda builder equivalents; this is the same table for Spark)
+    "a": "EEE", "b": "MMM", "c": "M", "d": "dd", "e": "d",
+    "f": "SSSSSS", "H": "HH", "h": "hh", "I": "hh", "i": "mm",
+    "j": "DDD", "k": "H", "l": "h", "M": "MMMM", "m": "MM",
+    "p": "a", "r": "hh:mm:ss a", "S": "ss", "s": "ss",
+    "T": "HH:mm:ss", "W": "EEEE", "Y": "yyyy", "y": "yy",
+}
+
+
+def mysql_date_format(col: Column, fmt: str) -> Column:
+    """DATE_FORMAT(ts, mysqlFormat): MySQL %-code date formatting
+    (reference DateTimeFunctions.scala:31 dateFormat) lowered to ONE
+    Spark ``date_format`` call with a translated pattern — literal
+    characters are single-quoted so Spark never interprets them,
+    unknown %-codes raise loudly (same stance as the reference's
+    IllegalArgumentException default case)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise ValueError("dateFormat: dangling '%' at end of format")
+            code = fmt[i + 1]
+            i += 2
+            if code == "%":
+                lit.append("%")
+                continue
+            if code not in _MYSQL_FMT:
+                raise ValueError(f"dateFormat: unsupported format code %{code}")
+            flush()
+            out.append(_MYSQL_FMT[code])
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return F.date_format(col.cast("timestamp"), "".join(out))

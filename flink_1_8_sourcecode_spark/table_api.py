@@ -387,6 +387,41 @@ class _Parser:
                 self.error("')' expected in call arguments")
         if not args:
             self.error(f"prefix call {fn}() needs at least one argument")
+        if fnl == "dateformat":
+            # dateFormat(ts, mysqlFormat) — expressionDsl.scala:1197;
+            # %-codes translated to one Spark date_format pattern
+            from flink_1_8_sourcecode_spark.functions.scalar import (
+                mysql_date_format,
+            )
+
+            if len(args) != 2 or not (
+                isinstance(args[1], _Lit) and isinstance(args[1].value, str)
+            ):
+                self.error("dateFormat(timestamp, 'format') expects a string "
+                           "literal format")
+            try:
+                out = mysql_date_format(self._argcol(args[0]), args[1].value)
+            except ValueError as e:
+                self.error(str(e))
+            return (self._mark_str(out), None, False)
+        if fnl == "concat_ws":
+            # concat_ws(separator, s1, s2, ...) — expressionDsl:1392;
+            # NULL separator -> NULL, NULL strings skipped (Spark's
+            # CONCAT_WS has the identical contract)
+            if len(args) < 2:
+                self.error("concat_ws(separator, string, ...) expects >= 2 args")
+            out = F.call_function("concat_ws", *[self._argcol(a) for a in args])
+            return (self._mark_str(out), None, False)
+        if fnl == "temporaloverlaps":
+            # temporalOverlaps(lPoint, lInterval, rPoint, rInterval) —
+            # expressionDsl:1170: leftEnd >= rightStart && rightEnd >=
+            # leftStart with end = point + interval (the interval form;
+            # a time-point temporal fails addition loudly)
+            if len(args) != 4:
+                self.error("temporalOverlaps expects exactly 4 arguments")
+            lp, ld, rp, rd = [self._argcol(a) for a in args]
+            out = ((lp + ld) >= rp) & ((rp + rd) >= lp)
+            return (out, None, False)
         # collection constructors (expressionDsl.scala:1249 array,
         # :1275 map; RowTypeTest row): value literals, not receivers
         if fnl == "array":

@@ -1099,3 +1099,65 @@ class TestCollectionTypes:
 
         with _pytest.raises(ExpressionParserException, match="even number"):
             self._one(spark, "map(1, 2, 3)")
+
+
+class TestDateFormatConcatWsOverlaps:
+    """dateFormat (expressionDsl:1197, doc example '2017, 05 May'),
+    concat_ws (ScalarFunctionsTest :362), temporalOverlaps (:2507,
+    the date/timestamp rows — our TIME type renders as a string, so
+    the interval/point forms are pinned on DATE/TIMESTAMP operands)."""
+
+    def _one(self, spark, expr):
+        import datetime as dt
+
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2017, 5, 5, 13, 2, 3), None)],
+            "t timestamp, f33 string",
+        )
+        return Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
+
+    def test_date_format(self, spark):
+        assert self._one(spark, "dateFormat(t, '%Y, %d %M')") == "2017, 05 May"
+        assert self._one(spark, "dateFormat(t, '%T')") == "13:02:03"
+        assert self._one(spark, "dateFormat(t, '%y-%m-%d %% %H:%i:%s')") \
+            == "17-05-05 % 13:02:03"
+
+    def test_date_format_unknown_code_raises(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.table_api import (
+            ExpressionParserException,
+        )
+
+        with _pytest.raises(ExpressionParserException, match="format code"):
+            self._one(spark, "dateFormat(t, '%Q')")
+
+    def test_concat_ws(self, spark):
+        assert self._one(spark, "concat_ws(f33, 'AA')") is None
+        assert self._one(spark, "concat_ws('~~~~', 'AA')") == "AA"
+        assert self._one(spark, "concat_ws('~', 'AA', 'BB')") == "AA~BB"
+        # NULLs after the separator are skipped, empties kept
+        assert (
+            self._one(spark, "concat_ws('~', f33, 'AA', 'BB', '', f33, 'CC')")
+            == "AA~BB~~CC"
+        )
+
+    def test_temporal_overlaps(self, spark):
+        # (DATE '2011-03-10', +10d) OVERLAPS (DATE '2011-03-19', +10d)
+        assert self._one(
+            spark,
+            "temporalOverlaps('2011-03-10'.toDate, 10.days, "
+            "'2011-03-19'.toDate, 10.days)",
+        ) is True
+        assert self._one(
+            spark,
+            "temporalOverlaps('2011-03-10'.toDate, 2.days, "
+            "'2011-03-19'.toDate, 2.days)",
+        ) is False
+        assert self._one(
+            spark,
+            "temporalOverlaps('2011-03-10 05:02:02'.toTimestamp, 1.milli, "
+            "'2011-03-10 05:02:02'.toTimestamp, 1.hour)",
+        ) is True
