@@ -1411,6 +1411,17 @@ def bpe_train(
     tests.  Training stops early when the best pair's frequency drops
     below ``min_freq``.
 
+    Practical bound: each merge round is one driver-coordinated Spark
+    job (the argmax ``.first()``), so a production 32k-merge vocabulary
+    means 32k sequential jobs over the (vocab-bounded, persisted)
+    frequency table.  That is the correct distributed shape for the
+    CORPUS pass — which happens once — but for very large merge counts
+    the standard practice is to shrink the vocab table to the driver
+    once it fits (it is distinct-words-sized, not corpus-sized) and
+    finish the merge loop locally; this implementation keeps every
+    round in-engine so the trainer works even when the distinct-word
+    table itself exceeds driver memory.
+
     Returns ``(merges, vocab)``: merges as ``(a, b, freq)`` in learned
     order, and the symbolized vocab frame ``(__w, __n, __sym)`` — the
     word -> BPE-tokens table that :func:`bpe_tokenize` joins against

@@ -1424,20 +1424,75 @@ def text_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _bpe_train_oracle(num_merges: int, min_freq: int) -> str:
+    """Fully INDEPENDENT DuckDB re-derivation of the BPE merge loop.
+
+    The merge loop is iterative, but the iteration count is a query
+    constant (12), so the oracle unrolls it: per round, one argmax over
+    the weighted adjacent-pair counts (same tie-breaks: freq desc, then
+    (a, b) lexicographic — both engines compare binary) followed by a
+    merge application.  Symbol lists are carried as guard-wrapped
+    strings ``chr(31)||sym||chr(30)`` so SQL ``replace()`` — which
+    substitutes left-to-right non-overlapping — implements exactly the
+    trainer's fold semantics (``[a,a,a]`` with pair ``(a,a)`` ->
+    ``[aa,a]``).  Every CTE is MATERIALIZED so the 12 rounds cost 12
+    vocab scans, not an exponential inline blow-up.  Early stop: best
+    pair frequency is non-increasing across rounds (a merge can only
+    create pairs no more frequent than itself), so filtering the final
+    rows to ``freq >= min_freq`` — with a CASE that leaves the state
+    unmodified on a sub-threshold round — is equivalent to the
+    trainer's break.
+    """
+    W = "chr(31)"  # symbol-open guard
+    E = "chr(30)"  # symbol-close guard
+    parts = [f"""
+WITH wf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> x != '')) AS w
+    FROM documents) GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT n, list_aggregate(list_transform(string_split(w, ''),
+         c -> {W}||c||{E}), 'string_agg', '') AS s
+  FROM wf
+)"""]
+    for i in range(1, num_merges + 1):
+        parts.append(f""", b{i} AS MATERIALIZED (
+  SELECT z[1] AS a, z[2] AS b, sum(n)::BIGINT AS freq
+  FROM (
+    SELECT n, unnest(list_zip(l, l[2:])) AS z
+    FROM (SELECT n, string_split(substr(s, 2, length(s) - 2),
+                                 {E}||{W}) AS l FROM s{i - 1})
+  ) WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT n, CASE WHEN bst.freq >= {min_freq}
+    THEN replace(s, {W}||bst.a||{E}||{W}||bst.b||{E}, {W}||bst.a||bst.b||{E})
+    ELSE s END AS s
+  FROM s{i - 1} LEFT JOIN b{i} bst ON TRUE
+)""")
+    rows = "\nUNION ALL ".join(
+        f'SELECT {i - 1} AS rank, a AS "left", b AS "right", freq FROM b{i}'
+        for i in range(1, num_merges + 1)
+    )
+    parts.append(f"""
+SELECT * FROM ({rows}) WHERE freq >= {min_freq} ORDER BY rank
+""")
+    return "".join(parts)
+
+
 @register(
     "text_bpe_train",
-    # no SQL oracle: the merge loop is an iterative argmax-and-rewrite
-    # algorithm (genuinely non-SQL-expressible); correctness is pinned
-    # against an independent Python BPE reference in
-    # tests/test_operators.py::TestBPE and the driver records the
-    # rows-only check
+    oracle=_bpe_train_oracle(num_merges=12, min_freq=2),
     doc="IN-ENGINE BPE tokenizer training (operators/text.py:"
     "bpe_train — Sennrich et al. 2016): ONE corpus-sized pass builds "
     "the distinct-word frequency table, then each merge round is one "
     "pair-count shuffle of VOCAB rows (never the corpus) + a top-1 to "
     "the driver + a map-only fold applying the merge.  Deterministic "
     "tie-breaks (freq desc, pair lexicographic).  Returns the learned "
-    "merge table in order.",
+    "merge table in order.  INDEPENDENT oracle: DuckDB re-derives the "
+    "full merge sequence from the raw corpus (unrolled per-round "
+    "argmax + guard-wrapped replace()), no conditioning export needed.",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.text import bpe_train
