@@ -64,6 +64,10 @@ class Engine:
         # TableEnvironment.scala:586) — INSERT INTO / insert_into route
         # writes here
         self._sinks: dict[str, "TableSink"] = {}
+        # registered external catalogs
+        # (TableEnvironment.registerExternalCatalog, :413) — sql() and
+        # table() resolve catalog.db.table names through these
+        self._external_catalogs: dict = {}
 
     # --- catalog -----------------------------------------------------
     def register_testdata(self, sf_dir: str) -> None:
@@ -75,7 +79,90 @@ class Engine:
         df.createOrReplaceTempView(name)
 
     def table(self, name: str) -> DataFrame:
+        """A table by name — plain session-catalog names, or a
+        qualified ``catalog.db.table`` path rooted at a registered
+        external catalog (the reference's ``scan`` varargs form is
+        :meth:`scan`)."""
+        parts = name.split(".")
+        if len(parts) > 1 and parts[0] in self._external_catalogs:
+            return self.scan(*parts)
         return self.spark.table(name)
+
+    # --- descriptor / connect API ----------------------------------------
+    def connect(self, connector_descriptor):
+        """TableEnvironment.connect (TableEnvironment.scala:656): start
+        a declarative source/sink registration chain —
+        ``connect(FileSystem().path(p)).with_format(OldCsv()...)
+        .with_schema(Schema()...).register_table_source(name)``.
+        The chain lowers onto spark.read / readStream and the engine's
+        sink registry (descriptors.py)."""
+        from flink_1_8_sourcecode_spark.descriptors import (
+            ConnectTableDescriptor,
+        )
+
+        return ConnectTableDescriptor(self, connector_descriptor)
+
+    # --- external catalogs ---------------------------------------------
+    def register_external_catalog(self, name: str, catalog) -> None:
+        """registerExternalCatalog (TableEnvironment.scala:413): attach
+        a catalog tree under ``name``; ``catalog.db.table`` names become
+        resolvable in :meth:`sql`, :meth:`table` and :meth:`scan`."""
+        self._external_catalogs[name] = catalog
+
+    def get_registered_external_catalog(self, name: str):
+        """getRegisteredExternalCatalog (TableEnvironment.scala:428);
+        unknown names throw ExternalCatalogNotExistException (:431)."""
+        from flink_1_8_sourcecode_spark.external_catalog import (
+            ExternalCatalogNotExistException,
+        )
+
+        cat = self._external_catalogs.get(name)
+        if cat is None:
+            raise ExternalCatalogNotExistException(name)
+        return cat
+
+    def scan(self, *path: str) -> DataFrame:
+        """TableEnvironment.scan(path...): resolve a qualified name —
+        first segment an external catalog (then db path + table), or a
+        plain session-catalog table for the 1-segment form."""
+        if not path:
+            raise ValueError("scan() needs at least one path segment")
+        if len(path) == 1:
+            return self.spark.table(path[0])
+        cat = self.get_registered_external_catalog(path[0])
+        return cat.resolve(list(path[1:]))
+
+    def _route_external_catalogs(self, query: str, created: list[str]) -> str:
+        """Resolve ``catalog.db.table`` names in a SQL statement against
+        the registered external catalogs (the reference plugs an
+        ExternalCatalogSchema into Calcite; Spark's session catalog has
+        no Python plug point, so the resolution happens in this
+        engine's existing pre-rewrite layer): each qualified name
+        rooted at a registered catalog is materialized as a temp view
+        and substituted.  Views are parse-time scaffolding — sql()
+        drops them once the statement's plan is captured.  String
+        literals are masked first so a '...' containing a dotted name
+        is never rewritten."""
+        if not self._external_catalogs:
+            return query
+        masked = _mask_literals(query)
+        names = "|".join(re.escape(n) for n in self._external_catalogs)
+        pat = re.compile(rf"\b(?P<path>(?:{names})(?:\.\w+)+)")
+        out: list[str] = []
+        last = 0
+        for m in pat.finditer(masked):
+            path = m.group("path").split(".")
+            df = self.scan(*path)
+            view = "__extcat_" + hashlib.md5(
+                m.group("path").encode()
+            ).hexdigest()[:12]
+            df.createOrReplaceTempView(view)
+            created.append(view)
+            out.append(query[last:m.start()])
+            out.append(view)
+            last = m.end()
+        out.append(query[last:])
+        return "".join(out)
 
     # --- sinks -------------------------------------------------------
     def register_sink(
@@ -229,6 +316,7 @@ class Engine:
             return self.read_sink(self._INSERT_RE.match(query).group("sink"))
         created: list[str] = []
         try:
+            query = self._route_external_catalogs(query, created)
             query = self._route_lateral_temporal(query, created)
             query = self._route_match_recognize(query, created)
             return self.spark.sql(rewrite_flink_sql(query))

@@ -113,20 +113,54 @@ _MYSQL_FMT = {
 }
 
 
+# %-codes the reference REFUSES (DateTimeFunctions.scala:103 throws
+# UnsupportedOperationException for exactly these six)
+_MYSQL_FMT_UNSUPPORTED_REF = frozenset("wUuVXD")
+# %-codes the reference supports via joda week-based fields
+# (DateTimeFunctions.scala:85 %v appendWeekOfWeekyear, :88 %x
+# appendWeekyear) that Spark 3's datetime patterns cannot express
+# (week-based pattern letters were removed from date_format)
+_MYSQL_FMT_UNSUPPORTED_SPARK = frozenset("vx")
+
+
 def mysql_date_format(col: Column, fmt: str) -> Column:
     """DATE_FORMAT(ts, mysqlFormat): MySQL %-code date formatting
-    (reference DateTimeFunctions.scala:31 dateFormat) lowered to ONE
-    Spark ``date_format`` call with a translated pattern — literal
-    characters are single-quoted so Spark never interprets them,
-    unknown %-codes raise loudly (same stance as the reference's
-    IllegalArgumentException default case)."""
-    out: list[str] = []
+    (reference DateTimeFunctions.scala:31 dateFormat) lowered to Spark
+    ``date_format`` — literal characters are single-quoted so Spark
+    never interprets them.  Matches the reference's joda-builder
+    semantics exactly: %w/%U/%u/%V/%X/%D raise (the reference's own
+    unsupported set, DateTimeFunctions.scala:103); any OTHER
+    unrecognized %-code emits its literal character
+    (DateTimeFunctions.scala:109 default case); %v/%x are week-based
+    fields Spark 3 patterns cannot express, so they raise with a
+    Spark-limitation message.  The reference appends each code as an
+    independent joda field, so adjacent codes whose Spark patterns
+    share a letter ('%d%e' -> 'dd'+'d', NOT the 3-letter field 'ddd')
+    are rendered as separate ``date_format`` calls concatenated
+    together — one call suffices whenever no segments collide."""
+    # each part becomes one date_format call; a part is a list of
+    # pattern/quoted-literal segments
+    parts: list[list[str]] = [[]]
+    last_pat_end: str | None = None  # trailing letter of the previous
+    # pattern segment in the current part (None after a literal)
     lit: list[str] = []
 
-    def flush():
+    def flush_lit():
+        nonlocal last_pat_end
         if lit:
-            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            parts[-1].append("'" + "".join(lit).replace("'", "''") + "'")
             lit.clear()
+            last_pat_end = None
+
+    def emit_pattern(p: str):
+        nonlocal last_pat_end
+        flush_lit()
+        if last_pat_end is not None and p[0] == last_pat_end:
+            # same-letter adjacency would merge two independent fields
+            # into one wider field — split into a new date_format call
+            parts.append([])
+        parts[-1].append(p)
+        last_pat_end = p[-1]
 
     i = 0
     while i < len(fmt):
@@ -138,13 +172,27 @@ def mysql_date_format(col: Column, fmt: str) -> Column:
             i += 2
             if code == "%":
                 lit.append("%")
-                continue
-            if code not in _MYSQL_FMT:
-                raise ValueError(f"dateFormat: unsupported format code %{code}")
-            flush()
-            out.append(_MYSQL_FMT[code])
+            elif code in _MYSQL_FMT:
+                emit_pattern(_MYSQL_FMT[code])
+            elif code in _MYSQL_FMT_UNSUPPORTED_REF:
+                raise ValueError(
+                    f"dateFormat: %{code} is unsupported by the reference "
+                    "(DateTimeFunctions.scala:103)"
+                )
+            elif code in _MYSQL_FMT_UNSUPPORTED_SPARK:
+                raise ValueError(
+                    f"dateFormat: %{code} is a week-based field Spark 3 "
+                    "datetime patterns cannot express"
+                )
+            else:
+                # reference default case: emit the literal character
+                lit.append(code)
         else:
             lit.append(ch)
             i += 1
-    flush()
-    return F.date_format(col.cast("timestamp"), "".join(out))
+    flush_lit()
+    ts = col.cast("timestamp")
+    cols = [F.date_format(ts, "".join(p)) for p in parts if p]
+    if not cols:
+        return F.date_format(ts, "")
+    return cols[0] if len(cols) == 1 else F.concat(*cols)

@@ -82,6 +82,7 @@ def stratified_sample_exact(
     id_col: str,
     fraction: float,
     salt: str = "",
+    broadcast_totals: bool = True,
 ) -> DataFrame:
     """Exact stratified sample: ceil(fraction * n_s) rows from every
     stratum s, chosen deterministically as the lowest md5-hash ids.
@@ -104,9 +105,14 @@ def stratified_sample_exact(
     totals = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n")).select(
         F.col(stratum_col).alias("__strk"), "__n"
     )
+    # one row per stratum — broadcast for any realistic stratum count;
+    # broadcast_totals=False is the escape hatch for a stratum
+    # cardinality that exceeds executor memory (shuffled equi-join)
+    if broadcast_totals:
+        totals = F.broadcast(totals)
     return (
         ranked.join(
-            F.broadcast(totals),
+            totals,
             F.col(stratum_col).eqNullSafe(F.col("__strk")),
         )
         .filter(F.col("__rn0") + 1 <= F.ceil(F.col("__n") * F.lit(fraction)))
@@ -546,7 +552,12 @@ def weighted_sample_no_replacement(
     from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
 
     w = F.least(weight_col.cast("int"), F.lit(int(max_weight)))
+    # NULL must raise as loudly as w < 1: a NULL weight yields a NULL
+    # key which would silently never sample the row
     w = F.when(
+        w.isNull(),
+        F.raise_error(F.lit("weighted_sample_no_replacement: NULL weight")),
+    ).when(
         w < 1, F.raise_error(F.lit("weighted_sample_no_replacement: weight < 1"))
     ).otherwise(w)
     idc = F.col(id_col).cast("string")

@@ -174,6 +174,7 @@ def exact_group_quantiles(
     group_col: str,
     value_col: str,
     qs: list[float],
+    broadcast_totals: bool = True,
 ) -> DataFrame:
     """EXACT per-group discrete quantiles at full cluster parallelism —
     the companion to the sketch family for when the answer must be
@@ -206,9 +207,12 @@ def exact_group_quantiles(
     totals = src.groupBy("__g").agg(F.count(F.lit(1)).alias("__n")).select(
         F.col("__g").alias("__gt"), "__n"
     )
-    j = ranked.join(
-        F.broadcast(totals), F.col("__g").eqNullSafe(F.col("__gt"))
-    )
+    # totals is one row per group — broadcast for any realistic group
+    # count; broadcast_totals=False is the escape hatch for a group
+    # cardinality that exceeds executor memory (shuffled equi-join)
+    if broadcast_totals:
+        totals = F.broadcast(totals)
+    j = ranked.join(totals, F.col("__g").eqNullSafe(F.col("__gt")))
     # target rank ceil(q*n) in exact integer arithmetic (q as a
     # num/den fraction) — a float q*n can land a hair above an exact
     # multiple and ceil() to the wrong rank
@@ -335,6 +339,7 @@ def kmv_overlap_matrix(
     group_col: str,
     k: int,
     sketch_col: str = "kmv",
+    broadcast_sketches: bool = True,
 ) -> DataFrame:
     """Pairwise overlap estimates between EVERY pair of groups — the
     source-similarity matrix of corpus curation (which domains /
@@ -353,7 +358,13 @@ def kmv_overlap_matrix(
     b = sketches.select(
         F.col(group_col).alias("right_key"), F.col(sketch_col).alias("__b")
     )
-    both = a.join(F.broadcast(b), F.col("left_key") < F.col("right_key"))
+    # the sketch table is G rows of k-arrays — broadcast for any
+    # realistic group count; broadcast_sketches=False is the escape
+    # hatch when G x k exceeds executor memory (theta-join falls back
+    # to BroadcastNestedLoop-free cartesian planning)
+    if broadcast_sketches:
+        b = F.broadcast(b)
+    both = a.join(b, F.col("left_key") < F.col("right_key"))
     pooled = F.slice(
         F.array_sort(F.array_distinct(F.concat(F.col("__a"), F.col("__b")))), 1, k
     )

@@ -12,10 +12,30 @@ Spark code and the oracle SQL (driver sorts columns by name).
 from __future__ import annotations
 
 import importlib
+import os
+import tempfile
+import uuid as _uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Per-process unique root for conditioned-oracle export artifacts
+# (trained centroids/codebooks/weights the DuckDB oracle re-reads).
+# The path is baked into the oracle SQL at import time, so it must be
+# stable within a process — but unique ACROSS processes, or two
+# concurrent sweeps on one host would clobber each other's artifacts.
+EXPORT_ROOT = os.path.join(
+    tempfile.gettempdir(),
+    f"spark_graft_exports_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+)
+
+
+def export_path(name: str) -> str:
+    """Collision-free export directory for one conditioned-oracle
+    artifact; same value for the query writer and the oracle reader
+    inside a process, distinct between processes."""
+    return os.path.join(EXPORT_ROOT, name)
 
 
 @dataclass(frozen=True)

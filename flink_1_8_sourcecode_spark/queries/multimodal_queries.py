@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.catalog import table
 from flink_1_8_sourcecode_spark.operators import multimodal
-from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.queries import export_path, register
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +480,7 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_decimate(media, factor=4)
 
 
-_PHASH_EXPORT = "/tmp/spark_graft_phash_sigs"
+_PHASH_EXPORT = export_path("phash_sigs")
 
 
 @register(

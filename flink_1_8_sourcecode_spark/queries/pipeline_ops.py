@@ -16,7 +16,7 @@ from flink_1_8_sourcecode_spark.catalog import table
 from flink_1_8_sourcecode_spark.operators import sampling as smp
 from flink_1_8_sourcecode_spark.operators import text as tx
 from flink_1_8_sourcecode_spark.operators.similarity import quantization_error
-from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.queries import export_path, register
 
 # hex_threshold(0.1) — pinned in the oracle as a literal so the SQL is
 # self-contained; the operator computes the same constant.
@@ -1212,7 +1212,7 @@ def sample_rate_limit(spark, sf_dir: str):
     ).select("user_id", "event_id", "window_start")
 
 
-_SCG_WEIGHTS_EXPORT = "/tmp/spark_graft_streaming_gate_weights"
+_SCG_WEIGHTS_EXPORT = export_path("streaming_gate_weights")
 _DOC_CHUNK_CACHE: dict[str, str] = {}
 
 from flink_1_8_sourcecode_spark.queries.dedup import (  # noqa: E402

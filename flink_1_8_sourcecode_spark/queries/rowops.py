@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.catalog import table
-from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.queries import export_path, register
 
 
 @register(
@@ -132,7 +132,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
         .to_dict("records")
     ]
-    out_dir = "/tmp/spark_graft_avro_roundtrip"
+    out_dir = export_path("avro_roundtrip")
     os.makedirs(out_dir, exist_ok=True)
     write_avro_file(f"{out_dir}/nation.avro", schema, rows, codec="deflate")
     return read_avro(spark, f"{out_dir}/nation.avro", schema)
@@ -162,7 +162,7 @@ def source_tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .toPandas()  # bounded by the literal: <= 50 rows
     )
-    out_dir = "/tmp/spark_graft_tar_shards"
+    out_dir = export_path("tar_shards")
     os.makedirs(out_dir, exist_ok=True)
     half = len(docs) // 2
     for i, chunk in enumerate((docs.iloc[:half], docs.iloc[half:])):
@@ -332,7 +332,7 @@ def dataset_api_delta_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_CENTROID_EXPORT = "/tmp/spark_graft_facade_kmeans_centroids"
+_KMEANS_CENTROID_EXPORT = export_path("facade_kmeans_centroids")
 
 
 @register(

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.catalog import table
 from flink_1_8_sourcecode_spark.operators.similarity import cosine_topk, ivf_topk
-from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.queries import export_path, register
 
 _COS = """list_dot_product(q.e, c.e)
         / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))"""
@@ -101,7 +101,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the assignment step independently (centroid-conditioned check).  The
 # Spark query always writes before returning; the oracle runs after it
 # in every sweep, so the file it reads is the centroids of the same run.
-_IVF_CENTROID_EXPORT = "/tmp/spark_graft_ivf_centroids"
+_IVF_CENTROID_EXPORT = export_path("ivf_centroids")
 
 
 @register(
@@ -197,7 +197,7 @@ def sim_topk_ivf_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_CODEBOOK_EXPORT = "/tmp/spark_graft_pq_codebooks"
+_PQ_CODEBOOK_EXPORT = export_path("pq_codebooks")
 
 # Trained PQ index cached per (session, sf_dir): training is the INDEX
 # BUILD step (benchmarked on its own by sim_pq_train_encode); the ADC /
@@ -374,7 +374,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMDD_CENTROID_EXPORT = "/tmp/spark_graft_semdd_centroids"
+_SEMDD_CENTROID_EXPORT = export_path("semdd_centroids")
 
 
 @register(
@@ -586,7 +586,7 @@ def sim_topk_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mips_topk(emb, queries, "vec_id", "embedding", "vec_id", k=10)
 
 
-_KNN_GRAPH_EXPORT = "/tmp/spark_graft_knn_graph"
+_KNN_GRAPH_EXPORT = export_path("knn_graph")
 
 
 @register(
@@ -654,7 +654,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_SEARCH_EXPORT = "/tmp/spark_graft_knn_search"
+_KNN_SEARCH_EXPORT = export_path("knn_search")
 
 
 @register(
@@ -725,7 +725,7 @@ def sim_knn_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCA_EXPORT = "/tmp/spark_graft_pca_components"
+_PCA_EXPORT = export_path("pca_components")
 
 
 @register(

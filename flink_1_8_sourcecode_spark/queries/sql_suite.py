@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.engine import Engine
-from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.queries import export_path, register
 
 
 def _sql_query(name: str, sql: str, doc: str):
@@ -458,4 +458,101 @@ def table_api_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang.repeat(2) as rep, lang.md5 as h"
         )
         .to_df()
+    )
+
+
+@register(
+    "external_catalog_qualified",
+    oracle="""
+    SELECT r.r_name, count(*)::BIGINT AS n_nations,
+           sum(n.n_nationkey)::BIGINT AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="External-catalog name resolution "
+    "(TableEnvironment.scala:413 registerExternalCatalog, "
+    "catalog/InMemoryExternalCatalog.scala): a warehouse.tpch.nation "
+    "3-part qualified name joined to a 2-part warehouse.region name "
+    "through Engine.sql's pre-rewrite resolution "
+    "(engine.py:_route_external_catalogs) — the resolved objects are "
+    "plain DataFrames, so the join still broadcasts and the scans "
+    "still prune/push down.",
+)
+def external_catalog_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from flink_1_8_sourcecode_spark.external_catalog import (
+        InMemoryExternalCatalog,
+    )
+
+    eng = Engine(spark)
+    cat = InMemoryExternalCatalog("warehouse")
+    cat.create_sub_catalog("tpch", ignore_if_exists=True).create_table(
+        "nation", table(spark, sf_dir, "nation"), ignore_if_exists=True
+    )
+    cat.create_table("region", table(spark, sf_dir, "region"),
+                     ignore_if_exists=True)
+    eng.register_external_catalog("warehouse", cat)
+    return eng.sql(
+        "SELECT r.r_name, count(*) AS n_nations, "
+        "sum(n.n_nationkey) AS key_sum "
+        "FROM warehouse.tpch.nation n JOIN warehouse.region r "
+        "ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+    )
+
+
+_DESCRIPTOR_CSV_EXPORT = export_path("descriptor_csv_src")
+
+
+@register(
+    "descriptor_connect_source",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END)::BIGINT
+             AS n_long
+    FROM documents GROUP BY lang
+    """,
+    doc="Descriptor/connect registration path "
+    "(TableEnvironment.scala:656 connect, "
+    "descriptors/ConnectTableDescriptor.scala:45 registerTableSource, "
+    "FileSystem.scala + OldCsv.scala + Schema.scala): the documents "
+    "table is exported to pipe-delimited CSV, registered back through "
+    "connect(FileSystem().path(p)).with_format(OldCsv()...)"
+    ".with_schema(Schema()...) and aggregated with plain SQL — proving "
+    "the declarative chain lowers to a real distributed CSV scan with "
+    "the declared schema (descriptors.py).",
+)
+def descriptor_connect_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.descriptors import (
+        FileSystem,
+        OldCsv,
+        Schema,
+    )
+
+    table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").option("sep", "|").csv(_DESCRIPTOR_CSV_EXPORT)
+    eng = Engine(spark)
+    (
+        eng.connect(FileSystem().path(_DESCRIPTOR_CSV_EXPORT))
+        .with_format(
+            OldCsv()
+            .field("doc_id", "BIGINT")
+            .field("lang", "STRING")
+            .field("n_chars", "BIGINT")
+            .field_delimiter("|")
+        )
+        .with_schema(
+            Schema()
+            .field("doc_id", "BIGINT")
+            .field("lang", "STRING")
+            .field("n_chars", "BIGINT")
+        )
+        .register_table_source("descriptor_docs")
+    )
+    return eng.sql(
+        "SELECT lang, count(*) AS n_docs, "
+        "sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS n_long "
+        "FROM descriptor_docs GROUP BY lang"
     )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from flink_1_8_sourcecode_spark.catalog import table
 from flink_1_8_sourcecode_spark.operators import text as tx
-from flink_1_8_sourcecode_spark.queries import register
+from flink_1_8_sourcecode_spark.queries import export_path, register
 
 _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
 
@@ -1355,7 +1355,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_score(d, "doc_id", "text")
 
 
-_QC_WEIGHTS_EXPORT = "/tmp/spark_graft_quality_classifier_weights"
+_QC_WEIGHTS_EXPORT = export_path("quality_classifier_weights")
 
 
 @register(
@@ -1506,7 +1506,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_VOCAB_EXPORT = "/tmp/spark_graft_bpe_vocab"
+_BPE_VOCAB_EXPORT = export_path("bpe_vocab")
 
 
 @register(

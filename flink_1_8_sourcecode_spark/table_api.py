@@ -217,8 +217,15 @@ class _Parsed:
 class _Parser:
     def __init__(self, text: str, windows: dict | None = None,
                  group_window: str | None = None,
-                 string_cols: "set[str] | frozenset[str] | None" = None):
+                 string_cols: "set[str] | frozenset[str] | None" = None,
+                 df: "DataFrame | None" = None):
         self.text = text
+        # scope frame for lazy type resolution: when the static
+        # id-marking can't tell whether a '+' operand is string-typed
+        # (e.g. the result of if()/.get()/.at()/.element()), the parser
+        # asks Catalyst directly via df.select(col).schema — parse-time
+        # only, never per-row
+        self.df = df
         self.windows = windows  # alias -> pyspark WindowSpec (OVER scope)
         self.group_window = group_window  # group-window alias in scope
         # names of string-typed columns in scope: drives Flink's
@@ -232,6 +239,10 @@ class _Parser:
         # collect an intermediate Column mid-parse and RE-USE its id()
         # for a fresh numeric Column, falsely marking it string-typed
         self._strs_refs: list = []
+        # same marking discipline for interval literals (10.minutes) —
+        # temporalOverlaps needs to distinguish point vs interval args
+        self._ivals: set[int] = set()
+        self._ivals_refs: list = []
         self.toks: list[tuple[str, str, int]] = []
         pos = 0
         while pos < len(text):
@@ -333,6 +344,34 @@ class _Parser:
         self._strs_refs.append(col)
         return col
 
+    def _mark_ival(self, col):
+        self._ivals.add(id(col))
+        self._ivals_refs.append(col)
+        return col
+
+    def _is_ival(self, col) -> bool:
+        return id(col) in self._ivals
+
+    def _resolve_is_str(self, col) -> bool:
+        """Lazy string-typing fallback: ask Catalyst for the Column's
+        actual type against the scope frame.  Covers every expression
+        the static id-marking can't see through — if()/.if branches,
+        .get on a string struct field, .at/.element on string arrays —
+        so Flink's polymorphic '+' (arithmetic.scala Plus: a string
+        operand means concatenation) holds for composite inputs too.
+        Parse-time only; unresolvable columns (window refs mid-parse)
+        fall back to non-string."""
+        if self.df is None:
+            return False
+        from pyspark.sql.types import StringType
+
+        try:
+            return isinstance(
+                self.df.select(col).schema[0].dataType, StringType
+            )
+        except Exception:
+            return False
+
     def _prefix_call(self, fn: str):
         """Prefix function-call form of the reference grammar
         (ExpressionParser.scala:376 prefixFunctionCall, :370 prefixIf,
@@ -354,7 +393,10 @@ class _Parser:
             b = self.logic()[0]
             if not self.accept_op(")"):
                 self.error("')' expected after if(...)")
-            return (F.when(cond, a).otherwise(b), None, False)
+            out = F.when(cond, a).otherwise(b)
+            if self._is_str(a) and self._is_str(b):
+                self._mark_str(out)  # string-typed If stays string for '+'
+            return (out, None, False)
         if fnl == "timestampdiff":
             # prefixTimestampDiff (ExpressionParser.scala:399):
             # timestampDiff(UNIT, t1, t2) — intervals of UNIT from t1
@@ -413,15 +455,21 @@ class _Parser:
             out = F.call_function("concat_ws", *[self._argcol(a) for a in args])
             return (self._mark_str(out), None, False)
         if fnl == "temporaloverlaps":
-            # temporalOverlaps(lPoint, lInterval, rPoint, rInterval) —
-            # expressionDsl:1170: leftEnd >= rightStart && rightEnd >=
-            # leftStart with end = point + interval (the interval form;
-            # a time-point temporal fails addition loudly)
+            # temporalOverlaps(lPoint, lTemporal, rPoint, rTemporal) —
+            # expressionDsl:1170; time.scala TemporalOverlaps: each
+            # temporal may be an INTERVAL (end = point + interval) or a
+            # second TIME POINT (end = the point itself), and each
+            # (start, end) pair is normalized so start <= end
+            # (buildSwap) before testing e0 >= s1 && e1 >= s0 — so a
+            # negative interval still matches SQL OVERLAPS
             if len(args) != 4:
                 self.error("temporalOverlaps expects exactly 4 arguments")
+            from flink_1_8_sourcecode_spark.functions.scalar import overlaps
+
             lp, ld, rp, rd = [self._argcol(a) for a in args]
-            out = ((lp + ld) >= rp) & ((rp + rd) >= lp)
-            return (out, None, False)
+            lend = lp + ld if self._is_ival(ld) else ld
+            rend = rp + rd if self._is_ival(rd) else rd
+            return (overlaps(lp, lend, rp, rend), None, False)
         # collection constructors (expressionDsl.scala:1249 array,
         # :1275 map; RowTypeTest row): value literals, not receivers
         if fnl == "array":
@@ -481,6 +529,14 @@ class _Parser:
             if op is None:
                 return col, name, sort, star
             rcol, _, _, _ = self.product()
+            if op == "+" and not (self._is_str(col) or self._is_str(rcol)):
+                # static marking can't see through composite results
+                # (if(), .get(), .at(), .element()); resolve the actual
+                # type before choosing concat vs arithmetic Plus — in
+                # non-ANSI Spark a numeric '+' on a string silently
+                # casts and yields NULL instead of concatenating
+                if self._resolve_is_str(col) or self._resolve_is_str(rcol):
+                    self._mark_str(col)
             if op == "+" and (self._is_str(col) or self._is_str(rcol)):
                 # Flink Plus on a string operand = concatenation with
                 # the other side implicitly cast (arithmetic.scala
@@ -489,7 +545,10 @@ class _Parser:
                     F.concat(col.cast("string"), rcol.cast("string"))
                 )
             else:
-                col = col + rcol if op == "+" else col - rcol
+                out = col + rcol if op == "+" else col - rcol
+                if self._is_ival(col) and self._is_ival(rcol):
+                    self._mark_ival(out)  # 1.day + 2.hours stays interval
+                col = out
             name, sort, star = None, None, False
 
     def product(self):
@@ -508,7 +567,10 @@ class _Parser:
             return ~col, None, None, False
         if self.accept_op("-"):
             col, _, _, _ = self.postfix()
-            return -col, None, None, False
+            out = -col
+            if self._is_ival(col):
+                self._mark_ival(out)  # -2.days is still an interval
+            return out, None, None, False
         self.accept_op("+")
         return self.postfix()
 
@@ -587,7 +649,8 @@ class _Parser:
                 )
             unit, mult = _EXPR_INTERVAL_UNITS[fnl]
             return (
-                (F.expr(f"INTERVAL {node.value * mult} {unit}"), None, False),
+                (self._mark_ival(F.expr(f"INTERVAL {node.value * mult} {unit}")),
+                 None, False),
                 None,
             )
         base = node.col() if isinstance(node, _Lit) else node[0]
@@ -741,10 +804,13 @@ class _Parser:
         if fnl == "cardinality":
             return (F.size(base), None, False), None
         if fnl == "element":
-            # sole element of a 1-element array; NULL when empty,
-            # error when larger (ArrayElement contract)
+            # sole element of a 1-element array; NULL when empty OR
+            # NULL input, error when larger (ArrayElement contract).
+            # The NULL guard must lead: non-ANSI size(NULL) is -1,
+            # which would otherwise fall through to raise_error
             out = (
-                F.when(F.size(base) == 1, F.element_at(base, 1))
+                F.when(base.isNull(), F.lit(None))
+                .when(F.size(base) == 1, F.element_at(base, 1))
                 .when(F.size(base) == 0, F.lit(None))
                 .otherwise(
                     F.raise_error(F.lit(".element() on an array with more than one element"))
@@ -770,6 +836,8 @@ class _Parser:
             out = F.when(base, self._argcol(args[0])).otherwise(
                 self._argcol(args[1])
             )
+            if self._arg_is_str(args[0]) and self._arg_is_str(args[1]):
+                self._mark_str(out)  # string-typed If stays string for '+'
             return (out, None, False), None
         # math tail with arguments (expressionDsl.scala:328-457)
         if fnl == "log" and args:
@@ -903,6 +971,11 @@ class _Parser:
     def _argcol(self, a):
         return a.col() if isinstance(a, _Lit) else a[0]
 
+    def _arg_is_str(self, a) -> bool:
+        if isinstance(a, _Lit):
+            return isinstance(a.value, str)
+        return self._is_str(a[0])
+
     def atom(self):
         if self.accept_op("("):
             col, name, sort, star = self.logic()
@@ -1005,9 +1078,10 @@ def _parse_list(
     text: str,
     group_window: str | None = None,
     string_cols: "set[str] | None" = None,
+    df: "DataFrame | None" = None,
 ) -> list[_Parsed]:
     return _Parser(
-        text, group_window=group_window, string_cols=string_cols
+        text, group_window=group_window, string_cols=string_cols, df=df
     ).parse_list()
 
 
@@ -1033,7 +1107,8 @@ class Table:
 
     # --- projection / filter -----------------------------------------
     def select(self, fields: str) -> "Table":
-        parsed = _parse_list(fields, string_cols=_string_cols(self.df))
+        parsed = _parse_list(fields, string_cols=_string_cols(self.df),
+                             df=self.df)
         if any(p.has_agg for p in parsed):
             # ungrouped select with aggregates = global aggregate; mixing
             # bare fields in is invalid (reference ProjectionTranslator
@@ -1048,7 +1123,8 @@ class Table:
         return Table(self.df.select(*[p.col for p in parsed]))
 
     def filter(self, predicate: str) -> "Table":
-        p = _Parser(predicate, string_cols=_string_cols(self.df)).parse_one()
+        p = _Parser(predicate, string_cols=_string_cols(self.df),
+                    df=self.df).parse_one()
         if p.has_agg:
             raise ExpressionParserException("aggregates are not allowed in filter()")
         return Table(self.df.filter(p.col))
@@ -1228,6 +1304,7 @@ class GroupedTable:
             fields,
             group_window=self._group_window,
             string_cols=_string_cols(self._df),
+            df=self._df,
         )
         # every aggregate gets a UNIQUE generated alias before agg() and
         # is projected back by exactly that name — positional matching
@@ -1395,7 +1472,9 @@ class OverWindowedTable:
         self._windows = windows
 
     def select(self, fields: str) -> Table:
-        parsed = _Parser(fields, windows=self._windows).parse_list()
+        parsed = _Parser(fields, windows=self._windows,
+                         string_cols=_string_cols(self._df),
+                         df=self._df).parse_list()
         for p in parsed:
             if p.has_agg:
                 raise ExpressionParserException(

@@ -1124,15 +1124,35 @@ class TestDateFormatConcatWsOverlaps:
         assert self._one(spark, "dateFormat(t, '%y-%m-%d %% %H:%i:%s')") \
             == "17-05-05 % 13:02:03"
 
-    def test_date_format_unknown_code_raises(self, spark):
+    def test_date_format_unknown_code_emits_literal(self, spark):
+        # DateTimeFunctions.scala:109 default case: an unrecognized
+        # %-code emits its literal character
+        assert self._one(spark, "dateFormat(t, '%Q')") == "Q"
+        assert self._one(spark, "dateFormat(t, 'at %Q %d')") == "at Q 05"
+
+    def test_date_format_reference_unsupported_codes_raise(self, spark):
         import pytest as _pytest
 
         from flink_1_8_sourcecode_spark.table_api import (
             ExpressionParserException,
         )
 
-        with _pytest.raises(ExpressionParserException, match="format code"):
-            self._one(spark, "dateFormat(t, '%Q')")
+        # the reference's own throw set (DateTimeFunctions.scala:103)
+        for code in "wUuVXD":
+            with _pytest.raises(ExpressionParserException, match="unsupported"):
+                self._one(spark, f"dateFormat(t, '%{code}')")
+        # %v/%x: joda week-based fields Spark 3 patterns cannot express
+        for code in "vx":
+            with _pytest.raises(ExpressionParserException, match="week-based"):
+                self._one(spark, f"dateFormat(t, '%{code}')")
+
+    def test_date_format_same_letter_adjacency_splits(self, spark):
+        # adjacent codes sharing a pattern letter must stay independent
+        # fields (the reference appends each code separately): '%d%e'
+        # is '05'+'5', not the 3-letter field 'ddd'
+        assert self._one(spark, "dateFormat(t, '%d%e')") == "055"
+        assert self._one(spark, "dateFormat(t, '%S%s')") == "0303"
+        assert self._one(spark, "dateFormat(t, '%m%c')") == "055"
 
     def test_concat_ws(self, spark):
         assert self._one(spark, "concat_ws(f33, 'AA')") is None
@@ -1160,4 +1180,32 @@ class TestDateFormatConcatWsOverlaps:
             spark,
             "temporalOverlaps('2011-03-10 05:02:02'.toTimestamp, 1.milli, "
             "'2011-03-10 05:02:02'.toTimestamp, 1.hour)",
+        ) is True
+
+    def test_temporal_overlaps_point_form(self, spark):
+        # ScalarFunctionsTest:2531 — the second temporal may be a TIME
+        # POINT, and TemporalOverlaps.buildSwap normalizes each
+        # (start, end) so the reversed right pair still matches
+        assert self._one(
+            spark,
+            "temporalOverlaps('2011-03-10 05:02:02'.toTimestamp, 0.milli, "
+            "'2011-03-10 05:02:02'.toTimestamp, "
+            "'2011-03-10 05:02:01'.toTimestamp)",
+        ) is True
+        # ScalarFunctionsTest:2540 — adjacent-but-later point pair: false
+        assert self._one(
+            spark,
+            "temporalOverlaps('2011-03-10 02:02:02.001'.toTimestamp, 0.milli, "
+            "'2011-03-10 02:02:02.002'.toTimestamp, "
+            "'2011-03-10 02:02:02.002'.toTimestamp)",
+        ) is False
+
+    def test_temporal_overlaps_negative_interval_swaps(self, spark):
+        # buildSwap (time.scala TemporalOverlaps): a negative interval
+        # makes end < start; the pair is sorted before comparing, so
+        # ('2011-03-12', -2d) spans the same range as ('2011-03-10', 2d)
+        assert self._one(
+            spark,
+            "temporalOverlaps('2011-03-12'.toDate, -2.days, "
+            "'2011-03-11'.toDate, 1.days)",
         ) is True

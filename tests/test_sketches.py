@@ -249,3 +249,57 @@ def test_streaming_kmv_state_is_one_row_per_group(spark, tmp_path):
     finally:
         q.stop()
     assert state_rows and max(state_rows) == 2, state_rows  # one per group
+
+
+class TestBroadcastEscapeHatches:
+    """broadcast_totals / broadcast_sketches=False drop the broadcast
+    hint so a group cardinality beyond executor memory can fall back to
+    a shuffled join — same escape-hatch pattern as
+    embedding_ingest_dedup's broadcast_survivors."""
+
+    def test_quantiles_hatch_drops_hint(self, spark):
+        df = spark.createDataFrame(
+            [("g", v) for v in range(20)], "g string, v int"
+        )
+        on = sk.exact_group_quantiles(df, "g", "v", [0.5])
+        off = sk.exact_group_quantiles(
+            df, "g", "v", [0.5], broadcast_totals=False
+        )
+        p_on = on._jdf.queryExecution().executedPlan().toString()
+        p_off = off._jdf.queryExecution().executedPlan().toString()
+        # prefix_sum_per_key's internal offsets join stays broadcast;
+        # the hatch must remove exactly the totals join's hint
+        assert p_on.count("BroadcastHashJoin") == \
+            p_off.count("BroadcastHashJoin") + 1
+        assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+    def test_overlap_matrix_hatch_drops_hint(self, spark):
+        df = spark.createDataFrame(
+            [("a", f"v{i}") for i in range(50)]
+            + [("b", f"v{i}") for i in range(25, 75)],
+            "g string, v string",
+        )
+        s = sk.kmv_sketch(df, "g", "v", k=16)
+        on = sk.kmv_overlap_matrix(s, "g", k=16)
+        off = sk.kmv_overlap_matrix(s, "g", k=16, broadcast_sketches=False)
+        p_on = on._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in p_on
+        assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+    def test_stratified_hatch_drops_hint(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+
+        df = spark.createDataFrame(
+            [("s", f"id{i}") for i in range(30)], "g string, id string"
+        )
+        on = stratified_sample_exact(df, "g", "id", 0.5)
+        off = stratified_sample_exact(
+            df, "g", "id", 0.5, broadcast_totals=False
+        )
+        p_on = on._jdf.queryExecution().executedPlan().toString()
+        p_off = off._jdf.queryExecution().executedPlan().toString()
+        assert p_on.count("BroadcastHashJoin") == \
+            p_off.count("BroadcastHashJoin") + 1
+        assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))

@@ -610,6 +610,52 @@ class TestPolymorphicPlus:
         got = self._t(spark).select("((s1.trim + '-') + s2.upperCase) as v").df.collect()
         assert [r["v"] for r in got] == ["Ab-CD", "x-Y"]
 
+    def test_if_result_concat(self, spark):
+        # if() with string branches is string-typed, so '+' must
+        # concatenate — numeric Plus would silently yield NULL in
+        # non-ANSI Spark (arithmetic.scala Plus concatenates whenever
+        # either operand is a string)
+        got = self._t(spark).select(
+            "(if(n > 3, 'big', 'small') + n) as v"
+        ).df.collect()
+        assert [r["v"] for r in got] == ["small3", "big4"]
+        got = self._t(spark).select("(n > 3).if('y', 'n') + n as v").df.collect()
+        assert [r["v"] for r in got] == ["n3", "y4"]
+
+    def test_composite_accessor_concat(self, spark):
+        # .get()/.at()/.element() outputs carry no static marking; the
+        # parser resolves their actual Catalyst type before choosing
+        # concat vs Plus
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        t = Table(
+            spark.createDataFrame(
+                [((("p",), ["q"], 1))],
+                "r struct<f: string>, arr array<string>, n long",
+            )
+        )
+        assert t.select("(r.get('f') + n) as v").df.collect()[0]["v"] == "p1"
+        assert t.select("(arr.at(1) + n) as v").df.collect()[0]["v"] == "q1"
+        assert t.select("(arr.element + n) as v").df.collect()[0]["v"] == "q1"
+        # numeric composites still add
+        t2 = Table(
+            spark.createDataFrame([((3,), 1)], "r struct<m: long>, n long")
+        )
+        assert t2.select("(r.get('m') + n) as v").df.collect()[0]["v"] == 4
+
+    def test_element_on_null_array_is_null(self, spark):
+        # ArrayElement: NULL input -> NULL (non-ANSI size(NULL) is -1,
+        # which must not reach the >1-element error branch)
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        t = Table(
+            spark.createDataFrame(
+                [(["q"],), (None,)], "arr array<string>"
+            )
+        )
+        got = t.select("arr.element as v").df.collect()
+        assert [r["v"] for r in got] == ["q", None]
+
 
 class TestPrefixCalls:
     """Prefix function-call grammar (ExpressionParser.scala:376

@@ -82,6 +82,16 @@ def test_weight_below_one_raises(spark):
         weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=1).collect()
 
 
+def test_null_weight_raises(spark):
+    # a NULL weight must raise as loudly as w < 1 — a NULL key would
+    # silently never sample the row
+    df = spark.createDataFrame(
+        [("g", "x", None), ("g", "y", 2)], "g string, id string, w int"
+    )
+    with pytest.raises(Exception, match="NULL weight"):
+        weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=1).collect()
+
+
 def test_param_guards(spark):
     df = spark.createDataFrame([("g", "x", 1)], "g string, id string, w int")
     with pytest.raises(ValueError, match="k must be positive"):
