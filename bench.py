@@ -52,6 +52,13 @@ SECONDARY = (
     # delta — the new corpus-statistics / incremental-pipeline paths
     "sketch_kmv_distinct",
     "pipeline_snapshot_diff",
+    # r14: live-path operators under the super-linearity guard like the
+    # batch heavies — the gates->LSH ingest pipeline end-to-end, and the
+    # windowed stream-stream coGroup after its Arrow-flatten dispatch
+    # rework (per-group pd.DataFrame(list) was ~34s at sf0.1; now each
+    # micro-batch flattens once and groups are iloc slices)
+    "streaming_ingest_pipeline",
+    "datastream_api_cogroup",
 )
 
 

@@ -66,6 +66,17 @@ class ExecutionEnvironment:
         """generateSequence :916 — inclusive [start, end]."""
         return DataSet(_io.generate_sequence(self.spark, start, end))
 
+    def register_cached_file(self, file_path: str, name: str) -> None:
+        """registerCachedFile :859 — ship a side file to every worker;
+        read it back anywhere (driver or pandas UDF) with
+        ``distributed_cache.get_cached_file(name)`` — the
+        RuntimeContext.getDistributedCache().getFile mapping."""
+        from flink_1_8_sourcecode_spark.distributed_cache import (
+            register_cached_file,
+        )
+
+        register_cached_file(self.spark, file_path, name)
+
 
 def _col(df: DataFrame, f) -> Column:
     """Field reference: Flink tuple position (int), name, or Column."""

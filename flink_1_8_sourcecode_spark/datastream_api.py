@@ -47,6 +47,16 @@ class StreamExecutionEnvironment:
         """socketTextStream :1085."""
         return DataStream(_sources.socket_stream(self.spark, host, port))
 
+    def register_cached_file(self, file_path: str, name: str) -> None:
+        """registerCachedFile (StreamExecutionEnvironment.java mirrors
+        ExecutionEnvironment.java:859) — see
+        distributed_cache.register_cached_file."""
+        from flink_1_8_sourcecode_spark.distributed_cache import (
+            register_cached_file,
+        )
+
+        register_cached_file(self.spark, file_path, name)
+
     def rate_stream(self, rows_per_second: int = 100) -> "DataStream":
         """The rate source (the fromElements/generateSequence stand-in
         for an unbounded test stream)."""
@@ -523,8 +533,6 @@ class WindowedCoGroup:
             return DataStream(lg.cogroup(rg).applyInPandas(strip, schema))
 
         # streaming: finalized per-side window buffers + full outer join
-        import pandas as pd
-
         lw = ldf.withWatermark(lt, self._delay)
         rw = rdf.withWatermark(rt, self._delay)
         la = lw.groupBy(
@@ -542,26 +550,66 @@ class WindowedCoGroup:
             cond = cond & la[lk].eqNullSafe(ra[f"__rk_{i}"])
         joined = la.join(ra, cond, "full_outer").select("__lrows", "__rrows")
 
+        # group dispatch runs on ARROW batches, not pandas: building a
+        # pd.DataFrame from a list-of-dict struct column costs ~ms per
+        # group (26k groups at sf0.1 = tens of seconds); instead each
+        # batch's list<struct> column is flattened ONCE (vectorized C)
+        # into a single typed frame and every group is an iloc slice of
+        # it — the per-group Python work drops to two slices + fn()
+        from pyspark.sql.types import StructType
+
+        spark_schema = (
+            schema if isinstance(schema, StructType)
+            else StructType.fromDDL(schema)
+        )
+
+        def _flatten(col, names):
+            # list<struct> column -> (one typed frame of ALL rows in
+            # the batch, exclusive group offsets); NULL lists (the
+            # empty side of a one-sided group) count as length 0
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            flat = pc.list_flatten(col)
+            big = pa.Table.from_arrays(
+                [flat.field(n) for n in names], names=names
+            ).to_pandas()
+            lens = pc.list_value_length(col).fill_null(0)
+            offs = np.zeros(len(col) + 1, dtype="int64")
+            np.cumsum(lens.to_numpy(zero_copy_only=False), out=offs[1:])
+            return big, offs
+
         def run(batches):
-            for pdf in batches:
+            import pandas as pd
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            out_schema = to_arrow_schema(spark_schema)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                li = batch.schema.names.index("__lrows")
+                ri = batch.schema.names.index("__rrows")
+                big_l, off_l = _flatten(batch.column(li), lcols)
+                big_r, off_r = _flatten(batch.column(ri), rcols)
                 outs = []
-                for lrows, rrows in zip(pdf["__lrows"], pdf["__rrows"]):
-                    l_pdf = (
-                        pd.DataFrame(list(lrows), columns=lcols)
-                        if lrows is not None and len(lrows)
-                        else pd.DataFrame(columns=lcols)
-                    )
-                    r_pdf = (
-                        pd.DataFrame(list(rrows), columns=rcols)
-                        if rrows is not None and len(rrows)
-                        else pd.DataFrame(columns=rcols)
-                    )
+                for i in range(batch.num_rows):
+                    l_pdf = big_l.iloc[off_l[i]:off_l[i + 1]]
+                    r_pdf = big_r.iloc[off_r[i]:off_r[i + 1]]
+                    if len(l_pdf) and l_pdf.index[0] != 0:
+                        l_pdf = l_pdf.reset_index(drop=True)
+                    if len(r_pdf) and r_pdf.index[0] != 0:
+                        r_pdf = r_pdf.reset_index(drop=True)
                     out = fn(l_pdf, r_pdf)
                     if out is not None and len(out):
                         outs.append(out)
                 # one Arrow batch per input batch, not one per group —
                 # per-group yields cost a serializer round-trip each
                 if outs:
-                    yield pd.concat(outs, ignore_index=True)
+                    yield pa.RecordBatch.from_pandas(
+                        pd.concat(outs, ignore_index=True),
+                        schema=out_schema, preserve_index=False,
+                    )
 
-        return DataStream(joined.mapInPandas(run, schema))
+        return DataStream(joined.mapInArrow(run, spark_schema))

@@ -99,3 +99,74 @@ def test_avro_format_availability(spark, tmp_path):
         pytest.skip(f"spark-avro not bundled in this env (expected): {type(e).__name__}")
     back = spark.read.format("avro").load(str(tmp_path / "avro"))
     assert back.count() == df.count()
+
+
+class TestDistributedCache:
+    """registerCachedFile (ExecutionEnvironment.java:859) +
+    RuntimeContext.getDistributedCache().getFile — a side file shipped
+    to every worker and resolved INSIDE a pandas UDF
+    (distributed_cache.py: addFile with the logical name as the
+    physical basename, so SparkFiles.get needs no shared registry)."""
+
+    def test_lookup_file_inside_pandas_udf(self, spark, tmp_path):
+        import json
+
+        from flink_1_8_sourcecode_spark.dataset_api import (
+            ExecutionEnvironment,
+        )
+
+        lookup = tmp_path / "seg.json"
+        lookup.write_text(json.dumps({"1": "gold", "2": "silver"}))
+        env = ExecutionEnvironment(spark)
+        env.register_cached_file(str(lookup), "seg_lookup.json")
+
+        def enrich(batches):
+            import json as _json
+
+            import pandas as pd
+
+            from flink_1_8_sourcecode_spark.distributed_cache import (
+                get_cached_file,
+            )
+
+            with open(get_cached_file("seg_lookup.json")) as f:
+                seg = _json.load(f)
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"k": pdf["k"],
+                     "seg": pdf["k"].astype(str).map(seg).fillna("?")}
+                )
+
+        ds = env.from_collection([(1,), (2,), (3,)], "k int")
+        got = sorted(
+            map(tuple, ds.map_partition(enrich, "k int, seg string")
+                .df.collect())
+        )
+        assert got == [(1, "gold"), (2, "silver"), (3, "?")]
+
+    def test_driver_side_get(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.distributed_cache import (
+            get_cached_file,
+            register_cached_file,
+        )
+
+        p = tmp_path / "w.txt"
+        p.write_text("42")
+        register_cached_file(spark, str(p), "weights.txt")
+        with open(get_cached_file("weights.txt")) as f:
+            assert f.read() == "42"
+
+    def test_guards(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.distributed_cache import (
+            get_cached_file,
+            register_cached_file,
+        )
+
+        with _pytest.raises(ValueError, match="plain filename"):
+            register_cached_file(spark, "x", "../evil")
+        with _pytest.raises(FileNotFoundError, match="no such file"):
+            register_cached_file(spark, str(tmp_path / "nope"), "a.txt")
+        with _pytest.raises(FileNotFoundError, match="never registered"):
+            get_cached_file("never_was_registered.bin")
