@@ -314,6 +314,96 @@ class Schema:
         )
 
 
+def _load_source(spark, path, fmt, opts, ddl, schema: Schema,
+                 streaming: bool) -> DataFrame:
+    if streaming:
+        # streaming file sources must state the schema
+        reader = spark.readStream.format(fmt).options(**opts).schema(ddl)
+    else:
+        reader = spark.read.format(fmt).options(**opts)
+        if ddl:
+            reader = reader.schema(ddl)
+    return schema.apply_to(reader.load(path), streaming=streaming)
+
+
+class ExternalCatalogTable:
+    """catalog/ExternalCatalogTable.scala — a descriptor-defined table
+    that lives INSIDE an external catalog: the same connector/format/
+    schema chain as ``Engine.connect``, but producing a lazy table for
+    ``InMemoryExternalCatalog.create_table`` instead of registering a
+    session view (the reference's CommonTestData.getInMemoryTestCatalog
+    builds its test catalogs exactly this way)."""
+
+    def __init__(self, connector, fmt, schema, streaming):
+        self._connector = connector
+        self._format = fmt
+        self._schema = schema
+        self._streaming = streaming
+
+    @staticmethod
+    def builder(connector_descriptor) -> "ExternalCatalogTableBuilder":
+        return ExternalCatalogTableBuilder(connector_descriptor)
+
+    def table(self, spark) -> DataFrame:
+        if not isinstance(self._connector, FileSystem):
+            raise ValidationException(
+                f"unsupported connector {type(self._connector).__name__}"
+            )
+        path = self._connector.validate()
+        if self._format is None:
+            raise ValidationException("missing format descriptor")
+        self._format.validate()
+        if self._schema is None:
+            raise ValidationException("missing schema descriptor")
+        self._schema.validate()
+        ddl = self._format.fields_ddl() or self._schema.ddl()
+        return _load_source(
+            spark, path, self._format.spark_format(),
+            self._format.spark_options(), ddl, self._schema,
+            self._streaming,
+        )
+
+    def bind(self, spark):
+        """Zero-arg callable for InMemoryExternalCatalog.create_table —
+        the source opens lazily on first scan."""
+        return lambda: self.table(spark)
+
+
+class ExternalCatalogTableBuilder:
+    """ExternalCatalogTableBuilder (ExternalCatalogTable.scala:246):
+    ``builder(conn).with_format(f).with_schema(s).supports_batch()``."""
+
+    def __init__(self, connector):
+        self._connector = connector
+        self._format = None
+        self._schema = None
+        self._streaming = False
+
+    def with_format(self, fmt) -> "ExternalCatalogTableBuilder":
+        self._format = fmt
+        return self
+
+    def with_schema(self, schema) -> "ExternalCatalogTableBuilder":
+        self._schema = schema
+        return self
+
+    def supports_batch(self) -> "ExternalCatalogTableBuilder":
+        self._streaming = False
+        return self
+
+    def supports_streaming(self) -> "ExternalCatalogTableBuilder":
+        self._streaming = True
+        return self
+
+    def in_append_mode(self) -> "ExternalCatalogTableBuilder":
+        return self
+
+    def as_table_source(self) -> ExternalCatalogTable:
+        return ExternalCatalogTable(
+            self._connector, self._format, self._schema, self._streaming
+        )
+
+
 class ConnectTableDescriptor:
     """descriptors/ConnectTableDescriptor.scala: the chain returned by
     ``Engine.connect`` — ``with_format``/``with_schema`` accumulate,
@@ -367,17 +457,10 @@ class ConnectTableDescriptor:
     # --- registration (RegistrableDescriptor.scala:32/:40/:48) ---------
     def _build_source(self) -> DataFrame:
         path, fmt, opts, ddl = self._validate()
-        spark = self._engine.spark
-        if self._streaming:
-            reader = spark.readStream.format(fmt).options(**opts)
-            # streaming file sources must state the schema
-            reader = reader.schema(ddl)
-        else:
-            reader = spark.read.format(fmt).options(**opts)
-            if ddl:
-                reader = reader.schema(ddl)
-        df = reader.load(path)
-        return self._schema.apply_to(df, streaming=self._streaming)
+        return _load_source(
+            self._engine.spark, path, fmt, opts, ddl, self._schema,
+            self._streaming,
+        )
 
     def register_table_source(self, name: str) -> None:
         self._engine.register(name, self._build_source())

@@ -1254,11 +1254,31 @@ class Table:
     insert_into = insertInto
 
     # --- set ops ---------------------------------------------------------
+    def _union_check(self, right: "Table") -> None:
+        # Union validation (plan/logical/operators.scala:320): the
+        # reference's union is POSITIONAL — column counts and types
+        # must match, names need not ('e' unions with 'b' fine, see
+        # ExternalCatalogTest:36's auto-named projections)
+        lo, ro = self.df.schema.fields, right.df.schema.fields
+        if len(lo) != len(ro):
+            raise ExpressionParserException(
+                f"Union two tables of different column sizes: "
+                f"{len(lo)} and {len(ro)}"
+            )
+        if any(l.dataType != r.dataType for l, r in zip(lo, ro)):
+            raise ExpressionParserException(
+                "Union two tables of different schema: "
+                f"[{', '.join(f'({f.name}, {f.dataType.simpleString()})' for f in lo)}] and "
+                f"[{', '.join(f'({f.name}, {f.dataType.simpleString()})' for f in ro)}]"
+            )
+
     def union(self, right: "Table") -> "Table":
-        return Table(self.df.unionByName(right.df).distinct())
+        self._union_check(right)
+        return Table(self.df.union(right.df).distinct())
 
     def unionAll(self, right: "Table") -> "Table":
-        return Table(self.df.unionByName(right.df))
+        self._union_check(right)
+        return Table(self.df.union(right.df))
 
     def minus(self, right: "Table") -> "Table":
         return Table(self.df.exceptAll(right.df).distinct())

@@ -1209,3 +1209,120 @@ class TestDateFormatConcatWsOverlaps:
             "temporalOverlaps('2011-03-12'.toDate, -2.days, "
             "'2011-03-11'.toDate, 1.days)",
         ) is True
+
+
+class TestExternalCatalogFixture:
+    """ExternalCatalogTest.scala (:36 testBatchTableApi, :72
+    testBatchSQL, :166 testTopLevelTable) over the EXACT
+    CommonTestData.getInMemoryTestCatalog fixture
+    (CommonTestData.scala:65): catalog 'test' with db1.tb1 / db2.tb2 /
+    top-level tb1 as '#'-delimited CSV files built through the
+    descriptor chain (FileSystem + OldCsv + Schema -> lazy
+    ExternalCatalogTable).  The reference verifies plans; here the
+    replay verifies the RESULT ROWS those plans produce on the fixture
+    data (plus the Table-API spelling through the string facade)."""
+
+    TB1 = "1#1#Hi\n2#2#Hello\n3#2#Hello world\n"
+    TB2 = ("1#1#0#Hallo#1\n2#2#1#Hallo Welt#2\n2#3#2#Hallo Welt wie#1\n"
+           "3#4#3#Hallo Welt wie gehts?#2\n3#5#4#ABC#2\n3#6#5#BCD#3\n"
+           "4#7#6#CDE#2\n4#8#7#DEF#1\n4#9#8#EFG#1\n4#10#9#FGH#2\n"
+           "5#11#10#GHI#1\n5#12#11#HIJ#3\n5#13#12#IJK#3\n5#14#13#JKL#2\n"
+           "5#15#14#KLM#2\n")
+
+    def _catalog(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.descriptors import (
+            ExternalCatalogTable,
+            FileSystem,
+            OldCsv,
+            Schema,
+        )
+        from flink_1_8_sourcecode_spark.external_catalog import (
+            InMemoryExternalCatalog,
+        )
+
+        p1 = tmp_path / "csv-test1.tmp"
+        p1.write_text(self.TB1)
+        p2 = tmp_path / "csv-test2.tmp"
+        p2.write_text(self.TB2)
+        t1 = (
+            ExternalCatalogTable.builder(FileSystem().path(str(p1)))
+            .with_format(
+                OldCsv().field("a", "INT").field("b", "LONG")
+                .field("c", "STRING").field_delimiter("#")
+            )
+            .with_schema(
+                Schema().field("a", "INT").field("b", "LONG")
+                .field("c", "STRING")
+            )
+            .supports_batch()
+            .as_table_source()
+        )
+        t2 = (
+            ExternalCatalogTable.builder(FileSystem().path(str(p2)))
+            .with_format(
+                OldCsv().field("d", "INT").field("e", "LONG")
+                .field("f", "INT").field("g", "STRING")
+                .field("h", "LONG").field_delimiter("#")
+            )
+            .with_schema(
+                Schema().field("d", "INT").field("e", "LONG")
+                .field("f", "INT").field("g", "STRING")
+                .field("h", "LONG")
+            )
+            .supports_batch()
+            .as_table_source()
+        )
+        cat = InMemoryExternalCatalog("test")
+        db1 = cat.create_sub_catalog("db1")
+        db2 = cat.create_sub_catalog("db2")
+        cat.create_sub_catalog("db3")
+        db1.create_table("tb1", t1.bind(spark))
+        db2.create_table("tb2", t2.bind(spark))
+        # CommonTestData registers tb1 with the top-level catalog too
+        cat.create_table("tb1", t1.bind(spark))
+        return cat
+
+    EXPECTED = sorted([
+        (2, 1, "HALLO"), (4, 2, "HALLO WELT"), (4, 3, "HALLO WELT WIE"),
+        (2, 1, "HI"), (4, 2, "HELLO"), (6, 2, "HELLO WORLD"),
+    ])
+
+    def test_batch_sql(self, spark, tmp_path):
+        # ExternalCatalogTest:79 (with the upperCase projection of the
+        # Table-API variant applied so both spellings share the oracle)
+        from flink_1_8_sourcecode_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.register_external_catalog("test", self._catalog(spark, tmp_path))
+        got = eng.sql(
+            "SELECT d * 2, e, UPPER(g) FROM test.db2.tb2 WHERE d < 3 "
+            "UNION ALL "
+            "SELECT a * 2, b, UPPER(c) FROM test.db1.tb1"
+        ).collect()
+        assert sorted(map(tuple, got)) == self.EXPECTED
+
+    def test_batch_table_api(self, spark, tmp_path):
+        # ExternalCatalogTest:36 — scan + string-facade select + unionAll
+        from flink_1_8_sourcecode_spark.engine import Engine
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        eng = Engine(spark)
+        eng.register_external_catalog("test", self._catalog(spark, tmp_path))
+        t1 = Table(eng.scan("test", "db1", "tb1"))
+        t2 = Table(eng.scan("test", "db2", "tb2"))
+        res = (
+            t2.filter("d < 3").select("d * 2 as x, e, g.upperCase as s")
+            .unionAll(t1.select("a * 2 as x, b, c.upperCase as s"))
+        )
+        assert sorted(map(tuple, res.df.collect())) == self.EXPECTED
+
+    def test_top_level_table(self, spark, tmp_path):
+        # ExternalCatalogTest:166 — 2-segment scan('test', 'tb1')
+        from flink_1_8_sourcecode_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.register_external_catalog("test", self._catalog(spark, tmp_path))
+        got = eng.scan("test", "tb1").collect()
+        assert sorted(map(tuple, got)) == [
+            (1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")
+        ]

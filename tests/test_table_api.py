@@ -810,3 +810,32 @@ class TestPrefixSuffixEquivalence:
             a = t.select(f"({suf}) as x").df.collect()[0]["x"]
             b = t.select(f"({pre}) as x").df.collect()[0]["x"]
             assert a == b, (suf, pre, a, b)
+
+
+class TestUnionPositional:
+    """Union validation parity (plan/logical/operators.scala:320):
+    positional — counts and TYPES must match, names need not."""
+
+    def test_names_need_not_match(self, spark):
+        a = Table(spark.createDataFrame([(1, "x")], "p int, q string"))
+        b = Table(spark.createDataFrame([(2, "y")], "r int, s string"))
+        got = sorted(map(tuple, a.unionAll(b).df.collect()))
+        assert got == [(1, "x"), (2, "y")]
+        # output takes the LEFT side's names (Calcite/Spark convention)
+        assert a.unionAll(b).df.columns == ["p", "q"]
+
+    def test_different_sizes_rejected(self, spark):
+        a = Table(spark.createDataFrame([(1,)], "p int"))
+        b = Table(spark.createDataFrame([(2, "y")], "r int, s string"))
+        with pytest.raises(
+            ExpressionParserException, match="different column sizes: 1 and 2"
+        ):
+            a.unionAll(b)
+
+    def test_different_types_rejected(self, spark):
+        a = Table(spark.createDataFrame([(1, 2)], "p int, q int"))
+        b = Table(spark.createDataFrame([(2, "y")], "r int, s string"))
+        with pytest.raises(
+            ExpressionParserException, match="different schema"
+        ):
+            a.union(b)
