@@ -381,3 +381,83 @@ def snapshot_diff(
         "old_digest",
         "new_digest",
     )
+
+
+def bucketize(value: Column, edges: list[float]) -> Column:
+    """Explicit-edge bucket index: the number of edges <= value (bucket
+    0 = below the first edge, bucket len(edges) = above the last) —
+    one map-only Column, NULL for NULL values."""
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError(f"edges must be a non-empty ascending list, got {edges}")
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.when(
+        value.isNull(), F.lit(None)
+    ).otherwise(
+        F.size(F.filter(arr, lambda e: value >= e))
+    ).cast("int")
+
+
+def histogram(df: DataFrame, value_col, edges: list[float]) -> DataFrame:
+    """(bucket, cnt) histogram over explicit edges — one map-side
+    combined groupBy whose exchange is at most len(edges)+1 rows."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.select(bucketize(value, edges).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_from_histograms(
+    ref_hist: DataFrame, live_hist: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Population Stability Index from two (bucket, cnt) histograms:
+    per bucket ``(p_live - p_ref) * ln(p_live / p_ref)`` with
+    Laplace-style smoothing ``p = (cnt + 0.5) / (total + 0.5 * nb)``
+    so empty buckets contribute finitely (the standard PSI epsilon,
+    made deterministic and oracle-portable).
+
+    Everything after the two histogram exchanges is broadcast-sized:
+    the bucket spine is a literal range, totals are scalar cross
+    products of 1-row aggregates.  Rule of thumb: PSI < 0.1 stable,
+    0.1-0.25 moderate drift, > 0.25 population shift.
+    """
+    spark = ref_hist.sparkSession
+    nb = int(n_buckets)
+    spine = spark.range(nb).select(F.col("id").cast("int").alias("bucket"))
+    ref_t = ref_hist.agg(F.sum("cnt").alias("__rt"))
+    live_t = live_hist.agg(F.sum("cnt").alias("__lt"))
+    j = (
+        spine.join(F.broadcast(ref_hist.withColumnRenamed("cnt", "n_ref")),
+                   "bucket", "left")
+        .join(F.broadcast(live_hist.withColumnRenamed("cnt", "n_live")),
+              "bucket", "left")
+        .crossJoin(F.broadcast(ref_t))
+        .crossJoin(F.broadcast(live_t))
+        .na.fill({"n_ref": 0, "n_live": 0})
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (F.coalesce(F.col("__rt"), F.lit(0)) + F.lit(0.5 * nb))
+    p_live = (F.col("n_live") + F.lit(0.5)) / (F.coalesce(F.col("__lt"), F.lit(0)) + F.lit(0.5 * nb))
+    return j.select(
+        "bucket",
+        "n_ref",
+        "n_live",
+        F.round((p_live - p_ref) * F.log(p_live / p_ref), 8).alias("psi_contrib"),
+    )
+
+
+def psi_drift(
+    ref: DataFrame, live: DataFrame, value_col, edges: list[float]
+) -> DataFrame:
+    """PSI drift between a frozen reference snapshot and a live
+    population over explicit bucket edges — the standard
+    is-my-ingest-distribution-still-the-one-I-trained-on gate.  Two
+    map-side-combined histogram exchanges (<= len(edges)+1 rows each),
+    broadcast-only afterwards; the STREAMING face builds the live
+    histogram as a native streaming aggregation with the same bounded
+    state (queries/streaming_windows.streaming_psi_drift)."""
+    nb = len(edges) + 1
+    return psi_from_histograms(
+        histogram(ref, value_col, edges), histogram(live, value_col, edges), nb
+    )

@@ -574,3 +574,37 @@ def weighted_sample_no_replacement(
         out_col="__rn0",
     )
     return ranked.filter(F.col("__rn0") < k).drop("__wk", "__rn0")
+
+
+def uniform_sample_bottomk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform k-sample WITHOUT replacement per group:
+    the k rows whose salted md5(id) sorts lowest — "bottom-k by hash",
+    the mergeable-summary formulation of reservoir sampling (any
+    partition's bottom-k sets merge to the global bottom-k, which a
+    classic random reservoir cannot do distributed).  The same ids win
+    on every engine and every run, which is what holdout construction
+    and debugging need; and the ONLINE face
+    (streaming/stateful.streaming_uniform_sample) converges to this
+    exact set in any arrival order.
+
+    Scale shape: the hash key is map-only; the per-group top-k is the
+    two-pass distributed rank of ``prefix_sum_per_key`` (no per-group
+    Window funnel — full parallelism with few groups).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        prefix_sum_per_key,
+    )
+
+    h = hash_key(F.col(id_col), salt)
+    ranked = prefix_sum_per_key(
+        df, group_col, [h, F.col(id_col)], out_col="__rn0"
+    )
+    return ranked.filter(F.col("__rn0") < k).drop("__rn0")

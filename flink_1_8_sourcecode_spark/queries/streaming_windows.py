@@ -630,3 +630,163 @@ def streaming_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1,), (7,), (42,), (987654321,)], "item long"
     )
     return cms_query(counters, probes, "item", width=width, depth=depth)
+
+
+_BOTTOMK_ORACLE = """
+    WITH r AS (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+      FROM events WHERE user_id >= 0
+    )
+    SELECT event_type, event_id FROM r WHERE rn <= 8
+    """
+
+
+@register(
+    "sample_uniform_bottomk",
+    oracle=_BOTTOMK_ORACLE,
+    doc="Deterministic uniform k-sample per group "
+    "(operators/sampling.py:uniform_sample_bottomk): bottom-k by "
+    "salted md5(id) — the mergeable-summary formulation of reservoir "
+    "sampling (partition bottom-k sets merge to the global answer, a "
+    "classic random reservoir cannot).  Map-only hash key + the "
+    "two-pass distributed rank; same ids win on every engine/run.",
+)
+def sample_uniform_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sampling import (
+        uniform_sample_bottomk,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") >= 0)
+    return uniform_sample_bottomk(ev, "event_type", "event_id", k=8).select(
+        "event_type", "event_id"
+    )
+
+
+@register(
+    "streaming_uniform_sample",
+    oracle=_BOTTOMK_ORACLE,
+    doc="ONLINE uniform k-sample per group "
+    "(streaming/stateful.py:streaming_uniform_sample): each "
+    "micro-batch folds (md5(id), id) pairs into the per-group "
+    "bottom-k set — O(k) state, never the key space — and the final "
+    "snapshot equals the BATCH sample exactly in any arrival order "
+    "(bottom-k is a mergeable summary).  The oracle is the batch "
+    "sample's SQL: stream == batch is the whole check.",
+)
+def streaming_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming.stateful import (
+        streaming_uniform_sample,
+    )
+
+    src = _replayed_stream(spark, sf_dir, "scg_usmp_").filter(
+        F.col("user_id") >= 0
+    )
+    out = streaming_uniform_sample(src, "event_type", "event_id", k=8)
+    name = _run_to_table(out, "q_usmp", state_partitions=4,
+                         output_mode="update")
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max_by("sample_ids", "n_seen").alias("sample_ids"))
+    )
+    return final.select(
+        "event_type", F.explode("sample_ids").alias("event_id")
+    )
+
+
+_PSI_EDGES = [0.5, 1.0, 2.0, 5.0, 10.0]
+
+_PSI_ORACLE = """
+    WITH rh AS (
+      SELECT len(list_filter([0.5, 1.0, 2.0, 5.0, 10.0],
+                             e -> value >= e))::INT AS bucket,
+             count(*) AS n
+      FROM events WHERE event_type = 'view' AND value IS NOT NULL
+      GROUP BY 1
+    ), lh AS (
+      SELECT len(list_filter([0.5, 1.0, 2.0, 5.0, 10.0],
+                             e -> value >= e))::INT AS bucket,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY 1
+    ), spine AS (SELECT unnest(range(6))::INT AS bucket),
+    rt AS (SELECT sum(n) AS t FROM rh), lt AS (SELECT sum(n) AS t FROM lh)
+    SELECT s.bucket,
+           coalesce(rh.n, 0)::BIGINT AS n_ref,
+           coalesce(lh.n, 0)::BIGINT AS n_live,
+           round(((coalesce(lh.n, 0) + 0.5) / (lt.t + 3.0)
+                - (coalesce(rh.n, 0) + 0.5) / (rt.t + 3.0))
+               * ln(((coalesce(lh.n, 0) + 0.5) / (lt.t + 3.0))
+                  / ((coalesce(rh.n, 0) + 0.5) / (rt.t + 3.0))),
+                 8) AS psi_contrib
+    FROM spine s
+    LEFT JOIN rh ON rh.bucket = s.bucket
+    LEFT JOIN lh ON lh.bucket = s.bucket
+    CROSS JOIN rt CROSS JOIN lt
+    """
+
+
+@register(
+    "pipeline_psi_drift",
+    oracle=_PSI_ORACLE,
+    doc="Population Stability Index drift detection "
+    "(operators/pipeline.py:psi_drift): per-bucket "
+    "(p_live - p_ref) * ln(p_live / p_ref) with deterministic Laplace "
+    "smoothing, between the view-event and purchase-event value "
+    "distributions.  Two map-side-combined histogram exchanges "
+    "(<= n_buckets rows each), broadcast-only afterwards — the "
+    "is-my-ingest-distribution-still-the-training-one gate at any "
+    "corpus size.",
+)
+def pipeline_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.pipeline import psi_drift
+
+    ev = table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        _PSI_EDGES,
+    )
+
+
+@register(
+    "streaming_psi_drift",
+    oracle=_PSI_ORACLE,
+    doc="ONLINE PSI drift gate: the live histogram builds as a NATIVE "
+    "streaming aggregation over the replayed purchase stream — state "
+    "is exactly the n_buckets counter rows (bounded regardless of "
+    "stream length), counts are monotone so max-per-bucket of the "
+    "update stream IS the final histogram — then the same broadcast "
+    "PSI math joins it against the frozen reference histogram.  "
+    "Oracle = the batch PSI SQL: stream == batch.",
+)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.pipeline import (
+        bucketize,
+        histogram,
+        psi_from_histograms,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    ref_hist = histogram(
+        ev.filter(F.col("event_type") == "view"), "value", _PSI_EDGES
+    )
+    src = _replayed_stream(spark, sf_dir, "scg_psi_").filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").__ge__(0)
+    )
+    live_stream = (
+        src.select(bucketize(F.col("value"), _PSI_EDGES).alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = _run_to_table(live_stream, "q_psi", state_partitions=4,
+                         output_mode="update")
+    live_hist = spark.table(name).groupBy("bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    return psi_from_histograms(ref_hist, live_hist, len(_PSI_EDGES) + 1)

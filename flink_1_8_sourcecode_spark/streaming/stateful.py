@@ -906,3 +906,67 @@ def streaming_kmv_sketch(
         GroupStateTimeout.NoTimeout,
     )
     return out.withColumnRenamed("__g", group_col)
+
+
+def streaming_uniform_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """ONLINE uniform k-sample per group — the ingestion-time face of
+    ``operators/sampling.uniform_sample_bottomk``: every micro-batch
+    folds its (md5(id), id) pairs into the per-group bottom-k set and
+    emits the group's CURRENT sample.  Bottom-k-by-hash is a mergeable
+    summary, so the final snapshot equals the batch sample EXACTLY in
+    any arrival order — the stream==batch pin is the correctness
+    check, and the oracle is the batch sample's SQL.
+
+    State per group: the sorted k-list of (hash, id) pairs + a row
+    counter — O(k), never the key space (a true reservoir sampler
+    cannot be distributed this way; bottom-k can, which is why every
+    engine's APPROX machinery uses it).  The hash is computed BEFORE
+    the stateful exchange (map-only Column), so the shuffle carries
+    (group, 32-byte hex, id).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    src = df.select(
+        F.col(group_col).alias("__g"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("__hv"),
+        F.col(id_col).cast("long").alias("__id"),
+    ).filter(F.col("__hv").isNotNull())
+    gtype = src.schema["__g"].dataType.simpleString()
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            hs, ids, seen = (
+                list(state.get[0]), list(state.get[1]), int(state.get[2])
+            )
+        else:
+            hs, ids, seen = [], [], 0
+        pairs = dict(zip(hs, ids))
+        for pdf in batches:
+            seen += len(pdf)
+            pairs.update(zip(pdf["__hv"], pdf["__id"]))
+        best = sorted(pairs.items())[:k]
+        hs = [h for h, _ in best]
+        ids = [int(i) for _, i in best]
+        state.update((hs, ids, seen))
+        yield pd.DataFrame(
+            {
+                "__g": [key_tuple[0]],
+                "n_seen": [seen],
+                "sample_ids": [ids],
+            }
+        )
+
+    out = src.groupBy("__g").applyInPandasWithState(
+        fn,
+        f"__g {gtype}, n_seen long, sample_ids array<long>",
+        "hs array<string>, ids array<long>, n_seen long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumnRenamed("__g", group_col)

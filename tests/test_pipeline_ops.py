@@ -1561,3 +1561,61 @@ class TestCurateGate:
             tuple, spark.table("t_curate_gate").toPandas().values.tolist()
         ))
         assert got == expected
+
+
+class TestPsiDrift:
+    """psi_drift (operators/pipeline.py): bucketize/histogram/PSI with
+    deterministic Laplace smoothing; identical populations score ~0,
+    disjoint ones score large; empty buckets contribute finitely."""
+
+    def test_identical_populations_near_zero(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import psi_drift
+
+        df = spark.createDataFrame(
+            [(float(i % 10),) for i in range(1000)], "v double"
+        )
+        total = sum(
+            r["psi_contrib"]
+            for r in psi_drift(df, df, "v", [2.0, 4.0, 6.0, 8.0]).collect()
+        )
+        assert abs(total) < 1e-12
+
+    def test_shifted_population_scores_high(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import psi_drift
+
+        ref = spark.createDataFrame([(1.0,)] * 500, "v double")
+        live = spark.createDataFrame([(9.0,)] * 500, "v double")
+        rows = psi_drift(ref, live, "v", [2.0, 4.0, 6.0, 8.0]).collect()
+        assert len(rows) == 5  # full bucket spine even where both empty
+        assert sum(r["psi_contrib"] for r in rows) > 0.25
+
+    def test_bucketize_semantics_and_guards(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import bucketize
+
+        df = spark.createDataFrame(
+            [(0.1,), (2.0,), (3.5,), (None,)], "v double"
+        )
+        got = [
+            r["b"] for r in df.select(
+                bucketize(F.col("v"), [1.0, 3.0]).alias("b")
+            ).collect()
+        ]
+        assert got == [0, 1, 2, None]  # edges inclusive on the left
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="ascending"):
+            bucketize(F.col("v"), [3.0, 1.0])
+        with _pytest.raises(ValueError, match="ascending"):
+            bucketize(F.col("v"), [])
+
+    def test_broadcast_only_after_histograms(self, spark):
+        from flink_1_8_sourcecode_spark.operators.pipeline import psi_drift
+
+        df = spark.createDataFrame(
+            [(float(i % 10),) for i in range(100)], "v double"
+        )
+        plan = (
+            psi_drift(df, df, "v", [2.0, 5.0])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan  # spine/totals joins broadcast

@@ -98,3 +98,77 @@ def test_param_guards(spark):
         weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=0)
     with pytest.raises(ValueError, match="max_weight"):
         weighted_sample_no_replacement(df, "g", "id", F.col("w"), k=1, max_weight=0)
+
+
+class TestUniformBottomK:
+    """uniform_sample_bottomk (operators/sampling.py) + the online face
+    (streaming/stateful.py:streaming_uniform_sample): bottom-k by hash
+    is a mergeable summary — partition-wise bottom-k sets merge to the
+    global sample, so stream == batch in any arrival order."""
+
+    def test_matches_independent_python(self, spark):
+        import hashlib
+
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        rows = [("g", i) for i in range(100)] + [("h", i) for i in range(40)]
+        df = spark.createDataFrame(rows, "g string, id long")
+        got = {
+            (r["g"], r["id"])
+            for r in uniform_sample_bottomk(df, "g", "id", k=5).collect()
+        }
+        want = set()
+        for grp in ("g", "h"):
+            ids = [i for g, i in rows if g == grp]
+            best = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+            want |= {(grp, i) for i in best}
+        assert got == want
+
+    def test_merge_property(self, spark):
+        # bottom-k of the union == bottom-k of (bottom-k(A) U bottom-k(B))
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        a = spark.createDataFrame([("g", i) for i in range(50)], "g string, id long")
+        b = spark.createDataFrame([("g", i) for i in range(50, 120)], "g string, id long")
+        whole = {r["id"] for r in uniform_sample_bottomk(
+            a.union(b), "g", "id", k=7).collect()}
+        pa_ = uniform_sample_bottomk(a, "g", "id", k=7)
+        pb = uniform_sample_bottomk(b, "g", "id", k=7)
+        merged = {r["id"] for r in uniform_sample_bottomk(
+            pa_.union(pb), "g", "id", k=7).collect()}
+        assert whole == merged
+
+    def test_salt_changes_sample(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        df = spark.createDataFrame([("g", i) for i in range(200)], "g string, id long")
+        s1 = {r["id"] for r in uniform_sample_bottomk(df, "g", "id", k=10).collect()}
+        s2 = {r["id"] for r in uniform_sample_bottomk(
+            df, "g", "id", k=10, salt="v2").collect()}
+        assert s1 != s2 and len(s1) == len(s2) == 10
+
+    def test_k_guard(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        with pytest.raises(ValueError, match="k must be positive"):
+            uniform_sample_bottomk(None, "g", "id", k=0)
+
+    def test_no_single_partition_funnel(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        df = spark.createDataFrame([("g", i) for i in range(100)], "g string, id long")
+        plan = (
+            uniform_sample_bottomk(df, "g", "id", k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan
