@@ -365,8 +365,29 @@ class ExternalCatalogTable:
 
     def bind(self, spark):
         """Zero-arg callable for InMemoryExternalCatalog.create_table —
-        the source opens lazily on first scan."""
+        the source opens lazily on first scan.  (Registering the
+        ExternalCatalogTable itself instead keeps the WRITE side too:
+        Engine.scan opens it and Engine.insert_into writes through it.)
+        """
         return lambda: self.table(spark)
+
+    def write(self, df: DataFrame, overwrite: bool = False) -> None:
+        """The sink side (ExternalCatalogInsertTest.scala:48 —
+        ``insertInto("test.db3.tb3")``): write through the same
+        connector/format spec the scan reads."""
+        if not isinstance(self._connector, FileSystem):
+            raise ValidationException(
+                f"unsupported connector {type(self._connector).__name__}"
+            )
+        path = self._connector.validate()
+        if self._format is None:
+            raise ValidationException("missing format descriptor")
+        w = (
+            df.write.format(self._format.spark_format())
+            .options(**self._format.spark_options())
+            .mode("overwrite" if overwrite else "append")
+        )
+        w.save(path)
 
 
 class ExternalCatalogTableBuilder:

@@ -130,7 +130,15 @@ class Engine:
         if len(path) == 1:
             return self.spark.table(path[0])
         cat = self.get_registered_external_catalog(path[0])
-        return cat.resolve(list(path[1:]))
+        entry = cat.resolve(list(path[1:]))
+        from flink_1_8_sourcecode_spark.descriptors import (
+            ExternalCatalogTable,
+        )
+
+        if isinstance(entry, ExternalCatalogTable):
+            # descriptor-defined catalog table: open through its spec
+            return entry.table(self.spark)
+        return entry
 
     def _route_external_catalogs(self, query: str, created: list[str]) -> str:
         """Resolve ``catalog.db.table`` names in a SQL statement against
@@ -206,7 +214,34 @@ class Engine:
         result into a registered sink.  ``overwrite=False`` appends
         (Flink 1.8 CsvTableSink overwrite mode maps to True).  A
         STREAMING DataFrame must go through streaming/sinks.py (the
-        exactly-once StreamingFileSink path), loudly."""
+        exactly-once StreamingFileSink path), loudly.
+
+        A qualified ``catalog.db.table`` name rooted at a registered
+        external catalog writes through that table's descriptor spec
+        (ExternalCatalogInsertTest.scala:48 ``insertInto("test.db3.
+        tb3")``) — the catalog table must be descriptor-defined
+        (ExternalCatalogTable), since a plain DataFrame entry has no
+        write target."""
+        parts = sink_name.split(".")
+        if len(parts) > 1 and parts[0] in self._external_catalogs:
+            from flink_1_8_sourcecode_spark.descriptors import (
+                ExternalCatalogTable,
+            )
+
+            entry = self._external_catalogs[parts[0]].resolve(parts[1:])
+            if not isinstance(entry, ExternalCatalogTable):
+                raise NotImplementedError(
+                    f"insert_into: catalog table {sink_name!r} is not "
+                    "descriptor-defined — only ExternalCatalogTable "
+                    "entries (connector + format) have a write target"
+                )
+            if df.isStreaming:
+                raise NotImplementedError(
+                    "insert_into: streaming writes go through "
+                    "streaming/sinks.py (StreamingFileSink parity)"
+                )
+            entry.write(df, overwrite=overwrite)
+            return
         sink = self._sinks.get(sink_name)
         if sink is None:
             raise NotImplementedError(
@@ -244,9 +279,12 @@ class Engine:
             r = r.schema(sink.schema)
         return r.load(sink.path)
 
+    # sink may be a plain name, a qualified catalog.db.table path, or
+    # the reference's backtick-quoted form (`test.db3.tb3` —
+    # ExternalCatalogInsertTest.scala:57)
     _INSERT_RE = re.compile(
         r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-        r"(?P<sink>\w+)\s+(?P<body>SELECT\b.*|VALUES\b.*|\(.*)$",
+        r"`?(?P<sink>[\w.]+)`?\s+(?P<body>SELECT\b.*|VALUES\b.*|\(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -313,7 +351,11 @@ class Engine:
         returns the sink read back — so a round-trip is one call."""
         if self._INSERT_RE.match(query):
             self.sql_update(query)
-            return self.read_sink(self._INSERT_RE.match(query).group("sink"))
+            sink = self._INSERT_RE.match(query).group("sink")
+            parts = sink.split(".")
+            if len(parts) > 1 and parts[0] in self._external_catalogs:
+                return self.scan(*parts)  # catalog sink reads back via scan
+            return self.read_sink(sink)
         created: list[str] = []
         try:
             query = self._route_external_catalogs(query, created)

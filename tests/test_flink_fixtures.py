@@ -1326,3 +1326,60 @@ class TestExternalCatalogFixture:
         assert sorted(map(tuple, got)) == [
             (1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")
         ]
+
+    def test_insert_into_catalog_table(self, spark, tmp_path):
+        # ExternalCatalogInsertTest.scala:52 testBatchSQL — INSERT INTO
+        # `test.db3.tb3` (backtick-quoted qualified sink) writing the
+        # union through the catalog table's descriptor spec, read back
+        # via scan
+        from flink_1_8_sourcecode_spark.descriptors import (
+            ExternalCatalogTable,
+            FileSystem,
+            OldCsv,
+            Schema,
+        )
+        from flink_1_8_sourcecode_spark.engine import Engine
+
+        eng = Engine(spark)
+        cat = self._catalog(spark, tmp_path)
+        tb3 = (
+            ExternalCatalogTable.builder(
+                FileSystem().path(str(tmp_path / "csv-test3"))
+            )
+            .with_format(
+                OldCsv().field("x", "INT").field("y", "LONG")
+                .field("z", "STRING").field_delimiter("#")
+            )
+            .with_schema(
+                Schema().field("x", "INT").field("y", "LONG")
+                .field("z", "STRING")
+            )
+            .supports_batch()
+            .as_table_source()
+        )
+        cat.get_sub_catalog("db3").create_table("tb3", tb3)
+        eng.register_external_catalog("test", cat)
+        eng.sql_update(
+            "INSERT INTO `test.db3.tb3` "
+            "SELECT d * 2, e, g FROM test.db2.tb2 WHERE d < 3 "
+            "UNION ALL (SELECT a * 2, b, c FROM test.db1.tb1)"
+        )
+        got = sorted(map(tuple, eng.scan("test", "db3", "tb3").collect()))
+        assert got == [
+            (2, 1, "Hallo"), (2, 1, "Hi"), (4, 2, "Hallo Welt"),
+            (4, 2, "Hello"), (4, 3, "Hallo Welt wie"), (6, 2, "Hello world"),
+        ]
+        # a second INSERT appends (Flink 1.8 CsvTableSink default)
+        eng.sql_update(
+            "INSERT INTO `test.db3.tb3` SELECT 99, 99, 'zz' FROM test.tb1 "
+            "WHERE a = 1"
+        )
+        assert eng.scan("test", "db3", "tb3").count() == 7
+
+    def test_insert_into_plain_df_entry_rejected(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.register_external_catalog("test", self._catalog(spark, tmp_path))
+        with pytest.raises(NotImplementedError, match="descriptor-defined"):
+            eng.insert_into(spark.range(1).toDF("x"), "test.db1.tb1")
