@@ -1599,3 +1599,60 @@ def retrieval_metrics(
             F.coalesce(F.col("__dcg") / ideal, F.lit(0.0)).alias("ndcg_at_k"),
         )
     )
+
+
+def embedding_diversity(
+    df: DataFrame,
+    group_col,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding-space diversity: the mean pairwise SQUARED
+    L2 distance between a group's vectors, computed WITHOUT pairs via
+    the variance identity ``E||x - y||^2 = 2 * (E||x||^2 - ||E x||^2)``
+    (x, y iid over the group) — the corpus-diversity metric of data
+    curation ("is this source a million near-copies or a spread?")
+    at any scale.
+
+    Scale shape: every term reduces to PER-DIMENSION sums —
+    ``E||x||^2 = sum_d E[x_d^2]`` and ``||E x||^2 = sum_d (E x_d)^2`` —
+    so the whole metric is one posexplode + one map-side-combined
+    groupBy(group, dim) (exchange <= partitions x groups x dim rows of
+    three doubles) + one dim-bounded groupBy(group).  No self-join, no
+    collect_list of vectors, no group-sized aggregation state
+    anywhere.
+
+    Returns (group, n_vecs, mean_sq_norm, mean_pairwise_sq_dist).
+    Singleton groups report 0 diversity.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    out_name = group_col if isinstance(group_col, str) else "group"
+    x = F.col("__x")
+    per_dim = (
+        df.select(g.alias("__g"), F.posexplode(F.col(vec_col)))
+        .withColumnRenamed("col", "__x")
+        .groupBy("__g", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x.cast("double")).alias("__s1"),
+            F.sum((x * x).cast("double")).alias("__s2"),
+        )
+    )
+    per_group = per_dim.groupBy("__g").agg(
+        F.max("__n").alias("n_vecs"),
+        (F.sum("__s2") / F.max("__n")).alias("mean_sq_norm"),
+        F.sum(
+            (F.col("__s1") / F.col("__n")) * (F.col("__s1") / F.col("__n"))
+        ).alias("__centroid_sq"),
+    )
+    return per_group.select(
+        F.col("__g").alias(out_name),
+        "n_vecs",
+        F.round("mean_sq_norm", 6).alias("mean_sq_norm"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                2.0 * (F.col("mean_sq_norm") - F.col("__centroid_sq")),
+            ),
+            6,
+        ).alias("mean_pairwise_sq_dist"),
+    )

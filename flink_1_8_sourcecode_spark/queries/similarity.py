@@ -945,3 +945,42 @@ def streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "sim_embedding_diversity",
+    oracle="""
+    WITH exploded AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS pos,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, pos, count(*) AS n,
+             sum(x) AS s1, sum(x * x) AS s2
+      FROM exploded GROUP BY 1, 2
+    )
+    SELECT label,
+           max(n)::BIGINT AS n_vecs,
+           round(sum(s2) / max(n), 6) AS mean_sq_norm,
+           round(greatest(0.0,
+                 2 * (sum(s2) / max(n) - sum((s1 / n) * (s1 / n)))), 6)
+             AS mean_pairwise_sq_dist
+    FROM per_dim GROUP BY label
+    """,
+    doc="Per-group embedding diversity "
+    "(operators/similarity.py:embedding_diversity): mean pairwise "
+    "squared L2 distance WITHOUT pairs via the variance identity "
+    "E||x-y||^2 = 2(E||x||^2 - ||Ex||^2) — every term reduces to "
+    "per-dimension sums, so the whole metric is one posexplode + one "
+    "map-side-combined groupBy(group, dim) + a dim-bounded rollup.  "
+    "The is-this-source-a-million-near-copies corpus metric at any "
+    "scale: no self-join, no O(n^2).",
+)
+def sim_embedding_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.similarity import (
+        embedding_diversity,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_diversity(emb, "label", "embedding")

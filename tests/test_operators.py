@@ -2061,3 +2061,55 @@ class TestSnapshotDiff:
 
         with _pytest.raises(ValueError, match="content column"):
             snapshot_diff(None, None, "id", [])
+
+
+class TestEmbeddingDiversity:
+    """embedding_diversity (operators/similarity.py): the variance
+    identity must equal the brute-force mean pairwise squared distance,
+    with no pairwise join in the plan."""
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            embedding_diversity,
+        )
+
+        vecs = {
+            "a": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+            "b": [[2.0, 2.0], [2.0, 2.0]],   # duplicates: diversity 0
+            "c": [[5.0, -3.0]],              # singleton: diversity 0
+        }
+        rows = [(g, v) for g, vs in vecs.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, embedding array<float>")
+        got = {
+            r["g"]: (r["n_vecs"], r["mean_pairwise_sq_dist"])
+            for r in embedding_diversity(df, "g").collect()
+        }
+        for g, vs in vecs.items():
+            n = len(vs)
+            # E over ORDERED iid pairs (x, y), including x == y
+            tot = sum(
+                sum((a - b) ** 2 for a, b in zip(u, w))
+                for u, w in itertools.product(vs, vs)
+            )
+            want = tot / (n * n)
+            assert got[g][0] == n
+            # operator rounds to 6 decimals
+            assert abs(got[g][1] - round(want, 6)) < 1e-9, (g, got[g], want)
+
+    def test_no_pairwise_join(self, spark):
+        from flink_1_8_sourcecode_spark.operators.similarity import (
+            embedding_diversity,
+        )
+
+        df = spark.createDataFrame(
+            [("g", [float(i), 1.0]) for i in range(50)],
+            "g string, embedding array<float>",
+        )
+        plan = (
+            embedding_diversity(df, "g")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # pure aggregate pipeline
