@@ -551,15 +551,16 @@ def weighted_sample_no_replacement(
         raise ValueError(f"max_weight must be >= 1, got {max_weight}")
     from flink_1_8_sourcecode_spark.operators.partitioning import prefix_sum_per_key
 
-    w = F.least(weight_col.cast("int"), F.lit(int(max_weight)))
-    # NULL must raise as loudly as w < 1: a NULL weight yields a NULL
-    # key which would silently never sample the row
+    # NULL must raise as loudly as w < 1 — and the check must happen
+    # BEFORE least(): Spark's least() SKIPS nulls, so least(NULL, max)
+    # is max, which would silently sample the row at full weight
+    raw = weight_col.cast("int")
     w = F.when(
-        w.isNull(),
+        raw.isNull(),
         F.raise_error(F.lit("weighted_sample_no_replacement: NULL weight")),
     ).when(
-        w < 1, F.raise_error(F.lit("weighted_sample_no_replacement: weight < 1"))
-    ).otherwise(w)
+        raw < 1, F.raise_error(F.lit("weighted_sample_no_replacement: weight < 1"))
+    ).otherwise(F.least(raw, F.lit(int(max_weight))))
     idc = F.col(id_col).cast("string")
     key = F.array_min(
         F.transform(
