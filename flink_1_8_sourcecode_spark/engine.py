@@ -153,6 +153,11 @@ class Engine:
         is never rewritten."""
         if not self._external_catalogs:
             return query
+        from flink_1_8_sourcecode_spark.external_catalog import (
+            CatalogNotExistException,
+            TableNotExistException,
+        )
+
         masked = _mask_literals(query)
         names = "|".join(re.escape(n) for n in self._external_catalogs)
         pat = re.compile(rf"\b(?P<path>(?:{names})(?:\.\w+)+)")
@@ -160,14 +165,28 @@ class Engine:
         last = 0
         for m in pat.finditer(masked):
             path = m.group("path").split(".")
-            df = self.scan(*path)
-            view = "__extcat_" + hashlib.md5(
-                m.group("path").encode()
-            ).hexdigest()[:12]
+            # longest prefix that resolves to a table wins; trailing
+            # segments are COLUMN references (Calcite resolves
+            # test.db2.tb2.d as column d of test.db2.tb2 the same way)
+            df = None
+            first_err = None
+            for cut in range(len(path), 1, -1):
+                try:
+                    df = self.scan(*path[:cut])
+                    break
+                except (TableNotExistException, CatalogNotExistException) as e:
+                    # a longer path fails on its TAIL segments (column
+                    # refs, not catalog objects) — keep shrinking; the
+                    # 2-segment error is the authoritative one
+                    first_err = e if cut == 2 else first_err
+                    if cut == 2:
+                        raise first_err
+            prefix = ".".join(path[:cut])
+            view = "__extcat_" + hashlib.md5(prefix.encode()).hexdigest()[:12]
             df.createOrReplaceTempView(view)
             created.append(view)
             out.append(query[last:m.start()])
-            out.append(view)
+            out.append(view + m.group("path")[len(prefix):])
             last = m.end()
         out.append(query[last:])
         return "".join(out)

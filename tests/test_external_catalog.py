@@ -129,3 +129,22 @@ class TestExceptions:
         cat = env.get_registered_external_catalog("warehouse")
         assert cat.list_sub_catalogs() == ["tpch"]
         assert cat.get_sub_catalog("tpch").list_tables() == ["nat", "reg"]
+
+
+class TestQualifiedColumnReferences:
+    def test_four_part_column_reference(self, env):
+        # Calcite resolves warehouse.tpch.nat.n_name as column n_name of
+        # table warehouse.tpch.nat — the longest-prefix rule here
+        got = env.sql(
+            "SELECT warehouse.tpch.nat.n_name AS nm FROM warehouse.tpch.nat "
+            "WHERE warehouse.tpch.nat.n_nationkey = 3"
+        ).collect()
+        assert len(got) == 1 and got[0]["nm"] is not None
+
+    def test_unknown_table_still_raises(self, env):
+        from flink_1_8_sourcecode_spark.external_catalog import (
+            TableNotExistException,
+        )
+
+        with pytest.raises(TableNotExistException):
+            env.sql("SELECT * FROM warehouse.tpch.nosuch")
