@@ -1503,3 +1503,75 @@ def bpe_tokenize(
         F.sum(per_tok).cast("long").alias("n_bpe_tokens"),
     )
 
+
+
+def pmi_collocations(
+    df: "DataFrame",
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> "DataFrame":
+    """Collocation mining by pointwise mutual information: the top-k
+    adjacent-token pairs by ``PMI = log(p(a,b) / (p(a) * p(b)))``
+    among pairs seen at least ``min_count`` times — the standard
+    multi-word-expression detector ("new york", "machine learning")
+    of corpus analysis (Church & Hanks 1990, public).
+
+    Probabilities are corpus-frequency ratios over the SAME bigram
+    population: ``p(a, b) = c(a, b) / N``, ``p(a) = c(a as left) / N``,
+    ``p(b) = c(b as right) / N`` with ``N`` = total bigram count — the
+    directional-margin convention, exactly reproducible in SQL.
+
+    Scale shape: bigram extraction is map-only (zip of the token array
+    with its tail), then three partial-aggregated groupBys (pairs,
+    left margins, right margins — hot tokens collapse map-side so
+    Zipf skew never concentrates a partition), two equi-joins on the
+    margin keys, and a global top-k (rank over a single ordered
+    column, limit-pushed).  The min_count filter prunes the pair table
+    BEFORE the joins — at 100 TB that is the difference between
+    joining the Zipf tail and joining a vocabulary-sized table.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = tokens(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    pair_counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    left = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    right = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    total = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        pair_counts.filter(F.col("c_ab") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double") * F.col("n_total")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ),
+        )
+    )
+    # global top-k via orderBy+limit = TakeOrderedAndProject (each
+    # partition keeps its local top-k, driver merges k) — never a
+    # SinglePartition row_number funnel
+    return (
+        scored.orderBy(
+            F.col("pmi").desc(), F.col("c_ab").desc(), F.col("a"), F.col("b")
+        )
+        .limit(top_k)
+        .select("a", "b", "c_ab", "pmi")
+    )

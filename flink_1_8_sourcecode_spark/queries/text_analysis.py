@@ -1548,3 +1548,44 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bpe_tokenize(d, "doc_id", "text", vocab)
     vocab.unpersist()
     return out
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+             x -> x != '') AS ts
+      FROM documents
+    ), pairs AS (
+      SELECT z[1] AS a, z[2] AS b
+      FROM (
+        SELECT unnest(list_zip(ts, ts[2:])) AS z FROM toks
+      ) WHERE z[2] IS NOT NULL
+    ), pc AS (
+      SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2
+    ), lm AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY 1),
+    rm AS (SELECT b, count(*) AS c_b FROM pairs GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM pairs),
+    scored AS (
+      SELECT pc.a, pc.b, c_ab,
+             round(ln(c_ab::DOUBLE * n / (c_a::DOUBLE * c_b)), 6) AS pmi
+      FROM pc JOIN lm ON pc.a = lm.a JOIN rm ON pc.b = rm.b CROSS JOIN tot
+      WHERE c_ab >= 5
+    )
+    SELECT a, b, c_ab, pmi FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY pmi DESC, c_ab DESC, a, b) AS rn
+      FROM scored
+    ) WHERE rn <= 50
+    """,
+    doc="Collocation mining by pointwise mutual information "
+    "(operators/text.py:pmi_collocations — Church & Hanks 1990): "
+    "top-50 adjacent-token pairs by log(p(ab)/(p(a)p(b))) with "
+    "min_count 5.  Map-only bigram extraction, three partial-agg "
+    "groupBys (Zipf-skew-immune), min_count pruning BEFORE the margin "
+    "joins, global top-k.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return tx.pmi_collocations(d, "text", min_count=5, top_k=50)

@@ -2113,3 +2113,66 @@ class TestEmbeddingDiversity:
         )
         assert "CartesianProduct" not in plan
         assert "Join" not in plan  # pure aggregate pipeline
+
+
+class TestPmiCollocations:
+    """pmi_collocations (operators/text.py): PMI math vs an independent
+    Python computation; global top-k is TakeOrderedAndProject (local
+    top-k per partition + driver merge), not a row_number funnel."""
+
+    def test_matches_independent_python(self, spark):
+        import math
+        from collections import Counter
+
+        from flink_1_8_sourcecode_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        docs = [
+            ("new york is big",),
+            ("new york has people",),
+            ("york new nothing",),
+            ("big data new york",),
+            ("data is big data",),
+        ]
+        df = spark.createDataFrame(docs, "text string")
+        got = [
+            (r["a"], r["b"], r["c_ab"], r["pmi"])
+            for r in pmi_collocations(df, "text", min_count=2, top_k=3).collect()
+        ]
+        pairs = []
+        for (t,) in docs:
+            ws = t.split()
+            pairs += list(zip(ws, ws[1:]))
+        pc, lm, rm, n = Counter(pairs), Counter(), Counter(), len(pairs)
+        for a, b in pairs:
+            lm[a] += 1
+            rm[b] += 1
+        scored = [
+            (a, b, c, round(math.log(c * n / (lm[a] * rm[b])), 6))
+            for (a, b), c in pc.items() if c >= 2
+        ]
+        scored.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+        assert got == scored[:3]
+
+    def test_param_guards(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        with pytest.raises(ValueError, match="min_count"):
+            pmi_collocations(None, "t", min_count=0)
+        with pytest.raises(ValueError, match="top_k"):
+            pmi_collocations(None, "t", top_k=0)
+
+    def test_distributed_topk_plan(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        df = spark.createDataFrame([("a b a b",)] * 20, "text string")
+        plan = (
+            pmi_collocations(df, "text", min_count=2, top_k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
