@@ -381,3 +381,44 @@ def kmv_overlap_matrix(
         F.round(jac, 6).alias("est_jaccard"),
         F.round(est_union * jac, 6).alias("est_intersection"),
     )
+
+
+def approx_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: list[float],
+    k: int = 256,
+    salt: str = "",
+    broadcast_totals: bool = True,
+) -> DataFrame:
+    """APPROXIMATE per-group quantiles with MERGEABLE bounded state:
+    the exact quantiles of the deterministic bottom-k-by-hash uniform
+    sample (operators/sampling.uniform_sample_bottomk).  The sample is
+    a mergeable summary — partition-wise bottom-k sets merge to the
+    global sample, and the ONLINE face
+    (streaming/stateful.streaming_uniform_sample) converges to the
+    identical k rows — so this is the quantile sketch whose streaming
+    snapshot provably equals its batch value, unlike error-bound
+    sketches whose merge order matters.
+
+    Standard order-statistics bound: with a uniform k-sample the
+    sampled q-quantile's TRUE rank concentrates within
+    O(sqrt(q(1-q)/k)) of q — k=256 gives ~3% rank error at the median.
+    Deterministic given (salt, k): the same rows are sampled on every
+    engine, which is why a DuckDB oracle can re-derive the answer
+    bit-for-bit (no other engine's APPROX_PERCENTILE can be
+    cross-checked this way).
+
+    Scale shape: the sampler's map-only hash + two-pass rank, then
+    exact quantiles over k rows per group.
+    """
+    from flink_1_8_sourcecode_spark.operators.sampling import (
+        uniform_sample_bottomk,
+    )
+
+    sample = uniform_sample_bottomk(df, group_col, id_col, k, salt)
+    return exact_group_quantiles(
+        sample, group_col, value_col, qs, broadcast_totals
+    )

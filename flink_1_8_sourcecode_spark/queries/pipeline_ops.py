@@ -1816,3 +1816,48 @@ def streaming_snapshot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "sketch_approx_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS srn
+      FROM documents
+    ), samp AS (
+      SELECT lang, n_chars, doc_id FROM s WHERE srn <= 64
+    ), r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM samp
+    ), qs AS (
+      SELECT * FROM (VALUES (0.1, 1, 10), (0.5, 1, 2), (0.9, 9, 10))
+        t(q, num, den)
+    )
+    SELECT r.lang, qs.q AS q, r.n_chars AS n_chars
+    FROM r JOIN qs
+      ON r.rn = greatest(1, (qs.num * r.n + qs.den - 1) // qs.den)
+    """,
+    doc="APPROXIMATE doc-length quantiles per language from the "
+    "MERGEABLE bottom-k-by-hash uniform sample "
+    "(operators/sketches.py:approx_group_quantiles): exact quantiles "
+    "of the deterministic k=64 sample — rank error O(sqrt(q(1-q)/k)), "
+    "and unlike error-bound sketches the DuckDB oracle re-derives the "
+    "answer BIT-FOR-BIT because the sample is hash-deterministic.  "
+    "The online sampler (streaming_uniform_sample) converges to the "
+    "same k rows, so the streaming snapshot of this sketch equals the "
+    "batch value exactly.",
+)
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sketches import (
+        approx_group_quantiles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return approx_group_quantiles(
+        d, "lang", "n_chars", "doc_id", [0.1, 0.5, 0.9], k=64
+    )

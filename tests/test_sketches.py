@@ -303,3 +303,31 @@ class TestBroadcastEscapeHatches:
         assert p_on.count("BroadcastHashJoin") == \
             p_off.count("BroadcastHashJoin") + 1
         assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+
+class TestApproxGroupQuantiles:
+    """approx_group_quantiles: exact quantiles of the mergeable
+    bottom-k sample; with k >= group size it IS the exact answer."""
+
+    def test_equals_exact_when_k_covers_group(self, spark):
+        df = spark.createDataFrame(
+            [("g", f"id{i}", v) for i, v in enumerate([5, 1, 4, 2, 3, 9, 7])],
+            "g string, id string, v int",
+        )
+        approx = sorted(map(tuple, sk.approx_group_quantiles(
+            df, "g", "v", "id", [0.25, 0.5, 0.75], k=100).collect()))
+        exact = sorted(map(tuple, sk.exact_group_quantiles(
+            df, "g", "v", [0.25, 0.5, 0.75]).collect()))
+        assert approx == exact
+
+    def test_rank_error_within_bound(self, spark):
+        # 1000 uniform values, k=256: sampled median's true rank must
+        # sit within ~4 standard errors of 0.5 (sqrt(.25/256) ~ 3.1%)
+        df = spark.createDataFrame(
+            [("g", f"id{i}", i) for i in range(1000)],
+            "g string, id string, v int",
+        )
+        [row] = sk.approx_group_quantiles(
+            df, "g", "v", "id", [0.5], k=256).collect()
+        true_rank = row["v"] / 1000.0
+        assert abs(true_rank - 0.5) < 0.125, row
