@@ -609,3 +609,63 @@ def uniform_sample_bottomk(
         df, group_col, [h, F.col(id_col)], out_col="__rn0"
     )
     return ranked.filter(F.col("__rn0") < k).drop("__rn0")
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float,
+    total_budget: int,
+    salt: str = "",
+) -> "tuple[DataFrame, dict[str, int]]":
+    """Temperature-based mixture sampling — the multilingual
+    rebalancing of XLM-R / mT5 (public: sample source i with
+    probability proportional to ``n_i ** alpha``; ``alpha < 1`` lifts
+    low-resource sources, ``alpha = 1`` keeps natural proportions):
+    deterministically take ``round(total_budget * p_i)`` docs per
+    source (capped at ``n_i``), chosen as the lowest salted md5(id)
+    hashes so the same docs win on every engine and every run.
+
+    Returns ``(kept_rows, targets)`` — the per-source target map is
+    computed driver-side from the per-source COUNT table (one bounded
+    aggregate: one row per corpus source, the same documented contract
+    as token_budget_mix's budget map) and returned for conditioning /
+    logging; the float ``n ** alpha`` math happens ONCE in Python, so
+    no cross-engine pow()-boundary divergence can flip a target.
+
+    Scale shape: one map-side-combined count aggregate (collect is
+    source-bounded), then the map-only hash key + two-pass distributed
+    rank, filtered against the broadcast-literal target map.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        prefix_sum_per_key,
+    )
+
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(source_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    weights = {s: float(n) ** float(alpha) for s, n in counts.items()}
+    wsum = sum(weights.values()) or 1.0
+    targets = {
+        s: min(counts[s], int(round(total_budget * w / wsum)))
+        for s, w in weights.items()
+    }
+    tmap = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in (kv[0], int(kv[1]))]
+    )
+    h = hash_key(F.col(id_col), salt)
+    ranked = prefix_sum_per_key(
+        df, source_col, [h, F.col(id_col)], out_col="__rn0"
+    )
+    kept = ranked.filter(
+        F.col("__rn0") < F.coalesce(tmap[F.col(source_col)], F.lit(0))
+    ).drop("__rn0")
+    return kept, targets

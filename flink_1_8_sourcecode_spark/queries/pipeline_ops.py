@@ -1861,3 +1861,44 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_group_quantiles(
         d, "lang", "n_chars", "doc_id", [0.1, 0.5, 0.9], k=64
     )
+
+
+_TMIX_TARGETS_EXPORT = export_path("temperature_mix_targets")
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, target
+      FROM read_parquet('{_TMIX_TARGETS_EXPORT}/*.parquet')
+    ), r AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(d.doc_id::VARCHAR), d.doc_id)
+               AS rn
+      FROM documents d
+    )
+    SELECT r.source, r.doc_id
+    FROM r JOIN t ON r.source = t.source AND r.rn <= t.target
+    """,
+    doc="Temperature-based mixture sampling "
+    "(operators/sampling.py:temperature_mix — the XLM-R/mT5 "
+    "multilingual rebalancing, alpha=0.5): per-source targets "
+    "proportional to n^alpha (computed ONCE driver-side from the "
+    "source-bounded count table, exported for conditioning), docs "
+    "chosen as the lowest md5(id) hashes via the two-pass distributed "
+    "rank.  TARGET-CONDITIONED oracle: DuckDB re-derives the exact "
+    "sample from the exported (source, target) table.",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sampling import temperature_mix
+
+    d = table(spark, sf_dir, "documents")
+    kept, targets = temperature_mix(
+        d, "source", "doc_id", alpha=0.5, total_budget=200
+    )
+    spark.createDataFrame(
+        list(targets.items()), "source string, target long"
+    ).coalesce(1).write.mode("overwrite").parquet(_TMIX_TARGETS_EXPORT)
+    return kept.select("source", "doc_id")

@@ -172,3 +172,66 @@ class TestUniformBottomK:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "SinglePartition" not in plan
+
+
+class TestTemperatureMix:
+    """temperature_mix (operators/sampling.py): n^alpha rebalancing —
+    alpha=1 keeps natural proportions, alpha=0 equalizes, targets cap
+    at source size, determinism across invocations."""
+
+    def _df(self, spark):
+        rows = (
+            [("big", f"b{i}") for i in range(90)]
+            + [("small", f"s{i}") for i in range(10)]
+        )
+        return spark.createDataFrame(rows, "src string, id string")
+
+    def test_alpha_one_keeps_proportions(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        kept, targets = temperature_mix(self._df(spark), "src", "id", 1.0, 50)
+        assert targets == {"big": 45, "small": 5}
+        got = kept.groupBy("src").count().collect()
+        assert {r["src"]: r["count"] for r in got} == targets
+
+    def test_alpha_zero_equalizes(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        _, targets = temperature_mix(self._df(spark), "src", "id", 0.0, 20)
+        assert targets == {"big": 10, "small": 10}
+
+    def test_alpha_half_lifts_low_resource(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        _, targets = temperature_mix(self._df(spark), "src", "id", 0.5, 50)
+        # sqrt weighting: p_small = 3.16/12.65 ~ 25% -> raw target 12,
+        # capped at the 10 available docs; big gets round(37.5) = 38
+        assert targets == {"big": 38, "small": 10}
+
+    def test_target_caps_at_source_size(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        _, targets = temperature_mix(self._df(spark), "src", "id", 0.0, 1000)
+        assert targets == {"big": 90, "small": 10}
+
+    def test_deterministic_and_guards(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        df = self._df(spark)
+        a, _ = temperature_mix(df, "src", "id", 0.7, 30)
+        b, _ = temperature_mix(df, "src", "id", 0.7, 30)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mix(df, "src", "id", -1, 10)
+        with pytest.raises(ValueError, match="total_budget"):
+            temperature_mix(df, "src", "id", 1.0, 0)
