@@ -790,3 +790,64 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("cnt")
     )
     return psi_from_histograms(ref_hist, live_hist, len(_PSI_EDGES) + 1)
+
+
+@register(
+    "streaming_approx_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(event_id::VARCHAR), event_id)
+               AS srn
+      FROM events WHERE user_id >= 0
+    ), samp AS (
+      SELECT event_type, event_id, value FROM s WHERE srn <= 64
+    ), r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM samp
+    ), qs AS (
+      SELECT * FROM (VALUES (0.1, 1, 10), (0.5, 1, 2), (0.9, 9, 10))
+        t(q, num, den)
+    )
+    SELECT r.event_type, qs.q AS q, r.value AS value
+    FROM r JOIN qs
+      ON r.rn = greatest(1, (qs.num * r.n + qs.den - 1) // qs.den)
+    """,
+    doc="ONLINE approximate quantiles: the bottom-k uniform sample "
+    "builds incrementally over the replayed stream with O(k) state "
+    "per group (streaming/stateful.py:streaming_uniform_sample), "
+    "converging to the exact same k rows as the batch sampler in any "
+    "arrival order — then the sampled ids join back their values and "
+    "the exact ceil-rank quantiles of the sample are the estimate "
+    "(operators/sketches.py:approx_group_quantiles' streaming face).  "
+    "The oracle re-derives the identical answer from the batch table: "
+    "stream == batch, bit-for-bit, which no error-bound quantile "
+    "sketch can promise.",
+)
+def streaming_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sketches import (
+        exact_group_quantiles,
+    )
+    from flink_1_8_sourcecode_spark.streaming.stateful import (
+        streaming_uniform_sample,
+    )
+
+    src = _replayed_stream(spark, sf_dir, "scg_aq_").filter(
+        F.col("user_id") >= 0
+    )
+    out = streaming_uniform_sample(src, "event_type", "event_id", k=64)
+    name = _run_to_table(out, "q_aq", state_partitions=4,
+                         output_mode="update")
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max_by("sample_ids", "n_seen").alias("sample_ids"))
+        .select("event_type", F.explode("sample_ids").alias("event_id"))
+    )
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    samp = final.join(ev, "event_id")
+    return exact_group_quantiles(samp, "event_type", "value", [0.1, 0.5, 0.9])
