@@ -250,7 +250,10 @@ def temperature_resample(
     up-samples), applied as the deterministic md5-prefix draw of
     ``hash_split`` — so the result is engine-reproducible, and the
     accepted set for a source is a SUBSET of the accepted set for any
-    smaller temperature (nested draws, same hash order).
+    smaller temperature (nested draws, same hash order).  For EXACT
+    per-source counts against a global document budget, use
+    :func:`temperature_mix` (two-pass rank instead of a map-only
+    draw).
 
     Scale: one aggregate over the source column (k rows, broadcast back
     as a literal-free join of a tiny table) + a map-only filter; the
@@ -625,7 +628,11 @@ def temperature_mix(
     low-resource sources, ``alpha = 1`` keeps natural proportions):
     deterministically take ``round(total_budget * p_i)`` docs per
     source (capped at ``n_i``), chosen as the lowest salted md5(id)
-    hashes so the same docs win on every engine and every run.
+    hashes so the same docs win on every engine and every run.  The
+    EXACT-count companion to :func:`temperature_resample` (which
+    applies tempered ACCEPTANCE FRACTIONS map-only, with no global
+    budget and no rank pass — the cheaper form when approximate
+    shares suffice).
 
     Returns ``(kept_rows, targets)`` — the per-source target map is
     computed driver-side from the per-source COUNT table (one bounded
