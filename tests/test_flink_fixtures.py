@@ -1383,3 +1383,64 @@ class TestExternalCatalogFixture:
         eng.register_external_catalog("test", self._catalog(spark, tmp_path))
         with pytest.raises(NotImplementedError, match="descriptor-defined"):
             eng.insert_into(spark.range(1).toDF("x"), "test.db1.tb1")
+
+
+class TestSortITCase:
+    """SortITCase.scala (:50 testOrderByDesc, :78 testOrderByAsc, :106
+    testOrderByMultipleFieldsDifferentDirections, :140 testOrderByOffset,
+    :168 testOrderByOffsetAndFetch, :196 testOrderByFetch) over the
+    canonical 21-row get3TupleDataSet (CollectionDataSets.scala:35) —
+    the reference SHUFFLES the input before sorting, so the expected
+    output is purely order-semantics, replayed exactly."""
+
+    DATA = [
+        (1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world"),
+        (4, 3, "Hello world, how are you?"), (5, 3, "I am fine."),
+        (6, 3, "Luke Skywalker"), (7, 4, "Comment#1"), (8, 4, "Comment#2"),
+        (9, 4, "Comment#3"), (10, 4, "Comment#4"), (11, 5, "Comment#5"),
+        (12, 5, "Comment#6"), (13, 5, "Comment#7"), (14, 5, "Comment#8"),
+        (15, 5, "Comment#9"), (16, 6, "Comment#10"), (17, 6, "Comment#11"),
+        (18, 6, "Comment#12"), (19, 6, "Comment#13"), (20, 6, "Comment#14"),
+        (21, 6, "Comment#15"),
+    ]
+
+    def _t(self, spark):
+        import random
+
+        from flink_1_8_sourcecode_spark.table_api import Table
+
+        rows = list(self.DATA)
+        random.Random(7).shuffle(rows)  # the reference shuffles too
+        return Table(
+            spark.createDataFrame(rows, "_1 int, _2 long, _3 string")
+            .repartition(3)
+        )
+
+    def _rows(self, t):
+        return [tuple(r) for r in t.df.collect()]
+
+    def test_order_by_desc(self, spark):
+        got = self._rows(self._t(spark).orderBy("_1.desc"))
+        assert got == sorted(self.DATA, key=lambda r: -r[0])
+
+    def test_order_by_asc(self, spark):
+        got = self._rows(self._t(spark).orderBy("_1.asc"))
+        assert got == sorted(self.DATA, key=lambda r: r[0])
+
+    def test_order_by_multiple_fields_different_directions(self, spark):
+        got = self._rows(self._t(spark).orderBy("_2.asc, _1.desc"))
+        assert got == sorted(self.DATA, key=lambda r: (r[1], -r[0]))
+
+    def test_order_by_offset(self, spark):
+        got = self._rows(self._t(spark).orderBy("_1.asc").offset(3))
+        assert got == sorted(self.DATA, key=lambda r: r[0])[3:21]
+
+    def test_order_by_offset_and_fetch(self, spark):
+        got = self._rows(
+            self._t(spark).orderBy("_1.desc").offset(3).fetch(5)
+        )
+        assert got == sorted(self.DATA, key=lambda r: -r[0])[3:8]
+
+    def test_order_by_fetch(self, spark):
+        got = self._rows(self._t(spark).orderBy("_1.asc").fetch(5))
+        assert got == sorted(self.DATA, key=lambda r: r[0])[:5]
