@@ -422,3 +422,93 @@ def approx_group_quantiles(
     return exact_group_quantiles(
         sample, group_col, value_col, qs, broadcast_totals
     )
+
+
+def weighted_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    broadcast_totals: bool = True,
+) -> DataFrame:
+    """EXACT per-group WEIGHTED discrete quantiles: the smallest value
+    whose cumulative weight reaches ``ceil(q * W)`` (ascending value
+    order, ``W`` = the group's total weight) — token-weighted corpus
+    statistics ("the doc length below which half the TOKENS sit" is a
+    different number than the median doc length, and the one a
+    training-budget planner needs).  Integer weights only, enforced:
+    a float weight would re-open the cross-engine float-sum ordering
+    problem the integer num/den rank targets exist to avoid.
+
+    Scale shape: identical to :func:`exact_group_quantiles` — the
+    cumulative weight comes from the two-pass distributed prefix sum
+    (range exchange + bounded offsets, full parallelism with few
+    groups), totals broadcast back (``broadcast_totals=False`` is the
+    escape hatch), target hit is a map-only predicate: the row where
+    ``cum_before < target <= cum_before + w``.
+    """
+    from fractions import Fraction
+
+    fracs = []
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+        fracs.append((float(q), Fraction(q).limit_denominator(1_000_000)))
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        prefix_sum_per_key,
+    )
+
+    w = F.col(weight_col)
+    guard = F.when(
+        w.isNull() | (w < 1) | (w != w.cast("long")),
+        F.raise_error(F.lit(
+            "weighted_group_quantiles: weights must be integers >= 1"
+        )),
+    ).otherwise(w.cast("long"))
+    src = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        guard.alias("__w"),
+    )
+    pref = prefix_sum_per_key(
+        src, "__g", [F.col("__v")], value_col="__w", out_col="__cumb"
+    )
+    # NB Spark resolves names case-INSENSITIVELY: the total must not
+    # be spelled "__W" next to "__w"
+    totals = src.groupBy("__g").agg(F.sum("__w").alias("__tw")).select(
+        F.col("__g").alias("__gt"), "__tw"
+    )
+    if broadcast_totals:
+        totals = F.broadcast(totals)
+    j = pref.join(totals, F.col("__g").eqNullSafe(F.col("__gt")))
+    targets = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        F.floor(
+                            (
+                                F.lit(int(fr.numerator)) * F.col("__tw")
+                                + F.lit(int(fr.denominator) - 1)
+                            )
+                            / F.lit(int(fr.denominator))
+                        ),
+                    ).alias("r"),
+                )
+                for q, fr in fracs
+            ]
+        ),
+        lambda t: (F.col("__cumb") < t["r"])
+        & (t["r"] <= F.col("__cumb") + F.col("__w")),
+    )
+    return (
+        j.select("__g", "__v", F.explode(targets).alias("__t"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t.q").alias("q"),
+            F.col("__v").alias(value_col),
+        )
+    )

@@ -1902,3 +1902,42 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(targets.items()), "source string, target long"
     ).coalesce(1).write.mode("overwrite").parquet(_TMIX_TARGETS_EXPORT)
     return kept.select("source", "doc_id")
+
+
+@register(
+    "sketch_weighted_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cuma,
+             n_chars AS w,
+             sum(n_chars) OVER (PARTITION BY lang) AS tw
+      FROM documents
+    ), qs AS (
+      SELECT * FROM (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4))
+        t(q, num, den)
+    )
+    SELECT r.lang, qs.q AS q, r.n_chars AS n_chars
+    FROM r JOIN qs
+      ON (r.cuma - r.w) < greatest(1, (qs.num * r.tw + qs.den - 1) // qs.den)
+     AND greatest(1, (qs.num * r.tw + qs.den - 1) // qs.den) <= r.cuma
+    """,
+    doc="EXACT char-WEIGHTED doc-length quantiles per language "
+    "(operators/sketches.py:weighted_group_quantiles): the length "
+    "below which a q-share of the CHARACTERS sits — the "
+    "training-budget planner's number, distinct from the median doc "
+    "length.  Same two-pass distributed prefix-sum shape as the "
+    "unweighted exact quantiles (no per-group Window funnel), integer "
+    "num/den targets, map-only target-hit predicate.",
+)
+def sketch_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sketches import (
+        weighted_group_quantiles,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_group_quantiles(
+        d, "lang", "n_chars", "n_chars", [0.25, 0.5, 0.75]
+    )

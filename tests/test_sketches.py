@@ -331,3 +331,49 @@ class TestApproxGroupQuantiles:
             df, "g", "v", "id", [0.5], k=256).collect()
         true_rank = row["v"] / 1000.0
         assert abs(true_rank - 0.5) < 0.125, row
+
+
+class TestWeightedGroupQuantiles:
+    """weighted_group_quantiles: value at cumulative-weight target
+    ceil(q*W); weight-1 rows degrade to the unweighted exact quantiles;
+    integer-weight guard."""
+
+    def test_weighted_semantics(self, spark):
+        # values 1..4 with weights 1,1,1,7 (W=10): q=0.5 target 5 ->
+        # value 4 (its cum range is 4..10); q=0.3 target 3 -> value 3
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 4, 7)],
+            "g string, v int, w int",
+        )
+        got = {
+            (r["g"], r["q"]): r["v"]
+            for r in sk.weighted_group_quantiles(
+                df, "g", "v", "w", [0.3, 0.5, 1.0]).collect()
+        }
+        assert got == {("g", 0.3): 3, ("g", 0.5): 4, ("g", 1.0): 4}
+
+    def test_unit_weights_match_unweighted(self, spark):
+        rows = [("g", v) for v in [5, 1, 4, 2, 3, 9, 7]]
+        df = spark.createDataFrame(rows, "g string, v int").withColumn(
+            "w", F.lit(1)
+        )
+        qs = [0.25, 0.5, 0.75]
+        weighted = sorted(map(tuple, sk.weighted_group_quantiles(
+            df, "g", "v", "w", qs).collect()))
+        exact = sorted(map(tuple, sk.exact_group_quantiles(
+            df, "g", "v", qs).collect()))
+        assert weighted == exact
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([("g", 1, 0)], "g string, v int, w int")
+        with _pytest.raises(Exception, match="integers >= 1"):
+            sk.weighted_group_quantiles(df, "g", "v", "w", [0.5]).collect()
+        dfn = spark.createDataFrame(
+            [("g", 1, None)], "g string, v int, w int"
+        )
+        with _pytest.raises(Exception, match="integers >= 1"):
+            sk.weighted_group_quantiles(dfn, "g", "v", "w", [0.5]).collect()
+        with _pytest.raises(ValueError, match="quantiles"):
+            sk.weighted_group_quantiles(df, "g", "v", "w", [0.0])
