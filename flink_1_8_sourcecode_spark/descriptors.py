@@ -382,6 +382,29 @@ class ExternalCatalogTable:
         path = self._connector.validate()
         if self._format is None:
             raise ValidationException("missing format descriptor")
+        if self._schema is not None:
+            # the reference's insertInto validates the sink schema at
+            # insert time (TableSinkUtils.validateSink); a positional
+            # CSV write with the wrong arity would only surface later
+            # as bad casts at scan time
+            fields = [
+                f for f in self._schema._fields if not f["proctime"]
+            ]
+            if len(df.columns) != len(fields):
+                raise ValidationException(
+                    f"insert into catalog table: query has "
+                    f"{len(df.columns)} columns but the table schema "
+                    f"declares {len(fields)} "
+                    f"({', '.join(f['name'] for f in fields)})"
+                )
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(c).cast(f["type"]).alias(f["name"])
+                    for c, f in zip(df.columns, fields)
+                ]
+            )
         w = (
             df.write.format(self._format.spark_format())
             .options(**self._format.spark_options())
@@ -465,12 +488,18 @@ class ConnectTableDescriptor:
                 "connector requires a format: call "
                 ".with_format(OldCsv()/Csv()/Json())"
             )
-        self._format.validate()
+        if self._format is not None:
+            self._format.validate()
         if self._schema is None:
             raise ValidationException(
                 "missing schema: call .with_schema(Schema().field(...))"
             )
         self._schema.validate()
+        if self._format is None:
+            # a format-less connector (format_needed=False) reads with
+            # the table schema directly; FileSystem always needs one,
+            # so this arm is future-connector safety, not dead code
+            return (path, "parquet", {}, self._schema.ddl())
         read_schema = self._format.fields_ddl() or self._schema.ddl()
         return (path, self._format.spark_format(),
                 self._format.spark_options(), read_schema)

@@ -23,6 +23,40 @@ from flink_1_8_sourcecode_spark.plans.sql_rewrite import mask_literals as _mask_
 _MR_TOKEN = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_$.]*\Z")
 
+# keywords that can directly follow a table reference — never aliases
+_POST_TABLE_KEYWORDS = frozenset(
+    """where group order having limit on using join left right full inner
+    cross outer union intersect except minus as when natural semi anti
+    lateral window qualify offset fetch from select distinct by values
+    tablesample asc desc and or not in is between like match_recognize
+    set""".split()
+)
+
+# "FROM/JOIN/, <table-path> [AS] <alias>" and ") [AS] <alias>"
+_ALIAS_PATS = (
+    re.compile(
+        r"(?:\bFROM\b|\bJOIN\b|,)\s*([\w.]+)\s+(?:\bAS\s+)?(\w+)",
+        re.IGNORECASE,
+    ),
+    re.compile(r"\)\s*(?:\bAS\s+)?(\w+)", re.IGNORECASE),
+)
+
+
+def _table_aliases(masked_sql: str) -> set[str]:
+    """Identifiers bound as table aliases in FROM/JOIN clauses of the
+    (literal-masked) statement.  Heuristic by design: false positives
+    only matter when they spell a registered external-catalog name, in
+    which case shadowing is almost certainly intended (ADVICE r14 —
+    the reference's Calcite scope resolution lets an in-scope alias
+    win over the catalog schema)."""
+    out: set[str] = set()
+    for pat in _ALIAS_PATS:
+        for m in pat.finditer(masked_sql):
+            cand = m.group(m.re.groups).lower()
+            if cand not in _POST_TABLE_KEYWORDS:
+                out.add(cand)
+    return out
+
 
 class TableSink:
     """A registered write target (TableEnvironment.registerTableSink
@@ -150,7 +184,11 @@ class Engine:
         and substituted.  Views are parse-time scaffolding — sql()
         drops them once the statement's plan is captured.  String
         literals are masked first so a '...' containing a dotted name
-        is never rewritten."""
+        is never rewritten.  A FROM/JOIN-clause alias that spells a
+        registered catalog name SHADOWS the catalog inside its
+        statement (Calcite scope resolution lets the in-scope alias
+        win), so ``SELECT t.x FROM mytable t`` stays valid after
+        ``register_external_catalog("t", ...)``."""
         if not self._external_catalogs:
             return query
         from flink_1_8_sourcecode_spark.external_catalog import (
@@ -159,12 +197,17 @@ class Engine:
         )
 
         masked = _mask_literals(query)
+        shadowed = _table_aliases(masked) & {
+            n.lower() for n in self._external_catalogs
+        }
         names = "|".join(re.escape(n) for n in self._external_catalogs)
         pat = re.compile(rf"\b(?P<path>(?:{names})(?:\.\w+)+)")
         out: list[str] = []
         last = 0
         for m in pat.finditer(masked):
             path = m.group("path").split(".")
+            if path[0].lower() in shadowed:
+                continue  # alias wins over the catalog schema
             # longest prefix that resolves to a table wins; trailing
             # segments are COLUMN references (Calcite resolves
             # test.db2.tb2.d as column d of test.db2.tb2 the same way)

@@ -600,6 +600,11 @@ def uniform_sample_bottomk(
     Scale shape: the hash key is map-only; the per-group top-k is the
     two-pass distributed rank of ``prefix_sum_per_key`` (no per-group
     Window funnel — full parallelism with few groups).
+
+    NULL ids are excluded (ADVICE r14: ``hash_key(NULL)`` is NULL and
+    Spark sorts NULLs FIRST ascending, so they would preferentially
+    occupy sample slots) — matching the streaming face's non-null
+    hash filter and DuckDB's NULLS-LAST default.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -609,7 +614,8 @@ def uniform_sample_bottomk(
 
     h = hash_key(F.col(id_col), salt)
     ranked = prefix_sum_per_key(
-        df, group_col, [h, F.col(id_col)], out_col="__rn0"
+        df.filter(F.col(id_col).isNotNull()), group_col,
+        [h, F.col(id_col)], out_col="__rn0",
     )
     return ranked.filter(F.col("__rn0") < k).drop("__rn0")
 

@@ -556,3 +556,79 @@ def descriptor_connect_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS n_long "
         "FROM descriptor_docs GROUP BY lang"
     )
+
+
+_CATALOG_INSERT_EXPORT = export_path("extcat_insert_sink")
+
+
+@register(
+    "external_catalog_insert_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*)::BIGINT AS n_orders,
+           sum(o_custkey)::BIGINT AS cust_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="External-catalog SINK path "
+    "(ExternalCatalogInsertTest.scala:48 insertInto('test.db3.tb3'), "
+    "engine.py insert_into qualified-name arm + "
+    "descriptors.py ExternalCatalogTable.write): an aggregate of "
+    "orders is INSERTed through a descriptor-defined catalog table "
+    "(CSV connector spec, arity-validated + positionally cast to the "
+    "declared schema at insert time) and read BACK through the "
+    "catalog scan — closing the read/write asymmetry; the write and "
+    "the re-scan are both distributed DataFrameWriter/Reader jobs.",
+)
+def external_catalog_insert_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.descriptors import (
+        ExternalCatalogTable,
+        FileSystem,
+        OldCsv,
+        Schema,
+    )
+    from flink_1_8_sourcecode_spark.external_catalog import (
+        InMemoryExternalCatalog,
+    )
+
+    eng = Engine(spark)
+    cat = InMemoryExternalCatalog("sinkcat")
+    db = cat.create_sub_catalog("db3", ignore_if_exists=True)
+    sink_tbl = (
+        ExternalCatalogTable.builder(
+            FileSystem().path(_CATALOG_INSERT_EXPORT)
+        )
+        .with_format(
+            OldCsv()
+            .field("priority", "STRING")
+            .field("n_orders", "BIGINT")
+            .field("cust_sum", "BIGINT")
+            .field_delimiter("|")
+        )
+        .with_schema(
+            Schema()
+            .field("priority", "STRING")
+            .field("n_orders", "BIGINT")
+            .field("cust_sum", "BIGINT")
+        )
+        .supports_batch()
+        .as_table_source()
+    )
+    db.create_table("tb3", sink_tbl, ignore_if_exists=True)
+    eng.register_external_catalog("sinkcat", cat)
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+    )
+    eng.insert_into(agg, "sinkcat.db3.tb3", overwrite=True)
+    return eng.sql(
+        "SELECT priority, n_orders, cust_sum FROM sinkcat.db3.tb3"
+    )

@@ -929,13 +929,23 @@ def streaming_uniform_sample(
     engine's APPROX machinery uses it).  The hash is computed BEFORE
     the stateful exchange (map-only Column), so the shuffle carries
     (group, 32-byte hex, id).
+
+    Ids travel as lossless STRINGS through the state (the batch face
+    keeps any id type; ADVICE r14 — the old long-cast NULLed string
+    ids silently) and the output ``sample_ids`` is cast back to the
+    input id type.  ``n_seen`` counts DISTINCT ids within each state
+    fold (a replayed micro-batch delivered twice in one fold no
+    longer double-counts); across restarts the source replay itself
+    is exactly-once under checkpointing, so the counter matches the
+    batch ``count(*)`` on clean runs and is at-least-once otherwise.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    idtype = df.schema[id_col].dataType.simpleString()
     src = df.select(
         F.col(group_col).alias("__g"),
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("__hv"),
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).cast("string").alias("__id"),
     ).filter(F.col("__hv").isNotNull())
     gtype = src.schema["__g"].dataType.simpleString()
 
@@ -947,12 +957,14 @@ def streaming_uniform_sample(
         else:
             hs, ids, seen = [], [], 0
         pairs = dict(zip(hs, ids))
+        fold_hashes: set = set()
         for pdf in batches:
-            seen += len(pdf)
+            fold_hashes.update(pdf["__hv"])
             pairs.update(zip(pdf["__hv"], pdf["__id"]))
+        seen += len(fold_hashes)
         best = sorted(pairs.items())[:k]
         hs = [h for h, _ in best]
-        ids = [int(i) for _, i in best]
+        ids = [str(i) for _, i in best]
         state.update((hs, ids, seen))
         yield pd.DataFrame(
             {
@@ -964,9 +976,11 @@ def streaming_uniform_sample(
 
     out = src.groupBy("__g").applyInPandasWithState(
         fn,
-        f"__g {gtype}, n_seen long, sample_ids array<long>",
-        "hs array<string>, ids array<long>, n_seen long",
+        f"__g {gtype}, n_seen long, sample_ids array<string>",
+        "hs array<string>, ids array<string>, n_seen long",
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    return out.withColumnRenamed("__g", group_col)
+    return out.withColumnRenamed("__g", group_col).withColumn(
+        "sample_ids", F.col("sample_ids").cast(f"array<{idtype}>")
+    )

@@ -234,3 +234,33 @@ class TestValidation:
 
         with pytest.raises(ValidationException, match="unsupported connector"):
             env.connect(Fake()).register_table_source("x")
+
+    def test_catalog_insert_arity_validated(self, env, spark, tmp_path):
+        # ADVICE r14: ExternalCatalogTable.write must reject a
+        # mismatched projection at INSERT time (the reference's
+        # insertInto validates the sink schema), not produce
+        # misaligned CSV that fails later at scan time
+        from flink_1_8_sourcecode_spark.descriptors import (
+            ExternalCatalogTable,
+        )
+
+        out = str(tmp_path / "arity")
+        os.makedirs(out, exist_ok=True)
+        tbl = (
+            ExternalCatalogTable.builder(FileSystem().path(out))
+            .with_format(
+                OldCsv().field("a", "INT").field("b", "STRING")
+            )
+            .with_schema(Schema().field("a", "INT").field("b", "STRING"))
+            .as_table_source()
+        )
+        with pytest.raises(ValidationException, match="declares 2"):
+            tbl.write(spark.createDataFrame([(1,)], "a int"))
+        with pytest.raises(ValidationException, match="declares 2"):
+            tbl.write(
+                spark.createDataFrame([(1, "x", 2)], "a int, b string, c int")
+            )
+        # positional cast: int written into the STRING slot round-trips
+        tbl.write(spark.createDataFrame([(1, 5)], "a int, b int"))
+        got = [tuple(r) for r in tbl.table(spark).collect()]
+        assert got == [(1, "5")]

@@ -148,3 +148,30 @@ class TestQualifiedColumnReferences:
 
         with pytest.raises(TableNotExistException):
             env.sql("SELECT * FROM warehouse.tpch.nosuch")
+
+
+class TestAliasShadowing:
+    """ADVICE r14 (engine.py _route_external_catalogs): a FROM-clause
+    alias that spells a registered catalog name must shadow the
+    catalog — Calcite scope resolution lets the in-scope alias win."""
+
+    def test_alias_shadows_catalog(self, env, spark, sf_dir):
+        env.register("mynat", spark.read.parquet(f"{sf_dir}/nation.parquet"))
+        got = env.sql(
+            "SELECT warehouse.n_name AS nm FROM mynat warehouse "
+            "WHERE warehouse.n_nationkey = 3"
+        ).collect()
+        assert len(got) == 1 and got[0]["nm"] is not None
+
+    def test_alias_shadows_only_in_its_statement(self, env):
+        # same name used as a JOIN alias AND the catalog resolved in a
+        # different statement — both work
+        got = env.sql(
+            "SELECT r.r_name AS nm FROM warehouse.tpch.reg r LIMIT 1"
+        ).collect()
+        assert len(got) == 1
+        env.register("myreg", env.scan("warehouse", "tpch", "reg"))
+        got = env.sql(
+            "SELECT count(*) AS c FROM myreg AS warehouse"
+        ).collect()
+        assert got[0]["c"] == 5

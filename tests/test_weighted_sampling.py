@@ -235,3 +235,111 @@ class TestTemperatureMix:
             temperature_mix(df, "src", "id", -1, 10)
         with pytest.raises(ValueError, match="total_budget"):
             temperature_mix(df, "src", "id", 1.0, 0)
+
+
+class TestStreamingUniformSampleContract:
+    """ADVICE r14 + verdict task 6 (streaming/stateful.py:
+    streaming_uniform_sample): string ids survive the state
+    round-trip (no silent long-cast NULLing), n_seen counts DISTINCT
+    ids per state fold, and the batch face excludes NULL ids."""
+
+    def _run(self, spark, tmp_path, batches, k=3, name="t_usmp_contract"):
+        import json
+
+        from flink_1_8_sourcecode_spark.streaming.stateful import (
+            streaming_uniform_sample,
+        )
+
+        d = tmp_path / "usmp_in"
+        d.mkdir()
+        for i, rows in enumerate(batches):
+            with open(d / f"b{i}.json", "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        src = (
+            spark.readStream.schema("g string, id string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = streaming_uniform_sample(src, "g", "id", k=k)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pdf = spark.table(name).toPandas()
+        return pdf.sort_values("n_seen").groupby("g").last().reset_index()
+
+    def test_string_ids_roundtrip_and_match_batch(self, spark, tmp_path):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        ids = [f"doc-{i}" for i in range(40)]
+        batches = [
+            [{"g": "g1", "id": i} for i in ids[:25]],
+            [{"g": "g1", "id": i} for i in ids[25:]],
+        ]
+        final = self._run(spark, tmp_path, batches, k=5,
+                          name="t_usmp_str")
+        got = set(final.loc[final["g"] == "g1", "sample_ids"].iloc[0])
+        assert all(isinstance(x, str) for x in got)
+        df = spark.createDataFrame([("g1", i) for i in ids], "g string, id string")
+        want = {r["id"] for r in uniform_sample_bottomk(df, "g", "id", k=5).collect()}
+        assert got == want
+
+    def test_n_seen_counts_distinct_per_fold(self, spark, tmp_path):
+        # the same id delivered twice WITHIN one fold counts once
+        batches = [
+            [
+                {"g": "g1", "id": "a"},
+                {"g": "g1", "id": "a"},
+                {"g": "g1", "id": "b"},
+            ]
+        ]
+        final = self._run(spark, tmp_path, batches, k=3, name="t_usmp_replay")
+        assert int(final.loc[final["g"] == "g1", "n_seen"].iloc[0]) == 2
+
+    def test_batch_face_excludes_null_ids(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            uniform_sample_bottomk,
+        )
+
+        rows = [("g", None)] * 5 + [("g", f"x{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "g string, id string")
+        got = [r["id"] for r in uniform_sample_bottomk(df, "g", "id", k=8).collect()]
+        assert len(got) == 8 and None not in got
+
+    def test_long_ids_keep_long_output(self, spark, tmp_path):
+        import json
+
+        from flink_1_8_sourcecode_spark.streaming.stateful import (
+            streaming_uniform_sample,
+        )
+
+        d = tmp_path / "usmp_long"
+        d.mkdir()
+        with open(d / "b0.json", "w") as f:
+            for i in range(20):
+                f.write(json.dumps({"g": "g1", "id": i}) + "\n")
+        src = (
+            spark.readStream.schema("g string, id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        out = streaming_uniform_sample(src, "g", "id", k=4)
+        assert out.schema["sample_ids"].dataType.simpleString() == "array<bigint>"
+        q = (
+            out.writeStream.format("memory").queryName("t_usmp_long")
+            .outputMode("update").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pdf = spark.table("t_usmp_long").toPandas()
+        samp = pdf.sort_values("n_seen").iloc[-1]["sample_ids"]
+        assert len(samp) == 4 and all(isinstance(int(x), int) for x in samp)
