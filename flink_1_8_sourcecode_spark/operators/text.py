@@ -1381,11 +1381,33 @@ def _apply_bpe_merge(sym: Column, a: str, b: str) -> Column:
     )
 
 
+def _greedy_disjoint(ranked, m: int) -> "list":
+    """Greedy scan of the (freq desc, a, b) ranked pair list: select up
+    to ``m`` pairs whose symbols are pairwise DISJOINT — disjoint
+    merges neither create nor destroy each other's adjacencies, so one
+    fold applies them all and their counts were already exact at
+    selection time.  (A merge CAN create new pairs ranking above a
+    later disjoint selection — that is the documented, standard
+    batching approximation; ``merges_per_round=1`` recovers exact
+    sequential BPE.)"""
+    sel: list = []
+    used: set = set()
+    for row in ranked:
+        if row["a"] in used or row["b"] in used:
+            continue
+        sel.append(row)
+        used.update((row["a"], row["b"]))
+        if len(sel) >= m:
+            break
+    return sel
+
+
 def bpe_train(
     df: "DataFrame",
     text_col: str,
     num_merges: int,
     min_freq: int = 2,
+    merges_per_round: int = 1,
 ) -> "tuple[list[tuple[str, str, int]], DataFrame]":
     """Train a byte-pair-encoding tokenizer IN-ENGINE (Sennrich et al.
     2016 — the word-level BPE of GPT-2-family pre-tokenizers): learn
@@ -1412,15 +1434,23 @@ def bpe_train(
     below ``min_freq``.
 
     Practical bound: each merge round is one driver-coordinated Spark
-    job (the argmax ``.first()``), so a production 32k-merge vocabulary
-    means 32k sequential jobs over the (vocab-bounded, persisted)
-    frequency table.  That is the correct distributed shape for the
-    CORPUS pass — which happens once — but for very large merge counts
-    the standard practice is to shrink the vocab table to the driver
-    once it fits (it is distinct-words-sized, not corpus-sized) and
-    finish the merge loop locally; this implementation keeps every
-    round in-engine so the trainer works even when the distinct-word
-    table itself exceeds driver memory.
+    job (the pair-count argmax), so a production 32k-merge vocabulary
+    at ``merges_per_round=1`` means 32k sequential jobs over the
+    (vocab-bounded, persisted) frequency table.  ``merges_per_round=m``
+    applies the STANDARD BATCHING TRICK: per round, greedily take the
+    top-m SYMBOL-DISJOINT pairs from the one ranked pair count —
+    disjoint merges cannot create or destroy each other's adjacencies,
+    so their selection-time counts stay exact and one fold applies all
+    m — cutting the job count to ``ceil(32k / m)``.  The approximation
+    vs sequential BPE: a merge may create a NEW pair (x, ab) ranking
+    above a later same-round selection; sequential training would take
+    the new pair first.  ``merges_per_round=1`` (the default) is exact
+    classic BPE.  For very large merge counts the standard practice
+    remains shrinking the vocab table to the driver once it fits (it
+    is distinct-words-sized, not corpus-sized) and finishing locally;
+    this implementation keeps every round in-engine so the trainer
+    works even when the distinct-word table itself exceeds driver
+    memory.
 
     Returns ``(merges, vocab)``: merges as ``(a, b, freq)`` in learned
     order, and the symbolized vocab frame ``(__w, __n, __sym)`` — the
@@ -1428,6 +1458,10 @@ def bpe_train(
     (the tokenizer's application cache; tokenization never re-runs the
     merge loop).
     """
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
+        )
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("__w"))
         .groupBy("__w")
@@ -1439,7 +1473,9 @@ def bpe_train(
     cur = words.withColumn("__sym", chars).persist()
     cur.count()  # materialize before the loop
     merges: list[tuple[str, str, int]] = []
-    for r in range(num_merges):
+    r = 0
+    while len(merges) < num_merges:
+        m = min(merges_per_round, num_merges - len(merges))
         pair = F.explode(
             F.zip_with(
                 F.slice(F.col("__sym"), 1, F.size("__sym") - 1),
@@ -1447,22 +1483,35 @@ def bpe_train(
                 lambda x, y: F.struct(x.alias("a"), y.alias("b")),
             )
         ).alias("__p")
-        top = (
+        ranked_df = (
             cur.select(F.col("__n"), pair)
             .groupBy(F.col("__p")["a"].alias("a"), F.col("__p")["b"].alias("b"))
             .agg(F.sum("__n").alias("freq"))
+            .filter(F.col("freq") >= min_freq)
             .orderBy(F.col("freq").desc(), F.col("a"), F.col("b"))
-            .first()
         )
-        if top is None or top["freq"] < min_freq:
+        # fetch a ranked prefix big enough for the greedy disjoint scan;
+        # grow it in the (rare) case conflicts exhaust the prefix while
+        # more eligible pairs exist
+        limit = 8 * m + 16
+        while True:
+            ranked = ranked_df.take(limit)
+            sel = _greedy_disjoint(ranked, m)
+            if len(sel) >= m or len(ranked) < limit:
+                break
+            limit *= 4
+        if not sel:
             break
-        merges.append((top["a"], top["b"], int(top["freq"])))
-        nxt = cur.withColumn(
-            "__sym", _apply_bpe_merge(F.col("__sym"), top["a"], top["b"])
-        )
+        sym = F.col("__sym")
+        for row in sel:
+            merges.append((row["a"], row["b"], int(row["freq"])))
+            # disjoint merges commute; compose in selection order
+            sym = _apply_bpe_merge(sym, row["a"], row["b"])
+        nxt = cur.withColumn("__sym", sym)
         # truncate lineage every few rounds; otherwise each round's
         # fold nests inside the previous plan
-        if (r + 1) % 4 == 0:
+        r += 1
+        if r % 4 == 0:
             nxt = nxt.persist()
             nxt.count()
             cur.unpersist()

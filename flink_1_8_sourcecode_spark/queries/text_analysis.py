@@ -1424,6 +1424,87 @@ def text_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _bpe_train_oracle_batched(
+    num_merges: int, min_freq: int, merges_per_round: int
+) -> str:
+    """INDEPENDENT DuckDB re-derivation of the BATCHED BPE merge loop
+    (operators/text.py:bpe_train with ``merges_per_round=m``): per
+    round ONE materialized pair-count CTE, then m unrolled greedy
+    slots — slot j is the argmax over pairs symbol-DISJOINT from slots
+    1..j-1 (exactly the trainer's greedy ranked scan) — and one state
+    CTE applying all selected merges as nested guard-wrapped
+    ``replace()``.  Slots can be empty (NULL-guarded CASE leaves the
+    state untouched); ranks come from a row_number over (round, slot).
+    The static unroll assumes every round fills its slots (true
+    whenever >= m disjoint pairs clear ``min_freq`` — any real corpus);
+    a shortfall would shift the trainer's later rounds off the static
+    schedule and surface as a hash mismatch, never a false pass."""
+    W = "chr(31)"
+    E = "chr(30)"
+    parts = [f"""
+WITH wf AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> x != '')) AS w
+    FROM documents) GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT n, list_aggregate(list_transform(string_split(w, ''),
+         c -> {W}||c||{E}), 'string_agg', '') AS s
+  FROM wf
+)"""]
+    schedule = []
+    left = num_merges
+    while left > 0:
+        schedule.append(min(merges_per_round, left))
+        left -= schedule[-1]
+    rank_rows = []
+    for i, mi in enumerate(schedule, start=1):
+        parts.append(f""", p{i} AS MATERIALIZED (
+  SELECT z[1] AS a, z[2] AS b, sum(n)::BIGINT AS freq
+  FROM (
+    SELECT n, unnest(list_zip(l, l[2:])) AS z
+    FROM (SELECT n, string_split(substr(s, 2, length(s) - 2),
+                                 {E}||{W}) AS l FROM s{i - 1})
+  ) WHERE z[2] IS NOT NULL
+  GROUP BY 1, 2 HAVING sum(n) >= {min_freq}
+)""")
+        for j in range(1, mi + 1):
+            excl = " AND ".join(
+                f"NOT EXISTS (SELECT 1 FROM b{i}_{jj} s "
+                f"WHERE p.a IN (s.a, s.b) OR p.b IN (s.a, s.b))"
+                for jj in range(1, j)
+            )
+            where = f"WHERE {excl}" if excl else ""
+            parts.append(f""", b{i}_{j} AS MATERIALIZED (
+  SELECT a, b, freq FROM p{i} p {where}
+  ORDER BY freq DESC, a, b LIMIT 1
+)""")
+            rank_rows.append(
+                f'SELECT {i} AS rnd, {j} AS slot, a AS "left", '
+                f'b AS "right", freq FROM b{i}_{j}'
+            )
+        joins = " ".join(
+            f"LEFT JOIN b{i}_{j} m{j} ON TRUE" for j in range(1, mi + 1)
+        )
+        expr = "s"
+        for j in range(1, mi + 1):
+            expr = (
+                f"CASE WHEN m{j}.a IS NULL THEN {expr} "
+                f"ELSE replace({expr}, {W}||m{j}.a||{E}||{W}||m{j}.b||{E}, "
+                f"{W}||m{j}.a||m{j}.b||{E}) END"
+            )
+        parts.append(f""", s{i} AS MATERIALIZED (
+  SELECT n, {expr} AS s FROM s{i - 1} {joins}
+)""")
+    union = "\nUNION ALL ".join(rank_rows)
+    parts.append(f"""
+SELECT (row_number() OVER (ORDER BY rnd, slot) - 1)::INT AS rank,
+       "left", "right", freq
+FROM ({union}) ORDER BY rank
+""")
+    return "".join(parts)
+
+
 def _bpe_train_oracle(num_merges: int, min_freq: int) -> str:
     """Fully INDEPENDENT DuckDB re-derivation of the BPE merge loop.
 
@@ -1499,6 +1580,39 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     merges, vocab = bpe_train(d, "text", num_merges=12, min_freq=2)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        [(i, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "rank int, left string, right string, freq long",
+    )
+
+
+@register(
+    "text_bpe_train_batched",
+    oracle=_bpe_train_oracle_batched(
+        num_merges=12, min_freq=2, merges_per_round=3
+    ),
+    doc="BATCHED BPE training (operators/text.py:bpe_train with "
+    "merges_per_round=3 — the standard production batching trick): "
+    "per round ONE pair-count shuffle + greedy top-m SYMBOL-DISJOINT "
+    "selection + one fold applying all m, cutting the driver-job "
+    "count per vocab from num_merges to ceil(num_merges/m) — a 32k "
+    "vocab goes from 32k jobs to ~10.7k at m=3 (and m scales up). "
+    "Disjoint merges cannot perturb each other's adjacency counts, "
+    "so within a round every selection's frequency is exact; the "
+    "divergence vs sequential BPE (a merge creating a new pair that "
+    "outranks a later same-round pick) is the documented, bounded "
+    "approximation.  INDEPENDENT oracle: DuckDB re-derives the full "
+    "batched schedule — per-round pair counts, m unrolled greedy "
+    "disjoint-argmax slots, nested replace() application.",
+)
+def text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train(
+        d, "text", num_merges=12, min_freq=2, merges_per_round=3
+    )
     vocab.unpersist()
     return spark.createDataFrame(
         [(i, a, b, f) for i, (a, b, f) in enumerate(merges)],

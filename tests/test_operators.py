@@ -1984,6 +1984,89 @@ class TestBPE:
         assert merges == []
         vocab.unpersist()
 
+    @staticmethod
+    def _ref_bpe_batched(docs, num_merges, min_freq=2, m=3):
+        # independent reimplementation of the BATCHED schedule: per
+        # round one pair count, greedy top-m symbol-disjoint picks,
+        # all applied together
+        from collections import Counter
+
+        wc = Counter(w for t in docs for w in t.lower().split())
+        syms = {w: list(w) for w in wc}
+        merges = []
+        while len(merges) < num_merges:
+            mi = min(m, num_merges - len(merges))
+            pc = Counter()
+            for w, n in wc.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += n
+            ranked = sorted(
+                ((p, f) for p, f in pc.items() if f >= min_freq),
+                key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+            )
+            sel, used = [], set()
+            for (a, b), f in ranked:
+                if a in used or b in used:
+                    continue
+                sel.append((a, b, f))
+                used.update((a, b))
+                if len(sel) >= mi:
+                    break
+            if not sel:
+                break
+            merges.extend(sel)
+            for a, b, _ in sel:
+                for w in syms:
+                    s, out, i = syms[w], [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    syms[w] = out
+        return merges, syms
+
+    def test_batched_matches_reference(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.DOCS)], "doc_id long, text string"
+        )
+        for m in (2, 3, 10):
+            merges, vocab = bpe_train(
+                df, "text", num_merges=8, min_freq=2, merges_per_round=m
+            )
+            ref_merges, ref_syms = self._ref_bpe_batched(self.DOCS, 8, m=m)
+            assert merges == ref_merges, f"m={m}"
+            got_syms = {r["__w"]: list(r["__sym"]) for r in vocab.collect()}
+            assert got_syms == ref_syms, f"m={m}"
+            vocab.unpersist()
+
+    def test_batched_m1_is_exact_sequential(self, spark):
+        from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.DOCS)], "doc_id long, text string"
+        )
+        seq, v1 = bpe_train(df, "text", num_merges=6, min_freq=2)
+        one, v2 = bpe_train(
+            df, "text", num_merges=6, min_freq=2, merges_per_round=1
+        )
+        assert seq == one
+        v1.unpersist()
+        v2.unpersist()
+
+    def test_batched_param_guard(self, spark):
+        import pytest as _pytest
+
+        from flink_1_8_sourcecode_spark.operators.text import bpe_train
+
+        with _pytest.raises(ValueError, match="merges_per_round"):
+            bpe_train(None, "text", num_merges=2, merges_per_round=0)
+
     def test_tokenize_matches_reference_and_oov_fallback(self, spark):
         from flink_1_8_sourcecode_spark.operators.text import (
             bpe_tokenize,
