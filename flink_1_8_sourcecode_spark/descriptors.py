@@ -48,8 +48,14 @@ _TYPE_MAP = {
     "DECIMAL": "decimal(38,18)",
     "DATE": "date", "SQL_DATE": "date",
     "TIMESTAMP": "timestamp", "SQL_TIMESTAMP": "timestamp",
-    "TIME": "string", "SQL_TIME": "string",  # no TIME type in Spark
+    # Spark has no TIME type.  REPO CONVENTION (SURVEY §1.1):
+    # time-of-day surfaces as INT MILLIS since midnight — the physical
+    # read stays the lexical string ("HH:MM:SS[.fff]"), and
+    # Schema.apply_to derives the int-millis column from it.
+    "TIME": "string", "SQL_TIME": "string",
 }
+
+_TIME_TYPES = ("TIME", "SQL_TIME")
 
 
 def _spark_type(t: str) -> str:
@@ -249,7 +255,8 @@ class Schema:
             raise ValidationException(f"duplicate schema field {name!r}")
         self._fields.append(
             {"name": name, "type": _spark_type(field_type), "origin": None,
-             "proctime": False, "rowtime": None}
+             "proctime": False, "rowtime": None,
+             "time": field_type.strip().upper() in _TIME_TYPES}
         )
         return self
 
@@ -297,6 +304,17 @@ class Schema:
             src = F.col(f["origin"] or (
                 f["rowtime"].from_field if f["rowtime"] else f["name"]
             ))
+            if f.get("time"):
+                # TIME convention (SURVEY §1.1): lexical
+                # "HH:MM:SS[.fff]" -> int millis since midnight
+                p = F.split(src.cast("string"), ":")
+                millis = (
+                    (p[0].cast("long") * 3600 + p[1].cast("long") * 60)
+                    * 1000
+                    + F.round(p[2].cast("double") * 1000).cast("long")
+                ).cast("int")
+                cols.append(millis.alias(f["name"]))
+                continue
             cols.append(src.cast(f["type"]).alias(f["name"]))
             if f["rowtime"] is not None and f["rowtime"].delay_ms is not None:
                 watermark = (f["name"], f["rowtime"].delay_ms)

@@ -558,6 +558,62 @@ def descriptor_connect_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENVFILE_CSV_EXPORT = export_path("envfile_csv_src")
+
+
+@register(
+    "environment_file_pipeline",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS chars_total
+    FROM documents WHERE n_chars > 100 GROUP BY lang
+    """,
+    doc="SQL-client environment file (flink-sql-client "
+    "config/Environment.java, conf/sql-client-defaults.yaml): a YAML "
+    "environment registers a filesystem/CSV source table AND a "
+    "filtering view over it (environment.py:load_environment lowering "
+    "onto the descriptors.py chain); the query aggregates through the "
+    "view — proving the declarative file produces the same "
+    "distributed CSV scan + plan as code-registered descriptors.",
+)
+def environment_file_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.catalog import table
+    from flink_1_8_sourcecode_spark.environment import load_environment
+
+    table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").option("sep", "|").csv(_ENVFILE_CSV_EXPORT)
+    eng = Engine(spark)
+    fields = [
+        {"name": "doc_id", "type": "BIGINT"},
+        {"name": "lang", "type": "VARCHAR"},
+        {"name": "n_chars", "type": "BIGINT"},
+    ]
+    load_environment(eng, {
+        "tables": [
+            {
+                "name": "env_docs",
+                "type": "source-table",
+                "schema": fields,
+                "connector": {"type": "filesystem",
+                              "path": _ENVFILE_CSV_EXPORT},
+                "format": {"type": "csv", "fields": fields,
+                           "field-delimiter": "|"},
+            },
+            {
+                "name": "env_long_docs",
+                "type": "view",
+                "query": "SELECT lang, n_chars FROM env_docs "
+                         "WHERE n_chars > 100",
+            },
+        ],
+    })
+    return eng.sql(
+        "SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars_total "
+        "FROM env_long_docs GROUP BY lang"
+    )
+
+
 _CATALOG_INSERT_EXPORT = export_path("extcat_insert_sink")
 
 

@@ -235,6 +235,30 @@ class TestValidation:
         with pytest.raises(ValidationException, match="unsupported connector"):
             env.connect(Fake()).register_table_source("x")
 
+    def test_time_field_is_int_millis(self, env, spark, tmp_path):
+        # TIME convention (SURVEY §1.1): the descriptor reads the
+        # lexical HH:MM:SS[.fff] and surfaces int millis since midnight
+        d = str(tmp_path / "time_src")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part.csv"), "w") as f:
+            f.write("1|12:34:56\n2|00:00:00.250\n3|23:59:59\n")
+        (
+            env.connect(FileSystem().path(d))
+            .with_format(
+                OldCsv().field("id", "BIGINT").field("t", "TIME")
+                .field_delimiter("|")
+            )
+            .with_schema(Schema().field("id", "BIGINT").field("t", "TIME"))
+            .register_table_source("time_tbl")
+        )
+        got = {r["id"]: r["t"] for r in env.table("time_tbl").collect()}
+        assert got == {
+            1: (12 * 3600 + 34 * 60 + 56) * 1000,
+            2: 250,
+            3: (23 * 3600 + 59 * 60 + 59) * 1000,
+        }
+        assert dict(env.table("time_tbl").dtypes)["t"] == "int"
+
     def test_catalog_insert_arity_validated(self, env, spark, tmp_path):
         # ADVICE r14: ExternalCatalogTable.write must reject a
         # mismatched projection at INSERT time (the reference's
