@@ -59,6 +59,9 @@ SECONDARY = (
     # micro-batch flattens once and groups are iloc slices)
     "streaming_ingest_pipeline",
     "datastream_api_cogroup",
+    # r15: the opt-in Arrow-native CoGroupFunction contract — benched
+    # next to the pandas contract so the speedup is a recorded number
+    "datastream_api_cogroup_arrow",
 )
 
 

@@ -507,6 +507,16 @@ class WindowedCoGroup:
     One side's pdf is empty for one-sided groups; empty pdfs carry the
     correct column names but object dtypes — guard reductions with
     ``len(pdf)`` checks as any CoGroupFunction does for empty iterables.
+
+    ``contract="arrow"`` (opt-in, streaming path): ``fn`` receives the
+    two sides as zero-copy ``pyarrow.Table`` slices instead of pandas
+    frames and may return a ``pyarrow.Table``/``RecordBatch`` (or a
+    pandas frame).  This skips the Arrow->pandas materialization of
+    every micro-batch AND the per-group pandas ``iloc`` machinery —
+    the power-user fast path when the function only reads lengths /
+    columns.  On the BATCH path Spark's native ``cogroup`` transport
+    is pandas, so the Arrow contract is adapted (frames wrapped to
+    Tables at the boundary) — identical results, no extra speed.
     """
 
     def __init__(self, left, right, where, equal, lt, rt, size, delay):
@@ -515,7 +525,12 @@ class WindowedCoGroup:
         self._lt, self._rt = lt, rt
         self._size, self._delay = size, delay
 
-    def apply(self, fn, schema) -> DataStream:
+    def apply(self, fn, schema, contract: str = "pandas") -> DataStream:
+        if contract not in ("pandas", "arrow"):
+            raise ValueError(
+                f"co_group apply: contract must be 'pandas' or 'arrow', "
+                f"got {contract!r}"
+            )
         ldf, rdf = self._l.df, self._r.df
         lt, rt, size = self._lt, self._rt, self._size
         lcols, rcols = list(ldf.columns), list(rdf.columns)
@@ -525,8 +540,27 @@ class WindowedCoGroup:
             lb = ldf.withColumn("__w", F.window(lt, size).start)
             rb = rdf.withColumn("__w", F.window(rt, size).start)
 
-            def strip(l_pdf, r_pdf):
-                return fn(l_pdf[lcols], r_pdf[rcols])
+            if contract == "arrow":
+                def strip(l_pdf, r_pdf):
+                    import pandas as pd
+                    import pyarrow as pa
+
+                    out = fn(
+                        pa.Table.from_pandas(
+                            l_pdf[lcols], preserve_index=False
+                        ),
+                        pa.Table.from_pandas(
+                            r_pdf[rcols], preserve_index=False
+                        ),
+                    )
+                    if isinstance(out, pa.RecordBatch):
+                        out = pa.Table.from_batches([out])
+                    if isinstance(out, pa.Table):
+                        return out.to_pandas()
+                    return out
+            else:
+                def strip(l_pdf, r_pdf):
+                    return fn(l_pdf[lcols], r_pdf[rcols])
 
             lg = lb.groupBy(*self._where, "__w")
             rg = rb.groupBy(*self._equal, "__w")
@@ -563,6 +597,8 @@ class WindowedCoGroup:
             else StructType.fromDDL(schema)
         )
 
+        as_pandas = contract == "pandas"
+
         def _flatten(col, names):
             # list<struct> column -> (one typed frame of ALL rows in
             # the batch, exclusive group offsets); NULL lists (the
@@ -574,7 +610,9 @@ class WindowedCoGroup:
             flat = pc.list_flatten(col)
             big = pa.Table.from_arrays(
                 [flat.field(n) for n in names], names=names
-            ).to_pandas()
+            )
+            if as_pandas:
+                big = big.to_pandas()
             lens = pc.list_value_length(col).fill_null(0)
             offs = np.zeros(len(col) + 1, dtype="int64")
             np.cumsum(lens.to_numpy(zero_copy_only=False), out=offs[1:])
@@ -595,21 +633,40 @@ class WindowedCoGroup:
                 big_r, off_r = _flatten(batch.column(ri), rcols)
                 outs = []
                 for i in range(batch.num_rows):
-                    l_pdf = big_l.iloc[off_l[i]:off_l[i + 1]]
-                    r_pdf = big_r.iloc[off_r[i]:off_r[i + 1]]
-                    if len(l_pdf) and l_pdf.index[0] != 0:
-                        l_pdf = l_pdf.reset_index(drop=True)
-                    if len(r_pdf) and r_pdf.index[0] != 0:
-                        r_pdf = r_pdf.reset_index(drop=True)
-                    out = fn(l_pdf, r_pdf)
+                    if as_pandas:
+                        l_in = big_l.iloc[off_l[i]:off_l[i + 1]]
+                        r_in = big_r.iloc[off_r[i]:off_r[i + 1]]
+                        if len(l_in) and l_in.index[0] != 0:
+                            l_in = l_in.reset_index(drop=True)
+                        if len(r_in) and r_in.index[0] != 0:
+                            r_in = r_in.reset_index(drop=True)
+                    else:
+                        # zero-copy Arrow slices — no pandas anywhere
+                        l_in = big_l.slice(off_l[i], off_l[i + 1] - off_l[i])
+                        r_in = big_r.slice(off_r[i], off_r[i + 1] - off_r[i])
+                    out = fn(l_in, r_in)
                     if out is not None and len(out):
                         outs.append(out)
                 # one Arrow batch per input batch, not one per group —
                 # per-group yields cost a serializer round-trip each
-                if outs:
+                if not outs:
+                    continue
+                if isinstance(outs[0], pd.DataFrame):
                     yield pa.RecordBatch.from_pandas(
                         pd.concat(outs, ignore_index=True),
                         schema=out_schema, preserve_index=False,
                     )
+                else:
+                    tables = [
+                        pa.Table.from_batches([o])
+                        if isinstance(o, pa.RecordBatch) else o
+                        for o in outs
+                    ]
+                    merged = (
+                        pa.concat_tables(tables)
+                        .cast(pa.schema(out_schema))
+                        .combine_chunks()
+                    )
+                    yield from merged.to_batches()
 
         return DataStream(joined.mapInArrow(run, spark_schema))

@@ -435,9 +435,7 @@ def datastream_api_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
-@register(
-    "datastream_api_cogroup",
-    oracle="""
+_COGROUP_ORACLE = """
     WITH s AS (
       SELECT user_id, time_bucket(INTERVAL '1 day', ts::TIMESTAMP) AS w,
              count(*) AS sc
@@ -452,7 +450,12 @@ def datastream_api_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(sc, 0) AS signup_cnt,
            COALESCE(vc, 0) AS view_cnt
     FROM s FULL OUTER JOIN v ON s.user_id = v.user_id AND s.w = v.w
-    """,
+    """
+
+
+@register(
+    "datastream_api_cogroup",
+    oracle=_COGROUP_ORACLE,
     doc="Windowed stream-stream coGroup THROUGH the fluent DataStream "
     "facade (DataStream.coGroup :457 / CoGroupedStreams.java:75): "
     "signups and views of the same user in the same daily bucket, the "
@@ -502,6 +505,70 @@ def datastream_api_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _run_to_table(out.df, "q_dscg", state_partitions=4)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "datastream_api_cogroup_arrow",
+    oracle=_COGROUP_ORACLE,
+    doc="The SAME windowed stream-stream coGroup under the opt-in "
+    "ARROW-NATIVE CoGroupFunction contract "
+    "(datastream_api.py:WindowedCoGroup.apply(contract='arrow')): the "
+    "user function receives the two sides as zero-copy pyarrow.Table "
+    "slices and returns a pyarrow.Table — no Arrow->pandas "
+    "materialization per micro-batch and no per-group pandas "
+    "machinery.  Same oracle as datastream_api_cogroup; the bench "
+    "secondary set carries both so the contract's speedup is a "
+    "recorded number, not a claim.",
+)
+def datastream_api_cogroup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.datastream_api import DataStream
+
+    src = _replayed_stream(spark, sf_dir, "dscga_")
+    keep = F.col("user_id") < 0
+    s = DataStream(src).filter((F.col("event_type") == "signup") | keep).map(
+        F.col("user_id").alias("u"), F.col("ts").alias("s_ts")
+    )
+    v = DataStream(src).filter((F.col("event_type") == "view") | keep).map(
+        F.col("user_id").alias("u2"), F.col("ts").alias("p_ts")
+    )
+
+    import pyarrow as pa
+
+    out_sch = pa.schema([
+        ("user_id", pa.int64()), ("w_start", pa.timestamp("us")),
+        ("signup_cnt", pa.int64()), ("view_cnt", pa.int64()),
+    ])
+    i64, tus = pa.int64(), pa.timestamp("us")
+
+    def cogroup_fn(lt, rt):
+        # Arrow-contract fast path: schema prebuilt (no per-group
+        # inference), day floor via datetime.replace (no pandas)
+        if len(lt):
+            ts = lt.column("s_ts")[0].as_py()
+            uid = lt.column("u")[0].as_py()
+        else:
+            ts = rt.column("p_ts")[0].as_py()
+            uid = rt.column("u2")[0].as_py()
+        w = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        return pa.Table.from_arrays(
+            [pa.array([uid], i64), pa.array([w], tus),
+             pa.array([len(lt)], i64), pa.array([len(rt)], i64)],
+            schema=out_sch,
+        )
+
+    out = (
+        s.co_group(v)
+        .where("u")
+        .equal_to("u2")
+        .window("s_ts", "p_ts", "1 day")
+        .apply(
+            cogroup_fn,
+            "user_id long, w_start timestamp, signup_cnt long, view_cnt long",
+            contract="arrow",
+        )
+    )
+    name = _run_to_table(out.df, "q_dscga", state_partitions=4)
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 

@@ -379,3 +379,86 @@ def test_cogroup_validation(spark, env, tmp_path):
         a.co_group(a).window("ts", "ts", "1 hour")
     with pytest.raises(ValueError, match="where"):
         a.co_group(a).where("id").window("ts", "ts", "1 hour")
+    with pytest.raises(ValueError, match="contract"):
+        (
+            a.co_group(a).where("id").equal_to("id")
+            .window("ts", "ts", "1 hour")
+            .apply(lambda lp, rp: None, "x int", contract="numpy")
+        )
+
+
+def test_cogroup_arrow_contract_matches_pandas(spark, env, tmp_path):
+    """Opt-in Arrow-native CoGroupFunction contract (r14 verdict task
+    8): fn receives zero-copy pyarrow.Table slices and returns a
+    pyarrow.Table; results must equal the pandas contract bit-for-bit
+    on both the streaming AND the batch path."""
+    import pandas as pd
+    import pyarrow as pa
+
+    schema = "user_id long, w_start timestamp, sc long, vc long"
+
+    def pandas_fn(lp, rp):
+        ts = lp["s_ts"].iloc[0] if len(lp) else rp["p_ts"].iloc[0]
+        uid = int(lp["u"].iloc[0]) if len(lp) else int(rp["u2"].iloc[0])
+        return pd.DataFrame({
+            "user_id": [uid],
+            "w_start": [pd.Timestamp(ts).floor("D")],
+            "sc": [len(lp)],
+            "vc": [len(rp)],
+        })
+
+    def arrow_fn(lt: "pa.Table", rt: "pa.Table") -> "pa.Table":
+        if len(lt):
+            ts = lt.column("s_ts")[0].as_py()
+            uid = lt.column("u")[0].as_py()
+        else:
+            ts = rt.column("p_ts")[0].as_py()
+            uid = rt.column("u2")[0].as_py()
+        w = pd.Timestamp(ts).floor("D").to_pydatetime()
+        return pa.table({
+            "user_id": pa.array([uid], pa.int64()),
+            "w_start": pa.array([w], pa.timestamp("us")),
+            "sc": pa.array([len(lt)], pa.int64()),
+            "vc": pa.array([len(rt)], pa.int64()),
+        })
+
+    def build(src_ds, fn, contract):
+        keep = F.col("user_id") < 0
+        s = src_ds.filter((F.col("event_type") == "signup") | keep).map(
+            F.col("user_id").alias("u"), F.col("ts").alias("s_ts"))
+        v = src_ds.filter((F.col("event_type") == "view") | keep).map(
+            F.col("user_id").alias("u2"), F.col("ts").alias("p_ts"))
+        return (
+            s.co_group(v).where("u").equal_to("u2")
+            .window("s_ts", "p_ts", "1 day")
+            .apply(fn, schema, contract=contract)
+        )
+
+    # streaming: arrow contract
+    stream = build(
+        DataStream(_event_stream(spark, tmp_path, "cg_ar", sentinel=True)),
+        arrow_fn, "arrow",
+    )
+    q = stream.add_sink_memory("t_ds_cg_arrow")
+    _drain(q)
+    got = spark.table("t_ds_cg_arrow").filter("user_id >= 0").toPandas()
+
+    # batch reference: pandas contract
+    expected = (
+        build(DataStream(table(spark, SF_SMALL, "events")),
+              pandas_fn, "pandas")
+        .df.filter("user_id >= 0").toPandas()
+    )
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, expected.values.tolist())
+    )
+
+    # batch path: arrow contract adapts over the pandas transport
+    batch_arrow = (
+        build(DataStream(table(spark, SF_SMALL, "events")),
+              arrow_fn, "arrow")
+        .df.filter("user_id >= 0").toPandas()
+    )
+    assert sorted(map(tuple, batch_arrow.values.tolist())) == sorted(
+        map(tuple, expected.values.tolist())
+    )
