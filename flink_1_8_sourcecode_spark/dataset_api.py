@@ -137,6 +137,16 @@ class DataSet:
             _name(self.df, field)
         )))
 
+    def agg_fields(self, *specs) -> "DataSet":
+        """Several (agg, field) pairs at once — the reference's chained
+        ``sum(0).andMax(1)`` AggregateOperator form
+        (AggregateOperator.java:115 ``and``), ungrouped."""
+        cols = [
+            _AGGS[a.upper()](_col(self.df, f)).alias(_name(self.df, f))
+            for a, f in specs
+        ]
+        return DataSet(self.df.agg(*cols))
+
     def sum(self, field) -> "DataSet":
         return self.aggregate("SUM", field)
 

@@ -415,12 +415,14 @@ class ExternalCatalogTable:
                     f"declares {len(fields)} "
                     f"({', '.join(f['name'] for f in fields)})"
                 )
-            from pyspark.sql import functions as F
-
-            df = df.select(
+            # positional rename first: the INSERT's projection may
+            # carry duplicate auto-generated names (e.g. SELECT 99, 99
+            # through UNION ALL), where name-based refs are ambiguous
+            tmp = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
+            df = tmp.select(
                 *[
-                    F.col(c).cast(f["type"]).alias(f["name"])
-                    for c, f in zip(df.columns, fields)
+                    tmp[f"__c{i}"].cast(f["type"]).alias(f["name"])
+                    for i, f in enumerate(fields)
                 ]
             )
         w = (

@@ -1444,3 +1444,174 @@ class TestSortITCase:
     def test_order_by_fetch(self, spark):
         got = self._rows(self._t(spark).orderBy("_1.asc").fetch(5))
         assert got == sorted(self.DATA, key=lambda r: r[0])[:5]
+
+
+class TestDataSetOperatorITCases:
+    """flink-tests DataSet operator ITCases replayed through the
+    fluent DataSet facade (dataset_api.py) on the reference's
+    published small tuple sets and expected strings:
+    OuterJoinITCase.java (left :85, right :135, full :185 —
+    T3T5FlatJoin emits (t3.f2, t5.f3) with null padding),
+    CoGroupITCase.java:68 (Tuple5CoGroup: per key, sum of f2 over
+    BOTH iterables), DistinctITCase.java:53-105 (union+distinct on
+    all/partial key fields)."""
+
+    SMALL3 = [(1, 1, "Hi"), (2, 2, "Hello"), (3, 2, "Hello world")]
+    SMALL5 = [
+        (1, 1, 0, "Hallo", 1), (2, 2, 1, "Hallo Welt", 2),
+        (2, 3, 2, "Hallo Welt wie", 1),
+    ]
+
+    def _sets(self, spark):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        l3 = spark.createDataFrame(self.SMALL3, "a int, b long, c string")
+        r5 = spark.createDataFrame(
+            self.SMALL5, "v int, w long, x int, d string, e long"
+        )
+        return l3, r5, DataSet(l3), DataSet(r5)
+
+    @staticmethod
+    def _pairs(joined, l3, r5):
+        rows = joined.df.select(
+            l3["c"].alias("lc"), r5["d"].alias("rd")
+        ).collect()
+        return sorted(((r.lc, r.rd) for r in rows), key=str)
+
+    def test_left_outer_join(self, spark):
+        l3, r5, lds, rds = self._sets(spark)
+        joined = lds.left_outer_join(rds).where(0).equal_to(0)
+        assert self._pairs(joined, l3, r5) == sorted([
+            ("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+            ("Hello", "Hallo Welt wie"), ("Hello world", None),
+        ], key=str)
+
+    def test_right_outer_join(self, spark):
+        l3, r5, lds, rds = self._sets(spark)
+        joined = lds.right_outer_join(rds).where(1).equal_to(1)
+        assert self._pairs(joined, l3, r5) == sorted([
+            ("Hi", "Hallo"), ("Hello", "Hallo Welt"),
+            (None, "Hallo Welt wie"), ("Hello world", "Hallo Welt"),
+        ], key=str)
+
+    def test_full_outer_join(self, spark):
+        l3, r5, lds, rds = self._sets(spark)
+        joined = lds.full_outer_join(rds).where(0).equal_to(2)
+        assert self._pairs(joined, l3, r5) == sorted([
+            (None, "Hallo"), ("Hi", "Hallo Welt"),
+            ("Hello", "Hallo Welt wie"), ("Hello world", None),
+        ], key=str)
+
+    def test_cogroup_tuple5_sum(self, spark, t5):
+        # CoGroupITCase.testCoGroupTuplesWithKeyFieldSelector
+        import pandas as pd
+
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        other = spark.createDataFrame(
+            T5, "a int, b long, c int, d string, e long"
+        )
+
+        def tuple5_cogroup(lp, rp):
+            k = int(lp["a"].iloc[0]) if len(lp) else int(rp["a"].iloc[0])
+            return pd.DataFrame(
+                {"k": [k], "s": [int(lp["c"].sum()) + int(rp["c"].sum())]}
+            )
+
+        got = {
+            r.k: r.s
+            for r in DataSet(t5).co_group(DataSet(other))
+            .where(0).equal_to(0)
+            .apply(tuple5_cogroup, "k int, s long")
+            .collect()
+        }
+        assert got == {1: 0, 2: 6, 3: 24, 4: 60, 5: 120}
+
+    def test_distinct_all_fields(self, spark):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        _, _, lds, _ = self._sets(spark)
+        got = sorted(
+            map(tuple, lds.union(lds).distinct(0, 1, 2).collect())
+        )
+        assert got == sorted(self.SMALL3)
+
+    def test_distinct_partial_key_project(self, spark):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        _, _, _, rds = self._sets(spark)
+        got = sorted(
+            r[0] for r in rds.union(rds).distinct(0).project(0).collect()
+        )
+        assert got == [1, 2]
+
+
+class TestFirstNITCase:
+    """FirstNITCase.java replayed through the facade: ungrouped
+    first(7) (:49), grouped first(4) per-group row counts (:67), and
+    grouped+sortGroup(DESC).first(3) exact rows (:86)."""
+
+    def test_first_n_ungrouped(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        assert DataSet(t3).first(7).count() == 7
+
+    def test_first_n_grouped_counts(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        per_group = (
+            DataSet(t3).group_by(1).first(4).df
+            .groupBy("b").count().collect()
+        )
+        assert {r.b: r["count"] for r in per_group} == {
+            1: 1, 2: 2, 3: 3, 4: 4, 5: 4, 6: 4,
+        }
+
+    def test_first_n_grouped_sorted(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        got = sorted(
+            (r.b, r.a)
+            for r in DataSet(t3).group_by(1)
+            .sort_group(0, "DESC").first(3)
+            .project(1, 0).collect()
+        )
+        assert got == sorted([
+            (1, 1), (2, 3), (2, 2), (3, 6), (3, 5), (3, 4),
+            (4, 10), (4, 9), (4, 8), (5, 15), (5, 14), (5, 13),
+            (6, 21), (6, 20), (6, 19),
+        ])
+
+
+class TestSumMinMaxITCase:
+    """SumMinMaxITCase.java replayed through the facade: ungrouped
+    sum(0).andMax(1).project(0,1) == (231, 6) (:47); grouped
+    sum(0).project(1,0) (:64); grouped min(0).min(0) == 1 (:89)."""
+
+    def test_sum_and_max_project(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        [row] = (
+            DataSet(t3).agg_fields(("SUM", 0), ("MAX", 1))
+            .project(0, 1).collect()
+        )
+        assert tuple(row) == (231, 6)
+
+    def test_grouped_sum_project(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        # the facade's grouped-agg frame is (key, agg) = (b, a) — the
+        # reference keeps tuple shape and projects (1, 0) to the same
+        # (b, sum_a) pairs; the VALUES are the pin
+        got = {
+            r["b"]: r["a"]
+            for r in DataSet(t3).group_by(1).sum(0).collect()
+        }
+        assert got == {1: 1, 2: 5, 3: 15, 4: 34, 5: 65, 6: 111}
+
+    def test_grouped_min_then_min(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        ds = DataSet(t3).group_by(1).min(0)
+        [row] = DataSet(ds.df).min(0).project(0).collect()
+        assert row[0] == 1
