@@ -670,3 +670,109 @@ class WindowedCoGroup:
                     yield from merged.to_batches()
 
         return DataStream(joined.mapInArrow(run, spark_schema))
+
+
+class AsyncDataStream:
+    """Async I/O (flink-streaming-java/.../datastream/
+    AsyncDataStream.java:102 unorderedWait, :147 orderedWait;
+    AsyncFunction.java asyncInvoke/timeout): apply an ASYNC per-record
+    function — an external lookup, an RPC — with up to ``capacity``
+    requests in flight at once, so operator throughput is bounded by
+    round-trip CONCURRENCY instead of round-trip latency.
+
+    Spark-first lowering: ``mapInPandas`` runs one asyncio event loop
+    per Arrow batch per partition; a Semaphore(capacity) throttles
+    in-flight coroutines exactly like the reference's queue capacity.
+    ``ordered_wait`` preserves input order within each partition
+    (asyncio.gather — the reference's ordered emitter queue);
+    ``unordered_wait`` emits in completion order.  Ordering across
+    partitions is never promised — same as the reference, where order
+    only holds per parallel subtask.
+
+    ``async_fn(row: dict) -> dict | list[dict] | None`` — None or []
+    drops the record (AsyncFunction can complete with an empty
+    collection); a list fans out (ResultFuture.complete takes a
+    collection).  ``timeout_s`` is the per-request timeout:
+    ``on_timeout="fail"`` re-raises (the reference's default — the
+    job fails), ``"drop"`` discards the record (an overriding
+    AsyncFunction.timeout that completes empty).
+
+    This is the I/O-bound enrichment path — per-row Python by design
+    (each row IS a request).  CPU-bound work belongs in vectorized
+    ops, not here.
+    """
+
+    @staticmethod
+    def _apply(stream: DataStream, async_fn, schema, timeout_s: float,
+               capacity: int, on_timeout: str, ordered: bool) -> DataStream:
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        if on_timeout not in ("fail", "drop"):
+            raise ValueError(
+                f"on_timeout must be 'fail' or 'drop', got {on_timeout!r}"
+            )
+
+        def run(batches):
+            import asyncio
+
+            import pandas as pd
+
+            async def one(sem, row):
+                async with sem:
+                    try:
+                        return await asyncio.wait_for(
+                            async_fn(row), timeout=timeout_s
+                        )
+                    except asyncio.TimeoutError:
+                        if on_timeout == "fail":
+                            raise TimeoutError(
+                                f"async request timed out after {timeout_s}s "
+                                f"for row {row!r} (AsyncDataStream default "
+                                "is fail; pass on_timeout='drop' to discard)"
+                            )
+                        return None
+
+            async def drive(rows):
+                sem = asyncio.Semaphore(capacity)
+                tasks = [asyncio.ensure_future(one(sem, r)) for r in rows]
+                if ordered:
+                    return await asyncio.gather(*tasks)
+                done: list = []
+                for fut in asyncio.as_completed(tasks):
+                    done.append(await fut)
+                return done
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = pdf.to_dict("records")
+                results = asyncio.run(drive(rows))
+                out: list[dict] = []
+                for res in results:
+                    if res is None:
+                        continue
+                    out.extend(res if isinstance(res, list) else [res])
+                if out:
+                    yield pd.DataFrame(out)
+
+        return DataStream(stream.df.mapInPandas(run, schema))
+
+    @staticmethod
+    def unordered_wait(stream: DataStream, async_fn, schema,
+                       timeout_s: float, capacity: int = 100,
+                       on_timeout: str = "fail") -> DataStream:
+        """AsyncDataStream.unorderedWait:102 — completion order."""
+        return AsyncDataStream._apply(
+            stream, async_fn, schema, timeout_s, capacity, on_timeout,
+            ordered=False,
+        )
+
+    @staticmethod
+    def ordered_wait(stream: DataStream, async_fn, schema,
+                     timeout_s: float, capacity: int = 100,
+                     on_timeout: str = "fail") -> DataStream:
+        """AsyncDataStream.orderedWait:147 — input order per subtask."""
+        return AsyncDataStream._apply(
+            stream, async_fn, schema, timeout_s, capacity, on_timeout,
+            ordered=True,
+        )

@@ -918,3 +918,57 @@ def streaming_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_id", "value")
     samp = final.join(ev, "event_id")
     return exact_group_quantiles(samp, "event_type", "value", [0.1, 0.5, 0.9])
+
+
+@register(
+    "datastream_api_async_enrich",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value * (CASE event_type
+                 WHEN 'click' THEN 2 WHEN 'view' THEN 3
+                 WHEN 'signup' THEN 5 WHEN 'purchase' THEN 7
+                 ELSE 1 END) + length(event_type)), 4) AS enriched_sum
+    FROM events WHERE user_id % 20 = 0
+    GROUP BY event_type
+    """,
+    doc="Async I/O enrichment (AsyncDataStream.java:102 unorderedWait, "
+    "AsyncFunction.asyncInvoke): every record issues an ASYNC lookup "
+    "(here a coroutine over a weight table — the stand-in for an RPC/"
+    "external KV hit) with capacity-bounded in-flight concurrency "
+    "inside mapInPandas, one asyncio loop per Arrow batch per "
+    "partition (datastream_api.py:AsyncDataStream).  Deterministic "
+    "enrichment arithmetic so DuckDB re-derives the identical rows "
+    "with a CASE lookup.",
+)
+def datastream_api_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.datastream_api import (
+        AsyncDataStream,
+        DataStream,
+    )
+
+    weights = {"click": 2, "view": 3, "signup": 5, "purchase": 7}
+
+    async def lookup(row):
+        import asyncio
+
+        await asyncio.sleep(0)  # a real impl awaits the I/O here
+        w = weights.get(row["event_type"], 1)
+        return {
+            "event_type": row["event_type"],
+            "enriched": row["value"] * w + len(row["event_type"]),
+        }
+
+    src = DataStream(
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("event_type", "value")
+    )
+    out = AsyncDataStream.unordered_wait(
+        src, lookup, "event_type string, enriched double",
+        timeout_s=30.0, capacity=64,
+    )
+    return out.df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("enriched"), 4).alias("enriched_sum"),
+    )

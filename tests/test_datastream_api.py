@@ -462,3 +462,135 @@ def test_cogroup_arrow_contract_matches_pandas(spark, env, tmp_path):
     assert sorted(map(tuple, batch_arrow.values.tolist())) == sorted(
         map(tuple, expected.values.tolist())
     )
+
+
+class TestAsyncDataStream:
+    """AsyncDataStream.unorderedWait/orderedWait
+    (flink-streaming-java/.../datastream/AsyncDataStream.java:102,147)
+    — async per-record enrichment with bounded in-flight capacity;
+    mapInPandas + one asyncio loop per batch."""
+
+    def _src(self, spark, n=40):
+        from flink_1_8_sourcecode_spark.datastream_api import DataStream
+
+        return DataStream(
+            spark.range(n).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(2)
+        )
+
+    def test_ordered_wait_preserves_order_and_enriches(self, spark):
+        import asyncio
+
+        from flink_1_8_sourcecode_spark.datastream_api import AsyncDataStream
+
+        async def lookup(row):
+            # jittered completion: later rows may finish first
+            await asyncio.sleep(0.001 * (row["k"] % 3))
+            return {"k": row["k"], "enriched": row["v"] + 100}
+
+        out = AsyncDataStream.ordered_wait(
+            self._src(spark), lookup, "k long, enriched long",
+            timeout_s=5.0, capacity=16,
+        )
+        rows = out.df.collect()
+        assert {(r.k, r.enriched) for r in rows} == {
+            (i, 2 * i + 100) for i in range(40)
+        }
+        # per-partition input order preserved (ordered emitter queue)
+        part = out.df.withColumn("__p", F.spark_partition_id()).collect()
+        by_part = {}
+        for r in part:
+            by_part.setdefault(r["__p"], []).append(r["k"])
+        for ks in by_part.values():
+            assert ks == sorted(ks)
+
+    def test_unordered_wait_completes_all(self, spark):
+        import asyncio
+
+        from flink_1_8_sourcecode_spark.datastream_api import AsyncDataStream
+
+        async def lookup(row):
+            await asyncio.sleep(0)
+            if row["k"] % 10 == 0:
+                return None  # complete-with-empty drops the record
+            if row["k"] % 10 == 1:
+                return [  # collection result fans out
+                    {"k": row["k"], "enriched": row["v"]},
+                    {"k": row["k"], "enriched": row["v"] + 1},
+                ]
+            return {"k": row["k"], "enriched": row["v"]}
+
+        out = AsyncDataStream.unordered_wait(
+            self._src(spark), lookup, "k long, enriched long",
+            timeout_s=5.0, capacity=8,
+        )
+        got = out.df.groupBy().count().collect()[0]["count"]
+        # 40 rows: 4 dropped (k%10==0), 4 doubled (k%10==1)
+        assert got == 40 - 4 + 4
+
+    def test_capacity_bounds_concurrency_and_speeds_up(self, spark):
+        # 20 rows x 0.05s sleep on one partition: serial would be 1s;
+        # capacity=20 must finish the partition in ~one round-trip
+        import asyncio
+        import time
+
+        from flink_1_8_sourcecode_spark.datastream_api import (
+            AsyncDataStream,
+            DataStream,
+        )
+
+        src = DataStream(spark.range(20).coalesce(1).selectExpr(
+            "id as k", "id as v"))
+
+        async def slow(row):
+            await asyncio.sleep(0.05)
+            return {"k": row["k"]}
+
+        t0 = time.perf_counter()
+        n = AsyncDataStream.unordered_wait(
+            src, slow, "k long", timeout_s=5.0, capacity=20
+        ).df.count()
+        wall = time.perf_counter() - t0
+        assert n == 20
+        assert wall < 0.8, f"async requests did not overlap ({wall:.2f}s)"
+
+    def test_timeout_fail_and_drop(self, spark):
+        import asyncio
+
+        from flink_1_8_sourcecode_spark.datastream_api import (
+            AsyncDataStream,
+            DataStream,
+        )
+
+        src = DataStream(spark.range(3).selectExpr("id as k", "id as v"))
+
+        async def hang(row):
+            if row["k"] == 1:
+                await asyncio.sleep(10)
+            return {"k": row["k"]}
+
+        dropped = AsyncDataStream.unordered_wait(
+            src, hang, "k long", timeout_s=0.3, capacity=4,
+            on_timeout="drop",
+        ).df.collect()
+        assert sorted(r.k for r in dropped) == [0, 2]
+
+        import py4j.protocol
+        with pytest.raises(Exception, match="timed out|PythonException"):
+            AsyncDataStream.unordered_wait(
+                src, hang, "k long", timeout_s=0.3, capacity=4,
+            ).df.collect()
+
+    def test_param_guards(self, spark):
+        from flink_1_8_sourcecode_spark.datastream_api import AsyncDataStream
+
+        with pytest.raises(ValueError, match="capacity"):
+            AsyncDataStream.unordered_wait(
+                self._src(spark), None, "k long", timeout_s=1.0, capacity=0
+            )
+        with pytest.raises(ValueError, match="on_timeout"):
+            AsyncDataStream.ordered_wait(
+                self._src(spark), None, "k long", timeout_s=1.0,
+                on_timeout="retry",
+            )
