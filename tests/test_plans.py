@@ -620,3 +620,71 @@ def test_weighted_sample_no_single_partition_funnel(spark, sf_dir):
     partition-by-group Window funnel over the corpus."""
     plan = _plan(spark, "sample_weighted_noreplace")
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_descriptor_source_prunes_and_filters(spark, tmp_path):
+    """A descriptor/environment-registered CSV source is a real file
+    scan Catalyst optimizes: column pruning reaches ReadSchema and the
+    query filter sits on the scan side, not a driver loop."""
+    from flink_1_8_sourcecode_spark.descriptors import (
+        FileSystem,
+        OldCsv,
+        Schema,
+    )
+    from flink_1_8_sourcecode_spark.engine import Engine
+
+    d = str(tmp_path / "plan_csv")
+    spark.range(100).selectExpr(
+        "id as a", "id * 2 as b", "repeat('x', 10) as c"
+    ).write.mode("overwrite").option("sep", "|").csv(d)
+    eng = Engine(spark)
+    (
+        eng.connect(FileSystem().path(d))
+        .with_format(
+            OldCsv().field("a", "BIGINT").field("b", "BIGINT")
+            .field("c", "STRING").field_delimiter("|")
+        )
+        .with_schema(
+            Schema().field("a", "BIGINT").field("b", "BIGINT")
+            .field("c", "STRING")
+        )
+        .register_table_source("plan_csv_t")
+    )
+    df = eng.sql("SELECT a FROM plan_csv_t WHERE a > 50")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan csv" in plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "c" not in read.replace("struct<", "")  # pruned
+    assert "PushedFilters" in plan
+    assert df.count() == 49
+
+
+def test_environment_view_folds_into_scan_plan(spark, tmp_path):
+    """A YAML-environment view is a plain Catalyst plan — the view's
+    filter and the outer aggregation collapse into one scan +
+    partial/final agg, no materialization boundary."""
+    from flink_1_8_sourcecode_spark.engine import Engine
+    from flink_1_8_sourcecode_spark.environment import load_environment
+
+    d = str(tmp_path / "env_plan_csv")
+    spark.range(1000).selectExpr(
+        "id as a", "cast(id % 7 as string) as g"
+    ).write.mode("overwrite").option("sep", "|").csv(d)
+    eng = Engine(spark)
+    fields = [{"name": "a", "type": "BIGINT"}, {"name": "g", "type": "VARCHAR"}]
+    load_environment(eng, {
+        "tables": [
+            {"name": "envp_t", "type": "source-table",
+             "schema": fields,
+             "connector": {"type": "filesystem", "path": d},
+             "format": {"type": "csv", "fields": fields,
+                        "field-delimiter": "|"}},
+            {"name": "envp_v", "type": "view",
+             "query": "SELECT g, a FROM envp_t WHERE a >= 100"},
+        ],
+    })
+    df = eng.sql("SELECT g, sum(a) AS s FROM envp_v GROUP BY g")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan csv" in plan
+    assert plan.count("Exchange") == 1  # one agg shuffle, nothing else
+    assert "HashAggregate" in plan  # partial+final pair present
