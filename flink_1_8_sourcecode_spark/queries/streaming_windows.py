@@ -972,3 +972,44 @@ def datastream_api_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("enriched"), 4).alias("enriched_sum"),
     )
+
+
+@register(
+    "stream_to_retract_fold",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS cnt,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    doc="toRetractStream (StreamTableEnvironment.scala:247; "
+    "streaming/retract.py): a continuously-updating group aggregate "
+    "over the replayed stream is materialized as an (add, row) "
+    "CHANGELOG — each key update emits (false, old) + (true, new) via "
+    "foreachBatch, with the previous snapshot maintained as a "
+    "key-bounded parquet join (all DataFrame jobs, no driver key "
+    "loops).  The returned frame is the changelog FOLDED back to "
+    "current state (read_changelog_state), which must equal the batch "
+    "aggregate — the add/retract invariant end-to-end.",
+)
+def stream_to_retract_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming.retract import (
+        read_changelog_state,
+        to_retract_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="retract_q_")
+    src = _replayed_stream(spark, sf_dir, "retract_").filter(
+        F.col("user_id") >= 0
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    q = to_retract_stream(
+        agg, ["event_type"], base + "/log", base + "/ckpt"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_changelog_state(spark, base + "/log", ["event_type"])
