@@ -1,0 +1,125 @@
+"""User-facing accumulators — IntCounter / LongCounter / DoubleCounter
+/ Histogram of the reference
+(flink-core/.../api/common/accumulators/{IntCounter,LongCounter,
+DoubleCounter,Histogram}.java; registered through
+``RichFunction.getRuntimeContext().addAccumulator`` and read from the
+``JobExecutionResult``).
+
+Spark-first: each counter wraps a ``pyspark`` Accumulator (driver-
+merged, executor-incremented — the exact execution model of the
+reference's accumulator snapshots), and ``Histogram`` uses a custom
+dict-merging ``AccumulatorParam``.  The counters' ``add`` methods are
+plain picklable callables, so user functions running inside
+``mapInPandas`` / UDFs / ``foreachPartition`` can increment them.
+
+Semantics note (both engines, same caveat): accumulator updates from
+RE-EXECUTED tasks are re-applied — Spark only guarantees
+exactly-once accumulation inside actions for internal accumulators;
+the reference resets accumulators on restart.  Treat values as job
+metrics, not transactional counts.
+"""
+
+from __future__ import annotations
+
+from pyspark import AccumulatorParam
+
+
+class _DictSumParam(AccumulatorParam):
+    """Merge histograms: per-key integer sum (Histogram.java:60
+    ``add`` increments the value's bucket; merge sums buckets)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, v1, v2):
+        for k, n in v2.items():
+            v1[k] = v1.get(k, 0) + n
+        return v1
+
+
+class IntCounter:
+    """IntCounter.java — ``add(n)``, ``get_local_value`` on the driver
+    after an action."""
+
+    def __init__(self, spark, initial: int = 0):
+        self._acc = spark.sparkContext.accumulator(int(initial))
+
+    def add(self, n: int = 1) -> None:
+        self._acc.add(int(n))
+
+    def get_local_value(self) -> int:
+        return int(self._acc.value)
+
+
+LongCounter = IntCounter  # LongCounter.java — same shape in Python
+
+
+class DoubleCounter:
+    """DoubleCounter.java."""
+
+    def __init__(self, spark, initial: float = 0.0):
+        self._acc = spark.sparkContext.accumulator(float(initial))
+
+    def add(self, x: float) -> None:
+        self._acc.add(float(x))
+
+    def get_local_value(self) -> float:
+        return float(self._acc.value)
+
+
+class Histogram:
+    """Histogram.java — integer-bucket counts; ``add(bucket)``."""
+
+    def __init__(self, spark):
+        self._acc = spark.sparkContext.accumulator({}, _DictSumParam())
+
+    def add(self, bucket: int, n: int = 1) -> None:
+        self._acc.add({int(bucket): int(n)})
+
+    def get_local_value(self) -> dict:
+        return dict(self._acc.value)
+
+
+class RuntimeContext:
+    """The accumulator half of RuntimeContext.java:
+    ``add_accumulator(name, acc)`` registers, ``get_accumulator``
+    fetches inside or outside the function, and the registry doubles
+    as the JobExecutionResult's ``getAccumulatorResult`` surface."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._accs: dict = {}
+
+    def add_accumulator(self, name: str, acc) -> None:
+        if name in self._accs:
+            raise ValueError(
+                f"accumulator {name!r} already registered "
+                "(RuntimeContext.addAccumulator throws on duplicates)"
+            )
+        self._accs[name] = acc
+
+    def get_accumulator(self, name: str):
+        return self._accs[name]
+
+    def get_accumulator_result(self, name: str):
+        """JobExecutionResult.getAccumulatorResult — the driver-side
+        merged value after an action has run."""
+        return self._accs[name].get_local_value()
+
+    # convenience constructors (the reference's counters are built by
+    # the user then registered; here the context owns the SparkContext
+    # handle, so offer both spellings)
+    def int_counter(self, name: str) -> IntCounter:
+        acc = IntCounter(self._spark)
+        self.add_accumulator(name, acc)
+        return acc
+
+    def double_counter(self, name: str) -> DoubleCounter:
+        acc = DoubleCounter(self._spark)
+        self.add_accumulator(name, acc)
+        return acc
+
+    def histogram(self, name: str) -> Histogram:
+        acc = Histogram(self._spark)
+        self.add_accumulator(name, acc)
+        return acc

@@ -1,0 +1,62 @@
+"""Accumulators (accumulators.py) — IntCounter/DoubleCounter/Histogram
++ RuntimeContext registration (flink-core/.../accumulators/*.java,
+RuntimeContext.addAccumulator, JobExecutionResult.getAccumulatorResult):
+executor-side increments from inside mapInPandas merge on the driver
+after the action."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_1_8_sourcecode_spark.accumulators import (
+    DoubleCounter,
+    Histogram,
+    IntCounter,
+    LongCounter,
+    RuntimeContext,
+)
+
+
+def test_counters_accumulate_from_executors(spark):
+    ctx = RuntimeContext(spark)
+    rows = ctx.int_counter("rows")
+    vsum = ctx.double_counter("vsum")
+
+    def count_rows(batches):
+        for pdf in batches:
+            rows.add(len(pdf))
+            vsum.add(float(pdf["v"].sum()))
+            yield pdf
+
+    df = spark.range(100).selectExpr("id as v").repartition(4)
+    out = df.mapInPandas(count_rows, "v long")
+    assert out.count() == 100  # the action that runs the increments
+    assert ctx.get_accumulator_result("rows") == 100
+    assert ctx.get_accumulator_result("vsum") == float(sum(range(100)))
+
+
+def test_histogram_merges_buckets(spark):
+    ctx = RuntimeContext(spark)
+    hist = ctx.histogram("mod3")
+
+    def bucketize(batches):
+        for pdf in batches:
+            for v in pdf["v"]:
+                hist.add(int(v) % 3)
+            yield pdf
+
+    df = spark.range(99).selectExpr("id as v").repartition(3)
+    df.mapInPandas(bucketize, "v long").count()
+    assert ctx.get_accumulator_result("mod3") == {0: 33, 1: 33, 2: 33}
+
+
+def test_duplicate_registration_refused(spark):
+    ctx = RuntimeContext(spark)
+    ctx.add_accumulator("a", IntCounter(spark))
+    with pytest.raises(ValueError, match="already registered"):
+        ctx.add_accumulator("a", IntCounter(spark))
+    assert LongCounter is IntCounter
+    # standalone counters work without a context
+    c = DoubleCounter(spark, initial=1.5)
+    c.add(2.5)
+    assert c.get_local_value() == 4.0
