@@ -418,13 +418,29 @@ class ExternalCatalogTable:
             # positional rename first: the INSERT's projection may
             # carry duplicate auto-generated names (e.g. SELECT 99, 99
             # through UNION ALL), where name-based refs are ambiguous
+            from pyspark.sql import functions as F
+
             tmp = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
-            df = tmp.select(
-                *[
-                    tmp[f"__c{i}"].cast(f["type"]).alias(f["name"])
-                    for i, f in enumerate(fields)
-                ]
-            )
+
+            def _out(i: int, f: dict):
+                src = tmp[f"__c{i}"]
+                if f.get("time"):
+                    # TIME round-trip: the scan side surfaces int
+                    # millis since midnight (SURVEY §1.1), so the sink
+                    # renders millis back to the lexical HH:mm:ss.SSS
+                    ms = src.cast("long")
+                    return F.concat(
+                        F.lpad((ms / 3600000).cast("long").cast("string"), 2, "0"),
+                        F.lit(":"),
+                        F.lpad(((ms / 60000) % 60).cast("long").cast("string"), 2, "0"),
+                        F.lit(":"),
+                        F.lpad(((ms / 1000) % 60).cast("long").cast("string"), 2, "0"),
+                        F.lit("."),
+                        F.lpad((ms % 1000).cast("string"), 3, "0"),
+                    ).alias(f["name"])
+                return src.cast(f["type"]).alias(f["name"])
+
+            df = tmp.select(*[_out(i, f) for i, f in enumerate(fields)])
         w = (
             df.write.format(self._format.spark_format())
             .options(**self._format.spark_options())

@@ -259,6 +259,31 @@ class TestValidation:
         }
         assert dict(env.table("time_tbl").dtypes)["t"] == "int"
 
+    def test_time_field_roundtrips_through_sink(self, env, spark, tmp_path):
+        # write side renders int-millis back to HH:mm:ss.SSS so a
+        # TIME column survives insert -> scan unchanged
+        from flink_1_8_sourcecode_spark.descriptors import (
+            ExternalCatalogTable,
+        )
+
+        out = str(tmp_path / "time_rt")
+        os.makedirs(out, exist_ok=True)
+        tbl = (
+            ExternalCatalogTable.builder(FileSystem().path(out))
+            .with_format(
+                OldCsv().field("id", "BIGINT").field("t", "TIME")
+                .field_delimiter("|")
+            )
+            .with_schema(Schema().field("id", "BIGINT").field("t", "TIME"))
+            .as_table_source()
+        )
+        millis = (12 * 3600 + 34 * 60 + 56) * 1000 + 250
+        tbl.write(
+            spark.createDataFrame([(1, millis), (2, 0)], "id long, t long")
+        )
+        got = {r["id"]: r["t"] for r in tbl.table(spark).collect()}
+        assert got == {1: millis, 2: 0}
+
     def test_catalog_insert_arity_validated(self, env, spark, tmp_path):
         # ADVICE r14: ExternalCatalogTable.write must reject a
         # mismatched projection at INSERT time (the reference's

@@ -1615,3 +1615,59 @@ class TestSumMinMaxITCase:
         ds = DataSet(t3).group_by(1).min(0)
         [row] = DataSet(ds.df).min(0).project(0).collect()
         assert row[0] == 1
+
+
+class TestPartitionAndUnionITCases:
+    """PartitionITCase.java:67 (hash partition by key field — each key
+    lands in exactly ONE partition, distinct keys across partitions
+    union to {1..6}) and UnionITCase.java:67/:84/:107 (identical-set
+    unions keep duplicates; empty-set union is identity) through the
+    DataSet facade."""
+
+    def test_hash_partition_by_key_field(self, t3):
+        import pandas as pd
+
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        def unique_longs(batches):
+            seen = set()
+            for pdf in batches:
+                seen.update(int(b) for b in pdf["b"])
+            yield pd.DataFrame({"b": sorted(seen)})
+
+        got = [
+            r.b for r in DataSet(t3).partition_by_hash(1)
+            .map_partition(unique_longs, "b long").collect()
+        ]
+        # every key exactly once across all partitions
+        assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+    def test_range_partition_by_key_field(self, t3):
+        import pandas as pd
+
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        def unique_longs(batches):
+            seen = set()
+            for pdf in batches:
+                seen.update(int(b) for b in pdf["b"])
+            yield pd.DataFrame({"b": sorted(seen)})
+
+        got = [
+            r.b for r in DataSet(t3).partition_by_range(1)
+            .map_partition(unique_longs, "b long").collect()
+        ]
+        assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+    def test_union_identical_and_empty(self, spark, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        ds = DataSet(t3)
+        assert ds.union(ds).count() == 42  # duplicates kept
+        u5 = ds.union(ds).union(ds).union(ds).union(ds)
+        assert u5.count() == 105
+        empty = DataSet(
+            spark.createDataFrame([], "a int, b long, c string")
+        )
+        got = sorted(map(tuple, ds.union(empty).collect()))
+        assert got == sorted(T3)
