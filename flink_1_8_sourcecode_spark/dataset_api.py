@@ -463,6 +463,31 @@ class UnsortedGrouping:
         loudly)."""
         return DataSet(self._df.groupBy(*self._keys).applyInPandas(fn, schema))
 
+    def reduce(self, fn) -> DataSet:
+        """reduce(ReduceFunction) (UnsortedGrouping.java:160 /
+        ReduceITCase rows): pairwise-fold each group to ONE row of the
+        INPUT schema — ``fn(acc: dict, row: dict) -> dict``.  Like the
+        reference, fold order within a group is unspecified; a
+        ReduceFunction must be associative/commutative to be
+        deterministic.  Python path (per-group fold inside
+        applyInPandas); associative ARITHMETIC belongs in agg_fields,
+        which stays JVM-side."""
+        import pandas as pd
+
+        cols = list(self._df.columns)
+        schema = self._df.schema
+
+        def fold(pdf):
+            rows = pdf.to_dict("records")
+            acc = rows[0]
+            for r in rows[1:]:
+                acc = fn(acc, r)
+            return pd.DataFrame([acc], columns=cols)
+
+        return DataSet(
+            self._df.groupBy(*self._keys).applyInPandas(fold, schema)
+        )
+
 
 class JoinBuilder:
     """DataSet.join(...).where(keys).equal_to(keys) — JoinOperatorSets

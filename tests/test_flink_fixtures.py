@@ -1671,3 +1671,47 @@ class TestPartitionAndUnionITCases:
         )
         got = sorted(map(tuple, ds.union(empty).collect()))
         assert got == sorted(T3)
+
+
+class TestReduceITCase:
+    """ReduceITCase.java:60 (groupBy(1).reduce(Tuple3Reduce('B-)')) —
+    sum f0, keep f1, replace f2 when the group folds) and :84
+    (groupBy(4, 0).reduce with multiple key positions) replayed with
+    the published expected tuple sets."""
+
+    def test_reduce_on_tuples_with_key_field(self, t3):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        def tuple3_reduce(a, b):
+            return {"a": a["a"] + b["a"], "b": a["b"], "c": "B-)"}
+
+        got = sorted(
+            map(tuple, DataSet(t3).group_by(1).reduce(tuple3_reduce).collect())
+        )
+        assert got == sorted([
+            (1, 1, "Hi"), (5, 2, "B-)"), (15, 3, "B-)"),
+            (34, 4, "B-)"), (65, 5, "B-)"), (111, 6, "B-)"),
+        ])
+
+    def test_reduce_multiple_key_positions(self, t5):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        def red(a, b):
+            return {"a": a["a"], "b": a["b"] + b["b"], "c": 0,
+                    "d": "P-)", "e": a["e"]}
+
+        got = sorted(
+            map(tuple, DataSet(t5).group_by(4, 0).reduce(red).collect())
+        )
+        assert got == sorted([
+            (1, 1, 0, "Hallo", 1),
+            (2, 3, 2, "Hallo Welt wie", 1),
+            (2, 2, 1, "Hallo Welt", 2),
+            (3, 9, 0, "P-)", 2),
+            (3, 6, 5, "BCD", 3),
+            (4, 17, 0, "P-)", 1),
+            (4, 17, 0, "P-)", 2),
+            (5, 11, 10, "GHI", 1),
+            (5, 29, 0, "P-)", 2),
+            (5, 25, 0, "P-)", 3),
+        ])
