@@ -1715,3 +1715,52 @@ class TestReduceITCase:
             (5, 29, 0, "P-)", 2),
             (5, 25, 0, "P-)", 3),
         ])
+
+
+class TestCrossITCase:
+    """CrossITCase.java:52 (Tuple5Cross: (l.f2 + r.f2, l.f3 || r.f3)
+    over small5 x small5) and :78 (UDF returning the left input) —
+    published expected multisets through the facade's cross()."""
+
+    SMALL5 = TestDataSetOperatorITCases.SMALL5
+
+    def test_cross_tuple5_projection(self, spark):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        l = spark.createDataFrame(
+            self.SMALL5, "v int, w long, x int, d string, e long"
+        )
+        r = spark.createDataFrame(
+            self.SMALL5, "v2 int, w2 long, x2 int, d2 string, e2 long"
+        )
+        got = sorted(
+            (row.s, row.cat)
+            for row in DataSet(l).cross(DataSet(r)).map(
+                (F.col("x") + F.col("x2")).alias("s"),
+                F.concat("d", "d2").alias("cat"),
+            ).collect()
+        )
+        assert got == sorted([
+            (0, "HalloHallo"), (1, "HalloHallo Welt"),
+            (2, "HalloHallo Welt wie"), (1, "Hallo WeltHallo"),
+            (2, "Hallo WeltHallo Welt"), (3, "Hallo WeltHallo Welt wie"),
+            (2, "Hallo Welt wieHallo"), (3, "Hallo Welt wieHallo Welt"),
+            (4, "Hallo Welt wieHallo Welt wie"),
+        ])
+
+    def test_cross_return_left(self, spark):
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        l = spark.createDataFrame(
+            TestDataSetOperatorITCases.SMALL3, "a int, b long, c string"
+        )
+        r = spark.createDataFrame(
+            self.SMALL5, "v2 int, w2 long, x2 int, d2 string, e2 long"
+        )
+        got = sorted(
+            map(tuple, DataSet(l).cross(DataSet(r))
+                .map("a", "b", "c").collect())
+        )
+        assert got == sorted(
+            [t for t in TestDataSetOperatorITCases.SMALL3 for _ in range(3)]
+        )
