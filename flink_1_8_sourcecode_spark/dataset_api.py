@@ -380,6 +380,7 @@ class UnsortedGrouping:
         self._df = df
         self._keys = keys
         self._sort: list[Column] = []
+        self._sort_spec: list[tuple[str, bool]] = []
 
     def aggregate(self, agg: str, field) -> DataSet:
         """UnsortedGrouping.aggregate — SUM/MIN/MAX of one field,
@@ -437,8 +438,13 @@ class UnsortedGrouping:
         """sortGroup — orders rows within each group for first(n) /
         reduce_group."""
         c = _col(self._df, field)
+        asc = order.upper() != "DESC"
         g = UnsortedGrouping(self._df, self._keys)
-        g._sort = self._sort + [c.desc() if order.upper() == "DESC" else c.asc()]
+        g._sort = self._sort + [c.asc() if asc else c.desc()]
+        # name/direction form for the pandas (reduce_group) path
+        g._sort_spec = getattr(self, "_sort_spec", []) + [
+            (_name(self._df, field), asc)
+        ]
         return g
 
     def first(self, n: int) -> DataSet:
@@ -460,7 +466,25 @@ class UnsortedGrouping:
     def reduce_group(self, fn, schema) -> DataSet:
         """reduceGroup(GroupReduceFunction) — one pandas frame per
         group via applyInPandas (Arrow-batched; the Python path,
-        loudly)."""
+        loudly).  After ``sort_group``, the frame arrives SORTED — the
+        reference's sortGroup().reduceGroup() contract
+        (GroupReduceITCase sorted-group rows): Spark gives no
+        within-group order through applyInPandas, so the wrapper sorts
+        the pandas frame on the declared fields first."""
+        spec = getattr(self, "_sort_spec", [])
+        if spec:
+            names = [n for n, _ in spec]
+            ascs = [a for _, a in spec]
+
+            def sorted_fn(pdf):
+                return fn(
+                    pdf.sort_values(names, ascending=ascs, kind="stable")
+                    .reset_index(drop=True)
+                )
+
+            return DataSet(
+                self._df.groupBy(*self._keys).applyInPandas(sorted_fn, schema)
+            )
         return DataSet(self._df.groupBy(*self._keys).applyInPandas(fn, schema))
 
     def reduce(self, fn) -> DataSet:

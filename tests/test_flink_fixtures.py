@@ -1764,3 +1764,60 @@ class TestCrossITCase:
         assert got == sorted(
             [t for t in TestDataSetOperatorITCases.SMALL3 for _ in range(3)]
         )
+
+
+class TestGroupReduceITCase:
+    """GroupReduceITCase.java:160
+    (groupBy(1).sortGroup(2, ASC).reduceGroup(Tuple3SortedGroupReduce)
+    — sum f0, keep f1, '-'-join f2 IN SORT ORDER): the published rows
+    pin that sortGroup order actually reaches the GroupReduceFunction
+    through the pandas path."""
+
+    def test_sorted_group_reduce(self, t3):
+        import pandas as pd
+
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        def sorted_reduce(pdf):
+            return pd.DataFrame({
+                "a": [int(pdf["a"].sum())],
+                "b": [int(pdf["b"].iloc[0])],
+                "c": ["-".join(pdf["c"])],
+            })
+
+        got = sorted(
+            map(tuple, DataSet(t3).group_by(1).sort_group(2, "ASC")
+                .reduce_group(sorted_reduce, "a int, b long, c string")
+                .collect())
+        )
+        assert got == sorted([
+            (1, 1, "Hi"),
+            (5, 2, "Hello-Hello world"),
+            (15, 3, "Hello world, how are you?-I am fine.-Luke Skywalker"),
+            (34, 4, "Comment#1-Comment#2-Comment#3-Comment#4"),
+            (65, 5, "Comment#5-Comment#6-Comment#7-Comment#8-Comment#9"),
+            (111, 6, "Comment#10-Comment#11-Comment#12-Comment#13-"
+                     "Comment#14-Comment#15"),
+        ])
+
+    def test_sorted_group_reduce_desc(self, t3):
+        # GroupReduceITCase.java:426 — same reduce, DESCENDING sort
+        import pandas as pd
+
+        from flink_1_8_sourcecode_spark.dataset_api import DataSet
+
+        def sorted_reduce(pdf):
+            return pd.DataFrame({
+                "a": [int(pdf["a"].sum())],
+                "b": [int(pdf["b"].iloc[0])],
+                "c": ["-".join(pdf["c"])],
+            })
+
+        got = {
+            r.b: r.c
+            for r in DataSet(t3).group_by(1).sort_group(2, "DESC")
+            .reduce_group(sorted_reduce, "a int, b long, c string")
+            .collect()
+        }
+        assert got[2] == "Hello world-Hello"
+        assert got[3] == "Luke Skywalker-I am fine.-Hello world, how are you?"
