@@ -82,13 +82,28 @@ class Histogram:
 
 class RuntimeContext:
     """The accumulator half of RuntimeContext.java:
-    ``add_accumulator(name, acc)`` registers, ``get_accumulator``
-    fetches inside or outside the function, and the registry doubles
-    as the JobExecutionResult's ``getAccumulatorResult`` surface."""
+    ``add_accumulator(name, acc)`` registers on the DRIVER and the
+    registry doubles as the JobExecutionResult's
+    ``getAccumulatorResult`` surface.
+
+    Closure rule (differs from the reference, where the runtime
+    injects the context into each RichFunction): capture the COUNTER
+    OBJECTS in the user function — they wrap picklable Spark
+    Accumulators — never the context itself, which holds the
+    SparkSession and cannot ship to executors (it refuses pickling
+    loudly)."""
 
     def __init__(self, spark):
         self._spark = spark
         self._accs: dict = {}
+
+    def __getstate__(self):
+        raise TypeError(
+            "RuntimeContext holds the SparkSession and cannot be "
+            "shipped to executors — capture the counter objects "
+            "(IntCounter/DoubleCounter/Histogram) in the user "
+            "function instead; they pickle and merge on the driver"
+        )
 
     def add_accumulator(self, name: str, acc) -> None:
         if name in self._accs:

@@ -58,6 +58,60 @@ _TYPE_MAP = {
 _TIME_TYPES = ("TIME", "SQL_TIME")
 
 
+def time_millis_from_lexical(col):
+    """TIME convention (SURVEY §1.1): lexical "HH:MM:SS[.fff]" ->
+    int millis since midnight (shared by Schema.apply_to and the
+    sink-registry read path)."""
+    from pyspark.sql import functions as F
+
+    p = F.split(col.cast("string"), ":")
+    return (
+        (p[0].cast("long") * 3600 + p[1].cast("long") * 60) * 1000
+        + F.round(p[2].cast("double") * 1000).cast("long")
+    ).cast("int")
+
+
+def time_millis_to_lexical(col):
+    """int millis since midnight -> "HH:mm:ss.SSS" (the sink-side
+    render so TIME columns round-trip insert -> scan unchanged)."""
+    from pyspark.sql import functions as F
+
+    ms = col.cast("long")
+    return F.concat(
+        F.lpad((ms / 3600000).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((ms / 60000) % 60).cast("long").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((ms / 1000) % 60).cast("long").cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad((ms % 1000).cast("string"), 3, "0"),
+    )
+
+
+def conform_to_schema(df: "DataFrame", fields: list) -> "DataFrame":
+    """Sink-side schema conformance (TableSinkUtils.validateSink
+    parity): arity-check the projection against the declared fields,
+    then cast POSITIONALLY (a toDF rename first — the projection may
+    carry duplicate auto-generated names, e.g. ``SELECT 99, 99``
+    through UNION ALL, where name-based refs are ambiguous) and render
+    TIME columns back to their lexical form."""
+    if len(df.columns) != len(fields):
+        raise ValidationException(
+            f"insert into table: query has {len(df.columns)} columns "
+            f"but the table schema declares {len(fields)} "
+            f"({', '.join(f['name'] for f in fields)})"
+        )
+    tmp = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
+
+    def _out(i: int, f: dict):
+        src = tmp[f"__c{i}"]
+        if f.get("time"):
+            return time_millis_to_lexical(src).alias(f["name"])
+        return src.cast(f["type"]).alias(f["name"])
+
+    return tmp.select(*[_out(i, f) for i, f in enumerate(fields)])
+
+
 def _spark_type(t: str) -> str:
     tu = t.strip().upper()
     if tu.startswith("DECIMAL(") and tu.endswith(")"):
@@ -305,15 +359,7 @@ class Schema:
                 f["rowtime"].from_field if f["rowtime"] else f["name"]
             ))
             if f.get("time"):
-                # TIME convention (SURVEY §1.1): lexical
-                # "HH:MM:SS[.fff]" -> int millis since midnight
-                p = F.split(src.cast("string"), ":")
-                millis = (
-                    (p[0].cast("long") * 3600 + p[1].cast("long") * 60)
-                    * 1000
-                    + F.round(p[2].cast("double") * 1000).cast("long")
-                ).cast("int")
-                cols.append(millis.alias(f["name"]))
+                cols.append(time_millis_from_lexical(src).alias(f["name"]))
                 continue
             cols.append(src.cast(f["type"]).alias(f["name"]))
             if f["rowtime"] is not None and f["rowtime"].delay_ms is not None:
@@ -405,42 +451,9 @@ class ExternalCatalogTable:
             # insert time (TableSinkUtils.validateSink); a positional
             # CSV write with the wrong arity would only surface later
             # as bad casts at scan time
-            fields = [
-                f for f in self._schema._fields if not f["proctime"]
-            ]
-            if len(df.columns) != len(fields):
-                raise ValidationException(
-                    f"insert into catalog table: query has "
-                    f"{len(df.columns)} columns but the table schema "
-                    f"declares {len(fields)} "
-                    f"({', '.join(f['name'] for f in fields)})"
-                )
-            # positional rename first: the INSERT's projection may
-            # carry duplicate auto-generated names (e.g. SELECT 99, 99
-            # through UNION ALL), where name-based refs are ambiguous
-            from pyspark.sql import functions as F
-
-            tmp = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
-
-            def _out(i: int, f: dict):
-                src = tmp[f"__c{i}"]
-                if f.get("time"):
-                    # TIME round-trip: the scan side surfaces int
-                    # millis since midnight (SURVEY §1.1), so the sink
-                    # renders millis back to the lexical HH:mm:ss.SSS
-                    ms = src.cast("long")
-                    return F.concat(
-                        F.lpad((ms / 3600000).cast("long").cast("string"), 2, "0"),
-                        F.lit(":"),
-                        F.lpad(((ms / 60000) % 60).cast("long").cast("string"), 2, "0"),
-                        F.lit(":"),
-                        F.lpad(((ms / 1000) % 60).cast("long").cast("string"), 2, "0"),
-                        F.lit("."),
-                        F.lpad((ms % 1000).cast("string"), 3, "0"),
-                    ).alias(f["name"])
-                return src.cast(f["type"]).alias(f["name"])
-
-            df = tmp.select(*[_out(i, f) for i, f in enumerate(fields)])
+            df = conform_to_schema(
+                df, [f for f in self._schema._fields if not f["proctime"]]
+            )
         w = (
             df.write.format(self._format.spark_format())
             .options(**self._format.spark_options())
@@ -556,6 +569,7 @@ class ConnectTableDescriptor:
         self._engine.register_sink(
             name, fmt, path, write_options=opts, read_options=opts,
             schema=self._schema.ddl(),
+            fields=[f for f in self._schema._fields if not f["proctime"]],
         )
 
     def register_table_source_and_sink(self, name: str) -> None:

@@ -32,29 +32,69 @@ _POST_TABLE_KEYWORDS = frozenset(
     set""".split()
 )
 
-# "FROM/JOIN/, <table-path> [AS] <alias>" and ") [AS] <alias>"
-_ALIAS_PATS = (
+# clause keywords that terminate a FROM region at its own paren depth
+_FROM_REGION_END = re.compile(
+    r"(WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|QUALIFY|UNION|INTERSECT"
+    r"|EXCEPT|MINUS|SELECT|SET|VALUES)\b",
+    re.IGNORECASE,
+)
+
+# within a FROM region (nested parens blanked): leading/comma table
+# entries "<path> [AS] <alias>", "JOIN <path> [AS] <alias>", and the
+# subquery form ") [AS] <alias>"
+_REGION_ALIAS_PATS = (
     re.compile(
-        r"(?:\bFROM\b|\bJOIN\b|,)\s*([\w.]+)\s+(?:\bAS\s+)?(\w+)",
-        re.IGNORECASE,
+        r"(?:^|,|\bJOIN\b)\s*([\w.]+)\s+(?:\bAS\s+)?(\w+)", re.IGNORECASE
     ),
     re.compile(r"\)\s*(?:\bAS\s+)?(\w+)", re.IGNORECASE),
 )
 
 
+def _from_regions(masked_sql: str):
+    """FROM-clause texts of the (literal-masked) statement, with
+    nested paren INTERIORS blanked — subquery close-parens survive so
+    the ``) alias`` form stays matchable, but nothing inside a
+    subquery or function call (e.g. a SELECT-list ``AS`` alias) can
+    leak into the enclosing region.  Nested FROMs produce their own
+    regions from their own ``FROM`` occurrences."""
+    for m in re.finditer(r"\bFROM\b", masked_sql, re.IGNORECASE):
+        i, depth, buf = m.end(), 0, []
+        while i < len(masked_sql):
+            ch = masked_sql[i]
+            if ch == "(":
+                depth += 1
+                buf.append(" ")
+            elif ch == ")":
+                if depth == 0:
+                    break  # closes the subquery this FROM lives in
+                depth -= 1
+                buf.append(")" if depth == 0 else " ")
+            elif depth > 0:
+                buf.append(" ")
+            else:
+                if ch.isalpha() and _FROM_REGION_END.match(masked_sql, i):
+                    prev = masked_sql[i - 1]
+                    if not (prev.isalnum() or prev in "_."):
+                        break
+                buf.append(ch)
+            i += 1
+        yield "".join(buf)
+
+
 def _table_aliases(masked_sql: str) -> set[str]:
     """Identifiers bound as table aliases in FROM/JOIN clauses of the
-    (literal-masked) statement.  Heuristic by design: false positives
-    only matter when they spell a registered external-catalog name, in
-    which case shadowing is almost certainly intended (ADVICE r14 —
-    the reference's Calcite scope resolution lets an in-scope alias
-    win over the catalog schema)."""
+    (literal-masked) statement.  Only FROM regions are scanned (depth-
+    aware, nested content blanked), so SELECT-list expression aliases
+    can never shadow a catalog (r15 review finding); remaining false
+    positives only matter when they spell a registered catalog name,
+    where shadowing is the intended Calcite scope resolution."""
     out: set[str] = set()
-    for pat in _ALIAS_PATS:
-        for m in pat.finditer(masked_sql):
-            cand = m.group(m.re.groups).lower()
-            if cand not in _POST_TABLE_KEYWORDS:
-                out.add(cand)
+    for region in _from_regions(masked_sql):
+        for pat in _REGION_ALIAS_PATS:
+            for m in pat.finditer(region):
+                cand = m.group(m.re.groups).lower()
+                if cand not in _POST_TABLE_KEYWORDS:
+                    out.add(cand)
     return out
 
 
@@ -70,6 +110,7 @@ class TableSink:
         read_options: dict | None = None,
         schema: str | None = None,
         partition_by: list[str] | None = None,
+        fields: list | None = None,
     ):
         self.fmt = fmt
         self.path = path
@@ -77,6 +118,9 @@ class TableSink:
         self.read_options = dict(read_options or {})
         self.schema = schema
         self.partition_by = list(partition_by or [])
+        # declared field dicts (descriptor sinks): enables insert-time
+        # arity validation + positional casts + TIME lexical render
+        self.fields = list(fields or []) or None
 
 
 class Engine:
@@ -244,6 +288,7 @@ class Engine:
         read_options: dict | None = None,
         schema: str | None = None,
         partition_by: list[str] | None = None,
+        fields: list | None = None,
     ) -> None:
         """registerTableSink (TableEnvironment.scala:586; CsvTableSink
         in flink-table/.../sinks/CsvTableSink.scala): bind ``name`` to a
@@ -266,7 +311,8 @@ class Engine:
                 "streaming/kafka.py and sources/jdbc.py)"
             )
         self._sinks[name] = TableSink(
-            fmt, path, write_options, read_options, schema, partition_by
+            fmt, path, write_options, read_options, schema, partition_by,
+            fields,
         )
 
     def insert_into(
@@ -316,6 +362,14 @@ class Engine:
                 "streaming/sinks.py (StreamingFileSink parity), not the "
                 "batch sink registry"
             )
+        if sink.fields:
+            # descriptor-declared sink: arity check + positional casts
+            # + TIME lexical render (same contract as catalog tables)
+            from flink_1_8_sourcecode_spark.descriptors import (
+                conform_to_schema,
+            )
+
+            df = conform_to_schema(df, sink.fields)
         w = df.write.format(sink.fmt).mode("overwrite" if overwrite else "append")
         for k, v in (sink.write_options or {}).items():
             w = w.option(k, v)
@@ -339,7 +393,26 @@ class Engine:
             r = r.option(k, v)
         if sink.schema is not None:
             r = r.schema(sink.schema)
-        return r.load(sink.path)
+        out = r.load(sink.path)
+        if sink.fields and any(f.get("time") for f in sink.fields):
+            # TIME fields read lexically; surface the int-millis
+            # convention on the way back (same as Schema.apply_to)
+            from pyspark.sql import functions as F
+
+            from flink_1_8_sourcecode_spark.descriptors import (
+                time_millis_from_lexical,
+            )
+
+            out = out.select(
+                *[
+                    time_millis_from_lexical(F.col(f["name"])).alias(
+                        f["name"]
+                    )
+                    if f.get("time") else F.col(f["name"])
+                    for f in sink.fields
+                ]
+            )
+        return out
 
     # sink may be a plain name, a qualified catalog.db.table path, or
     # the reference's backtick-quoted form (`test.db3.tb3` —

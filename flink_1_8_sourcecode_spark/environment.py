@@ -142,8 +142,10 @@ def load_environment(engine, source) -> dict:
             try:
                 with open(source) as fh:
                     text = fh.read()
-            except FileNotFoundError:
-                pass  # treat as a (single-line) YAML string
+            except (OSError, ValueError):
+                # not an openable path (missing, too long, a dir, NUL
+                # bytes, ...) — treat as a (single-line) YAML string
+                pass
         env = yaml.safe_load(text)
     if not isinstance(env, dict):
         raise ValidationException(

@@ -34,8 +34,6 @@ updating queries) and passes the stream through.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,22 +84,34 @@ def to_retract_stream(
     val_cols = [c for c in agg_df.columns if c not in key_cols]
     spark = agg_df.sparkSession
 
+    def _read_snapshot(path: str):
+        # Spark-native existence probe: works on any FileSystem the
+        # session can read (HDFS/S3/local), unlike a driver-local
+        # os.path check (r15 review finding)
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
     def emit(batch_df: DataFrame, batch_id: int) -> None:
+        # alternating snapshot dirs by batch parity: ONE snapshot
+        # write per batch (no read-back copy, no leaked temp dir), and
+        # a retried batch re-reads its intact prev dir — idempotent
+        prev_dir = f"{snapshot_path}/v{(batch_id + 1) % 2}"
+        next_dir = f"{snapshot_path}/v{batch_id % 2}"
         batch_df = batch_df.persist()
         try:
-            prev_exists = os.path.isdir(snapshot_path) and any(
-                f.endswith(".parquet")
-                for _, _, fs in os.walk(snapshot_path) for f in fs
-            )
-            if prev_exists:
-                prev = spark.read.parquet(snapshot_path)
+            # batch 0 starts a FRESH changelog: a leftover snapshot
+            # from a prior run at the same path must not fabricate
+            # retractions for rows this changelog never added
+            prev = None if batch_id == 0 else _read_snapshot(prev_dir)
+            if prev is not None:
                 old = batch_df.select(*key_cols).join(prev, key_cols, "inner")
                 retracts = old.select(
                     F.lit(False).alias("add"), *key_cols, *val_cols,
                     F.lit(batch_id).alias("__batch_id"),
                 )
             else:
-                prev = None
                 retracts = None
             adds = batch_df.select(
                 F.lit(True).alias("add"), *key_cols, *val_cols,
@@ -118,11 +128,7 @@ def to_retract_stream(
                 nxt = kept.unionByName(batch_df.select(*key_cols, *val_cols))
             else:
                 nxt = batch_df.select(*key_cols, *val_cols)
-            tmp = snapshot_path + "__next"
-            nxt.write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                snapshot_path
-            )
+            nxt.write.mode("overwrite").parquet(next_dir)
         finally:
             batch_df.unpersist()
 

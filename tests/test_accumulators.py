@@ -60,3 +60,11 @@ def test_duplicate_registration_refused(spark):
     c = DoubleCounter(spark, initial=1.5)
     c.add(2.5)
     assert c.get_local_value() == 4.0
+
+
+def test_context_refuses_shipping(spark):
+    import pickle
+
+    ctx = RuntimeContext(spark)
+    with pytest.raises(TypeError, match="capture the counter objects"):
+        pickle.dumps(ctx)

@@ -284,6 +284,36 @@ class TestValidation:
         got = {r["id"]: r["t"] for r in tbl.table(spark).collect()}
         assert got == {1: millis, 2: 0}
 
+    def test_time_field_roundtrips_through_registry_sink(
+        self, env, spark, tmp_path
+    ):
+        # r15 review finding: the registry-sink path (register_table_
+        # sink + insert_into + read_sink) must render/derive TIME like
+        # the catalog-table path, or millis written raw NULL out on
+        # re-scan
+        out = str(tmp_path / "time_reg_sink")
+        os.makedirs(out, exist_ok=True)
+        chain = (
+            env.connect(FileSystem().path(out))
+            .with_format(
+                OldCsv().field("id", "BIGINT").field("t", "TIME")
+                .field_delimiter("|")
+            )
+            .with_schema(Schema().field("id", "BIGINT").field("t", "TIME"))
+        )
+        chain.register_table_sink("time_reg")
+        millis = (7 * 3600 + 5 * 60 + 9) * 1000 + 42
+        env.insert_into(
+            spark.createDataFrame([(1, millis)], "id long, t long"),
+            "time_reg",
+        )
+        got = {r["id"]: r["t"] for r in env.read_sink("time_reg").collect()}
+        assert got == {1: millis}
+        # the source face derives the same millis
+        chain.register_table_source("time_reg")
+        got2 = {r["id"]: r["t"] for r in env.table("time_reg").collect()}
+        assert got2 == {1: millis}
+
     def test_catalog_insert_arity_validated(self, env, spark, tmp_path):
         # ADVICE r14: ExternalCatalogTable.write must reject a
         # mismatched projection at INSERT time (the reference's

@@ -163,6 +163,28 @@ class TestAliasShadowing:
         ).collect()
         assert len(got) == 1 and got[0]["nm"] is not None
 
+    def test_select_list_alias_does_not_shadow(self, env):
+        # r15 review finding: a SELECT-list expression alias spelling
+        # the catalog name must NOT suppress the catalog rewrite —
+        # only FROM-clause aliases shadow (Calcite scope resolution)
+        got = env.sql(
+            "SELECT count(*) AS warehouse FROM warehouse.tpch.nat"
+        ).collect()
+        assert got[0]["warehouse"] == 25
+        got = env.sql(
+            "SELECT n.n_name, 1 AS warehouse FROM warehouse.tpch.nat n "
+            "WHERE n.n_nationkey = 3"
+        ).collect()
+        assert len(got) == 1
+
+    def test_subquery_alias_shadows_but_inner_select_alias_does_not(self, env):
+        [r] = env.sql(
+            "SELECT count(*) AS c FROM "
+            "(SELECT n_nationkey AS warehouse FROM warehouse.tpch.nat) q "
+            "WHERE q.warehouse >= 0"
+        ).collect()
+        assert r["c"] == 25
+
     def test_alias_shadows_only_in_its_statement(self, env):
         # same name used as a JOIN alias AND the catalog resolved in a
         # different statement — both work
