@@ -164,6 +164,111 @@ def token_budget_mix(
     )
 
 
+def epoch_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col: Column,
+    total_budget: int,
+    max_epochs: int = 4,
+    salt: str = "",
+) -> "tuple[DataFrame, dict[str, dict]]":
+    """Epoch-capped repeat-budget mixing — the data-constrained-scaling
+    recipe (public: Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models": repeating data up to ~4 epochs is near-free,
+    beyond that returns decay): fill a TOTAL token budget by allocating
+    to sources proportionally to their size, water-filling past sources
+    that hit their ``max_epochs * tokens`` repeat cap, then realize the
+    allocation as an integer ``n_copies`` per document — full epochs
+    repeat every doc, the fractional epoch takes the deterministic
+    lowest-salted-md5 prefix of docs until the residual token target is
+    crossed (same first-doc-crosses-keeps rule as token_budget_mix).
+
+    Returns ``(kept_rows_with_n_copies, targets)``:
+    ``targets[source] = {"tokens": T, "alloc": A, "epochs": e,
+    "frac_tokens": f}`` — the float water-filling happens ONCE in
+    Python over the source-bounded count table (temperature_mix's
+    documented contract; no cross-engine float boundary can flip a
+    target), and the map is returned for conditioning/logging.
+
+    Scale shape: one map-side-combined count aggregate (collect is
+    source-bounded), then the map-only hash key + one two-pass
+    distributed prefix sum; ``n_copies`` is a broadcast-literal map
+    lookup plus a prefix comparison.  Physically materializing the
+    repeats is the consumer's explode — the plan here never
+    multiplies rows.
+    """
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    from flink_1_8_sourcecode_spark.operators.partitioning import (
+        prefix_sum_per_key,
+    )
+
+    counts = {
+        r["__s"]: int(r["__t"])
+        for r in df.groupBy(F.col(source_col).alias("__s"))
+        .agg(F.sum(token_count_col).alias("__t"))
+        .collect()
+    }
+    caps = {s: float(max_epochs) * t for s, t in counts.items()}
+    alloc = {s: 0.0 for s in counts}
+    active = {s for s, t in counts.items() if t > 0}
+    rem = float(total_budget)
+    # water-filling: distribute proportionally to size; sources that
+    # would overflow their repeat cap are pinned at the cap and the
+    # overflow re-distributes over the rest
+    while rem > 1e-6 and active:
+        w = sum(counts[s] for s in active)
+        capped = {
+            s for s in active
+            if alloc[s] + rem * counts[s] / w >= caps[s] - 1e-6
+        }
+        if not capped:
+            for s in active:
+                alloc[s] += rem * counts[s] / w
+            rem = 0.0
+        else:
+            for s in capped:
+                rem -= caps[s] - alloc[s]
+                alloc[s] = caps[s]
+            active -= capped
+    targets = {}
+    for s, t in counts.items():
+        a = alloc[s]
+        epochs = min(int(a // t), max_epochs) if t > 0 else 0
+        frac = a - epochs * t if epochs < max_epochs else 0.0
+        targets[s] = {
+            "tokens": t, "alloc": round(a, 6), "epochs": epochs,
+            "frac_tokens": round(frac, 6),
+        }
+    emap = F.create_map(
+        *[F.lit(x) for s, v in targets.items() for x in (s, int(v["epochs"]))]
+    )
+    fmap = F.create_map(
+        *[F.lit(x) for s, v in targets.items()
+          for x in (s, float(v["frac_tokens"]))]
+    )
+    h = hash_key(F.col(id_col), salt)
+    pref = prefix_sum_per_key(
+        df.withColumn("__tok", token_count_col),
+        source_col,
+        [h, F.col(id_col)],
+        value_col="__tok",
+        out_col="__pretok",
+    )
+    epochs_c = F.coalesce(emap[F.col(source_col)], F.lit(0))
+    frac_c = F.coalesce(fmap[F.col(source_col)], F.lit(0.0))
+    n_copies = epochs_c + F.when(F.col("__pretok") < frac_c, 1).otherwise(0)
+    kept = (
+        pref.withColumn("n_copies", n_copies.cast("int"))
+        .filter(F.col("n_copies") >= 1)
+        .drop("__tok", "__pretok")
+    )
+    return kept, targets
+
+
 def shard_assignment(
     df: DataFrame,
     id_col: str,

@@ -1941,3 +1941,58 @@ def sketch_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_group_quantiles(
         d, "lang", "n_chars", "n_chars", [0.25, 0.5, 0.75]
     )
+
+
+_EPOCH_MIX_TARGETS_EXPORT = export_path("epoch_budget_mix_targets")
+
+
+@register(
+    "mix_epoch_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, epochs, frac_tokens
+      FROM read_parquet('{_EPOCH_MIX_TARGETS_EXPORT}/*.parquet')
+    ), r AS (
+      SELECT source, doc_id,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pretok
+      FROM documents
+    )
+    SELECT r.source, r.doc_id,
+           (t.epochs + CASE WHEN r.pretok < t.frac_tokens
+                            THEN 1 ELSE 0 END)::INT AS n_copies
+    FROM r JOIN t ON r.source = t.source
+    WHERE t.epochs + CASE WHEN r.pretok < t.frac_tokens
+                          THEN 1 ELSE 0 END >= 1
+    """,
+    doc="Epoch-capped repeat-budget mixing "
+    "(operators/sampling.py:epoch_budget_mix — the data-constrained-"
+    "scaling recipe, Muennighoff et al. 2023: repeat sources up to "
+    "max_epochs to fill a total token budget, water-filling past "
+    "capped sources): full epochs repeat every doc, the fractional "
+    "epoch takes the deterministic lowest-md5 doc prefix until the "
+    "residual target is crossed; n_copies is a broadcast map lookup + "
+    "prefix comparison over ONE distributed prefix sum — the plan "
+    "never multiplies rows.  TARGET-CONDITIONED oracle "
+    "(temperature_mix pattern): DuckDB re-derives every doc's "
+    "n_copies from the exported (source, epochs, frac_tokens) table.",
+)
+def mix_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.operators.sampling import (
+        epoch_budget_mix,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars")).first()[0]
+    kept, targets = epoch_budget_mix(
+        d, "source", "doc_id", F.col("n_chars"),
+        total_budget=int(total * 1.4), max_epochs=3,
+    )
+    spark.createDataFrame(
+        [(s, v["epochs"], v["frac_tokens"]) for s, v in targets.items()],
+        "source string, epochs int, frac_tokens double",
+    ).coalesce(1).write.mode("overwrite").parquet(_EPOCH_MIX_TARGETS_EXPORT)
+    return kept.select("source", "doc_id", "n_copies")

@@ -343,3 +343,89 @@ class TestStreamingUniformSampleContract:
         pdf = spark.table("t_usmp_long").toPandas()
         samp = pdf.sort_values("n_seen").iloc[-1]["sample_ids"]
         assert len(samp) == 4 and all(isinstance(int(x), int) for x in samp)
+
+
+class TestEpochBudgetMix:
+    """epoch_budget_mix (operators/sampling.py — Muennighoff et al.
+    2023 data-constrained scaling): proportional fill, water-filling
+    past capped sources, integer epochs + fractional-prefix
+    realization, determinism."""
+
+    def _df(self, spark):
+        rows = (
+            [("big", f"b{i}", 10) for i in range(90)]
+            + [("small", f"s{i}", 10) for i in range(10)]
+        )
+        return spark.createDataFrame(rows, "src string, id string, tok int")
+
+    def test_proportional_no_caps(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            epoch_budget_mix,
+        )
+
+        kept, targets = epoch_budget_mix(
+            self._df(spark), "src", "id", F.col("tok"),
+            total_budget=500, max_epochs=4,
+        )
+        # 1000 total tokens, budget 500 -> alloc 450/50, epochs 0,
+        # frac = alloc
+        assert targets["big"]["epochs"] == 0
+        assert targets["small"]["epochs"] == 0
+        assert abs(targets["big"]["alloc"] - 450) < 1e-3
+        assert abs(targets["small"]["alloc"] - 50) < 1e-3
+        got = kept.groupBy("src").count().collect()
+        assert {r["src"]: r["count"] for r in got} == {"big": 45, "small": 5}
+
+    def test_cap_binds_and_waterfills(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            epoch_budget_mix,
+        )
+
+        kept, targets = epoch_budget_mix(
+            self._df(spark), "src", "id", F.col("tok"),
+            total_budget=2000, max_epochs=2,
+        )
+        # proportional first pass gives small 200 = its 2-epoch cap ->
+        # pinned; big gets the rest (1800 = 2 epochs exactly)
+        assert targets["small"]["alloc"] == 200.0
+        assert targets["small"]["epochs"] == 2
+        assert targets["small"]["frac_tokens"] == 0.0
+        assert targets["big"]["epochs"] == 2
+        counts = {
+            (r["src"], r["n_copies"]): r["count"]
+            for r in kept.groupBy("src", "n_copies").count().collect()
+        }
+        assert counts == {("big", 2): 90, ("small", 2): 10}
+
+    def test_fractional_epoch_prefix(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            epoch_budget_mix,
+        )
+
+        kept, targets = epoch_budget_mix(
+            self._df(spark), "src", "id", F.col("tok"),
+            total_budget=1100, max_epochs=4,
+        )
+        # alloc big=990, small=110 -> epochs 1 + a 1-doc fractional
+        # prefix for small (frac 10), 9-doc prefix for big (frac 90)
+        assert targets["big"]["epochs"] == 1
+        assert targets["small"]["epochs"] == 1
+        two_small = kept.filter("src = 'small' AND n_copies = 2").count()
+        assert two_small == 1
+        # token-copies land within one crossing doc of the budget
+        total_copies = kept.selectExpr("sum(n_copies * tok) s").first()["s"]
+        assert 1100 <= total_copies <= 1100 + 10
+
+    def test_determinism_and_guards(self, spark):
+        from flink_1_8_sourcecode_spark.operators.sampling import (
+            epoch_budget_mix,
+        )
+
+        df = self._df(spark)
+        a, _ = epoch_budget_mix(df, "src", "id", F.col("tok"), 700)
+        b, _ = epoch_budget_mix(df, "src", "id", F.col("tok"), 700)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        with pytest.raises(ValueError, match="total_budget"):
+            epoch_budget_mix(df, "src", "id", F.col("tok"), 0)
+        with pytest.raises(ValueError, match="max_epochs"):
+            epoch_budget_mix(df, "src", "id", F.col("tok"), 10, max_epochs=0)
