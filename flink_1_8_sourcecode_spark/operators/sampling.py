@@ -164,6 +164,35 @@ def token_budget_mix(
     )
 
 
+def _waterfill(
+    counts: "dict[str, int]", total: float, caps: "dict[str, float]"
+) -> "dict[str, float]":
+    """Proportional water-filling: distribute ``total`` over keys
+    proportionally to ``counts``; any key that would exceed its cap is
+    pinned AT the cap and its overflow re-distributes over the rest.
+    Invariants (property-tested): alloc_i <= cap_i; sum(alloc) ==
+    min(total, sum(caps)); uncapped keys stay proportional to size."""
+    alloc = {s: 0.0 for s in counts}
+    active = {s for s, t in counts.items() if t > 0}
+    rem = float(total)
+    while rem > 1e-6 and active:
+        w = sum(counts[s] for s in active)
+        capped = {
+            s for s in active
+            if alloc[s] + rem * counts[s] / w >= caps[s] - 1e-6
+        }
+        if not capped:
+            for s in active:
+                alloc[s] += rem * counts[s] / w
+            rem = 0.0
+        else:
+            for s in capped:
+                rem -= caps[s] - alloc[s]
+                alloc[s] = caps[s]
+            active -= capped
+    return alloc
+
+
 def epoch_budget_mix(
     df: DataFrame,
     source_col: str,
@@ -213,27 +242,7 @@ def epoch_budget_mix(
         .collect()
     }
     caps = {s: float(max_epochs) * t for s, t in counts.items()}
-    alloc = {s: 0.0 for s in counts}
-    active = {s for s, t in counts.items() if t > 0}
-    rem = float(total_budget)
-    # water-filling: distribute proportionally to size; sources that
-    # would overflow their repeat cap are pinned at the cap and the
-    # overflow re-distributes over the rest
-    while rem > 1e-6 and active:
-        w = sum(counts[s] for s in active)
-        capped = {
-            s for s in active
-            if alloc[s] + rem * counts[s] / w >= caps[s] - 1e-6
-        }
-        if not capped:
-            for s in active:
-                alloc[s] += rem * counts[s] / w
-            rem = 0.0
-        else:
-            for s in capped:
-                rem -= caps[s] - alloc[s]
-                alloc[s] = caps[s]
-            active -= capped
+    alloc = _waterfill(counts, float(total_budget), caps)
     targets = {}
     for s, t in counts.items():
         a = alloc[s]

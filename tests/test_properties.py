@@ -822,3 +822,44 @@ def test_polymorphic_plus_matches_python(spark, ops):
     expr = " + ".join(exprs)
     got = Table(df).select(f"({expr}) as v").df.collect()[0]["v"]
     assert str(got) == str(acc), (expr, got, acc)
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    ),
+    budget=st.floats(min_value=0.001, max_value=1e12,
+                     allow_nan=False, allow_infinity=False),
+    max_epochs=st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_waterfill_invariants(counts, budget, max_epochs):
+    """epoch_budget_mix's allocation core (operators/sampling.py:
+    _waterfill): caps respected, budget conserved up to the total cap,
+    uncapped keys proportional to size, termination on any input."""
+    from flink_1_8_sourcecode_spark.operators.sampling import _waterfill
+
+    caps = {s: float(max_epochs) * t for s, t in counts.items()}
+    alloc = _waterfill(counts, budget, caps)
+    tol = max(1e-4, 1e-9 * budget)
+    # caps respected
+    for s in counts:
+        assert alloc[s] <= caps[s] + tol
+        assert alloc[s] >= -tol
+    # conservation: everything allocatable is allocated
+    want_total = min(budget, sum(caps.values()))
+    assert abs(sum(alloc.values()) - want_total) <= max(
+        tol, 1e-6 * max(1.0, want_total)
+    )
+    # uncapped keys stay proportional to their size
+    uncapped = [
+        s for s in counts
+        if counts[s] > 0 and alloc[s] < caps[s] - tol
+    ]
+    if len(uncapped) >= 2:
+        ratios = {alloc[s] / counts[s] for s in uncapped}
+        lo, hi = min(ratios), max(ratios)
+        assert hi - lo <= max(1e-6, 1e-6 * hi)
