@@ -12,11 +12,21 @@ dict-merging ``AccumulatorParam``.  The counters' ``add`` methods are
 plain picklable callables, so user functions running inside
 ``mapInPandas`` / UDFs / ``foreachPartition`` can increment them.
 
-Semantics note (both engines, same caveat): accumulator updates from
-RE-EXECUTED tasks are re-applied — Spark only guarantees
-exactly-once accumulation inside actions for internal accumulators;
-the reference resets accumulators on restart.  Treat values as job
-metrics, not transactional counts.
+Semantics contract (pinned by tests/test_accumulators.py): these
+counters are AT-LEAST-ONCE.  Updates from RE-EXECUTED tasks are
+re-applied — a retried/speculative task, or a second action that
+recomputes an uncached lineage, increments again.  (Spark guarantees
+exactly-once only for internal accumulators inside actions; the
+reference's ``Accumulator.java`` merges per-task snapshots on job
+SUCCESS, so a restarted Flink job also re-counts from zero.)  Treat
+values as job metrics, not transactional counts.
+
+For exactly-once counts, route the increment through the job's own
+dataflow instead of a side channel: :func:`metric_counts` computes
+named predicates as ONE DataFrame aggregate, so the result is tied to
+the action boundary and task retries/recomputation cannot double-count
+— the same move as the reference's per-job accumulator snapshot merge,
+expressed as a Spark aggregation.
 """
 
 from __future__ import annotations
@@ -78,6 +88,23 @@ class Histogram:
 
     def get_local_value(self) -> dict:
         return dict(self._acc.value)
+
+
+def metric_counts(df, predicates: dict) -> dict:
+    """Exactly-once metric counting (the action-boundary alternative
+    to the at-least-once counters above): ``predicates`` maps metric
+    name -> Column/SQL-string predicate; returns ``{name: count}``
+    computed as a single DataFrame aggregate.  Because the counts ARE
+    the job's result (not a side-channel), task retries, speculation,
+    and lineage recomputation can never double-count them."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.count_if(F.expr(p) if isinstance(p, str) else p).alias(name)
+        for name, p in predicates.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: row[name] for name in predicates}
 
 
 class RuntimeContext:

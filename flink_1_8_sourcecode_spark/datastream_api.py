@@ -718,19 +718,28 @@ class AsyncDataStream:
             import pandas as pd
 
             async def one(sem, row):
-                async with sem:
-                    try:
-                        return await asyncio.wait_for(
-                            async_fn(row), timeout=timeout_s
+                # the timeout timer starts when the element ENTERS the
+                # operator queue (reference: AsyncWaitOperator registers
+                # the timeout on addAsyncBufferEntry, before capacity is
+                # available) — so wait_for wraps the semaphore WAIT plus
+                # the request, and a saturated capacity cannot delay a
+                # record unboundedly without tripping on_timeout
+                async def _queued_request():
+                    async with sem:
+                        return await async_fn(row)
+
+                try:
+                    return await asyncio.wait_for(
+                        _queued_request(), timeout=timeout_s
+                    )
+                except asyncio.TimeoutError:
+                    if on_timeout == "fail":
+                        raise TimeoutError(
+                            f"async request timed out after {timeout_s}s "
+                            f"for row {row!r} (AsyncDataStream default "
+                            "is fail; pass on_timeout='drop' to discard)"
                         )
-                    except asyncio.TimeoutError:
-                        if on_timeout == "fail":
-                            raise TimeoutError(
-                                f"async request timed out after {timeout_s}s "
-                                f"for row {row!r} (AsyncDataStream default "
-                                "is fail; pass on_timeout='drop' to discard)"
-                            )
-                        return None
+                    return None
 
             async def drive(rows):
                 sem = asyncio.Semaphore(capacity)

@@ -582,6 +582,36 @@ class TestAsyncDataStream:
                 src, hang, "k long", timeout_s=0.3, capacity=4,
             ).df.collect()
 
+    def test_timeout_covers_queue_wait(self, spark):
+        # Reference semantics (AsyncWaitOperator): the async-wait
+        # timer starts when the element ENTERS the operator queue —
+        # so time spent queued behind the capacity limit counts.
+        # capacity=1 serializes 0.5s requests with a 0.75s timeout:
+        # row 0 runs immediately (0.5 < 0.75); every later row is
+        # still queued or mid-flight at t=0.75 and must time out.
+        # (Pre-fix, the timer started after the semaphore was
+        # acquired, so ALL rows completed.)
+        import asyncio
+
+        from flink_1_8_sourcecode_spark.datastream_api import (
+            AsyncDataStream,
+            DataStream,
+        )
+
+        src = DataStream(
+            spark.range(4).coalesce(1).selectExpr("id as k", "id as v")
+        )
+
+        async def slow(row):
+            await asyncio.sleep(0.5)
+            return {"k": row["k"]}
+
+        out = AsyncDataStream.ordered_wait(
+            src, slow, "k long", timeout_s=0.75, capacity=1,
+            on_timeout="drop",
+        ).df.collect()
+        assert [r.k for r in out] == [0]
+
     def test_param_guards(self, spark):
         from flink_1_8_sourcecode_spark.datastream_api import AsyncDataStream
 
