@@ -975,6 +975,53 @@ def datastream_api_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_sink_fold",
+    oracle="""
+    SELECT event_type, (user_id % 50)::BIGINT AS user_bin,
+           count(*)::BIGINT AS cnt, round(sum(value), 4) AS total
+    FROM events WHERE user_id >= 0
+    GROUP BY event_type, user_id % 50
+    """,
+    doc="UpsertStreamTableSink (flink-table/.../sinks/"
+    "UpsertStreamTableSink.scala setKeyFields/emitDataStream; "
+    "streaming/sinks.py upsert_sink + parquet_upsert_merger): an "
+    "update-mode streaming aggregate upserts its per-trigger deltas "
+    "into a keyed external table via foreachBatch MERGE — the table "
+    "is hash-bucketed parquet and each batch rewrites only the "
+    "buckets containing its keys (dynamic partition overwrite, "
+    "O(updates) per trigger).  The final table state must equal the "
+    "batch aggregate — last-write-wins upsert end-to-end.",
+)
+def stream_upsert_sink_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_1_8_sourcecode_spark.streaming.sinks import (
+        parquet_upsert_merger,
+        read_upsert_table,
+        upsert_sink,
+    )
+
+    base = tempfile.mkdtemp(prefix="upsert_q_")
+    src = _replayed_stream(spark, sf_dir, "upsert_").filter(
+        F.col("user_id") >= 0
+    )
+    agg = src.groupBy(
+        "event_type", (F.col("user_id") % 50).alias("user_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    q = upsert_sink(
+        agg,
+        parquet_upsert_merger(["event_type", "user_bin"], base + "/tbl"),
+        checkpoint=base + "/ckpt",
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_upsert_table(spark, base + "/tbl")
+
+
+@register(
     "stream_to_retract_fold",
     oracle="""
     SELECT event_type, count(*)::BIGINT AS cnt,

@@ -44,11 +44,81 @@ def upsert_sink(
     mode: str = "update",
 ):
     """UpsertStreamTableSink analogue: every micro-batch hands its upsert
-    delta to ``merge_fn(batch_df, batch_id)`` (e.g. a JDBC/Delta MERGE)."""
+    delta to ``merge_fn(batch_df, batch_id)`` (e.g. a JDBC/Delta MERGE,
+    or :func:`parquet_upsert_merger` for a data-lake table)."""
     w = df.writeStream.foreachBatch(merge_fn).outputMode(mode)
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w
+
+
+def parquet_upsert_merger(
+    key_cols: list[str], path: str, num_buckets: int = 16
+) -> Callable[[DataFrame, int], None]:
+    """A concrete keyed MERGE target for :func:`upsert_sink`
+    (UpsertStreamTableSink.scala setKeyFields/emitDataStream parity —
+    the reference's upsert sinks MERGE per key into an external table;
+    here the table is hash-bucketed parquet).
+
+    Scale + retry contract (same design as the toRetractStream
+    snapshot, streaming/retract.py): the table is partitioned by
+    ``__bucket = pmod(xxhash64(keys), num_buckets)``; each micro-batch
+    reads ONLY the buckets containing its keys (partition-pruned),
+    anti-joins the old versions out, and rewrites just those buckets
+    via dynamic partition overwrite — per-trigger cost tracks
+    O(touched buckets), not O(table).  An update-mode aggregate's
+    batch delta is deterministic on replay, so a retried batch
+    rewrites the same bucket content: idempotent by value, no
+    duplicate keys.  Unlike the retract snapshot, batch 0 does NOT
+    truncate — an upsert sink merges into whatever the external table
+    already holds (JDBC MERGE semantics).
+
+    Read the current table back with :func:`read_upsert_table`.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_1_8_sourcecode_spark.streaming.retract import _path_exists
+
+    bucket = F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            # only driver-side collect: <= num_buckets small ints
+            touched = [
+                r[0]
+                for r in batch_df.select(bucket.alias("__bucket"))
+                .distinct().collect()
+            ]
+            if _path_exists(spark, path):
+                prev = spark.read.parquet(path).filter(
+                    F.col("__bucket").isin(touched)
+                )
+                kept = prev.join(
+                    batch_df.select(*key_cols), key_cols, "left_anti"
+                ).drop("__bucket")
+                nxt = kept.unionByName(batch_df)
+            else:
+                nxt = batch_df
+            (
+                nxt.withColumn("__bucket", bucket)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__bucket")
+                .parquet(path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return merge
+
+
+def read_upsert_table(spark, path: str) -> DataFrame:
+    """The current state of a :func:`parquet_upsert_merger` table."""
+    return spark.read.parquet(path).drop("__bucket")
 
 
 def queryable_state(df: DataFrame, name: str, checkpoint: str | None = None):

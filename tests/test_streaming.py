@@ -414,3 +414,54 @@ def test_streaming_lsh_dedup_matches_batch_reference(spark, tmp_path):
     )
     # sanity: the corpus actually contains near-dups (non-vacuous test)
     assert len(want_map) > 0
+
+
+class TestParquetUpsertMerger:
+    """upsert_sink + parquet_upsert_merger (UpsertStreamTableSink.scala
+    setKeyFields/emitDataStream): keyed MERGE into hash-bucketed
+    parquet — last-write-wins per key, only touched buckets rewritten,
+    batch retry idempotent by value."""
+
+    def test_merge_semantics_and_bucket_scope(self, spark, tmp_path):
+        import pathlib
+
+        from flink_1_8_sourcecode_spark.streaming.sinks import (
+            parquet_upsert_merger,
+            read_upsert_table,
+        )
+
+        tbl = str(tmp_path / "upsert_tbl")
+        merge = parquet_upsert_merger(["k"], tbl, num_buckets=8)
+        merge(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(64)], "k int, v int"
+            ),
+            0,
+        )
+        listing = {
+            d.name: sorted(p.name for p in d.iterdir()
+                           if p.name.endswith(".parquet"))
+            for d in pathlib.Path(tbl).iterdir()
+            if d.name.startswith("__bucket=")
+        }
+        assert len(listing) > 1
+        # batch 1: update one key, insert one new -> at most 2 buckets
+        delta = spark.createDataFrame(
+            [(7, 999), (100, 5)], "k int, v int"
+        )
+        merge(delta, 1)
+        merge(delta, 1)  # foreachBatch retry: same final state
+        after = {
+            d.name: sorted(p.name for p in d.iterdir()
+                           if p.name.endswith(".parquet"))
+            for d in pathlib.Path(tbl).iterdir()
+            if d.name.startswith("__bucket=")
+        }
+        changed = [b for b in listing if after.get(b) != listing[b]]
+        assert len(changed) <= 2, f"rewrote untouched buckets: {changed}"
+        got = {
+            r.k: r.v for r in read_upsert_table(spark, tbl).collect()
+        }
+        want = {i: i * 10 for i in range(64)}
+        want[7], want[100] = 999, 5
+        assert got == want
