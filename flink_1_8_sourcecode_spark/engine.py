@@ -51,12 +51,14 @@ _REGION_ALIAS_PATS = (
 
 
 def _from_regions(masked_sql: str):
-    """FROM-clause texts of the (literal-masked) statement, with
-    nested paren INTERIORS blanked — subquery close-parens survive so
-    the ``) alias`` form stays matchable, but nothing inside a
-    subquery or function call (e.g. a SELECT-list ``AS`` alias) can
-    leak into the enclosing region.  Nested FROMs produce their own
-    regions from their own ``FROM`` occurrences."""
+    """``(start_offset, text)`` for each FROM-clause region of the
+    (literal-masked) statement, with nested paren INTERIORS blanked —
+    subquery close-parens survive so the ``) alias`` form stays
+    matchable, but nothing inside a subquery or function call (e.g. a
+    SELECT-list ``AS`` alias) can leak into the enclosing region.
+    Region text aligns 1:1 with ``masked_sql[start:]`` so match
+    offsets map back to absolute statement positions.  Nested FROMs
+    produce their own regions from their own ``FROM`` occurrences."""
     for m in re.finditer(r"\bFROM\b", masked_sql, re.IGNORECASE):
         i, depth, buf = m.end(), 0, []
         while i < len(masked_sql):
@@ -78,7 +80,7 @@ def _from_regions(masked_sql: str):
                         break
                 buf.append(ch)
             i += 1
-        yield "".join(buf)
+        yield m.end(), "".join(buf)
 
 
 def _table_aliases(masked_sql: str) -> set[str]:
@@ -88,13 +90,55 @@ def _table_aliases(masked_sql: str) -> set[str]:
     can never shadow a catalog (r15 review finding); remaining false
     positives only matter when they spell a registered catalog name,
     where shadowing is the intended Calcite scope resolution."""
-    out: set[str] = set()
-    for region in _from_regions(masked_sql):
+    return {name for name, _ in _table_alias_bindings(masked_sql)}
+
+
+def _table_alias_bindings(masked_sql: str) -> list[tuple[str, int]]:
+    """``(alias_lower, absolute_position)`` for each FROM/JOIN table
+    alias binding of the (literal-masked) statement."""
+    out: list[tuple[str, int]] = []
+    for start, region in _from_regions(masked_sql):
         for pat in _REGION_ALIAS_PATS:
             for m in pat.finditer(region):
-                cand = m.group(m.re.groups).lower()
+                g = m.re.groups
+                cand = m.group(g).lower()
                 if cand not in _POST_TABLE_KEYWORDS:
-                    out.add(cand)
+                    out.append((cand, start + m.start(g)))
+    return out
+
+
+def _paren_spans(masked_sql: str) -> list[tuple[int, int]]:
+    """All matched ``(open, close)`` paren index pairs."""
+    spans: list[tuple[int, int]] = []
+    stack: list[int] = []
+    for i, ch in enumerate(masked_sql):
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")" and stack:
+            spans.append((stack.pop(), i))
+    return spans
+
+
+def _shadow_spans(masked_sql: str, catalog_names_lower: set[str]):
+    """For each table alias that spells a registered catalog name, the
+    statement span in which it SHADOWS the catalog: its own query
+    block — the innermost paren pair enclosing the binding, or the
+    whole statement for a top-level alias.  Calcite scope resolution:
+    an alias is visible in its block and that block's (correlated)
+    subqueries, but NOT in the enclosing query — so an alias bound
+    inside a subquery must not block catalog.db.table resolution
+    outside it."""
+    spans = _paren_spans(masked_sql)
+    whole = (0, len(masked_sql))
+    out: dict[str, list[tuple[int, int]]] = {}
+    for name, pos in _table_alias_bindings(masked_sql):
+        if name not in catalog_names_lower:
+            continue
+        best = whole
+        for a, b in spans:
+            if a < pos <= b and b - a < best[1] - best[0]:
+                best = (a, b)
+        out.setdefault(name, []).append(best)
     return out
 
 
@@ -241,17 +285,20 @@ class Engine:
         )
 
         masked = _mask_literals(query)
-        shadowed = _table_aliases(masked) & {
-            n.lower() for n in self._external_catalogs
-        }
+        shadow = _shadow_spans(
+            masked, {n.lower() for n in self._external_catalogs}
+        )
         names = "|".join(re.escape(n) for n in self._external_catalogs)
         pat = re.compile(rf"\b(?P<path>(?:{names})(?:\.\w+)+)")
         out: list[str] = []
         last = 0
         for m in pat.finditer(masked):
             path = m.group("path").split(".")
-            if path[0].lower() in shadowed:
-                continue  # alias wins over the catalog schema
+            if any(
+                a <= m.start() <= b
+                for a, b in shadow.get(path[0].lower(), ())
+            ):
+                continue  # in-scope alias wins over the catalog schema
             # longest prefix that resolves to a table wins; trailing
             # segments are COLUMN references (Calcite resolves
             # test.db2.tb2.d as column d of test.db2.tb2 the same way)

@@ -70,9 +70,13 @@ _UNSUPPORTED = re.compile(r"\bMATCH_RECOGNIZE\b|\bFOR\s+SYSTEM_TIME\b", re.IGNOR
 
 
 def mask_literals(sql: str) -> str:
-    """Blank out string-literal / quoted-identifier contents (keeping
-    length and positions) so keyword and paren scans never fire inside
-    ``'...'``, ``"..."`` or backticks — including doubled-quote escapes."""
+    """Blank out string-literal / quoted-identifier contents AND
+    comment interiors (keeping length and positions) so keyword, paren
+    and name scans never fire inside ``'...'``, ``"..."``, backticks —
+    including doubled-quote escapes — or ``-- ...`` line comments and
+    (nested, as Spark parses them) ``/* ... */`` bracketed comments.
+    One pass tracks both states: a quote inside a comment is comment
+    text, a ``--`` inside a literal is literal text."""
     out = list(sql)
     i, n = 0, len(sql)
     while i < n:
@@ -89,6 +93,28 @@ def mask_literals(sql: str) -> str:
             for k in range(i + 1, min(j, n)):
                 out[k] = " "
             i = j + 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = i + 2
+            while j < n and sql[j] != "\n":
+                out[j] = " "
+                j += 1
+            i = j
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql[j] == "/" and j + 1 < n and sql[j + 1] == "*":
+                    depth += 1
+                    out[j] = out[j + 1] = " "
+                    j += 2
+                elif sql[j] == "*" and j + 1 < n and sql[j + 1] == "/":
+                    depth -= 1
+                    if depth:
+                        out[j] = out[j + 1] = " "
+                    j += 2
+                else:
+                    out[j] = " "
+                    j += 1
+            i = j
         else:
             i += 1
     return "".join(out)
