@@ -161,8 +161,13 @@ class Graph:
         try:
             und = self.get_undirected()
             edges = und.edges.select("src", "dst").distinct().persist()
+            # lazy truncation throughout the loop: each round's convergence
+            # aggregate is the action that finalizes that round's
+            # localCheckpoint, so one job per round materializes labels AND
+            # answers the fixed-point check (was: eager truncate + agg = two)
             labels = truncate_lineage(
-                self.vertices.select("id", F.col("id").alias("component")), eager=True
+                self.vertices.select("id", F.col("id").alias("component")),
+                eager=False,
             )
             prev_sum = None
             for _i in range(max_iterations):
@@ -194,7 +199,7 @@ class Graph:
                         F.coalesce(F.col("__jcomp"), F.col("component")),
                     ).alias("component"),
                 )
-                labels = truncate_lineage(nxt, eager=True)
+                labels = truncate_lineage(nxt, eager=False)
                 cur_sum = labels.agg(
                     F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
                 ).first()["s"]
@@ -265,12 +270,15 @@ class Graph:
             self.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
             .filter(u != v)
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: round 1's star contraction finalizes this checkpoint
+            .localCheckpoint(eager=False)
         )
         prev_sig = None
         converged = False
         for i in range(max_rounds):
-            edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+            # lazy truncation: the signature aggregate below is the action
+            # that materializes this round's edge set (one job per round)
+            edges = small_star(large_star(edges)).localCheckpoint(eager=False)
             # convergence: the edge set is stable (order-insensitive
             # signature — count + xor-of-hashes, one aggregate job)
             sig = edges.agg(
@@ -321,7 +329,11 @@ class Graph:
         init = self.vertices.select(
             "id", (F.col(label_col) if label_col else F.col("id")).alias("label")
         )
-        edges = self.edges.select("src", "dst").persist()
+        # lazy truncation, not persist: with the fully-lazy fixed-count
+        # loop there is no action before the caller's, so a persist would
+        # never populate — checkpoint blocks are written by the caller's
+        # single action and shared by every iteration segment
+        edges = truncate_lineage(self.edges.select("src", "dst"), eager=False)
 
         def step(cur: DataFrame, _i: int) -> DataFrame:
             msgs = edges.join(cur, edges.src == cur.id).select(
@@ -336,9 +348,7 @@ class Graph:
                 .select("id", F.col("m.label").alias("label"))
             )
 
-        out = iterate(init, step, iterations)
-        edges.unpersist()
-        return out
+        return iterate(init, step, iterations)
 
     def triangle_enumeration(self) -> DataFrame:
         """Enumerate distinct triangles (flink-gelly/.../library/
@@ -417,7 +427,9 @@ class Graph:
         e = self.get_undirected().edges
         if "weight" not in e.columns:
             e = e.withColumn("weight", F.lit(1.0))
-        e_p = e.select("src", "dst", "weight").persist()
+        # lazy truncation, not persist (see label_propagation): the
+        # caller's action materializes the blocks once for all segments
+        e_p = truncate_lineage(e.select("src", "dst", "weight"), eager=False)
         init = self.vertices.select(
             "id", F.col("id").cast("long").alias("label"), F.lit(1.0).alias("score")
         )
@@ -460,9 +472,7 @@ class Graph:
                 "id", new_label.alias("label"), new_score.alias("score")
             )
 
-        out = iterate(init, step, max_iterations)
-        e_p.unpersist()
-        return out.select("id", "label")
+        return iterate(init, step, max_iterations).select("id", "label")
 
     def hits(self, iterations: int = 10) -> DataFrame:
         """HITS hubs-and-authorities
@@ -470,7 +480,8 @@ class Graph:
         authority(v) = sum of in-neighbor hub scores, then hub(v) = sum
         of out-neighbor authority scores, each L2-normalized.  Returns
         (id, hub, authority)."""
-        e = self.edges.select("src", "dst").persist()
+        # lazy truncation, not persist (see label_propagation)
+        e = truncate_lineage(self.edges.select("src", "dst"), eager=False)
         init = self.vertices.select(
             "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
         )
@@ -509,9 +520,7 @@ class Graph:
             )
             return _l2_normalized(out, "hub")
 
-        out = iterate(init, step, iterations)
-        e.unpersist()
-        return out
+        return iterate(init, step, iterations)
 
     def summarize(self, vertex_group_col: str, edge_group_col: str | None = None):
         """Graph summarization (flink-gelly/.../library/Summarization.java):
@@ -603,7 +612,7 @@ class Graph:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        edges = truncate_lineage(edges, eager=True)
+        edges = truncate_lineage(edges, eager=False)
         prev_sig = None
         for _ in range(max_iterations):
             tris = _degree_oriented_triangles(edges)
@@ -630,7 +639,8 @@ class Graph:
                 .filter(F.coalesce(F.col("__sup"), F.lit(0)) >= need)
                 .select("u", "v")
             )
-            nxt = truncate_lineage(nxt, eager=True)
+            # lazy: the signature aggregate finalizes the checkpoint
+            nxt = truncate_lineage(nxt, eager=False)
             sig = nxt.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr("bit_xor(xxhash64(u, v))").alias("h"),
@@ -682,8 +692,16 @@ class Graph:
                 .select(F.col("src").alias("id"))
             )
 
+        # memoize the previous round's count: prev is this closure's own
+        # nxt from last round, so recounting it would re-run a job per
+        # round for a number already in hand
+        last_n: list[int | None] = [None]
+
         def converged(prev: DataFrame, nxt: DataFrame) -> bool:
-            return prev.count() == nxt.count()
+            n_prev = last_n[0] if last_n[0] is not None else prev.count()
+            n_nxt = nxt.count()
+            last_n[0] = n_nxt
+            return n_prev == n_nxt
 
         out = iterate(alive, step, max_iterations, has_converged=converged)
         sym.unpersist()
@@ -701,7 +719,10 @@ class Graph:
             .join(out_deg, F.col("src") == F.col("id"))
             .select("src", "dst", (1.0 / F.col("out_degree")).alias("w"))
         )
-        e = e.persist()
+        # lazy truncation, not persist (see label_propagation): the
+        # caller's single action writes the blocks once; every one of the
+        # ``iterations`` segments then reads them instead of re-joining
+        e = truncate_lineage(e, eager=False)
         ranks = self.vertices.select("id", F.lit(1.0 / n).alias("rank"))
 
         def step(cur: DataFrame, _i: int) -> DataFrame:
@@ -723,9 +744,7 @@ class Graph:
                 )
             )
 
-        out = iterate(ranks, step, iterations)
-        e.unpersist()
-        return out
+        return iterate(ranks, step, iterations)
 
 
 def _undirected_neighbors(edges: DataFrame) -> DataFrame:
@@ -867,8 +886,14 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 10) -> DataFrame:
         )
         return cur.unionByName(new_pairs).distinct()
 
+    # memoized like k_core's predicate: one count job per round
+    last_n: list[int | None] = [None]
+
     def converged(prev: DataFrame, nxt: DataFrame) -> bool:
-        return nxt.count() == prev.count()
+        n_prev = last_n[0] if last_n[0] is not None else prev.count()
+        n_nxt = nxt.count()
+        last_n[0] = n_nxt
+        return n_prev == n_nxt
 
     return iterate(base, step, max_iterations, has_converged=converged,
                    checkpoint_every=1).select(

@@ -32,14 +32,28 @@ def iterate(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bulk iteration: repeatedly apply ``step`` until max_iterations or
-    ``has_converged(prev, cur)`` (an aggregate-based predicate)."""
+    ``has_converged(prev, cur)`` (an aggregate-based predicate).
+
+    Lineage/action fusion (r16, guide §1.2/§5): truncation is LAZY
+    (``eager=False`` — localCheckpoint marks the RDD; the first action
+    that computes it finalizes the checkpoint as a side effect).  With a
+    convergence predicate, every round truncates and the predicate's own
+    aggregate is the finalizing action — each round executes exactly
+    once, where the old eager-truncate-then-aggregate shape ran two jobs
+    per round AND re-executed untruncated rounds inside each check.
+    Without a predicate there is no per-round action at all: plans are
+    cut every ``checkpoint_every`` rounds (bounding planning time) and
+    the whole loop executes in the caller's single final action.
+    """
     cur = initial
     for i in range(max_iterations):
         nxt = step(cur, i)
-        if (i + 1) % checkpoint_every == 0:
-            nxt = truncate_lineage(nxt, eager=True, checkpoint_dir=checkpoint_dir)
-        if has_converged is not None and has_converged(cur, nxt):
-            return nxt
+        if has_converged is not None:
+            nxt = truncate_lineage(nxt, eager=False, checkpoint_dir=checkpoint_dir)
+            if has_converged(cur, nxt):
+                return nxt
+        elif (i + 1) % checkpoint_every == 0:
+            nxt = truncate_lineage(nxt, eager=False, checkpoint_dir=checkpoint_dir)
         cur = nxt
     return cur
 
@@ -86,8 +100,10 @@ def iterate_delta(
             solution = truncate_lineage(
                 solution, eager=False, checkpoint_dir=checkpoint_dir
             )
-        # eager: one materialization serves the count AND the step
-        workset = truncate_lineage(workset, eager=True, checkpoint_dir=checkpoint_dir)
+        # lazy truncation + count: the count is the finalizing action, so
+        # ONE job materializes the workset blocks that the step then reads
+        # (the old eager=True shape ran a materialization job AND a count)
+        workset = truncate_lineage(workset, eager=False, checkpoint_dir=checkpoint_dir)
         n = workset.count()
         if on_progress is not None:
             on_progress(i, n)

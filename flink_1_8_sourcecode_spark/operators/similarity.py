@@ -128,7 +128,12 @@ def ivf_train(
             F.col("__v").alias("__centroid"),
         )
     )
-    centroids = truncate_lineage(centroids, checkpoint_dir=checkpoint_dir)
+    # lazy truncation (r16): the next round's broadcast-build job (or the
+    # final assignment) is the action that materializes each round's
+    # centroids — halves the per-iteration job count vs eager truncation
+    centroids = truncate_lineage(
+        centroids, eager=False, checkpoint_dir=checkpoint_dir
+    )
 
     def sq_l2(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -158,7 +163,9 @@ def ivf_train(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cluster", F.transform("pm", lambda s: s["m"]).alias("__centroid"))
         )
-        centroids = truncate_lineage(centroids, checkpoint_dir=checkpoint_dir)
+        centroids = truncate_lineage(
+            centroids, eager=False, checkpoint_dir=checkpoint_dir
+        )
     # final assignment against the final centroids: every id's cluster is
     # its nearest surviving centroid by construction
     assignment = assign(centroids).select(F.col("__id").alias(id_col), "cluster")
@@ -659,7 +666,10 @@ def pq_train(
         .filter(F.col("__rn") <= k)
         .select("subspace", (F.col("__rn") - 1).alias("cluster"), F.col("sv").alias("centroid"))
     )
-    codebooks = truncate_lineage(codebooks, checkpoint_dir=checkpoint_dir)
+    # lazy truncation (r16): same job-fusion as kmeans above
+    codebooks = truncate_lineage(
+        codebooks, eager=False, checkpoint_dir=checkpoint_dir
+    )
 
     def sq_l2(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -695,7 +705,9 @@ def pq_train(
                 F.transform("pc", lambda s: s["c"]).alias("centroid"),
             )
         )
-        codebooks = truncate_lineage(codebooks, checkpoint_dir=checkpoint_dir)
+        codebooks = truncate_lineage(
+            codebooks, eager=False, checkpoint_dir=checkpoint_dir
+        )
 
     codes = (
         assign(codebooks)
@@ -1326,11 +1338,12 @@ def knn_graph_search(
         )
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("__cid"))
+    # lazy: hop 1's signature aggregate finalizes this checkpoint
     scored = truncate_lineage(
         _score(beam).withColumn("__rk", F.row_number().over(wq)).filter(
             F.col("__rk") <= beam_width
         ),
-        eager=True,
+        eager=False,
     )
     prev_sig = None
     for _hop in range(max_hops):
@@ -1349,7 +1362,8 @@ def knn_graph_search(
             .withColumn("__rk", F.row_number().over(wq))
             .filter(F.col("__rk") <= beam_width)
         )
-        scored = truncate_lineage(nxt, eager=True)
+        # lazy: the signature aggregate below materializes the beam
+        scored = truncate_lineage(nxt, eager=False)
         # beam signature: order-insensitive (count, xor of member hashes)
         sig = scored.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1434,7 +1448,7 @@ def _reduce_moments(moments: DataFrame, fanin: int = 64) -> DataFrame:
 
     # pin the corpus-scan output (bounded: one row per partition) so the
     # per-round counts below never re-execute the corpus pass
-    cur = truncate_lineage(moments, eager=True)
+    cur = truncate_lineage(moments, eager=False)
     # each round cuts the row count by ``fanin``; the loop bound only
     # caps pathological partition counts (64^5 partitions)
     for _ in range(5):
@@ -1451,7 +1465,7 @@ def _reduce_moments(moments: DataFrame, fanin: int = 64) -> DataFrame:
             grouped.groupBy("__grp").applyInPandas(
                 lambda pdf: merge(pdf.drop(columns="__grp")), _MOMENT_SCHEMA
             ),
-            eager=True,
+            eager=False,
         )
     return cur
 

@@ -401,17 +401,25 @@ def bigram_lm_score(
     ).select("__id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
     lm = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     ctx = lm.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
-    # vocabulary size: one scalar off a bounded aggregate (driver-side
-    # bounded contract — a single long, never data rows)
-    vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
-        .agg(F.countDistinct("__t"))
-        .first()[0]
+    # vocabulary size: a one-row aggregate broadcast-cross-joined into the
+    # plan (r16, guide §1.2/§5 — it was a separate driver `.first()`
+    # action before, i.e. a second full tokenize+explode pass over the
+    # corpus that had to finish before the main plan could even start;
+    # folding it in keeps one plan, lets the scheduler overlap the two
+    # subtrees, and drops a barrier).  Value and result floats identical:
+    # countDistinct long -> double in the same expression.
+    vocab_row = F.broadcast(
+        df.select(F.explode(tokens(F.col(text_col))).alias("__t")).agg(
+            F.countDistinct("__t").cast("double").alias("__vocab")
+        )
     )
-    logp = F.log((F.col("__c12") + add_k) / (F.col("__c1") + add_k * F.lit(float(vocab))))
+    logp = F.log(
+        (F.col("__c12") + add_k) / (F.col("__c1") + add_k * F.col("__vocab"))
+    )
     return (
         big.join(lm, ["w1", "w2"])
         .join(ctx, ["w1"])
+        .crossJoin(vocab_row)
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
