@@ -447,15 +447,18 @@ class CoGroupedStreams:
     Spark-first lowering (WindowedCoGroup.apply):
     - batch inputs: ``groupBy(keys, bucket).cogroup(...).applyInPandas``
       — the native Spark coGroup, one co-partitioned shuffle per side.
-    - streaming inputs: per-side windowed ``collect_list(struct(*))``
-      aggregation (watermark-finalized, exactly the reference's window
-      state buffering WindowOperator.java keeps for a CoGroupFunction),
-      then a FULL OUTER stream-stream join of the two finalized
-      aggregates on (keys, window) — Spark's chained-stateful-operator
-      path — and the CoGroupFunction applied per joined row via
-      ``mapInPandas``.  Each group is delivered to ``fn`` exactly once
-      across micro-batches (a naive streaming ``cogroup`` would fire
-      per-batch and split groups).
+    - streaming inputs: both sides union into one side-tagged stream
+      and a SINGLE watermark-finalized windowed aggregation collects
+      the two per-side buffers per (key, window) — exactly the
+      reference's window state buffering (WindowOperator.java keeps one
+      window buffer per key for a CoGroupFunction, with the side tag
+      Flink's TaggedUnion) — and the CoGroupFunction is applied per
+      group via ``mapInArrow``.  One-sided groups get an empty
+      other-side buffer (collect_list skips the union's typed NULLs),
+      which a join-based lowering would need a full-outer join to keep.
+      Each group is delivered to ``fn`` exactly once across
+      micro-batches (a naive streaming ``cogroup`` would fire per-batch
+      and split groups).
 
     State stays bounded at 100 TB the same way the reference's window
     state does: the watermark evicts (key, window) buffers once
@@ -566,23 +569,49 @@ class WindowedCoGroup:
             rg = rb.groupBy(*self._equal, "__w")
             return DataStream(lg.cogroup(rg).applyInPandas(strip, schema))
 
-        # streaming: finalized per-side window buffers + full outer join
-        lw = ldf.withWatermark(lt, self._delay)
-        rw = rdf.withWatermark(rt, self._delay)
-        la = lw.groupBy(
-            *[F.col(k) for k in self._where],
-            F.window(lt, size).alias("__wl"),
-        ).agg(F.collect_list(F.struct(*lcols)).alias("__lrows"))
-        ra = rw.groupBy(
-            *[F.col(k).alias(f"__rk_{i}") for i, k in enumerate(self._equal)],
-            F.window(rt, size).alias("__wr"),
-        ).agg(F.collect_list(F.struct(*rcols)).alias("__rrows"))
-        cond = la["__wl"] == ra["__wr"]
-        for i, lk in enumerate(self._where):
-            # null-safe: batch cogroup pairs NULL-key groups together,
-            # so the streaming lowering must too
-            cond = cond & la[lk].eqNullSafe(ra[f"__rk_{i}"])
-        joined = la.join(ra, cond, "full_outer").select("__lrows", "__rrows")
+        # streaming: ONE stateful operator (r16, guide §1.2 "remove
+        # unnecessary shuffles and passes").  Both sides union into one
+        # tagged stream — each row carries its own side's struct and a
+        # typed NULL for the other — and a single watermark-finalized
+        # windowed aggregate collects the two buffers per (key, window)
+        # (collect_list skips the NULL structs, so one-sided groups get
+        # an EMPTY other-side list, exactly what the full-outer join
+        # produced; groupBy groups NULL keys together, matching the
+        # join's eqNullSafe).  The previous lowering ran TWO windowed
+        # collect_list aggregates plus a stream-stream FULL OUTER join —
+        # three chained stateful operators, five state stores, ~1.2 s of
+        # state-store commit time per micro-batch at bench scale — for a
+        # result this one exchange + one store computes identically.
+        lst = F.struct(*lcols)
+        rst = F.struct(*rcols)
+        l_norm = ldf.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self._where)],
+            F.col(lt).alias("__t"),
+            lst.alias("__lrow"),
+            F.lit(None).cast(
+                rdf.select(rst.alias("__r")).schema["__r"].dataType
+            ).alias("__rrow"),
+        )
+        r_norm = rdf.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self._equal)],
+            F.col(rt).alias("__t"),
+            F.lit(None).cast(
+                ldf.select(lst.alias("__l")).schema["__l"].dataType
+            ).alias("__lrow"),
+            rst.alias("__rrow"),
+        )
+        u = l_norm.unionByName(r_norm).withWatermark("__t", self._delay)
+        joined = (
+            u.groupBy(
+                *[F.col(f"__k{i}") for i in range(len(self._where))],
+                F.window("__t", size).alias("__w"),
+            )
+            .agg(
+                F.collect_list("__lrow").alias("__lrows"),
+                F.collect_list("__rrow").alias("__rrows"),
+            )
+            .select("__lrows", "__rrows")
+        )
 
         # group dispatch runs on ARROW batches, not pandas: building a
         # pd.DataFrame from a list-of-dict struct column costs ~ms per

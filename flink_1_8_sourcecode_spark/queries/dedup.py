@@ -141,7 +141,7 @@ def _minhash_oracle(doc_rel: str = "documents") -> str:
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
@@ -528,7 +528,7 @@ def _duck_gram_base(expr: str) -> str:
 def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.dedup import winnowing_fingerprints
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return winnowing_fingerprints(d, "doc_id", "text", k=4, window=5)
 
 
@@ -585,7 +585,7 @@ def _winnowing_pairs_oracle() -> str:
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.dedup import winnowing_pairs
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return winnowing_pairs(d, "doc_id", "text", k=4, window=5, min_shared=2)
 
 
@@ -619,7 +619,7 @@ def dedup_winnowing_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnowing_pairs,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     pairs = winnowing_pairs(d, "doc_id", "text", k=4, window=5, min_shared=2).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )

@@ -1340,11 +1340,7 @@ def streaming_curate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", "score",
     )
     name = f"q_scg_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sources.run_bounded_to_memory(out, name)
     return spark.table(name)
 
 
@@ -1442,19 +1438,7 @@ def streaming_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = streaming_lsh_dedup(gated, "doc_id", "text")
     name = f"q_sip_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            flagged.writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sources.run_bounded_to_memory(flagged, name, shuffle_partitions=8)
     return (
         spark.table(name)
         .groupBy("doc_id")
@@ -1807,14 +1791,7 @@ def streaming_snapshot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = snapshot_status_stream(src, baseline, "doc_id", ["text", "lang"])
     name = f"q_sss_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    sources.run_bounded_to_memory(out, name)
     return spark.table(name)
 
 

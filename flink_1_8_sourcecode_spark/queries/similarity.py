@@ -939,11 +939,9 @@ def streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.30, nprobe=1,
     ).select("vec_id")
     name = f"q_sed_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from flink_1_8_sourcecode_spark.streaming import sources
+
+    sources.run_bounded_to_memory(out, name)
     return spark.table(name)
 
 

@@ -74,14 +74,21 @@ def _run_to_table(
     only) a handful of partitions avoids paying per-partition state-store
     commit + Python-worker round-trip overhead 32× per micro-batch.
     """
+    import shutil
+
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     spark = out.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # tmpfs checkpoint: per-batch state commits + WAL on the bounded
+    # replay are fixed overhead with no post-stop consumer (sources.py:
+    # temp_checkpoint_dir)
+    ckpt = sources.temp_checkpoint_dir(prefix)
     try:
         q = (
             out.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt)
             .outputMode(output_mode).start()
         )
         try:
@@ -91,6 +98,7 @@ def _run_to_table(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return name
 
 

@@ -437,7 +437,7 @@ def text_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repeated_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.dedup import repeated_char_spans
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return repeated_char_spans(d, "doc_id", "text", n=50, min_count=2)
 
 
@@ -1351,7 +1351,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_classifier_score,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     return quality_classifier_score(d, "doc_id", "text")
 
 
@@ -1407,7 +1407,7 @@ def text_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFra
         tokens,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     # weak supervision: Gopher stopword-density rule (occurrence count,
     # not distinct membership — the CCNet/Gopher ratio convention)
     t = tokens(F.col("text"))
