@@ -380,13 +380,16 @@ def bigram_lm_score(
     engines tokenize to).
 
     Scale shape: bigram extraction is map-only Column math (zip of the
-    token array with its shift — no Python, no shuffle); LM training is
-    two partial-aggregated groupBys (duplicate bigrams collapse
-    map-side, so hot bigrams like "of the" are skew-immune); scoring
-    joins doc-bigrams to the LM on (w1, w2) — the LM side is bounded by
-    vocabulary squared, broadcast when small, AQE-skew-split shuffle
-    join otherwise; the vocabulary size is ONE scalar from a bounded
-    aggregate (the documented driver-side bounded contract).
+    token array with its shift — no Python, no shuffle), materialized
+    ONCE via lazy lineage truncation and shared by the LM build and the
+    scoring probe; LM training is one partial-aggregated groupBy
+    (duplicate bigrams collapse map-side, so hot bigrams like "of the"
+    are skew-immune) with context counts folded in as a window over the
+    distinct-bigram table (per-w1 fan-out bounded by vocabulary —
+    skew-safe); scoring joins doc-bigrams to the LM on (w1, w2) — the
+    LM side is bounded by vocabulary squared, broadcast when small,
+    AQE-skew-split shuffle join otherwise; the vocabulary size is a
+    one-row aggregate broadcast into the plan.
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
@@ -399,8 +402,21 @@ def bigram_lm_score(
     big = df.select(
         F.col(id_col).alias("__id"), F.explode(pairs).alias("__b")
     ).select("__id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    # Materialize the bigram rows ONCE (lazy truncation — the LM build
+    # job finalizes the blocks, the probe then reads them): without it
+    # the LM-build and probe branches each re-tokenize and re-explode
+    # the whole corpus (r16, guide §1.2 "don't compute things twice").
+    from flink_1_8_sourcecode_spark.operators.lineage import truncate_lineage
+
+    big = truncate_lineage(big, eager=False)
     lm = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
-    ctx = lm.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    # context counts as a window over the DISTINCT-bigram LM table
+    # (bounded by vocab fan-out per w1 — skew-safe at any scale), not a
+    # third corpus-derived aggregate + join: same integer sum, one less
+    # pass and one less join
+    from pyspark.sql import Window as _W
+
+    lm = lm.withColumn("__c1", F.sum("__c12").over(_W.partitionBy("w1")))
     # vocabulary size: a one-row aggregate broadcast-cross-joined into the
     # plan (r16, guide §1.2/§5 — it was a separate driver `.first()`
     # action before, i.e. a second full tokenize+explode pass over the
@@ -418,7 +434,6 @@ def bigram_lm_score(
     )
     return (
         big.join(lm, ["w1", "w2"])
-        .join(ctx, ["w1"])
         .crossJoin(vocab_row)
         .groupBy("__id")
         .agg(
