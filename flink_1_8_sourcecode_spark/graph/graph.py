@@ -216,6 +216,7 @@ class Graph:
         self,
         max_rounds: int = 12,
         on_progress=None,
+        shuffle_partitions: int | None = None,
     ) -> DataFrame:
         """Connected components in O(log n) rounds via alternating
         large-star / small-star contractions (Kiveris et al., "Connected
@@ -233,7 +234,29 @@ class Graph:
 
         ``on_progress(round, edge_count)`` observes each round's
         (already computed) edge-set size.
+
+        ``shuffle_partitions`` pins the loop's exchange width (Flink
+        setParallelism parity — the same per-operator knob as
+        :meth:`connected_components_jump`): the contractions run on the
+        EDGE set, so iteration parallelism should track that set's
+        size, not the session's batch width.  Measured at bench scale:
+        64 -> 4 partitions cuts a tiny-pair-graph closure ~30%% (the
+        per-round fixed cost is task-launch x width x ~6 stages); size
+        it to edge-set bytes / ~64 MB on a large graph.
         """
+        spark = self.vertices.sparkSession
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        try:
+            return self._cc_alternating_loop(max_rounds, on_progress)
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    def _cc_alternating_loop(self, max_rounds, on_progress) -> DataFrame:
         u, v = F.col("u"), F.col("v")
 
         def large_star(e: DataFrame) -> DataFrame:

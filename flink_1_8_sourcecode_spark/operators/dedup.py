@@ -387,7 +387,12 @@ def simhash_neardup_pairs(
     )
 
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Resolve near-dup PAIRS into clusters and pick one keeper per
     cluster — the step an LLM-data pipeline runs after LSH/SimHash pair
     generation: transitive closure via alternating large-star/small-star
@@ -407,7 +412,9 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
 
     v = docs.select(F.col(id_col).alias("id"))
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = Graph(v, e).connected_components_alternating()
+    cc = Graph(v, e).connected_components_alternating(
+        shuffle_partitions=shuffle_partitions
+    )
     return cc.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster_id"),

@@ -34,6 +34,7 @@ def curate_corpus(
     default_budget: int = 0,
     neardup: bool = False,
     neardup_min_jaccard: float | None = None,
+    neardup_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Curate a document corpus into a training mixture + fixed holdout.
 
@@ -110,7 +111,10 @@ def curate_corpus(
                 F.col("est_jaccard") >= float(neardup_min_jaccard)
             ).select("id_a", "id_b")
         keepers = (
-            dedup_clusters(out, pairs, id_col=id_col)
+            dedup_clusters(
+                out, pairs, id_col=id_col,
+                shuffle_partitions=neardup_shuffle_partitions,
+            )
             .filter(F.col("is_keeper"))
             .select(F.col(id_col).alias("__keeper_id"))
         )

@@ -349,7 +349,7 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d, "doc_id", "text", num_hashes=16, bands=8).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
-    return dedup_clusters(d, pairs, id_col="doc_id")
+    return dedup_clusters(d, pairs, id_col="doc_id", shuffle_partitions=4)
 
 
 @register(
@@ -623,7 +623,7 @@ def dedup_winnowing_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = winnowing_pairs(d, "doc_id", "text", k=4, window=5, min_shared=2).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
-    return dedup_clusters(d, pairs, id_col="doc_id")
+    return dedup_clusters(d, pairs, id_col="doc_id", shuffle_partitions=4)
 
 
 @register(

@@ -328,7 +328,9 @@ def graph_cc_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("id") % 10) != 9)
         .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
     )
-    return Graph(v, e).connected_components_alternating()
+    # iteration parallelism tracks the (tiny) per-round edge set —
+    # Flink setParallelism parity, same as graph_connected_components
+    return Graph(v, e).connected_components_alternating(shuffle_partitions=4)
 
 
 _UND_DUCK = f"""
