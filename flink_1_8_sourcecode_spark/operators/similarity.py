@@ -142,15 +142,31 @@ def ivf_train(
             lambda acc, x: acc + x,
         )
 
-    w = Window.partitionBy("__id").orderBy(F.asc("__d"), F.asc("cluster"))
-
     def assign(cents: DataFrame) -> DataFrame:
-        return (
-            v.join(F.broadcast(cents), F.lit(True))
-            .select("__id", "__v", "cluster", sq_l2(F.col("__v"), F.col("__centroid")).alias("__d"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "__v", "cluster")
+        # MAP-ONLY argmin (r16): the k centroids ride as ONE broadcast
+        # array row and each corpus row takes array_min over
+        # (distance, cluster) structs — lexicographic struct ordering is
+        # exactly the old (distance asc, cluster asc) tiebreak.  The
+        # previous form joined corpus x k rows and ranked them with a
+        # row_number window partitioned by id, i.e. it EXCHANGED the
+        # corpus every Lloyd round — the docstring's "corpus never
+        # moves" is now actually true.
+        carr = F.broadcast(
+            cents.agg(
+                F.collect_list(F.struct("cluster", "__centroid")).alias("__cs")
+            )
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("__cs"),
+                lambda c: F.struct(
+                    sq_l2(F.col("__v"), c["__centroid"]).alias("d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return v.crossJoin(carr).select(
+            "__id", "__v", best["cluster"].alias("cluster")
         )
 
     for _ in range(iterations):
@@ -678,18 +694,35 @@ def pq_train(
             lambda acc, x: acc + x,
         )
 
-    w = Window.partitionBy("__id", "subspace").orderBy(F.asc("__d"), F.asc("cluster"))
-
     def assign(cb: DataFrame) -> DataFrame:
-        return (
-            subs.join(F.broadcast(cb), "subspace")
-            .select(
-                "__id", "subspace", "sv", "cluster",
-                sq_l2(F.col("sv"), F.col("centroid")).alias("__d"),
+        # MAP-ONLY argmin, same rework as ivf_train's assign: the whole
+        # m x k codebook rides as ONE broadcast array row; each
+        # (id, subspace) row filters its subspace's centroids and takes
+        # array_min over (distance, cluster) structs — the struct
+        # ordering is the old (distance asc, cluster asc) tiebreak.
+        # The previous join + row_number window exchanged the corpus's
+        # subvector rows every training round.
+        carr = F.broadcast(
+            cb.agg(
+                F.collect_list(
+                    F.struct("subspace", "cluster", "centroid")
+                ).alias("__cb")
             )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "subspace", "sv", "cluster")
+        )
+        mine = F.filter(
+            F.col("__cb"), lambda c: c["subspace"] == F.col("subspace")
+        )
+        best = F.array_min(
+            F.transform(
+                mine,
+                lambda c: F.struct(
+                    sq_l2(F.col("sv"), c["centroid"]).alias("d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return subs.crossJoin(carr).select(
+            "__id", "subspace", "sv", best["cluster"].alias("cluster")
         )
 
     for _ in range(iterations):
