@@ -108,18 +108,23 @@ def test_lsh_reuses_signature_exchange(spark):
 
 
 def test_pq_train_broadcast_assign_no_corpus_shuffle_join(spark):
-    """PQ training's assign step must broadcast the tiny codebook and
-    join it into the exploded subvector stream in place — a sort-merge
-    or cartesian there would shuffle the corpus-derived side every
-    Lloyd iteration."""
+    """PQ training's assign step must never shuffle the corpus-derived
+    side per Lloyd iteration.  Since r16 the whole m x k codebook rides
+    as ONE broadcast array row (BroadcastNestedLoopJoin with a 1-row
+    build side) and the argmin is a map-only array_min over
+    (distance, cluster) structs — there is no per-id ranking Window and
+    no equi-join at all; a sort-merge, cartesian, or id-partitioned
+    Window would mean the corpus moves every round."""
     from flink_1_8_sourcecode_spark.catalog import table
     from flink_1_8_sourcecode_spark.operators.similarity import pq_train
 
     emb = table(spark, SF_DIR, "embeddings")
     codes, _cb = pq_train(emb, "vec_id", "embedding", m=8, k=16, iterations=1)
     plan = codes._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the old lowering ranked corpus x k rows with a window — gone
+    assert "Window" not in plan
 
 
 def test_join_with_tiny_huge_hint_sides(spark):
