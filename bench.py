@@ -62,6 +62,11 @@ SECONDARY = (
     # r15: the opt-in Arrow-native CoGroupFunction contract — benched
     # next to the pandas contract so the speedup is a recorded number
     "datastream_api_cogroup_arrow",
+    # r16 (VERDICT item 7): the CEP funnel — cep/matcher.py's NFA is the
+    # one interpreted per-event hot loop left, so a pattern explosion or
+    # NFA regression must surface as a recorded number + sf ratio the
+    # way datastream_api_cogroup's does
+    "cep_funnel_signup_purchase",
 )
 
 
