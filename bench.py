@@ -141,14 +141,53 @@ def main() -> None:
             "cv": _cv(samples),
         }
 
+    # Throttle-aware protocol (r17, VERDICT item 2): this sandbox host
+    # CPU-credit-throttles under sustained load — r16's driver run read
+    # the probe at 0.37-1.45 s against a 0.06-0.10 s idle anchor and the
+    # first-measured queries absorbed a 2-6x tax that PERF then read as
+    # plan regressions.  Two additive countermeasures, methodology for
+    # the primary fields unchanged:
+    #   1. SOAK: if the pre-run probe is hot (> ~2x the idle anchor),
+    #      sleep and re-probe a bounded number of times before timing
+    #      anything; every attempt is recorded.
+    #   2. RETRY: if the headline segment still ran hot (pre- or
+    #      mid-run probe above the gate), re-time the headline set once
+    #      after the main pass and report BOTH (queries_retry[_min] are
+    #      purely additive; queries/queries_min keep their meaning).
+    HOT_GATE = float(os.environ.get("SPARK_GRAFT_HOT_GATE", "0.20"))
+    soak_attempts: list[float] = []
     calibration_pre = calibrate()
+    soak_attempts.append(calibration_pre["median"])
+    for _ in range(4):
+        if calibration_pre["median"] <= HOT_GATE:
+            break
+        time.sleep(20)
+        calibration_pre = calibrate()
+        soak_attempts.append(calibration_pre["median"])
 
     timings = {name: median_wall(q) for name, q in bench_queries.items()}
     timings_min = {name: mins[name] for name in timings}
+    calibration_mid = calibrate()  # stamps the headline->secondary boundary
     secondary = {
         name: median_wall(registry[name]) for name in SECONDARY if name in registry
     }
     secondary_min = {name: mins[name] for name in secondary}
+
+    retry: dict[str, float] = {}
+    retry_min: dict[str, float] = {}
+    calibration_retry = None
+    if (
+        calibration_pre["median"] > HOT_GATE
+        or calibration_mid["median"] > HOT_GATE
+    ) and os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0":
+        # headline segment ran on a hot box: one full re-timing pass,
+        # probe-stamped, reported next to (never instead of) the originals
+        calibration_retry = calibrate()
+        saved_mins, saved_cvs = dict(mins), dict(cvs)
+        retry = {name: median_wall(q) for name, q in bench_queries.items()}
+        retry_min = {name: mins[name] for name in retry}
+        mins.clear(), mins.update(saved_mins)
+        cvs.clear(), cvs.update(saved_cvs)
 
     # Scaling-curve guard: time the headline set one scale factor down
     # and report the small->big wall-time ratio per query.  At 10x the
@@ -196,7 +235,10 @@ def main() -> None:
         "cv": cvs,
         "host_calibration": {
             "pre": calibration_pre,
+            "mid": calibration_mid,
             "post": calibration_post,
+            "soak_attempts": soak_attempts,
+            "hot_gate": HOT_GATE,
             "probe": "sum(id*3+1) over range(200M, 32 slices), noop write,"
                      " median of 5 after warmup — host-speed constant,"
                      " independent of repo code and SF",
@@ -206,6 +248,10 @@ def main() -> None:
         "scaling": scaling,
         "sf": sf_val,
     }
+    if retry:
+        full["queries_retry"] = retry
+        full["queries_retry_min"] = retry_min
+        full["host_calibration"]["retry_pre"] = calibration_retry
     # Full record goes to a file; the driver's stdout capture keeps only
     # the LAST ~2 KB, so the stream gets (a) the full JSON first, for a
     # human tailing locally, then (b) a compact summary line LAST that is
@@ -215,23 +261,23 @@ def main() -> None:
         json.dump(full, f, indent=1)
         f.write("\n")
     print(json.dumps(full))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": full["value"],
-                "value_min": full["value_min"],
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "superlinear": scaling.get("superlinear") if scaling else None,
-                "host_cal": [calibration_pre["median"],
-                             calibration_post["median"]],
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": full["value"],
+        "value_min": full["value_min"],
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "superlinear": scaling.get("superlinear") if scaling else None,
+        "host_cal": [calibration_pre["median"],
+                     calibration_post["median"]],
+        "sf": sf_val,
+    }
+    if retry:
+        # additive: the clean re-timing of a throttled headline segment
+        compact["queries_retry"] = retry
+        compact["host_cal_mid"] = calibration_mid["median"]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

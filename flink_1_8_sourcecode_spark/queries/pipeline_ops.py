@@ -233,7 +233,16 @@ _STOP = """CASE WHEN len(toks) > 0
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_1_8_sourcecode_spark.operators.pipeline import curate_corpus
 
-    d = table(spark, sf_dir, "documents", spread=True)
+    # r17 (VERDICT item 1): spread=True REVERTED here.  The driver
+    # measured 0.86 -> 2.32 s MIN (2.7x, vs a <=1.35x noise band) and 8
+    # cores beat 32 (scaling ratio 0.75): Catalyst pushed the heavy
+    # quality-gate filter BELOW the spread Exchange down to the
+    # single-task scan, so the per-row compute stayed serial while the
+    # full-text shuffle was pure added cost — no downstream exchange
+    # shares the doc_id key (they hash on _w0/(source, split)), unlike
+    # text_quality_classifier where the spread exchange REPLACES the
+    # downstream one.
+    d = table(spark, sf_dir, "documents")
     return curate_corpus(
         d,
         scrub_pattern=_SCRUB_PAT,

@@ -2259,3 +2259,26 @@ class TestPmiCollocations:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestSpreadGate:
+    def test_unkeyed_table_raises_not_round_robin(self, spark, tmp_path):
+        """catalog._spread must be keyed-or-raise (r17): a keyless
+        repartition(n) is the round-robin local-sort / SPARK-38388
+        retry-duplication hazard the module docstring warns about."""
+        from flink_1_8_sourcecode_spark.catalog import _spread
+
+        p = str(tmp_path / "mystery.parquet")
+        spark.range(10).toDF("some_id").write.parquet(p)
+        df = spark.read.parquet(p)
+        with pytest.raises(KeyError, match="_SPREAD_KEYS"):
+            _spread(spark, df, p)
+
+    def test_keyed_table_spreads_on_key(self, spark):
+        """A keyed spread table hash-partitions on its declared id, not
+        round-robin."""
+        from flink_1_8_sourcecode_spark.catalog import table
+
+        df = table(spark, SF_DIR, "documents", spread=True)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "RepartitionByExpression" in plan and "doc_id" in plan
