@@ -437,6 +437,28 @@ class JoinedStreams:
         return DataStream(lw.join(rw, cond, "inner").drop("__wl", "__wr"))
 
 
+class _ColsView:
+    """Columns-only group view for ``WindowedCoGroup.apply(...,
+    columns_only=True)``: supports ``len(v)`` and ``v["col"]`` (a pandas
+    Series slice of the batch-level column).  Deliberately NOTHING else
+    — the opt-in flag is the caller's promise that its CoGroupFunction
+    never touches frame-level APIs or the row index, which is what makes
+    skipping the per-group DataFrame construction sound."""
+
+    __slots__ = ("_cols", "_a", "_b")
+
+    def __init__(self, cols, a, b):
+        self._cols = cols
+        self._a = a
+        self._b = b
+
+    def __len__(self):
+        return self._b - self._a
+
+    def __getitem__(self, col):
+        return self._cols[col].iloc[self._a:self._b]
+
+
 class CoGroupedStreams:
     """DataStream.coGroup(other).where(k).equal_to(k).window(...)
     .apply(fn, schema) (CoGroupedStreams.java:75): same keys, same
@@ -528,7 +550,22 @@ class WindowedCoGroup:
         self._lt, self._rt = lt, rt
         self._size, self._delay = size, delay
 
-    def apply(self, fn, schema, contract: str = "pandas") -> DataStream:
+    def apply(
+        self, fn, schema, contract: str = "pandas",
+        columns_only: bool = False,
+    ) -> DataStream:
+        """``columns_only=True`` (r17, guide §4): opt-in declaration that
+        ``fn`` reads its two inputs ONLY through ``len(pdf)`` and column
+        access (``pdf["col"]`` / positional ops on the returned Series)
+        and never relies on the frame's own row index or frame-level
+        methods.  The streaming dispatch then hands each group two
+        lightweight column views (one pandas Series slice per accessed
+        column) instead of materializing a per-group DataFrame slice —
+        the per-group pandas machinery (frame construction + index
+        reset, ~0.15 ms x 26k groups at sf0.1) disappears while the
+        function body and its results stay byte-identical.  The batch
+        path ignores the flag (Spark's native cogroup transport already
+        delivers real frames).  Only meaningful with contract='pandas'."""
         if contract not in ("pandas", "arrow"):
             raise ValueError(
                 f"co_group apply: contract must be 'pandas' or 'arrow', "
@@ -660,9 +697,19 @@ class WindowedCoGroup:
                 ri = batch.schema.names.index("__rrows")
                 big_l, off_l = _flatten(batch.column(li), lcols)
                 big_r, off_r = _flatten(batch.column(ri), rcols)
+                if as_pandas and columns_only:
+                    # columns-only contract: one Series per column per
+                    # BATCH; each group is two O(1)-built views whose
+                    # column access returns a Series slice — no
+                    # per-group DataFrame construction or index reset
+                    lsers = {c: big_l[c] for c in lcols}
+                    rsers = {c: big_r[c] for c in rcols}
                 outs = []
                 for i in range(batch.num_rows):
-                    if as_pandas:
+                    if as_pandas and columns_only:
+                        l_in = _ColsView(lsers, off_l[i], off_l[i + 1])
+                        r_in = _ColsView(rsers, off_r[i], off_r[i + 1])
+                    elif as_pandas:
                         l_in = big_l.iloc[off_l[i]:off_l[i + 1]]
                         r_in = big_r.iloc[off_r[i]:off_r[i + 1]]
                         if len(l_in) and l_in.index[0] != 0:

@@ -624,3 +624,47 @@ class TestAsyncDataStream:
                 self._src(spark), None, "k long", timeout_s=1.0,
                 on_timeout="retry",
             )
+
+
+def test_cogroup_columns_only_matches_default(spark, env, tmp_path):
+    """columns_only=True (r17): same CoGroupFunction, same results as
+    the default pandas contract — the flag only changes how groups are
+    delivered (Series-slice views vs per-group DataFrame slices)."""
+    import pandas as pd
+
+    def fn(lp, rp):
+        ts = lp["s_ts"].iloc[0] if len(lp) else rp["p_ts"].iloc[0]
+        uid = int(lp["u"].iloc[0]) if len(lp) else int(rp["u2"].iloc[0])
+        return pd.DataFrame({
+            "user_id": [uid],
+            "w_start": [pd.Timestamp(ts).floor("D")],
+            "sc": [len(lp)],
+            "vc": [len(rp)],
+        })
+
+    schema = "user_id long, w_start timestamp, sc long, vc long"
+
+    def build(src_ds, **kw):
+        keep = F.col("user_id") < 0
+        s = src_ds.filter((F.col("event_type") == "signup") | keep).map(
+            F.col("user_id").alias("u"), F.col("ts").alias("s_ts"))
+        v = src_ds.filter((F.col("event_type") == "view") | keep).map(
+            F.col("user_id").alias("u2"), F.col("ts").alias("p_ts"))
+        return (
+            s.co_group(v).where("u").equal_to("u2")
+            .window("s_ts", "p_ts", "1 day")
+            .apply(fn, schema, **kw)
+        )
+
+    stream = build(DataStream(
+        _event_stream(spark, tmp_path, "cg_co", sentinel=True)),
+        columns_only=True)
+    q = stream.add_sink_memory("t_ds_cg_co")
+    _drain(q)
+    got = spark.table("t_ds_cg_co").filter("user_id >= 0").toPandas()
+
+    batch = build(DataStream(table(spark, SF_SMALL, "events"))).df
+    expected = batch.filter("user_id >= 0").toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, expected.values.tolist())
+    )
